@@ -1,0 +1,105 @@
+package graft.functions
+
+import java.text.Normalizer
+
+/** JVM implementations backing the custom Catalyst expressions.
+  *
+  * Kept as a top-level object so Scala emits static forwarders —
+  * generated whole-stage code calls these as plain static Java
+  * methods (`graft.functions.StringOps.slugify(...)`).
+  */
+object StringOps {
+
+  /** De-accent + slugify (reference F1, `__init__.py:10-29`):
+    * NFD-decompose, strip combining marks, lowercase, drop
+    * punctuation except word chars / whitespace / hyphen, collapse
+    * whitespace runs into single hyphens.
+    *
+    * Note the reference keeps letters that do not NFD-decompose
+    * (e.g. Vietnamese "đ") — so does this.
+    */
+  def slugify(s: String): String = {
+    if (s == null) return null
+    val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
+    val deaccented = decomposed.replaceAll("\\p{Mn}+", "")
+    val cleaned = deaccented.toLowerCase.replaceAll("[^\\w\\s-]", "")
+    cleaned.trim.replaceAll("\\s+", "-")
+  }
+
+  /** Tolerant clock-duration parse (reference F2, `__init__.py:32-73`):
+    * "HH:MM:SS" / "MM:SS" / "SS" with messy `[;:]+` separators and
+    * empty fields treated as 0. Returns total seconds; NaN signals
+    * parse failure (mapped to SQL NULL by the expression).
+    */
+  def durationSeconds(s: String): Double = {
+    if (s == null) return Double.NaN
+    val cleaned = s.trim.replaceAll("[;:]+", ":")
+    if (cleaned.isEmpty) return Double.NaN
+    val parts = cleaned.split(":", -1)
+    if (parts.length > 3) return Double.NaN
+    var acc = 0.0
+    var i = 0
+    while (i < parts.length) {
+      val p = parts(i).trim
+      val v =
+        if (p.isEmpty) 0.0
+        else {
+          try p.toDouble
+          catch { case _: NumberFormatException => return Double.NaN }
+        }
+      acc = acc * 60.0 + v
+      i += 1
+    }
+    acc
+  }
+
+  /** SimHash over pre-hashed 60-bit token hashes: for each bit
+    * position, sum +1/-1 over tokens by whether that bit is set;
+    * output bit = 1 iff the sum is positive. Result stays below
+    * 2^60 so it round-trips through any engine's signed 64-bit
+    * integer without sign games.
+    */
+  def simhash60(hashes: Array[Long]): Long = {
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < hashes.length) {
+      val h = hashes(i)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Word-level Levenshtein distance (token-sequence edit distance) —
+    * the unit of the corpus-WER aggregate (reference A8,
+    * `post_process.py:322-329`). */
+  def wordLevenshtein(a: Array[String], b: Array[String]): Int = {
+    if (a == null || a.isEmpty) return if (b == null) 0 else b.length
+    if (b == null || b.isEmpty) return a.length
+    var prev = Array.tabulate(b.length + 1)(identity)
+    var curr = new Array[Int](b.length + 1)
+    var i = 1
+    while (i <= a.length) {
+      curr(0) = i
+      var j = 1
+      while (j <= b.length) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(b.length)
+  }
+}

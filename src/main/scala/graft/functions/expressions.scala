@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for semantics Spark's built-ins lack.
+  * All scalar string expressions are codegen'd (static calls into
+  * [[StringOps]]) so they stay inside WholeStageCodegen spans and
+  * never break a fused scan→project→filter pipeline.
+  */
+
+/** De-accent slug (reference F1 `__init__.py:10-29`). */
+case class DeaccentSlug(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(StringOps.slugify(v.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.StringOps.slugify($c.toString()))")
+
+  override protected def withNewChildInternal(c: Expression): DeaccentSlug = copy(child = c)
+}
+
+/** Tolerant "HH:MM:SS" → seconds (reference F2 `__init__.py:32-73`);
+  * null on malformed input like the reference's except→None path. */
+case class DurationSeconds(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = StringOps.durationSeconds(v.asInstanceOf[UTF8String].toString)
+    if (java.lang.Double.isNaN(r)) null else java.lang.Double.valueOf(r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |double parsed = graft.functions.StringOps.durationSeconds($c.toString());
+         |if (Double.isNaN(parsed)) { ${ev.isNull} = true; } else { ${ev.value} = parsed; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): DurationSeconds = copy(child = c)
+}
+
+/** SimHash of a pre-hashed token array (array<long> → long, 60 bits). */
+case class SimHash60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(StringOps.simhash60(v.asInstanceOf[ArrayData].toLongArray()))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringOps.simhash60($c.toLongArray())")
+
+  override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
+}
+
+/** Python-literal → canonical JSON text (reference F12/F13); compose
+  * with `from_json` to recover typed arrays/structs from the
+  * reference's repr()-in-CSV columns. */
+case class PyLiteralToJson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val r = PyLiteral.toJson(v.asInstanceOf[UTF8String].toString)
+    if (r == null) null else UTF8String.fromString(r)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |String js = graft.functions.PyLiteral.toJson($c.toString());
+         |if (js == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(js); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): PyLiteralToJson = copy(child = c)
+}
+
+/** Column-level API for the custom expressions. */
+object GraftFunctions {
+  private def col(e: Expression): Column = ColumnShim.column(e)
+  private def expr(c: Column): Expression = ColumnShim.expression(c)
+
+  def deaccent_slug(c: Column): Column = col(DeaccentSlug(expr(c)))
+  def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
+  def simhash60(c: Column): Column = col(SimHash60(expr(c)))
+  def pyliteral_to_json(c: Column): Column = col(PyLiteralToJson(expr(c)))
+
+  /** Register all custom functions for SQL use. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("deaccent_slug", es => DeaccentSlug(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("duration_seconds", es => DurationSeconds(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("pyliteral_to_json", es => PyLiteralToJson(es.head), "scala_udf")
+  }
+}

@@ -1,0 +1,349 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.Upsert
+
+/** Relational operator coverage (SURVEY §2.2–§2.6) expressed over the
+  * driver's TPC-H-ish tables, each with a DuckDB oracle.
+  *
+  * Scale notes are per query; the common rules:
+  *  - filters/projections sit directly on the parquet scan (pushdown
+  *    + pruning verified in PlanSpec),
+  *  - small dimensions are broadcast,
+  *  - exact-decimal sums make aggregates bit-reproducible without
+  *    constraining Spark's parallel accumulation order.
+  */
+object RelationalQueries {
+
+  /** sum of a double expr as exact decimal, emitted as double. */
+  private def dsum(c: Column, scale: Int = 8): Column =
+    sum(c.cast(s"decimal(28,$scale)")).cast("double")
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- q01: pricing summary (A-family aggregates; TPC-H Q1 shape).
+    // Map-side partial aggregation; 4 groups → tiny shuffle.
+    Q("q01_pricing_summary", Some(s"""
+      SELECT l_returnflag, l_linestatus,
+             ${Q.dsumSql("l_quantity", 2)} AS sum_qty,
+             ${Q.dsumSql("l_extendedprice", 2)} AS sum_base_price,
+             ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+             ${Q.dsumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 10)} AS sum_charge,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")), 10).as("sum_charge"),
+          (sum(col("l_quantity").cast("decimal(28,2)")).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ---- q02: the reference's flagship query (P1 query_download_url,
+    // crawler/utils.py:43-82): conjunctive null-safe substring filter +
+    // projection. Both predicates push into the parquet scan.
+    Q("q02_filter_contains", Some("""
+      SELECT p_partkey, p_name, p_brand, p_retailprice
+      FROM part
+      WHERE contains(coalesce(p_name, ''), 're')
+        AND contains(coalesce(p_type, ''), 'ECONOMY')
+      ORDER BY p_partkey""")) { (s, d) =>
+      Tables.part(s, d)
+        .filter(coalesce(col("p_name"), lit("")).contains("re") &&
+                coalesce(col("p_type"), lit("")).contains("ECONOMY"))
+        .select("p_partkey", "p_name", "p_brand", "p_retailprice")
+        .orderBy("p_partkey")
+    },
+
+    // ---- q03: join + aggregate + top-k (J-family; TPC-H Q3 shape).
+    // customer is the small side → broadcast; lineitem never leaves
+    // its scan partitioning until the group-by shuffle.
+    Q("q03_shipping_priority", Some(s"""
+      SELECT l_orderkey,
+             ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             o_orderdate, o_orderpriority
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'MACHINERY' AND c_custkey = o_custkey
+        AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+      GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      ORDER BY revenue DESC, l_orderkey
+      LIMIT 10""")) { (s, d) =>
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01 00:00:00"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-01-01 00:00:00"))
+      li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- q04: semi join (EXISTS; J-family / P9 shape).
+    Q("q04_priority_semi_join", Some("""
+      SELECT o_orderpriority, COUNT(*) AS n_orders
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")) { (s, d) =>
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+                col("o_orderdate") < lit("1997-01-01 00:00:00"))
+      val li = Tables.lineitem(s, d).filter(col("l_quantity") > 45)
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q05: anti join (J7 outlier removal shape: NOT EXISTS).
+    Q("q05_customers_no_orders", Some("""
+      SELECT c_custkey, c_name
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      ORDER BY c_custkey""")) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    // ---- q06: selective scan aggregate (TPC-H Q6 shape) — the whole
+    // predicate pushes into the parquet scan; no shuffle at all
+    // beyond the single-row final aggregate.
+    Q("q06_revenue_delta", Some(s"""
+      SELECT ${Q.dsumSql("l_extendedprice * l_discount")} AS revenue,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount >= 0.02 AND l_discount <= 0.06
+        AND l_quantity < 24""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00") &&
+                col("l_shipdate") < lit("1997-01-01 00:00:00") &&
+                col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+                col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // ---- q07: star join through two broadcast dimensions (J8 shape).
+    Q("q07_revenue_by_nation", Some(s"""
+      SELECT n_name,
+             ${Q.dsumSql("l_extendedprice * (1 - l_discount)")} AS revenue,
+             COUNT(*) AS n_items
+      FROM customer, orders, lineitem, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY n_name""")) { (s, d) =>
+      val nr = Tables.nation(s, d)
+        .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00") &&
+                col("o_orderdate") < lit("1997-01-01 00:00:00"))
+      Tables.lineitem(s, d)
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("n_name")
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+
+    // ---- q08: MERGE-style upsert (J4, process_all.py:797-839):
+    // full-outer join + column-wise coalesce, update wins.
+    Q("q08_upsert_merge", Some("""
+      SELECT coalesce(u.o_orderkey, b.o_orderkey) AS o_orderkey,
+             coalesce(u.price, b.price) AS price,
+             coalesce(u.status, b.status) AS status
+      FROM (SELECT o_orderkey, o_totalprice AS price, o_orderstatus AS status
+            FROM orders WHERE o_orderkey % 3 <> 0) b
+      FULL OUTER JOIN
+           (SELECT o_orderkey,
+                   CAST(CAST(o_totalprice * 1.05 AS DECIMAL(28,4)) AS DOUBLE) AS price,
+                   'U' AS status
+            FROM orders WHERE o_orderkey % 2 = 0) u
+      USING (o_orderkey)
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val ord = Tables.orders(s, d)
+      val base = ord.filter(col("o_orderkey") % 3 =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+      val updates = ord.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"),
+          (col("o_totalprice") * 1.05).cast("decimal(28,4)").cast("double").as("price"),
+          lit("U").as("status"))
+      Upsert(base, updates, Seq("o_orderkey")).orderBy("o_orderkey")
+    },
+
+    // ---- q09: per-group top-k window (W5 sampling shape).
+    Q("q09_top3_per_nation", Some("""
+      SELECT c_nationkey, c_custkey, c_acctbal, rn FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey) AS rn
+        FROM customer)
+      WHERE rn <= 3
+      ORDER BY c_nationkey, rn""")) { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      Tables.customer(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("c_nationkey", "c_custkey", "c_acctbal", "rn")
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // ---- q10: global sort + limit (W3 error-head shape).
+    Q("q10_top5_orders", Some("""
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 5""")) { (s, d) =>
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5)
+    },
+
+    // ---- q11: positional explode (W4 enumerate / J6 positional join
+    // shape): token with its 0-based position.
+    Q("q11_posexplode_tokens", Some("""
+      SELECT doc_id,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos,
+             unnest(string_split(text, ' ')) AS token
+      FROM documents
+      WHERE doc_id < 20
+      ORDER BY doc_id, pos""")) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .toDF("doc_id", "pos", "token")
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- q12: union + distinct (U1 shape).
+    Q("q12_union_distinct", Some("""
+      SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier)
+      ORDER BY nationkey""")) { (s, d) =>
+      Tables.customer(s, d).select(col("c_nationkey").as("nationkey"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey")
+    },
+
+    // ---- q13: group-by-derived-prefix (A1/A2 audiobook grouping shape).
+    Q("q13_group_by_prefix", Some("""
+      SELECT split_part(text, ' ', 1) AS first_tok,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM documents
+      GROUP BY 1
+      ORDER BY first_tok""")) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(split(col("text"), " ").getItem(0).as("first_tok"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy("first_tok")
+    },
+
+    // ---- q14: min-per-group + qualification predicate (P7/A5
+    // sample-rate gate shape).
+    Q("q14_qualify_min_per_group", Some("""
+      SELECT l_orderkey,
+             CAST(MIN(l_shipdate) AS DATE) AS min_ship,
+             MIN(l_shipdate) >= TIMESTAMP '1995-06-01 00:00:00' AS qualified
+      FROM lineitem
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""")) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(min(col("l_shipdate")).as("min_ts"))
+        .select(
+          col("l_orderkey"),
+          col("min_ts").cast("date").as("min_ship"),
+          (col("min_ts") >= lit("1995-06-01 00:00:00")).as("qualified"))
+        .orderBy("l_orderkey")
+    },
+
+    // ---- q15: success/failure counters + rate (A6/A9 shape).
+    Q("q15_status_counters", Some("""
+      SELECT o_orderstatus AS status,
+             COUNT(*) AS n,
+             CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT) AS n_big,
+             COUNT(*) FILTER (WHERE o_totalprice > 200000) / COUNT(*) AS big_rate
+      FROM orders
+      GROUP BY o_orderstatus
+      ORDER BY o_orderstatus""")) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("o_totalprice") > 200000, 1)).as("n_big"),
+          (count(when(col("o_totalprice") > 200000, 1)) / count(lit(1))).as("big_rate"))
+        .orderBy("status")
+    },
+
+    // ---- q16: slugify custom expression (F1) over part names.
+    Q("q16_slugify", Some("""
+      SELECT p_partkey,
+             regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_\\s-]', '', 'g')),
+                            '\\s+', '-', 'g') AS slug
+      FROM part
+      ORDER BY p_partkey""")) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), GraftFunctions.deaccent_slug(col("p_name")).as("slug"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- q17: duration parse custom expression (F2) — round-trips a
+    // synthesized M:SS clock string; the oracle computes the expected
+    // seconds arithmetically, independent of the parser.
+    Q("q17_duration_parse", Some("""
+      SELECT event_id,
+             CAST(FLOOR(value / 60) AS BIGINT) || ':' || CAST(FLOOR(fmod(value, 60)) AS BIGINT) AS dur_str,
+             FLOOR(value / 60) * 60 + FLOOR(fmod(value, 60)) AS seconds
+      FROM events
+      ORDER BY event_id""")) { (s, d) =>
+      val durStr = concat(
+        floor(col("value") / 60).cast("long").cast("string"), lit(":"),
+        floor(col("value") % 60).cast("long").cast("string"))
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          durStr.as("dur_str"),
+          GraftFunctions.duration_seconds(durStr).as("seconds"))
+        .orderBy("event_id")
+    })
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
+import graft.operators.{Dedup, LangId, SentenceGrouping}
+
+/** LLM-data-pipeline text operators over the `documents` table:
+  * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
+  * text analysis (token stats, quality, language id, fingerprints),
+  * and the reference's stateful sentence grouping.
+  *
+  * Oracles replicate hash-dependent logic exactly because every hash
+  * here derives from md5 (see [[graft.functions.HashFunctions]]).
+  */
+object TextQueries {
+
+  /** Shared oracle CTE: distinct token sets + exact pairwise overlap
+    * in inverted-index join form (fast in DuckDB, no N² list ops). */
+  private def jaccardOracle(threshold: Double): String = s"""
+    WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+    t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+    l AS (SELECT doc_id, len(toks) AS n FROM d),
+    ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+           FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+           GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(ov / (la.n + lb.n - ov), 4) AS jaccard
+    FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
+    WHERE ov / (la.n + lb.n - ov) >= $threshold
+    ORDER BY doc_a, doc_b"""
+
+  /** Shared oracle CTE for simhash signatures (md5-derived 60-bit
+    * token hashes, sign-of-sum per bit — bit-identical to the
+    * SimHash60 expression). */
+  private val simhashCte: String = """
+    WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok),
+    bits AS (SELECT doc_id, j,
+                    CASE WHEN SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
+                         THEN (1::BIGINT << j) ELSE 0::BIGINT END AS bit
+             FROM h CROSS JOIN generate_series(0, 59) g(j)
+             GROUP BY doc_id, j),
+    s AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)"""
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- q20: exact dedup by order-invariant fingerprint.
+    // One narrow projection + one group-by shuffle on the 128-bit
+    // fingerprint — the canonical 100 TB exact-dedup plan.
+    Q("q20_dedup_exact", Some("""
+      SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+             MIN(doc_id) AS doc_id,
+             COUNT(*) AS n_dups
+      FROM documents
+      GROUP BY 1
+      ORDER BY doc_id""")) { (s, d) =>
+      Dedup.exactByFingerprint(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- q21: MinHash + LSH banding, exactly verified at 0.99.
+    // Survivor pairs have identical token sets, which MinHash catches
+    // with probability exactly 1 — the gate result is deterministic,
+    // not probabilistic.
+    Q("q21_dedup_minhash_lsh", Some(jaccardOracle(0.99))) { (s, d) =>
+      Dedup.minhashNearDupPairs(Tables.documents(s, d), threshold = 0.99)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q22: exact set-similarity self-join with prefix filtering
+    // (PPJoin-style) at 0.9 — exact algorithm, so it matches the
+    // brute-force oracle with zero recall caveats.
+    Q("q22_simjoin_jaccard", Some(jaccardOracle(0.9))) { (s, d) =>
+      Dedup.jaccardSimilarityJoin(Tables.documents(s, d), threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q23: SimHash signatures (custom Catalyst expression).
+    Q("q23_simhash_signatures", Some(simhashCte + """
+      SELECT doc_id, simhash FROM s ORDER BY doc_id""")) { (s, d) =>
+      Dedup.simhashSignatures(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- q24: SimHash near-dup pairs within hamming radius 5 via
+    // pigeonhole banding (6 chunks of 10 bits — any pair at distance
+    // <= 5 shares a chunk, so the banding is exact, not approximate).
+    Q("q24_dedup_simhash", Some(simhashCte + """
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 5
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      Dedup.simhashNearDupPairs(Tables.documents(s, d), maxHamming = 5)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q25: token statistics (A11 word-count shape + subword
+    // estimate) — single projection, no shuffle.
+    Q("q25_token_stats", Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) AS n_distinct,
+             round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS distinct_ratio,
+             CAST(list_sum(list_transform(string_split(text, ' '),
+                  x -> CAST(CEIL(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
+      FROM documents
+      ORDER BY doc_id""")) { (s, d) =>
+      val toks = TextFunctions.tokens(col("text"))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_distinct"),
+        round(size(array_distinct(toks)) / size(toks), 4).as("distinct_ratio"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q26: composite quality score (generalizes the reference's
+    // length/stopword gates, process_all.py:299).
+    Q("q26_quality_score", Some(s"""
+      SELECT doc_id,
+             round((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                  + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))))
+                  + 0.3 * (len(list_filter(string_split(text, ' '),
+                        x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))), 4)
+               AS quality
+      FROM documents
+      ORDER BY doc_id""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q27: stopword-profile language id — argmax over profile
+    // hit counts with deterministic tie-break.
+    Q("q27_langid", Some(LangId.oracleSql)) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), LangId.predict(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q28: document fingerprints: order-invariant md5 + min
+    // 60-bit hash over word 3-gram shingles (winnowing witness).
+    Q("q28_fingerprints", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,
+                          generate_subscripts(string_split(text, ' '), 1) AS i
+                   FROM documents),
+      sh AS (SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS s
+             FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+             QUALIFY lead(t, 2) OVER w IS NOT NULL),
+      m AS (SELECT doc_id, MIN(('0x' || substr(md5(s), 1, 15))::BIGINT) AS min_shingle_hash
+            FROM sh GROUP BY doc_id)
+      SELECT d.doc_id,
+             md5(array_to_string(list_sort(list_distinct(string_split(d.text, ' '))), ' ')) AS fp,
+             m.min_shingle_hash
+      FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        TextFunctions.canonicalFingerprint(col("text")).as("fp"),
+        TextFunctions.minShingleHash(col("text"), 3).as("min_shingle_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q29: stateful sentence grouping (F10) — order-dependent
+    // sequential scan, not SQL-expressible; driver records the
+    // weaker rows-only check, ScalaTest pins exact semantics.
+    Q("q29_sentence_groups", None) { (s, d) =>
+      val sentences = Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " (?=spark)")))
+        .toDF("doc_id", "seq", "sentence")
+      SentenceGrouping(sentences, "doc_id", "seq", "sentence", minWords = 20)
+        .withColumnRenamed("key", "doc_id")
+        .orderBy("doc_id", "group_idx")
+    })
+
+  /** DuckDB list literal of the quality-score stopwords. */
+  def stopwordSqlList: String =
+    TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+}
