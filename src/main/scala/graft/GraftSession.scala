@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession factory so Verify, Bench, and the test suite
+  * run with identical semantics-relevant configuration.
+  *
+  * Notable settings:
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver's
+  *    `events.parquet` carries `ts` as TIMESTAMP(NANOS), which Spark 4
+  *    otherwise rejects at schema inference
+  *    ([PARQUET_TYPE_ILLEGAL]). With this flag the column reads as a
+  *    BIGINT of epoch nanoseconds — analytics convert explicitly.
+  *  - shuffle partitions sized to the local core count rather than the
+  *    200 default: at sf0.1 each partition stays comfortably
+  *    in-memory, and on a real cluster this is the knob that must
+  *    track executor count anyway.
+  *  - UTC session timezone so timestamp rendering matches the DuckDB
+  *    oracle byte-for-byte.
+  */
+object GraftSession {
+  def apply(appName: String, cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

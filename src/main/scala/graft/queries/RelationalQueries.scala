@@ -318,8 +318,8 @@ object RelationalQueries {
     // ---- q16: slugify custom expression (F1) over part names.
     Q("q16_slugify", Some("""
       SELECT p_partkey,
-             regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_\\s-]', '', 'g')),
-                            '\\s+', '-', 'g') AS slug
+             regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_\s-]', '', 'g')),
+                            '\s+', '-', 'g') AS slug
       FROM part
       ORDER BY p_partkey""")) { (s, d) =>
       Tables.part(s, d)
