@@ -1,0 +1,172 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+/** JVM kernels behind the hash expressions ([[MinHashSig]]).
+  *
+  * Semantics are pinned to the engine-portable md5 scheme of
+  * [[HashFunctions]]: a token's 28-bit hash is the first 7 hex chars
+  * of md5 (= the top 28 bits of the digest), and permutation i is
+  * `(permA(i)*h + permB(i)) mod (2^31-1)` — bit-identical to what
+  * the previous column-composed form computed, so signatures are
+  * reproducible in DuckDB (`('0x' || substr(md5(t),1,7))::BIGINT`).
+  *
+  * The point of the kernel: the md5 per token is computed ONCE and
+  * all k permutation minima fold in a single pass. The former
+  * `array(k × array_min(transform(...)))` column tree recomputed the
+  * interpreted md5 up to k times per token (higher-order functions
+  * get neither codegen nor CSE) — the dominant cost of the whole
+  * bench at sf0.1.
+  */
+object HashOps {
+
+  private val md5Local: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Top 28 bits of md5(bytes) — equals parsing the first 7 hex chars. */
+  def h28(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    ((dig(0) & 0xffL) << 20) | ((dig(1) & 0xffL) << 12) |
+      ((dig(2) & 0xffL) << 4) | ((dig(3) & 0xffL) >>> 4)
+  }
+
+  /** Coefficient tables for up to `k` permutations (grown on demand,
+    * cached; coefficients are those of [[HashFunctions.permA]]/`permB`). */
+  @volatile private var coefA: Array[Long] = Array.empty
+  @volatile private var coefB: Array[Long] = Array.empty
+
+  private def coeffs(k: Int): (Array[Long], Array[Long]) = {
+    if (coefA.length < k) synchronized {
+      if (coefA.length < k) {
+        coefA = Array.tabulate(k)(HashFunctions.permA)
+        coefB = Array.tabulate(k)(HashFunctions.permB)
+      }
+    }
+    (coefA, coefB)
+  }
+
+  /** MinHash signature: k minima over `(a_i*h28(tok) + b_i) mod p`,
+    * one md5 per token. Duplicate tokens cannot change a minimum, so
+    * the caller does not need to de-duplicate first. */
+  def minhash(tokens: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coeffs(k)
+    val p = HashFunctions.MinHashPrime
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = h28(tokens.getUTF8String(t).getBytes)
+      var i = 0
+      while (i < k) {
+        val v = (as(i) * h + bs(i)) % p
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      t += 1
+    }
+    if (n == 0) null else new GenericArrayData(out)
+  }
+
+  /** Top 60 bits of md5(bytes) — equals parsing the first 15 hex chars. */
+  def h60(bytes: Array[Byte]): Long = {
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(bytes)
+    ((dig(0) & 0xffL) << 52) | ((dig(1) & 0xffL) << 44) | ((dig(2) & 0xffL) << 36) |
+      ((dig(3) & 0xffL) << 28) | ((dig(4) & 0xffL) << 20) | ((dig(5) & 0xffL) << 12) |
+      ((dig(6) & 0xffL) << 4) | ((dig(7) & 0xffL) >>> 4)
+  }
+
+  /** Minimum 60-bit hash over word n-gram shingles, one md5 per
+    * shingle in a single pass (shingle bytes are assembled directly,
+    * no intermediate strings). Null when fewer than n tokens —
+    * matching `array_min(empty)`. Boxed so the expression layer can
+    * pass null through. */
+  def minShingleHash(tokens: ArrayData, n: Int): java.lang.Long = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return null
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    var minH = Long.MaxValue
+    val buf = new java.io.ByteArrayOutputStream(64)
+    i = 0
+    while (i <= cnt - n) {
+      buf.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) buf.write(' ')
+        buf.write(toks(i + j))
+        j += 1
+      }
+      val h = h60(buf.toByteArray)
+      if (h < minH) minH = h
+      i += 1
+    }
+    java.lang.Long.valueOf(minH)
+  }
+
+  /** SimHash60 straight from a token array: one md5 per token (vs
+    * the interpreted per-token HOF md5 the column form paid), then
+    * the same sign-of-sum per bit as [[StringOps.simhash60]].
+    * Duplicate tokens must be removed by the caller (they would bias
+    * the bit sums — semantics are distinct-set SimHash). */
+  def simhash60Tokens(tokens: ArrayData): Long = {
+    val counts = new Array[Int](60)
+    val n = tokens.numElements()
+    var t = 0
+    while (t < n) {
+      val h = h60(tokens.getUTF8String(t).getBytes)
+      var j = 0
+      while (j < 60) {
+        if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      t += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+
+  /** Intersection size of two individually-sorted string arrays via a
+    * single merge scan — O(|a|+|b|) with zero allocation, vs the
+    * hash-set build of `array_intersect` per pair. Inputs must be
+    * sorted by Spark's binary UTF8String order (`array_sort`). */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Dot product of two double arrays, left-to-right accumulation —
+    * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
+    * a tight primitive loop instead of interpreted HOF trees. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+}

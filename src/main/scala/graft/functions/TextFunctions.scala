@@ -67,9 +67,11 @@ object TextFunctions {
     md5(array_join(array_sort(array_distinct(tokens(c))), " "))
 
   /** Rolling min-hash document fingerprint: minimum 60-bit hash over
-    * word 3-gram shingles (winnowing-style witness of content). */
+    * word 3-gram shingles (winnowing-style witness of content). One
+    * codegen'd pass ([[GraftFunctions.min_shingle_hash]]) — the HOF
+    * form recomputed an interpreted md5 per shingle. */
   def minShingleHash(c: Column, n: Int = 3): Column =
-    array_min(transform(shingles(c, n), x => HashFunctions.h60(x)))
+    GraftFunctions.min_shingle_hash(tokens(c), n)
 
   /** Small fixed English stopword set used by the quality scorer. */
   val Stopwords: Seq[String] =

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -67,6 +67,95 @@ case class SimHash60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash60 = copy(child = c)
 }
 
+/** MinHash signature of a token array (array<string> → array<long>,
+  * k minima in one pass, one md5 per token — see [[HashOps.minhash]]). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.minhash(v.asInstanceOf[ArrayData], k)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.HashOps.minhash($c, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
+}
+
+/** SimHash60 of a distinct-token array (array<string> → long) in one
+  * codegen'd pass ([[HashOps.simhash60Tokens]]). */
+case class SimHashTokens60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashOps.simhash60Tokens(v.asInstanceOf[ArrayData]))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.simhash60Tokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): SimHashTokens60 = copy(child = c)
+}
+
+/** Minimum 60-bit md5 hash over word n-gram shingles of a token
+  * array ([[HashOps.minShingleHash]]); null when fewer than n tokens. */
+case class MinShingleHash(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.minShingleHash(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |java.lang.Long msh = graft.functions.HashOps.minShingleHash($c, $n);
+         |if (msh == null) { ${ev.isNull} = true; } else { ${ev.value} = msh.longValue(); }
+       """.stripMargin)
+
+  override protected def withNewChildInternal(c: Expression): MinShingleHash = copy(child = c)
+}
+
+/** Intersection size of two sorted string arrays (merge scan — see
+  * [[HashOps.sortedIntersectCount]]). Both children must be sorted
+  * with `array_sort` (binary UTF8String order). */
+case class SortedIntersectCount(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.sortedIntersectCount(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashOps.sortedIntersectCount($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
+/** Dot product of two equal-length array<double> columns,
+  * left-to-right accumulation ([[HashOps.dot]]). */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashOps.dot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
+    copy(left = l, right = r)
+}
+
 /** Python-literal → canonical JSON text (reference F12/F13); compose
   * with `from_json` to recover typed arrays/structs from the
   * reference's repr()-in-CSV columns. */
@@ -99,6 +188,12 @@ object GraftFunctions {
   def deaccent_slug(c: Column): Column = col(DeaccentSlug(expr(c)))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
+  def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
+  def min_shingle_hash(c: Column, n: Int): Column = col(MinShingleHash(expr(c), n))
+  def simhash60_tokens(c: Column): Column = col(SimHashTokens60(expr(c)))
+  def sorted_intersect_count(a: Column, b: Column): Column =
+    col(SortedIntersectCount(expr(a), expr(b)))
+  def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
   def pyliteral_to_json(c: Column): Column = col(PyLiteralToJson(expr(c)))
 
   /** Register all custom functions for SQL use. */

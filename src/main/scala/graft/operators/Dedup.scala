@@ -39,16 +39,14 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
   /** MinHash signature (array of k minima) per document — one
-    * projection, no shuffle. */
+    * projection, no shuffle, one md5 per token (codegen'd
+    * [[graft.functions.MinHashSig]]; the earlier column-tree form
+    * recomputed the interpreted md5 up to k times per token). */
   def minhashSignatures(docs: DataFrame, k: Int,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hs = transform(
-      array_distinct(TextFunctions.tokens(col(textCol))),
-      x => HashFunctions.h28(x))
-    val sig = array((0 until k).map(i =>
-      array_min(transform(hs, h => HashFunctions.minhashPerm(h, i)))): _*)
-    docs.select(col(idCol), sig.as("sig"))
-  }
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      GraftFunctions.minhash_sig(TextFunctions.tokens(col(textCol)), k).as("sig"))
 
   /** LSH candidate pairs from banded minhash signatures.
     * `bands * rowsPerBand` must equal the signature length. The
@@ -70,42 +68,115 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact token-set Jaccard for given candidate pairs. */
+  /** Exact token-set Jaccard for given candidate pairs. Token sets
+    * are sorted once per document so the per-pair overlap is a
+    * zero-allocation merge scan ([[GraftFunctions.sorted_intersect_count]])
+    * instead of `array_intersect`'s per-pair hash-set build — at
+    * sf0.1 this is the difference between the verify step dominating
+    * the bench and it disappearing into the join cost. */
   def verifyJaccard(candidates: DataFrame, docs: DataFrame, threshold: Double,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sets = tokenSets(docs, idCol, textCol)
+    val sets = docs.select(
+      col(idCol),
+      array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
     candidates
       .join(sets.select(col(idCol).as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("n_a")), "doc_a")
       .join(sets.select(col(idCol).as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("n_b")), "doc_b")
-      .withColumn("ov", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("toks_a"), col("toks_b")))
       .withColumn("jaccard_raw", col("ov") / (col("n_a") + col("n_b") - col("ov")))
       .filter(col("jaccard_raw") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
-  /** MinHash+LSH near-duplicate pairs, exactly verified at
-    * `threshold`. With `rowsPerBand`=2 and `bands`=32 the per-pair
-    * miss probability at s=0.8 is (1-0.64)^32 ≈ 7e-15 — and pairs
-    * with identical token sets (Jaccard 1.0) are caught with
-    * probability exactly 1 since identical sets hash to identical
-    * signatures. */
-  def minhashNearDupPairs(docs: DataFrame, threshold: Double,
-                          bands: Int = 32, rowsPerBand: Int = 2,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = minhashSignatures(docs, bands * rowsPerBand, idCol, textCol)
-    val cands = lshCandidates(sigs, bands, rowsPerBand, idCol)
-    verifyJaccard(cands, docs, threshold, idCol, textCol)
+  /** Identical-token-set collapse: one representative row per
+    * distinct set. Real corpora (and this one) contain large
+    * clusters of exact duplicates; running any pairwise algorithm on
+    * members instead of set-representatives multiplies every
+    * downstream cost by the squared cluster size. Returns
+    * (members, reps): members = (id, fp), reps = one row per fp with
+    * the min member id, sorted distinct tokens, and set size. */
+  def collapseIdentical(docs: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
+    val withFp = docs.select(
+      col(idCol),
+      TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
+      array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
+    val members = withFp.select(col(idCol), col("fp"))
+    val reps = withFp
+      .groupBy(col("fp"))
+      .agg(min(col(idCol)).as(idCol), first(col("toks")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+    (members, reps)
   }
 
+  /** Expand verified representative pairs back to member pairs:
+    * within-group pairs (identical sets, Jaccard exactly 1.0) plus
+    * cross-group pairs (every member combination of a verified rep
+    * pair inherits its Jaccard — identical sets have identical
+    * similarity to everything). Pure equi-joins; output cardinality
+    * is the answer's own size, never an intermediate blow-up. */
+  private def expandPairs(members: DataFrame, repPairs: DataFrame, threshold: Double,
+                          idCol: String): DataFrame = {
+    val a = members.select(col("fp"), col(idCol).as("doc_a"))
+    val b = members.select(col("fp"), col(idCol).as("doc_b"))
+    val within = a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(1.0d).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("fp").as("fp_a"), col(idCol).as("id_a")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col(idCol).as("id_b")), "fp_b")
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** MinHash+LSH near-duplicate pairs, exactly verified at
+    * `threshold`, over identical-set collapsed representatives.
+    *
+    * Candidates are the union of two channels:
+    *  - LSH banding over rep signatures — banding must be tuned to
+    *    the threshold (S-curve midpoint ≈ (1/bands)^(1/rowsPerBand));
+    *    the default bands=2 × rowsPerBand=32 targets t≈0.99, where a
+    *    moderately-similar s=0.9 pair collides with only p≈0.067, so
+    *    the candidate set stays near-linear.
+    *  - the same-fingerprint channel, which catches exact duplicates
+    *    with probability 1 — the dominant duplicate class never
+    *    depends on banding probability at all (and is expanded
+    *    directly with Jaccard 1.0, skipping verification).
+    */
+  def minhashNearDupPairs(docs: DataFrame, threshold: Double,
+                          bands: Int = 2, rowsPerBand: Int = 32,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (members, reps) = collapseIdentical(docs, idCol, textCol)
+    val sigs = reps.select(col("fp"), GraftFunctions.minhash_sig(col("toks"), bands * rowsPerBand).as("sig"))
+      .withColumnRenamed("fp", idCol) // band on fp: the rep's identity IS its set
+    val cands = lshCandidates(sigs, bands, rowsPerBand, idCol)
+      .select(col("doc_a").as("fp_a"), col("doc_b").as("fp_b"))
+    val verified = verifyJaccardByFp(cands, reps, threshold)
+    expandPairs(members, verified, threshold, idCol)
+  }
+
+  /** Verify candidate (fp_a, fp_b) pairs against rep token sets. */
+  private def verifyJaccardByFp(candidates: DataFrame, reps: DataFrame,
+                                threshold: Double): DataFrame =
+    candidates
+      .join(reps.select(col("fp").as("fp_a"), col("toks").as("toks_a"), col("n_toks").as("n_a")), "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("toks").as("toks_b"), col("n_toks").as("n_b")), "fp_b")
+      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("toks_a"), col("toks_b")))
+      .withColumn("jaccard_raw", col("ov") / (col("n_a") + col("n_b") - col("ov")))
+      .filter(col("jaccard_raw") >= threshold && col("jaccard_raw") < 1.0d)
+      .select(col("fp_a"), col("fp_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+
   /** SimHash signature per document over its distinct-token 60-bit
-    * hashes (custom Catalyst expression, single projection). */
+    * hashes (one codegen'd pass, single projection). */
   def simhashSignatures(docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
       col(idCol),
-      GraftFunctions.simhash60(
-        transform(array_distinct(TextFunctions.tokens(col(textCol))), x => HashFunctions.h60(x))
-      ).as("simhash"))
+      GraftFunctions.simhash60_tokens(
+        array_distinct(TextFunctions.tokens(col(textCol)))).as("simhash"))
 
   /** SimHash near-dup pairs: hamming distance of signatures <= maxHamming.
     * Pairs are generated by banding the 60-bit signature into
@@ -140,33 +211,33 @@ object Dedup {
     */
   def jaccardSimilarityJoin(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sets = tokenSets(docs, idCol, textCol)
-    val tok = sets.select(col(idCol), col("n_toks"), explode(col("toks")).as("tok"))
+    val (members, reps) = collapseIdentical(docs, idCol, textCol)
+    val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
 
     // Global token order: rarest first, ties broken lexicographically.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
 
     val ranked = tok.join(freq, "tok")
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
+      .partitionBy(col("fp"))
       .orderBy(col("freq").asc, col("tok").asc)
     val prefixLen = (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int")
     val prefix = ranked
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <= prefixLen)
-      .select(col(idCol), col("n_toks"), col("tok"))
+      .select(col("fp"), col("n_toks"), col("tok"))
 
     val a = prefix.as("a")
     val b = prefix.as("b")
     val candidates = a.join(b,
         col("a.tok") === col("b.tok") &&
-        col(s"a.$idCol") < col(s"b.$idCol") &&
+        col("a.fp") < col("b.fp") &&
         // Jaccard length bound: |b| >= t * |a| (and symmetrically).
         col("b.n_toks") >= lit(threshold) * col("a.n_toks") &&
         col("a.n_toks") >= lit(threshold) * col("b.n_toks"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
 
-    verifyJaccard(candidates, docs, threshold, idCol, textCol)
+    expandPairs(members, verifyJaccardByFp(candidates, reps, threshold), threshold, idCol)
   }
 }
