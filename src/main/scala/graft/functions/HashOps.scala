@@ -156,6 +156,52 @@ object HashOps {
     n
   }
 
+  /** Sign matrix for random-hyperplane LSH: signs(plane)(j) = +1 when
+    * bit (j mod 60) of h60("plane:&lt;plane&gt;:&lt;j&gt;") is set else -1 —
+    * identical to the column-level [[VectorFunctions.hyperplaneBit]]
+    * derivation, precomputed once per (planes, dim). */
+  private val signCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def signs(totalPlanes: Int, dim: Int): Array[Array[Double]] =
+    signCache.computeIfAbsent((totalPlanes, dim), { _ =>
+      Array.tabulate(totalPlanes) { plane =>
+        Array.tabulate(dim) { j =>
+          val h = h60(s"plane:$plane:$j".getBytes("UTF-8"))
+          if (((h >>> (j % 60)) & 1L) == 1L) 1.0 else -1.0
+        }
+      }
+    })
+
+  /** All nTables LSH bucket keys of a vector in one pass; key t is
+    * `(t << 32) | bucket_t` where bucket_t packs the nPlanes sign
+    * bits of table t's plane family. One kernel call replaces a
+    * nTables × nPlanes × dim `element_at` expression tree (6k+ nodes
+    * at 16×6×64 — big enough to break codegen and broadcast). */
+  def hyperplaneBuckets(vec: ArrayData, dim: Int, nPlanes: Int, nTables: Int): ArrayData = {
+    val sg = signs(nTables * nPlanes, dim)
+    val v = new Array[Double](dim)
+    var j = 0
+    while (j < dim) { v(j) = vec.getDouble(j); j += 1 }
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val row = sg(t * nPlanes + p)
+        var acc = 0.0
+        var i = 0
+        while (i < dim) { acc += v(i) * row(i); i += 1 }
+        if (acc > 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = (t.toLong << 32) | bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Dot product of two double arrays, left-to-right accumulation —
     * bit-identical to `aggregate(zip_with(a, b, _*_), 0.0, _+_)` but
     * a tight primitive loop instead of interpreted HOF trees. */

@@ -22,8 +22,10 @@ object StringOps {
     if (s == null) return null
     val decomposed = Normalizer.normalize(s, Normalizer.Form.NFD)
     val deaccented = decomposed.replaceAll("\\p{Mn}+", "")
-    val cleaned = deaccented.toLowerCase.replaceAll("[^\\w\\s-]", "")
-    cleaned.trim.replaceAll("\\s+", "-")
+    // (?U): Python's \w / \s are Unicode-aware — without it Java drops
+    // non-ASCII word chars like the Vietnamese đ that the reference keeps.
+    val cleaned = deaccented.toLowerCase.replaceAll("(?U)[^\\w\\s-]", "")
+    cleaned.trim.replaceAll("(?U)\\s+", "-")
   }
 
   /** Tolerant clock-duration parse (reference F2, `__init__.py:32-73`):

@@ -58,7 +58,20 @@ object VectorFunctions {
     when(contribs.reduce(_ + _) > 0, lit(1)).otherwise(lit(0))
   }
 
-  /** LSH bucket id from `nPlanes` hyperplane sign bits. */
-  def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int): Column =
-    (0 until nPlanes).map(p => hyperplaneBit(v, dim, p) * lit(1 << p)).reduce(_ + _)
+  /** LSH bucket id from `nPlanes` hyperplane sign bits; `table`
+    * selects a disjoint plane family so multiple independent hash
+    * tables can be built over the same vectors. */
+  def hyperplaneBucket(v: Column, dim: Int, nPlanes: Int, table: Int = 0): Column =
+    (0 until nPlanes).map(p =>
+      hyperplaneBit(v, dim, table * nPlanes + p) * lit(1 << p)).reduce(_ + _)
+
+  /** Array of packed (table << 32 | bucket) keys for `nTables`
+    * independent LSH tables — the standard recall lever: a true
+    * neighbor is missed only if it hashes apart in EVERY table.
+    * One codegen'd kernel call ([[graft.functions.HyperplaneBuckets]]);
+    * the equivalent column composition is nTables × nPlanes × dim
+    * `element_at` nodes, which at 16×6×64 breaks codegen. Kernel and
+    * column forms are asserted equal in VectorFunctionsSpec. */
+  def hyperplaneBuckets(v: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
+    GraftFunctions.hyperplane_buckets(v, dim, nPlanes, nTables)
 }

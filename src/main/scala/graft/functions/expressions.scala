@@ -140,6 +140,23 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = l, right = r)
 }
 
+/** All LSH bucket keys of a double vector across nTables hyperplane
+  * tables ([[HashOps.hyperplaneBuckets]]). */
+case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int, nTables: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.hyperplaneBuckets(v.asInstanceOf[ArrayData], dim, nPlanes, nTables)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.hyperplaneBuckets($c, $dim, $nPlanes, $nTables)")
+
+  override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
+}
+
 /** Dot product of two equal-length array<double> columns,
   * left-to-right accumulation ([[HashOps.dot]]). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -194,6 +211,8 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def hyperplane_buckets(c: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
+    col(HyperplaneBuckets(expr(c), dim, nPlanes, nTables))
   def pyliteral_to_json(c: Column): Column = col(PyLiteralToJson(expr(c)))
 
   /** Register all custom functions for SQL use. */

@@ -12,13 +12,16 @@ import graft.functions.VectorFunctions._
   *  - Norms are precomputed once per row in a narrow projection.
   *  - The exact path broadcasts the (small) query set, so the "cross
   *    join" is a broadcast nested loop over each corpus partition —
-  *    no shuffle of the corpus, and top-k is cut down per partition
-  *    by the window before anything is collected.
+  *    no shuffle of the corpus.
+  *  - Top-k is a bounded typed Aggregator ([[TopK]]): each partition
+  *    reduces to at most k candidates per query before the exchange,
+  *    so the shuffle moves O(queries × k) rows — a `row_number`
+  *    window would re-shuffle every scored row.
   *  - The LSH path buckets vectors by random-hyperplane sign bits so
-  *    each query only scans its own bucket(s) — an equi-join on
-  *    bucket id instead of a cross product. Recall is tunable with
-  *    the number of planes (fewer planes → bigger buckets → higher
-  *    recall, more compute).
+  *    each query only scans its own bucket(s); the IVF path assigns
+  *    the corpus to its nearest centroid with a map-side fold over a
+  *    broadcast centroid array — no window, no shuffle of the corpus
+  *    beyond the final per-query top-k merge.
   */
 object Similarity {
 
@@ -30,23 +33,25 @@ object Similarity {
       asDouble(col(vecCol)).as("vec"),
       l2Norm(asDouble(col(vecCol))).as("norm"))
 
+  /** Per-query top-k of a scored frame, then presentation columns.
+    * Ranking happens on the raw similarity with id tiebreak; `sim`
+    * is rounded to 6 dp for cross-engine stability. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    TopK.perGroup(scored, "query_id", "cand_id", "sim_raw", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim_raw"), 6).as("sim"))
+
   /** Exact top-k cosine neighbors for each query vector (brute
-    * force). Queries are broadcast; `sim` is rounded to 6 dp for
-    * cross-engine stability, ranking happens on the raw value with
-    * id tiebreak. */
+    * force). Queries are broadcast; the corpus is scanned once. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id"): DataFrame = {
     val c = prepared(corpus, idCol)
     val q = prepared(queries, idCol)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
-      .withColumn("sim_raw", cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("sim_raw"), 6).as("sim"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
+    rankTopK(scored, k)
   }
 
   /** All pairs with cosine >= threshold (exact, self-join).
@@ -63,68 +68,96 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
-  /** LSH-bucketed approximate nearest neighbor: vectors are bucketed
-    * by `nPlanes` random-hyperplane sign bits; each query is joined
-    * only with its bucket and ranked within it. Deterministic
-    * (planes derive from md5) but approximate: neighbors in other
-    * buckets are not seen. */
+  /** LSH-bucketed approximate nearest neighbor over `nTables`
+    * independent random-hyperplane tables: each vector lands in one
+    * bucket per table, a query scans the union of its buckets, and a
+    * true neighbor is missed only if it hashes apart in EVERY table.
+    * Deterministic (planes derive from md5) but approximate; recall
+    * vs the exact q30 is pinned in SimilaritySpec. The corpus-side
+    * explode multiplies the index by nTables — the standard LSH
+    * memory-for-recall trade — while each probe still touches only
+    * nTables buckets, not the corpus. */
   def lshAnn(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int, nPlanes: Int,
-             idCol: String = "vec_id"): DataFrame = {
+             nTables: Int = 8, idCol: String = "vec_id"): DataFrame = {
     val c = prepared(corpus, idCol)
-      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, nPlanes))
+      .select(col(idCol), col("vec"), col("norm"),
+        explode(hyperplaneBuckets(col("vec"), dim, nPlanes, nTables)).as("tb"))
     val q = prepared(queries, idCol)
-      .withColumn("bucket", hyperplaneBucket(col("vec"), dim, nPlanes))
-      .select(col(idCol).as("query_id"), col("vec").as("qvec"),
-        col("norm").as("qnorm"), col("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+      .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"),
+        explode(hyperplaneBuckets(col("vec"), dim, nPlanes, nTables)).as("tb"))
+    // tb is a packed (table << 32 | bucket) long — a plain equi-join key.
+    val scored = c.join(broadcast(q), Seq("tb"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("sim_raw", cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col(idCol).asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("sim_raw"), 6).as("sim"))
+      // a pair colliding in several tables must score once, not once
+      // per table
+      .select(col("query_id"), col(idCol).as("cand_id"), col("vec"), col("norm"),
+        col("qvec"), col("qnorm"))
+      .dropDuplicates("query_id", "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style ANN: corpus is assigned to the nearest of `nCentroids`
     * deterministic seed centroids (hash-selected corpus vectors);
     * queries probe their `nProbe` closest centroids. Classic
     * inverted-file layout: the corpus is partitioned by centroid id,
-    * so a query touches nProbe/nCentroids of the data. */
+    * so a query touches ~nProbe/nCentroids of the data.
+    *
+    * Centroid selection is `orderBy(...).limit(n)` — a global top-n
+    * via per-partition partial limits — and corpus assignment is a
+    * fold over the broadcast centroid array inside a projection, so
+    * no step ever moves the corpus into a single partition (the old
+    * unpartitioned-Window form did exactly that). */
   def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nCentroids: Int, nProbe: Int,
              idCol: String = "vec_id"): DataFrame = {
     val c = prepared(corpus, idCol)
     // Deterministic "training": pick centroid vectors by id hash.
-    val wSeed = Window.orderBy(col("cid"), col(idCol))
-    val centroids = c
+    // The row_number window only ever sees the nCentroids rows that
+    // survive the limit.
+    val seeds = c
       .withColumn("cid", pmod(col(idCol) * 2654435761L, lit(1000000007L)))
-      .withColumn("centroid_id", row_number().over(wSeed))
-      .filter(col("centroid_id") <= nCentroids)
+      .orderBy(col("cid"), col(idCol))
+      .limit(nCentroids)
+    val centroids = seeds
+      .withColumn("centroid_id",
+        row_number().over(Window.orderBy(col("cid"), col(idCol))))
       .select(col("centroid_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
 
-    def assign(df: DataFrame, keep: Int): DataFrame = {
-      val scored = df.join(broadcast(centroids), lit(true))
-        .withColumn("csim", cosinePrenormed(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")))
-      val w = Window.partitionBy(df.columns.head).orderBy(col("csim").desc, col("centroid_id").asc)
-      scored.withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= keep)
-        .drop("cvec", "cnorm", "csim", "crank")
-    }
+    // Single-row frame holding all centroids — broadcast into every
+    // corpus partition; assignment is a per-row argmax fold.
+    val centArr = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("cvec"), col("cnorm"))).as("cents"))
 
-    val cAssigned = assign(c, 1)
-    val qAssigned = assign(
-      prepared(queries, idCol).withColumnRenamed(idCol, "query_id"), nProbe)
+    val cAssigned = c.crossJoin(broadcast(centArr))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Int.MaxValue).as("centroid_id"), lit(Double.NegativeInfinity).as("csim")),
+        (acc, cent) => {
+          val s = cosinePrenormed(dot(col("vec"), cent("cvec")), col("norm"), cent("cnorm"))
+          when(s > acc("csim") ||
+               (s === acc("csim") && cent("centroid_id") < acc("centroid_id")),
+            struct(cent("centroid_id").as("centroid_id"), s.as("csim")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol), col("vec"), col("norm"), col("best.centroid_id").as("centroid_id"))
+
+    // Queries probe their nProbe nearest centroids; the window runs
+    // over queries × nCentroids rows only (queries are few).
+    val q = prepared(queries, idCol).withColumnRenamed(idCol, "query_id")
+    val qScored = q.join(broadcast(centroids), lit(true))
+      .withColumn("csim", cosinePrenormed(dot(col("vec"), col("cvec")), col("norm"), col("cnorm")))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("centroid_id").asc)
+    val qAssigned = qScored
+      .withColumn("crank", row_number().over(wq))
+      .filter(col("crank") <= nProbe)
       .select(col("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"), col("centroid_id"))
 
     val scored = cAssigned.join(broadcast(qAssigned), Seq("centroid_id"))
       .filter(col(idCol) =!= col("query_id"))
-      .withColumn("sim_raw", cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("sim_raw").desc, col(idCol).asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col(idCol).as("neighbor_id"), col("rank"),
-        round(col("sim_raw"), 6).as("sim"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
+    rankTopK(scored, k)
   }
 }

@@ -53,7 +53,12 @@ object RelationalQueries {
 
     // ---- q02: the reference's flagship query (P1 query_download_url,
     // crawler/utils.py:43-82): conjunctive null-safe substring filter +
-    // projection. Both predicates push into the parquet scan.
+    // projection. Plain `contains` (null → dropped) matches the
+    // reference's na=False semantics for a non-empty needle AND
+    // pushes into the parquet scan as StringContains — wrapping the
+    // column in coalesce() blocks source pushdown entirely
+    // (PushedFilters goes empty), which at 100 TB means scanning
+    // every row group instead of skipping on statistics.
     Q("q02_filter_contains", Some("""
       SELECT p_partkey, p_name, p_brand, p_retailprice
       FROM part
@@ -61,8 +66,7 @@ object RelationalQueries {
         AND contains(coalesce(p_type, ''), 'ECONOMY')
       ORDER BY p_partkey""")) { (s, d) =>
       Tables.part(s, d)
-        .filter(coalesce(col("p_name"), lit("")).contains("re") &&
-                coalesce(col("p_type"), lit("")).contains("ECONOMY"))
+        .filter(col("p_name").contains("re") && col("p_type").contains("ECONOMY"))
         .select("p_partkey", "p_name", "p_brand", "p_retailprice")
         .orderBy("p_partkey")
     },

@@ -56,12 +56,14 @@ object VectorQueries {
         .orderBy("vec_a", "vec_b")
     },
 
-    // ---- q32: LSH-bucketed ANN (8 hyperplanes → 256 buckets).
-    // Approximate by design (bucket-local) — rows-only gate; recall
-    // vs the exact q30 is asserted in ScalaTest.
+    // ---- q32: LSH-bucketed ANN (16 tables × 6 hyperplanes = 64
+    // buckets/table). Approximate by design (bucket-local) —
+    // rows-only gate; recall vs the exact q30 is asserted in
+    // SimilaritySpec.
     Q("q32_ann_lsh", None) { (s, d) =>
       val emb = Tables.embeddings(s, d)
-      Similarity.lshAnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64, nPlanes = 8)
+      Similarity.lshAnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+        nPlanes = 6, nTables = 16)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LogicalPlan, Window => LWindow}
+
+/** Physical/logical plan assertions: the optimizations the engine's
+  * scale story depends on must actually appear in the plans —
+  * pushdown and pruning at the parquet scan, broadcast for small
+  * dimensions, partial top-k aggregation instead of windows in the
+  * ANN paths, and no unbounded single-partition window anywhere. */
+class PlanSpec extends SparkSuite {
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sfDir)
+  private def physical(name: String): String = q(name).queryExecution.executedPlan.toString
+  private def optimized(name: String): LogicalPlan = q(name).queryExecution.optimizedPlan
+
+  test("q02 pushes contains-filters into the parquet scan") {
+    val p = physical("q02_filter_contains")
+    assert(p.contains("PushedFilters:"), p.take(2000))
+    assert(p.contains("StringContains"), p.take(2000))
+  }
+
+  test("q02 prunes the scan to the projected columns") {
+    val p = physical("q02_filter_contains")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("p_partkey") && read.contains("p_retailprice"))
+    // part has 9 columns; the scan must not read unprojected ones.
+    assert(!read.contains("p_size") && !read.contains("p_comment"))
+  }
+
+  test("q06's range predicates reach the scan") {
+    val p = physical("q06_revenue_delta")
+    // plan strings truncate long filter lists — match the prefix only
+    assert(p.contains("PushedFilters: [IsNotNull"))
+    assert(p.contains("GreaterThanOrEqual("))
+  }
+
+  test("q03 and q07 broadcast their dimension tables") {
+    assert(physical("q03_shipping_priority").contains("BroadcastHashJoin"))
+    assert(physical("q07_revenue_by_nation").contains("BroadcastHashJoin"))
+  }
+
+  test("q05 anti join stays a join, not a subquery re-scan") {
+    assert(physical("q05_customers_no_orders").contains("LeftAnti"))
+  }
+
+  test("ANN top-k is a partial aggregate, not a window shuffle") {
+    // q30/q32: ranking must run through the bounded Aggregator.
+    for (name <- Seq("q30_knn_cosine", "q32_ann_lsh")) {
+      val wins = optimized(name).collect { case w: LWindow => w }
+      assert(wins.isEmpty, s"$name still contains a Window operator")
+      assert(physical(name).contains("ObjectHashAggregate"), s"$name lacks the typed top-k aggregate")
+    }
+  }
+
+  test("q33 has no unbounded single-partition window") {
+    // Any Window without partitioning must sit above a GlobalLimit —
+    // i.e. it only ever sees a bounded row set (the centroid seeds),
+    // never the corpus.
+    val wins = optimized("q33_ann_ivf").collect { case w: LWindow => w }
+    for (w <- wins if w.partitionSpec.isEmpty) {
+      val limited = w.child.collectFirst { case g: GlobalLimit => g }.isDefined
+      assert(limited, s"unpartitioned Window over unbounded input:\n$w")
+    }
+  }
+
+  test("dedup signature projection contains no shuffle") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation}
+    val docs = Tables.documents(spark, sfDir)
+    val plan = operators.Dedup.minhashSignatures(docs, 64).queryExecution.optimizedPlan
+    val shuffles = plan.collect {
+      case a: Aggregate => a
+      case j: Join => j
+      case r: RepartitionOperation => r
+    }
+    assert(shuffles.isEmpty, "signatures must be a pure narrow projection")
+  }
+}

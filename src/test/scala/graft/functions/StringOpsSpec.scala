@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+import graft.PropSampling.sample
+
+/** Unit + property tests for the scalar kernels behind the custom
+  * expressions. Reference semantics: slugify `__init__.py:10-29`,
+  * duration parse `__init__.py:32-73` (tolerant separators, None on
+  * failure). */
+class StringOpsSpec extends AnyFunSuite {
+
+  // ---- slugify (F1)
+
+  test("slugify de-accents, lowercases, hyphenates") {
+    assert(StringOps.slugify("Hello World") == "hello-world")
+    assert(StringOps.slugify("Café au Lait!") == "cafe-au-lait")
+    assert(StringOps.slugify("  padded   runs  ") == "padded-runs")
+    assert(StringOps.slugify("Tiếng Việt") == "tieng-viet")
+    // đ does not NFD-decompose — the reference keeps it; so do we.
+    assert(StringOps.slugify("Đà Nẵng") == "đa-nang")
+    assert(StringOps.slugify("keep_under-score") == "keep_under-score")
+    assert(StringOps.slugify("") == "")
+  }
+
+  test("slugify is idempotent and emits no spaces/uppercase") {
+    for (s <- sample(Gen.asciiPrintableStr)) {
+      val once = StringOps.slugify(s)
+      assert(StringOps.slugify(once) == once, s"input: $s")
+      assert(!once.exists(_.isWhitespace), s"input: $s")
+      assert(!once.exists(_.isUpper), s"input: $s")
+    }
+  }
+
+  // ---- durationSeconds (F2)
+
+  test("duration parses clock forms") {
+    assert(StringOps.durationSeconds("01:02:03") == 3723.0)
+    assert(StringOps.durationSeconds("62:03") == 3723.0)
+    assert(StringOps.durationSeconds("45") == 45.0)
+    // tolerant separators and empty fields (reference cleans [;:]+)
+    assert(StringOps.durationSeconds("01;;02::03") == 3723.0)
+    assert(StringOps.durationSeconds(":30") == 30.0)
+    assert(StringOps.durationSeconds(" 1:00 ") == 60.0)
+  }
+
+  test("duration fails to NaN on malformed input") {
+    assert(StringOps.durationSeconds("abc").isNaN)
+    assert(StringOps.durationSeconds("1:2:3:4").isNaN)
+    assert(StringOps.durationSeconds("").isNaN)
+    assert(StringOps.durationSeconds("1:xx").isNaN)
+    assert(StringOps.durationSeconds(null).isNaN)
+  }
+
+  test("duration round-trips h:m:s") {
+    val g = for {
+      h <- Gen.choose(0, 99); m <- Gen.choose(0, 59); s <- Gen.choose(0, 59)
+    } yield (h, m, s)
+    for ((h, m, s) <- sample(g)) {
+      assert(StringOps.durationSeconds(f"$h%02d:$m%02d:$s%02d") == h * 3600.0 + m * 60.0 + s)
+    }
+  }
+
+  // ---- wordLevenshtein (A8 unit)
+
+  test("word levenshtein") {
+    def d(a: String, b: String) =
+      StringOps.wordLevenshtein(a.split(" "), b.split(" "))
+    assert(d("a b c", "a b c") == 0)
+    assert(d("a b c", "a b") == 1)
+    assert(d("a b c", "a x c") == 1)
+    assert(d("a b", "x y z") == 3)
+    assert(StringOps.wordLevenshtein(Array.empty, Array("x")) == 1)
+    assert(StringOps.wordLevenshtein(null, null) == 0)
+  }
+
+  test("word levenshtein bounds and symmetry") {
+    val tok = Gen.choose(0, 6).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))).map(_.toArray)
+    val g = for { a <- tok; b <- tok } yield (a, b)
+    for ((a, b) <- sample(g)) {
+      val ab = StringOps.wordLevenshtein(a, b)
+      assert(ab == StringOps.wordLevenshtein(b, a))
+      assert(ab <= math.max(a.length, b.length))
+      assert(ab >= math.abs(a.length - b.length))
+    }
+  }
+
+  // ---- simhash60
+
+  test("simhash60 matches its definition") {
+    val hashes = Array(0x3L, 0x5L, 0x6L)
+    // bit 0: +1 (3) +1 (5) -1 (6) = +1 -> set
+    // bit 1: +1 (3) -1 (5) +1 (6) = +1 -> set
+    // bit 2: -1 (3) +1 (5) +1 (6) = +1 -> set
+    // all other bits: -3 -> clear
+    assert(StringOps.simhash60(hashes) == 0x7L)
+    assert(StringOps.simhash60(Array.empty[Long]) == 0L)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSuite, Tables}
+
+/** Dedup operators vs an in-driver brute-force reference on the
+  * sf0.001 corpus (500 docs — exact all-pairs fits in memory here;
+  * in the engine itself it never would, which is the point of the
+  * LSH/prefix plans under test). */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sfDir)
+
+  /** All pairs (a<b) with set-Jaccard >= t, computed naively. */
+  private def brute(threshold: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").toSet }
+      .sortBy(_._1)
+    (for {
+      i <- sets.indices.iterator
+      j <- (i + 1) until sets.length
+      (ia, sa) = sets(i)
+      (ib, sb) = sets(j)
+      ov = (sa & sb).size
+      jac = ov.toDouble / (sa.size + sb.size - ov)
+      if jac >= threshold
+    } yield (ia, ib, math.rint(jac * 10000) / 10000)).toSet
+  }
+
+  private def collectPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+
+  test("minhash+LSH near-dup pairs match brute force at 0.99") {
+    assert(collectPairs(Dedup.minhashNearDupPairs(docs, 0.99)) == brute(0.99))
+  }
+
+  test("prefix-filter similarity join matches brute force at 0.9") {
+    assert(collectPairs(Dedup.jaccardSimilarityJoin(docs, 0.9)) == brute(0.9))
+  }
+
+  test("prefix-filter similarity join matches brute force at 0.7") {
+    // looser threshold -> longer prefixes, more cross-set candidates;
+    // exercises the non-identical-pair path of the collapsed design.
+    assert(collectPairs(Dedup.jaccardSimilarityJoin(docs, 0.7)) == brute(0.7))
+  }
+
+  test("exact dedup groups sum to the corpus size") {
+    val g = Dedup.exactByFingerprint(docs)
+    val (nGroups, total) = g.agg(count(lit(1)), sum("n_dups")).as[(Long, Long)].head()
+    val n = docs.count()
+    assert(total == n && nGroups <= n)
+  }
+
+  test("minhash signature values equal the per-permutation column form") {
+    // The one-pass kernel must be bit-identical to the md5-derived
+    // permutation scheme it replaced (engine-portability contract).
+    val viaKernel = Dedup.minhashSignatures(docs.limit(20), 8)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val hs = transform(array_distinct(split(col("text"), " ")),
+      x => graft.functions.HashFunctions.h28(x))
+    val sigCols = array((0 until 8).map(i =>
+      array_min(transform(hs, h => graft.functions.HashFunctions.minhashPerm(h, i)))): _*)
+    val viaColumns = docs.limit(20).select(col("doc_id"), sigCols.as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaKernel == viaColumns)
+  }
+}

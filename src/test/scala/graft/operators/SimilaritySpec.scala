@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSuite, Tables}
+
+/** ANN quality: the approximate paths (LSH buckets, IVF probes) are
+  * graded against the exact brute-force top-k on the same corpus —
+  * the recall assertion VectorQueries promises. */
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+  private lazy val queries = emb.filter(col("vec_id") < 10)
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  private lazy val exact = pairs(Similarity.bruteForceTopK(emb, queries, k = 5))
+
+  test("exact top-k returns k neighbors per query") {
+    assert(exact.size == 50)
+  }
+
+  test("LSH ANN recall vs exact") {
+    val got = pairs(Similarity.lshAnn(emb, queries, k = 5, dim = 64, nPlanes = 6, nTables = 16))
+    val recall = (got & exact).size.toDouble / exact.size
+    // Multi-table union search: a true neighbor is missed only if it
+    // hashes apart in every table. The floor is an empirical pin for
+    // this corpus + plane family — below it the hashing regressed.
+    assert(recall >= 0.45, s"LSH recall $recall")
+    assert(got.size <= 50)
+  }
+
+  test("IVF ANN recall vs exact") {
+    val got = pairs(Similarity.ivfAnn(emb, queries, k = 5, nCentroids = 16, nProbe = 4))
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall")
+  }
+
+  test("brute force matches a driver-side exact computation") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expect = (for (q <- 0L until 10L) yield {
+      val top = vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).map(_._1)
+      top.map(n => (q, n))
+    }).flatten.toSet
+    assert(exact == expect)
+  }
+}
