@@ -1,0 +1,159 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GraftFunctions
+import graft.operators.Wer
+
+/** Reference-pipeline operators over the driver's tables: the
+  * Python-literal column family (F12–F14, A4), the corpus-WER QC
+  * family (A8/P9/X9), and events-table analytics.
+  *
+  * The literal queries synthesize repr()-style strings from base
+  * columns and then parse them with the real PyLiteral expression —
+  * the DuckDB oracle constructs the expected output directly from
+  * the same base columns, so the parser sits alone on the gated
+  * path: any quoting/shape bug flips the hash. */
+object PipelineQueries {
+
+  private val narratorSchema = ArrayType(StructType(Seq(
+    StructField("name", StringType), StructField("url", StringType))))
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- q18: python-literal url list -> typed array -> posexplode
+    // (F12 + W4; crawler/download.py:223-230 parses the same shape
+    // before enumerating download files {book}_{idx}).
+    Q("q18_pyliteral_urls", Some("""
+      WITH l AS (
+        SELECT p_partkey,
+               ['https://host/' || p_partkey || '_1.mp3',
+                'https://host/' || p_partkey || '_2.mp3'] AS urls
+        FROM part)
+      SELECT p_partkey,
+             CAST(generate_subscripts(urls, 1) AS BIGINT) AS idx,
+             unnest(urls) AS url
+      FROM l
+      ORDER BY p_partkey, idx""")) { (s, d) =>
+      // Mixed python quoting on purpose — both forms must parse.
+      val literal = concat(
+        lit("['https://host/"), col("p_partkey"), lit("_1.mp3', \"https://host/"),
+        col("p_partkey"), lit("_2.mp3\"]"))
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          from_json(GraftFunctions.pyliteral_to_json(literal), ArrayType(StringType)).as("urls"))
+        .select(col("p_partkey"), posexplode(col("urls")))
+        .select(col("p_partkey"), (col("pos") + 1).cast("long").as("idx"), col("col").as("url"))
+        .orderBy("p_partkey", "idx")
+    },
+
+    // ---- q19: narrator literal in all three reference shapes
+    // (dict | list-of-dict | bare scalar), normalized to
+    // list-of-struct (F13, crawler/metadata.py:261-266), wide-expanded
+    // to narrator_{i}_{name,url} columns (F14, metadata.py:281-291)
+    // sized by the max cardinality (A4, metadata.py:276-279 — static
+    // 2 here by construction).
+    Q("q19_narrator_wide", Some("""
+      WITH n AS (
+        SELECT c_custkey,
+               CASE CAST(c_custkey % 3 AS INTEGER)
+                 WHEN 0 THEN [{'name': 'n' || c_custkey, 'url': 'https://n/' || c_custkey}]
+                 WHEN 1 THEN [{'name': 'n' || c_custkey, 'url': 'https://n/' || c_custkey},
+                              {'name': 'm' || c_custkey, 'url': 'https://m/' || c_custkey}]
+                 ELSE [{'name': 'plain ' || c_custkey, 'url': ''}]
+               END AS narr
+        FROM customer)
+      SELECT c_custkey,
+             CAST(len(narr) AS INTEGER) AS n_narrators,
+             narr[1].name AS narrator_1_name, narr[1].url AS narrator_1_url,
+             narr[2].name AS narrator_2_name, narr[2].url AS narrator_2_url
+      FROM n
+      ORDER BY c_custkey""")) { (s, d) =>
+      // Build the literal exactly as the reference CSV carries it:
+      // %3==0 -> a bare dict, %3==1 -> a list of two dicts,
+      // %3==2 -> a bare (non-dict, non-list) scalar string.
+      val k = col("c_custkey")
+      val literal =
+        when(k % 3 === 0,
+          concat(lit("{'name': 'n"), k, lit("', 'url': 'https://n/"), k, lit("'}")))
+        .when(k % 3 === 1,
+          concat(lit("[{'name': 'n"), k, lit("', 'url': 'https://n/"), k,
+            lit("'}, {'name': 'm"), k, lit("', 'url': 'https://m/"), k, lit("'}]")))
+        .otherwise(concat(lit("'plain "), k, lit("'")))
+      val js = GraftFunctions.pyliteral_to_json(literal)
+      // Reference normalization: dict -> [dict]; list -> list;
+      // anything else -> [{name: str(x), url: ''}].
+      val narr =
+        when(js.startsWith("["), from_json(js, narratorSchema))
+        .when(js.startsWith("{"), array(from_json(js, narratorSchema.elementType)))
+        .otherwise(array(struct(
+          get_json_object(js, "$").as("name"), lit("").as("url"))))
+      Tables.customer(s, d)
+        .select(k, narr.as("narr"))
+        .select(
+          col("c_custkey"),
+          size(col("narr")).as("n_narrators"),
+          try_element_at(col("narr"), lit(1)).getField("name").as("narrator_1_name"),
+          try_element_at(col("narr"), lit(1)).getField("url").as("narrator_1_url"),
+          try_element_at(col("narr"), lit(2)).getField("name").as("narrator_2_name"),
+          try_element_at(col("narr"), lit(2)).getField("url").as("narrator_2_url"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- q34: corpus WER per group + book-level reject (A8 + P9,
+    // alignment/post_process.py:322-347). Hypotheses are synthesized
+    // so the word-level edit distance is exactly computable in SQL:
+    // docs with doc_id%3=0 lose their first token (distance exactly
+    // 1 — delete w1, align the rest), every other doc is unchanged
+    // (distance 0). Corpus WER is the jiwer-style WEIGHTED rate:
+    // sum(errors)/sum(ref words), never mean-of-per-doc-rates.
+    Q("q34_wer_reject", Some("""
+      SELECT CAST(doc_id % 7 AS BIGINT) AS grp,
+             COUNT(*) AS n_docs,
+             (CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS DOUBLE)
+              / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)) * 100 AS wer,
+             (CAST(COUNT(*) FILTER (WHERE doc_id % 3 = 0) AS DOUBLE)
+              / CAST(SUM(len(string_split(text, ' '))) AS DOUBLE)) * 100 < 0.23 AS qualified
+      FROM documents
+      GROUP BY 1
+      ORDER BY grp""")) { (s, d) =>
+      val toks = split(col("text"), " ")
+      val hyp = when(col("doc_id") % 3 === 0,
+        array_join(slice(toks, lit(2), greatest(size(toks) - 1, lit(0))), " "))
+        .otherwise(col("text"))
+      Tables.documents(s, d)
+        .select((col("doc_id") % 7).as("grp"), col("text").as("ref"), hyp.as("hyp"))
+        .groupBy("grp")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          Wer.corpusWer(col("ref"), col("hyp")).as("wer"))
+        .withColumn("qualified", col("wer") < 0.23)
+        .orderBy("grp")
+    },
+
+    // ---- q35: events analytics — hourly tumbling buckets per event
+    // type with JSON props extraction. ts arrives as epoch-nano
+    // BIGINT (nanosAsLong); the bucket uses integer `div` — a double
+    // division of an ~1.7e18 nano value would round above 2^53 and
+    // put boundary events in the wrong hour.
+    Q("q35_events_hourly", Some(s"""
+      SELECT epoch_ns(ts) // 3600000000000 AS hour_bucket,
+             event_type,
+             COUNT(*) AS n,
+             ${Q.dsumSql("value", 2)} AS sum_value,
+             SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY hour_bucket, event_type""")) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(
+          expr("ts div 3600000000000").as("hour_bucket"),
+          col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"),
+          sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
+        .orderBy("hour_bucket", "event_type")
+    })
+}
