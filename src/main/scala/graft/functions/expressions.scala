@@ -197,6 +197,39 @@ case class PyLiteralToJson(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): PyLiteralToJson = copy(child = c)
 }
 
+/** Full Vietnamese normalization chain (F7 — url strip, NFC, number/
+  * currency/date normalize, digit reading, squeeze+lower). */
+case class ViNormalizeText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(VietnameseText.normalizeText(v.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.VietnameseText.normalizeText($c.toString()))")
+
+  override protected def withNewChildInternal(c: Expression): ViNormalizeText = copy(child = c)
+}
+
+/** Quote/bullet strip + full Vietnamese number naming (F11). */
+case class ViProcessText(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(VietnameseText.processText(v.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.VietnameseText.processText($c.toString()))")
+
+  override protected def withNewChildInternal(c: Expression): ViProcessText = copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   private def col(e: Expression): Column = ColumnShim.column(e)
@@ -214,6 +247,8 @@ object GraftFunctions {
   def hyperplane_buckets(c: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
     col(HyperplaneBuckets(expr(c), dim, nPlanes, nTables))
   def pyliteral_to_json(c: Column): Column = col(PyLiteralToJson(expr(c)))
+  def vi_normalize_text(c: Column): Column = col(ViNormalizeText(expr(c)))
+  def vi_process_text(c: Column): Column = col(ViProcessText(expr(c)))
 
   /** Register all custom functions for SQL use. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {

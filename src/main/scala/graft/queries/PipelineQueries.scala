@@ -132,6 +132,70 @@ object PipelineQueries {
         .orderBy("grp")
     },
 
+    // ---- q36: full Vietnamese normalization chain (F3+F5+F6+F7)
+    // over synthesized text carrying a date, a Vietnamese-format
+    // price, and a URL. The oracle rebuilds the expected output
+    // directly from the date parts with the digit table — every
+    // stage of the chain (url strip, number canonicalize, currency
+    // map, date reading, digit reading, squeeze+lower) must land
+    // exactly or the hash flips.
+    Q("q36_vi_normalize", Some("""
+      WITH d AS (
+        SELECT o_orderkey,
+               CAST(day(o_orderdate) AS INTEGER) AS d,
+               CAST(month(o_orderdate) AS INTEGER) AS m,
+               CAST(year(o_orderdate) AS INTEGER) AS y
+        FROM orders),
+      w AS (SELECT ['không','một','hai','ba','bốn','năm','sáu','bảy','tám','chín'] AS dw)
+      SELECT o_orderkey,
+             'ngày ' ||
+             CASE WHEN d < 10 THEN dw[d+1] ELSE dw[d//10+1] || ' ' || dw[d%10+1] END ||
+             ' tháng ' ||
+             CASE WHEN m < 10 THEN dw[m+1] ELSE dw[m//10+1] || ' ' || dw[m%10+1] END ||
+             ' năm ' ||
+             dw[y//1000+1] || ' ' || dw[(y//100)%10+1] || ' ' || dw[(y//10)%10+1] || ' ' || dw[y%10+1] ||
+             ' giá hai ba bốn năm sáu vnd xem' AS norm
+      FROM d, w
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val input = concat(
+        dayofmonth(col("o_orderdate")), lit("/"),
+        month(col("o_orderdate")), lit("/"), year(col("o_orderdate")),
+        lit(" giá 234,56 đ xem https://example.com/x"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), GraftFunctions.vi_normalize_text(input).as("norm"))
+        .orderBy("o_orderkey")
+    },
+
+    // ---- q37: F11 cleaner — typographic quote/bullet strip plus
+    // FULL Vietnamese number naming (mười/mươi/mốt/tư/lăm rules,
+    // 0..99 here so the oracle can spell the same rules in SQL).
+    Q("q37_vi_number_names", Some("""
+      WITH d AS (SELECT o_orderkey, CAST(o_orderkey % 100 AS INTEGER) AS n FROM orders),
+      w AS (SELECT ['không','một','hai','ba','bốn','năm','sáu','bảy','tám','chín'] AS dw)
+      SELECT o_orderkey,
+             'Giá ' ||
+             CASE
+               WHEN n < 10 THEN dw[n+1]
+               WHEN n < 20 THEN 'mười' ||
+                 CASE WHEN n%10 = 0 THEN ''
+                      WHEN n%10 = 5 THEN ' lăm'
+                      ELSE ' ' || dw[n%10+1] END
+               ELSE dw[n//10+1] || ' mươi' ||
+                 CASE WHEN n%10 = 0 THEN ''
+                      WHEN n%10 = 1 THEN ' mốt'
+                      WHEN n%10 = 4 THEN ' tư'
+                      WHEN n%10 = 5 THEN ' lăm'
+                      ELSE ' ' || dw[n%10+1] END
+             END || ' đồng' AS cleaned
+      FROM d, w
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val input = concat(
+        lit("“Giá” • "), (col("o_orderkey") % 100).cast("int"), lit(" đồng"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), GraftFunctions.vi_process_text(input).as("cleaned"))
+        .orderBy("o_orderkey")
+    },
+
     // ---- q35: events analytics — hourly tumbling buckets per event
     // type with JSON props extraction. ts arrives as epoch-nano
     // BIGINT (nanosAsLong); the bucket uses integer `div` — a double
