@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{PipelineQueries, Q, RelationalQueries, TextQueries, VectorQueries}
+import graft.queries.{AssetQueries, PipelineQueries, Q, RelationalQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +13,8 @@ object SparkEntry {
 
   /** Full registry, one entry per implemented operator (SURVEY §2). */
   def all: Seq[Q] =
-    RelationalQueries.qs ++ PipelineQueries.qs ++ TextQueries.qs ++ VectorQueries.qs
+    RelationalQueries.qs ++ PipelineQueries.qs ++ AssetQueries.qs ++
+      TextQueries.qs ++ VectorQueries.qs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks
     * rows>0. The reference's own flagship (P1 query_download_url,

@@ -1,0 +1,138 @@
+package graft.functions
+
+/** Pure-JVM audio kernels (reference X1–X4, X7 stand-ins — SURVEY §7:
+  * librosa/ffmpeg stages become fixture-grade JVM implementations
+  * behind the same operator surface; no parity claim with the native
+  * tools).
+  *
+  * Fixture format: RIFF/WAVE, PCM 16-bit little-endian. Samples are
+  * normalized float32 in [-1, 1) like `librosa.load`. */
+object AudioOps {
+
+  final case class WavInfo(sampleRate: Int, numChannels: Int, numSamples: Long, durationSec: Double)
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** X4 (`process_all.py:440-453`): (sample_rate, duration, sizes)
+    * from the WAV header. Returns null on anything that is not a
+    * PCM RIFF/WAVE — mirroring the reference's skip-on-error. */
+  def wavInfo(bytes: Array[Byte]): WavInfo = {
+    if (bytes == null || bytes.length < 44) return null
+    if (!(bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F')) return null
+    if (!(bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E')) return null
+    var off = 12
+    var sampleRate = 0
+    var channels = 0
+    var bits = 0
+    var dataLen = -1
+    while (off + 8 <= bytes.length && (sampleRate == 0 || dataLen < 0)) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(bytes, off + 4)
+      id match {
+        case "fmt " =>
+          if (le16(bytes, off + 8) != 1) return null // PCM only
+          channels = le16(bytes, off + 10)
+          sampleRate = le32(bytes, off + 12)
+          bits = le16(bytes, off + 22)
+        case "data" => dataLen = size
+        case _ => ()
+      }
+      off += 8 + size + (size & 1)
+    }
+    if (sampleRate <= 0 || channels <= 0 || bits != 16 || dataLen < 0) return null
+    val n = dataLen.toLong / (channels * 2)
+    WavInfo(sampleRate, channels, n, n.toDouble / sampleRate)
+  }
+
+  /** S10 stand-in: decode PCM 16-bit to normalized float32 mono
+    * (channel-averaged like `librosa.load(mono=True)`). */
+  def wavSamples(bytes: Array[Byte]): Array[Float] = {
+    val info = wavInfo(bytes)
+    if (info == null) return null
+    // find the data chunk again to locate the payload offset
+    var off = 12
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length && dataOff < 0) {
+      val id = new String(bytes, off, 4, "US-ASCII")
+      val size = le32(bytes, off + 4)
+      if (id == "data") { dataOff = off + 8; dataLen = size }
+      else off += 8 + size + (size & 1)
+    }
+    if (dataOff < 0) return null
+    val ch = info.numChannels
+    val n = (dataLen / (2 * ch)).toInt
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0f
+      var c = 0
+      while (c < ch) {
+        val v = le16(bytes, dataOff + 2 * (i * ch + c)).toShort
+        acc += v / 32768.0f
+        c += 1
+      }
+      out(i) = acc / ch
+      i += 1
+    }
+    out
+  }
+
+  /** X1 (`process_all.py:394-398`): linear-interpolation resample —
+    * the fixture-grade stand-in for librosa.resample. */
+  def resampleLinear(samples: Array[Float], origSr: Int, targetSr: Int): Array[Float] = {
+    if (samples == null || origSr <= 0 || targetSr <= 0) return null
+    if (origSr == targetSr || samples.isEmpty) return samples
+    val outLen = math.max(1, math.round(samples.length.toDouble * targetSr / origSr).toInt)
+    val out = new Array[Float](outLen)
+    val step = samples.length.toDouble / outLen
+    var i = 0
+    while (i < outLen) {
+      val pos = i * step
+      val i0 = math.min(samples.length - 1, pos.toInt)
+      val i1 = math.min(samples.length - 1, i0 + 1)
+      val frac = (pos - i0).toFloat
+      out(i) = samples(i0) * (1 - frac) + samples(i1) * frac
+      i += 1
+    }
+    out
+  }
+
+  /** X2 (`process_all.py:400-407`): peak normalize to 0.95. */
+  def peakNormalize(samples: Array[Float]): Array[Float] = {
+    if (samples == null || samples.isEmpty) return samples
+    var peak = 0.0f
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i))
+      if (a > peak) peak = a
+      i += 1
+    }
+    if (peak == 0.0f) return samples
+    val out = new Array[Float](samples.length)
+    i = 0
+    while (i < samples.length) { out(i) = samples(i) / peak * 0.95f; i += 1 }
+    out
+  }
+
+  /** Test-fixture encoder: float32 mono → PCM16 WAV bytes. */
+  def toWavBytes(samples: Array[Float], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach { s =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32768.0f)))
+      buf.putShort(v.toShort)
+    }
+    buf.array()
+  }
+}

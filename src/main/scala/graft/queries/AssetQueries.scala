@@ -1,0 +1,147 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Asset/path-shaped operators from SURVEY §2 that had no gate yet:
+  * ordered concat aggregation with natural-order sort (A12+W1+F15),
+  * deterministic per-group sampling (P2/W5), the filename/url scalar
+  * family (P10/P12/F16/F19/F20), and the widen/projection pair
+  * (U2+P4+P5). */
+object AssetQueries {
+
+  val qs: Seq[Q] = Seq(
+
+    // ---- q38: ordered parts assembly (A12 + W1 + F15,
+    // process_all.py:409-438,566-617): per order, part filenames are
+    // sorted by the trailing sequence number extracted from the name
+    // (NOT lexicographically — part_10 must follow part_9) and
+    // concatenated in that order. sort_array on (seq, name) structs
+    // keeps the whole thing a single hash-aggregate; no window.
+    Q("q38_ordered_concat", Some("""
+      WITH f AS (
+        SELECT l_orderkey,
+               'part_' || l_linenumber || '.mp3' AS fname,
+               l_linenumber AS seq
+        FROM lineitem)
+      SELECT l_orderkey,
+             COUNT(*) AS n_parts,
+             string_agg(fname, ',' ORDER BY seq) AS assembled
+      FROM f
+      GROUP BY l_orderkey
+      ORDER BY l_orderkey""")) { (s, d) =>
+      val fname = concat(lit("part_"), col("l_linenumber"), lit(".mp3"))
+      // F15: the sequence is *extracted from the filename* (trailing
+      // digits before the extension), not read from a column.
+      val seq = coalesce(
+        regexp_extract(col("fname"), "(\\d+)\\.[^.]+$", 1).cast("int"), lit(0))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), fname.as("fname"))
+        .withColumn("seq", seq)
+        .groupBy("l_orderkey")
+        .agg(
+          count(lit(1)).as("n_parts"),
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("seq"), col("fname")))),
+              x => x.getField("fname")),
+            ",").as("assembled"))
+        .orderBy("l_orderkey")
+    },
+
+    // ---- q39: per-group sampling with floor (W5,
+    // post_process.py:231-242): take int(n*pct) per group, min 1 —
+    // "randomness" is a deterministic md5 ordering so the oracle
+    // reproduces the exact sample (the reference's random.sample is
+    // seeded operationally; a hash order is the engine-portable
+    // equivalent and what you'd use for reproducible pipelines).
+    Q("q39_group_sample", Some("""
+      WITH r AS (
+        SELECT c_nationkey, c_custkey,
+               row_number() OVER (PARTITION BY c_nationkey
+                                  ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn,
+               COUNT(*) OVER (PARTITION BY c_nationkey) AS n
+        FROM customer)
+      SELECT c_nationkey, c_custkey, CAST(rn AS BIGINT) AS rn
+      FROM r
+      WHERE rn <= GREATEST(1, CAST(FLOOR(n * 0.05) AS INTEGER))
+      ORDER BY c_nationkey, rn""")) { (s, d) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      val cw = Window.partitionBy(col("c_nationkey"))
+      Tables.customer(s, d)
+        .select(col("c_nationkey"), col("c_custkey"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(cw))
+        .filter(col("rn") <= greatest(lit(1), (col("n") * 0.05).cast("int")))
+        .select("c_nationkey", "c_custkey", "rn")
+        .orderBy("c_nationkey", "rn")
+    },
+
+    // ---- q40: the filename/url scalar family — P10 format
+    // predicate, P12 mp3 check, F16 stem/idx parse, F19 url→name,
+    // F20 deterministic hex id (secrets.token_hex replaced by a
+    // natural-key digest for reproducibility, SURVEY §2.7).
+    Q("q40_path_ops", Some("""
+      WITH f AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 5 = 0 THEN 'stray-file'
+                    ELSE 'book' || p_partkey % 50 || '_' || p_partkey END
+                 || CASE WHEN p_partkey % 4 = 0 THEN '.wav' ELSE '.mp3' END AS fname,
+               'https://cdn.example/' || p_partkey || '/download' AS url
+        FROM part)
+      SELECT p_partkey, fname,
+             regexp_matches(regexp_replace(fname, '\.[^.]+$', ''), '_[0-9]+$') AS valid_format,
+             fname LIKE '%.mp3' AS is_mp3,
+             CASE WHEN regexp_matches(regexp_replace(fname, '\.[^.]+$', ''), '_[0-9]+$')
+                  THEN regexp_extract(regexp_replace(fname, '\.[^.]+$', ''), '^(.*)_([0-9]+)$', 1)
+                  ELSE NULL END AS book_id,
+             CASE WHEN regexp_matches(regexp_replace(fname, '\.[^.]+$', ''), '_[0-9]+$')
+                  THEN CAST(regexp_extract(regexp_replace(fname, '\.[^.]+$', ''), '^(.*)_([0-9]+)$', 2) AS BIGINT)
+                  ELSE NULL END AS idx,
+             string_split(url, '/')[-1] AS url_name,
+             substr(md5(fname), 1, 8) AS stable_id
+      FROM f
+      ORDER BY p_partkey""")) { (s, d) =>
+      val fname = concat(
+        when(col("p_partkey") % 5 === 0, lit("stray-file"))
+          .otherwise(concat(lit("book"), col("p_partkey") % 50, lit("_"), col("p_partkey"))),
+        when(col("p_partkey") % 4 === 0, lit(".wav")).otherwise(lit(".mp3")))
+      val url = concat(lit("https://cdn.example/"), col("p_partkey"), lit("/download"))
+      val stem = regexp_replace(col("fname"), "\\.[^.]+$", "")
+      Tables.part(s, d)
+        .select(col("p_partkey"), fname.as("fname"), url.as("url"))
+        .withColumn("valid_format", stem.rlike("_[0-9]+$"))
+        .withColumn("is_mp3", col("fname").endsWith(".mp3"))
+        .withColumn("book_id",
+          when(col("valid_format"), regexp_extract(stem, "^(.*)_([0-9]+)$", 1)))
+        .withColumn("idx",
+          when(col("valid_format"), regexp_extract(stem, "^(.*)_([0-9]+)$", 2).cast("long")))
+        .withColumn("url_name", element_at(split(col("url"), "/"), -1))
+        .withColumn("stable_id", substring(md5(col("fname")), 1, 8))
+        .drop("url")
+        .orderBy("p_partkey")
+    },
+
+    // ---- q41: horizontal widen + null-column add + non-null
+    // projection (U2 + P4 + P5, crawler/metadata.py:227-239,344-347):
+    // pure projection — no shuffle beyond the presentation sort.
+    Q("q41_widen_project", Some("""
+      SELECT c_custkey, c_name, c_acctbal,
+             CAST(NULL AS VARCHAR) AS sample_rate,
+             CAST(NULL AS VARCHAR) AS quality,
+             c_acctbal > 0 AS has_balance
+      FROM customer
+      WHERE c_mktsegment IS NOT NULL
+      ORDER BY c_custkey""")) { (s, d) =>
+      Tables.customer(s, d)
+        .filter(col("c_mktsegment").isNotNull)
+        .select(
+          col("c_custkey"), col("c_name"), col("c_acctbal"),
+          lit(null).cast("string").as("sample_rate"),
+          lit(null).cast("string").as("quality"),
+          (col("c_acctbal") > 0).as("has_balance"))
+        .orderBy("c_custkey")
+    })
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+import graft.functions.AudioOps
+
+/** Audio pipeline over synthesized WAV fixtures: decode → info →
+  * qualification (P7/A5) → resample (X1) → normalize (X2) → ordered
+  * concat (X3/A12/W1) → segment (X7). The E3 audio stage end to end
+  * on a local corpus. */
+class AudioSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ramp(n: Int, scale: Float): Array[Float] =
+    Array.tabulate(n)(i => (i % 100) / 100.0f * scale)
+
+  // book "a": two parts, 16 kHz, deliberately out of order;
+  // book "b": one part at 8 kHz (below the 16 kHz gate).
+  private lazy val parts = Seq(
+    ("a", 2, AudioOps.toWavBytes(ramp(1600, 0.5f), 16000)),
+    ("a", 1, AudioOps.toWavBytes(ramp(3200, 0.5f), 16000)),
+    ("b", 1, AudioOps.toWavBytes(ramp(800, 0.25f), 8000))
+  ).toDF("book", "seq", "wav")
+
+  test("X4 wav info reads header without decoding") {
+    val got = parts.select(col("book"), col("seq"), Audio.info(col("wav")).as("i"))
+      .select(col("book"), col("seq"), col("i.sampleRate"), col("i.numSamples"), col("i.durationSec"))
+      .as[(String, Int, Int, Long, Double)].collect().toSet
+    assert(got == Set(
+      ("a", 2, 16000, 1600L, 0.1),
+      ("a", 1, 16000, 3200L, 0.2),
+      ("b", 1, 8000, 800L, 0.1)))
+  }
+
+  test("P7/A5 qualification by min sample rate per book") {
+    val withSr = parts.select(col("book"), Audio.info(col("wav")).getField("sampleRate").as("sr"))
+    val q = Audio.qualifyBooks(withSr, "book", "sr", 16000)
+      .select("book", "qualified").as[(String, Boolean)].collect().toMap
+    assert(q == Map("a" -> true, "b" -> false))
+  }
+
+  test("decode round-trips PCM16 quantization") {
+    val s = parts.filter(col("book") === "b")
+      .select(Audio.decode(col("wav")).as("s")).as[Seq[Float]].head()
+    assert(s.length == 800)
+    // 0.25f * (i%100)/100 quantized to 16 bits — within 1/32768.
+    assert(math.abs(s(50) - 0.125f) < 2.0f / 32768)
+  }
+
+  test("X1 resample halves length; X2 normalize peaks at 0.95") {
+    val df = parts.filter(col("book") === "a" && col("seq") === 1)
+      .select(Audio.decode(col("wav")).as("s"))
+      .select(Audio.resample(col("s"), lit(16000), 8000).as("r"))
+      .select(Audio.normalize(col("r")).as("n"))
+    val n = df.as[Seq[Float]].head()
+    assert(n.length == 1600)
+    val peak = n.map(math.abs).max
+    assert(math.abs(peak - 0.95f) < 1e-3, s"peak $peak")
+  }
+
+  test("X3 ordered concat assembles parts by seq, not input order") {
+    val decoded = parts.filter(col("book") === "a")
+      .select(col("book"), col("seq"), Audio.decode(col("wav")).as("samples"))
+    val out = Audio.concatParts(decoded, "book", "seq", "samples")
+    val (samples, nParts) = out.select("samples", "n_parts").as[(Seq[Float], Long)].head()
+    assert(nParts == 2)
+    assert(samples.length == 4800)
+    // seq 1 (3200 samples) must come first even though it was second
+    // in input order: position 3250 sits in seq-2's ramp restart.
+    assert(math.abs(samples(3200) - 0.0f) < 1e-3)
+    assert(math.abs(samples(3250) - 0.25f) < 1e-3) // (50%100)/100*0.5
+  }
+
+  test("X7 segment cuts the requested window") {
+    val decoded = parts.filter(col("book") === "a" && col("seq") === 1)
+      .select(Audio.decode(col("wav")).as("s"), lit(16000).as("sr"))
+    val seg = decoded.select(
+      Audio.segment(col("s"), col("sr"), lit(0.05), lit(0.1)).as("seg"))
+      .as[Seq[Float]].head()
+    assert(seg.length == 1600)
+    // segment starts at sample 800 -> (800%100)/100*0.5 = 0.0
+    assert(math.abs(seg.head - 0.0f) < 1e-3)
+  }
+}
