@@ -1,0 +1,129 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface for the engine.
+  *
+  * The reference has no event-time streaming (SURVEY §2.9 — its
+  * asyncio concurrency is physical, not logical), but its crawler
+  * drops metadata JSON into a landing directory incrementally; the
+  * idiomatic Spark analogue (SURVEY §7 stretch goal) is a
+  * file-arrival `readStream` over that directory plus the two
+  * streaming shapes a 100 TB training-data pipeline actually needs:
+  * watermarked tumbling-window aggregation and stateful
+  * sessionization. Both run identically under `Trigger.AvailableNow`
+  * for batch backfill — one code path for live and catch-up.
+  */
+object EventStreams {
+
+  /** The driver's events schema, as a file-arrival stream. `ts` is
+    * epoch-nano (see GraftSession nanosAsLong note) in parquet form;
+    * JSON landing dirs carry it the same way. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-arrival source over a JSON landing directory
+    * (`maxFilesPerTrigger` bounds per-batch work so a backlogged
+    * directory cannot produce an unbounded micro-batch). */
+  def readEventsJson(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream
+      .schema(eventSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+
+  /** Epoch-nano BIGINT → timestamp column. */
+  def tsCol: org.apache.spark.sql.Column =
+    timestamp_micros((col("ts") / 1000L).cast("long"))
+
+  /** Watermarked tumbling-window aggregate: events per (window,
+    * type) with value sum. Late events beyond the watermark are
+    * dropped — state is bounded, which is the whole point at scale:
+    * without the watermark the window state grows with the stream. */
+  def hourlyCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** One closed user session. */
+  case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int, totalValue: Double)
+
+  case class SessionBuf(startTs: Long, endTs: Long, nEvents: Int, totalValue: Double)
+
+  /** Stateful sessionization (`flatMapGroupsWithState`): per-user
+    * sessions closed after `gapMinutes` of event-time silence. State
+    * per user is one small buffer regardless of stream length —
+    * the KeyValueGroupedDataset form of the reference's per-book
+    * accumulate-then-flush loops. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+                 watermark: String = "2 hours"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapNanos = gapMinutes * 60L * 1000000000L
+
+    // The watermark column must survive the projection into the
+    // grouped Dataset — dropping it disables event-time timeouts.
+    val typed = events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .select(col("user_id"), col("ts"), col("value"), col("event_time"))
+      .as[(Long, Long, Double, java.sql.Timestamp)]
+
+    typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionBuf, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (userId, rows, state: GroupState[SessionBuf]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.startTs, s.endTs, s.nEvents, s.totalValue))
+          } else {
+            val sorted = rows.toSeq.sortBy(_._2)
+            var buf = state.getOption.orNull
+            val closed = Seq.newBuilder[Session]
+            for ((_, ts, v, _) <- sorted) {
+              if (buf == null) buf = SessionBuf(ts, ts, 1, v)
+              else if (ts - buf.endTs > gapNanos) {
+                closed += Session(userId, buf.startTs, buf.endTs, buf.nEvents, buf.totalValue)
+                buf = SessionBuf(ts, ts, 1, v)
+              } else {
+                buf = SessionBuf(buf.startTs, ts max buf.endTs, buf.nEvents + 1, buf.totalValue + v)
+              }
+            }
+            if (buf != null) {
+              state.update(buf)
+              // close the open session once the watermark passes endTs+gap
+              state.setTimeoutTimestamp(buf.endTs / 1000000L + gapMinutes * 60L * 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming file sink (S16 shape): append the stream to a
+    * partitioned parquet dataset with checkpointing — exactly-once
+    * per file-sink semantics. Returns the started query. */
+  def writeParquetSink(df: DataFrame, outDir: String, checkpointDir: String,
+                       availableNow: Boolean = true): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = df.writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append())
+    (if (availableNow) w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()) else w)
+      .start()
+  }
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.streaming.Trigger
+import graft.SparkSuite
+
+/** Streaming shapes driven with AvailableNow over a JSON landing
+  * directory — the batch-backfill path that shares code with the
+  * live stream. */
+class EventStreamsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val H = 3600L * 1000000000L // one hour in nanos
+
+  private def writeLanding(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "landing")
+    Files.writeString(dir.resolve("batch1.json"), lines.mkString("\n"))
+    dir.toString
+  }
+
+  private def ev(id: Long, ts: Long, user: Long, typ: String, value: Double): String =
+    s"""{"event_id":$id,"ts":$ts,"user_id":$user,"event_type":"$typ","value":$value,"props":"{}"}"""
+
+  test("watermarked hourly window aggregate over file arrivals") {
+    // The sentinel advances the watermark past the earlier windows;
+    // its own window stays open and must NOT be emitted — that
+    // non-emission is the watermark working.
+    val dir = writeLanding(Seq(
+      ev(1, 1 * H + 10, 1, "click", 1.0),
+      ev(2, 1 * H + 20, 2, "click", 2.0),
+      ev(3, 2 * H + 5, 1, "buy", 5.0),
+      ev(4, 10 * H, 3, "sentinel", 0.0)))
+    val out = Files.createTempDirectory(Paths.get("target"), "winout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.hourlyCounts(EventStreams.readEventsJson(spark, dir)),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$out/data")
+      .select("event_type", "n", "sum_value")
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
+  }
+
+  test("sessionization closes sessions at the gap, keeps state bounded") {
+    // user 1: two events 10 min apart (one session), then one 2h
+    // later (second session, still open at end of stream).
+    // user 2: one event.
+    val dir = writeLanding(Seq(
+      ev(1, 1 * H, 1, "a", 1.0),
+      ev(2, 1 * H + 600L * 1000000000L, 1, "a", 2.0),
+      ev(3, 3 * H, 1, "a", 4.0),
+      ev(4, 1 * H, 2, "b", 8.0),
+      // sentinel far in the future advances the watermark so all
+      // earlier sessions time out and flush
+      ev(5, 10 * H, 3, "w", 0.0)))
+    val out = Files.createTempDirectory(Paths.get("target"), "sessout")
+    val sessions = EventStreams.sessionize(
+      EventStreams.readEventsJson(spark, dir), gapMinutes = 30)
+    val q = sessions.writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+      .as[EventStreams.Session].collect()
+      .map(s => (s.userId, s.nEvents, s.totalValue)).toSet
+    // user 1 session A: 2 events, 3.0; session B: 1 event, 4.0;
+    // user 2: 1 event, 8.0. (user 3's sentinel stays open.)
+    assert(got == Set((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
+  }
+}
