@@ -1,0 +1,96 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Binary-asset scans (SURVEY §2.1 S9–S12) over the `binaryFile`
+  * source: the multimodal pattern is an opaque `content` column plus
+  * typed metadata extracted from the path, with decode deferred to
+  * the last projection so metadata-only queries never read payloads.
+  */
+object Assets {
+
+  /** Raw binary scan: (path, modificationTime, length, content). */
+  def binaryDir(spark: SparkSession, glob: String): DataFrame =
+    spark.read.format("binaryFile").load(glob)
+
+  /** File stem (name minus directory and extension). */
+  private def stem(c: org.apache.spark.sql.Column) =
+    regexp_replace(element_at(split(c, "/"), -1), "\\.[^.]+$", "")
+
+  /** S11 (`post_process.py:33-76`, `push_to_hf.py:107-141`): walk the
+    * `dataset/{speaker}/{book}_{idx}.wav` tree, pair each wav with
+    * its sibling `.txt` (J3 suffix-swap lookup join), and derive
+    * (speaker_id, book_id, idx) from the path convention. Unpaired
+    * wavs — the reference deletes them — come back from
+    * [[orphanWavs]] as a left-anti join. */
+  def datasetTree(spark: SparkSession, root: String): DataFrame = {
+    val wavs = binaryDir(spark, s"$root/*/*.wav")
+      .select(col("path"), col("content").as("wav"), stem(col("path")).as("stemname"),
+        element_at(split(col("path"), "/"), -2).as("speaker_id"))
+    val txts = spark.read.format("binaryFile").load(s"$root/*/*.txt")
+      .select(stem(col("path")).as("stemname"),
+        decode(col("content"), "UTF-8").as("text"))
+    wavs.join(txts, Seq("stemname"))
+      .withColumn("book_id", regexp_extract(col("stemname"), "^(.*)_(\\d+)$", 1))
+      .withColumn("idx", regexp_extract(col("stemname"), "^(.*)_(\\d+)$", 2).cast("int"))
+      .filter(col("book_id") =!= "") // P10: drop non-conforming names
+      .select("speaker_id", "book_id", "idx", "stemname", "path", "wav", "text")
+  }
+
+  /** The J3 delete branch: wavs with no sibling txt. */
+  def orphanWavs(spark: SparkSession, root: String): DataFrame = {
+    val wavs = binaryDir(spark, s"$root/*/*.wav")
+      .select(col("path"), stem(col("path")).as("stemname"))
+    val txts = spark.read.format("binaryFile").load(s"$root/*/*.txt")
+      .select(stem(col("path")).as("stemname"))
+    wavs.join(txts, Seq("stemname"), "left_anti")
+  }
+
+  /** S12/A1/A2 (`crawler/utils.py:85-122`,
+    * `process_all.py:544-617`): group part files into books. Key
+    * derivation order matches the reference: prefix before the last
+    * underscore when the name carries a numeric suffix, else the
+    * leading non-digit run; parts are ordered by their extracted
+    * sequence number (W1/F15). */
+  def audioGroups(files: DataFrame, pathCol: String = "path"): DataFrame = {
+    val name = stem(col(pathCol))
+    val key = when(name.rlike("_\\d+$"), regexp_extract(name, "^(.*)_\\d+$", 1))
+      .otherwise(regexp_extract(name, "^(\\D*)", 1))
+    // ANSI mode: cast('' as int) throws, so gate the extraction on a
+    // digits-present check instead of coalescing afterwards.
+    val seq = when(name.rlike("\\d+$"), regexp_extract(name, "(\\d+)$", 1).cast("int"))
+      .otherwise(lit(0))
+    files
+      .withColumn("book", key)
+      .withColumn("seq", seq)
+      .groupBy("book")
+      .agg(
+        transform(
+          array_sort(collect_list(struct(col("seq"), col(pathCol).as("p")))),
+          x => x.getField("p")).as("parts"),
+        count(lit(1)).as("n_parts"))
+  }
+
+  /** S9 boundary: per-document text extraction from binary content.
+    * The reference uses PyMuPDF (`process_all.py:265-279`); the
+    * container has no PDF library, so the default extractor is the
+    * documented plain-text stand-in — the Spark-side plumbing
+    * (binary scan, projection shape, downstream text pipeline) is
+    * the real thing and is what the tests exercise. */
+  trait TextExtractor extends Serializable {
+    def extract(content: Array[Byte]): String
+  }
+
+  /** Plain-UTF8 stand-in extractor (fixture documents are text). */
+  object PlainTextExtractor extends TextExtractor {
+    def extract(content: Array[Byte]): String =
+      new String(content, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** S9: binary docs → (path, text) through a pluggable extractor. */
+  def extractText(docs: DataFrame, extractor: TextExtractor = PlainTextExtractor): DataFrame = {
+    val ex = udf((b: Array[Byte]) => Option(b).map(extractor.extract))
+    docs.select(col("path"), ex(col("content")).as("text"))
+  }
+}

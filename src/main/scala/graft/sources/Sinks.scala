@@ -42,6 +42,40 @@ object Sinks {
   def partitionedDataset(df: DataFrame, partitionCol: String, path: String): Unit =
     df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
 
+  /** S19 (`aeneas_batch_align.py:261-299`): one wav + txt file per
+    * utterance under `outDir/{speaker}/{book}_{idx}.{wav,txt}` —
+    * binary writes run inside foreachPartition on the executors, so
+    * the fan-out scales with partitions, not the driver. */
+  def segmentFiles(df: DataFrame, outDir: String,
+                   speakerCol: String = "speaker_id", bookCol: String = "book_id",
+                   idxCol: String = "idx", wavCol: String = "wav",
+                   textCol: String = "text"): Unit = {
+    val cols = df.select(
+      col(speakerCol).cast("string"), col(bookCol).cast("string"),
+      col(idxCol).cast("string"), col(wavCol), col(textCol))
+    cols.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      rows.foreach { r =>
+        val dir = java.nio.file.Paths.get(outDir, r.getString(0))
+        java.nio.file.Files.createDirectories(dir)
+        val base = s"${r.getString(1)}_${r.getString(2)}"
+        java.nio.file.Files.write(dir.resolve(s"$base.wav"), r.getAs[Array[Byte]](3))
+        java.nio.file.Files.writeString(dir.resolve(s"$base.txt"), r.getString(4))
+      }
+    }
+  }
+
+  /** S17 dictionary encode (`push_to_hf.py:16-24`
+    * `class_encode_column` analogue): dense_rank dimension over the
+    * key's distinct values + the encoded fact column. Returns
+    * (encoded, dimension). */
+  def dictionaryEncode(df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
+    val dim = df.select(col(keyCol)).distinct()
+      .withColumn(s"${keyCol}_id",
+        org.apache.spark.sql.functions.dense_rank()
+          .over(org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))) - 1)
+    (df.join(org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol)), dim)
+  }
+
   private def flattenComplex(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
