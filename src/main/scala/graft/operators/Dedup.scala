@@ -158,7 +158,12 @@ object Dedup {
     expandPairs(members, verified, threshold, idCol)
   }
 
-  /** Verify candidate (fp_a, fp_b) pairs against rep token sets. */
+  /** Verify candidate (fp_a, fp_b) pairs against rep token sets. No
+    * forced broadcast: reps scales with distinct-set count, so the
+    * right plan depends on the corpus — AQE converts these joins to
+    * broadcast at runtime when the measured rep size is small (it is
+    * at every test SF), and falls back to shuffle joins when a 100 TB
+    * corpus makes reps executor-sized. */
   private def verifyJaccardByFp(candidates: DataFrame, reps: DataFrame,
                                 threshold: Double): DataFrame =
     candidates
