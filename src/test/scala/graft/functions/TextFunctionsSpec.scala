@@ -1,0 +1,43 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Column-level text primitives: punctuation strip (F8), shingles,
+  * quality score — hand-computed pins over literal rows. */
+class TextFunctionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column): String =
+    Seq("x").toDF("x").select(c.cast("string")).as[String].head()
+
+  test("F8 punctuation strip") {
+    val got = Seq("Hello, world! (it's #1)").toDF("t")
+      .select(TextFunctions.stripPunct(col("t"))).as[String].head()
+    assert(got == "Hello world its 1")
+  }
+
+  test("word shingles") {
+    val got = Seq("a b c d").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFunctions.shingles(col("t"), 3)).as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
+
+  test("char shingles") {
+    val got = Seq("abcd").toDF("t")
+      .select(TextFunctions.charShingles(col("t"), 2)).as[Seq[String]].head()
+    assert(got == Seq("ab", "bc", "cd"))
+  }
+
+  test("quality score components") {
+    // "the the cat" -> 3 tokens, 2 distinct, 2 stopword hits
+    // len: 0.4*min(1, 3/100)=0.012; distinct: 0.3*2/3=0.2;
+    // stop: 0.3*2/3=0.2 -> 0.412
+    val got = Seq("the the cat").toDF("t")
+      .select(round(TextFunctions.qualityScore(col("t")), 4)).as[Double].head()
+    assert(got == 0.412)
+  }
+}
