@@ -250,12 +250,26 @@ object GraftFunctions {
   def vi_normalize_text(c: Column): Column = col(ViNormalizeText(expr(c)))
   def vi_process_text(c: Column): Column = col(ViProcessText(expr(c)))
 
-  /** Register all custom functions for SQL use. */
+  /** Register all custom functions for SQL use, so `spark.sql`
+    * callers get the same codegen'd expressions as the Column API
+    * (int literals supply the static parameters of the
+    * parameterized ones). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    def intArg(e: Expression): Int =
+      e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("deaccent_slug", es => DeaccentSlug(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("duration_seconds", es => DurationSeconds(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("simhash60_tokens", es => SimHashTokens60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pyliteral_to_json", es => PyLiteralToJson(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("min_shingle_hash", es => MinShingleHash(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("hyperplane_buckets",
+      es => HyperplaneBuckets(es.head, intArg(es(1)), intArg(es(2)), intArg(es(3))), "scala_udf")
+    reg.createOrReplaceTempFunction("vi_normalize_text", es => ViNormalizeText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("vi_process_text", es => ViProcessText(es.head), "scala_udf")
   }
 }

@@ -1,0 +1,36 @@
+package graft.functions
+
+import graft.SparkSuite
+
+/** The SQL registration path: every custom expression must be
+  * callable from `spark.sql`, returning the same values as the
+  * Column API (same codegen'd expressions underneath). */
+class SqlRegistrySpec extends SparkSuite {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.registerAll(spark)
+  }
+
+  test("scalar expressions are SQL-callable") {
+    val r = spark.sql("""
+      SELECT deaccent_slug('Đà Nẵng!') AS slug,
+             duration_seconds('01:02:03') AS dur,
+             pyliteral_to_json("['a', 'b']") AS js,
+             vi_process_text('“Giá” 21 đồng') AS vi
+    """).as[(String, Double, String, String)].head()
+    assert(r == (("đa-nang", 3723.0, """["a","b"]""", "Giá hai mươi mốt đồng")))
+  }
+
+  test("parameterized hash expressions are SQL-callable") {
+    val r = spark.sql("""
+      SELECT size(minhash_sig(array('a','b','c'), 8)) AS k,
+             min_shingle_hash(array('a','b','c','d'), 3) IS NOT NULL AS msh,
+             sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ov,
+             dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+             size(hyperplane_buckets(array(1.0d, -1.0d), 2, 4, 3)) AS nt
+    """).as[(Int, Boolean, Int, Double, Int)].head()
+    assert(r == ((8, true, 2, 11.0, 3)))
+  }
+}
