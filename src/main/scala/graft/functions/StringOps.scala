@@ -82,6 +82,25 @@ object StringOps {
     out
   }
 
+  /** Sentence tokenizer (reference F9 stand-in for
+    * `underthesea.sent_tokenize`, `process_all.py:291`): maximal
+    * runs of non-terminator characters with their trailing
+    * terminators, trimmed, empties dropped. The pattern uses no
+    * lookarounds so an RE2-based oracle (DuckDB) can replicate it
+    * exactly. */
+  private val SentencePattern = java.util.regex.Pattern.compile("[^.!?]+[.!?]*")
+
+  def sentenceSplit(s: String): Array[String] = {
+    if (s == null) return Array.empty
+    val m = SentencePattern.matcher(s)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) {
+      val t = m.group().trim
+      if (t.nonEmpty) out += t
+    }
+    out.toArray
+  }
+
   /** Word-level Levenshtein distance (token-sequence edit distance) —
     * the unit of the corpus-WER aggregate (reference A8,
     * `post_process.py:322-329`). */

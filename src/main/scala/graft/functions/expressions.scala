@@ -230,6 +230,32 @@ case class ViProcessText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ViProcessText = copy(child = c)
 }
 
+/** Sentence-tokenize Generator (reference F9): one output row per
+  * sentence with its 0-based position — the custom `Generator`
+  * surface SURVEY §2.10 calls for. Generators are row-expanding, so
+  * codegen falls back to eval by design (same as Spark's own
+  * explode family for non-array inputs). */
+case class SentenceSplit(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("sentence", StringType, nullable = true)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      val parts = StringOps.sentenceSplit(v.asInstanceOf[UTF8String].toString)
+      parts.indices.map(i =>
+        org.apache.spark.sql.catalyst.InternalRow(i, UTF8String.fromString(parts(i))))
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): SentenceSplit = copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   private def col(e: Expression): Column = ColumnShim.column(e)
@@ -248,6 +274,7 @@ object GraftFunctions {
     col(HyperplaneBuckets(expr(c), dim, nPlanes, nTables))
   def pyliteral_to_json(c: Column): Column = col(PyLiteralToJson(expr(c)))
   def vi_normalize_text(c: Column): Column = col(ViNormalizeText(expr(c)))
+  def sentence_split(c: Column): Column = col(SentenceSplit(expr(c)))
   def vi_process_text(c: Column): Column = col(ViProcessText(expr(c)))
 
   /** Register all custom functions for SQL use, so `spark.sql`

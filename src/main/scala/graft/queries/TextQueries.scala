@@ -172,6 +172,33 @@ object TextQueries {
       SentenceGrouping(sentences, "doc_id", "seq", "sentence", minWords = 20)
         .withColumnRenamed("key", "doc_id")
         .orderBy("doc_id", "group_idx")
+    },
+
+    // ---- q42: sentence tokenize as a custom Generator (F9,
+    // process_all.py:291): punctuation is synthesized into the
+    // corpus (a period every five words), then the SentenceSplit
+    // generator expands one row per sentence. The pattern avoids
+    // lookarounds so DuckDB's RE2 replicates it exactly.
+    Q("q42_sentence_split", Some("""
+      WITH m AS (
+        SELECT doc_id,
+               regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS t
+        FROM documents),
+      s AS (
+        SELECT doc_id,
+               list_filter(list_transform(regexp_extract_all(t, '[^.!?]+[.!?]*'),
+                                          x -> trim(x)), x -> x <> '') AS sents
+        FROM m)
+      SELECT doc_id,
+             CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS pos,
+             unnest(sents) AS sentence
+      FROM s
+      ORDER BY doc_id, pos""")) { (s, d) =>
+      val punctuated = regexp_replace(col("text"), "((?:\\S+ ){4}\\S+) ", "$1. ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), GraftFunctions.sentence_split(punctuated))
+        .withColumn("pos", col("pos").cast("long"))
+        .orderBy("doc_id", "pos")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */
