@@ -19,6 +19,14 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
+    // Warm-up (untimed): spin the JIT, codegen, and parquet reader
+    // paths once so the alphabetically-first query does not absorb
+    // all session warm-up cost in its timing.
+    try {
+      spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+      SparkEntry.queries("q02_filter_contains")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =

@@ -137,6 +137,48 @@ object HashOps {
     out
   }
 
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Word n-gram shingles as compact 15-hex md5 tokens, one pass and
+    * one md5 per shingle. Used to re-express shingle-set similarity
+    * as token-set similarity: the 15-char hex token is engine-
+    * portable (`substr(md5(shingle),1,15)` in any SQL engine) and
+    * ~2× smaller than the raw 3-word shingle, and the kernel avoids
+    * rebuilding interpreted HOF string chains on every DAG branch
+    * that references the projection. */
+  def shingleHexTokens(tokens: ArrayData, n: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Any](cnt - n + 1)
+    val buf = new java.io.ByteArrayOutputStream(64)
+    val d = md5Local.get()
+    i = 0
+    while (i <= cnt - n) {
+      buf.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) buf.write(' ')
+        buf.write(toks(i + j))
+        j += 1
+      }
+      d.reset()
+      val dig = d.digest(buf.toByteArray)
+      val hex = new Array[Byte](15)
+      var k = 0
+      while (k < 15) {
+        val b = dig(k / 2) & 0xff
+        hex(k) = HexDigits(if (k % 2 == 0) b >>> 4 else b & 0xf).toByte
+        k += 1
+      }
+      out(i) = org.apache.spark.unsafe.types.UTF8String.fromBytes(hex)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intersection size of two individually-sorted string arrays via a
     * single merge scan — O(|a|+|b|) with zero allocation, vs the
     * hash-set build of `array_intersect` per pair. Inputs must be

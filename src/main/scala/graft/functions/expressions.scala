@@ -122,6 +122,21 @@ case class MinShingleHash(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinShingleHash = copy(child = c)
 }
 
+/** Word n-gram shingles of a token array as 15-hex md5 tokens
+  * ([[HashOps.shingleHexTokens]]); empty array below n tokens. */
+case class ShingleHexTokens(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.shingleHexTokens(v.asInstanceOf[ArrayData], n)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.shingleHexTokens($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHexTokens = copy(child = c)
+}
+
 /** Intersection size of two sorted string arrays (merge scan — see
   * [[HashOps.sortedIntersectCount]]). Both children must be sorted
   * with `array_sort` (binary UTF8String order). */
@@ -267,6 +282,7 @@ object GraftFunctions {
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
   def min_shingle_hash(c: Column, n: Int): Column = col(MinShingleHash(expr(c), n))
   def simhash60_tokens(c: Column): Column = col(SimHashTokens60(expr(c)))
+  def shingle_hex_tokens(c: Column, n: Int): Column = col(ShingleHexTokens(expr(c), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
@@ -298,5 +314,6 @@ object GraftFunctions {
       es => HyperplaneBuckets(es.head, intArg(es(1)), intArg(es(2)), intArg(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("vi_normalize_text", es => ViNormalizeText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vi_process_text", es => ViProcessText(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("sentence_split", es => SentenceSplit(es.head), "scala_udf")
   }
 }

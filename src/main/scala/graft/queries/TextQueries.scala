@@ -174,6 +174,43 @@ object TextQueries {
         .orderBy("doc_id", "group_idx")
     },
 
+    // ---- q43: n-gram (shingle-set) Jaccard similarity join — the
+    // word-3-gram variant of q22. Shingles are represented as
+    // compact 15-hex md5 tokens (one codegen'd pass; the raw-string
+    // HOF form re-built every shingle chain on each DAG branch of
+    // the join and was 10× slower) so the same collapsed
+    // prefix-filter join runs unchanged over the shingle vocabulary;
+    // order-sensitive near-dups that share vocabulary but not
+    // phrasing separate here, unlike in token-set Jaccard.
+    Q("q43_simjoin_ngram", Some("""
+      WITH g AS (
+        SELECT doc_id,
+               array_to_string(list_transform(
+                 [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                  FOR i IN range(1, len(string_split(text,' ')) - 1)],
+                 x -> substr(md5(x), 1, 15)), ' ') AS text
+        FROM documents
+        WHERE len(string_split(text,' ')) >= 3),
+      d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM g),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      l AS (SELECT doc_id, len(toks) AS n FROM d),
+      ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+             FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(ov / (la.n + lb.n - ov), 4) AS jaccard
+      FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
+      WHERE ov / (la.n + lb.n - ov) >= 0.9
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val shingled = Tables.documents(s, d)
+        .filter(size(split(col("text"), " ")) >= 3)
+        .select(col("doc_id"),
+          array_join(
+            GraftFunctions.shingle_hex_tokens(split(col("text"), " "), 3),
+            " ").as("text"))
+      Dedup.jaccardSimilarityJoin(shingled, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q42: sentence tokenize as a custom Generator (F9,
     // process_all.py:291): punctuation is synthesized into the
     // corpus (a period every five words), then the SentenceSplit
