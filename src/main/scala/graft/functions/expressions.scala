@@ -137,6 +137,22 @@ case class ShingleHexTokens(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHexTokens = copy(child = c)
 }
 
+/** Stopword-profile language id of a token array (array<string> →
+  * string) in one codegen'd pass ([[LangIdOps.predict]]); replaces an
+  * O(langs²)-evaluation `when`-reduce column tree. */
+case class LangIdPredict(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    LangIdOps.predict(v.asInstanceOf[ArrayData])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.LangIdOps.predict($c)")
+
+  override protected def withNewChildInternal(c: Expression): LangIdPredict = copy(child = c)
+}
+
 /** Intersection size of two sorted string arrays (merge scan — see
   * [[HashOps.sortedIntersectCount]]). Both children must be sorted
   * with `array_sort` (binary UTF8String order). */
@@ -282,6 +298,7 @@ object GraftFunctions {
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
   def min_shingle_hash(c: Column, n: Int): Column = col(MinShingleHash(expr(c), n))
   def simhash60_tokens(c: Column): Column = col(SimHashTokens60(expr(c)))
+  def lang_id(c: Column): Column = col(LangIdPredict(expr(c)))
   def shingle_hex_tokens(c: Column, n: Int): Column = col(ShingleHexTokens(expr(c), n))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
@@ -305,6 +322,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("duration_seconds", es => DurationSeconds(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60_tokens", es => SimHashTokens60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("lang_id", es => LangIdPredict(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("pyliteral_to_json", es => PyLiteralToJson(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("min_shingle_hash", es => MinShingleHash(es.head, intArg(es(1))), "scala_udf")

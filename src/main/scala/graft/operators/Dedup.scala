@@ -222,15 +222,23 @@ object Dedup {
     // Global token order: rarest first, ties broken lexicographically.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
 
+    // Prefix = the `n - ceil(t*n) + 1` globally-rarest tokens per set.
+    // Built with one hash aggregate (partial-agg combinable, no sort
+    // exchange): collect (freq, tok) per fp, array_sort (struct order
+    // = freq asc, tok asc — identical tie-break to the old window),
+    // slice to the prefix length, re-explode. The previous
+    // row_number().over(partitionBy(fp)) forced a full sort exchange
+    // of every (doc, token) pair — the bench's single largest cost.
     val ranked = tok.join(freq, "tok")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp"))
-      .orderBy(col("freq").asc, col("tok").asc)
     val prefixLen = (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int")
     val prefix = ranked
-      .withColumn("pos", row_number().over(w))
-      .filter(col("pos") <= prefixLen)
-      .select(col("fp"), col("n_toks"), col("tok"))
+      .groupBy(col("fp"))
+      .agg(
+        first(col("n_toks")).as("n_toks"),
+        array_sort(collect_list(struct(col("freq"), col("tok")))).as("ranked_toks"))
+      .select(col("fp"), col("n_toks"),
+        explode(slice(col("ranked_toks"), lit(1), prefixLen)).as("ft"))
+      .select(col("fp"), col("n_toks"), col("ft.tok").as("tok"))
 
     val a = prefix.as("a")
     val b = prefix.as("b")

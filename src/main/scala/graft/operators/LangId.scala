@@ -2,27 +2,27 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import graft.functions.TextFunctions
+import graft.functions.{GraftFunctions, LangIdOps, TextFunctions}
 
 /** Stopword-profile language identification: score each language by
   * the number of distinct document tokens hitting its (public,
   * frequency-list-derived) stopword profile; predict the argmax,
   * "und" (undetermined) when nothing hits. Deterministic tie-break:
-  * higher hits, then lexicographically smaller language code.
+  * higher hits, then earliest profile (= lexicographically smaller
+  * language code — profiles are alphabetical).
   *
-  * Pure column expressions — usable inside a scan projection and
-  * reproducible in any SQL engine (the oracle replicates it with
-  * list_intersect), unlike an opaque model UDF.
+  * [[predict]] is one codegen'd kernel pass per row
+  * ([[graft.functions.LangIdPredict]]); [[predictColumnForm]] keeps
+  * the pure-`functions` formulation, which is semantically identical
+  * but re-evaluates the intersect subtrees O(langs²) times per row
+  * (higher-order functions get no CSE) — LangIdSpec pins the two
+  * against each other, and the DuckDB oracle replicates the same
+  * argmax independently.
   */
 object LangId {
 
   /** Small public stopword profiles (top function words per language). */
-  val Profiles: Seq[(String, Seq[String])] = Seq(
-    "de" -> Seq("der", "die", "und", "den", "von", "zu", "das", "mit", "sich", "nicht"),
-    "en" -> Seq("the", "and", "of", "to", "in", "is", "you", "that", "it", "he"),
-    "es" -> Seq("de", "la", "que", "el", "en", "y", "los", "se", "del", "las"),
-    "fr" -> Seq("le", "de", "et", "la", "les", "des", "en", "un", "du", "une"),
-    "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "cho", "người", "những"))
+  val Profiles: Seq[(String, Seq[String])] = LangIdOps.Profiles
 
   /** Hit count for one language profile over the distinct token set. */
   def hits(textCol: Column, profile: Seq[String]): Column =
@@ -30,13 +30,16 @@ object LangId {
       array_distinct(TextFunctions.tokens(textCol)),
       array(profile.map(lit): _*)))
 
-  /** Predicted language code for a text column. */
-  def predict(textCol: Column): Column = {
+  /** Predicted language code for a text column (kernel form). */
+  def predict(textCol: Column): Column =
+    GraftFunctions.lang_id(TextFunctions.tokens(textCol))
+
+  /** Reference column-expression form of [[predict]] — the spec's
+    * semantic pin, not the hot path. */
+  def predictColumnForm(textCol: Column): Column = {
     val scored = Profiles.map { case (lang, words) => (lang, hits(textCol, words)) }
-    // Encode (hits, lang) so greatest() picks max hits with the
-    // deterministic lexicographic tie-break baked in: among equal hit
-    // counts we want the SMALLEST language code, so order the struct
-    // comparison by (hits asc → take greatest, lang desc via negation).
+    // Encode (hits, prio, lang) so the reduce picks max hits with the
+    // earliest-profile tie-break baked in.
     val best = scored.map { case (lang, h) =>
       struct(h.as("h"), lit(Profiles.length - Profiles.indexWhere(_._1 == lang)).as("prio"), lit(lang).as("lang"))
     }.reduce((a, b) => when(a("h") > b("h") || (a("h") === b("h") && a("prio") > b("prio")), a).otherwise(b))

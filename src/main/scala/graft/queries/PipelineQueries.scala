@@ -206,7 +206,7 @@ object PipelineQueries {
              event_type,
              COUNT(*) AS n,
              ${Q.dsumSql("value", 2)} AS sum_value,
-             SUM(CAST(props ->> 'k' AS BIGINT)) AS sum_k
+             CAST(SUM(CAST(props ->> 'k' AS BIGINT)) AS BIGINT) AS sum_k
       FROM events
       GROUP BY 1, 2
       ORDER BY hour_bucket, event_type""")) { (s, d) =>

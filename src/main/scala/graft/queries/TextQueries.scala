@@ -155,10 +155,16 @@ object TextQueries {
              m.min_shingle_hash
       FROM documents d LEFT JOIN m ON m.doc_id = d.doc_id
       ORDER BY d.doc_id""")) { (s, d) =>
-      Tables.documents(s, d).select(
-        col("doc_id"),
-        TextFunctions.canonicalFingerprint(col("text")).as("fp"),
-        TextFunctions.minShingleHash(col("text"), 3).as("min_shingle_hash"))
+      // Tokenize ONCE: both outputs derive from the same `toks`
+      // projection (CollapseProject keeps a non-cheap alias referenced
+      // twice un-inlined, so split() runs once per row — the inline
+      // form re-evaluated it per consumer).
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp"),
+          GraftFunctions.min_shingle_hash(col("toks"), 3).as("min_shingle_hash"))
         .orderBy("doc_id")
     },
 
