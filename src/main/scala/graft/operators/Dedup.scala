@@ -116,7 +116,7 @@ object Dedup {
     * pair inherits its Jaccard — identical sets have identical
     * similarity to everything). Pure equi-joins; output cardinality
     * is the answer's own size, never an intermediate blow-up. */
-  private def expandPairs(members: DataFrame, repPairs: DataFrame, threshold: Double,
+  private def expandPairs(members: DataFrame, repPairs: DataFrame,
                           idCol: String): DataFrame = {
     val a = members.select(col("fp"), col(idCol).as("doc_a"))
     val b = members.select(col("fp"), col(idCol).as("doc_b"))
@@ -155,7 +155,7 @@ object Dedup {
     val cands = lshCandidates(sigs, bands, rowsPerBand, idCol)
       .select(col("doc_a").as("fp_a"), col("doc_b").as("fp_b"))
     val verified = verifyJaccardByFp(cands, reps, threshold)
-    expandPairs(members, verified, threshold, idCol)
+    expandPairs(members, verified, idCol)
   }
 
   /** Verify candidate (fp_a, fp_b) pairs against rep token sets. No
@@ -207,12 +207,41 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Vocabulary bound for the bitmask strategy: with at most 64
+    * distinct tokens corpus-wide, every token set is one Long. */
+  private val MaxBitmaskVocab = 64
+
+  /** Rep-count bound for the bitmask strategy's all-pairs loop:
+    * beyond this, nReps² pair evaluations stop being "free" even at
+    * ~10⁸ codegen'd popcount-pairs/sec/core, and the prefix join's
+    * candidate pruning wins again. */
+  private val MaxBitmaskReps = 32768
+
   /** Exact set-similarity self-join at `threshold` (token-set
-    * Jaccard) with prefix filtering: tokens are ranked by global
-    * frequency (rarest first); only the first
-    * `n - ceil(t*n) + 1` tokens of each document are indexed.
-    * Exact — no probabilistic recall loss — and the standard
-    * scalable algorithm for this join (PPJoin / AllPairs family).
+    * Jaccard). Adaptive, the way an engine should pick a physical
+    * strategy from data statistics:
+    *
+    *  - **Small vocabulary** (≤64 distinct tokens corpus-wide, and a
+    *    bounded number of distinct sets): prefix filtering is
+    *    structurally useless — every "rare" token still appears in a
+    *    large fraction of all sets, so the inverted-index join
+    *    degenerates to near-all-pairs *and* pays per-pair array
+    *    intersection. Instead each set is dictionary-encoded into one
+    *    Long bitmask and all rep pairs are evaluated in a broadcast
+    *    nested-loop join where Jaccard is two popcounts — no
+    *    candidate shuffle, no verify join, no array payloads.
+    *  - **Otherwise** (real corpora: large vocabularies): PPJoin-style
+    *    prefix filtering — tokens ranked by global frequency (rarest
+    *    first); only the first `n - ceil(t*n) + 1` tokens of each set
+    *    are indexed, the inverted-index equi-join generates
+    *    candidates (length + positional bounds pruned in the join
+    *    condition), and survivors are verified exactly.
+    *
+    * Both paths are exact — no probabilistic recall loss. The
+    * strategy probe costs one `TakeOrdered(65)` over the token-
+    * frequency aggregate (partial top-k per partition, no extra full
+    * shuffle) plus, only when the vocabulary is small, a
+    * `limit(MaxBitmaskReps+1).count()` short-circuit probe on reps.
     */
   def jaccardSimilarityJoin(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -222,11 +251,55 @@ object Dedup {
     // Global token order: rarest first, ties broken lexicographically.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
 
+    val vocabProbe = freq.select(col("tok")).orderBy("tok")
+      .limit(MaxBitmaskVocab + 1).collect().map(_.getString(0))
+    val verified =
+      if (vocabProbe.length <= MaxBitmaskVocab &&
+          reps.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps)
+        bitmaskAllPairs(reps, vocabProbe.sorted, threshold)
+      else
+        prefixFilteredPairs(reps, tok, freq, threshold)
+
+    expandPairs(members, verified, idCol)
+  }
+
+  /** Small-vocabulary strategy: encode each rep's token set as a
+    * 64-bit mask via a literal token→bit map, then evaluate every
+    * rep pair in one codegen'd broadcast nested-loop pass.
+    * `|A∩B| = popcount(a&b)`, `|A∪B| = popcount(a|b)` — identical
+    * integers to the sorted-merge verify, so the rounded Jaccard is
+    * bit-identical to the prefix path and the oracle. */
+  private def bitmaskAllPairs(reps: DataFrame, dict: Array[String],
+                              threshold: Double): DataFrame = {
+    val bitOf = map(dict.zipWithIndex.flatMap {
+      case (t, i) => Seq(lit(t), lit(1L << i))
+    }.toSeq: _*)
+    val masked = reps.select(
+      col("fp"),
+      aggregate(col("toks"), lit(0L),
+        (acc, t) => acc.bitwiseOR(element_at(bitOf, t))).as("mask"))
+    val a = masked.as("a")
+    val b = masked.as("b")
+    val ov = bit_count(col("a.mask").bitwiseAND(col("b.mask")))
+    val un = bit_count(col("a.mask").bitwiseOR(col("b.mask")))
+    a.join(b, col("a.fp") < col("b.fp"))
+      .withColumn("jaccard_raw", ov.cast("double") / un.cast("double"))
+      .filter(col("jaccard_raw") >= threshold && col("jaccard_raw") < 1.0d)
+      .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"),
+        round(col("jaccard_raw"), 4).as("jaccard"))
+  }
+
+  /** Large-vocabulary strategy: PPJoin-style prefix-filtered
+    * inverted-index join + exact verification. */
+  private def prefixFilteredPairs(reps: DataFrame, tok: DataFrame, freq: DataFrame,
+                                  threshold: Double): DataFrame = {
     // Prefix = the `n - ceil(t*n) + 1` globally-rarest tokens per set.
     // Built with one hash aggregate (partial-agg combinable, no sort
     // exchange): collect (freq, tok) per fp, array_sort (struct order
     // = freq asc, tok asc — identical tie-break to the old window),
-    // slice to the prefix length, re-explode. The previous
+    // slice to the prefix length, re-explode with the token's 0-based
+    // position in the doc's full (freq, tok)-sorted order (the slice
+    // is a prefix, so slice position == global position). The previous
     // row_number().over(partitionBy(fp)) forced a full sort exchange
     // of every (doc, token) pair — the bench's single largest cost.
     val ranked = tok.join(freq, "tok")
@@ -237,9 +310,22 @@ object Dedup {
         first(col("n_toks")).as("n_toks"),
         array_sort(collect_list(struct(col("freq"), col("tok")))).as("ranked_toks"))
       .select(col("fp"), col("n_toks"),
-        explode(slice(col("ranked_toks"), lit(1), prefixLen)).as("ft"))
-      .select(col("fp"), col("n_toks"), col("ft.tok").as("tok"))
+        posexplode(slice(col("ranked_toks"), lit(1), prefixLen)))
+      .select(col("fp"), col("n_toks"), col("pos"), col("col").getField("tok").as("tok"))
 
+    // PPJoin positional filter: a qualifying pair needs overlap
+    //   ov >= alpha = ceil(t/(1+t) * (n_a + n_b)),
+    // and for the pair's EARLIEST shared token (positions pa, pb in
+    // the shared global order) every shared token sits at >= pa / pb,
+    // so ov <= min(n_a - pa, n_b - pb). Filtering each matched row by
+    // that bound is safe: the earliest-shared-token row always
+    // satisfies it for a truly-qualifying pair (and the prefix-filter
+    // theorem guarantees that token is inside both prefixes), so the
+    // pair survives the OR-over-rows that `distinct()` computes. The
+    // 1e-9 slack keeps float rounding from ever over-filtering an
+    // exact-boundary pair; verification downstream is exact anyway.
+    val alpha = lit(threshold / (1.0d + threshold)) *
+      (col("a.n_toks") + col("b.n_toks")) - lit(1e-9)
     val a = prefix.as("a")
     val b = prefix.as("b")
     val candidates = a.join(b,
@@ -247,10 +333,11 @@ object Dedup {
         col("a.fp") < col("b.fp") &&
         // Jaccard length bound: |b| >= t * |a| (and symmetrically).
         col("b.n_toks") >= lit(threshold) * col("a.n_toks") &&
-        col("a.n_toks") >= lit(threshold) * col("b.n_toks"))
+        col("a.n_toks") >= lit(threshold) * col("b.n_toks") &&
+        least(col("a.n_toks") - col("a.pos"), col("b.n_toks") - col("b.pos")) >= alpha)
       .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
 
-    expandPairs(members, verifyJaccardByFp(candidates, reps, threshold), threshold, idCol)
+    verifyJaccardByFp(candidates, reps, threshold)
   }
 }
