@@ -184,27 +184,82 @@ object Dedup {
         array_distinct(TextFunctions.tokens(col(textCol)))).as("simhash"))
 
   /** SimHash near-dup pairs: hamming distance of signatures <= maxHamming.
+    *
+    * Identical documents (and many near-dups) share a signature, so
+    * the banding self-join runs over *distinct* signatures — the same
+    * collapse that makes the Jaccard join scale: a cluster of c docs
+    * with one signature costs 1 banded row per chunk instead of c,
+    * turning the within-cluster c²/2 join blow-up into a single rep.
     * Pairs are generated by banding the 60-bit signature into
     * `maxHamming + 1` chunks (pigeonhole: any pair within the radius
-    * shares at least one exact chunk), then verified with bit_count. */
+    * shares at least one exact chunk), verified with bit_count, then
+    * expanded back to member pairs (same-signature pairs at hamming 0
+    * plus every member combination of a verified signature pair). */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol)
-    val nChunks = maxHamming + 1
-    val chunkBits = 60 / nChunks
-    val chunks = (0 until nChunks).map { i =>
-      concat_ws("_", lit(i),
-        shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1)))
-    }
-    val banded = sigs.select(col(idCol), col("simhash"), explode(array(chunks: _*)).as("chunk"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.chunk") === col("b.chunk") && col(s"a.$idCol") < col(s"b.$idCol"))
+    // One shuffle over (id, simhash); every downstream consumer
+    // derives from this aggregate, so the signature computation (an
+    // md5 per token) runs once — as separate branches it re-ran per
+    // consumer, and at corpus scale each re-run is a full scan. The
+    // scan + partial agg sit below the exchange, which Spark's
+    // ReuseExchange dedupes across the three consumers.
+    val sigGroups = sigs.groupBy(col("simhash"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+    val reps = sigGroups.select(col("simhash"))
+    val a = reps.as("a")
+    val b = reps.as("b")
+    val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+    val sigPairs =
+      // Probe the raw doc count, not distinct signatures: docs <=
+      // bound implies sigs <= bound and the probe is a plain limited
+      // scan instead of a full signature+shuffle recomputation.
+      if (docs.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps) {
+        // Bounded rep count: one codegen'd broadcast nested-loop pass
+        // over all signature pairs — an xor+popcount per pair beats
+        // the banding plan's explode + chunk shuffle + distinct until
+        // nReps² stops being cheap.
+        a.join(b, col("a.simhash") < col("b.simhash") && hamming <= maxHamming)
+          .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
+            hamming.as("hamming"))
+      } else {
+        // Scale path: band the 60-bit signature into maxHamming + 1
+        // chunks; any pair within the radius shares an exact chunk
+        // (pigeonhole), so candidates come from an equi-join.
+        val nChunks = maxHamming + 1
+        val chunkBits = 60 / nChunks
+        val chunks = (0 until nChunks).map { i =>
+          concat_ws("_", lit(i),
+            shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1)))
+        }
+        val banded = reps.select(col("simhash"), explode(array(chunks: _*)).as("chunk"))
+        val ba = banded.as("a")
+        val bb = banded.as("b")
+        ba.join(bb,
+            col("a.chunk") === col("b.chunk") && col("a.simhash") < col("b.simhash") &&
+            hamming <= maxHamming)
+          .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
+            hamming.as("hamming"))
+          .distinct()
+      }
+
+    // Pair expansion is generate-only (chained explodes), no joins:
+    // within-cluster pairs are the c² the answer itself contains.
+    val within = sigGroups
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lit(0).cast("int").as("hamming"))
+    val cross = sigPairs
+      .join(sigGroups.select(col("simhash").as("sig_a"), col("ids").as("ids_a")), "sig_a")
+      .join(sigGroups.select(col("simhash").as("sig_b"), col("ids").as("ids_b")), "sig_b")
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("hamming"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("hamming"))
       .select(
-        col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("hamming"))
+    within.unionByName(cross)
   }
 
   /** Vocabulary bound for the bitmask strategy: with at most 64
@@ -253,9 +308,14 @@ object Dedup {
 
     val vocabProbe = freq.select(col("tok")).orderBy("tok")
       .limit(MaxBitmaskVocab + 1).collect().map(_.getString(0))
+    // Rep-count guard probed on the RAW doc count (a plain limited
+    // scan): docs <= bound implies reps <= bound, and the probe never
+    // recomputes the collapse aggregate. Conservative when a huge
+    // corpus collapses to few sets — that case falls to the prefix
+    // path, which is still correct.
     val verified =
       if (vocabProbe.length <= MaxBitmaskVocab &&
-          reps.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps)
+          docs.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps)
         bitmaskAllPairs(reps, vocabProbe.sorted, threshold)
       else
         prefixFilteredPairs(reps, tok, freq, threshold)

@@ -161,9 +161,21 @@ object PipelineQueries {
         dayofmonth(col("o_orderdate")), lit("/"),
         month(col("o_orderdate")), lit("/"), year(col("o_orderdate")),
         lit(" giá 234,56 đ xem https://example.com/x"))
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), GraftFunctions.vi_normalize_text(input).as("norm"))
-        .orderBy("o_orderkey")
+      // Collapse-identical applied to an expensive scalar kernel: the
+      // normalization input is functionally dependent on o_orderdate
+      // (~2.4k distinct values under 150k rows), so the regex chain
+      // runs once per distinct date and a broadcast join fans the
+      // result back out — the same dictionary trick the dedup family
+      // uses for pairwise work. The narrow (key, date) rows sort
+      // before the join so the range-partitioning sample never
+      // executes the kernel and the exchange carries 12-byte rows,
+      // not fat normalized strings.
+      val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val perDate = o.select(col("o_orderdate")).distinct()
+        .select(col("o_orderdate"), GraftFunctions.vi_normalize_text(input).as("norm"))
+      o.orderBy("o_orderkey")
+        .join(broadcast(perDate), "o_orderdate")
+        .select(col("o_orderkey"), col("norm"))
     },
 
     // ---- q37: F11 cleaner — typographic quote/bullet strip plus
@@ -191,9 +203,17 @@ object PipelineQueries {
       ORDER BY o_orderkey""")) { (s, d) =>
       val input = concat(
         lit("“Giá” • "), (col("o_orderkey") % 100).cast("int"), lit(" đồng"))
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), GraftFunctions.vi_process_text(input).as("cleaned"))
-        .orderBy("o_orderkey")
+      // Same distinct-input collapse + sort-then-join shape as q36:
+      // the cleaner input depends only on o_orderkey % 100.
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), (col("o_orderkey") % 100).cast("int").as("n"))
+      val perN = o.select(col("n")).distinct()
+        .select(col("n"),
+          GraftFunctions.vi_process_text(concat(lit("“Giá” • "), col("n"), lit(" đồng")))
+            .as("cleaned"))
+      o.orderBy("o_orderkey")
+        .join(broadcast(perN), "n")
+        .select(col("o_orderkey"), col("cleaned"))
     },
 
     // ---- q35: events analytics — hourly tumbling buckets per event
