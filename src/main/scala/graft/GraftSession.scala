@@ -29,6 +29,9 @@ object GraftSession {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SQL surface parity: spark.sql callers get the same custom
+    // expressions as the Column API.
+    graft.functions.GraftFunctions.registerAll(spark)
     spark
   }
 }

@@ -287,6 +287,50 @@ case class SentenceSplit(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): SentenceSplit = copy(child = c)
 }
 
+/** CSS-select Generator (reference S7): one output row per element of
+  * an HTML column matching a CSS selector — (pos, tag, text, attrs).
+  * The selector must be foldable (it is compiled once at plan time);
+  * see [[HtmlOps]] for the supported selector grammar and the
+  * documented parse semantics. Row-expanding, so codegen falls back
+  * to eval like Spark's own explode family. */
+case class CssSelect(child: Expression, selectorStr: String)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  @transient private lazy val selector: HtmlOps.Selector =
+    HtmlOps.parseSelector(selectorStr)
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("tag", StringType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("attrs", MapType(StringType, StringType), nullable = true)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else {
+      HtmlOps.cssSelect(v.asInstanceOf[UTF8String].toString, selector).map {
+        case (pos, tag, text, attrs) =>
+          val keys = attrs.keys.toArray
+          org.apache.spark.sql.catalyst.InternalRow(
+            pos,
+            UTF8String.fromString(tag),
+            UTF8String.fromString(text),
+            new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                keys.map(k => UTF8String.fromString(k)): Array[Any]),
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                keys.map(k => UTF8String.fromString(attrs(k))): Array[Any])))
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(c: Expression): CssSelect =
+    copy(child = c)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
   private def col(e: Expression): Column = ColumnShim.column(e)
@@ -309,6 +353,8 @@ object GraftFunctions {
   def vi_normalize_text(c: Column): Column = col(ViNormalizeText(expr(c)))
   def sentence_split(c: Column): Column = col(SentenceSplit(expr(c)))
   def vi_process_text(c: Column): Column = col(ViProcessText(expr(c)))
+  def css_select(html: Column, selector: String): Column =
+    col(CssSelect(expr(html), selector))
 
   /** Register all custom functions for SQL use, so `spark.sql`
     * callers get the same codegen'd expressions as the Column API
@@ -333,5 +379,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vi_normalize_text", es => ViNormalizeText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vi_process_text", es => ViProcessText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sentence_split", es => SentenceSplit(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("css_select",
+      es => CssSelect(es.head,
+        es(1).eval(null).asInstanceOf[UTF8String].toString), "scala_udf")
   }
 }

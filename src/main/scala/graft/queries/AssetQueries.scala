@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.GraftFunctions
 
 /** Asset/path-shaped operators from SURVEY §2 that had no gate yet:
   * ordered concat aggregation with natural-order sort (A12+W1+F15),
@@ -143,5 +144,38 @@ object AssetQueries {
           lit(null).cast("string").as("quality"),
           (col("c_acctbal") > 0).as("has_balance"))
         .orderBy("c_custkey")
+    },
+
+    // ---- q44: CSS select over an HTML column (S7,
+    // crawler/utils.py:395-416 `a.ai-track-btn`): per-document HTML
+    // is synthesized with two real track anchors plus a decoy, and
+    // the [[graft.functions.CssSelect]] Generator must pick exactly
+    // the `div.playlist a.ai-track-btn` elements in document order.
+    // The oracle rebuilds the expected rows arithmetically — any
+    // parser/selector slip (decoy leak, order flip, attr mangling)
+    // flips the hash.
+    Q("q44_css_select", Some("""
+      SELECT doc_id,
+             CAST(g.i AS INTEGER) AS pos,
+             'https://cdn.example.com/' || doc_id || '/0' || (g.i + 1) || '.mp3' AS href,
+             'Track ' || (g.i + 1) AS track
+      FROM documents CROSS JOIN generate_series(0, 1) g(i)
+      ORDER BY doc_id, pos""")) { (s, d) =>
+      val html = concat(
+        lit("""<html><body><div class="playlist">"""),
+        lit("""<a class="ai-track-btn" href="https://cdn.example.com/"""),
+        col("doc_id"), lit("""/01.mp3">Track 1</a>"""),
+        lit("""<a class="ai-track-btn" href="https://cdn.example.com/"""),
+        col("doc_id"), lit("""/02.mp3">Track 2</a>"""),
+        lit("""<a class="track" href="https://cdn.example.com/"""),
+        col("doc_id"), lit("""/bonus.mp3">Bonus</a>"""),
+        lit("""</div><div class="poster"><a href="/x">decoy</a></div></body></html>"""))
+      Tables.documents(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"),
+          GraftFunctions.css_select(col("html"), "div.playlist a.ai-track-btn"))
+        .select(col("doc_id"), col("pos"),
+          element_at(col("attrs"), "href").as("href"), col("text").as("track"))
+        .orderBy("doc_id", "pos")
     })
 }

@@ -169,9 +169,56 @@ object TextQueries {
     },
 
     // ---- q29: stateful sentence grouping (F10) — order-dependent
-    // sequential scan, not SQL-expressible; driver records the
-    // weaker rows-only check, ScalaTest pins exact semantics.
-    Q("q29_sentence_groups", None) { (s, d) =>
+    // greedy scan, expressed for the oracle as a DuckDB recursive CTE
+    // that walks each doc's sentences in order carrying (group idx,
+    // running word count, accumulated text). DuckDB's RE2 lacks the
+    // lookahead Spark splits with, so the split is emulated by
+    // marker-replace (" spark" → \x01"spark") + plain split — byte-
+    // identical piece boundaries. ScalaTest additionally pins exact
+    // semantics on handwritten cases.
+    Q("q29_sentence_groups", Some("""
+      WITH RECURSIVE
+      pieces AS (
+        SELECT doc_id,
+               string_split(replace(text, ' spark', chr(1) || 'spark'), chr(1)) AS sents
+        FROM documents),
+      sent0 AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS seq,
+               unnest(sents) AS sentence
+        FROM pieces),
+      sent AS (
+        SELECT doc_id, seq, sentence,
+               len(string_split_regex(sentence, '\s+')) AS w
+        FROM sent0
+        WHERE sentence IS NOT NULL AND sentence <> ''),
+      ord AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY seq) - 1 AS BIGINT) AS i,
+               sentence, w
+        FROM sent),
+      walk AS (
+        SELECT doc_id, i, 0 AS gi, w AS cum, sentence AS txt
+        FROM ord WHERE i = 0
+        UNION ALL
+        SELECT o.doc_id, o.i,
+               CASE WHEN wk.cum >= 20 THEN wk.gi + 1 ELSE wk.gi END,
+               CASE WHEN wk.cum >= 20 THEN o.w ELSE wk.cum + o.w END,
+               CASE WHEN wk.cum >= 20 THEN o.sentence ELSE wk.txt || ' ' || o.sentence END
+        FROM walk wk JOIN ord o ON o.doc_id = wk.doc_id AND o.i = wk.i + 1),
+      last AS (
+        SELECT doc_id, gi,
+               arg_max(txt, i) AS text,
+               arg_max(cum, i) AS cum
+        FROM walk GROUP BY doc_id, gi),
+      mx AS (SELECT doc_id, MAX(gi) AS max_gi FROM last GROUP BY doc_id)
+      SELECT l.doc_id,
+             CAST(l.gi AS INTEGER) AS group_idx,
+             l.text,
+             CAST(l.cum AS INTEGER) AS word_count
+      FROM last l JOIN mx ON mx.doc_id = l.doc_id
+      WHERE l.cum >= 20 OR (l.gi = mx.max_gi AND l.cum >= 10)
+      ORDER BY l.doc_id, group_idx""")) { (s, d) =>
       val sentences = Tables.documents(s, d)
         .select(col("doc_id"), posexplode(split(col("text"), " (?=spark)")))
         .toDF("doc_id", "seq", "sentence")
