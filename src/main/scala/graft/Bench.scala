@@ -21,12 +21,24 @@ object Bench {
       } + "\""
     // Warm-up (untimed): spin the JIT, codegen, and parquet reader
     // paths once so the alphabetically-first query does not absorb
-    // all session warm-up cost in its timing.
-    try {
-      spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
-      SparkEntry.queries("q02_filter_contains")(spark, sfDir)
+    // all session warm-up cost in its timing. The set covers every
+    // lazy-init family a timed query can hit — scan/filter codegen,
+    // a row-expanding Generator, the mapPartitions RowEncoder path,
+    // the typed top-k aggregator, and the nanos-timestamp reader —
+    // at the smallest SF on disk (inits are JVM-wide; round-4 showed
+    // late-alphabet Generator queries absorbing first-use costs).
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    try spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+    for (w <- Seq("q02_filter_contains", "q42_sentence_split", "q44_css_select",
+                  "q29_sentence_groups", "q30_knn_cosine", "q35_events_hourly",
+                  "q40_path_ops")) {
+      try SparkEntry.queries(w)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
-    } catch { case _: Throwable => () }
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =

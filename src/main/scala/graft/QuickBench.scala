@@ -13,8 +13,15 @@ object QuickBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
-    val spark = GraftSession("graft-quickbench", cpus)
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"Unknown queries: ${unknown.mkString(", ")}\nValid names:\n  " +
+          SparkEntry.queries.keys.toSeq.sorted.mkString("\n  "))
+      sys.exit(2)
+    }
+    val spark = GraftSession("graft-quickbench", cpus)
     spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     for (name <- names) {
       val fn = SparkEntry.queries(name)

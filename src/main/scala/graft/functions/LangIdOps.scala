@@ -27,6 +27,12 @@ object LangIdOps {
     "fr" -> Seq("le", "de", "et", "la", "les", "des", "en", "un", "du", "une"),
     "vi" -> Seq("và", "của", "là", "có", "không", "được", "trong", "cho", "người", "những"))
 
+  // The seen-bitmask per language is an Int: a profile grown past 32
+  // words would silently wrap `1 << wordIdx` and corrupt hit counts.
+  require(Profiles.forall(_._2.length <= 32),
+    "LangIdOps: profiles are limited to 32 words (Int seen-bitmask); " +
+      "widen masks to Long before growing a profile")
+
   private val langCodes: Array[UTF8String] =
     Profiles.map(p => UTF8String.fromString(p._1)).toArray
   private val Und = UTF8String.fromString("und")

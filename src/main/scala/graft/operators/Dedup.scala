@@ -357,7 +357,12 @@ object Dedup {
     // Built with one hash aggregate (partial-agg combinable, no sort
     // exchange): collect (freq, tok) per fp, array_sort (struct order
     // = freq asc, tok asc — identical tie-break to the old window),
-    // slice to the prefix length, re-explode with the token's 0-based
+    // slice to the prefix length, re-explode with the token's 0-based.
+    // The collect_list buffers one document's distinct-token list in
+    // aggregate state — bounded by the corpus' max document size;
+    // corpora with pathologically huge documents should cap tokens
+    // per doc upstream (the old window form spilled instead, at 5-10×
+    // the wall-time).
     // position in the doc's full (freq, tok)-sorted order (the slice
     // is a prefix, so slice position == global position). The previous
     // row_number().over(partitionBy(fp)) forced a full sort exchange

@@ -120,15 +120,28 @@ object Similarity {
       .withColumn("cid", pmod(col(idCol) * 2654435761L, lit(1000000007L)))
       .orderBy(col("cid"), col(idCol))
       .limit(nCentroids)
-    val centroids = seeds
-      .withColumn("centroid_id",
-        row_number().over(Window.orderBy(col("cid"), col(idCol))))
-      .select(col("centroid_id"), col("vec").as("cvec"), col("norm").as("cnorm"))
+    // Centroid numbering WITHOUT a window: the seeds are about to be
+    // collected into one broadcastable array anyway, so sort that
+    // array (struct order = cid asc, id asc — (cid, id) is unique,
+    // deeper fields never compared) and let the array index BE the
+    // centroid id. Removes the unpartitioned WindowExec entirely
+    // (row_number().over(orderBy(...)) moved the — bounded, but
+    // warning-spamming — seed set to a single partition; a
+    // partitionBy(lit(0)) declaration gets constant-folded away).
+    val centArr = seeds
+      .agg(sort_array(collect_list(
+        struct(col("cid"), col(idCol), col("vec"), col("norm")))).as("seedArr"))
+      .select(transform(col("seedArr"), (s, i) =>
+        struct(
+          (i + 1).as("centroid_id"),
+          s.getField("vec").as("cvec"),
+          s.getField("norm").as("cnorm"))).as("cents"))
 
-    // Single-row frame holding all centroids — broadcast into every
-    // corpus partition; assignment is a per-row argmax fold.
-    val centArr = centroids
-      .agg(collect_list(struct(col("centroid_id"), col("cvec"), col("cnorm"))).as("cents"))
+    // Row form of the same centroids, for the query-side probe join.
+    val centroids = centArr
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.centroid_id").as("centroid_id"),
+        col("c.cvec").as("cvec"), col("c.cnorm").as("cnorm"))
 
     val cAssigned = c.crossJoin(broadcast(centArr))
       .withColumn("best", aggregate(

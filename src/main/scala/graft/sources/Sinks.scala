@@ -65,14 +65,36 @@ object Sinks {
   }
 
   /** S17 dictionary encode (`push_to_hf.py:16-24`
-    * `class_encode_column` analogue): dense_rank dimension over the
-    * key's distinct values + the encoded fact column. Returns
-    * (encoded, dimension). */
-  def dictionaryEncode(df: DataFrame, keyCol: String): (DataFrame, DataFrame) = {
-    val dim = df.select(col(keyCol)).distinct()
+    * `class_encode_column` analogue): ids are 0..n-1 in key order +
+    * the encoded fact column. Returns (encoded, dimension).
+    *
+    * Scale shape: the distinct keys are range-partitioned, ranked
+    * within each range partition, and re-offset by the per-partition
+    * counts (a bucket-count collect of `numPartitions` longs, never
+    * the keys themselves) — a global `dense_rank().over(orderBy(key))`
+    * window would move every distinct key to one partition, which is
+    * fine for thousands of speakers and fatal for a high-cardinality
+    * dictionary column. */
+  def dictionaryEncode(df: DataFrame, keyCol: String,
+                       numPartitions: Int = 32): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = df.select(col(keyCol)).distinct()
+      .repartitionByRange(numPartitions, col(keyCol))
+      .withColumn("__b", spark_partition_id())
+      .withColumn("__r",
+        row_number().over(Window.partitionBy(col("__b")).orderBy(col(keyCol))))
+    val counts = ranked.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) {
+      case ((_, acc), (b, n)) => (b, acc + n)
+    }.init.map { case (_, off) => off } // offsets aligned with counts order
+    val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
+      case (b, off) => Seq(lit(b), lit(off))
+    }.toSeq: _*)
+    val dim = ranked
       .withColumn(s"${keyCol}_id",
-        org.apache.spark.sql.functions.dense_rank()
-          .over(org.apache.spark.sql.expressions.Window.orderBy(col(keyCol))) - 1)
+        (col("__r") - 1 + coalesce(element_at(offsetOf, col("__b")), lit(0L))).cast("int"))
+      .select(col(keyCol), col(s"${keyCol}_id"))
     (df.join(org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol)), dim)
   }
 

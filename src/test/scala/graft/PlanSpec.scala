@@ -64,6 +64,18 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("jaccard join plans contain no Window node on either strategy") {
+    // q22 resolves to the bitmask all-pairs path at this SF (31-token
+    // vocabulary); q43's shingle vocabulary forces the prefix path.
+    // Both must stay window-free: the round-4 rewrite replaced the
+    // row_number prefix ranking with a hash aggregate, and this pins
+    // that property so the sort-exchange form can't sneak back.
+    for (name <- Seq("q22_simjoin_jaccard", "q43_simjoin_ngram")) {
+      val wins = optimized(name).collect { case w: LWindow => w }
+      assert(wins.isEmpty, s"$name contains a Window operator")
+    }
+  }
+
   test("dedup signature projection contains no shuffle") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation}
     val docs = Tables.documents(spark, sfDir)
