@@ -306,7 +306,13 @@ object Dedup {
     // Global token order: rarest first, ties broken lexicographically.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
 
-    val vocabProbe = freq.select(col("tok")).orderBy("tok")
+    // Vocabulary probe straight off the raw docs (identical-set
+    // collapse never changes the token universe): scan + distinct +
+    // TakeOrdered(65), skipping the collapse and frequency shuffles
+    // the freq-based probe would re-run as a separate job.
+    val vocabProbe = docs
+      .select(explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+      .distinct().orderBy("tok")
       .limit(MaxBitmaskVocab + 1).collect().map(_.getString(0))
     // Rep-count guard probed on the RAW doc count (a plain limited
     // scan): docs <= bound implies reps <= bound, and the probe never
