@@ -1,0 +1,89 @@
+package graft.operators
+
+import graft.{PropSampling, SparkSuite}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Randomized differential gates for the dedup family: every
+  * strategy the adaptive operators can pick must agree with a
+  * brute-force in-test reference on random corpora — including the
+  * exact-threshold boundary pairs the epsilon guards protect.
+  *
+  *  - small-vocabulary corpus → jaccardSimilarityJoin's bitmask
+  *    all-pairs path;
+  *  - large-vocabulary corpus → the PPJoin prefix path (positional +
+  *    length filters must never drop a qualifying pair);
+  *  - duplicate-heavy corpus → simhashNearDupPairs' signature
+  *    collapse + explode expansion.
+  */
+class DedupPropSpec extends SparkSuite {
+
+  private def bruteJaccard(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    val sets = docs.map { case (id, text) => id -> text.split(" ").toSet }
+    (for {
+      (a, sa) <- sets
+      (b, sb) <- sets
+      if a < b
+      ov = (sa & sb).size
+      j = ov.toDouble / (sa.size + sb.size - ov)
+      if j >= t
+    } yield (a, b, BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+  }
+
+  private def runJaccard(docs: Seq[(Long, String)], t: Double): Set[(Long, Long, Double)] = {
+    import spark.implicits._
+    Dedup.jaccardSimilarityJoin(docs.toDF("doc_id", "text"), threshold = t)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+  }
+
+  /** Random corpus over a fixed vocabulary; duplicate sets arise
+    * naturally when the vocabulary is small. */
+  private def corpus(vocab: IndexedSeq[String], nDocs: Int, maxLen: Int): Gen[Seq[(Long, String)]] =
+    Gen.sequence[Seq[String], String](
+      (1 to nDocs).map(_ =>
+        Gen.chooseNum(2, maxLen).flatMap(k =>
+          Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (txt, i) => (i.toLong, txt) })
+
+  test("bitmask path ≡ brute force on random small-vocab corpora (incl. boundary pairs)") {
+    val vocab = (1 to 12).map(i => s"w$i")
+    for (docs <- PropSampling.sample(corpus(vocab, nDocs = 40, maxLen = 10), n = 6)) {
+      // t = 0.5 lands many pairs exactly ON the threshold (e.g. 2/4)
+      for (t <- Seq(0.5, 0.9)) {
+        assert(runJaccard(docs, t) === bruteJaccard(docs, t),
+          s"bitmask path diverged at t=$t on: $docs")
+      }
+    }
+  }
+
+  test("prefix path ≡ brute force on random large-vocab corpora") {
+    // >64 distinct tokens forces the PPJoin path; overlapping ranges
+    // keep similar pairs common enough to exercise verification.
+    val vocab = (1 to 120).map(i => s"tok$i")
+    for (docs <- PropSampling.sample(corpus(vocab, nDocs = 40, maxLen = 14), n = 6)) {
+      for (t <- Seq(0.5, 0.8)) {
+        assert(runJaccard(docs, t) === bruteJaccard(docs, t),
+          s"prefix path diverged at t=$t on: $docs")
+      }
+    }
+  }
+
+  test("simhash collapse+expand ≡ brute force hamming pairs on duplicate-heavy corpora") {
+    import spark.implicits._
+    val vocab = (1 to 10).map(i => s"s$i")
+    for (docs <- PropSampling.sample(corpus(vocab, nDocs = 35, maxLen = 6), n = 4)) {
+      val df = docs.toDF("doc_id", "text")
+      val sigs = Dedup.simhashSignatures(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1)
+        if a < b
+        h = java.lang.Long.bitCount(sigs(a) ^ sigs(b))
+        if h <= 5
+      } yield (a, b, h)).toSet
+      val got = Dedup.simhashNearDupPairs(df, maxHamming = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(got === expected, s"simhash diverged on: $docs")
+    }
+  }
+}

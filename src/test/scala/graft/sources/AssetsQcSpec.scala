@@ -100,4 +100,20 @@ class AssetsQcSpec extends SparkSuite {
     assert(ids == Map("s1" -> 0, "s2" -> 1))
     assert(encoded.filter(col("speaker_id_id") === 1).count() == 2)
   }
+
+  test("dictionaryEncode: ids are 0..n-1 in key order at cardinality >> partitions") {
+    import spark.implicits._
+    // 1,000 distinct keys over 8 range partitions: the per-partition
+    // rank + collected-offset re-base must compose to a dense global
+    // 0..n-1 id in key order (this is the scale path that replaced
+    // the single-partition dense_rank window).
+    val keys = (0 until 1000).map(i => f"spk_$i%04d")
+    val df = (keys ++ keys.take(200)).toDF("k") // duplicates too
+    val (encoded, dim) = graft.sources.Sinks.dictionaryEncode(df, "k", numPartitions = 8)
+    val ids = dim.as[(String, Int)].collect().sortBy(_._1)
+    assert(ids.map(_._2).toSeq === (0 until 1000))
+    assert(ids.map(_._1).toSeq === keys)
+    assert(encoded.count() === 1200)
+    assert(encoded.filter(col("k_id") === 0).count() === 2)
+  }
 }
