@@ -299,7 +299,8 @@ object Dedup {
     * `limit(MaxBitmaskReps+1).count()` short-circuit probe on reps.
     */
   def jaccardSimilarityJoin(docs: DataFrame, threshold: Double,
-                            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                            idCol: String = "doc_id", textCol: String = "text",
+                            maxBitmaskReps: Int = MaxBitmaskReps): DataFrame = {
     val (members, reps) = collapseIdentical(docs, idCol, textCol)
     val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
 
@@ -321,7 +322,7 @@ object Dedup {
     // path, which is still correct.
     val verified =
       if (vocabProbe.length <= MaxBitmaskVocab &&
-          docs.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps)
+          docs.limit(maxBitmaskReps + 1).count() <= maxBitmaskReps)
         bitmaskAllPairs(reps, vocabProbe.sorted, threshold)
       else
         prefixFilteredPairs(reps, tok, freq, threshold)

@@ -68,6 +68,21 @@ class DedupPropSpec extends SparkSuite {
     }
   }
 
+  test("prefix fallback stays correct when a small-vocab corpus exceeds the rep bound") {
+    import spark.implicits._
+    // Forcing maxBitmaskReps below the doc count sends a small-vocab
+    // corpus down the PPJoin path — prefix filtering's degenerate
+    // worst case (every "rare" token is common). It must still agree
+    // with brute force; only the plan shape differs.
+    val vocab = (1 to 12).map(i => s"w$i")
+    for (docs <- PropSampling.sample(corpus(vocab, nDocs = 30, maxLen = 8), n = 3)) {
+      val got = Dedup.jaccardSimilarityJoin(
+          docs.toDF("doc_id", "text"), threshold = 0.6, maxBitmaskReps = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === bruteJaccard(docs, 0.6), s"prefix fallback diverged on: $docs")
+    }
+  }
+
   test("simhash collapse+expand ≡ brute force hamming pairs on duplicate-heavy corpora") {
     import spark.implicits._
     val vocab = (1 to 10).map(i => s"s$i")
