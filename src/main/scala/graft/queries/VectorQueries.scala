@@ -57,10 +57,42 @@ object VectorQueries {
     },
 
     // ---- q32: LSH-bucketed ANN (16 tables × 6 hyperplanes = 64
-    // buckets/table). Approximate by design (bucket-local) —
-    // rows-only gate; recall vs the exact q30 is asserted in
-    // SimilaritySpec.
-    Q("q32_ann_lsh", None) { (s, d) =>
+    // buckets/table). Approximate vs exact kNN, but fully
+    // DETERMINISTIC: the hyperplane sign matrix is md5-derived
+    // (VectorFunctions.hyperplaneBit, pinned kernel==column in
+    // VectorFunctionsSpec), so the oracle rebuilds the exact same
+    // buckets in SQL — bucket membership, candidate dedup, scoring,
+    // and ranking all hash-gate. Recall vs the exact q30 is
+    // additionally asserted in SimilaritySpec.
+    Q("q32_ann_lsh", Some(oracleProlog + """,
+      planes AS (
+        SELECT pl, list_transform(range(0, 64), j ->
+            CASE WHEN ((('0x'||substr(md5('plane:'||pl||':'||j),1,15))::BIGINT >> (j%60)) & 1) = 1
+                 THEN 1.0 ELSE -1.0 END) AS s
+        FROM range(0, 96) t(pl)),
+      bits AS (
+        SELECT p.vec_id, pl.pl // 6 AS tbl, pl.pl % 6 AS pidx,
+               CASE WHEN list_inner_product(p.v, pl.s) > 0 THEN 1 ELSE 0 END AS bit
+        FROM p CROSS JOIN planes pl),
+      bucks AS (
+        SELECT vec_id, tbl, CAST(SUM(bit << pidx) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, tbl),
+      cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+        FROM bucks cb JOIN bucks qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+      scored AS (
+        SELECT c.query_id, c.cand_id AS neighbor_id,
+               list_inner_product(pc.v, pq.v)/(pc.nrm*pq.nrm) AS sim_raw
+        FROM cand c JOIN p pc ON pc.vec_id = c.cand_id JOIN p pq ON pq.vec_id = c.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.lshAnn(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
         nPlanes = 6, nTables = 16)
@@ -68,8 +100,46 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ---- q33: IVF-style ANN (16 centroids, 4 probes).
-    Q("q33_ann_ivf", None) { (s, d) =>
+    // ---- q33: IVF-style ANN (16 centroids, 4 probes). Approximate
+    // vs exact kNN but deterministic end to end (hash-seeded centroid
+    // selection, argmax assignment with centroid-id tie-break), so
+    // the oracle replays the exact pipeline in SQL: seeds → centroid
+    // numbering → corpus argmax assignment → query probes → bucket-
+    // local scoring → top-5. Recall pins live in SimilaritySpec.
+    Q("q33_ann_ivf", Some(oracleProlog + """,
+      seeds AS (
+        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
+        FROM p ORDER BY cid, vec_id LIMIT 16),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
+               v AS cv, nrm AS cnrm
+        FROM seeds),
+      assign AS (
+        SELECT p.vec_id, p.v, p.nrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_inner_product(p.v, cent.cv)/(p.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS rn
+        FROM p CROSS JOIN cent),
+      ca AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+      qa AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_inner_product(q.v, cent.cv)/(q.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS crank
+        FROM p q CROSS JOIN cent WHERE q.vec_id < 10),
+      probes AS (SELECT query_id, qv, qnrm, centroid_id FROM qa WHERE crank <= 4),
+      scored AS (
+        SELECT pr.query_id, ca.vec_id AS neighbor_id,
+               list_inner_product(ca.v, pr.qv)/(ca.nrm*pr.qnrm) AS sim_raw
+        FROM ca JOIN probes pr ON ca.centroid_id = pr.centroid_id AND ca.vec_id <> pr.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       Similarity.ivfAnn(emb, emb.filter(col("vec_id") < 10), k = 5,
         nCentroids = 16, nProbe = 4)
