@@ -23,7 +23,7 @@ object DedupDiag {
       time(name)(df.write.format("noop").mode("overwrite").save())
 
     val docs = Tables.documents(spark, sfDir)
-    val (members, reps) = Dedup.collapseIdentical(docs)
+    val reps = Dedup.collapseIdentical(docs)
     mat("collapse.reps", reps)
     val repsC = reps.cache(); repsC.count()
 
@@ -66,13 +66,16 @@ object DedupDiag {
     mat("verify", verified)
     val verC = verified.cache(); println("DIAG n_verified " + verC.count())
 
-    val ma = members.select(col("fp"), col("doc_id").as("doc_a"))
-    val mb = members.select(col("fp"), col("doc_id").as("doc_b"))
-    val within = ma.join(mb, "fp").filter(col("doc_a") < col("doc_b"))
+    val within = repsC
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(1.0d).as("jaccard"))
     val cross = verC
-      .join(members.select(col("fp").as("fp_a"), col("doc_id").as("id_a")), "fp_a")
-      .join(members.select(col("fp").as("fp_b"), col("doc_id").as("id_b")), "fp_b")
+      .join(repsC.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
+      .join(repsC.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("jaccard"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("jaccard"))
       .select(least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"), col("jaccard"))
     mat("expand+sort", within.unionByName(cross).orderBy("doc_a", "doc_b"))

@@ -24,8 +24,8 @@ object Q43Diag {
       .select(col("doc_id"),
         array_join(GraftFunctions.shingle_hex_tokens(split(col("text"), " "), 3), " ").as("text"))
     mat("shingled", shingled)
-    val (members, reps) = Dedup.collapseIdentical(shingled)
-    mat("members", members)
+    val reps = Dedup.collapseIdentical(shingled)
+
     mat("reps", reps)
     val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))

@@ -93,38 +93,47 @@ object Dedup {
     * distinct set. Real corpora (and this one) contain large
     * clusters of exact duplicates; running any pairwise algorithm on
     * members instead of set-representatives multiplies every
-    * downstream cost by the squared cluster size. Returns
-    * (members, reps): members = (id, fp), reps = one row per fp with
-    * the min member id, sorted distinct tokens, and set size. */
+    * downstream cost by the squared cluster size.
+    *
+    * One row per fp carrying the min member id, sorted distinct
+    * tokens, set size, AND the sorted member-id array — everything
+    * downstream (signatures, prefix build, verification, member
+    * expansion) consumes this single aggregate, so the scan +
+    * fingerprint projection runs once and Spark's ReuseExchange
+    * dedupes the one shuffle across all consumers. The earlier
+    * (members, reps) pair re-ran the scan per members branch. */
   def collapseIdentical(docs: DataFrame,
-                        idCol: String = "doc_id", textCol: String = "text"): (DataFrame, DataFrame) = {
-    val withFp = docs.select(
-      col(idCol),
-      TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
-      array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
-    val members = withFp.select(col(idCol), col("fp"))
-    val reps = withFp
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(
+        col(idCol),
+        TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
+        array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
       .groupBy(col("fp"))
-      .agg(min(col(idCol)).as(idCol), first(col("toks")).as("toks"))
+      .agg(
+        min(col(idCol)).as(idCol),
+        first(col("toks")).as("toks"),
+        sort_array(collect_list(col(idCol))).as("ids"))
       .withColumn("n_toks", size(col("toks")))
-    (members, reps)
-  }
 
   /** Expand verified representative pairs back to member pairs:
     * within-group pairs (identical sets, Jaccard exactly 1.0) plus
     * cross-group pairs (every member combination of a verified rep
     * pair inherits its Jaccard — identical sets have identical
-    * similarity to everything). Pure equi-joins; output cardinality
-    * is the answer's own size, never an intermediate blow-up. */
-  private def expandPairs(members: DataFrame, repPairs: DataFrame,
-                          idCol: String): DataFrame = {
-    val a = members.select(col("fp"), col(idCol).as("doc_a"))
-    val b = members.select(col("fp"), col(idCol).as("doc_b"))
-    val within = a.join(b, "fp").filter(col("doc_a") < col("doc_b"))
+    * similarity to everything). Generate-only within expansion
+    * (chained explodes) and broadcastable id-array joins for the
+    * cross channel; output cardinality is the answer's own size,
+    * never an intermediate blow-up. */
+  private def expandPairs(reps: DataFrame, repPairs: DataFrame): DataFrame = {
+    val within = reps
+      .select(explode(col("ids")).as("doc_a"), col("ids"))
+      .select(col("doc_a"), explode(col("ids")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"), lit(1.0d).as("jaccard"))
     val cross = repPairs
-      .join(members.select(col("fp").as("fp_a"), col(idCol).as("id_a")), "fp_a")
-      .join(members.select(col("fp").as("fp_b"), col(idCol).as("id_b")), "fp_b")
+      .join(reps.select(col("fp").as("fp_a"), col("ids").as("ids_a")), "fp_a")
+      .join(reps.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
+      .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("jaccard"))
+      .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("jaccard"))
       .select(
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
@@ -149,13 +158,13 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
                           bands: Int = 2, rowsPerBand: Int = 32,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val (members, reps) = collapseIdentical(docs, idCol, textCol)
+    val reps = collapseIdentical(docs, idCol, textCol)
     val sigs = reps.select(col("fp"), GraftFunctions.minhash_sig(col("toks"), bands * rowsPerBand).as("sig"))
       .withColumnRenamed("fp", idCol) // band on fp: the rep's identity IS its set
     val cands = lshCandidates(sigs, bands, rowsPerBand, idCol)
       .select(col("doc_a").as("fp_a"), col("doc_b").as("fp_b"))
     val verified = verifyJaccardByFp(cands, reps, threshold)
-    expandPairs(members, verified, idCol)
+    expandPairs(reps, verified)
   }
 
   /** Verify candidate (fp_a, fp_b) pairs against rep token sets. No
@@ -301,7 +310,7 @@ object Dedup {
   def jaccardSimilarityJoin(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text",
                             maxBitmaskReps: Int = MaxBitmaskReps): DataFrame = {
-    val (members, reps) = collapseIdentical(docs, idCol, textCol)
+    val reps = collapseIdentical(docs, idCol, textCol)
     val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
 
     // Global token order: rarest first, ties broken lexicographically.
@@ -327,7 +336,7 @@ object Dedup {
       else
         prefixFilteredPairs(reps, tok, freq, threshold)
 
-    expandPairs(members, verified, idCol)
+    expandPairs(reps, verified)
   }
 
   /** Small-vocabulary strategy: encode each rep's token set as a
