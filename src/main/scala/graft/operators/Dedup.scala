@@ -101,7 +101,14 @@ object Dedup {
     * expansion) consumes this single aggregate, so the scan +
     * fingerprint projection runs once and Spark's ReuseExchange
     * dedupes the one shuffle across all consumers. The earlier
-    * (members, reps) pair re-ran the scan per members branch. */
+    * (members, reps) pair re-ran the scan per members branch.
+    *
+    * Scale bound: the `ids` array buffers one duplicate cluster's
+    * member ids in a single row (~8 MB per million members). Fine up
+    * to clusters of ~10⁷; a corpus where ONE identical document
+    * recurs hundreds of millions of times needs the id list kept as
+    * rows (join-based expansion) instead — that shape trades two
+    * extra scans for unbounded cluster size. */
   def collapseIdentical(docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(

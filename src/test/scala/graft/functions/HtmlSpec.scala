@@ -100,6 +100,30 @@ class HtmlSpec extends SparkSuite {
     assert(df.select(GraftFunctions.css_select(col("html"), "video")).count() === 0)
   }
 
+  test("lax parsing: unclosed tags, uppercase tags, bare attribute values") {
+    import spark.implicits._
+    val messy = """<DIV CLASS=poster><P>first<P>second
+      <a HREF=/x/1>one</a><a href='/x/2'>two</DIV>"""
+    val rows = Seq(messy).toDF("html")
+      .select(GraftFunctions.css_select(col("html"), "div.poster a"))
+      .select(col("text"), element_at(col("attrs"), "href").as("href"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    // <p> never closed (lax), tag/attr names case-folded, bare and
+    // single-quoted attr values both parsed; the unclosed second <a>
+    // is closed by the enclosing </div> pop.
+    assert(rows.toSeq === Seq(("one", "/x/1"), ("two", "/x/2")))
+  }
+
+  test("nested same-tag elements match independently with correct text scope") {
+    import spark.implicits._
+    val html = """<div id="outer">a<div id="inner">b</div>c</div>"""
+    val rows = Seq(html).toDF("html")
+      .select(GraftFunctions.css_select(col("html"), "div"))
+      .select(element_at(col("attrs"), "id").as("id"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq === Seq(("outer", "abc"), ("inner", "b")))
+  }
+
   test("SQL registration: css_select usable from spark.sql") {
     import spark.implicits._
     Seq(fixture).toDF("html").createOrReplaceTempView("pages")
