@@ -23,13 +23,6 @@ import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
   */
 object Dedup {
 
-  /** Distinct token set per document, plus its size. */
-  def tokenSets(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
-      col(idCol),
-      array_distinct(TextFunctions.tokens(col(textCol))).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-
   /** Exact dedup by order-invariant content fingerprint: survivors =
     * min doc id per canonical token-set fingerprint. */
   def exactByFingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
@@ -66,27 +59,6 @@ object Dedup {
     a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
-  }
-
-  /** Exact token-set Jaccard for given candidate pairs. Token sets
-    * are sorted once per document so the per-pair overlap is a
-    * zero-allocation merge scan ([[GraftFunctions.sorted_intersect_count]])
-    * instead of `array_intersect`'s per-pair hash-set build — at
-    * sf0.1 this is the difference between the verify step dominating
-    * the bench and it disappearing into the join cost. */
-  def verifyJaccard(candidates: DataFrame, docs: DataFrame, threshold: Double,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sets = docs.select(
-      col(idCol),
-      array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
-      .withColumn("n_toks", size(col("toks")))
-    candidates
-      .join(sets.select(col(idCol).as("doc_a"), col("toks").as("toks_a"), col("n_toks").as("n_a")), "doc_a")
-      .join(sets.select(col(idCol).as("doc_b"), col("toks").as("toks_b"), col("n_toks").as("n_b")), "doc_b")
-      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("toks_a"), col("toks_b")))
-      .withColumn("jaccard_raw", col("ov") / (col("n_a") + col("n_b") - col("ov")))
-      .filter(col("jaccard_raw") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard_raw"), 4).as("jaccard"))
   }
 
   /** Identical-token-set collapse: one representative row per
