@@ -2,24 +2,27 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
+import graft.functions.{GraftFunctions, TextFunctions}
 
 /** Document deduplication operators for large-scale corpus curation:
-  * exact, MinHash+LSH, SimHash, and exact set-similarity join with
-  * prefix filtering.
+  * exact, MinHash+LSH, SimHash, and an exact set-similarity join.
   *
   * Scale design (the point of each choice):
   *  - Signatures (minhash/simhash/fingerprints) are computed with
-  *    per-row higher-order functions over the token array — one
-  *    narrow projection, zero shuffles, embarrassingly parallel.
+  *    per-row codegen'd kernels over the token array — one narrow
+  *    projection, zero shuffles, embarrassingly parallel.
+  *  - Identical-set collapse first, always: every pairwise algorithm
+  *    runs over distinct-set representatives, and ONE aggregate
+  *    feeds signatures, candidates, verification, and member
+  *    expansion, so the corpus scan happens once.
   *  - LSH banding turns the quadratic all-pairs problem into an
   *    equi-join on band keys — the only shuffle is hash-partitioned
   *    by band key, and Catalyst/AQE handle skewed buckets.
-  *  - The exact similarity join uses prefix filtering (PPJoin-style):
-  *    only the globally-rarest `|d| - ceil(t*|d|) + 1` tokens of each
-  *    document are indexed, so the inverted-index join touches a
-  *    small fraction of the corpus instead of every (token, doc)
-  *    pair. Candidates are then verified exactly.
+  *  - The exact similarity join picks its physical strategy from
+  *    probed data statistics: a popcount bitmask nested-loop when
+  *    the vocabulary fits in 64 bits (prefix filtering degenerates
+  *    there), PPJoin-style prefix + positional filtering with exact
+  *    verification otherwise.
   */
 object Dedup {
 
@@ -280,11 +283,11 @@ object Dedup {
     *    candidates (length + positional bounds pruned in the join
     *    condition), and survivors are verified exactly.
     *
-    * Both paths are exact — no probabilistic recall loss. The
-    * strategy probe costs one `TakeOrdered(65)` over the token-
-    * frequency aggregate (partial top-k per partition, no extra full
-    * shuffle) plus, only when the vocabulary is small, a
-    * `limit(MaxBitmaskReps+1).count()` short-circuit probe on reps.
+    * Both paths are exact — no probabilistic recall loss. Both
+    * strategy probes run on the RAW input, never derived lineage:
+    * a `distinct().orderBy().limit(65)` vocabulary probe (partial
+    * top-k per partition) and a `limit(maxBitmaskReps+1).count()`
+    * doc-count probe (docs ≤ bound implies reps ≤ bound).
     */
   def jaccardSimilarityJoin(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text",
@@ -352,16 +355,16 @@ object Dedup {
     // Built with one hash aggregate (partial-agg combinable, no sort
     // exchange): collect (freq, tok) per fp, array_sort (struct order
     // = freq asc, tok asc — identical tie-break to the old window),
-    // slice to the prefix length, re-explode with the token's 0-based.
+    // slice to the prefix length, re-explode with the token's 0-based
+    // position in the doc's full (freq, tok)-sorted order (the slice
+    // is a prefix, so slice position == global position). The previous
+    // row_number().over(partitionBy(fp)) forced a full sort exchange
+    // of every (doc, token) pair — the bench's single largest cost.
     // The collect_list buffers one document's distinct-token list in
     // aggregate state — bounded by the corpus' max document size;
     // corpora with pathologically huge documents should cap tokens
     // per doc upstream (the old window form spilled instead, at 5-10×
     // the wall-time).
-    // position in the doc's full (freq, tok)-sorted order (the slice
-    // is a prefix, so slice position == global position). The previous
-    // row_number().over(partitionBy(fp)) forced a full sort exchange
-    // of every (doc, token) pair — the bench's single largest cost.
     val ranked = tok.join(freq, "tok")
     val prefixLen = (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int")
     val prefix = ranked
