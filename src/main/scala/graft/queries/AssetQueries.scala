@@ -181,5 +181,46 @@ object AssetQueries {
         .select(col("doc_id"), col("pos"),
           element_at(col("attrs"), "href").as("href"), col("text").as("track"))
         .orderBy("doc_id", "pos")
+    },
+
+    // ---- q45: multimodal metadata over a binary column
+    // (SURVEY north-star; graft.operators.Multimodal): a valid PNG
+    // signature + IHDR chunk is synthesized per document (unhex of
+    // width/height big-endian hex — binary stays binary end to end),
+    // every 10th row gets garbage bytes, and the REAL header parser
+    // must recover (width, height, bit_depth, color_type) or null.
+    // The oracle rebuilds the fields arithmetically, so any slip in
+    // the byte layout, the big-endian reads, or the non-PNG null
+    // path flips the hash.
+    Q("q45_png_metadata", Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(doc_id % 240 + 16 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(doc_id % 120 + 16 AS INTEGER) END AS height,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(8 AS INTEGER) END AS bit_depth,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS INTEGER) END AS color_type
+      FROM documents
+      ORDER BY doc_id""")) { (s, d) =>
+      val w = (col("doc_id") % 240 + 16).cast("int")
+      val h = (col("doc_id") % 120 + 16).cast("int")
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(w), 8, "0"),
+        lpad(hex(h), 8, "0"),
+        lit("08"),
+        when(col("doc_id") % 2 === 0, lit("02")).otherwise(lit("06")),
+        lit("000000" + "DEADBEEF"))
+      val bytes = unhex(when(col("doc_id") % 10 === 0, lit("DEADBEEF")).otherwise(pngHex))
+      Tables.documents(s, d)
+        .select(col("doc_id"), graft.operators.Multimodal.imageInfo(bytes).as("info"))
+        .select(col("doc_id"),
+          col("info").getField("width").as("width"),
+          col("info").getField("height").as("height"),
+          col("info").getField("bitDepth").as("bit_depth"),
+          col("info").getField("colorType").as("color_type"))
+        .orderBy("doc_id")
     })
 }
