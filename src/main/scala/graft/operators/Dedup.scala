@@ -47,13 +47,17 @@ object Dedup {
   /** LSH candidate pairs from banded minhash signatures.
     * `bands * rowsPerBand` must equal the signature length. The
     * result is distinct (docA < docB) pairs that collide in at least
-    * one band. */
+    * one band.
+    *
+    * Band keys are `xxhash64(band_idx, sig_slice)` — an 8-byte join
+    * key instead of a ~300-byte stringified band. A 64-bit hash
+    * collision between different bands can only ADD a candidate
+    * pair, and every candidate is exactly verified downstream, so
+    * recall and output are unaffected. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                     idCol: String = "doc_id"): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
-      concat_ws("_",
-        lit(b) +: (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }
     val banded = sigs
       .select(col(idCol), explode(array(bandKeys: _*)).as("band"))
