@@ -220,12 +220,14 @@ object Dedup {
       } else {
         // Scale path: band the 60-bit signature into maxHamming + 1
         // chunks; any pair within the radius shares an exact chunk
-        // (pigeonhole), so candidates come from an equi-join.
+        // (pigeonhole), so candidates come from an equi-join. Chunk
+        // keys pack (chunk idx, chunk bits) into one long — no
+        // string building on the shuffle key.
         val nChunks = maxHamming + 1
         val chunkBits = 60 / nChunks
         val chunks = (0 until nChunks).map { i =>
-          concat_ws("_", lit(i),
-            shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1)))
+          shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
+            .bitwiseOR(lit(i.toLong << chunkBits))
         }
         val banded = reps.select(col("simhash"), explode(array(chunks: _*)).as("chunk"))
         val ba = banded.as("a")
@@ -378,7 +380,12 @@ object Dedup {
         array_sort(collect_list(struct(col("freq"), col("tok")))).as("ranked_toks"))
       .select(col("fp"), col("n_toks"),
         posexplode(slice(col("ranked_toks"), lit(1), prefixLen)))
-      .select(col("fp"), col("n_toks"), col("pos"), col("col").getField("tok").as("tok"))
+      // The join key is the token's 64-bit hash, not the token
+      // string: a hash collision can only ADD a candidate pair, and
+      // every candidate is exactly verified — so the inverted-index
+      // shuffle moves 8-byte keys even when tokens are long shingles.
+      .select(col("fp"), col("n_toks"), col("pos"),
+        xxhash64(col("col").getField("tok")).as("tok"))
 
     // PPJoin positional filter: a qualifying pair needs overlap
     //   ov >= alpha = ceil(t/(1+t) * (n_a + n_b)),
