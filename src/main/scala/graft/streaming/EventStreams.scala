@@ -57,6 +57,23 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Streaming exact dedup at ingest — the streaming twin of
+    * [[graft.operators.Dedup.exactByFingerprint]]: rows whose
+    * dedup-key column repeats within the watermark horizon are
+    * dropped, keeping only the first arrival. State holds one entry
+    * per distinct key *inside the watermark window* and is evicted
+    * as event time advances — bounded, which is what makes exact
+    * dedup feasible on an unbounded stream (a batch groupBy can't
+    * run on infinite input; an unwatermarked dropDuplicates grows
+    * state forever). Callers pick the key: a content fingerprint
+    * (`TextFunctions.canonicalFingerprint`) for document streams,
+    * `event_id` for event streams. */
+  def dedupWithinWatermark(rows: DataFrame, keyCol: String,
+                           eventTimeCol: String, watermark: String): DataFrame =
+    rows
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** One closed user session. */
   case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int, totalValue: Double)
 

@@ -41,6 +41,34 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
   }
 
+  test("streaming dedup drops same-fingerprint arrivals within the watermark") {
+    import org.apache.spark.sql.functions.col
+    // events 1 and 2 carry the same token SET ("hello world" vs
+    // "world hello") — the canonical fingerprint matches, so the
+    // second arrival is dropped; distinct content passes through.
+    val dir = writeLanding(Seq(
+      ev(1, 1 * H, 1, "hello world", 1.0),
+      ev(2, 1 * H + 10, 2, "world hello", 2.0),
+      ev(3, 1 * H + 20, 3, "fresh text", 3.0),
+      ev(4, 10 * H, 4, "sentinel", 0.0)))
+    val src = EventStreams.readEventsJson(spark, dir)
+      .withColumn("event_time", EventStreams.tsCol)
+      .withColumn("fp", graft.functions.TextFunctions.canonicalFingerprint(col("event_type")))
+    val out = Files.createTempDirectory(Paths.get("target"), "dedupout")
+    val q = EventStreams.dedupWithinWatermark(src, "fp", "event_time", "2 hours")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L, 4L))
+  }
+
   test("sessionization closes sessions at the gap, keeps state bounded") {
     // user 1: two events 10 min apart (one session), then one 2h
     // later (second session, still open at end of stream).
