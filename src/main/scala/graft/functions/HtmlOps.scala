@@ -32,10 +32,34 @@ object HtmlOps {
     "link", "meta", "param", "source", "track", "wbr")
 
   final case class Node(
-      idx: Int, parent: Int, tag: String,
-      attrs: Map[String, String], text: java.lang.StringBuilder) {
+      idx: Int, parent: Int, tag: String, attrs: Map[String, String]) {
     def classes: Array[String] =
       attrs.get("class").map(_.trim.split("\\s+")).getOrElse(Array.empty)
+  }
+
+  /** Parse result: nodes in document order plus the raw material for
+    * LAZY text assembly. `end(i)` is the exclusive end of node i's
+    * descendant index range (document-order creation makes every
+    * subtree a contiguous index run), and each text run is a
+    * (deepest-open-owner, start, end) span into the original html —
+    * nothing is concatenated at parse time, so unmatched nodes on a
+    * crawl-scale page cost zero string building. */
+  final case class Doc(
+      html: String, nodes: Array[Node], end: Array[Int],
+      runOwner: Array[Int], runStart: Array[Int], runEnd: Array[Int]) {
+    /** Concatenated descendant text runs of node i, document order
+      * (untrimmed — callers trim the outer edges). */
+    def text(i: Int): String = {
+      val sb = new java.lang.StringBuilder
+      val hi = end(i)
+      var r = 0
+      while (r < runOwner.length) {
+        val o = runOwner(r)
+        if (o >= i && o < hi) sb.append(html, runStart(r), runEnd(r))
+        r += 1
+      }
+      sb.toString
+    }
   }
 
   /** One simple selector: tag / classes / id / attribute predicates
@@ -117,20 +141,37 @@ object HtmlOps {
     Selector(parts, built.last._2)
   }
 
-  /** Parse `html` into a document-order node array. Index 0 is a
-    * synthetic root so every real node has a parent. */
-  def parse(html: String): Array[Node] = {
-    val nodes = ArrayBuffer[Node](Node(0, -1, "", Map.empty, new java.lang.StringBuilder))
+  /** Case-insensitive indexOf via regionMatches — no per-call copy of
+    * the haystack, and no Unicode case-mapping length drift shifting
+    * the returned offset (both hazards of `haystack.toLowerCase`). */
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val last = hay.length - needle.length
+    var j = if (from < 0) 0 else from
+    while (j <= last) {
+      if (hay.regionMatches(true, j, needle, 0, needle.length)) return j
+      j += 1
+    }
+    -1
+  }
+
+  /** Parse `html` into a [[Doc]]. Index 0 is a synthetic root so every
+    * real node has a parent. */
+  def parse(html: String): Doc = {
+    val nodes = ArrayBuffer[Node](Node(0, -1, "", Map.empty))
+    val end = ArrayBuffer[Int](Int.MaxValue)
     val open = ArrayBuffer[Int](0)
+    val runOwner = ArrayBuffer.empty[Int]
+    val runStart = ArrayBuffer.empty[Int]
+    val runEnd = ArrayBuffer.empty[Int]
     val n = html.length
     var i = 0
-    def appendText(s: String): Unit =
-      if (s.nonEmpty) open.foreach(oi => nodes(oi).text.append(s))
+    def recordText(st: Int, en: Int): Unit =
+      if (en > st) { runOwner += open.last; runStart += st; runEnd += en }
     while (i < n) {
       val lt = html.indexOf('<', i)
-      if (lt < 0) { appendText(html.substring(i)); i = n }
+      if (lt < 0) { recordText(i, n); i = n }
       else {
-        appendText(html.substring(i, lt))
+        recordText(i, lt)
         if (html.startsWith("<!--", lt)) {
           val e = html.indexOf("-->", lt); i = if (e < 0) n else e + 3
         } else if (lt + 1 < n && (html.charAt(lt + 1) == '!' || html.charAt(lt + 1) == '?')) {
@@ -139,7 +180,11 @@ object HtmlOps {
           val e = html.indexOf('>', lt)
           val tag = html.substring(lt + 2, if (e < 0) n else e).trim.toLowerCase
           val at = open.lastIndexWhere(oi => nodes(oi).tag == tag)
-          if (at > 0) open.remove(at, open.length - at) // lax: pop to match
+          if (at > 0) { // lax: pop to match; every popped subtree is complete
+            var k = open.length - 1
+            while (k >= at) { end(open(k)) = nodes.length; k -= 1 }
+            open.remove(at, open.length - at)
+          }
           i = if (e < 0) n else e + 1
         } else {
           val e = html.indexOf('>', lt)
@@ -151,10 +196,11 @@ object HtmlOps {
             val (tag, attrs) = parseTag(body)
             if (tag.nonEmpty) {
               val idx = nodes.length
-              nodes += Node(idx, open.last, tag, attrs, new java.lang.StringBuilder)
+              nodes += Node(idx, open.last, tag, attrs)
+              end += idx + 1 // leaf until proven open
               if (!selfClose && !VoidTags.contains(tag)) {
                 if (tag == "script" || tag == "style") {
-                  val close = html.toLowerCase.indexOf(s"</$tag", e)
+                  val close = indexOfIgnoreCase(html, s"</$tag", e)
                   val ce = if (close < 0) n else html.indexOf('>', close)
                   i = if (close < 0 || ce < 0) n else ce + 1
                 } else open += idx
@@ -165,7 +211,9 @@ object HtmlOps {
         }
       }
     }
-    nodes.toArray
+    open.foreach(oi => end(oi) = nodes.length) // unclosed at EOF
+    Doc(html, nodes.toArray, end.toArray,
+      runOwner.toArray, runStart.toArray, runEnd.toArray)
   }
 
   private def parseTag(body: String): (String, Map[String, String]) = {
@@ -204,7 +252,8 @@ object HtmlOps {
   }
 
   /** All nodes matching `selector`, in document order. */
-  def select(nodes: Array[Node], selector: Selector): Array[Node] = {
+  def select(doc: Doc, selector: Selector): Array[Node] = {
+    val nodes = doc.nodes
     def matchesUp(node: Node, parts: List[(String, Simple)]): Boolean = parts match {
       case Nil => true
       case (" ", simple) :: rest =>
@@ -231,11 +280,14 @@ object HtmlOps {
       selector.last.matches(nd) && matchesUp(nd, selector.parts.reverse))
   }
 
-  /** Parse + select + project: (pos, tag, text, attrs) per match. */
+  /** Parse + select + project: (pos, tag, text, attrs) per match.
+    * Text is assembled ONLY for matched nodes — the parse records
+    * spans, so a page with a handful of matches does no string
+    * building for the rest of its DOM. */
   def cssSelect(html: String, selector: Selector): Array[(Int, String, String, Map[String, String])] = {
-    val nodes = parse(html)
-    select(nodes, selector).zipWithIndex.map { case (nd, i) =>
-      (i, nd.tag, nd.text.toString.trim, nd.attrs)
+    val doc = parse(html)
+    select(doc, selector).zipWithIndex.map { case (nd, i) =>
+      (i, nd.tag, doc.text(nd.idx).trim, nd.attrs)
     }
   }
 }

@@ -379,8 +379,23 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("vi_normalize_text", es => ViNormalizeText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("vi_process_text", es => ViProcessText(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sentence_split", es => SentenceSplit(es.head), "scala_udf")
+    // The selector is compiled once at plan time, so it must be a
+    // foldable string literal — anything else fails analysis with a
+    // named error instead of an opaque NPE/ClassCastException.
     reg.createOrReplaceTempFunction("css_select",
-      es => CssSelect(es.head,
-        es(1).eval(null).asInstanceOf[UTF8String].toString), "scala_udf")
+      es => {
+        if (es.length != 2)
+          throw new org.apache.spark.sql.AnalysisException(
+            "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            Map("functionName" -> "`css_select`", "expectedNum" -> "2",
+              "actualNum" -> es.length.toString, "docroot" -> "https://spark.apache.org/docs/latest"))
+        val sel = es(1)
+        if (!sel.foldable || sel.dataType != StringType || sel.eval(null) == null)
+          throw new org.apache.spark.sql.AnalysisException(
+            "NON_FOLDABLE_ARGUMENT",
+            Map("funcName" -> "`css_select`", "paramName" -> "`selector`",
+              "paramType" -> "\"STRING\""))
+        CssSelect(es.head, sel.eval(null).asInstanceOf[UTF8String].toString)
+      }, "scala_udf")
   }
 }

@@ -304,25 +304,29 @@ object Dedup {
     // Global token order: rarest first, ties broken lexicographically.
     val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
 
-    // Vocabulary probe straight off the raw docs (identical-set
-    // collapse never changes the token universe): scan + distinct +
-    // TakeOrdered(65), skipping the collapse and frequency shuffles
-    // the freq-based probe would re-run as a separate job.
-    val vocabProbe = docs
-      .select(explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
-      .distinct().orderBy("tok")
-      .limit(MaxBitmaskVocab + 1).collect().map(_.getString(0))
-    // Rep-count guard probed on the RAW doc count (a plain limited
-    // scan): docs <= bound implies reps <= bound, and the probe never
-    // recomputes the collapse aggregate. Conservative when a huge
-    // corpus collapses to few sets — that case falls to the prefix
-    // path, which is still correct.
-    val verified =
-      if (vocabProbe.length <= MaxBitmaskVocab &&
-          docs.limit(maxBitmaskReps + 1).count() <= maxBitmaskReps)
+    // Probe order matters at scale: the doc-count guard is a plain
+    // limited scan (docs <= bound implies reps <= bound — the probe
+    // never recomputes the collapse aggregate), so it runs FIRST and
+    // an obviously-large corpus takes the prefix path without ever
+    // paying the corpus-wide distinct shuffle of the vocabulary
+    // probe. Only a bounded corpus runs the vocab probe: scan +
+    // distinct + TakeOrdered(65) straight off the raw docs
+    // (identical-set collapse never changes the token universe).
+    // Conservative when a huge corpus collapses to few sets — that
+    // case falls to the prefix path, which is still correct.
+    val smallCorpus = docs.limit(maxBitmaskReps + 1).count() <= maxBitmaskReps
+    val verified = {
+      val vocabProbe =
+        if (!smallCorpus) Array.empty[String]
+        else docs
+          .select(explode(array_distinct(TextFunctions.tokens(col(textCol)))).as("tok"))
+          .distinct().orderBy("tok")
+          .limit(MaxBitmaskVocab + 1).collect().map(_.getString(0))
+      if (smallCorpus && vocabProbe.length <= MaxBitmaskVocab)
         bitmaskAllPairs(reps, vocabProbe.sorted, threshold)
       else
         prefixFilteredPairs(reps, tok, freq, threshold)
+    }
 
     expandPairs(reps, verified)
   }

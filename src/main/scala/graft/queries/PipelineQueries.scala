@@ -166,16 +166,17 @@ object PipelineQueries {
       // (~2.4k distinct values under 150k rows), so the regex chain
       // runs once per distinct date and a broadcast join fans the
       // result back out — the same dictionary trick the dedup family
-      // uses for pairwise work. The narrow (key, date) rows sort
-      // before the join so the range-partitioning sample never
-      // executes the kernel and the exchange carries 12-byte rows,
-      // not fat normalized strings.
+      // uses for pairwise work. The ORDER BY sits ABOVE the join —
+      // Catalyst's EliminateSorts deletes a sort under a join, so a
+      // pre-join orderBy would leave the oracle's ORDER BY unenforced.
+      // The sorted rows stay cheap: key + a pointer into the broadcast
+      // dictionary, and the kernel already ran per distinct date.
       val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
       val perDate = o.select(col("o_orderdate")).distinct()
         .select(col("o_orderdate"), GraftFunctions.vi_normalize_text(input).as("norm"))
-      o.orderBy("o_orderkey")
-        .join(broadcast(perDate), "o_orderdate")
+      o.join(broadcast(perDate), "o_orderdate")
         .select(col("o_orderkey"), col("norm"))
+        .orderBy("o_orderkey")
     },
 
     // ---- q37: F11 cleaner — typographic quote/bullet strip plus
@@ -203,7 +204,7 @@ object PipelineQueries {
       ORDER BY o_orderkey""")) { (s, d) =>
       val input = concat(
         lit("“Giá” • "), (col("o_orderkey") % 100).cast("int"), lit(" đồng"))
-      // Same distinct-input collapse + sort-then-join shape as q36:
+      // Same distinct-input collapse + join-then-sort shape as q36:
       // the cleaner input depends only on o_orderkey % 100.
       val o = Tables.orders(s, d)
         .select(col("o_orderkey"), (col("o_orderkey") % 100).cast("int").as("n"))
@@ -211,9 +212,9 @@ object PipelineQueries {
         .select(col("n"),
           GraftFunctions.vi_process_text(concat(lit("“Giá” • "), col("n"), lit(" đồng")))
             .as("cleaned"))
-      o.orderBy("o_orderkey")
-        .join(broadcast(perN), "n")
+      o.join(broadcast(perN), "n")
         .select(col("o_orderkey"), col("cleaned"))
+        .orderBy("o_orderkey")
     },
 
     // ---- q35: events analytics — hourly tumbling buckets per event

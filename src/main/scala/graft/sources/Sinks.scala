@@ -78,24 +78,35 @@ object Sinks {
   def dictionaryEncode(df: DataFrame, keyCol: String,
                        numPartitions: Int = 32): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
+    // Range-partition boundaries come from a random sample whose seed
+    // varies per execution, so the bucket-count collect and the id
+    // projection MUST read one materialization of `ranked`: persist it
+    // (the collect below is the job that fills the cache), then pin
+    // `dim` with an eager localCheckpoint before releasing the parent.
+    // A recompute after unpersist could land keys in different buckets
+    // and silently duplicate/skip ids.
     val ranked = df.select(col(keyCol)).distinct()
       .repartitionByRange(numPartitions, col(keyCol))
       .withColumn("__b", spark_partition_id())
       .withColumn("__r",
         row_number().over(Window.partitionBy(col("__b")).orderBy(col(keyCol))))
-    val counts = ranked.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) {
-      case ((_, acc), (b, n)) => (b, acc + n)
-    }.init.map { case (_, off) => off } // offsets aligned with counts order
-    val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
-      case (b, off) => Seq(lit(b), lit(off))
-    }.toSeq: _*)
-    val dim = ranked
-      .withColumn(s"${keyCol}_id",
-        (col("__r") - 1 + coalesce(element_at(offsetOf, col("__b")), lit(0L))).cast("int"))
-      .select(col(keyCol), col(s"${keyCol}_id"))
-    (df.join(org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol)), dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val counts = ranked.groupBy(col("__b")).agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      val offsets = counts.scanLeft((0, 0L)) {
+        case ((_, acc), (b, n)) => (b, acc + n)
+      }.init.map { case (_, off) => off } // offsets aligned with counts order
+      val offsetOf = map(counts.map(_._1).zip(offsets).flatMap {
+        case (b, off) => Seq(lit(b), lit(off))
+      }.toSeq: _*)
+      val dim = ranked
+        .withColumn(s"${keyCol}_id",
+          (col("__r") - 1 + coalesce(element_at(offsetOf, col("__b")), lit(0L))).cast("int"))
+        .select(col(keyCol), col(s"${keyCol}_id"))
+        .localCheckpoint(true)
+      (df.join(org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol)), dim)
+    } finally ranked.unpersist(blocking = false)
   }
 
   private def flattenComplex(df: DataFrame): DataFrame = {
