@@ -362,6 +362,12 @@ object GraftFunctions {
     * parameterized ones). */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotent: the session is shared across suites via
+    // getOrCreate, and re-registering an existing function makes the
+    // registry log a replace-warning per function per suite. One
+    // marker lookup suffices — registration is all-or-nothing below.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("deaccent_slug"))) return
     def intArg(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("deaccent_slug", es => DeaccentSlug(es.head), "scala_udf")

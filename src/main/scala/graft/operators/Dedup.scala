@@ -87,7 +87,11 @@ object Dedup {
     * to clusters of ~10⁷; a corpus where ONE identical document
     * recurs hundreds of millions of times needs the id list kept as
     * rows (join-based expansion) instead — that shape trades two
-    * extra scans for unbounded cluster size. */
+    * extra scans for unbounded cluster size.
+    * [[jaccardSimilarityJoin]] exposes that switch as
+    * `maxClusterIds`: when its cluster-size probe exceeds the bound,
+    * the pipeline collapses without the ids array and expands member
+    * pairs through [[expandPairsViaJoin]]. */
   def collapseIdentical(docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(
@@ -100,6 +104,32 @@ object Dedup {
         first(col("toks")).as("toks"),
         sort_array(collect_list(col(idCol))).as("ids"))
       .withColumn("n_toks", size(col("toks")))
+
+  /** [[collapseIdentical]] without the member-id array: state per
+    * group is O(doc size), never O(cluster size) — the collapse shape
+    * for corpora with unbounded duplicate clusters. Member ids stay
+    * as (fp, id) rows ([[memberRows]]) and pair expansion joins them
+    * back ([[expandPairsViaJoin]]). */
+  private def collapseIdenticalNoIds(docs: DataFrame,
+                                     idCol: String, textCol: String): DataFrame =
+    docs.select(
+        col(idCol),
+        TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
+        array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
+      .groupBy(col("fp"))
+      .agg(
+        min(col(idCol)).as(idCol),
+        first(col("toks")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+
+  /** One (fp, member id) row per input document — the row-form id
+    * list the join-based expansion consumes. A second scan of the
+    * input by design: that is the trade that removes the per-cluster
+    * array bound. */
+  private def memberRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
+      col(idCol).as("mid"))
 
   /** Expand verified representative pairs back to member pairs:
     * within-group pairs (identical sets, Jaccard exactly 1.0) plus
@@ -120,6 +150,29 @@ object Dedup {
       .join(reps.select(col("fp").as("fp_b"), col("ids").as("ids_b")), "fp_b")
       .select(explode(col("ids_a")).as("id_a"), col("ids_b"), col("jaccard"))
       .select(col("id_a"), explode(col("ids_b")).as("id_b"), col("jaccard"))
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("jaccard"))
+    within.unionByName(cross)
+  }
+
+  /** [[expandPairs]] with member ids as rows instead of arrays: the
+    * within channel is a per-cluster self-join on fp and the cross
+    * channel joins each side of a verified rep pair to its member
+    * rows. Output cardinality is identical to [[expandPairs]] (the
+    * answer's own size); no single row ever holds a cluster, so
+    * cluster size is unbounded. Costs two joins more than the array
+    * form — that is the trade, and why it is the fallback strategy
+    * rather than the default. */
+  private def expandPairsViaJoin(members: DataFrame, repPairs: DataFrame): DataFrame = {
+    val x = members.as("x")
+    val y = members.as("y")
+    val within = x.join(y, col("x.fp") === col("y.fp") && col("x.mid") < col("y.mid"))
+      .select(col("x.mid").as("doc_a"), col("y.mid").as("doc_b"), lit(1.0d).as("jaccard"))
+    val cross = repPairs
+      .join(members.select(col("fp").as("fp_a"), col("mid").as("id_a")), "fp_a")
+      .join(members.select(col("fp").as("fp_b"), col("mid").as("id_b")), "fp_b")
       .select(
         least(col("id_a"), col("id_b")).as("doc_a"),
         greatest(col("id_a"), col("id_b")).as("doc_b"),
@@ -297,8 +350,26 @@ object Dedup {
     */
   def jaccardSimilarityJoin(docs: DataFrame, threshold: Double,
                             idCol: String = "doc_id", textCol: String = "text",
-                            maxBitmaskReps: Int = MaxBitmaskReps): DataFrame = {
-    val reps = collapseIdentical(docs, idCol, textCol)
+                            maxBitmaskReps: Int = MaxBitmaskReps,
+                            maxClusterIds: Int = Int.MaxValue): DataFrame = {
+    // Cluster-size guard (opt-in: default Int.MaxValue probes
+    // nothing). A finite bound runs one count-only aggregate over the
+    // fingerprints — no arrays built — and a corpus whose largest
+    // identical-document cluster exceeds the bound takes the
+    // join-based expansion: collapse WITHOUT the ids array (state per
+    // group stays O(doc size)) and member pairs recovered by joining
+    // (fp, id) rows. See collapseIdentical's scale-bound note.
+    val joinExpand = maxClusterIds != Int.MaxValue && {
+      val maxCluster = docs
+        .groupBy(TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+        .agg(count(lit(1)).as("c"))
+        .agg(max(col("c")))
+        .first().getLong(0)
+      maxCluster > maxClusterIds
+    }
+    val reps =
+      if (joinExpand) collapseIdenticalNoIds(docs, idCol, textCol)
+      else collapseIdentical(docs, idCol, textCol)
     val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
 
     // Global token order: rarest first, ties broken lexicographically.
@@ -328,7 +399,8 @@ object Dedup {
         prefixFilteredPairs(reps, tok, freq, threshold)
     }
 
-    expandPairs(reps, verified)
+    if (joinExpand) expandPairsViaJoin(memberRows(docs, idCol, textCol), verified)
+    else expandPairs(reps, verified)
   }
 
   /** Small-vocabulary strategy: encode each rep's token set as a

@@ -115,19 +115,27 @@ object TextQueries {
     },
 
     // ---- q26: composite quality score (generalizes the reference's
-    // length/stopword gates, process_all.py:299).
+    // length/stopword gates, process_all.py:299). Quantized with
+    // floor(x*1e4 + 0.5)/1e4 on BOTH sides instead of round(x, 4):
+    // the engines' round() algorithms disagree when the raw double
+    // sits one ULP under a .xxxx5 boundary (Spark rounds the exact
+    // binary expansion HALF_UP → down; DuckDB's multiply-shift lands
+    // exactly on .5 → up — a real sf0.001 doc flips). floor over
+    // pure IEEE *,+ is bit-identical across engines.
     Q("q26_quality_score", Some(s"""
       SELECT doc_id,
-             round((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
-                  + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))))
+             floor((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                  + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
                   + 0.3 * (len(list_filter(string_split(text, ' '),
-                        x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))), 4)
+                        x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))))
+                   * 10000 + 0.5) / 10000
                AS quality
       FROM documents
       ORDER BY doc_id""")) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
-          round(TextFunctions.qualityScore(col("text")), 4).as("quality"))
+          (floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d))
+            / lit(10000.0d)).as("quality"))
         .orderBy("doc_id")
     },
 
@@ -261,6 +269,73 @@ object TextQueries {
             GraftFunctions.shingle_hex_tokens(split(col("text"), " "), 3),
             " ").as("text"))
       Dedup.jaccardSimilarityJoin(shingled, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- q46: PPJoin on its REAL workload — a word-token corpus
+    // with a ~25k-token vocabulary and Zipf-skewed frequencies (the
+    // shape crawler-scale text dedup sees), unlike q22 (31-token
+    // vocab → bitmask path) and q43 (unique-shingle tokens → every
+    // prefix token is rare). The corpus derives deterministically
+    // from every third order (a bench-sized subset that keeps the
+    // frequency shape): doc k gets 8 + k%8 tokens, token j's id is
+    // md5-hash-driven through an integer log-skew map
+    // (tok = h_hi % (1 + h_lo % 30000) — small ids common, tail ids
+    // rare; all-integer, so Spark and DuckDB agree bit-for-bit), and
+    // every ninth order also emits a near-dup twin with the last
+    // token dropped (Jaccard (n-1)/n, straddling the 0.9 threshold
+    // by distinct-set size). At sf0.1 the ~67k-doc corpus exceeds
+    // the bitmask rep bound, so this times prefixFilteredPairs —
+    // rarest-first prefixes, length + positional filters — against
+    // the oracle's full inverted-index join. (At sf0.01 the corpus
+    // is under the rep bound but the vocabulary probe still routes
+    // it to the prefix path: ~9k distinct tokens ≫ 64.)
+    Q("q46_simjoin_words", Some("""
+      WITH tok AS (
+        SELECT o_orderkey AS k, j,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM orders CROSS JOIN generate_series(0, 14) g(j)
+        WHERE o_orderkey % 3 = 0 AND j <= 7 + (o_orderkey % 8)),
+      w AS (
+        SELECT k, j,
+               'w' || CAST((h >> 30) % (1 + ((h & 1073741823) % 30000)) AS VARCHAR) AS w
+        FROM tok),
+      docs AS (
+        SELECT k * 2 AS doc_id, string_agg(w, ' ' ORDER BY j) AS text
+        FROM w GROUP BY k
+        UNION ALL
+        SELECT k * 2 + 1 AS doc_id, string_agg(w, ' ' ORDER BY j) AS text
+        FROM w WHERE k % 9 = 0 AND j < 7 + (k % 8) GROUP BY k),
+      d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM docs),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      l AS (SELECT doc_id, len(toks) AS n FROM d),
+      ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+             FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2)
+      SELECT doc_a, doc_b, round(ov / (la.n + lb.n - ov), 4) AS jaccard
+      FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
+      WHERE ov / (la.n + lb.n - ov) >= 0.9
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val hs = transform(
+        sequence(lit(0), (lit(7) + pmod(col("k"), lit(8))).cast("int")),
+        j => HashFunctions.h60(
+          concat(col("k").cast("string"), lit(":"), j.cast("string"))))
+      val words = transform(hs, h =>
+        concat(lit("w"),
+          pmod(shiftright(h, 30),
+            lit(1L) + pmod(h.bitwiseAND(lit(1073741823L)), lit(30000L)))
+            .cast("string")))
+      val withToks = graft.Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .select(col("o_orderkey").as("k"))
+        .select(col("k"), words.as("toks"))
+      val corpus = withToks
+        .select((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text"))
+        .unionByName(withToks
+          .filter(pmod(col("k"), lit(9)) === 0)
+          .select((col("k") * 2 + 1).as("doc_id"),
+            array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " ").as("text")))
+      Dedup.jaccardSimilarityJoin(corpus, threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
 

@@ -108,6 +108,14 @@ object EventStreams {
             state.remove()
             Iterator.single(Session(userId, s.startTs, s.endTs, s.nEvents, s.totalValue))
           } else {
+            // Scale bound: this buffers ONE user's events from ONE
+            // micro-batch (not the stream's history — state stays a
+            // single SessionBuf). ~48 bytes/event, so even a hot key
+            // with 10⁶ events in a trigger is ~50 MB on one task;
+            // a corpus where single users exceed that per trigger
+            // needs a smaller trigger interval (or pre-aggregation
+            // to (user, minute) rows upstream) — the same per-key
+            // buffering bound documented at Dedup.collapseIdentical.
             val sorted = rows.toSeq.sortBy(_._2)
             var buf = state.getOption.orNull
             val closed = Seq.newBuilder[Session]

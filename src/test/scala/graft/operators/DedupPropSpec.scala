@@ -83,6 +83,32 @@ class DedupPropSpec extends SparkSuite {
     }
   }
 
+  test("join-based expansion ≡ array expansion when a mega-cluster trips maxClusterIds") {
+    import spark.implicits._
+    // A synthetic mega-cluster: one document repeated far past the
+    // cluster bound, plus distinct docs with near-dup structure. With
+    // maxClusterIds = 10 the probe sees the 40-member cluster and
+    // switches to collapseIdenticalNoIds + expandPairsViaJoin; the
+    // result must be identical to the default array-expansion path.
+    val mega = (0L until 40L).map(i => (i, "a b c d e f g h i j"))
+    val near = Seq(
+      (100L, "a b c d e f g h i j k"),  // J = 10/11 with the cluster
+      (101L, "x y z q r s t u v w"),
+      (102L, "x y z q r s t u v"))      // J = 9/10 with 101
+    val docs = (mega ++ near).toDF("doc_id", "text")
+    val defaultPath = Dedup.jaccardSimilarityJoin(docs, threshold = 0.85)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val joinPath = Dedup.jaccardSimilarityJoin(docs, threshold = 0.85, maxClusterIds = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(joinPath === defaultPath)
+    // The cluster's own 40*39/2 within-pairs are present at J=1.0.
+    assert(joinPath.count(_._3 == 1.0d) == 40 * 39 / 2)
+    // A finite bound the corpus does NOT exceed keeps the array path.
+    val underBound = Dedup.jaccardSimilarityJoin(docs, threshold = 0.85, maxClusterIds = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(underBound === defaultPath)
+  }
+
   test("simhash collapse+expand ≡ brute force hamming pairs on duplicate-heavy corpora") {
     import spark.implicits._
     val vocab = (1 to 10).map(i => s"s$i")
