@@ -74,6 +74,57 @@ object EventStreams {
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming MinHash-LSH NEAR-dup suppression at ingest — the
+    * streaming twin of [[graft.operators.Dedup.minhashNearDupPairs]]'
+    * candidate channel. Each document explodes into `bands` LSH band
+    * keys; `dropDuplicatesWithinWatermark` keeps only first-arrival
+    * band rows inside the watermark horizon, and a document is
+    * emitted iff ALL of its bands were first arrivals — any band
+    * collision with an earlier document (same batch or earlier ones
+    * within the horizon) suppresses it.
+    *
+    * Two deliberate deviations from the batch operator, both the
+    * standard ingest trade:
+    *  - **No exact verification.** A band collision suppresses
+    *    directly; precision/recall is tuned by the banding S-curve
+    *    ((1/bands)^(1/rowsPerBand) midpoint) rather than a verify
+    *    join — at-ingest suppression cannot afford to re-read the
+    *    earlier document (its text is gone; only band-key state
+    *    remains). Corpora needing exactness run the batch join
+    *    downstream on what ingest admitted.
+    *  - **State is band keys only** (8 bytes × bands per admitted
+    *    doc within the horizon), evicted by the watermark — bounded,
+    *    like [[dedupWithinWatermark]], which is what makes the
+    *    unbounded-input shape feasible.
+    *
+    * Emission is watermark-delayed (the all-bands-survived count is
+    * a streaming aggregate keyed on the watermarked event time), so
+    * the output appends once the watermark passes a document's event
+    * time — the chained dedup→aggregate pair is the supported
+    * multiple-stateful-operator shape. */
+  def lshNearDupWithinWatermark(rows: DataFrame, textCol: String, idCol: String,
+                                eventTimeCol: String, watermark: String,
+                                bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    import graft.functions.{GraftFunctions, TextFunctions}
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    val banded = rows
+      .withColumn("__sig",
+        GraftFunctions.minhash_sig(TextFunctions.tokens(col(textCol)), bands * rowsPerBand))
+      .withColumn("__band", explode(array(bandKeys: _*)))
+      .drop("__sig")
+      .withWatermark(eventTimeCol, watermark)
+    val firstBands = banded.dropDuplicatesWithinWatermark("__band")
+    val payload = rows.columns.filterNot(c => c == idCol || c == eventTimeCol)
+    firstBands
+      .groupBy(col(eventTimeCol), col(idCol))
+      .agg(count(lit(1)).as("__n_first"),
+        payload.map(c => first(col(c)).as(c)): _*)
+      .filter(col("__n_first") === bands)
+      .select(rows.columns.map(col): _*)
+  }
+
   /** One closed user session. */
   case class Session(userId: Long, startTs: Long, endTs: Long, nEvents: Int, totalValue: Double)
 

@@ -69,6 +69,64 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == Set(1L, 3L, 4L))
   }
 
+  test("streaming LSH suppression drops near-dup band colliders within the watermark") {
+    import org.apache.spark.sql.functions.{array, col, explode, lit, slice, xxhash64}
+    val bands = 4; val rowsPerBand = 4
+    val tA = "alpha beta gamma delta epsilon zeta eta theta"
+    val tB = "theta eta zeta epsilon delta gamma beta alpha" // same SET as A
+    val tC = "alpha beta gamma delta epsilon zeta eta"       // near-dup of A (one word off)
+    val tD = "completely different words in this one here"
+    // Expected admissions computed batch-side with the same kernels:
+    // a doc is admitted iff none of its band keys appeared earlier.
+    val bandKeysOf: String => Set[Long] = { t =>
+      val keys = (0 until bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+      Seq(t).toDF("text")
+        .select(graft.functions.GraftFunctions.minhash_sig(
+          graft.functions.TextFunctions.tokens(col("text")), bands * rowsPerBand).as("sig"))
+        .select(explode(array(keys: _*)).as("k")).as[Long].collect().toSet
+    }
+    var seen = Set.empty[Long]
+    val expected = Seq(1L -> tA, 2L -> tB, 3L -> tC, 4L -> tD).collect {
+      case (id, t) if {
+        val ks = bandKeysOf(t); val admit = (ks & seen).isEmpty
+        if (admit) seen ++= ks
+        admit
+      } => id
+    }.toSet
+    assert(expected.contains(1L) && !expected.contains(2L),
+      "identical-set doc must collide on every band")
+    assert(expected.contains(4L), "distinct doc must not collide")
+
+    val dir = writeLanding(Seq(
+      ev(1, 1 * H, 1, tA, 1.0),
+      ev(2, 1 * H + 10, 2, tB, 2.0),
+      ev(3, 1 * H + 20, 3, tC, 3.0),
+      ev(4, 1 * H + 30, 4, tD, 4.0),
+      ev(5, 10 * H, 5, "sentinel advances the watermark", 0.0)))
+    val src = EventStreams.readEventsJson(spark, dir)
+      .withColumn("event_time", EventStreams.tsCol)
+    val out = Files.createTempDirectory(Paths.get("target"), "lshout")
+    val q = EventStreams.lshNearDupWithinWatermark(
+        src, textCol = "event_type", idCol = "event_id",
+        eventTimeCol = "event_time", watermark = "2 hours",
+        bands = bands, rowsPerBand = rowsPerBand)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.read.parquet(s"$out/data")
+      .select("event_id").as[Long].collect().toSet
+    // The sentinel's own event time is never passed by the watermark,
+    // so it must not be emitted — that non-emission is the
+    // watermark-delayed admission working.
+    assert(got == expected, s"streaming admissions $got != batch-computed $expected")
+  }
+
   test("sessionization closes sessions at the gap, keeps state bounded") {
     // user 1: two events 10 min apart (one session), then one 2h
     // later (second session, still open at end of stream).
