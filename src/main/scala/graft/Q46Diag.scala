@@ -33,11 +33,13 @@ object Q46Diag {
       .select(col("o_orderkey").as("k"))
       .select(col("k"), words.as("toks"))
     val corpus = withToks
-      .select((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text"))
-      .unionByName(withToks
-        .filter(pmod(col("k"), lit(9)) === 0)
-        .select((col("k") * 2 + 1).as("doc_id"),
-          array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " ").as("text")))
+      .select(inline(array(
+        struct((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text")),
+        struct((col("k") * 2 + 1).as("doc_id"),
+          when(pmod(col("k"), lit(9)) === 0,
+            array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " "))
+            .as("text")))))
+      .filter(col("text").isNotNull)
     mat("corpus", corpus)
     time("n_docs")(println("  n=" + corpus.count()))
     val reps = Dedup.collapseIdentical(corpus)

@@ -329,12 +329,18 @@ object TextQueries {
         .filter(pmod(col("o_orderkey"), lit(3)) === 0)
         .select(col("o_orderkey").as("k"))
         .select(col("k"), words.as("toks"))
+      // Base doc + optional twin from ONE pass over the md5 word
+      // synthesis: a union of two selects re-executes the transform
+      // per branch (separate subtrees reuse nothing), which doubled
+      // the single most expensive stage of this corpus.
       val corpus = withToks
-        .select((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text"))
-        .unionByName(withToks
-          .filter(pmod(col("k"), lit(9)) === 0)
-          .select((col("k") * 2 + 1).as("doc_id"),
-            array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " ").as("text")))
+        .select(inline(array(
+          struct((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text")),
+          struct((col("k") * 2 + 1).as("doc_id"),
+            when(pmod(col("k"), lit(9)) === 0,
+              array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " "))
+              .as("text")))))
+        .filter(col("text").isNotNull)
       Dedup.jaccardSimilarityJoin(corpus, threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
