@@ -220,7 +220,7 @@ object Dedup {
       .withColumn("ov", GraftFunctions.sorted_intersect_count(col("toks_a"), col("toks_b")))
       .withColumn("jaccard_raw", col("ov") / (col("n_a") + col("n_b") - col("ov")))
       .filter(col("jaccard_raw") >= threshold && col("jaccard_raw") < 1.0d)
-      .select(col("fp_a"), col("fp_b"), round(col("jaccard_raw"), 4).as("jaccard"))
+      .select(col("fp_a"), col("fp_b"), (floor(col("jaccard_raw") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
 
   /** SimHash signature per document over its distinct-token 60-bit
     * hashes (one codegen'd pass, single projection). */
@@ -426,7 +426,7 @@ object Dedup {
       .withColumn("jaccard_raw", ov.cast("double") / un.cast("double"))
       .filter(col("jaccard_raw") >= threshold && col("jaccard_raw") < 1.0d)
       .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"),
-        round(col("jaccard_raw"), 4).as("jaccard"))
+        (floor(col("jaccard_raw") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
   }
 
   /** Large-vocabulary strategy: PPJoin-style prefix-filtered

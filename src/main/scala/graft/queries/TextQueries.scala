@@ -24,7 +24,7 @@ object TextQueries {
     ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
            FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
            GROUP BY 1, 2)
-    SELECT doc_a, doc_b, round(ov / (la.n + lb.n - ov), 4) AS jaccard
+    SELECT doc_a, doc_b, floor((ov / (la.n + lb.n - ov)) * 10000 + 0.5) / 10000 AS jaccard
     FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
     WHERE ov / (la.n + lb.n - ov) >= $threshold
     ORDER BY doc_a, doc_b"""
@@ -99,7 +99,7 @@ object TextQueries {
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_tokens,
              len(list_distinct(string_split(text, ' '))) AS n_distinct,
-             round(len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')), 4) AS distinct_ratio,
+             floor((len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))) * 10000 + 0.5) / 10000 AS distinct_ratio,
              CAST(list_sum(list_transform(string_split(text, ' '),
                   x -> CAST(CEIL(length(x) / 4.0) AS BIGINT))) AS BIGINT) AS n_subwords
       FROM documents
@@ -109,7 +109,7 @@ object TextQueries {
         col("doc_id"),
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_distinct"),
-        round(size(array_distinct(toks)) / size(toks), 4).as("distinct_ratio"),
+        (floor((size(array_distinct(toks)) / size(toks)) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("distinct_ratio"),
         TextFunctions.subwordCount(col("text")).as("n_subwords"))
         .orderBy("doc_id")
     },
@@ -258,7 +258,7 @@ object TextQueries {
       ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
-      SELECT doc_a, doc_b, round(ov / (la.n + lb.n - ov), 4) AS jaccard
+      SELECT doc_a, doc_b, floor((ov / (la.n + lb.n - ov)) * 10000 + 0.5) / 10000 AS jaccard
       FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
       WHERE ov / (la.n + lb.n - ov) >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
@@ -312,7 +312,7 @@ object TextQueries {
       ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
              FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
              GROUP BY 1, 2)
-      SELECT doc_a, doc_b, round(ov / (la.n + lb.n - ov), 4) AS jaccard
+      SELECT doc_a, doc_b, floor((ov / (la.n + lb.n - ov)) * 10000 + 0.5) / 10000 AS jaccard
       FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
       WHERE ov / (la.n + lb.n - ov) >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
