@@ -66,14 +66,28 @@ class PlanSpec extends SparkSuite {
 
   test("jaccard join plans contain no Window node on either strategy") {
     // q22 resolves to the bitmask all-pairs path at this SF (31-token
-    // vocabulary); q43's shingle vocabulary forces the prefix path.
-    // Both must stay window-free: the round-4 rewrite replaced the
-    // row_number prefix ranking with a hash aggregate, and this pins
-    // that property so the sort-exchange form can't sneak back.
-    for (name <- Seq("q22_simjoin_jaccard", "q43_simjoin_ngram")) {
+    // vocabulary); q43's shingle vocabulary and q46's Zipfian word
+    // vocabulary force the prefix path. All must stay window-free:
+    // the round-4 rewrite replaced the row_number prefix ranking with
+    // a hash aggregate, and this pins that property so the
+    // sort-exchange form can't sneak back.
+    for (name <- Seq("q22_simjoin_jaccard", "q43_simjoin_ngram", "q46_simjoin_words")) {
       val wins = optimized(name).collect { case w: LWindow => w }
       assert(wins.isEmpty, s"$name contains a Window operator")
     }
+  }
+
+  test("q46 takes the prefix path with equi-join candidates, no cartesian product") {
+    // The Zipfian word corpus must route to prefixFilteredPairs: the
+    // candidate join is an equi-join on the packed token hash (plus
+    // length/positional bounds), never a nested-loop over rep pairs
+    // (the bitmask path's shape, correct only under its ≤64-token
+    // vocabulary probe) and never a cartesian product.
+    val p = physical("q46_simjoin_words")
+    assert(!p.contains("CartesianProduct"), "cartesian product in q46")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "q46 routed to the bitmask nested-loop path — the probe mis-fired")
+    assert(p.contains("xxhash64"), "packed token-hash join key missing")
   }
 
   test("dedup signature projection contains no shuffle") {
