@@ -32,9 +32,13 @@ object Bench {
       else sfDir
     try spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
-    for (w <- Seq("q02_filter_contains", "q42_sentence_split", "q44_css_select",
-                  "q29_sentence_groups", "q30_knn_cosine", "q35_events_hourly",
-                  "q40_path_ops")) {
+    // Every registered query once at the smallest SF: each query owns
+    // generated codegen classes and JIT-compiled kernels of its own
+    // (the round-5 seven-query subset left e.g. the prefix-join
+    // pipeline cold, and its first run pays 2-3x), so the only
+    // warm-up that covers the timed work is the full set. Work at
+    // sf0.001 is seconds; timings below remain single-run at sfDir.
+    for (w <- SparkEntry.queries.keys.toSeq.sorted) {
       try SparkEntry.queries(w)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
