@@ -11,7 +11,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev filter: SPARK_GRAFT_ONLY=q46_simjoin_words,... dumps a subset.
     // The driver never sets it, so driver runs always dump everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -46,16 +46,21 @@ object HtmlOps {
     * crawl-scale page cost zero string building. */
   final case class Doc(
       html: String, nodes: Array[Node], end: Array[Int],
-      runOwner: Array[Int], runStart: Array[Int], runEnd: Array[Int]) {
+      runOwner: Array[Int], runStart: Array[Int], runEnd: Array[Int],
+      runLo: Array[Int], runHi: Array[Int]) {
     /** Concatenated descendant text runs of node i, document order
-      * (untrimmed — callers trim the outer edges). */
+      * (untrimmed — callers trim the outer edges). Runs are appended
+      * in parse order, so a subtree's runs are the contiguous range
+      * recorded while its root was open — `[runLo(i), runHi(i))` —
+      * and each text() call costs only its own output, never a scan
+      * of the whole document's run list (a broad selector on a
+      * run-heavy crawl page made the full scan quadratic). */
     def text(i: Int): String = {
       val sb = new java.lang.StringBuilder
-      val hi = end(i)
-      var r = 0
-      while (r < runOwner.length) {
-        val o = runOwner(r)
-        if (o >= i && o < hi) sb.append(html, runStart(r), runEnd(r))
+      var r = runLo(i)
+      val hi = runHi(i)
+      while (r < hi) {
+        sb.append(html, runStart(r), runEnd(r))
         r += 1
       }
       sb.toString
@@ -163,6 +168,11 @@ object HtmlOps {
     val runOwner = ArrayBuffer.empty[Int]
     val runStart = ArrayBuffer.empty[Int]
     val runEnd = ArrayBuffer.empty[Int]
+    // Contiguous run range per node: runLo at creation, runHi when
+    // the node closes (pop or EOF) — every run recorded in between
+    // belongs to its subtree. Leaves keep the empty range.
+    val runLo = ArrayBuffer[Int](0)
+    val runHi = ArrayBuffer[Int](0)
     val n = html.length
     var i = 0
     def recordText(st: Int, en: Int): Unit =
@@ -182,7 +192,11 @@ object HtmlOps {
           val at = open.lastIndexWhere(oi => nodes(oi).tag == tag)
           if (at > 0) { // lax: pop to match; every popped subtree is complete
             var k = open.length - 1
-            while (k >= at) { end(open(k)) = nodes.length; k -= 1 }
+            while (k >= at) {
+              end(open(k)) = nodes.length
+              runHi(open(k)) = runOwner.length
+              k -= 1
+            }
             open.remove(at, open.length - at)
           }
           i = if (e < 0) n else e + 1
@@ -198,6 +212,8 @@ object HtmlOps {
               val idx = nodes.length
               nodes += Node(idx, open.last, tag, attrs)
               end += idx + 1 // leaf until proven open
+              runLo += runOwner.length
+              runHi += runOwner.length // leaves keep the empty range
               if (!selfClose && !VoidTags.contains(tag)) {
                 if (tag == "script" || tag == "style") {
                   val close = indexOfIgnoreCase(html, s"</$tag", e)
@@ -211,9 +227,13 @@ object HtmlOps {
         }
       }
     }
-    open.foreach(oi => end(oi) = nodes.length) // unclosed at EOF
+    open.foreach { oi => // unclosed at EOF (root included)
+      end(oi) = nodes.length
+      runHi(oi) = runOwner.length
+    }
     Doc(html, nodes.toArray, end.toArray,
-      runOwner.toArray, runStart.toArray, runEnd.toArray)
+      runOwner.toArray, runStart.toArray, runEnd.toArray,
+      runLo.toArray, runHi.toArray)
   }
 
   private def parseTag(body: String): (String, Map[String, String]) = {

@@ -94,16 +94,7 @@ object Dedup {
     * pairs through [[expandPairsViaJoin]]. */
   def collapseIdentical(docs: DataFrame,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(
-        col(idCol),
-        TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
-        array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
-      .groupBy(col("fp"))
-      .agg(
-        min(col(idCol)).as(idCol),
-        first(col("toks")).as("toks"),
-        sort_array(collect_list(col(idCol))).as("ids"))
-      .withColumn("n_toks", size(col("toks")))
+    collapse(docs, idCol, textCol, withIds = true)
 
   /** [[collapseIdentical]] without the member-id array: state per
     * group is O(doc size), never O(cluster size) — the collapse shape
@@ -112,15 +103,25 @@ object Dedup {
     * back ([[expandPairsViaJoin]]). */
   private def collapseIdenticalNoIds(docs: DataFrame,
                                      idCol: String, textCol: String): DataFrame =
+    collapse(docs, idCol, textCol, withIds = false)
+
+  /** Single source of truth for both collapse shapes — the
+    * projection and grouping MUST stay identical between them or the
+    * maxClusterIds path silently computes pairs over a different
+    * fingerprint/token definition than the default path. */
+  private def collapse(docs: DataFrame, idCol: String, textCol: String,
+                       withIds: Boolean): DataFrame = {
+    val aggs =
+      Seq(min(col(idCol)).as(idCol), first(col("toks")).as("toks")) ++
+        (if (withIds) Seq(sort_array(collect_list(col(idCol))).as("ids")) else Nil)
     docs.select(
         col(idCol),
         TextFunctions.canonicalFingerprint(col(textCol)).as("fp"),
         array_sort(array_distinct(TextFunctions.tokens(col(textCol)))).as("toks"))
       .groupBy(col("fp"))
-      .agg(
-        min(col(idCol)).as(idCol),
-        first(col("toks")).as("toks"))
+      .agg(aggs.head, aggs.tail: _*)
       .withColumn("n_toks", size(col("toks")))
+  }
 
   /** One (fp, member id) row per input document — the row-form id
     * list the join-based expansion consumes. A second scan of the
@@ -360,10 +361,12 @@ object Dedup {
     // group stays O(doc size)) and member pairs recovered by joining
     // (fp, id) rows. See collapseIdentical's scale-bound note.
     val joinExpand = maxClusterIds != Int.MaxValue && {
+      // coalesce: max over zero groups is null (empty input) — that
+      // corpus trivially fits any bound.
       val maxCluster = docs
         .groupBy(TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
         .agg(count(lit(1)).as("c"))
-        .agg(max(col("c")))
+        .agg(coalesce(max(col("c")), lit(0L)).as("m"))
         .first().getLong(0)
       maxCluster > maxClusterIds
     }

@@ -79,12 +79,15 @@ object Sinks {
                        numPartitions: Int = 32): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Range-partition boundaries come from a random sample whose seed
-    // varies per execution, so the bucket-count collect and the id
+    // varies per COMPILED PLAN, so the bucket-count collect and the id
     // projection MUST read one materialization of `ranked`: persist it
     // (the collect below is the job that fills the cache), then pin
-    // `dim` with an eager localCheckpoint before releasing the parent.
-    // A recompute after unpersist could land keys in different buckets
-    // and silently duplicate/skip ids.
+    // `dim` with its own persist+count before releasing the parent.
+    // Persist keeps lineage (unlike a localCheckpoint, whose
+    // executor-local blocks make any later executor loss fatal to both
+    // returned frames): a lost dim block recomputes through the cached
+    // plan, whose RangePartitioner object — boundaries included — is
+    // fixed in the RDD graph, so recovery cannot re-bucket keys.
     val ranked = df.select(col(keyCol)).distinct()
       .repartitionByRange(numPartitions, col(keyCol))
       .withColumn("__b", spark_partition_id())
@@ -104,7 +107,8 @@ object Sinks {
         .withColumn(s"${keyCol}_id",
           (col("__r") - 1 + coalesce(element_at(offsetOf, col("__b")), lit(0L))).cast("int"))
         .select(col(keyCol), col(s"${keyCol}_id"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dim.count() // materialize while the parent cache is still hot
       (df.join(org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol)), dim)
     } finally ranked.unpersist(blocking = false)
   }

@@ -77,11 +77,38 @@ object EventStreams {
   /** Streaming MinHash-LSH NEAR-dup suppression at ingest — the
     * streaming twin of [[graft.operators.Dedup.minhashNearDupPairs]]'
     * candidate channel. Each document explodes into `bands` LSH band
-    * keys; `dropDuplicatesWithinWatermark` keeps only first-arrival
-    * band rows inside the watermark horizon, and a document is
-    * emitted iff ALL of its bands were first arrivals — any band
-    * collision with an earlier document (same batch or earlier ones
-    * within the horizon) suppresses it.
+    * keys; a band-keyed stateful operator keeps only the FIRST
+    * arrival of each band key inside the watermark horizon, and a
+    * document is emitted iff it was the first arrival on ALL of its
+    * bands — any band collision with an earlier document (same batch
+    * or earlier ones within the horizon) suppresses it.
+    *
+    * **First arrival is deterministic**: within a micro-batch the
+    * lowest `idCol` value carrying a band key wins it (so "earlier"
+    * means earlier batch, then lower id inside a batch). Feeding the
+    * raw exploded rows straight into
+    * `dropDuplicatesWithinWatermark("__band")` would pick per-band
+    * winners in state-partition arrival order, which is independent
+    * per band — two colliding docs could split the wins so NEITHER
+    * reaches the all-bands bar and a dedup operator deletes every
+    * copy of the content, nondeterministically. So intra-batch
+    * collisions are resolved FIRST, statelessly: a repartition on the
+    * band key + a per-partition min-id fold leaves at most one
+    * candidate row per band key per micro-batch, and only then does
+    * the watermark-bounded dedup arbitrate against earlier batches.
+    * With min-id winners the lowest-id doc of any collision component
+    * wins all its bands, so every component keeps exactly its min-id
+    * survivor, every run, on any partitioning. (One watermark-contract
+    * edge: a row already behind the watermark reaches the fold —
+    * late filtering happens at the stateful dedup — so a late
+    * duplicate can claim a band and then be discarded, suppressing a
+    * fresh collider; late data influencing results is the documented
+    * trade of any watermarked operator.)
+    *
+    * Band keys register in state for suppressed docs too (the group
+    * saw the key) — a later doc colliding only with a suppressed one
+    * is still suppressed, matching the batch operator's transitive
+    * candidate channel.
     *
     * Two deliberate deviations from the batch operator, both the
     * standard ingest trade:
@@ -97,15 +124,17 @@ object EventStreams {
     *    like [[dedupWithinWatermark]], which is what makes the
     *    unbounded-input shape feasible.
     *
-    * Emission is watermark-delayed (the all-bands-survived count is
-    * a streaming aggregate keyed on the watermarked event time), so
+    * Emission is watermark-delayed (the all-bands-won count is a
+    * streaming aggregate keyed on the watermarked event time), so
     * the output appends once the watermark passes a document's event
     * time — the chained dedup→aggregate pair is the supported
-    * multiple-stateful-operator shape. */
+    * multiple-stateful-operator shape (the min-id fold itself is
+    * stateless, so it adds no stateful operator to the chain). */
   def lshNearDupWithinWatermark(rows: DataFrame, textCol: String, idCol: String,
                                 eventTimeCol: String, watermark: String,
                                 bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     import graft.functions.{GraftFunctions, TextFunctions}
+    import org.apache.spark.sql.{Encoders, Row}
     val bandKeys = (0 until bands).map { b =>
       xxhash64(lit(b), slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))
     }
@@ -114,15 +143,45 @@ object EventStreams {
         GraftFunctions.minhash_sig(TextFunctions.tokens(col(textCol)), bands * rowsPerBand))
       .withColumn("__band", explode(array(bandKeys: _*)))
       .drop("__sig")
-      .withWatermark(eventTimeCol, watermark)
-    val firstBands = banded.dropDuplicatesWithinWatermark("__band")
-    val payload = rows.columns.filterNot(c => c == idCol || c == eventTimeCol)
-    firstBands
-      .groupBy(col(eventTimeCol), col(idCol))
-      .agg(count(lit(1)).as("__n_first"),
-        payload.map(c => first(col(c)).as(c)): _*)
+    // One row per (band, doc): band key, event time, full doc payload.
+    val packed = banded.select(
+      col("__band"), col(eventTimeCol).as("__t"),
+      struct(rows.columns.map(col): _*).as("__doc"))
+    val rowEnc = Encoders.row(packed.schema)
+    val idIdx = rows.schema.fieldIndex(idCol)
+    val idNumeric = rows.schema(idCol).dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    // Stateless intra-batch resolution: co-locate each band key's
+    // rows, keep only the min-id row per key. Memory per task is one
+    // Row per distinct band key in the partition — micro-batch-
+    // bounded, the same per-trigger bound as sessionize below.
+    val resolved = packed
+      .repartition(col("__band"))
+      .mapPartitions { it =>
+        val best = new java.util.HashMap[Long, Row]()
+        it.foreach { r =>
+          val k = r.getLong(0)
+          val prev = best.get(k)
+          val smaller = prev != null && {
+            if (idNumeric)
+              r.getStruct(2).getAs[Number](idIdx).doubleValue() <
+                prev.getStruct(2).getAs[Number](idIdx).doubleValue()
+            else
+              String.valueOf(r.getStruct(2).get(idIdx)) <
+                String.valueOf(prev.getStruct(2).get(idIdx))
+          }
+          if (prev == null || smaller) best.put(k, r)
+        }
+        import scala.jdk.CollectionConverters._
+        best.values.iterator.asScala
+      }(rowEnc)
+    resolved
+      .withWatermark("__t", watermark)
+      .dropDuplicatesWithinWatermark("__band")
+      .groupBy(col("__t"), col("__doc"))
+      .agg(count(lit(1)).as("__n_first"))
       .filter(col("__n_first") === bands)
-      .select(rows.columns.map(col): _*)
+      .select(col("__doc.*"))
   }
 
   /** One closed user session. */

@@ -107,6 +107,11 @@ class DedupPropSpec extends SparkSuite {
     val underBound = Dedup.jaccardSimilarityJoin(docs, threshold = 0.85, maxClusterIds = 50)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(underBound === defaultPath)
+    // Empty input with a finite bound: the probe's max-over-zero-groups
+    // is null, which must read as "fits the bound", not NPE.
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.jaccardSimilarityJoin(empty, threshold = 0.85, maxClusterIds = 10)
+      .collect().isEmpty)
   }
 
   test("simhash collapse+expand ≡ brute force hamming pairs on duplicate-heavy corpora") {

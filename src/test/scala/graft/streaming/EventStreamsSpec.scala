@@ -18,6 +18,17 @@ class EventStreamsSpec extends SparkSuite {
     dir.toString
   }
 
+  /** One file per line → one input partition per doc, so a single
+    * micro-batch arrives partition-parallel (the shape where
+    * arrival-order winners would be nondeterministic). */
+  private def writeLandingFilePerLine(lines: Seq[String]): String = {
+    val dir = Files.createTempDirectory(Paths.get("target"), "landing")
+    lines.zipWithIndex.foreach { case (l, i) =>
+      Files.writeString(dir.resolve(f"part$i%03d.json"), l)
+    }
+    dir.toString
+  }
+
   private def ev(id: Long, ts: Long, user: Long, typ: String, value: Double): String =
     s"""{"event_id":$id,"ts":$ts,"user_id":$user,"event_type":"$typ","value":$value,"props":"{}"}"""
 
@@ -76,8 +87,13 @@ class EventStreamsSpec extends SparkSuite {
     val tB = "theta eta zeta epsilon delta gamma beta alpha" // same SET as A
     val tC = "alpha beta gamma delta epsilon zeta eta"       // near-dup of A (one word off)
     val tD = "completely different words in this one here"
-    // Expected admissions computed batch-side with the same kernels:
-    // a doc is admitted iff none of its band keys appeared earlier.
+    // Expected admissions computed batch-side with the same kernels.
+    // The operator's semantics: a doc is admitted iff every one of
+    // its band keys is unseen AND it is the lowest id carrying that
+    // key in its batch — i.e. processing docs in id order, a doc is
+    // admitted iff none of its keys were registered earlier, and
+    // EVERY doc registers its keys, suppressed or not (a band's
+    // first arrival claims it even when that doc loses another band).
     val bandKeysOf: String => Set[Long] = { t =>
       val keys = (0 until bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
@@ -90,7 +106,7 @@ class EventStreamsSpec extends SparkSuite {
     val expected = Seq(1L -> tA, 2L -> tB, 3L -> tC, 4L -> tD).collect {
       case (id, t) if {
         val ks = bandKeysOf(t); val admit = (ks & seen).isEmpty
-        if (admit) seen ++= ks
+        seen ++= ks // suppressed docs register their first-arrival keys too
         admit
       } => id
     }.toSet
@@ -98,7 +114,10 @@ class EventStreamsSpec extends SparkSuite {
       "identical-set doc must collide on every band")
     assert(expected.contains(4L), "distinct doc must not collide")
 
-    val dir = writeLanding(Seq(
+    // One file PER DOC: the micro-batch reads them partition-parallel,
+    // so per-band arrival order is nondeterministic — admissions must
+    // come out deterministic (min-id winners) anyway.
+    val dir = writeLandingFilePerLine(Seq(
       ev(1, 1 * H, 1, tA, 1.0),
       ev(2, 1 * H + 10, 2, tB, 2.0),
       ev(3, 1 * H + 20, 3, tC, 3.0),
