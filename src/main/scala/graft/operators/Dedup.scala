@@ -493,4 +493,134 @@ object Dedup {
 
     verifyJaccardByFp(candidates, reps, threshold)
   }
+
+  /** Connected components over an undirected pair list — the cluster
+    * resolution step every dedup pipeline needs between "these docs
+    * are near-duplicates" (pairs) and "keep one per duplicate group"
+    * (components + keeper election). Returns one `(id, component_id)`
+    * row per node that appears in `pairs`, where `component_id` is
+    * the minimum id reachable through any chain of pairs.
+    *
+    * Algorithm: hash-min label propagation with pointer jumping.
+    * Every node starts labelled with its own id; each round first
+    * takes the minimum label over itself and its neighbours (one
+    * hash-partitioned join + one min-aggregate — both map-side
+    * combinable), then pointer-jumps: folds in the label OF the
+    * label (`comp(comp(id))` — well-defined because a label is
+    * always itself a node id). Neighbour-min alone moves a
+    * component's minimum one hop per round (O(diameter) rounds); the
+    * jump doubles the propagation distance per round, giving
+    * O(log diameter). Near-dup components are clique-like (identical
+    * and near-identical docs pair mutually), so real corpora
+    * converge in 2-3 rounds either way; the jump is what keeps
+    * adversarial chain-shaped graphs from turning into hundreds of
+    * driver rounds. (The heavier-hammer alternative for graphs with
+    * giant high-degree components is Kiveris et al.'s
+    * large-star/small-star contraction; same API contract if ever
+    * needed.)
+    *
+    * Distribution notes, because iterative algorithms are where
+    * driver discipline goes to die:
+    *  - The per-round work is entirely distributed; the driver sees
+    *    one count per round ("how many labels moved"), never a
+    *    collect of data.
+    *  - Each round's result has its lineage CUT (reliable
+    *    `checkpoint` when the session has a checkpoint dir
+    *    configured, `localCheckpoint` otherwise). Without the cut
+    *    the round plan references the previous labels four times
+    *    (neighbour join + union, then both sides of the jump
+    *    self-join), so the logical plan TREE grows 4^rounds — plan
+    *    stringification alone OOMs the driver around round ten.
+    *    The local-checkpoint fallback trades executor-loss recovery
+    *    for bounded plans, the same trade GraphX makes; clusters
+    *    wanting fault tolerance set a checkpoint dir and get the
+    *    reliable path automatically. Checkpoint blocks are released
+    *    by the ContextCleaner once each round's frame is
+    *    unreferenced.
+    *
+    * Non-convergence within `maxIterations` throws — an exact gate
+    * downstream must never silently compare a half-propagated
+    * labelling. */
+  def connectedComponents(pairs: DataFrame,
+                          aCol: String = "doc_a", bCol: String = "doc_b",
+                          maxIterations: Int = 50): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    // Lineage cut: eager materialization + a flat LogicalRDD plan.
+    def cut(df: DataFrame): DataFrame =
+      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+      else df.localCheckpoint(eager = true)
+    // Materialize the pair list ONCE before anything else: edges,
+    // nodes, and the initial labels all branch off it, and without
+    // the cut each branch would re-execute the caller's (typically
+    // expensive) pair-generation lineage — measured 3-4 re-runs of a
+    // full MinHash pipeline on the first version of this operator.
+    val half = cut(pairs.select(col(aCol).as("src"), col(bCol).as("dst")))
+    // Both directions PLUS a self-loop per node: the self-loop is
+    // what carries a node's own label through the neighbour join, so
+    // each round is exactly one join + one aggregate — no per-round
+    // union of the labels frame with itself (which also trips
+    // Catalyst's union constraint rewrite against checkpointed
+    // children).
+    val nodes = half.select(col("src").as("id"))
+      .unionByName(half.select(col("dst").as("id")))
+      .distinct()
+    val edges = half
+      .unionByName(half.select(col("dst").as("src"), col("src").as("dst")))
+      .unionByName(nodes.select(col("id").as("src"), col("id").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = cut(nodes.select(col("id"), col("id").as("comp")))
+      var iter = 0
+      var converged = labels.isEmpty // empty graph is already done
+      while (!converged && iter < maxIterations) {
+        // Cut per round: the pointer jump reads this from both
+        // sides of a self-join, and the cut is what keeps the round
+        // plan flat (see scaladoc).
+        val neighborMin = cut(edges
+          .join(labels.withColumnRenamed("id", "src"), "src")
+          .groupBy(col("dst"))
+          .agg(min(col("comp")).as("comp"))
+          .withColumnRenamed("dst", "id"))
+        // Pointer jump: every label is a node id, so the inner
+        // self-join is total and comp(comp(id)) always exists.
+        val next = cut(neighborMin.as("x")
+          .join(neighborMin.as("y"), col("x.comp") === col("y.id"))
+          .select(col("x.id").as("id"),
+            least(col("x.comp"), col("y.comp")).as("comp")))
+        // Type-agnostic fixpoint probe over the two flat frames:
+        // count of nodes whose label moved.
+        converged = next.as("n")
+          .join(labels.as("p"), col("n.id") === col("p.id"))
+          .filter(col("n.comp") =!= col("p.comp"))
+          .count() == 0L
+        labels = next
+        iter += 1
+      }
+      if (!converged)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIterations rounds — " +
+            "component diameter exceeds the bound; raise maxIterations or " +
+            "switch to large-star/small-star contraction")
+      labels
+    } finally edges.unpersist(blocking = false)
+  }
+
+  /** Per-document near-duplicate component assignment: every document
+    * gets the minimum doc id of its near-dup component at `threshold`
+    * (its own id when it has no near-duplicates). Pairs come from
+    * [[minhashNearDupPairs]] (exactly verified), components from
+    * [[connectedComponents]]; a left join fans the component label
+    * back over the full corpus. This is the end-to-end shape of a
+    * corpus dedup: downstream, `filter(col(idCol) === col("component_id"))`
+    * is the keeper set. */
+  def nearDupComponents(docs: DataFrame, threshold: Double,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comps = connectedComponents(
+      minhashNearDupPairs(docs, threshold, idCol = idCol, textCol = textCol))
+    docs.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component_id"))
+  }
 }

@@ -345,6 +345,38 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q47: near-dup cluster resolution end-to-end — MinHash+LSH
+    // pairs at 0.99 (q21's exactly-verified pair set) → connected
+    // components by hash-min label propagation → per-document
+    // component assignment over the full corpus (docs with no
+    // near-dup keep their own id). The oracle computes true
+    // components with a recursive transitive closure over the same
+    // pair set — fine at gate scale, and exactly what the iterative
+    // distributed algorithm must reproduce.
+    Q("q47_dedup_components", Some("""
+      WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      l AS (SELECT doc_id, len(toks) AS n FROM d),
+      ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+             FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      p AS (SELECT doc_a, doc_b
+            FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
+            WHERE ov / (la.n + lb.n - ov) >= 0.99),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+      comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+               FROM reach GROUP BY src)
+      SELECT dd.doc_id, COALESCE(c.component_id, dd.doc_id) AS component_id
+      FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
+      ORDER BY dd.doc_id""")) { (s, d) =>
+      Dedup.nearDupComponents(Tables.documents(s, d), threshold = 0.99)
+        .orderBy("doc_id")
+    },
+
     // ---- q42: sentence tokenize as a custom Generator (F9,
     // process_all.py:291): punctuation is synthesized into the
     // corpus (a period every five words), then the SentenceSplit

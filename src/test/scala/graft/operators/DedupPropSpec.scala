@@ -132,4 +132,47 @@ class DedupPropSpec extends SparkSuite {
       assert(got === expected, s"simhash diverged on: $docs")
     }
   }
+
+  /** In-test reference: union-find over the pair list. */
+  private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    nodes.map(n => n -> find(n)).toMap
+  }
+
+  test("connectedComponents ≡ union-find on random pair graphs (chains, cliques, singletons)") {
+    import spark.implicits._
+    // Sparse random graphs over a node range produce a mix of long
+    // chains (multi-round propagation), small cliques, and isolated
+    // pairs — the shapes that distinguish one-round from fixpoint.
+    val pairGen = for {
+      n <- Gen.chooseNum(15, 60)
+      m <- Gen.chooseNum(5, 50)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong) suchThat (_ != a)
+      } yield (math.min(a, b), math.max(a, b)))
+    } yield es.distinct
+    for (pairs <- PropSampling.sample(pairGen, n = 6)) {
+      val got = Dedup.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === bruteComponents(pairs), s"components diverged on: $pairs")
+    }
+    // Empty pair list: no nodes, no rows, no NPE.
+    assert(Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).collect().isEmpty)
+    // A 40-node path graph — worst-case diameter for the round bound.
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val chainGot = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot === (0L until 40L).map(_ -> 0L).toMap)
+  }
 }
