@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
-import graft.operators.{Dedup, LangId, SentenceGrouping}
+import graft.operators.{Curation, Dedup, LangId, SentenceGrouping}
 
 /** LLM-data-pipeline text operators over the `documents` table:
   * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
@@ -374,6 +374,79 @@ object TextQueries {
       FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id
       ORDER BY dd.doc_id""")) { (s, d) =>
       Dedup.nearDupComponents(Tables.documents(s, d), threshold = 0.99)
+        .orderBy("doc_id")
+    },
+
+    // ---- q48: benchmark decontamination — flag every corpus doc
+    // sharing a word 3-gram with an "eval set" (every 97th doc, so
+    // the eval docs themselves are contaminated by construction and
+    // organic collisions exercise the interesting path). Both sides
+    // compare 15-hex md5 shingles, so the oracle is bit-identical.
+    Q("q48_decontaminate", Some("""
+      WITH ds AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                  FOR i IN range(1, len(string_split(text,' ')) - 1)],
+                 x -> substr(md5(x), 1, 15))) AS shs
+        FROM documents),
+      e AS (SELECT DISTINCT unnest(shs) AS sh FROM ds WHERE doc_id % 97 = 0),
+      t AS (SELECT doc_id, unnest(shs) AS sh FROM ds),
+      h AS (SELECT t.doc_id, COUNT(*) AS n FROM t JOIN e USING (sh) GROUP BY t.doc_id)
+      SELECT d.doc_id,
+             COALESCE(h.n, 0) AS n_eval_shingles,
+             COALESCE(h.n, 0) > 0 AS contaminated
+      FROM documents d LEFT JOIN h ON h.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.flagContaminated(
+          docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 3)
+        .orderBy("doc_id")
+    },
+
+    // ---- q49: token-budget sequence packing — greedy next-fit into
+    // 512-token sequences across 32 id-modulo shards. The oracle
+    // replays the sequential walk per shard with a recursive CTE
+    // (the q29 pattern); the Spark side is the one-shuffle
+    // repartition + sortWithinPartitions + mapPartitions shape.
+    Q("q49_pack_sequences", Some("""
+      WITH RECURSIVE
+      d AS (SELECT doc_id, doc_id % 32 AS shard,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+            FROM documents),
+      ord AS (SELECT doc_id, shard, w,
+                     CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS BIGINT) AS i
+              FROM d),
+      walk AS (
+        SELECT shard, i, doc_id, CAST(0 AS BIGINT) AS seq, w AS cum, w
+        FROM ord WHERE i = 0
+        UNION ALL
+        SELECT o.shard, o.i, o.doc_id,
+               CASE WHEN wk.cum + o.w > 512 THEN wk.seq + 1 ELSE wk.seq END,
+               CASE WHEN wk.cum + o.w > 512 THEN o.w ELSE wk.cum + o.w END,
+               o.w
+        FROM walk wk JOIN ord o ON o.shard = wk.shard AND o.i = wk.i + 1)
+      SELECT doc_id, shard, seq AS seq_id, w AS n_tokens
+      FROM walk
+      ORDER BY doc_id""")) { (s, d) =>
+      Curation.packSequences(Tables.documents(s, d), maxTokens = 512, shards = 32)
+        .orderBy("doc_id")
+    },
+
+    // ---- q50: deterministic stratified sampling by language —
+    // en 25% / de 50% / fr 100% / es 10% / zh 0% via md5-bucket
+    // thresholds, a pure codegen'd filter the oracle replays
+    // selection-for-selection.
+    Q("q50_sample_stratified", Some("""
+      SELECT doc_id, lang FROM documents
+      WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+            CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+                      WHEN 'fr' THEN 1000000 WHEN 'es' THEN 100000 ELSE 0 END
+      ORDER BY doc_id""")) { (s, d) =>
+      Curation.sampleStratified(
+          Tables.documents(s, d), col("lang"),
+          Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.1))
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
 

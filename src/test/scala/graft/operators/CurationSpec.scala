@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{PropSampling, SparkSuite}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Differential gates for the curation operators: each must agree
+  * with an in-test sequential reference on random corpora, and the
+  * distributed sharding/broadcast structure must never change the
+  * answer. */
+class CurationSpec extends SparkSuite {
+
+  private def corpus(vocab: IndexedSeq[String], nDocs: Int, maxLen: Int): Gen[Seq[(Long, String)]] =
+    Gen.sequence[Seq[String], String](
+      (1 to nDocs).map(_ =>
+        Gen.chooseNum(1, maxLen).flatMap(k =>
+          Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (txt, i) => (i.toLong, txt) })
+
+  test("flagContaminated ≡ brute-force n-gram overlap on random corpora") {
+    import spark.implicits._
+    val vocab = (1 to 8).map(i => s"w$i") // small vocab → real collisions
+    for (docs <- PropSampling.sample(corpus(vocab, nDocs = 30, maxLen = 12), n = 4)) {
+      val evalSet = docs.filter(_._1 % 5 == 0)
+      def grams(t: String): Set[Seq[String]] =
+        t.split(" ").toSeq.sliding(3).filter(_.size == 3).toSet
+      val evalGrams = evalSet.flatMap(d => grams(d._2)).toSet
+      val expected = docs.map { case (id, t) =>
+        val hits = grams(t) & evalGrams
+        (id, hits.size.toLong, hits.nonEmpty)
+      }.toSet
+      val got = Curation.flagContaminated(
+          docs.toDF("doc_id", "text"), evalSet.toDF("doc_id", "text"), n = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(got === expected, s"decontamination diverged on: $docs")
+    }
+  }
+
+  test("packSequences ≡ sequential greedy next-fit; sequences respect the budget") {
+    import spark.implicits._
+    val vocab = (1 to 5).map(i => s"t$i")
+    for (docs <- PropSampling.sample(corpus(vocab, nDocs = 50, maxLen = 9), n = 4)) {
+      val maxTokens = 12L
+      val shards = 4
+      val expected = docs
+        .map { case (id, t) => (id, id % shards, t.split(" ").length.toLong) }
+        .groupBy(_._2).toSeq.flatMap { case (shard, ds) =>
+          var seq = 0L; var cum = 0L; var first = true
+          ds.sortBy(_._1).map { case (id, _, w) =>
+            if (first) { cum = w; first = false }
+            else if (cum + w > maxTokens) { seq += 1; cum = w }
+            else cum += w
+            (id, shard, seq, w)
+          }
+        }.toSet
+      val got = Curation.packSequences(
+          docs.toDF("doc_id", "text"), maxTokens = maxTokens, shards = shards)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected, s"packing diverged on: $docs")
+      // Budget law: every multi-doc sequence fits; oversized docs sit alone.
+      got.groupBy(t => (t._2, t._3)).foreach { case (k, ds) =>
+        val tot = ds.toSeq.map(_._4).sum
+        assert(tot <= maxTokens || ds.size == 1, s"overfull multi-doc sequence $k: $ds")
+      }
+    }
+  }
+
+  test("sampleStratified: deterministic, per-stratum exact selection, missing stratum drops") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(i => (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("doc_id", "lang")
+    val fr = Map("a" -> 0.3, "b" -> 1.0) // c missing → dropped
+    val take1 = Curation.sampleStratified(docs, col("lang"), fr)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val take2 = Curation.sampleStratified(docs, col("lang"), fr)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(take1 === take2, "same salt must reproduce the same sample")
+    assert(take1.count(_._2 == "b") === 133, "fraction 1.0 keeps the whole stratum")
+    assert(take1.forall(_._2 != "c"), "missing stratum must be dropped")
+    val aKept = take1.count(_._2 == "a")
+    // h60 buckets are uniform; 134 candidates at 0.3 → expect ~40.
+    assert(aKept > 20 && aKept < 60, s"stratum-a selection far off its fraction: $aKept")
+    // A different salt draws a different (but equally reproducible) sample.
+    val other = Curation.sampleStratified(docs, col("lang"), fr, salt = "other")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(other !== take1, "different salt should move the sample")
+  }
+}
