@@ -101,4 +101,27 @@ class PlanSpec extends SparkSuite {
     }
     assert(shuffles.isEmpty, "signatures must be a pure narrow projection")
   }
+
+  test("q48 decontamination semi-joins the corpus against a BROADCAST eval side") {
+    // The corpus side must stream: eval shingles arrive by broadcast,
+    // never by shuffling the exploded corpus shingles against a
+    // shuffled eval side.
+    val p = physical("q48_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), "eval shingles not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-side shingles were shuffled for a sort-merge join")
+  }
+
+  test("q50 stratified sampling is a pure scan + filter — zero exchanges") {
+    // Drop the final presentation orderBy (not part of the operator)
+    // and assert the sample itself adds no shuffle of any kind.
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.col
+    val sampled = Curation.sampleStratified(
+      Tables.documents(spark, sfDir), col("lang"),
+      Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.1))
+    val p = sampled.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"sampling introduced a shuffle:\n${p.take(2000)}")
+    assert(p.contains("Filter"), "sampling must be a filter over the scan")
+  }
 }
