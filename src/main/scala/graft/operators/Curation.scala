@@ -6,8 +6,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
 
-import scala.collection.mutable.ArrayBuffer
-
 /** Corpus-curation operators a training-data pipeline runs between
   * "raw corpus" and "training shards": benchmark decontamination,
   * deterministic stratified sampling, and token-budget sequence
@@ -34,11 +32,11 @@ object Curation {
     * strings in the broadcast and the join. */
   def flagContaminated(docs: DataFrame, evalDocs: DataFrame, n: Int = 3,
                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    def shingles(df: DataFrame): Column =
+    val shingles: Column =
       explode(array_distinct(
         GraftFunctions.shingle_hex_tokens(TextFunctions.tokens(col(textCol)), n)))
-    val evalShingles = evalDocs.select(shingles(evalDocs).as("sh")).distinct()
-    val hits = docs.select(col(idCol), shingles(docs).as("sh"))
+    val evalShingles = evalDocs.select(shingles.as("sh")).distinct()
+    val hits = docs.select(col(idCol), shingles.as("sh"))
       .join(broadcast(evalShingles), "sh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_eval_shingles"))

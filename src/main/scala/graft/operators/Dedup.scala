@@ -524,19 +524,23 @@ object Dedup {
     *  - The per-round work is entirely distributed; the driver sees
     *    one count per round ("how many labels moved"), never a
     *    collect of data.
-    *  - Each round's result has its lineage CUT (reliable
-    *    `checkpoint` when the session has a checkpoint dir
-    *    configured, `localCheckpoint` otherwise). Without the cut
-    *    the round plan references the previous labels four times
-    *    (neighbour join + union, then both sides of the jump
-    *    self-join), so the logical plan TREE grows 4^rounds — plan
-    *    stringification alone OOMs the driver around round ten.
-    *    The local-checkpoint fallback trades executor-loss recovery
-    *    for bounded plans, the same trade GraphX makes; clusters
-    *    wanting fault tolerance set a checkpoint dir and get the
-    *    reliable path automatically. Checkpoint blocks are released
-    *    by the ContextCleaner once each round's frame is
-    *    unreferenced.
+    *  - Each round's result has its lineage CUT with an eager
+    *    `localCheckpoint`. Without the cut the round plan references
+    *    the previous labels four times (neighbour join, then both
+    *    sides of the jump self-join and the fixpoint probe), so the
+    *    logical plan TREE grows 4^rounds — plan stringification
+    *    alone OOMs the driver around round ten. Local (not
+    *    reliable) checkpoints deliberately: Spark never auto-cleans
+    *    reliable checkpoint files
+    *    (`spark.cleaner.referenceTracking.cleanCheckpoints` defaults
+    *    to false), so a reliable-checkpoint round would leak two
+    *    materialized label sets per round on the checkpoint volume
+    *    for the application's lifetime. The trade is executor-loss
+    *    recovery: losing an executor mid-algorithm fails the query
+    *    loudly and the caller retries — the same trade GraphX's
+    *    default makes, and strictly better than a silent disk leak.
+    *    Local-checkpoint blocks ARE released by the ContextCleaner
+    *    once each round's frame is unreferenced.
     *
     * Non-convergence within `maxIterations` throws — an exact gate
     * downstream must never silently compare a half-propagated
@@ -545,11 +549,10 @@ object Dedup {
                           aCol: String = "doc_a", bCol: String = "doc_b",
                           maxIterations: Int = 50): DataFrame = {
     import org.apache.spark.storage.StorageLevel
-    val spark = pairs.sparkSession
     // Lineage cut: eager materialization + a flat LogicalRDD plan.
-    def cut(df: DataFrame): DataFrame =
-      if (spark.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-      else df.localCheckpoint(eager = true)
+    // Always local — see the scaladoc for why reliable checkpoints
+    // are a disk leak here.
+    def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
     // Materialize the pair list ONCE before anything else: edges,
     // nodes, and the initial labels all branch off it, and without
     // the cut each branch would re-execute the caller's (typically
