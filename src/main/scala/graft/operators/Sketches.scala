@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions
+
+/** Deterministic sketches for corpus-scale statistics.
+  *
+  * The count-min sketch's scale property is the AGGREGATION STATE
+  * bound: a plain `groupBy(term).count()` holds one partial-agg
+  * entry per distinct term per task (unbounded on a web-scale token
+  * stream — hash-agg spill territory), while the sketch aggregates
+  * into exactly `depth x width` cells no matter how many distinct
+  * terms flow through — the map-side combine is bounded by
+  * construction, and the merged table is small enough to BROADCAST
+  * to whoever probes it. Estimates are biased up only
+  * (`est >= true`, the classic CM guarantee); hashes are md5-derived
+  * ([[HashFunctions.h60]]), so the whole structure is deterministic
+  * and oracle-replayable — no RNG seeds, no run-to-run drift. */
+object Sketches {
+
+  private def bucketOf(termCol: Column, d: Int, width: Int): Column =
+    pmod(HashFunctions.h60(concat(lit(s"cms$d:"), termCol)), lit(width.toLong))
+
+  /** Build a depth x width count-min sketch over one term per input
+    * row: returns `(d, bucket, cnt)` rows — at most depth*width of
+    * them. One narrow generate + one bounded-state aggregate. */
+  def countMinSketch(terms: DataFrame, termCol: String,
+                     depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    val rows = (0 until depth).map { d =>
+      struct(lit(d).as("d"), bucketOf(col(termCol), d, width).as("bucket"))
+    }
+    terms
+      .select(explode(array(rows: _*)).as("db"))
+      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for `probes` (one term per row) against a
+    * sketch built with the SAME depth/width: `min` over the term's
+    * `depth` cells, absent cells reading 0. The sketch side is
+    * depth*width rows, so it broadcasts; the probe side never
+    * shuffles more than (probes x depth) rows. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String,
+                  depth: Int = 4, width: Int = 512): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    val rows = (0 until depth).map { d =>
+      struct(lit(d).as("d"), bucketOf(col(termCol), d, width).as("bucket"))
+    }
+    probes
+      .select(col(termCol), explode(array(rows: _*)).as("db"))
+      .select(col(termCol), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .join(broadcast(sketch), Seq("d", "bucket"), "left")
+      .groupBy(col(termCol))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+}

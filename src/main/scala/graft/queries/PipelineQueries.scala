@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.Wer
+import graft.operators.{Temporal, Wer}
 
 /** Reference-pipeline operators over the driver's tables: the
   * Python-literal column family (F12–F14, A4), the corpus-WER QC
@@ -240,5 +240,44 @@ object PipelineQueries {
           sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"),
           sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"))
         .orderBy("hour_bucket", "event_type")
+    },
+
+    // ---- q51: backward as-of join — every non-purchase event picks
+    // up the latest purchase by the same user at or before its
+    // timestamp (feature-store / SCD lookup shape). The Spark side
+    // is the union + carry-forward window (one shuffle, partitioned
+    // window, each purchase row touched once); the oracle is
+    // DuckDB's NATIVE ASOF LEFT JOIN — an independent
+    // implementation, so the gate checks semantics, not a mirrored
+    // formulation. Purchases are pre-deduped to one row per
+    // (user, ts) with max-event-id in both engines because as-of
+    // tie-breaking among same-instant snapshots is undefined. Times
+    // compare at MICROsecond resolution on both sides: DuckDB reads
+    // the parquet TIMESTAMP(NANOS) at micro precision, so the query
+    // declares micro semantics rather than letting the engines
+    // disagree below it.
+    Q("q51_asof_join", Some("""
+      WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS ts
+                 FROM events WHERE event_type <> 'purchase'),
+      r0 AS (SELECT user_id, epoch_us(ts) AS ts, event_id, value
+             FROM events WHERE event_type = 'purchase'),
+      r AS (SELECT user_id, ts, MAX(event_id) AS purchase_id,
+                   max_by(value, event_id) AS purchase_value
+            FROM r0 GROUP BY 1, 2)
+      SELECT l.event_id, l.user_id, l.ts, r.purchase_id, r.purchase_value
+      FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("ts", expr("ts div 1000")) // nanos -> micros
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(struct(col("event_id"), col("value"))).as("m"))
+        .select(col("user_id"), col("ts"),
+          col("m.event_id").as("purchase_id"), col("m.value").as("purchase_value"))
+      Temporal.asofJoinBackward(left, right, "user_id", "ts",
+          payloadCols = Seq("purchase_id", "purchase_value"), prefix = "")
+        .orderBy("event_id")
     })
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
-import graft.operators.{Curation, Dedup, LangId, SentenceGrouping}
+import graft.operators.{Curation, Dedup, LangId, SentenceGrouping, Sketches}
 
 /** LLM-data-pipeline text operators over the `documents` table:
   * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
@@ -448,6 +448,33 @@ object TextQueries {
           Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.1))
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
+    },
+
+    // ---- q52: count-min sketch term estimates — the bounded-state
+    // aggregation (4x512 cells regardless of vocabulary size) probed
+    // for the stopword vocabulary. Deterministic md5 cell hashing on
+    // both sides, so the estimates — overcounts included — match the
+    // oracle cell-for-cell.
+    Q("q52_cms_estimates", Some(s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+      cells AS (SELECT d, ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 512 AS bucket,
+                       COUNT(*) AS cnt
+                FROM tok CROSS JOIN generate_series(0, 3) g(d)
+                GROUP BY 1, 2),
+      p AS (SELECT unnest(${TextQueries.stopwordSqlList}) AS term),
+      pb AS (SELECT term, d, ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 512 AS bucket
+             FROM p CROSS JOIN generate_series(0, 3) g(d))
+      SELECT term, MIN(COALESCE(cells.cnt, 0)) AS est
+      FROM pb LEFT JOIN cells USING (d, bucket)
+      GROUP BY term
+      ORDER BY term""")) { (s, d) =>
+      import s.implicits._
+      val terms = Tables.documents(s, d)
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      val sketch = Sketches.countMinSketch(terms, "term", depth = 4, width = 512)
+      val probes = TextFunctions.Stopwords.toDF("term")
+      Sketches.cmsEstimate(sketch, probes, "term", depth = 4, width = 512)
+        .orderBy("term")
     },
 
     // ---- q42: sentence tokenize as a custom Generator (F9,

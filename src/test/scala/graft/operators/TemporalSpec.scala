@@ -1,0 +1,49 @@
+package graft.operators
+
+import graft.{PropSampling, SparkSuite}
+import org.scalacheck.Gen
+
+/** Differential gate for the as-of join: the union + carry-forward
+  * window must agree with a per-row brute-force "latest right at or
+  * before" scan on random data — including same-instant matches,
+  * (key, time) ties on the right, and left rows with no match. */
+class TemporalSpec extends SparkSuite {
+
+  test("asofJoinBackward ≡ brute force on random event streams") {
+    import spark.implicits._
+    // Small key/time ranges force collisions: same-instant matches
+    // and right-side ties are the interesting paths.
+    val gen = for {
+      nl <- Gen.chooseNum(10, 40)
+      nr <- Gen.chooseNum(0, 25)
+      ls <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 30L)
+      } yield (k, t))
+      rs <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 30L); v <- Gen.chooseNum(0, 999)
+      } yield (k, t, v.toDouble))
+    } yield (ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             rs.zipWithIndex.map { case ((k, t, v), i) => (i.toLong + 1000L, k, t, v) })
+    for ((ls, rs) <- PropSampling.sample(gen, n = 6)) {
+      val left = ls.toDF("event_id", "k", "t")
+      // Pre-dedupe right per (k, t) by max id — the operator's
+      // documented contract for same-instant snapshots.
+      val rsDeduped = rs.groupBy(r => (r._2, r._3)).map(_._2.maxBy(_._1)).toSeq
+      val right = rsDeduped.toDF("rid", "k", "t", "v")
+      val got = Temporal.asofJoinBackward(left, right, "k", "t",
+          payloadCols = Seq("rid", "v"), prefix = "asof_")
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4)))))
+        .toSet
+      val expected = ls.map { case (id, k, t) =>
+        val cand = rsDeduped.filter(r => r._2 == k && r._3 <= t)
+        (id, if (cand.isEmpty) None else {
+          val best = cand.maxBy(r => (r._3, r._1))
+          Some((best._1, best._4))
+        })
+      }.toSet
+      assert(got === expected, s"asof diverged on left=$ls right=$rsDeduped")
+    }
+  }
+}
