@@ -279,5 +279,33 @@ object PipelineQueries {
       Temporal.asofJoinBackward(left, right, "user_id", "ts",
           payloadCols = Seq("purchase_id", "purchase_value"), prefix = "")
         .orderBy("event_id")
+    },
+
+    // ---- q53: point-in-interval (range) join — every click inside
+    // any purchase's two-hour attribution window. A raw range join
+    // only plans as nested-loop/cartesian; the operator bucketizes
+    // (2h buckets = each window explodes into at most 2 copies) so
+    // the plan is a hash EQUI-join on the bucket id + exact
+    // refinement — PlanSpec pins the absence of nested-loop shapes.
+    // The oracle runs the raw non-equi join, fine at gate scale.
+    Q("q53_interval_join", Some("""
+      WITH p AS (SELECT event_id, epoch_us(ts) AS t
+                 FROM events WHERE event_type = 'click'),
+      iv AS (SELECT event_id AS purchase_id, epoch_us(ts) AS s,
+                    epoch_us(ts) + 7200000000 AS e
+             FROM events WHERE event_type = 'purchase')
+      SELECT p.event_id, iv.purchase_id
+      FROM p JOIN iv ON iv.s <= p.t AND p.t < iv.e
+      ORDER BY event_id, purchase_id""")) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("t", expr("ts div 1000"))
+      val points = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("t"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("t").as("s"),
+          (col("t") + lit(7200000000L)).as("e"))
+      Temporal.intervalJoin(points, windows, "t", "s", "e",
+          bucketWidth = 7200000000L)
+        .select(col("event_id"), col("purchase_id"))
+        .orderBy("event_id", "purchase_id")
     })
 }

@@ -112,6 +112,14 @@ class PlanSpec extends SparkSuite {
       "corpus-side shingles were shuffled for a sort-merge join")
   }
 
+  test("q53 range join is a bucketized equi-join, never a nested loop") {
+    // The whole point of the bucketization: Catalyst's only plans
+    // for a raw `s <= t AND t < e` join are nested-loop/cartesian.
+    val p = physical("q53_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join fell back to nested loop")
+    assert(!p.contains("CartesianProduct"), "range join planned as cartesian")
+  }
+
   test("q50 stratified sampling is a pure scan + filter — zero exchanges") {
     // Drop the final presentation orderBy (not part of the operator)
     // and assert the sample itself adds no shuffle of any kind.

@@ -46,4 +46,33 @@ class TemporalSpec extends SparkSuite {
       assert(got === expected, s"asof diverged on left=$ls right=$rsDeduped")
     }
   }
+
+  test("intervalJoin ≡ brute force: boundaries, degenerate and multi-bucket intervals, negative times") {
+    import spark.implicits._
+    val gen = for {
+      np <- Gen.chooseNum(10, 50)
+      ni <- Gen.chooseNum(0, 20)
+      ps <- Gen.listOfN(np, Gen.chooseNum(-40L, 40L))
+      is <- Gen.listOfN(ni, for {
+        s <- Gen.chooseNum(-40L, 40L)
+        // len 0 = degenerate (end == start, matches nothing);
+        // len up to 25 spans many width-4 buckets.
+        len <- Gen.chooseNum(0L, 25L)
+      } yield (s, s + len))
+    } yield (ps.zipWithIndex.map { case (t, i) => (i.toLong, t) },
+             is.zipWithIndex.map { case ((s, e), i) => (i.toLong + 100L, s, e) })
+    for ((ps, is) <- PropSampling.sample(gen, n = 6)) {
+      val expected = (for {
+        (pid, t) <- ps
+        (iid, s, e) <- is
+        if s <= t && t < e
+      } yield (pid, iid)).toSet
+      val got = Temporal.intervalJoin(
+          ps.toDF("pid", "t"), is.toDF("iid", "s", "e"),
+          "t", "s", "e", bucketWidth = 4L)
+        .select("pid", "iid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"interval join diverged on points=$ps intervals=$is")
+    }
+  }
 }
