@@ -75,4 +75,34 @@ class TemporalSpec extends SparkSuite {
       assert(got === expected, s"interval join diverged on points=$ps intervals=$is")
     }
   }
+
+  test("asof: null keys never match; same-instant ties resolve by tieCols deterministically") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Some(7L), 10L),
+      (2L, None: Option[Long], 10L)) // null key: must stay unmatched
+      .toDF("event_id", "k", "t")
+    val right = Seq(
+      (101L, Some(7L), 10L, 1.0), // same instant, tie on (k, t):
+      (102L, Some(7L), 10L, 2.0), // max rid wins per the tie order
+      (103L, None: Option[Long], 5L, 9.0)) // null-key snapshot: ignored
+      .toDF("rid", "k", "t", "v")
+    val got = Temporal.asofJoinBackward(left, right, "k", "t",
+        payloadCols = Seq("rid", "v"), tieCols = Seq("rid"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    assert(got(1L) === Some(102L), "tie must resolve to the max tie-column row")
+    assert(got(2L) === None, "null-key left row must not match null-key right rows")
+  }
+
+  test("inverted interval bounds are dropped, not exploded downward") {
+    import spark.implicits._
+    val points = Seq((1L, 5L)).toDF("pid", "t")
+    // end far below start: without the guard this explodes into
+    // millions of descending bucket copies.
+    val broken = Seq((100L, 20_000_000L, 0L)).toDF("iid", "s", "e")
+    val got = Temporal.intervalJoin(points, broken, "t", "s", "e", bucketWidth = 4L)
+    assert(got.collect().isEmpty)
+  }
 }
