@@ -452,17 +452,19 @@ object TextQueries {
 
     // ---- q52: count-min sketch term estimates — the bounded-state
     // aggregation (4x512 cells regardless of vocabulary size) probed
-    // for the stopword vocabulary. Deterministic md5 cell hashing on
-    // both sides, so the estimates — overcounts included — match the
-    // oracle cell-for-cell.
+    // for the stopword vocabulary. All four cell hashes are 32-bit
+    // slices of ONE md5 per term (the digest is the scan's hot
+    // loop; subexpression elimination computes it once), so the
+    // estimates — overcounts included — match the oracle
+    // cell-for-cell.
     Q("q52_cms_estimates", Some(s"""
       WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
-      cells AS (SELECT d, ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 512 AS bucket,
+      cells AS (SELECT d, ('0x' || substr(md5(term), 1 + 8 * d, 8))::BIGINT % 512 AS bucket,
                        COUNT(*) AS cnt
                 FROM tok CROSS JOIN generate_series(0, 3) g(d)
                 GROUP BY 1, 2),
       p AS (SELECT unnest(${TextQueries.stopwordSqlList}) AS term),
-      pb AS (SELECT term, d, ('0x' || substr(md5('cms' || CAST(d AS VARCHAR) || ':' || term), 1, 15))::BIGINT % 512 AS bucket
+      pb AS (SELECT term, d, ('0x' || substr(md5(term), 1 + 8 * d, 8))::BIGINT % 512 AS bucket
              FROM p CROSS JOIN generate_series(0, 3) g(d))
       SELECT term, MIN(COALESCE(cells.cnt, 0)) AS est
       FROM pb LEFT JOIN cells USING (d, bucket)
