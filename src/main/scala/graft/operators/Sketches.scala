@@ -65,4 +65,72 @@ object Sketches {
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
+
+  /** Exponent scale of the harmonic sum for precision `p`: rho is at
+    * most `lowBits + 1`, so `2^(scaleExp - rho)` is a nonnegative
+    * integer power of two for every register. */
+  private def hllScaleExp(p: Int): Int = 60 - p + 1
+
+  /** Bias-correction constant (Flajolet et al. 2007, fig. 3). */
+  def hllAlpha(p: Int): Double = (1 << p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case m  => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** HyperLogLog distinct-count sketch per group: `m = 2^p`
+    * registers from one md5 per value — the top `p` bits of the
+    * 60-bit digest slice pick the register, the leading-zero count
+    * of the remaining `60-p` bits (+1) is the rank, and each
+    * register keeps the max rank. Returns per group:
+    *  - `n_regs`: registers touched (`m - n_regs` are empty),
+    *  - `s_scaled`: the harmonic sum `sum_j 2^(-M_j)` scaled by
+    *    `2^(61-p)` — an exact BIGINT, so the aggregation is
+    *    integer arithmetic end-to-end and independent of both
+    *    summation order and engine float behavior,
+    *  - `nd_estimate`: the raw HLL estimate `alpha_m * m^2 / sum`,
+    *    derived from `s_scaled` with one cast, one division by an
+    *    exact power of two, and one multiply — every step IEEE
+    *    correctly-rounded, hence bit-identical on any engine that
+    *    evaluates the same expression shape (the DuckDB oracle
+    *    does; q56 hash-gates it).
+    *
+    * Like the count-min sketch above, the scale property is the
+    * STATE bound: `count(DISTINCT key)` holds every distinct key in
+    * the partial aggregate; this holds at most `m` registers per
+    * group no matter the cardinality. The raw estimate is the
+    * uncorrected formula — the standard small-range (linear
+    * counting, needs `ln`) and large-range corrections are the
+    * caller's policy; `n_regs` carries the empty-register count
+    * they need. */
+  def hyperloglog(df: DataFrame, termCol: String, groupCols: Seq[String],
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val m = 1 << p
+    val low = 60 - p
+    val scaleExp = hllScaleExp(p)
+    val gcols = groupCols.map(col)
+    val h = conv(substring(md5(col(termCol).cast("string")), 1, 15), 16, 10)
+      .cast("long")
+    val lowBits = h.bitwiseAND(lit((1L << low) - 1))
+    // bin() strips leading zeros, so length(bin(x)) = floor(log2 x)+1
+    // and the leading-zero count of the low field is low-length —
+    // integer-exact rank with no log() on either engine.
+    val rho = when(lowBits === 0, lit(low + 1))
+      .otherwise(lit(low + 1) - length(bin(lowBits)))
+    df.select(gcols :+ shiftright(h, low).as("__reg") :+ rho.as("__rho"): _*)
+      .groupBy(gcols :+ col("__reg"): _*)
+      .agg(max(col("__rho")).as("__maxrho"))
+      .groupBy(gcols: _*)
+      .agg(
+        count(lit(1)).as("n_regs"),
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleExp - __maxrho)")).as("__s"))
+      .withColumn("s_scaled",
+        col("__s") + (lit(m.toLong) - col("n_regs")) * lit(1L << scaleExp))
+      .withColumn("nd_estimate",
+        lit(hllAlpha(p) * m * m) /
+          (col("s_scaled").cast("double") / lit((1L << scaleExp).toDouble)))
+      .drop("__s")
+  }
 }

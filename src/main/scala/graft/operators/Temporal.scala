@@ -72,6 +72,39 @@ object Temporal {
     matched.select(out: _*)
   }
 
+  /** Gap-based batch sessionization: assigns every row a per-key
+    * 1-based `session_idx`, where a new session starts whenever the
+    * time since the key's previous row exceeds `gap` (same units as
+    * `timeCol` — epoch micros, nanos, any total-ordered numeric).
+    * The batch twin of `EventStreams.sessionize`: the streaming op
+    * bounds state with watermarks; this one is a single shuffle on
+    * the key plus two partitioned window passes (lag, running sum)
+    * — never a global window, so it scales with the key count, not
+    * the corpus.
+    *
+    * Same-instant rows: the session-open flag lands on an arbitrary
+    * peer, but the running sum uses a RANGE frame (peers included),
+    * so every tied row sees the same cumulative value — the
+    * assignment is deterministic even though the tie order isn't.
+    * Null times sort first within their key (a session of their
+    * own); null keys group together, matching SQL window semantics
+    * on both engines. */
+  def sessionize(df: DataFrame, keyCol: String, timeCol: String,
+                 gap: Long, sessionCol: String = "session_idx"): DataFrame = {
+    require(gap > 0, "gap must be positive")
+    val byTime = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+    // First row of a key: lag is null, the comparison is null, the
+    // otherwise-branch opens session 1 — no special case needed.
+    val opens = when(
+      col(timeCol) - lag(col(timeCol), 1).over(byTime) <= lit(gap), lit(0L))
+      .otherwise(lit(1L))
+    df.withColumn("__open", opens)
+      .withColumn(sessionCol,
+        sum(col("__open")).over(
+          byTime.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__open")
+  }
+
   /** Point-in-interval (range) join: every (point, interval) pair
     * with `startCol <= point < endCol` — intervals half-open, the
     * convention that keeps adjacent intervals non-overlapping.

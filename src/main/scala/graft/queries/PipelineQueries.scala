@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Temporal, Wer}
+import graft.operators.{Sketches, Temporal, Wer}
 
 /** Reference-pipeline operators over the driver's tables: the
   * Python-literal column family (F12–F14, A4), the corpus-WER QC
@@ -307,5 +307,89 @@ object PipelineQueries {
           bucketWidth = 7200000000L)
         .select(col("event_id"), col("purchase_id"))
         .orderBy("event_id", "purchase_id")
+    },
+
+    // ---- q54: gap-based batch sessionization — per-user sessions
+    // cut at >8h of inactivity (the events stream has a ~7.3h median
+    // inter-event gap, so the cut is doing real work), aggregated to
+    // one row per session. The batch twin of the streaming
+    // sessionize; one shuffle on user_id, partitioned windows only.
+    // Same-instant ties are handled with a RANGE cumulative frame on
+    // both engines (see Temporal.sessionize); sums follow the house
+    // decimal-exact pattern.
+    Q("q54_sessionize", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, value FROM events),
+      m AS (SELECT user_id, t, value,
+              CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                        <= 28800000000 THEN 0 ELSE 1 END AS is_new
+            FROM e),
+      s AS (SELECT user_id, t, value,
+              SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM m)
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             MIN(t) AS session_start, MAX(t) AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY 1, 2
+      ORDER BY user_id, session_idx""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("value"))
+      Temporal.sessionize(ev, "user_id", "t", gap = 28800000000L)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(
+          min(col("t")).as("session_start"),
+          max(col("t")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(28,2)")).cast("double").as("sum_value"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // ---- q56: HyperLogLog distinct users per event type, next to
+    // the exact count it approximates. The register build is pure
+    // integer arithmetic (md5 slice, bin()-length rank, power-of-two
+    // scaled harmonic sum), so the oracle replays it exactly; the
+    // one float — the raw alpha*m^2/sum estimate — is derived from
+    // the exact integer sum through IEEE correctly-rounded ops only,
+    // written in the same shape on both engines (constants are
+    // round-trip double literals). See Sketches.hyperloglog for why
+    // count(DISTINCT) is the wrong state shape at corpus scale.
+    Q("q56_hll_distinct", Some {
+      val p = 6
+      val m = 1 << p
+      val low = 60 - p
+      val scaleExp = 60 - p + 1
+      val cNum = Sketches.hllAlpha(p) * m * m // round-trip literal
+      val cDen = (1L << scaleExp).toDouble
+      s"""
+      WITH h AS (SELECT event_type,
+                        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                 FROM events),
+      r AS (SELECT event_type, h >> $low AS reg,
+              CASE WHEN (h & ((1::BIGINT << $low) - 1)) = 0 THEN ${low + 1}
+                   ELSE ${low + 1} - length(bin(h & ((1::BIGINT << $low) - 1)))
+              END AS rho
+            FROM h),
+      mx AS (SELECT event_type, reg, MAX(rho) AS maxrho FROM r GROUP BY 1, 2),
+      s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_regs,
+              CAST(SUM(1::BIGINT << ($scaleExp - maxrho)) AS BIGINT)
+                + ($m - COUNT(*)) * (1::BIGINT << $scaleExp) AS s_scaled
+            FROM mx GROUP BY 1),
+      ex AS (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nd_exact
+             FROM events GROUP BY 1)
+      SELECT s.event_type, s.n_regs, s.s_scaled,
+             $cNum / (CAST(s.s_scaled AS DOUBLE) / $cDen) AS nd_estimate,
+             ex.nd_exact
+      FROM s JOIN ex ON s.event_type = ex.event_type
+      ORDER BY s.event_type"""
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val hll = Sketches.hyperloglog(ev, "user_id", Seq("event_type"), p = 6)
+      val exact = ev.groupBy(col("event_type"))
+        .agg(count_distinct(col("user_id")).as("nd_exact"))
+      hll.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_regs"), col("s_scaled"),
+          col("nd_estimate"), col("nd_exact"))
+        .orderBy("event_type")
     })
 }

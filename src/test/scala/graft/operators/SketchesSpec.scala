@@ -38,6 +38,43 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("HLL ignores duplicates and partitioning; registers stay bounded") {
+    import spark.implicits._
+    val base = (1 to 400).map(i => s"user$i")
+    val once = base.toDF("u").withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    // Same distinct set, tripled multiplicity, different partitioning:
+    // a distinct-count sketch must not move by one bit.
+    val tripled = (base ++ base ++ base).toDF("u")
+      .repartition(7)
+      .withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sketches.hyperloglog(df, "u", Seq("g"), p = 6).collect().map(r =>
+        (r.getAs[Long]("n_regs"), r.getAs[Long]("s_scaled"),
+         r.getAs[Double]("nd_estimate"))).toSeq
+    val a = run(once)
+    val b = run(tripled)
+    assert(a === b, "HLL must be duplicate- and partitioning-insensitive")
+    val (nRegs, sScaled, est) = a.head
+    assert(nRegs <= 64, "more registers than m")
+    assert(sScaled <= 64L * (1L << 55), "harmonic sum above the all-empty bound")
+    // md5 hashing is fixed, so the estimate for this exact input is a
+    // constant — pin the accuracy it happens to achieve (raw HLL
+    // sigma at m=64 is ~13%).
+    assert(math.abs(est - 400.0) / 400.0 < 0.25,
+      s"raw estimate $est too far from 400")
+  }
+
+  test("HLL empty-register accounting: one value touches one register") {
+    import spark.implicits._
+    val df = Seq("solo").toDF("u").withColumn("g", org.apache.spark.sql.functions.lit("x"))
+    val r = Sketches.hyperloglog(df, "u", Seq("g"), p = 6).collect().head
+    assert(r.getAs[Long]("n_regs") === 1L)
+    // 63 empty registers contribute 2^55 each; the one occupied
+    // register contributes 2^(55 - rho) for some rho in [1, 55].
+    val s = r.getAs[Long]("s_scaled")
+    assert(s > 63L * (1L << 55) && s < 64L * (1L << 55), s"s_scaled $s out of range")
+  }
+
   test("unseen probes estimate zero on empty buckets") {
     import spark.implicits._
     val sketch = Sketches.countMinSketch(Seq("a", "a", "b").toDF("term"), "term", 4, 4096)

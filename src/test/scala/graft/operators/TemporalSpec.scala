@@ -96,6 +96,35 @@ class TemporalSpec extends SparkSuite {
     assert(got(2L) === None, "null-key left row must not match null-key right rows")
   }
 
+  test("sessionize ≡ brute-force gap walk on random event streams") {
+    import spark.implicits._
+    // Tight time range forces same-instant ties; the RANGE cumulative
+    // frame must give every tied row the same session regardless of
+    // physical order.
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 50L)
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Temporal.sessionize(
+          rows.toDF("id", "k", "t").repartition(5), "k", "t", gap = 7L)
+        .collect().map(r => (r.getLong(0), r.getAs[Long]("session_idx"))).toMap
+      val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val byTime = g.sortBy(_._3)
+        var idx = 0L
+        var prev = Long.MinValue
+        byTime.map { case (id, _, t) =>
+          if (prev == Long.MinValue || t - prev > 7L) idx += 1
+          prev = t
+          id -> idx
+        }
+      }
+      assert(got === expected, s"sessionize diverged on $rows")
+    }
+  }
+
   test("inverted interval bounds are dropped, not exploded downward") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "t")
