@@ -98,6 +98,41 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** LSH-bucketed near-duplicate pairs — the corpus-scale path for
+    * which [[nearDupPairs]] is the quadratic ground truth: vectors
+    * that share at least one hyperplane bucket in any of `nTables`
+    * tables become candidate pairs, and only candidates pay the
+    * exact cosine refinement. A true near-dup pair is missed only if
+    * it splits in EVERY table (at near-dup similarities the
+    * per-table collision rate is ~0.89 for 6 planes, so 16 tables
+    * push the miss rate below 1e-15).
+    *
+    * Shuffle shape: the bucket self-join moves only (bucket, id)
+    * pairs — never the vectors — and the refinement joins vectors
+    * back by id, so the wide rows ride exactly two narrow equi-joins
+    * instead of an nTables-times-exploded shuffle. Deterministic
+    * end to end (md5-derived hyperplanes), so an oracle can replay
+    * bucket membership exactly — q57 hash-gates it. */
+  def nearDupPairsLsh(embeddings: DataFrame, threshold: Double,
+                      dim: Int, nPlanes: Int = 6, nTables: Int = 16,
+                      idCol: String = "vec_id"): DataFrame = {
+    val prep = prepared(embeddings, idCol)
+    val buck = prep.select(col(idCol),
+      explode(hyperplaneBuckets(col("vec"), dim, nPlanes, nTables)).as("tb"))
+    // A pair colliding in several tables must surface once: distinct
+    // on the id pair before any vector is fetched.
+    val cand = buck.select(col("tb"), col(idCol).as("vec_a"))
+      .join(buck.select(col("tb"), col(idCol).as("vec_b")), Seq("tb"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    val a = prep.select(col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    val b = prep.select(col(idCol).as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+    cand.join(a, "vec_a").join(b, "vec_b")
+      .withColumn("sim_raw", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** IVF-style ANN: corpus is assigned to the nearest of `nCentroids`
     * deterministic seed centroids (hash-selected corpus vectors);
     * queries probe their `nProbe` closest centroids. Classic

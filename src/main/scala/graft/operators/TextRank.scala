@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword search and BM25 relevance ranking over a tokenized text
+  * column — the retrieval tier of a training-data pipeline (query a
+  * corpus for topical documents, score crawl pages against a
+  * seed-term profile).
+  *
+  * Scale design: per-document term statistics are pure scan
+  * projections over the token array (`size(filter(...))` — codegen,
+  * no explode, no shuffle), corpus-level statistics reduce to ONE
+  * row that rides a broadcast cross join back onto the scan, and
+  * top-k is `orderBy().limit(k)` — per-partition partial limits, so
+  * the only data movement is k rows per partition into the final
+  * cut. Nothing in either path shuffles the corpus.
+  *
+  * Tokenization is the house convention (space-split, matching
+  * `TextFunctions.tokens` and every text-family oracle). */
+object TextRank {
+
+  private def toks(textCol: Column): Column = split(textCol, " ")
+
+  /** Per-term term frequency as a pure array expression. */
+  private def tf(textCol: Column, term: String): Column =
+    size(filter(toks(textCol), x => x === lit(term)))
+
+  /** Multi-term keyword search: every document matching at least one
+    * query term, ranked by (distinct terms matched, total term
+    * frequency, id) — integer-exact relevance, so the ranking is
+    * reproducible on any engine. Returns the top `k` with per-doc
+    * stats: `n_matched`, `tf_total`, `dl` (token count).
+    *
+    * Conjunctive (AND) search is the `n_matched === terms.size`
+    * filter of the same frame; the ranking already floats full
+    * matches to the top. */
+  def keywordSearch(docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "keywordSearch needs at least one term")
+    require(terms.toSet.size == terms.size, "duplicate query terms")
+    val tfCols = terms.map(t => tf(col(textCol), t))
+    val nMatched = tfCols.map(c => when(c > 0, 1).otherwise(0))
+      .reduce(_ + _).cast("long")
+    val tfTotal = tfCols.reduce(_ + _).cast("long")
+    docs.select(
+        col(idCol),
+        nMatched.as("n_matched"),
+        tfTotal.as("tf_total"),
+        size(toks(col(textCol))).cast("long").as("dl"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("n_matched").desc, col("tf_total").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Okapi BM25 top-k: score(d) = sum over query terms of
+    * idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
+    * idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene
+    * non-negative form). Corpus statistics (N, avgdl, per-term df)
+    * aggregate to a single row broadcast back onto the scan; the
+    * scoring pass is projection-only.
+    *
+    * Scores are IEEE doubles through `ln` — deterministic for a
+    * fixed engine but not bit-portable across engines, so this op is
+    * spec-gated (TextRankSpec pins scores against an independent
+    * in-test computation); the cross-engine gate query (q55) rides
+    * the integer-exact [[keywordSearch]] ranking instead. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25TopK needs at least one term")
+    require(terms.toSet.size == terms.size, "duplicate query terms")
+    val withTf = docs.select(
+      col(idCol) +: size(toks(col(textCol))).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) => tf(col(textCol), t).as(s"__tf$i") }: _*)
+    val statCols =
+      count(lit(1)).cast("double").as("N") ::
+        avg(col("dl")).as("avgdl") ::
+        terms.indices.map(i =>
+          sum(when(col(s"__tf$i") > 0, 1.0).otherwise(0.0)).as(s"__df$i")).toList
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val scored = withTf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      val tfc = col(s"__tf$i").cast("double")
+      val idf = log((col("N") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)) + lit(1.0))
+      idf * tfc * lit(k1 + 1.0) /
+        (tfc + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    scored
+      .select(col(idCol), score.as("score"), col("dl").cast("long").as("dl"))
+      .filter(col("score") > 0.0)
+      .orderBy(col("score").desc, col(idCol).asc)
+      .limit(k)
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
-import graft.operators.{Curation, Dedup, LangId, SentenceGrouping, Sketches}
+import graft.operators.{Curation, Dedup, LangId, SentenceGrouping, Sketches, TextRank}
 
 /** LLM-data-pipeline text operators over the `documents` table:
   * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
@@ -504,6 +504,36 @@ object TextQueries {
         .select(col("doc_id"), GraftFunctions.sentence_split(punctuated))
         .withColumn("pos", col("pos").cast("long"))
         .orderBy("doc_id", "pos")
+    },
+
+    // ---- q55: keyword search — top 20 documents for a three-term
+    // query, ranked by (distinct terms matched, total tf, doc_id).
+    // 'dup' is the corpus's one rare term (df ~5%), so the ranking
+    // exercises the full lattice: rare-term full matches float to
+    // the top, partial matches tier below. The relevance score is
+    // integer-exact (see TextRank.keywordSearch), so the gate hashes
+    // the ranking itself — the float-scored BM25 variant of the same
+    // machinery is spec-gated in TextRankSpec. Plan: projection-only
+    // scoring (no explode, no shuffle) + partial-limit top-k.
+    Q("q55_keyword_search", Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               CAST((len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0)::INT
+                  + (len(list_filter(string_split(text, ' '), x -> x = 'window')) > 0)::INT
+                  + (len(list_filter(string_split(text, ' '), x -> x = 'dup')) > 0)::INT AS BIGINT)
+                 AS n_matched,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+                  + len(list_filter(string_split(text, ' '), x -> x = 'window'))
+                  + len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS BIGINT)
+                 AS tf_total,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        FROM documents)
+      SELECT doc_id, n_matched, tf_total, dl FROM scored
+      WHERE n_matched > 0
+      ORDER BY n_matched DESC, tf_total DESC, doc_id
+      LIMIT 20""")) { (s, d) =>
+      TextRank.keywordSearch(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "window", "dup"), k = 20)
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorFunctions.asDouble
 import graft.operators.Similarity
 
 /** Similarity search over the `embeddings` table (`array<float>`,
@@ -145,5 +146,60 @@ object VectorQueries {
         nCentroids = 16, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q57: LSH-bucketed near-dup pairs over the corpus — the
+    // scale path whose ground truth is quadratic q31. The driver's
+    // embeddings are near-orthogonal (max pairwise cosine ~0.6), so
+    // the query synthesizes near-dups the q46 way: every tenth
+    // vector gets a twin (first coordinate scaled 1.2x → cosine
+    // ≥ ~0.995) built with identical double arithmetic on both
+    // engines. The oracle replays the md5 hyperplanes (q32's CTE),
+    // the bucket self-join, and the refinement, so bucket membership
+    // and every float hash-gate exactly; at threshold 0.99 the pairs
+    // found are precisely the synthesized twins.
+    Q("q57_neardup_lsh", Some(oracleProlog + """,
+      corpus AS (
+        SELECT vec_id, v, nrm FROM p
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, w AS v,
+               sqrt(list_inner_product(w, w)) AS nrm
+        FROM (SELECT vec_id, [v[1] * 1.2] || v[2:] AS w
+              FROM p WHERE vec_id % 10 = 0)),
+      planes AS (
+        SELECT pl, list_transform(range(0, 64), j ->
+            CASE WHEN ((('0x'||substr(md5('plane:'||pl||':'||j),1,15))::BIGINT >> (j%60)) & 1) = 1
+                 THEN 1.0 ELSE -1.0 END) AS s
+        FROM range(0, 96) t(pl)),
+      bits AS (
+        SELECT c.vec_id, pl.pl // 6 AS tbl, pl.pl % 6 AS pidx,
+               CASE WHEN list_inner_product(c.v, pl.s) > 0 THEN 1 ELSE 0 END AS bit
+        FROM corpus c CROSS JOIN planes pl),
+      bucks AS (
+        SELECT vec_id, tbl, CAST(SUM(bit << pidx) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, tbl),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bucks a JOIN bucks b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      refined AS (
+        SELECT c.vec_a, c.vec_b,
+               list_inner_product(ca.v, cb.v)/(ca.nrm*cb.nrm) AS sim_raw
+        FROM cand c
+        JOIN corpus ca ON ca.vec_id = c.vec_a
+        JOIN corpus cb ON cb.vec_id = c.vec_b)
+      SELECT vec_a, vec_b, round(sim_raw, 6) AS sim FROM refined
+      WHERE sim_raw >= 0.99
+      ORDER BY vec_a, vec_b""")) { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      val twins = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.2)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.nearDupPairsLsh(base.unionByName(twins), threshold = 0.99,
+          dim = 64, nPlanes = 6, nTables = 16)
+        .orderBy("vec_a", "vec_b")
     })
 }

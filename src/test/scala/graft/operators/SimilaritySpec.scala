@@ -37,6 +37,29 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("LSH near-dup pairs ⊆ exact pairs, and catch every synthesized twin") {
+    import graft.functions.VectorFunctions.asDouble
+    // Twin construction mirrors q57: every 10th vector duplicated
+    // with its first coordinate scaled — cosine ≥ ~0.995 by
+    // construction, far above the corpus's natural ~0.6 ceiling.
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val lsh = Similarity.nearDupPairsLsh(corpus, threshold = 0.99, dim = 64)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exactPairs = Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exactPairs), "LSH must never invent a pair")
+    val twinPairs = twins.select("vec_id").as[Long].collect()
+      .map(t => (t - 1000000L, t)).toSet
+    assert(twinPairs.subsetOf(exactPairs), "twin construction broke")
+    assert(twinPairs.subsetOf(lsh),
+      s"LSH missed twins: ${(twinPairs -- lsh).take(5)}")
+  }
+
   test("brute force matches a driver-side exact computation") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{PropSampling, SparkSuite}
+import org.scalacheck.Gen
+
+/** Gates for the retrieval tier: keyword search against a
+  * brute-force in-test ranking, and BM25 against an independent
+  * Scala computation of the same formula (the float path is not
+  * cross-engine portable, so this spec IS its gate — q55 hash-gates
+  * the integer path). */
+class TextRankSpec extends SparkSuite {
+
+  private val vocab = Vector("alpha", "beta", "gamma", "delta", "rare")
+  private val docGen: Gen[Seq[(Long, String)]] = for {
+    n <- Gen.chooseNum(5, 40)
+    docs <- Gen.listOfN(n, for {
+      len <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(len, Gen.frequency(
+        (8, Gen.oneOf(vocab.init)), (1, Gen.const("rare"))))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("keywordSearch ≡ brute-force (n_matched, tf_total, id) ranking") {
+    import spark.implicits._
+    val terms = Seq("alpha", "rare")
+    for (docs <- PropSampling.sample(docGen, n = 6)) {
+      val got = TextRank.keywordSearch(
+          docs.toDF("doc_id", "text"), "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      val expected = docs.map { case (id, t) =>
+        val toks = t.split(" ", -1).toSeq
+        val tfs = terms.map(q => toks.count(_ == q))
+        (id, tfs.count(_ > 0).toLong, tfs.sum.toLong, toks.size.toLong)
+      }.filter(_._2 > 0)
+        .sortBy { case (id, nm, tft, _) => (-nm, -tft, id) }
+        .take(10)
+      assert(got.toSeq === expected, s"ranking diverged on $docs")
+    }
+  }
+
+  test("bm25TopK matches an independent computation of the formula") {
+    import spark.implicits._
+    val terms = Seq("alpha", "rare")
+    val (k1, b) = (1.2, 0.75)
+    for (docs <- PropSampling.sample(docGen, n = 4)) {
+      val got = TextRank.bm25TopK(
+          docs.toDF("doc_id", "text"), "doc_id", "text", terms, k = 8,
+          k1 = k1, b = b)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val tokenized = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+      val n = tokenized.size.toDouble
+      val avgdl = tokenized.map(_._2.size).sum / n
+      val dfs = terms.map(q => tokenized.count(_._2.contains(q)).toDouble)
+      val expected = tokenized.map { case (id, toks) =>
+        val dl = toks.size.toDouble
+        val score = terms.zip(dfs).map { case (q, df) =>
+          val tf = toks.count(_ == q).toDouble
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }.sum
+        (id, score)
+      }.filter(_._2 > 0.0).sortBy { case (id, s) => (-s, id) }.take(8)
+      assert(got.map(_._1).toSeq === expected.map(_._1),
+        s"BM25 ranking diverged on $docs")
+      got.zip(expected).foreach { case ((_, gs), (_, es)) =>
+        assert(math.abs(gs - es) < 1e-9, s"score $gs != $es")
+      }
+    }
+  }
+
+  test("full-match documents rank above any partial match") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha alpha alpha alpha alpha"), // heavy partial match
+      (2L, "alpha rare"),                    // light full match
+      (3L, "beta beta")).toDF("doc_id", "text")
+    val top = TextRank.keywordSearch(docs, "doc_id", "text",
+      Seq("alpha", "rare"), k = 3).collect().map(_.getLong(0)).toSeq
+    assert(top === Seq(2L, 1L), "full match must outrank heavier partial match")
+  }
+}
