@@ -120,6 +120,33 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct"), "range join planned as cartesian")
   }
 
+  test("q54 sessionize: partitioned windows only, one hash shuffle") {
+    // The session assignment must never fall into a global window;
+    // the two window passes (lag, running sum) share the user_id
+    // partitioning, so exactly one hash exchange feeds them.
+    val wins = optimized("q54_sessionize").collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "sessionize lost its windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "sessionize planned an unpartitioned window over the corpus")
+    val hashEx = "hashpartitioning".r.findAllIn(physical("q54_sessionize")).size
+    assert(hashEx <= 2, s"sessionize shuffled more than windows+agg need ($hashEx)")
+  }
+
+  test("q55 keyword search is scan + top-k — no shuffle at all") {
+    // Scoring is a pure array projection and the top-20 cut is
+    // TakeOrderedAndProject (per-partition partial limits), so the
+    // corpus never shuffles.
+    val p = physical("q55_keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), "top-k lost the partial-limit plan")
+    assert(!p.contains("Exchange"), s"keyword search introduced a shuffle:\n${p.take(2000)}")
+  }
+
+  test("q57 LSH near-dup join is equi-join only, ids-only candidates") {
+    val p = physical("q57_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "near-dup fell back to nested loop")
+    assert(!p.contains("CartesianProduct"), "near-dup planned as cartesian")
+  }
+
   test("q50 stratified sampling is a pure scan + filter — zero exchanges") {
     // Drop the final presentation orderBy (not part of the operator)
     // and assert the sample itself adds no shuffle of any kind.
