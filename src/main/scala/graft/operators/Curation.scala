@@ -116,4 +116,79 @@ object Curation {
       }
     }(enc)
   }
+
+  /** PII patterns shared by [[redactPii]] and its oracle: emails,
+    * NANP-style phone numbers, and dotted-quad IPs. Deliberately
+    * lookaround-free and backreference-free so Java regex (Spark)
+    * and RE2 (DuckDB, Go tooling) match byte-for-byte — the same
+    * dialect-intersection rule the sentence splitter follows. Order
+    * matters: emails first, so a username that embeds digits is not
+    * half-eaten by the phone pass. */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]", "<EMAIL>"),
+    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
+    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
+
+  /** PII redaction — the scrub step between crawl and training
+    * shards. Pure projection (chained codegen'd regexp_replace, no
+    * shuffle); returns the redacted text plus a per-category match
+    * count so the pipeline can audit redaction rates per source.
+    * Counting happens BEFORE any replacement so categories don't
+    * see each other's placeholder tokens. */
+  def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = PiiPatterns.map { case (name, re, _) =>
+      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    }
+    docs.withColumns(
+      PiiPatterns.map { case (n, _, _) => s"n_$n" }.zip(counts).toMap)
+      .withColumn(textCol, redacted)
+  }
+
+  /** Per-document repetition statistics — the Gopher/C4 repetition
+    * quality gate: the fraction of duplicate lines and the share of
+    * the most frequent word bigram. Both are computed INSIDE the
+    * row as codegen'd array expressions (sort + linear fold for the
+    * max run), so the whole gate is a scan projection: no explode,
+    * no per-document shuffle, nothing that grows with corpus size.
+    * Ratios come back as exact (numerator, denominator) longs so
+    * callers — and the cross-engine oracle — choose their own
+    * quantization. Lines are `lineSep`-separated (one character);
+    * bigrams come from the house space-split tokens of the RUNNING
+    * text — line breaks fold back to spaces first, so a bigram may
+    * straddle a line boundary, exactly as the pre-line-split text
+    * read. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      lineSep: String = "\n"): DataFrame = {
+    require(lineSep.length == 1, "lineSep must be a single character")
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(lineSep))
+    val toks = split(translate(col(textCol), lineSep, " "), " ")
+    // Most-frequent-element count of a sorted array via a single
+    // fold: track (previous element, current run, best run).
+    def maxRunCount(arr: Column): Column = aggregate(
+      array_sort(arr),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(acc("prev").isNotNull && x === acc("prev"), acc("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+    val gramLen = greatest(size(toks) - 1, lit(0))
+    val grams = zip_with(
+      slice(toks, lit(1), gramLen),
+      slice(toks, lit(2), gramLen),
+      (a, b) => concat(a, lit(" "), b))
+    docs.select(
+      col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
+      greatest(size(grams), lit(0)).cast("long").as("n_bigrams"),
+      when(size(grams) > 0, maxRunCount(grams)).otherwise(lit(0L)).as("top_bigram_count"))
+  }
 }

@@ -534,6 +534,82 @@ object TextQueries {
       LIMIT 20""")) { (s, d) =>
       TextRank.keywordSearch(Tables.documents(s, d), "doc_id", "text",
         terms = Seq("spark", "window", "dup"), k = 20)
+    },
+
+    // ---- q58: PII redaction — emails/phones/IPs are synthesized
+    // onto each document deterministically (with per-category
+    // presence varying by doc_id so the counts exercise 0 and 1),
+    // then scrubbed by the shared lookaround-free pattern set that
+    // Java regex and RE2 match byte-for-byte. The gate hashes the
+    // per-category counts AND an md5 fingerprint of the redacted
+    // text, so a one-character divergence in any replacement flips
+    // the hash. Pure projection — no shuffle.
+    Q("q58_pii_redact", Some("""
+      WITH pii AS (SELECT doc_id,
+          'contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+            || CASE WHEN doc_id % 3 = 0 THEN ''
+                    ELSE ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-0199' END
+            || CASE WHEN doc_id % 2 = 0
+                    THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
+            || ' ' || text AS t
+        FROM documents),
+      c AS (SELECT doc_id, t,
+          CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS n_email,
+          CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+          CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
+        FROM pii)
+      SELECT doc_id, n_email, n_phone, n_ip,
+             md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g'),
+               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp
+      FROM c
+      ORDER BY doc_id""")) { (s, d) =>
+      val piiText = concat(
+        lit("contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+        when(col("doc_id") % 3 === 0, lit(""))
+          .otherwise(concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-0199"))),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" ip 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        lit(" "), col("text"))
+      Curation.redactPii(Tables.documents(s, d).withColumn("text", piiText))
+        .select(col("doc_id"), col("n_email"), col("n_phone"), col("n_ip"),
+          md5(col("text")).as("redacted_fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q59: Gopher-style repetition statistics — duplicate-line
+    // and top-bigram shares, the quality gate that drops boilerplate
+    // and spam. Lines are synthesized two-words-per-line (q42's
+    // marker-replace trick) so the small vocabulary actually
+    // produces duplicates; all four statistics are exact integers
+    // computed INSIDE the row (sorted-array fold for the max bigram
+    // run — see Curation.repetitionStats), so the scan never
+    // explodes or shuffles and the oracle's group-by formulation
+    // must agree exactly.
+    Q("q59_repetition_stats", Some("""
+      WITH lined AS (SELECT doc_id,
+          regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
+        FROM documents),
+      l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM lined),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+            FROM toks),
+      gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
+      top AS (SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
+              FROM gc GROUP BY 1)
+      SELECT l.doc_id,
+             CAST(len(l.lines) AS BIGINT) AS n_lines,
+             CAST(len(l.lines) - len(list_distinct(l.lines)) AS BIGINT) AS n_dup_lines,
+             COALESCE(top.n_bigrams, 0) AS n_bigrams,
+             CAST(COALESCE(top.top_bigram_count, 0) AS BIGINT) AS top_bigram_count
+      FROM l LEFT JOIN top ON l.doc_id = top.doc_id
+      ORDER BY l.doc_id""")) { (s, d) =>
+      val lined = Tables.documents(s, d)
+        .withColumn("text", regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"))
+      Curation.repetitionStats(lined).orderBy("doc_id")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

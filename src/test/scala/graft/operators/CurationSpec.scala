@@ -85,4 +85,51 @@ class CurationSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(other !== take1, "different salt should move the sample")
   }
+
+  test("redactPii scrubs every category, counts before replacing, leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail a.b_c9@sub.example.org and x@y.io plus 555-123-4567 at 192.168.0.1 end"),
+      (2L, "no pii here at all"),
+      (3L, "edge 999-999-9999 and 1.2.3.4 only")).toDF("doc_id", "text")
+    val out = Curation.redactPii(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_email") === 2L)
+    assert(r1.getAs[Long]("n_phone") === 1L)
+    assert(r1.getAs[Long]("n_ip") === 1L)
+    val t1 = r1.getAs[String]("text")
+    assert(t1 === "mail <EMAIL> and <EMAIL> plus <PHONE> at <IP> end", t1)
+    assert(out(2L).getAs[String]("text") === "no pii here at all")
+    assert(out(2L).getAs[Long]("n_email") === 0L)
+    val t3 = out(3L).getAs[String]("text")
+    assert(t3 === "edge <PHONE> and <IP> only", t3)
+  }
+
+  test("repetitionStats ≡ brute force over random multi-line docs") {
+    import spark.implicits._
+    val vocab = Vector("aa", "bb", "cc")
+    val gen = for {
+      n <- Gen.chooseNum(1, 12)
+      lines <- Gen.listOfN(n, for {
+        ln <- Gen.chooseNum(1, 6)
+        ws <- Gen.listOfN(ln, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield lines.mkString("\n")
+    for (texts <- PropSampling.sample(Gen.listOfN(8, gen), n = 5)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = Curation.repetitionStats(docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      val expected = docs.map { case (id, t) =>
+        val lines = t.split(java.util.regex.Pattern.quote("\n"), -1).toSeq
+        val toks = t.replace('\n', ' ').split(" ", -1).toSeq
+        val grams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+        val top = if (grams.isEmpty) 0L
+          else grams.groupBy(identity).values.map(_.size).max.toLong
+        id -> ((lines.size.toLong, (lines.size - lines.distinct.size).toLong,
+          grams.size.toLong, top))
+      }.toMap
+      assert(got === expected, s"repetition stats diverged on $docs")
+    }
+  }
 }
