@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Sketches, Temporal, Wer}
+import graft.operators.{Graph, Sketches, Temporal, Wer}
 
 /** Reference-pipeline operators over the driver's tables: the
   * Python-literal column family (F12–F14, A4), the corpus-WER QC
@@ -391,5 +391,47 @@ object PipelineQueries {
         .select(col("event_type"), col("n_regs"), col("s_scaled"),
           col("nd_estimate"), col("nd_exact"))
         .orderBy("event_type")
+    },
+
+    // ---- q60: fixed-point PageRank — five exact integer iterations
+    // over a 512-node interaction graph synthesized from orders
+    // (q46's synthesize-the-workload pattern). Every contribution is
+    // the floor division (85*r) div (100*outdeg) on scaled-long
+    // ranks, so the sums are order-independent and the oracle can
+    // unroll the identical recurrence in SQL — a float PageRank
+    // would hash differently on every engine (and every shuffle).
+    // See Graph.pageRank for the per-iteration join/agg shape and
+    // the localCheckpoint lineage cut.
+    Q("q60_pagerank", Some {
+      val iters = 5
+      val scale = 1000000000000L
+      val iterCtes = (1 to iters).map { i =>
+        s"""pr$i AS (
+        SELECT n.node, b.base + COALESCE(c.s, 0) AS r
+        FROM nodes n CROSS JOIN b
+        LEFT JOIN (SELECT e.dst, CAST(SUM((85 * p.r) // (100 * d.outdeg)) AS BIGINT) AS s
+                   FROM e JOIN pr${i - 1} p ON p.node = e.src JOIN deg d ON d.src = e.src
+                   GROUP BY e.dst) c ON c.dst = n.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT DISTINCT o_custkey % 512 AS src,
+                        (o_custkey * 7 + o_orderkey * 13) % 512 AS dst
+        FROM orders
+        WHERE o_custkey % 512 <> (o_custkey * 7 + o_orderkey * 13) % 512),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      nn AS (SELECT COUNT(*) AS n FROM nodes),
+      b AS (SELECT (15 * $scale) // (100 * n) AS base FROM nn),
+      pr0 AS (SELECT node, (SELECT $scale // n FROM nn) AS r FROM nodes),
+      $iterCtes
+      SELECT node, r AS rank_scaled FROM pr$iters ORDER BY node"""
+    }) { (s, d) =>
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(512)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(512)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .orderBy("node")
     })
 }

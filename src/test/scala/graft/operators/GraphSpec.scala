@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.{PropSampling, SparkSuite}
+import org.scalacheck.Gen
+
+/** Differential gate for the fixed-point PageRank: the distributed
+  * join/agg iteration must reproduce a sequential in-test walk of
+  * the same integer recurrence exactly — no float tolerance, that
+  * is the operator's whole contract. */
+class GraphSpec extends SparkSuite {
+
+  private val edgeGen: Gen[Seq[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 10)   // node id space
+    m <- Gen.chooseNum(1, 40)   // edges before dedup/self-loop drop
+    es <- Gen.listOfN(m, for {
+      s <- Gen.chooseNum(0L, n.toLong); t <- Gen.chooseNum(0L, n.toLong)
+    } yield (s, t))
+  } yield es.filter { case (s, t) => s != t }.distinct
+
+  private def reference(edges: Seq[(Long, Long)], iters: Int,
+                        scale: Long = 1000000000000L): Map[Long, Long] = {
+    val nodes = edges.flatMap { case (s, t) => Seq(s, t) }.distinct.sorted
+    if (nodes.isEmpty) return Map.empty
+    val n = nodes.size.toLong
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val base = (15L * scale) / (100L * n)
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 0 until iters) {
+      val contribs = edges.groupBy(_._2).view.mapValues(_.map {
+        case (s, _) => (85L * r(s)) / (100L * outdeg(s))
+      }.sum).toMap
+      r = nodes.map(v => v -> (base + contribs.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  test("pageRank ≡ sequential integer recurrence on random graphs") {
+    import spark.implicits._
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
+      val got = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === reference(edges, iters = 4), s"pagerank diverged on $edges")
+    }
+  }
+
+  test("rank mass never exceeds the initial scale (dangling mass only leaks)") {
+    import spark.implicits._
+    // A cycle plus a source node: every node has out-edges, so no
+    // mass leaks — the sum stays at (or one floor-div ulp under)
+    // the initial scale.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
+    val ranks = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 6)
+      .collect().map(_.getLong(1))
+    assert(ranks.sum <= 1000000000000L, "mass grew above the simplex")
+    assert(ranks.forall(_ > 0L), "every node keeps at least the teleport base")
+  }
+
+  test("a sink-heavy graph still terminates with base ranks downstream") {
+    import spark.implicits._
+    // 1 -> 2, 2 dangles: after one iteration 2 holds base + damped
+    // share of 1; 1 holds only base (nothing points at it).
+    val got = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"), "src", "dst", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === reference(Seq((1L, 2L)), iters = 3))
+    assert(got(2L) > got(1L), "the pointed-at node must outrank its source")
+  }
+}
