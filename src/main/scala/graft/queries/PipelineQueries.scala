@@ -433,5 +433,78 @@ object PipelineQueries {
         .filter(col("src") =!= col("dst")).distinct()
       Graph.pageRank(edges, "src", "dst", iters = 5)
         .orderBy("node")
+    },
+
+    // ---- q61: rolling per-user aggregates — 3-event moving sum and
+    // count over each user's event stream, the feature-engineering
+    // window every behavioral model starts from. ROWS frames demand
+    // a TOTAL order to be deterministic, so the sort key is
+    // (t, event_id) with the unique id as tiebreak on BOTH engines;
+    // the sum rides the house decimal-exact pattern and the average
+    // is derived from the exact pieces with one double division.
+    // One shuffle on user_id, partitioned window only.
+    Q("q61_rolling_window", Some("""
+      WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t,
+                        CAST(value AS DECIMAL(28,2)) AS v
+                 FROM events),
+      w AS (SELECT event_id, user_id, t,
+              CAST(SUM(v) OVER win AS DOUBLE) AS roll_sum,
+              CAST(COUNT(*) OVER win AS BIGINT) AS roll_n
+            FROM e
+            WINDOW win AS (PARTITION BY user_id ORDER BY t, event_id
+                           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+      SELECT event_id, user_id, t, roll_sum, roll_n,
+             roll_sum / roll_n AS roll_avg
+      FROM w
+      ORDER BY event_id""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), expr("ts div 1000").as("t"),
+          col("value").cast("decimal(28,2)").as("v"))
+        .select(col("event_id"), col("user_id"), col("t"),
+          sum(col("v")).over(win).cast("double").as("roll_sum"),
+          count(lit(1)).over(win).as("roll_n"))
+        .withColumn("roll_avg", col("roll_sum") / col("roll_n"))
+        .orderBy("event_id")
+    },
+
+    // ---- q62: exact per-group percentiles (discrete): the median
+    // and p90 event value per event type, picked by integer ordered
+    // position with the unique event_id as tiebreak — no
+    // interpolation arithmetic, so the selected doubles are row
+    // values both engines read identically from parquet. Exact
+    // selection inherently sorts within each group (the honest
+    // plan); at real corpus scale the sketch path (approx
+    // percentile / KLL) replaces it, the same way q21 replaces q31.
+    Q("q62_percentiles", Some("""
+      WITH e AS (SELECT event_type, value, event_id FROM events),
+      r AS (SELECT event_type, value,
+              CAST(row_number() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS BIGINT) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM e)
+      SELECT event_type,
+             MAX(CASE WHEN rn - 1 = ((n - 1) * 50) // 100 THEN value END) AS p50,
+             MAX(CASE WHEN rn - 1 = ((n - 1) * 90) // 100 THEN value END) AS p90,
+             MAX(n) AS n
+      FROM r GROUP BY event_type
+      ORDER BY event_type""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val byVal = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val all = Window.partitionBy(col("event_type"))
+      Tables.events(s, d)
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("rn", row_number().over(byVal).cast("long"))
+        .withColumn("n", count(lit(1)).over(all))
+        .groupBy(col("event_type"))
+        .agg(
+          max(when(col("rn") - 1 === expr("((n - 1) * 50) div 100"), col("value"))).as("p50"),
+          max(when(col("rn") - 1 === expr("((n - 1) * 90) div 100"), col("value"))).as("p90"),
+          max(col("n")).as("n"))
+        .orderBy("event_type")
     })
 }
