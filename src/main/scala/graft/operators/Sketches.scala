@@ -104,33 +104,60 @@ object Sketches {
     * counting, needs `ln`) and large-range corrections are the
     * caller's policy; `n_regs` carries the empty-register count
     * they need. */
-  def hyperloglog(df: DataFrame, termCol: String, groupCols: Seq[String],
+  /** Register index for one value: the top `p` bits of the 60-bit
+    * md5 digest slice. Shared by the batch and streaming HLL paths
+    * so their states merge/compare exactly. */
+  def hllRegister(termCol: Column, p: Int): Column = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    shiftright(hll60(termCol), 60 - p)
+  }
+
+  /** Rank for one value: leading-zero count of the low `60-p` bits,
+    * plus one. bin() strips leading zeros, so length(bin(x)) =
+    * floor(log2 x)+1 and the leading-zero count of the low field is
+    * width-length — integer-exact with no log() on either engine. */
+  def hllRank(termCol: Column, p: Int): Column = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val low = 60 - p
+    val lowBits = hll60(termCol).bitwiseAND(lit((1L << low) - 1))
+    when(lowBits === 0, lit(low + 1))
+      .otherwise(lit(low + 1) - length(bin(lowBits)))
+  }
+
+  private def hll60(termCol: Column): Column =
+    conv(substring(md5(termCol.cast("string")), 1, 15), 16, 10).cast("long")
+
+  /** Fold per-register maxima (`groupCols + reg + maxrho` rows — the
+    * shape both the batch groupBy and a streaming windowed max-agg
+    * emit) into per-group (`n_regs`, `s_scaled`, `nd_estimate`).
+    * See [[hyperloglog]] for the exactness argument. */
+  def hllFinalize(registers: DataFrame, groupCols: Seq[String],
                   p: Int = 6): DataFrame = {
     require(p >= 4 && p <= 16, "p must be in [4, 16]")
     val m = 1 << p
-    val low = 60 - p
     val scaleExp = hllScaleExp(p)
     val gcols = groupCols.map(col)
-    val h = conv(substring(md5(col(termCol).cast("string")), 1, 15), 16, 10)
-      .cast("long")
-    val lowBits = h.bitwiseAND(lit((1L << low) - 1))
-    // bin() strips leading zeros, so length(bin(x)) = floor(log2 x)+1
-    // and the leading-zero count of the low field is low-length —
-    // integer-exact rank with no log() on either engine.
-    val rho = when(lowBits === 0, lit(low + 1))
-      .otherwise(lit(low + 1) - length(bin(lowBits)))
-    df.select(gcols :+ shiftright(h, low).as("__reg") :+ rho.as("__rho"): _*)
-      .groupBy(gcols :+ col("__reg"): _*)
-      .agg(max(col("__rho")).as("__maxrho"))
+    registers
       .groupBy(gcols: _*)
       .agg(
         count(lit(1)).as("n_regs"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleExp - __maxrho)")).as("__s"))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), $scaleExp - maxrho)")).as("__s"))
       .withColumn("s_scaled",
         col("__s") + (lit(m.toLong) - col("n_regs")) * lit(1L << scaleExp))
       .withColumn("nd_estimate",
         lit(hllAlpha(p) * m * m) /
           (col("s_scaled").cast("double") / lit((1L << scaleExp).toDouble)))
       .drop("__s")
+  }
+
+  def hyperloglog(df: DataFrame, termCol: String, groupCols: Seq[String],
+                  p: Int = 6): DataFrame = {
+    val gcols = groupCols.map(col)
+    val registers = df
+      .select(gcols :+ hllRegister(col(termCol), p).as("reg")
+        :+ hllRank(col(termCol), p).as("rho"): _*)
+      .groupBy(gcols :+ col("reg"): _*)
+      .agg(max(col("rho")).as("maxrho"))
+    hllFinalize(registers, groupCols, p)
   }
 }

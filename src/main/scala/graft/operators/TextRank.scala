@@ -53,6 +53,43 @@ object TextRank {
       .limit(k)
   }
 
+  /** Inverted-index build — the other half of the retrieval tier
+    * ([[keywordSearch]] queries it, this constructs it): one row per
+    * term with document frequency, corpus term frequency, and the
+    * head of the posting list (the `postingsK` smallest doc ids,
+    * comma-joined for a stable cross-engine representation).
+    *
+    * Scale shape: explode + two map-side-combinable aggregations;
+    * the posting head goes through the bounded [[TopK]] typed
+    * aggregator — each partition reduces to at most `postingsK`
+    * ids per term BEFORE the shuffle — never an unbounded
+    * `collect_list` of a hot term's full posting list (a stopword's
+    * list IS the corpus; see the cluster-id bound note at
+    * Dedup.collapseIdentical for the same hazard). The final
+    * `collect_list` runs over the aggregator's output: ≤ postingsK
+    * rows per term by construction. */
+  def invertedIndex(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", postingsK: Int = 20): DataFrame = {
+    require(postingsK > 0, "postingsK must be positive")
+    val tf = docs
+      .select(col(idCol), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val counts = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+    // Smallest-k ids via the (sim desc, id asc) aggregator: negated
+    // ids are exact in double far beyond any realistic id space.
+    val heads = TopK.perGroup(
+        tf.withColumn("negid", -col(idCol).cast("double")),
+        "term", idCol, "negid", postingsK)
+      .groupBy(col("term"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("rank"), col("neighbor_id")))),
+          s => s.getField("neighbor_id").cast("string")),
+        ",").as("postings_head"))
+    counts.join(heads, "term")
+  }
+
   /** Okapi BM25 top-k: score(d) = sum over query terms of
     * idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl)),
     * idf(t) = ln((N - df + 0.5) / (df + 0.5) + 1) (the Lucene

@@ -610,6 +610,25 @@ object TextQueries {
       val lined = Tables.documents(s, d)
         .withColumn("text", regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"))
       Curation.repetitionStats(lined).orderBy("doc_id")
+    },
+
+    // ---- q63: inverted-index build — df, corpus tf, and the
+    // 20-smallest-doc-id posting head per term, the construction
+    // side of q55's keyword search. The posting head rides the
+    // bounded TopK aggregator (≤20 ids per term per partition
+    // before the shuffle), never an unbounded collect_list of a
+    // stopword's corpus-sized posting list; the oracle's
+    // list_sort(list(...)) formulation must agree exactly on the
+    // comma-joined head.
+    Q("q63_inverted_index", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2)
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+             array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+      FROM tf GROUP BY term
+      ORDER BY term""")) { (s, d) =>
+      TextRank.invertedIndex(Tables.documents(s, d))
+        .orderBy("term")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

@@ -248,6 +248,35 @@ object EventStreams {
       }
   }
 
+  /** Streaming HyperLogLog: per (tumbling window, event_type)
+    * distinct-user registers, maintained as a watermarked streaming
+    * max-aggregation. State is bounded at `2^p` registers per open
+    * (window, type) — a streaming `count(DISTINCT)` would hold every
+    * key — and registers emit when the watermark closes the window.
+    * The emitted rows are exactly the shape
+    * [[graft.operators.Sketches.hllFinalize]] folds into estimates
+    * (run it as a cheap batch pass over the sink — Structured
+    * Streaming's single-aggregation rule keeps the finalize out of
+    * the streaming query), and because both paths share
+    * [[Sketches.hllRegister]]/[[Sketches.hllRank]], a streamed
+    * window's registers — and therefore its estimate — are
+    * bit-identical to batch [[Sketches.hyperloglog]] over the same
+    * rows. */
+  def hllRegistersWindowed(events: DataFrame, p: Int = 6,
+                           watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Sketches
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .groupBy(
+        window(col("event_time"), "1 hour"),
+        col("event_type"),
+        Sketches.hllRegister(col("user_id"), p).as("reg"))
+      .agg(max(Sketches.hllRank(col("user_id"), p)).as("maxrho"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("reg"), col("maxrho"))
+  }
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

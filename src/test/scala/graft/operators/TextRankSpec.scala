@@ -68,6 +68,24 @@ class TextRankSpec extends SparkSuite {
     }
   }
 
+  test("invertedIndex ≡ brute-force postings on random corpora") {
+    import spark.implicits._
+    for (docs <- PropSampling.sample(docGen, n = 5)) {
+      val got = TextRank.invertedIndex(
+          docs.toDF("doc_id", "text"), postingsK = 3)
+        .collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+      val tokenized = docs.map { case (id, t) => (id, t.split(" ", -1).toSeq) }
+      val expected = tokenized.flatMap { case (id, ts) => ts.map(t => (t, id)) }
+        .groupBy(_._1).map { case (term, pairs) =>
+          val byDoc = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+          term -> ((byDoc.size.toLong, byDoc.values.sum,
+            byDoc.keys.toSeq.sorted.take(3).mkString(",")))
+        }
+      assert(got === expected, s"index diverged on $docs")
+    }
+  }
+
   test("full-match documents rank above any partial match") {
     import spark.implicits._
     val docs = Seq(

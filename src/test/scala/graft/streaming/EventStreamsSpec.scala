@@ -52,6 +52,51 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == Set(("click", 2L, 3.0), ("buy", 1L, 5.0)))
   }
 
+  test("streaming HLL registers match batch HLL bit-for-bit on closed windows") {
+    // Users 1..6 in hour-1 clicks (user 2 twice — duplicates must
+    // not move a distinct sketch), users 7..8 in hour-1 buys; the
+    // sentinel closes hour 1 and its own window stays open.
+    val rows = Seq(
+      ev(1, 1 * H + 10, 1, "click", 1.0), ev(2, 1 * H + 20, 2, "click", 1.0),
+      ev(3, 1 * H + 30, 2, "click", 1.0), ev(4, 1 * H + 40, 3, "click", 1.0),
+      ev(5, 1 * H + 50, 4, "click", 1.0), ev(6, 1 * H + 60, 5, "click", 1.0),
+      ev(7, 1 * H + 70, 6, "click", 1.0),
+      ev(8, 1 * H + 80, 7, "buy", 1.0), ev(9, 1 * H + 90, 8, "buy", 1.0),
+      ev(10, 10 * H, 99, "sentinel", 0.0))
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "hllout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.hllRegistersWindowed(EventStreams.readEventsJson(spark, dir), p = 6),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val registers = spark.read.parquet(s"$out/data")
+    // Only hour 1 closed; the streaming registers finalize through
+    // the SAME fold the batch op uses...
+    val streamed = graft.operators.Sketches
+      .hllFinalize(registers, Seq("window_start", "event_type"), p = 6)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_regs"), r.getAs[Long]("s_scaled"),
+          r.getAs[Double]("nd_estimate")))).toMap
+    // ...so it must equal batch hyperloglog over the same rows,
+    // register-for-register and bit-for-bit in the estimate.
+    val batchInput = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        (1L, "click"), (2L, "click"), (2L, "click"), (3L, "click"), (4L, "click"),
+        (5L, "click"), (6L, "click"), (7L, "buy"), (8L, "buy"))
+      .map(t => org.apache.spark.sql.Row(t._1, t._2))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))))
+    val batch = graft.operators.Sketches
+      .hyperloglog(batchInput, "user_id", Seq("event_type"), p = 6)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_regs"), r.getAs[Long]("s_scaled"),
+          r.getAs[Double]("nd_estimate")))).toMap
+    assert(streamed.keySet === Set("click", "buy"), "open sentinel window leaked")
+    assert(streamed === batch, "streaming and batch HLL diverged")
+  }
+
   test("streaming dedup drops same-fingerprint arrivals within the watermark") {
     import org.apache.spark.sql.functions.col
     // events 1 and 2 carry the same token SET ("hello world" vs
