@@ -72,6 +72,28 @@ object Temporal {
     matched.select(out: _*)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) history build: each
+    * input row becomes a version row carrying `version` (1-based per
+    * key), `valid_from` (its own time) and `valid_to` (the NEXT
+    * version's time, null while current) — half-open intervals, so
+    * an as-of probe `valid_from <= t < valid_to` pairs exactly one
+    * version per instant and composes with [[asofJoinBackward]] and
+    * [[intervalJoin]]. The standard warehouse move of turning an
+    * event log into a queryable dimension history.
+    *
+    * One shuffle on the key; lead + row_number share one partitioned
+    * sort. Determinism needs a TOTAL order: pass unique `tieCols`
+    * (an event id) when keys can carry same-instant rows. */
+  def scd2(rows: DataFrame, keyCol: String, timeCol: String,
+           tieCols: Seq[String] = Nil): DataFrame = {
+    val order = col(timeCol).asc +: tieCols.map(col(_).asc)
+    val w = Window.partitionBy(col(keyCol)).orderBy(order: _*)
+    rows
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("valid_from", col(timeCol))
+      .withColumn("valid_to", lead(col(timeCol), 1).over(w))
+  }
+
   /** Gap-based batch sessionization: assigns every row a per-key
     * 1-based `session_idx`, where a new session starts whenever the
     * time since the key's previous row exceeds `gap` (same units as
@@ -153,6 +175,36 @@ object Temporal {
         explode(sequence(bucketize(s"`$startCol`"), bucketize(s"`$endCol` - 1"))))
     p.join(iv, Seq("__b"))
       .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
+      .drop("__b")
+  }
+
+  /** Interval × interval overlap join: every (left, right) pair with
+    * `lStart < rEnd AND rStart < lEnd` (half-open overlap), plus the
+    * caller's extra equi-keys (a user id, a shard) ANDed in. Same
+    * bucketization as [[intervalJoin]], with the classic
+    * exactly-once refinement: a pair overlapping across several
+    * shared buckets is kept only in the bucket containing
+    * `greatest(lStart, rStart)` — the first instant of the overlap,
+    * which by construction lies in exactly one bucket of each side —
+    * so no dedup pass ever runs. Replication cost is
+    * `span / bucketWidth` copies per side, the same knob as
+    * [[intervalJoin]]. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame,
+                          lStart: String, lEnd: String,
+                          rStart: String, rEnd: String,
+                          bucketWidth: Long,
+                          extraKeys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def bucketize(e: String): Column =
+      expr(s"(($e) - pmod(($e), ${bucketWidth}L)) div ${bucketWidth}L")
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(s) < col(e))
+      .withColumn("__b", explode(sequence(bucketize(s"`$s`"), bucketize(s"`$e` - 1"))))
+    val l = exploded(left, lStart, lEnd)
+    val r = exploded(right, rStart, rEnd)
+    l.join(r, Seq("__b") ++ extraKeys)
+      .filter(col(lStart) < col(rEnd) && col(rStart) < col(lEnd))
+      .filter(col("__b") === bucketize(s"greatest(`$lStart`, `$rStart`)"))
       .drop("__b")
   }
 }

@@ -506,5 +506,64 @@ object PipelineQueries {
           max(when(col("rn") - 1 === expr("((n - 1) * 90) div 100"), col("value"))).as("p90"),
           max(col("n")).as("n"))
         .orderBy("event_type")
+    },
+
+    // ---- q64: SCD2 history build — each user's purchase log
+    // becomes a versioned dimension: half-open [valid_from,
+    // valid_to) intervals with null valid_to on the current row, the
+    // warehouse table an as-of probe (q51) or interval join (q53)
+    // then queries. Total order (t, event_id) makes versions
+    // deterministic under same-instant purchases on both engines.
+    Q("q64_scd2_history", Some("""
+      WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t, value
+                 FROM events WHERE event_type = 'purchase')
+      SELECT user_id, event_id,
+             CAST(row_number() OVER w AS BIGINT) AS version,
+             t AS valid_from,
+             lead(t) OVER w AS valid_to,
+             value
+      FROM p
+      WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+      ORDER BY user_id, version""")) { (s, d) =>
+      val purchases = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), expr("ts div 1000").as("t"),
+          col("value"))
+      Temporal.scd2(purchases, "user_id", "t", tieCols = Seq("event_id"))
+        .select(col("user_id"), col("event_id"), col("version"),
+          col("valid_from"), col("valid_to"), col("value"))
+        .orderBy("user_id", "version")
+    },
+
+    // ---- q65: interval × interval overlap join — every same-user
+    // pair of a 2h purchase-attribution window and a 1h error
+    // window that overlap in time. The bucketization keeps the plan
+    // an equi-join (bucket + user_id); a pair sharing several
+    // buckets survives only in the bucket holding
+    // greatest(start_l, start_r) — exactly-once with NO dedup pass
+    // (see Temporal.intervalOverlapJoin). The oracle runs the raw
+    // non-equi join, fine at gate scale.
+    Q("q65_interval_overlap", Some("""
+      WITH p AS (SELECT event_id AS purchase_id, user_id,
+                        epoch_us(ts) AS ps, epoch_us(ts) + 7200000000 AS pe
+                 FROM events WHERE event_type = 'purchase'),
+      er AS (SELECT event_id AS error_id, user_id,
+                    epoch_us(ts) AS es, epoch_us(ts) + 3600000000 AS ee
+             FROM events WHERE event_type = 'error')
+      SELECT p.purchase_id, er.error_id, p.user_id
+      FROM p JOIN er ON p.user_id = er.user_id AND p.ps < er.ee AND er.es < p.pe
+      ORDER BY purchase_id, error_id""")) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("t", expr("ts div 1000"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("t").as("ps"), (col("t") + 7200000000L).as("pe"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("t").as("es"), (col("t") + 3600000000L).as("ee"))
+      Temporal.intervalOverlapJoin(purchases, errors,
+          "ps", "pe", "es", "ee",
+          bucketWidth = 7200000000L, extraKeys = Seq("user_id"))
+        .select(col("purchase_id"), col("error_id"), col("user_id"))
+        .orderBy("purchase_id", "error_id")
     })
 }

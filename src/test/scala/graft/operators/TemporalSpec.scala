@@ -125,6 +125,60 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("scd2 ≡ brute force: versions, half-open validity, null current row") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 20L)
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Temporal.scd2(rows.toDF("id", "k", "t"), "k", "t", tieCols = Seq("id"))
+        .collect().map(r => (r.getLong(0),
+          (r.getAs[Long]("version"), r.getAs[Long]("valid_from"),
+           Option(r.getAs[java.lang.Long]("valid_to")).map(_.longValue)))).toMap
+      val expected = rows.groupBy(_._2).flatMap { case (_, g) =>
+        val ordered = g.sortBy(r => (r._3, r._1))
+        ordered.zipWithIndex.map { case ((id, _, t), i) =>
+          id -> ((i + 1L, t,
+            if (i + 1 < ordered.size) Some(ordered(i + 1)._3) else None))
+        }
+      }
+      assert(got === expected, s"scd2 diverged on $rows")
+    }
+  }
+
+  test("intervalOverlapJoin ≡ brute force: multi-bucket overlaps meet exactly once") {
+    import spark.implicits._
+    // Spans much larger than the bucket width force pairs to share
+    // many buckets — the exactly-once refinement is what's under
+    // test; negative times exercise the floor-div bucketing.
+    val gen = for {
+      nl <- Gen.chooseNum(1, 15); nr <- Gen.chooseNum(1, 15)
+      ls <- Gen.listOfN(nl, for {
+        s <- Gen.chooseNum(-20L, 30L); len <- Gen.chooseNum(0L, 25L)
+      } yield (s, s + len))
+      rs <- Gen.listOfN(nr, for {
+        s <- Gen.chooseNum(-20L, 30L); len <- Gen.chooseNum(0L, 25L)
+      } yield (s, s + len))
+    } yield (ls.zipWithIndex.map { case ((s, e), i) => (i.toLong, s, e) },
+             rs.zipWithIndex.map { case ((s, e), i) => (100L + i, s, e) })
+    for ((ls, rs) <- PropSampling.sample(gen, n = 6)) {
+      val got = Temporal.intervalOverlapJoin(
+          ls.toDF("lid", "ls", "le"), rs.toDF("rid", "rs", "re"),
+          "ls", "le", "rs", "re", bucketWidth = 4L)
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = for {
+        (lid, s, e) <- ls; (rid, s2, e2) <- rs
+        if s < e2 && s2 < e && s < e && s2 < e2
+      } yield (lid, rid)
+      assert(got.sorted.toSeq === expected.sorted.toSeq,
+        s"overlap join diverged (or duplicated pairs) on left=$ls right=$rs")
+    }
+  }
+
   test("inverted interval bounds are dropped, not exploded downward") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "t")
