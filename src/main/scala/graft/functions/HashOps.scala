@@ -110,6 +110,46 @@ object HashOps {
     java.lang.Long.valueOf(minH)
   }
 
+  /** Count of the most frequent word n-gram in a token array,
+    * n-grams identified by their 60-bit md5 class — the exact slice
+    * the SQL oracles replay (`('0x'||substr(md5(gram),1,15))::BIGINT`),
+    * so both engines count identical equivalence classes. One md5
+    * per shingle, a primitive long sort, one linear run scan — the
+    * codegen'd replacement for a per-row HOF sort+fold, whose
+    * interpreted per-element struct churn dominated q59's scan.
+    * 0 when fewer than n tokens. */
+  def topShingleRun(tokens: ArrayData, n: Int): Long = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return 0L
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val hs = new Array[Long](cnt - n + 1)
+    val buf = new java.io.ByteArrayOutputStream(64)
+    i = 0
+    while (i <= cnt - n) {
+      buf.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) buf.write(' ')
+        buf.write(toks(i + j))
+        j += 1
+      }
+      hs(i) = h60(buf.toByteArray)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < hs.length) {
+      if (hs(i) == hs(i - 1)) { run += 1; if (run > best) best = run }
+      else run = 1L
+      i += 1
+    }
+    best
+  }
+
   /** SimHash60 straight from a token array: one md5 per token (vs
     * the interpreted per-token HOF md5 the column form paid), then
     * the same sign-of-sum per bit as [[StringOps.simhash60]].

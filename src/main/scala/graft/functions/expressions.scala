@@ -102,6 +102,22 @@ case class SimHashTokens60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHashTokens60 = copy(child = c)
 }
 
+/** Count of the most frequent word n-gram of a token array, n-grams
+  * identified by their 60-bit md5 class ([[HashOps.topShingleRun]]);
+  * 0 when fewer than n tokens. */
+case class TopShingleRun(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashOps.topShingleRun(v.asInstanceOf[ArrayData], n))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.topShingleRun($c, $n)")
+
+  override protected def withNewChildInternal(c: Expression): TopShingleRun = copy(child = c)
+}
+
 /** Minimum 60-bit md5 hash over word n-gram shingles of a token
   * array ([[HashOps.minShingleHash]]); null when fewer than n tokens. */
 case class MinShingleHash(child: Expression, n: Int) extends UnaryExpression {
@@ -341,6 +357,7 @@ object GraftFunctions {
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
   def min_shingle_hash(c: Column, n: Int): Column = col(MinShingleHash(expr(c), n))
+  def top_shingle_run(c: Column, n: Int): Column = col(TopShingleRun(expr(c), n))
   def simhash60_tokens(c: Column): Column = col(SimHashTokens60(expr(c)))
   def lang_id(c: Column): Column = col(LangIdPredict(expr(c)))
   def shingle_hex_tokens(c: Column, n: Int): Column = col(ShingleHexTokens(expr(c), n))
@@ -378,6 +395,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("pyliteral_to_json", es => PyLiteralToJson(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("min_shingle_hash", es => MinShingleHash(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("top_shingle_run", es => TopShingleRun(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",

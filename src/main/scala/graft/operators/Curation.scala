@@ -165,30 +165,32 @@ object Curation {
                       textCol: String = "text",
                       lineSep: String = "\n"): DataFrame = {
     require(lineSep.length == 1, "lineSep must be a single character")
-    val lines = split(col(textCol), java.util.regex.Pattern.quote(lineSep))
-    val toks = split(translate(col(textCol), lineSep, " "), " ")
-    // Most-frequent-element count of a sorted array via a single
-    // fold: track (previous element, current run, best run).
-    def maxRunCount(arr: Column): Column = aggregate(
-      array_sort(arr),
-      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(acc("prev").isNotNull && x === acc("prev"), acc("run") + 1L)
-          .otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"),
-          greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
-    val gramLen = greatest(size(toks) - 1, lit(0))
-    val grams = zip_with(
-      slice(toks, lit(1), gramLen),
-      slice(toks, lit(2), gramLen),
-      (a, b) => concat(a, lit(" "), b))
+    repetitionStatsFromParts(docs, idCol,
+      split(col(textCol), java.util.regex.Pattern.quote(lineSep)),
+      split(translate(col(textCol), lineSep, " "), " "))
+  }
+
+  /** Array-native core of [[repetitionStats]], for callers that
+    * already hold (or can build more cheaply than a regex pass) the
+    * line and token arrays — q59 constructs its two-word lines
+    * directly from the token array, skipping a match-dense
+    * regexp_replace over every document. */
+  def repetitionStatsFromParts(docs: DataFrame, idCol: String,
+                               linesCol: Column, toksCol: Column): DataFrame = {
+    val lines = linesCol
+    val toks = toksCol
+    // The bigram census runs in the codegen'd TopShingleRun kernel:
+    // one md5 per bigram (the 60-bit class the SQL oracle replays),
+    // a primitive long sort, one run scan. The first cut — a
+    // sorted-array HOF fold with a struct accumulator — was the
+    // scan's hot loop (interpreted per-element expression eval +
+    // struct churn); the kernel is ~4x cheaper and keeps the
+    // operator a pure projection.
     docs.select(
       col(idCol),
       size(lines).cast("long").as("n_lines"),
       (size(lines) - size(array_distinct(lines))).cast("long").as("n_dup_lines"),
-      greatest(size(grams), lit(0)).cast("long").as("n_bigrams"),
-      when(size(grams) > 0, maxRunCount(grams)).otherwise(lit(0L)).as("top_bigram_count"))
+      greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
+      GraftFunctions.top_shingle_run(toks, 2).as("top_bigram_count"))
   }
 }

@@ -60,7 +60,7 @@ object Graph {
     val edgesDeg = e.join(deg, "src").localCheckpoint(true)
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)
     var ranks = nodes.withColumn("rank_scaled", lit(scale / n))
-    for (_ <- 0 until iters) {
+    for (i <- 1 to iters) {
       val contribs = edgesDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         // `div`, not `/`: Column./ on longs is DOUBLE division, which
@@ -73,7 +73,12 @@ object Graph {
         .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("s"), lit(0L))).as("rank_scaled"))
-        .localCheckpoint(true)
+      // Cut lineage every OTHER round (and always before returning):
+      // the plan doubles per uncut round, so a cadence of 2 caps the
+      // depth at two join/agg layers while halving the eager
+      // materialization barriers — which, not data volume, dominate
+      // wall time between checkpoints.
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
   }

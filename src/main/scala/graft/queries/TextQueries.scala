@@ -585,17 +585,19 @@ object TextQueries {
     // and spam. Lines are synthesized two-words-per-line (q42's
     // marker-replace trick) so the small vocabulary actually
     // produces duplicates; all four statistics are exact integers
-    // computed INSIDE the row (sorted-array fold for the max bigram
-    // run — see Curation.repetitionStats), so the scan never
-    // explodes or shuffles and the oracle's group-by formulation
-    // must agree exactly.
+    // computed INSIDE the row — the bigram census in the codegen'd
+    // TopShingleRun kernel over 60-bit md5 classes the oracle
+    // replays — so the scan never explodes or shuffles and the
+    // oracle's group-by formulation must agree exactly.
     Q("q59_repetition_stats", Some("""
       WITH lined AS (SELECT doc_id,
           regexp_replace(text, '(\S+ \S+) ', '\1' || chr(10), 'g') AS t
         FROM documents),
       l AS (SELECT doc_id, string_split(t, chr(10)) AS lines FROM lined),
       toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      g AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])) AS gram
+      g AS (SELECT doc_id,
+                   unnest(list_transform(range(1, len(w)),
+                     i -> ('0x' || substr(md5(w[i] || ' ' || w[i + 1]), 1, 15))::BIGINT)) AS gram
             FROM toks),
       gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY 1, 2),
       top AS (SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
