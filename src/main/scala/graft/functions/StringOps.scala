@@ -104,6 +104,41 @@ object StringOps {
   /** Word-level Levenshtein distance (token-sequence edit distance) —
     * the unit of the corpus-WER aggregate (reference A8,
     * `post_process.py:322-329`). */
+  /** Crawl-frontier URL canonicalization, rule-for-rule replayable
+    * in plain SQL string ops (the q66 oracle does): strip the
+    * fragment, strip ONE trailing slash from the pre-query part,
+    * lowercase the scheme://host[:port] prefix (ASCII hosts; an IDN
+    * pipeline would punycode upstream), drop the scheme's default
+    * port (:80 http, :443 https), and sort query parameters by raw
+    * byte order. Deliberately minimal — the deterministic subset
+    * every crawl dedup needs before fingerprinting; percent-decode
+    * and relative resolution are out of scope. */
+  def canonicalUrl(u: String): String = {
+    val hash = u.indexOf('#')
+    val noFrag = if (hash >= 0) u.substring(0, hash) else u
+    val q = noFrag.indexOf('?')
+    var base = if (q >= 0) noFrag.substring(0, q) else noFrag
+    val query = if (q >= 0) noFrag.substring(q + 1) else ""
+    if (base.endsWith("/")) base = base.substring(0, base.length - 1)
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd >= 0) {
+      val pathStart = base.indexOf('/', schemeEnd + 3)
+      val prefixEnd = if (pathStart >= 0) pathStart else base.length
+      var prefix = base.substring(0, prefixEnd).toLowerCase(java.util.Locale.ROOT)
+      if (prefix.startsWith("https://") && prefix.endsWith(":443"))
+        prefix = prefix.substring(0, prefix.length - 4)
+      else if (prefix.startsWith("http://") && prefix.endsWith(":80"))
+        prefix = prefix.substring(0, prefix.length - 3)
+      base = prefix + base.substring(prefixEnd)
+    }
+    if (query.isEmpty) base
+    else {
+      val params = query.split("&", -1)
+      java.util.Arrays.sort(params, java.util.Comparator.naturalOrder[String]())
+      base + "?" + params.mkString("&")
+    }
+  }
+
   def wordLevenshtein(a: Array[String], b: Array[String]): Int = {
     if (a == null || a.isEmpty) return if (b == null) 0 else b.length
     if (b == null || b.isEmpty) return a.length

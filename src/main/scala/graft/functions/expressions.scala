@@ -102,6 +102,24 @@ case class SimHashTokens60(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHashTokens60 = copy(child = c)
 }
 
+/** Crawl-frontier URL canonicalization
+  * ([[StringOps.canonicalUrl]]): fragment/default-port/trailing-slash
+  * strip, lowercased scheme://host, byte-order-sorted query params. */
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(StringOps.canonicalUrl(v.asInstanceOf[UTF8String].toString))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.StringOps.canonicalUrl($c.toString()))")
+
+  override protected def withNewChildInternal(c: Expression): CanonicalUrl = copy(child = c)
+}
+
 /** Count of the most frequent word n-gram of a token array, n-grams
   * identified by their 60-bit md5 class ([[HashOps.topShingleRun]]);
   * 0 when fewer than n tokens. */
@@ -358,6 +376,7 @@ object GraftFunctions {
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
   def min_shingle_hash(c: Column, n: Int): Column = col(MinShingleHash(expr(c), n))
   def top_shingle_run(c: Column, n: Int): Column = col(TopShingleRun(expr(c), n))
+  def canonical_url(c: Column): Column = col(CanonicalUrl(expr(c)))
   def simhash60_tokens(c: Column): Column = col(SimHashTokens60(expr(c)))
   def lang_id(c: Column): Column = col(LangIdPredict(expr(c)))
   def shingle_hex_tokens(c: Column, n: Int): Column = col(ShingleHexTokens(expr(c), n))
@@ -396,6 +415,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("minhash_sig", es => MinHashSig(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("min_shingle_hash", es => MinShingleHash(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("top_shingle_run", es => TopShingleRun(es.head, intArg(es(1))), "scala_udf")
+    reg.createOrReplaceTempFunction("canonical_url", es => CanonicalUrl(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",

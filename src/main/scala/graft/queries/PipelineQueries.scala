@@ -565,5 +565,44 @@ object PipelineQueries {
           bucketWidth = 7200000000L, extraKeys = Seq("user_id"))
         .select(col("purchase_id"), col("error_id"), col("user_id"))
         .orderBy("purchase_id", "error_id")
+    },
+
+    // ---- q66: crawl-frontier URL canonicalization — four raw
+    // variants per logical URL (upper-cased host with default port,
+    // trailing slash with shuffled query params, fragment, and the
+    // already-canonical form) must collapse to ONE canonical key.
+    // The oracle does NOT mirror the string surgery: it constructs
+    // the canonical form directly from the base columns, so the
+    // CanonicalUrl kernel is alone on the gated path — any rule it
+    // gets wrong breaks the group-by collapse and flips the hash
+    // (the q18 pattern: synthesize, transform with the real kernel,
+    // oracle from first principles).
+    Q("q66_canonical_url", Some("""
+      WITH v AS (SELECT
+          'https://shop.example.com/item/' || CAST(o_custkey AS VARCHAR)
+            || '?a=1&b=' || CAST(o_custkey % 7 AS VARCHAR) AS url,
+          o_orderkey % 4 AS variant
+        FROM orders)
+      SELECT url, CAST(COUNT(*) AS BIGINT) AS n_hits,
+             CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants
+      FROM v GROUP BY url
+      ORDER BY url""")) { (s, d) =>
+      val k = col("o_custkey").cast("string")
+      val m = pmod(col("o_custkey"), lit(7)).cast("string")
+      val variant = pmod(col("o_orderkey"), lit(4))
+      val raw =
+        when(variant === 0,
+          concat(lit("https://shop.example.com/item/"), k, lit("?a=1&b="), m))
+        .when(variant === 1,
+          concat(lit("HTTPS://Shop.Example.COM:443/item/"), k, lit("?a=1&b="), m))
+        .when(variant === 2,
+          concat(lit("https://shop.example.com/item/"), k, lit("/?b="), m, lit("&a=1")))
+        .otherwise(
+          concat(lit("https://shop.example.com/item/"), k, lit("?a=1&b="), m, lit("#sec")))
+      Tables.orders(s, d)
+        .select(GraftFunctions.canonical_url(raw).as("url"), raw.as("raw"))
+        .groupBy(col("url"))
+        .agg(count(lit(1)).as("n_hits"), count_distinct(col("raw")).as("n_variants"))
+        .orderBy("url")
     })
 }

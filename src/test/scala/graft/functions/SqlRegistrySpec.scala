@@ -33,4 +33,13 @@ class SqlRegistrySpec extends SparkSuite {
     """).as[(Int, Boolean, Int, Double, Int)].head()
     assert(r == ((8, true, 2, 11.0, 3)))
   }
+
+  test("round-6 kernels are SQL-callable") {
+    val r = spark.sql("""
+      SELECT top_shingle_run(array('a','b','a','b','c'), 2) AS runs,
+             canonical_url('HTTPS://H.Example:443/p/?b=2&a=1#f') AS url
+    """).as[(Long, String)].head()
+    // bigrams: ab, ba, ab, bc -> 'a b' twice
+    assert(r == ((2L, "https://h.example/p?a=1&b=2")))
+  }
 }

@@ -85,6 +85,27 @@ class StringOpsSpec extends AnyFunSuite {
     }
   }
 
+  // ---- canonicalUrl
+
+  test("canonicalUrl: every rule, one at a time and composed") {
+    val c = StringOps.canonicalUrl _
+    assert(c("https://shop.example.com/item/7?a=1&b=2")
+      === "https://shop.example.com/item/7?a=1&b=2")          // already canonical
+    assert(c("HTTPS://Shop.Example.COM:443/item/7?a=1")
+      === "https://shop.example.com/item/7?a=1")              // case + default port
+    assert(c("http://Host.Example.com:80/x") === "http://host.example.com/x")
+    assert(c("http://host.example.com:8080/x") === "http://host.example.com:8080/x") // non-default kept
+    assert(c("https://h.example/p/?b=2&a=1") === "https://h.example/p?a=1&b=2") // slash + sort
+    assert(c("https://h.example/p#frag") === "https://h.example/p")             // fragment
+    assert(c("https://h.example/P/Q") === "https://h.example/P/Q")              // path case kept
+    assert(c("https://H.example/") === "https://h.example")                     // root slash
+    assert(c("https://h.example") === "https://h.example")
+    assert(c("no-scheme/path?z=1&a=2#f") === "no-scheme/path?a=2&z=1")          // graceful non-URL
+    // idempotence: canonical of canonical is a fixed point
+    for (u <- Seq("HTTPS://A.B:443/c/d/?z=9&a=1#x", "http://Q:80/?b=2&a=1"))
+      assert(c(c(u)) === c(u))
+  }
+
   // ---- simhash60
 
   test("simhash60 matches its definition") {
