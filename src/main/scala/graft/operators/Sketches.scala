@@ -32,20 +32,26 @@ object Sketches {
     pmod(h, lit(width.toLong))
   }
 
+  /** The depth cells one term touches, as an array of (d, bucket)
+    * structs — shared by the batch sketch below and the streaming
+    * windowed sketch (`EventStreams.cmsRegistersWindowed`), so their
+    * cell states merge/compare exactly. */
+  def cmsCells(termCol: Column, depth: Int, width: Int): Column = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    array((0 until depth).map { d =>
+      struct(lit(d).as("d"), bucketOf(termCol, d, width).as("bucket"))
+    }: _*)
+  }
+
   /** Build a depth x width count-min sketch over one term per input
     * row: returns `(d, bucket, cnt)` rows — at most depth*width of
     * them. One narrow generate + one bounded-state aggregate. */
   def countMinSketch(terms: DataFrame, termCol: String,
-                     depth: Int = 4, width: Int = 512): DataFrame = {
-    require(depth > 0 && width > 0, "depth and width must be positive")
-    val rows = (0 until depth).map { d =>
-      struct(lit(d).as("d"), bucketOf(col(termCol), d, width).as("bucket"))
-    }
+                     depth: Int = 4, width: Int = 512): DataFrame =
     terms
-      .select(explode(array(rows: _*)).as("db"))
+      .select(explode(cmsCells(col(termCol), depth, width)).as("db"))
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point estimates for `probes` (one term per row) against a
     * sketch built with the SAME depth/width: `min` over the term's

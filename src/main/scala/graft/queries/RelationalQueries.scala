@@ -349,5 +349,91 @@ object RelationalQueries {
           durStr.as("dur_str"),
           GraftFunctions.duration_seconds(durStr).as("seconds"))
         .orderBy("event_id")
+    },
+
+    // ---- q67: FULL OUTER join — the reconciliation shape (which
+    // customers have orders, which orders have no known customer,
+    // which customers are dormant). The probe side is restricted to
+    // even customer keys so both unmatched directions actually
+    // occur; null join keys surface as unmatched rows on both
+    // engines by SQL semantics.
+    Q("q67_full_outer", Some("""
+      WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0),
+      o AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1)
+      SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+             c.c_name, o.n_orders
+      FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+      ORDER BY custkey, c_name NULLS FIRST""")) { (s, d) =>
+      val c = Tables.customer(s, d)
+        .filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_name"), col("n_orders"))
+        .orderBy(col("custkey"), col("c_name").asc_nulls_first)
+    },
+
+    // ---- q68: ROLLUP subtotals — the OLAP grouping-sets family:
+    // per (region, nation), per region, and grand total in one
+    // aggregation pass. Subtotal rows carry nulls plus GROUPING()
+    // flags so real null keys and subtotal nulls stay
+    // distinguishable; sums ride the decimal-exact pattern.
+    Q("q68_rollup", Some(s"""
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(GROUPING(r.r_name) AS BIGINT) AS g_region,
+             CAST(GROUPING(n.n_name) AS BIGINT) AS g_nation,
+             CAST(COUNT(s.s_suppkey) AS BIGINT) AS n_suppliers,
+             ${Q.dsumSql("s.s_acctbal", 2)} AS sum_acctbal
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY ROLLUP(r.r_name, n.n_name)
+      ORDER BY g_region, g_nation, region NULLS FIRST, nation NULLS FIRST""")) { (s, d) =>
+      Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region"), col("n_name").as("nation"),
+          col("s_suppkey"), col("s_acctbal"))
+        .rollup(col("region"), col("nation"))
+        .agg(
+          grouping(col("region")).cast("long").as("g_region"),
+          grouping(col("nation")).cast("long").as("g_nation"),
+          count(col("s_suppkey")).as("n_suppliers"),
+          sum(col("s_acctbal").cast("decimal(28,2)")).cast("double").as("sum_acctbal"))
+        .select(col("region"), col("nation"), col("g_region"), col("g_nation"),
+          col("n_suppliers"), col("sum_acctbal"))
+        .orderBy(col("g_region"), col("g_nation"),
+          col("region").asc_nulls_first, col("nation").asc_nulls_first)
+    },
+
+    // ---- q69: pivot — event types to columns, one row per user
+    // (the wide feature-table shape). The pivot value list is
+    // explicit and fixed, so the output schema is deterministic;
+    // the oracle is the portable CASE-aggregation form, which is
+    // exactly what a pivot desugars to.
+    Q("q69_pivot_events", Some(s"""
+      SELECT user_id,
+             ${Q.dsumSql("CASE WHEN event_type = 'click' THEN value END", 2)} AS click_value,
+             ${Q.dsumSql("CASE WHEN event_type = 'view' THEN value END", 2)} AS view_value,
+             ${Q.dsumSql("CASE WHEN event_type = 'purchase' THEN value END", 2)} AS purchase_value,
+             CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS BIGINT) AS n_errors
+      FROM events
+      GROUP BY user_id
+      ORDER BY user_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val sums = ev
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase"))
+        .agg(sum(col("value").cast("decimal(28,2)")).cast("double"))
+        .select(col("user_id"), col("click").as("click_value"),
+          col("view").as("view_value"), col("purchase").as("purchase_value"))
+      val errs = ev.filter(col("event_type") === "error")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n_errors"))
+      sums.join(errs, Seq("user_id"), "left")
+        .withColumn("n_errors", coalesce(col("n_errors"), lit(0L)))
+        .orderBy("user_id")
     })
 }

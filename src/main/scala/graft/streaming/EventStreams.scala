@@ -277,6 +277,32 @@ object EventStreams {
         col("event_type"), col("reg"), col("maxrho"))
   }
 
+  /** Streaming count-min sketch: per (tumbling window) term-count
+    * cells, maintained as a watermarked streaming count-aggregation.
+    * Same state story as [[hllRegistersWindowed]]: at most
+    * depth x width cells per open window no matter how many
+    * distinct terms flow through — a streaming per-term count holds
+    * every key — and the emitted rows are exactly the batch
+    * sketch's (d, bucket, cnt) shape (shared
+    * [[graft.operators.Sketches.cmsCells]]), so a closed window's
+    * cells match batch [[Sketches.countMinSketch]] over the same
+    * rows cell-for-cell and probe through the same `cmsEstimate`. */
+  def cmsRegistersWindowed(events: DataFrame, termCol: String = "event_type",
+                           depth: Int = 4, width: Int = 512,
+                           watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Sketches
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"),
+        explode(Sketches.cmsCells(col(termCol), depth, width)).as("db"))
+      .groupBy(window(col("event_time"), "1 hour"),
+        col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("d"), col("bucket"), col("cnt"))
+  }
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

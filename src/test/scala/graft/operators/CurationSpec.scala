@@ -106,6 +106,43 @@ class CurationSpec extends SparkSuite {
     assert(t3 === "edge <PHONE> and <IP> only", t3)
   }
 
+  test("redactPii fuzz: injected PII is counted and scrubbed exactly, clean words untouched") {
+    import spark.implicits._
+    // Clean filler words contain no digits, dots, '@', or dashes, so
+    // the only pattern matches are the injected instances.
+    val word = Gen.oneOf("lorem", "ipsum", "dolor", "sit", "amet")
+    val email = Gen.chooseNum(1, 999).map(i => s"user$i@mail.example.org")
+    val phone = Gen.chooseNum(100, 999).map(i => s"555-$i-0199")
+    val ip = Gen.chooseNum(0, 255).map(i => s"10.$i.7.9")
+    val docGen = for {
+      n <- Gen.chooseNum(1, 25)
+      parts <- Gen.listOfN(n, Gen.frequency(
+        (6, word.map(("w", _))), (1, email.map(("e", _))),
+        (1, phone.map(("p", _))), (1, ip.map(("i", _)))))
+    } yield parts
+    for (docsParts <- PropSampling.sample(Gen.listOfN(6, docGen), n = 5)) {
+      val docs = docsParts.zipWithIndex.map { case (parts, i) =>
+        (i.toLong, parts.map(_._2).mkString(" "),
+          parts.count(_._1 == "e").toLong, parts.count(_._1 == "p").toLong,
+          parts.count(_._1 == "i").toLong)
+      }
+      val out = Curation.redactPii(
+          docs.map(d => (d._1, d._2)).toDF("doc_id", "text"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      for ((id, _, ne, np, ni) <- docs) {
+        val r = out(id)
+        assert((r.getAs[Long]("n_email"), r.getAs[Long]("n_phone"), r.getAs[Long]("n_ip"))
+          === ((ne, np, ni)), s"counts diverged for doc $id: ${docs.find(_._1 == id)}")
+        val t = r.getAs[String]("text")
+        assert(t.sliding("<EMAIL>".length).count(_ == "<EMAIL>") === ne.toInt)
+        assert(t.sliding("<PHONE>".length).count(_ == "<PHONE>") === np.toInt)
+        assert(t.sliding("<IP>".length).count(_ == "<IP>") === ni.toInt)
+        for ((_, re, _) <- Curation.PiiPatterns)
+          assert(!re.r.findFirstIn(t).isDefined, s"residual PII in: $t")
+      }
+    }
+  }
+
   test("repetitionStats ≡ brute force over random multi-line docs") {
     import spark.implicits._
     val vocab = Vector("aa", "bb", "cc")

@@ -97,6 +97,30 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed === batch, "streaming and batch HLL diverged")
   }
 
+  test("streaming CMS cells match the batch sketch cell-for-cell on closed windows") {
+    val rows = Seq(
+      ev(1, 1 * H + 10, 1, "click", 1.0), ev(2, 1 * H + 20, 2, "click", 1.0),
+      ev(3, 1 * H + 30, 3, "click", 1.0), ev(4, 1 * H + 40, 1, "buy", 1.0),
+      ev(5, 1 * H + 50, 2, "buy", 1.0), ev(6, 1 * H + 60, 1, "refund", 1.0),
+      ev(7, 10 * H, 9, "sentinel", 0.0))
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "cmsout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.cmsRegistersWindowed(
+        EventStreams.readEventsJson(spark, dir), depth = 4, width = 64),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .select("d", "bucket", "cnt")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.operators.Sketches.countMinSketch(
+        Seq("click", "click", "click", "buy", "buy", "refund").toDF("event_type"),
+        "event_type", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "streaming CMS cells diverged from the batch sketch (or the open window leaked)")
+  }
+
   test("streaming dedup drops same-fingerprint arrivals within the watermark") {
     import org.apache.spark.sql.functions.col
     // events 1 and 2 carry the same token SET ("hello world" vs
