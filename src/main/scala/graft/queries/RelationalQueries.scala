@@ -435,5 +435,28 @@ object RelationalQueries {
       sums.join(errs, Seq("user_id"), "left")
         .withColumn("n_errors", coalesce(col("n_errors"), lit(0L)))
         .orderBy("user_id")
+    },
+
+    // ---- q70: INTERSECT / EXCEPT — set semantics (distinct rows,
+    // null-safe equality) over two derived key sets: customers who
+    // both ordered AND have a positive balance, minus those who did
+    // either but not both. Closes the set-operation row next to
+    // q12's UNION; both ops tagged so one result table gates both.
+    Q("q70_intersect_except", Some("""
+      WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+      b AS (SELECT c_custkey AS k FROM customer WHERE c_acctbal > 0),
+      i AS (SELECT 'both' AS tag, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)),
+      e AS (SELECT 'only_ordered' AS tag, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b))
+      SELECT tag, k FROM i
+      UNION ALL
+      SELECT tag, k FROM e
+      ORDER BY tag, k""")) { (s, d) =>
+      val a = Tables.orders(s, d).select(col("o_custkey").as("k")).distinct()
+      val b = Tables.customer(s, d)
+        .filter(col("c_acctbal") > 0).select(col("c_custkey").as("k"))
+      a.intersect(b).withColumn("tag", lit("both"))
+        .unionByName(a.except(b).withColumn("tag", lit("only_ordered")))
+        .select(col("tag"), col("k"))
+        .orderBy("tag", "k")
     })
 }

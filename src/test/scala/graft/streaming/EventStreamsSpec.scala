@@ -215,6 +215,46 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == expected, s"streaming admissions $got != batch-computed $expected")
   }
 
+  test("streaming sessions ≡ batch sessionize aggregation on closed sessions") {
+    // Same event set through both sessionizers: the streaming
+    // flatMapGroupsWithState path (30-min gap, watermark-closed) and
+    // the batch window path aggregated to one row per session. The
+    // sentinel closes everything, so the outputs must agree
+    // session-for-session.
+    val M = 60L * 1000000000L // one minute in nanos
+    val rows = Seq(
+      ev(1, 10 * M, 1, "click", 1.0), ev(2, 15 * M, 1, "click", 2.0),
+      ev(3, 80 * M, 1, "click", 4.0),                      // >30min gap: new session
+      ev(4, 12 * M, 2, "view", 8.0),
+      ev(5, 600 * M, 9, "sentinel", 0.0))
+    val dir = writeLandingFilePerLine(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "sessparity")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.sessionize(
+        EventStreams.readEventsJson(spark, dir), gapMinutes = 30).toDF(),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .select("userId", "startTs", "endTs", "nEvents", "totalValue")
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    val batchInput = Seq((1L, 10 * M, 1.0), (1L, 15 * M, 2.0), (1L, 80 * M, 4.0),
+        (2L, 12 * M, 8.0), (9L, 600 * M, 0.0))
+      .toDF("user_id", "ts", "value")
+    val batch = graft.operators.Temporal.sessionize(
+        batchInput, "user_id", "ts", gap = 30L * 60L * 1000000000L)
+      .groupBy($"user_id", $"session_idx")
+      .agg(org.apache.spark.sql.functions.min($"ts").as("startTs"),
+        org.apache.spark.sql.functions.max($"ts").as("endTs"),
+        org.apache.spark.sql.functions.count($"ts").cast("int").as("nEvents"),
+        org.apache.spark.sql.functions.sum($"value").as("totalValue"))
+      .select($"user_id", $"startTs", $"endTs", $"nEvents", $"totalValue")
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    // the sentinel's own session is still open on the streaming side
+    val batchClosed = batch.filter(_._1 != 9L)
+    assert(streamed === batchClosed,
+      s"streaming and batch sessionization diverged: $streamed vs $batchClosed")
+  }
+
   test("sessionization closes sessions at the gap, keeps state bounded") {
     // user 1: two events 10 min apart (one session), then one 2h
     // later (second session, still open at end of stream).
