@@ -109,8 +109,12 @@ object StringOps {
     * fragment, strip ONE trailing slash from the pre-query part,
     * lowercase the scheme://host[:port] prefix (ASCII hosts; an IDN
     * pipeline would punycode upstream), drop the scheme's default
-    * port (:80 http, :443 https), and sort query parameters by raw
-    * byte order. Deliberately minimal — the deterministic subset
+    * port (:80 http, :443 https), and sort query parameters in
+    * UTF-16 code-unit order — identical to byte order for the ASCII
+    * query strings URLs normally carry (and that the q66 oracle's
+    * binary-collation `list_sort` compares); non-BMP params would
+    * order differently from raw UTF-8 bytes. Deliberately minimal —
+    * the deterministic subset
     * every crawl dedup needs before fingerprinting; percent-decode
     * and relative resolution are out of scope. */
   def canonicalUrl(u: String): String = {

@@ -133,19 +133,21 @@ object Curation {
     * shards. Pure projection (chained codegen'd regexp_replace, no
     * shuffle); returns the redacted text plus a per-category match
     * count so the pipeline can audit redaction rates per source.
-    * Counting happens BEFORE any replacement so categories don't
-    * see each other's placeholder tokens. */
+    * Each category is counted on the text AS THE PASS SEES IT —
+    * after the earlier categories' replacements — so the counts are
+    * exactly the replacements performed: a span matching two
+    * patterns (an email whose host parses as an IP) is counted once,
+    * by the category that actually scrubbed it, never twice. */
   def redactPii(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val counts = PiiPatterns.map { case (name, re, _) =>
-      size(regexp_extract_all(col(textCol), lit(re), lit(0)))
-        .cast("long").as(s"n_$name")
-    }
-    val redacted = PiiPatterns.foldLeft(col(textCol)) {
-      case (c, (_, re, token)) => regexp_replace(c, re, token)
+    val (out, counts) = PiiPatterns.foldLeft((col(textCol), List.empty[Column])) {
+      case ((c, acc), (name, re, token)) =>
+        val n = size(regexp_extract_all(c, lit(re), lit(0)))
+          .cast("long").as(s"n_$name")
+        (regexp_replace(c, re, token), n :: acc)
     }
     docs.withColumns(
-      PiiPatterns.map { case (n, _, _) => s"n_$n" }.zip(counts).toMap)
-      .withColumn(textCol, redacted)
+      PiiPatterns.map { case (n, _, _) => s"n_$n" }.zip(counts.reverse).toMap)
+      .withColumn(textCol, out)
   }
 
   /** Per-document repetition statistics — the Gopher/C4 repetition
@@ -176,9 +178,7 @@ object Curation {
     * directly from the token array, skipping a match-dense
     * regexp_replace over every document. */
   def repetitionStatsFromParts(docs: DataFrame, idCol: String,
-                               linesCol: Column, toksCol: Column): DataFrame = {
-    val lines = linesCol
-    val toks = toksCol
+                               lines: Column, toks: Column): DataFrame = {
     // The bigram census runs in the codegen'd TopShingleRun kernel:
     // one md5 per bigram (the 60-bit class the SQL oracle replays),
     // a primitive long sort, one run scan. The first cut — a

@@ -85,31 +85,6 @@ object Sketches {
     case m  => 0.7213 / (1.0 + 1.079 / m)
   }
 
-  /** HyperLogLog distinct-count sketch per group: `m = 2^p`
-    * registers from one md5 per value — the top `p` bits of the
-    * 60-bit digest slice pick the register, the leading-zero count
-    * of the remaining `60-p` bits (+1) is the rank, and each
-    * register keeps the max rank. Returns per group:
-    *  - `n_regs`: registers touched (`m - n_regs` are empty),
-    *  - `s_scaled`: the harmonic sum `sum_j 2^(-M_j)` scaled by
-    *    `2^(61-p)` — an exact BIGINT, so the aggregation is
-    *    integer arithmetic end-to-end and independent of both
-    *    summation order and engine float behavior,
-    *  - `nd_estimate`: the raw HLL estimate `alpha_m * m^2 / sum`,
-    *    derived from `s_scaled` with one cast, one division by an
-    *    exact power of two, and one multiply — every step IEEE
-    *    correctly-rounded, hence bit-identical on any engine that
-    *    evaluates the same expression shape (the DuckDB oracle
-    *    does; q56 hash-gates it).
-    *
-    * Like the count-min sketch above, the scale property is the
-    * STATE bound: `count(DISTINCT key)` holds every distinct key in
-    * the partial aggregate; this holds at most `m` registers per
-    * group no matter the cardinality. The raw estimate is the
-    * uncorrected formula — the standard small-range (linear
-    * counting, needs `ln`) and large-range corrections are the
-    * caller's policy; `n_regs` carries the empty-register count
-    * they need. */
   /** Register index for one value: the top `p` bits of the 60-bit
     * md5 digest slice. Shared by the batch and streaming HLL paths
     * so their states merge/compare exactly. */
@@ -156,6 +131,31 @@ object Sketches {
       .drop("__s")
   }
 
+  /** HyperLogLog distinct-count sketch per group: `m = 2^p`
+    * registers from one md5 per value — the top `p` bits of the
+    * 60-bit digest slice pick the register, the leading-zero count
+    * of the remaining `60-p` bits (+1) is the rank, and each
+    * register keeps the max rank. Returns per group:
+    *  - `n_regs`: registers touched (`m - n_regs` are empty),
+    *  - `s_scaled`: the harmonic sum `sum_j 2^(-M_j)` scaled by
+    *    `2^(61-p)` — an exact BIGINT, so the aggregation is
+    *    integer arithmetic end-to-end and independent of both
+    *    summation order and engine float behavior,
+    *  - `nd_estimate`: the raw HLL estimate `alpha_m * m^2 / sum`,
+    *    derived from `s_scaled` with one cast, one division by an
+    *    exact power of two, and one multiply — every step IEEE
+    *    correctly-rounded, hence bit-identical on any engine that
+    *    evaluates the same expression shape (the DuckDB oracle
+    *    does; q56 hash-gates it).
+    *
+    * Like the count-min sketch above, the scale property is the
+    * STATE bound: `count(DISTINCT key)` holds every distinct key in
+    * the partial aggregate; this holds at most `m` registers per
+    * group no matter the cardinality. The raw estimate is the
+    * uncorrected formula — the standard small-range (linear
+    * counting, needs `ln`) and large-range corrections are the
+    * caller's policy; `n_regs` carries the empty-register count
+    * they need. */
   def hyperloglog(df: DataFrame, termCol: String, groupCols: Seq[String],
                   p: Int = 6): DataFrame = {
     val gcols = groupCols.map(col)

@@ -178,9 +178,15 @@ object Temporal {
       .drop("__b")
   }
 
-  /** Interval × interval overlap join: every (left, right) pair with
-    * `lStart < rEnd AND rStart < lEnd` (half-open overlap), plus the
-    * caller's extra equi-keys (a user id, a shard) ANDed in. Same
+  /** Interval × interval overlap join: every (left, right) pair of
+    * NON-EMPTY intervals with `lStart < rEnd AND rStart < lEnd`
+    * (half-open overlap), plus the caller's extra equi-keys (a user
+    * id, a shard) ANDed in. An empty interval (`start >= end`)
+    * denotes no time span and matches nothing — the half-open SET
+    * semantics, under which the raw predicate above only coincides
+    * for positive-length inputs; empties are dropped before the
+    * explode (which would otherwise step `sequence()` downward, the
+    * same hazard [[intervalJoin]] documents). Same
     * bucketization as [[intervalJoin]], with the classic
     * exactly-once refinement: a pair overlapping across several
     * shared buckets is kept only in the bucket containing

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * `TextFunctions.tokens` and every text-family oracle). */
 object TextRank {
 
-  private def toks(textCol: Column): Column = split(textCol, " ")
+  private def toks(textCol: Column): Column =
+    graft.functions.TextFunctions.tokens(textCol)
 
   /** Per-term term frequency as a pure array expression. */
   private def tf(textCol: Column, term: String): Column =

@@ -553,17 +553,20 @@ object TextQueries {
                     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
             || ' ' || text AS t
         FROM documents),
-      c AS (SELECT doc_id, t,
+      s0 AS (SELECT doc_id, t,
           CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS n_email,
-          CAST(len(regexp_extract_all(t, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
-          CAST(len(regexp_extract_all(t, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip
-        FROM pii)
-      SELECT doc_id, n_email, n_phone, n_ip,
-             md5(regexp_replace(regexp_replace(regexp_replace(t,
-               '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g'),
-               '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
-               '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g')) AS redacted_fp
-      FROM c
+          regexp_replace(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g') AS t1
+        FROM pii),
+      s1 AS (SELECT doc_id, n_email,
+          CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+          regexp_replace(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+        FROM s0),
+      s2 AS (SELECT doc_id, n_email, n_phone,
+          CAST(len(regexp_extract_all(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ip,
+          regexp_replace(t2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS t3
+        FROM s1)
+      SELECT doc_id, n_email, n_phone, n_ip, md5(t3) AS redacted_fp
+      FROM s2
       ORDER BY doc_id""")) { (s, d) =>
       val piiText = concat(
         lit("contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),

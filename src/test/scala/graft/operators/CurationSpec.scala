@@ -86,7 +86,7 @@ class CurationSpec extends SparkSuite {
     assert(other !== take1, "different salt should move the sample")
   }
 
-  test("redactPii scrubs every category, counts before replacing, leaves clean text alone") {
+  test("redactPii scrubs every category, counts actual replacements, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
       (1L, "mail a.b_c9@sub.example.org and x@y.io plus 555-123-4567 at 192.168.0.1 end"),
