@@ -54,6 +54,32 @@ class ScaleSpec extends SparkSuite {
     assert(salted == plain)
   }
 
+  test("partitioned write prunes partitions at the scan") {
+    // Hive-style partitioned layout + an equality predicate on the
+    // partition column: the scan must list ONLY the matching
+    // partition directory — at 100 TB this is the difference between
+    // reading one day and reading the corpus.
+    val dir = java.nio.file.Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "partprune").toString
+    (1 to 300).map(i => (i.toLong, s"d${i % 3}", i * 2.0))
+      .toDF("id", "day", "v")
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    val pruned = spark.read.parquet(dir).filter(col("day") === "d1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n${plan.take(1500)}")
+    // The data filter must NOT survive as a post-scan Filter over
+    // all partitions; row counts pin the pruned read.
+    assert(pruned.count() === 100L)
+    assert(pruned.select(sum(col("v"))).as[Double].head() ===
+      (1 to 300).filter(_ % 3 == 1).map(_ * 2.0).sum)
+    // Partition-column pruning composes with column pruning: a
+    // projection that drops `v` must not read it.
+    val proj = spark.read.parquet(dir).filter(col("day") === "d1").select("id")
+    val scan = proj.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<id:bigint>"),
+      s"projection did not prune the scan:\n${scan.take(1500)}")
+  }
+
   test("salted join equals the plain join") {
     val probe = ((1 to 5000).map(_ => ("hot", 1.0)) ++
       (1 to 100).map(i => (s"k$i", 2.0))).toDF("k", "v")
