@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Graph, Sketches, Temporal, Wer}
+import graft.operators.{Graph, Sketches, Stats, Temporal, Wer}
 
 /** Reference-pipeline operators over the driver's tables: the
   * Python-literal column family (F12–F14, A4), the corpus-WER QC
@@ -604,5 +604,39 @@ object PipelineQueries {
         .groupBy(col("url"))
         .agg(count(lit(1)).as("n_hits"), count_distinct(col("raw")).as("n_variants"))
         .orderBy("url")
+    },
+
+    // ---- q71: distributed OLS — per event type, the linear trend
+    // of value over time (slope/intercept/r²) from ONE aggregation
+    // of exact decimal sufficient statistics; the closed form then
+    // runs in correctly-rounded double ops written in the same shape
+    // on both engines, so even the floats hash-gate (the q56
+    // exactness recipe applied to regression). x is epoch seconds
+    // rebased to 2024-01-01 so x² stays small; see Stats.linearFit.
+    Q("q71_linreg_trend", Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(12,0)) AS x,
+                        CAST(value AS DECIMAL(18,2)) AS y
+                 FROM events),
+      s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+              CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM e GROUP BY 1)
+      SELECT event_type, n,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                  THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 AND CAST(n AS DOUBLE) * syy - sy * sy <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+      FROM s
+      ORDER BY event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Stats.linearFit(ev, Seq("event_type"),
+          expr("ts div 1000000000") - lit(1704067200L), col("value"))
+        .select(col("event_type"), col("n"), col("slope"), col("intercept"), col("r2"))
+        .orderBy("event_type")
     })
 }

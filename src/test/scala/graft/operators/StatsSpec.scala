@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{PropSampling, SparkSuite}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Differential gate for the sufficient-statistics OLS: the
+  * distributed aggregate must reproduce an in-test exact-sum
+  * computation of the same closed form bit-for-bit (exact decimal
+  * sums make the result partitioning-independent — that IS the
+  * operator's contract), and degenerate groups must come back null,
+  * not Inf/NaN. */
+class StatsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def reference(rows: Seq[(String, Long, Double)])
+      : Map[String, (Long, Option[Double], Option[Double], Option[Double])] =
+    rows.groupBy(_._1).view.mapValues { g =>
+      val n = g.size.toLong
+      // y quantized to the operator's DECIMAL(18,2) before summing
+      def q(y: Double): BigDecimal =
+        BigDecimal(y).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      val sx = g.map(r => BigDecimal(r._2)).sum.toDouble
+      val sy = g.map(r => q(r._3)).sum.toDouble
+      val sxx = g.map(r => BigDecimal(r._2) * BigDecimal(r._2)).sum.toDouble
+      val sxy = g.map(r => BigDecimal(r._2) * q(r._3)).sum.toDouble
+      val syy = g.map(r => q(r._3) * q(r._3)).sum.toDouble
+      val nd = n.toDouble
+      val dx = nd * sxx - sx * sx
+      val dy = nd * syy - sy * sy
+      val cov = nd * sxy - sx * sy
+      if (dx == 0.0) (n, None, None, None)
+      else {
+        val slope = cov / dx
+        val r2 = if (dy == 0.0) None else Some(cov * cov / (dx * dy))
+        (n, Some(slope), Some((sy - slope * sx) / nd), r2)
+      }
+    }.toMap
+
+  test("linearFit ≡ exact-sum closed form, bit-for-bit, any partitioning") {
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        x <- Gen.chooseNum(-1000L, 1000L)
+        y <- Gen.chooseNum(-99999, 99999).map(_ / 100.0)
+      } yield (g, x, y))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Stats.linearFit(
+          rows.toDF("g", "x", "y").repartition(7),
+          Seq("g"), col("x"), col("y"))
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getDouble(i))
+          r.getString(0) -> ((r.getLong(1), opt(2), opt(3), opt(4)))
+        }.toMap
+      assert(got === reference(rows), s"linearFit diverged on $rows")
+    }
+  }
+
+  test("perfect line: slope/intercept recovered exactly, r2 = 1") {
+    val rows = (1L to 50L).map(x => ("g", x, 3.0 * x + 7.0))
+    val r = Stats.linearFit(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r.getDouble(2) === 3.0)
+    assert(r.getDouble(3) === 7.0)
+    assert(r.getDouble(4) === 1.0)
+  }
+
+  test("degenerate groups yield nulls, never Inf/NaN") {
+    val rows = Seq(("constx", 5L, 1.0), ("constx", 5L, 9.0), ("single", 1L, 2.0),
+      ("consty", 1L, 4.0), ("consty", 2L, 4.0))
+    val out = Stats.linearFit(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("constx").isNullAt(2) && out("constx").isNullAt(4))
+    assert(out("single").isNullAt(2))
+    // constant y on varying x: slope 0, r2 undefined (dy = 0)
+    assert(out("consty").getDouble(2) === 0.0)
+    assert(out("consty").isNullAt(4))
+  }
+}
