@@ -24,17 +24,25 @@ object Stats {
     * IEEE ops only (casts, *, -, /), written in the same expression
     * shape on both engines, hence bit-identical results. Callers
     * should pre-center x (e.g. rebase epoch seconds to the corpus
-    * era) so x² stays inside the declared decimal precision.
+    * era) so x² stays inside the declared decimal precision, and
+    * note the decimal casts QUANTIZE the inputs: x to `xScale`
+    * places (default 0 — integral predictors) and y to `yScale`
+    * places, half-up. Pass wider scales for fractional inputs.
     *
-    * Degenerate groups (constant x, constant y, or a single row)
-    * yield null slope/intercept/r² rather than ±Inf/NaN. */
+    * Rows with a null x or y are excluded entirely — `n` and every
+    * sum cover exactly the observed (x, y) pairs, the OLS
+    * convention (counting nulls into n while null-skipping the sums
+    * would silently skew every coefficient). Degenerate groups
+    * (constant x, constant y, or a single row) yield null
+    * slope/intercept/r² rather than ±Inf/NaN. */
   def linearFit(df: DataFrame, groupCols: Seq[String],
                 xCol: Column, yCol: Column,
-                xPrec: Int = 12, yPrec: Int = 18, yScale: Int = 2): DataFrame = {
+                xPrec: Int = 12, xScale: Int = 0,
+                yPrec: Int = 18, yScale: Int = 2): DataFrame = {
     val gcols = groupCols.map(col)
-    val x = xCol.cast(s"decimal($xPrec,0)")
+    val x = xCol.cast(s"decimal($xPrec,$xScale)")
     val y = yCol.cast(s"decimal($yPrec,$yScale)")
-    val agg = df.groupBy(gcols: _*).agg(
+    val agg = df.filter(xCol.isNotNull && yCol.isNotNull).groupBy(gcols: _*).agg(
       count(lit(1)).as("n"),
       sum(x).as("__sx"), sum(y).as("__sy"),
       sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),

@@ -617,7 +617,8 @@ object PipelineQueries {
       WITH e AS (SELECT event_type,
                         CAST(epoch_us(ts) // 1000000 - 1704067200 AS DECIMAL(12,0)) AS x,
                         CAST(value AS DECIMAL(18,2)) AS y
-                 FROM events),
+                 FROM events
+                 WHERE ts IS NOT NULL AND value IS NOT NULL),
       s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
               CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,

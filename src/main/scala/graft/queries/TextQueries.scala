@@ -553,7 +553,7 @@ object TextQueries {
                     THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' ELSE '' END
             || ' ' || text AS t
         FROM documents),
-      s0 AS (SELECT doc_id, t,
+      s0 AS (SELECT doc_id,
           CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS n_email,
           regexp_replace(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g') AS t1
         FROM pii),

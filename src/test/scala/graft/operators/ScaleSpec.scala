@@ -66,7 +66,12 @@ class ScaleSpec extends SparkSuite {
       .write.partitionBy("day").mode("overwrite").parquet(dir)
     val pruned = spark.read.parquet(dir).filter(col("day") === "d1")
     val plan = pruned.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters"), s"no partition filters in:\n${plan.take(1500)}")
+    // The predicate must be INSIDE the PartitionFilters list — the
+    // scan prints `PartitionFilters: []` even when nothing is
+    // pushed, so a bare contains("PartitionFilters") check is
+    // vacuous.
+    assert("PartitionFilters: \\[[^\\]]*day[^\\]]*\\]".r.findFirstIn(plan).isDefined,
+      s"day predicate not pushed into partition filters:\n${plan.take(1500)}")
     // The data filter must NOT survive as a post-scan Filter over
     // all partitions; row counts pin the pruned read.
     assert(pruned.count() === 100L)

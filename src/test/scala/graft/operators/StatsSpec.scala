@@ -67,6 +67,18 @@ class StatsSpec extends SparkSuite {
     assert(r.getDouble(4) === 1.0)
   }
 
+  test("null x or y drops the pair entirely — n and sums cover observed pairs only") {
+    val rows = Seq(
+      ("g", Some(0L), Some(5.0)), ("g", Some(1L), Some(1.0)),
+      ("g", Some(2L), None: Option[Double]), ("g", None: Option[Long], Some(9.0)))
+    val r = Stats.linearFit(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().head
+    // fit over the two observed pairs: slope -4, intercept 5, n = 2
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === -4.0)
+    assert(r.getDouble(3) === 5.0)
+  }
+
   test("degenerate groups yield nulls, never Inf/NaN") {
     val rows = Seq(("constx", 5L, 1.0), ("constx", 5L, 9.0), ("single", 1L, 2.0),
       ("consty", 1L, 4.0), ("consty", 2L, 4.0))
