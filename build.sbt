@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 70+ codegen'd queries in one JVM overflow the default 240 MB
+  // code cache; once full the JIT stops compiling and mid-run
+  // queries silently deoptimize to interpreter speed.
+  "-XX:ReservedCodeCacheSize=512m",
 )

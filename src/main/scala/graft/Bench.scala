@@ -6,6 +6,14 @@ package graft
   * measurement (a bare `.count()` would) — and a per-query `err`
   * entry instead of a swallowed exception, so a failing query is
   * visible in BENCH output rather than recorded as a fast "timing".
+  *
+  * Timing is the MEDIAN of `SPARK_GRAFT_RUNS` (default 3) runs at
+  * `sfDir`. Round 6 proved single-run timing lies: AQE picks
+  * different physical plans at sf0.001 vs sf0.1, so the sf0.1
+  * codegen/JIT is still cold on the first sfDir run and one noisy
+  * run landed directly in the artifact (q18 recorded 8.95 s;
+  * median-of-3 = 0.60 s). The first timed run doubles as the sfDir
+  * warm-up; the median is robust to that one cold outlier.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -43,17 +51,24 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err: Option[String] =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          None
-        } catch {
-          case e: Throwable =>
-            Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
+      var err: Option[String] = None
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        if (err.isEmpty) {
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
+          }
         }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      // Median of the sorted runs (lower-middle for even N): robust
+      // to the one cold first-run outlier without hiding a query
+      // that is consistently slow.
+      (name, times((runs - 1) / 2), err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")

@@ -125,7 +125,7 @@ object Curation {
     * matters: emails first, so a username that embeds digits is not
     * half-eaten by the phone pass. */
   val PiiPatterns: Seq[(String, String, String)] = Seq(
-    ("email", "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]", "<EMAIL>"),
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[a-zA-Z]", "<EMAIL>"),
     ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
     ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"))
 

@@ -103,9 +103,11 @@ object Similarity {
     * that share at least one hyperplane bucket in any of `nTables`
     * tables become candidate pairs, and only candidates pay the
     * exact cosine refinement. A true near-dup pair is missed only if
-    * it splits in EVERY table (at near-dup similarities the
-    * per-table collision rate is ~0.89 for 6 planes, so 16 tables
-    * push the miss rate below 1e-15).
+    * it splits in EVERY table: with 6 planes the per-table collision
+    * rate is (1 - acos(sim)/pi)^6 — ~0.76 at sim = 0.99 (16-table
+    * miss rate ~1e-10) and ~0.89 at sim ≈ 0.998 (miss < 1e-15) — so
+    * recall is effectively total at the top of the near-dup band and
+    * still ~1 - 1e-10 at the 0.99 threshold itself.
     *
     * Shuffle shape: the bucket self-join moves only (bucket, id)
     * pairs — never the vectors — and the refinement joins vectors

@@ -29,8 +29,10 @@ object Stats {
     * places (default 0 — integral predictors) and y to `yScale`
     * places, half-up. Pass wider scales for fractional inputs.
     *
-    * Rows with a null x or y are excluded entirely — `n` and every
-    * sum cover exactly the observed (x, y) pairs, the OLS
+    * Rows with a null x or y — including values that overflow the
+    * declared decimal precision, which cast to null — are excluded
+    * entirely: `n` and every sum cover exactly the observed (x, y)
+    * pairs, the OLS
     * convention (counting nulls into n while null-skipping the sums
     * would silently skew every coefficient). Degenerate groups
     * (constant x, constant y, or a single row) yield null
@@ -40,9 +42,17 @@ object Stats {
                 xPrec: Int = 12, xScale: Int = 0,
                 yPrec: Int = 18, yScale: Int = 2): DataFrame = {
     val gcols = groupCols.map(col)
-    val x = xCol.cast(s"decimal($xPrec,$xScale)")
-    val y = yCol.cast(s"decimal($yPrec,$yScale)")
-    val agg = df.filter(xCol.isNotNull && yCol.isNotNull).groupBy(gcols: _*).agg(
+    // try_cast + post-cast filter: a value that overflows
+    // decimal(prec,scale) becomes null in BOTH ANSI and legacy modes
+    // (a plain cast would throw under ANSI, null-out under legacy —
+    // and the legacy null, filtered pre-cast, counted the row in n
+    // while every sum null-skipped it: silently skewed
+    // coefficients). Filtering on the cast values keeps n and the
+    // sums over exactly the same rows; out-of-range pairs are
+    // excluded like nulls, deterministically, in either mode.
+    val x = xCol.try_cast(s"decimal($xPrec,$xScale)")
+    val y = yCol.try_cast(s"decimal($yPrec,$yScale)")
+    val agg = df.filter(x.isNotNull && y.isNotNull).groupBy(gcols: _*).agg(
       count(lit(1)).as("n"),
       sum(x).as("__sx"), sum(y).as("__sy"),
       sum(x * x).as("__sxx"), sum(x * y).as("__sxy"),

@@ -109,8 +109,14 @@ object Temporal {
     * so every tied row sees the same cumulative value — the
     * assignment is deterministic even though the tie order isn't.
     * Null times sort first within their key (a session of their
-    * own); null keys group together, matching SQL window semantics
-    * on both engines. */
+    * own) under Spark's ASC default (NULLS FIRST); DuckDB's ASC
+    * default is NULLS LAST (since v0.8), so an oracle formulation
+    * over data with null times must spell `NULLS FIRST` explicitly
+    * — or filter null times upstream — to stay engine-portable.
+    * Null keys group together on both engines. The same caveat
+    * applies to every window-ordered oracle here (q54/q61/q62/q64);
+    * the shipped test data has no null event times, so the gates
+    * don't currently exercise it. */
   def sessionize(df: DataFrame, keyCol: String, timeCol: String,
                  gap: Long, sessionCol: String = "session_idx"): DataFrame = {
     require(gap > 0, "gap must be positive")

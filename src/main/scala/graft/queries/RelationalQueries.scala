@@ -364,7 +364,7 @@ object RelationalQueries {
       SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
              c.c_name, o.n_orders
       FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
-      ORDER BY custkey, c_name NULLS FIRST""")) { (s, d) =>
+      ORDER BY custkey NULLS FIRST, c_name NULLS FIRST""")) { (s, d) =>
       val c = Tables.customer(s, d)
         .filter(col("c_custkey") % 2 === 0)
         .select(col("c_custkey"), col("c_name"))

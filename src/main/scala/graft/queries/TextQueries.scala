@@ -554,8 +554,8 @@ object TextQueries {
             || ' ' || text AS t
         FROM documents),
       s0 AS (SELECT doc_id,
-          CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]')) AS BIGINT) AS n_email,
-          regexp_replace(t, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+[a-zA-Z]', '<EMAIL>', 'g') AS t1
+          CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[a-zA-Z]')) AS BIGINT) AS n_email,
+          regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[a-zA-Z]', '<EMAIL>', 'g') AS t1
         FROM pii),
       s1 AS (SELECT doc_id, n_email,
           CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,

@@ -91,7 +91,8 @@ class CurationSpec extends SparkSuite {
     val docs = Seq(
       (1L, "mail a.b_c9@sub.example.org and x@y.io plus 555-123-4567 at 192.168.0.1 end"),
       (2L, "no pii here at all"),
-      (3L, "edge 999-999-9999 and 1.2.3.4 only")).toDF("doc_id", "text")
+      (3L, "edge 999-999-9999 and 1.2.3.4 only"),
+      (4L, "hyphen user@my-site.com and plus user+tag@x.com done")).toDF("doc_id", "text")
     val out = Curation.redactPii(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
     val r1 = out(1L)
@@ -104,6 +105,11 @@ class CurationSpec extends SparkSuite {
     assert(out(2L).getAs[Long]("n_email") === 0L)
     val t3 = out(3L).getAs[String]("text")
     assert(t3 === "edge <PHONE> and <IP> only", t3)
+    // Hyphenated domains and plus-addressed locals are whole-match
+    // scrubbed (the r6 pattern left '-site.com' / 'user+' residue).
+    val t4 = out(4L).getAs[String]("text")
+    assert(t4 === "hyphen <EMAIL> and plus <EMAIL> done", t4)
+    assert(out(4L).getAs[Long]("n_email") === 2L)
   }
 
   test("redactPii fuzz: injected PII is counted and scrubbed exactly, clean words untouched") {

@@ -79,6 +79,20 @@ class StatsSpec extends SparkSuite {
     assert(r.getDouble(3) === 5.0)
   }
 
+  test("decimal-overflow pairs drop like nulls — n never counts a row the sums skipped") {
+    // x = 1e13 overflows decimal(12,0) → null after cast; the row
+    // must vanish from n AND the sums (pre-cast filtering counted it
+    // in n while every sum skipped it — silently skewed slope).
+    val rows = Seq(
+      ("g", Some(0L), Some(5.0)), ("g", Some(1L), Some(1.0)),
+      ("g", Some(10000000000000L), Some(2.0)))
+    val r = Stats.linearFit(rows.toDF("g", "x", "y"), Seq("g"), col("x"), col("y"))
+      .collect().head
+    assert(r.getLong(1) === 2L)
+    assert(r.getDouble(2) === -4.0)
+    assert(r.getDouble(3) === 5.0)
+  }
+
   test("degenerate groups yield nulls, never Inf/NaN") {
     val rows = Seq(("constx", 5L, 1.0), ("constx", 5L, 9.0), ("single", 1L, 2.0),
       ("consty", 1L, 4.0), ("consty", 2L, 4.0))
