@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{GraftFunctions, TextFunctions}
 
@@ -44,6 +45,13 @@ object Dedup {
       col(idCol),
       GraftFunctions.minhash_sig(TextFunctions.tokens(col(textCol)), k).as("sig"))
 
+  /** Default hot-band bound for [[lshCandidates]]: a band at the cap
+    * contributes at most ~maxBandSize²/2 ≈ 5×10⁵ pairs (the last
+    * all-pairs band) and every band beyond it only maxBandSize-1
+    * star pairs — per-band work is bounded no matter how templated
+    * the corpus. */
+  val DefaultMaxBandSize = 1024
+
   /** LSH candidate pairs from banded minhash signatures.
     * `bands * rowsPerBand` must equal the signature length. The
     * result is distinct (docA < docB) pairs that collide in at least
@@ -53,19 +61,49 @@ object Dedup {
     * key instead of a ~300-byte stringified band. A 64-bit hash
     * collision between different bands can only ADD a candidate
     * pair, and every candidate is exactly verified downstream, so
-    * recall and output are unaffected. */
+    * recall and output are unaffected.
+    *
+    * Hot-band guard: identical-set collapse upstream removes exact
+    * duplicates, but a cluster of NEAR-identical documents (templated
+    * pages differing by a token) still shares bands, and the band
+    * self-join is quadratic in band size — AQE can split a skewed
+    * partition but cannot reduce the pair count. Bands larger than
+    * `maxBandSize` therefore switch from all-pairs to STAR pairs:
+    * (band-min id, member) only — O(m) pairs per band instead of
+    * O(m²), while keeping every member of the hot band connected to
+    * one representative, so component-style dedup (collapse the
+    * cluster, keep one) still sees the whole cluster. The recall
+    * trade, deterministic and documented like `maxClusterIds`: a
+    * non-star pair (b,c) inside a hot band surfaces only if some
+    * OTHER band ≤ the cap contains it, so "all pairs above
+    * threshold" completeness degrades to "all members reachable from
+    * the band representative" within hot bands. The band-frequency
+    * probe is a window count over the same hash partitioning the
+    * self-join needs anyway — no extra shuffle of the banded rows. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
-                    idCol: String = "doc_id"): DataFrame = {
+                    idCol: String = "doc_id",
+                    maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }
+    val w = Window.partitionBy("band")
     val banded = sigs
       .select(col(idCol), explode(array(bandKeys: _*)).as("band"))
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(idCol), col("band"),
+        count(lit(1)).over(w).as("bf"), min(col(idCol)).over(w).as("band_min"))
+    val cool = banded.filter(col("bf") <= maxBandSize)
+    val a = cool.as("a")
+    val b = cool.as("b")
+    val allPairs = a
+      .join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-      .distinct()
+    // band_min is the band's minimum, so band_min < id already holds
+    // for every non-representative member — pair order is canonical
+    // without least/greatest.
+    val starPairs = banded
+      .filter(col("bf") > maxBandSize && col(idCol) =!= col("band_min"))
+      .select(col("band_min").as("doc_a"), col(idCol).as("doc_b"))
+    allPairs.unionByName(starPairs).distinct()
   }
 
   /** Identical-token-set collapse: one representative row per

@@ -68,6 +68,32 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
   }
 
+  /** Size-guarded near-duplicate pairs: exact [[nearDupPairs]] for
+    * corpora up to `maxExactRows`, [[nearDupPairsLsh]] above it —
+    * the q22 `maxClusterIds` routing pattern applied to the one
+    * remaining quadratic plan. The probe is a bounded
+    * `limit(n+1).count()` scan (never a full count), so a 100 TB
+    * corpus pays one cheap partial scan and routes to the bucketed
+    * path; only a corpus that could actually afford the exact
+    * self-join runs it. Both branches emit the same
+    * (vec_a, vec_b, sim) schema; above the bound the result is the
+    * LSH candidates' EXACT cosine refinement, so the only deviation
+    * from ground truth is a missed pair at ~1e-10 probability (see
+    * [[nearDupPairsLsh]]'s recall math).
+    *
+    * Default bound 16384: the exact path then evaluates at most
+    * ~1.3e8 candidate pairs (n²/2) — seconds on a single executor
+    * wave, and far below where the LSH path's recall trade becomes
+    * worth it. */
+  def nearDupPairsAuto(embeddings: DataFrame, threshold: Double, dim: Int,
+                       nPlanes: Int = 6, nTables: Int = 16,
+                       maxExactRows: Int = 16384,
+                       idCol: String = "vec_id"): DataFrame = {
+    val small = embeddings.limit(maxExactRows + 1).count() <= maxExactRows
+    if (small) nearDupPairs(embeddings, threshold, idCol)
+    else nearDupPairsLsh(embeddings, threshold, dim, nPlanes, nTables, idCol)
+  }
+
   /** LSH-bucketed approximate nearest neighbor over `nTables`
     * independent random-hyperplane tables: each vector lands in one
     * bucket per table, a query scans the union of its buckets, and a

@@ -46,14 +46,21 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ---- q31: exact embedding near-duplicate pairs (cosine >= 0.99).
+    // ---- q31: embedding near-duplicate pairs (cosine >= 0.99),
+    // size-guarded: up to 16384 vectors the exact self-join runs
+    // (every test SF — the oracle below IS the exact join, so the
+    // gate exercises that branch); above the bound the plan routes
+    // to the LSH-bucketed candidates + exact refinement instead of
+    // dying quadratically (SimilaritySpec pins the routing and the
+    // routed result). The bounded limit-probe never full-counts the
+    // corpus.
     Q("q31_embedding_neardup", Some(oracleProlog + """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
       FROM p a JOIN p b ON a.vec_id < b.vec_id
       WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
       ORDER BY vec_a, vec_b""")) { (s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), threshold = 0.99)
+      Similarity.nearDupPairsAuto(Tables.embeddings(s, d), threshold = 0.99, dim = 64)
         .orderBy("vec_a", "vec_b")
     },
 

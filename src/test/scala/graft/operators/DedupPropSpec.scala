@@ -148,6 +148,29 @@ class DedupPropSpec extends SparkSuite {
     nodes.map(n => n -> find(n)).toMap
   }
 
+  test("hot-band guard: a 10k near-identical cluster yields O(m) star candidates, cool bands keep all pairs") {
+    import spark.implicits._
+    // 10k identical signatures: both bands collapse to one hot
+    // bucket each — ungarded, the band self-join would build
+    // ~5×10⁷ pairs. The guard must emit exactly the m-1 star pairs
+    // to the band-min representative instead, while a small clique
+    // with its own signature keeps untouched all-pairs semantics.
+    val hot = (0L until 10000L).map(i => (i, Array.fill(64)(7L)))
+    val cool = (20000L until 20005L).map(i => (i, Array.fill(64)(9L)))
+    val sigs = (hot ++ cool).toDF("doc_id", "sig")
+    val cands = Dedup.lshCandidates(sigs, bands = 2, rowsPerBand = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val hotPairs = cands.filter(_._1 < 20000L)
+    assert(hotPairs.length === 9999, s"expected star pairs, got ${hotPairs.length}")
+    assert(hotPairs.forall { case (a, b) => a == 0L && b > 0L && b < 10000L },
+      "every hot-band member must connect to the band-min representative")
+    val coolPairs = cands.filter(_._1 >= 20000L).toSet
+    val coolExpect = (for {
+      a <- 20000L until 20005L; b <- (a + 1) until 20005L
+    } yield (a, b)).toSet
+    assert(coolPairs === coolExpect, "cool band lost its all-pairs semantics")
+  }
+
   test("connectedComponents ≡ union-find on random pair graphs (chains, cliques, singletons)") {
     import spark.implicits._
     // Sparse random graphs over a node range produce a mix of long

@@ -60,6 +60,40 @@ class SimilaritySpec extends SparkSuite {
       s"LSH missed twins: ${(twinPairs -- lsh).take(5)}")
   }
 
+  test("nearDupPairsAuto routes by corpus size: exact below the bound, LSH above") {
+    import graft.functions.VectorFunctions.asDouble
+    // Same twin corpus as the LSH test — both routes must catch
+    // every synthesized twin.
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val exactPairs = Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // Below the bound: the auto route IS the exact plan — identical
+    // pair set, and the physical plan contains the all-pairs
+    // nested-loop join.
+    val small = Similarity.nearDupPairsAuto(corpus, threshold = 0.99, dim = 64)
+    assert(small.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet === exactPairs)
+    assert(small.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "small corpus should take the exact all-pairs plan")
+    // Above the (forced-tiny) bound: the LSH plan runs instead — no
+    // nested-loop join anywhere in the physical plan — and still
+    // catches every twin with no invented pairs.
+    val routed = Similarity.nearDupPairsAuto(corpus, threshold = 0.99, dim = 64,
+      maxExactRows = 10)
+    assert(!routed.queryExecution.executedPlan.toString.contains("NestedLoop"),
+      "large corpus must not plan the quadratic self-join")
+    val routedPairs = routed.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(routedPairs.subsetOf(exactPairs), "routed path must never invent a pair")
+    val twinPairs = twins.select("vec_id").as[Long].collect()
+      .map(t => (t - 1000000L, t)).toSet
+    assert(twinPairs.subsetOf(routedPairs),
+      s"routed path missed twins: ${(twinPairs -- routedPairs).take(5)}")
+  }
+
   test("brute force matches a driver-side exact computation") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
