@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.HashFunctions
 
@@ -165,5 +166,51 @@ object Sketches {
       .groupBy(gcols :+ col("reg"): _*)
       .agg(max(col("rho")).as("maxrho"))
     hllFinalize(registers, groupCols, p)
+  }
+
+  /** Approximate per-group percentiles from a fixed-bin scaled
+    * histogram — the corpus-scale replacement for exact ordered
+    * selection (q62), the way the LSH join replaces the quadratic
+    * pair join. Exact selection must SORT every group's rows; the
+    * sketch reduces each group to its histogram first, so per-group
+    * work is O(distinct bins), not O(rows).
+    *
+    * Sketch state is integer-exact and mergeable per the CMS/HLL
+    * recipe above: `bin = floor(value * binsPerUnit)` with
+    * `binsPerUnit` a power of two, so the scaling multiply is an
+    * exact IEEE op and the bin id is a deterministic BIGINT both
+    * engines compute identically; histogram merge is `sum(cnt)` —
+    * order-independent, distributive, map-side combined. The
+    * estimate for percentile p is the LOWER EDGE of the bin holding
+    * the rank-⌊(n-1)·p/100⌋ value (q62's discrete-rank convention),
+    * so `est ≤ exact < est + 1/binsPerUnit` — a one-bin-width error
+    * bound SketchesSpec pins against the exact path.
+    *
+    * Plan shape: one shuffle for the (group, bin) histogram, then a
+    * windowed cumulative sum over BINS (bounded by value range ×
+    * binsPerUnit, never by corpus rows) picks the percentile bins.
+    * Null values are excluded, like every percentile convention. */
+  def binnedPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
+                        percentiles: Seq[Int], binsPerUnit: Int = 4): DataFrame = {
+    require(binsPerUnit > 0 && (binsPerUnit & (binsPerUnit - 1)) == 0,
+      "binsPerUnit must be a power of two so the bin scaling stays IEEE-exact")
+    require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
+      "percentiles must be in [0, 100]")
+    val gcols = groupCols.map(col)
+    val bin = floor(valueCol * lit(binsPerUnit)).cast("long")
+    val hist = df.filter(valueCol.isNotNull)
+      .select(gcols :+ bin.as("bin"): _*)
+      .groupBy(gcols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val byBin = Window.partitionBy(gcols: _*).orderBy(col("bin"))
+    val whole = Window.partitionBy(gcols: _*)
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(byBin))
+      .withColumn("n", sum(col("cnt")).over(whole))
+    val aggs = percentiles.map { p =>
+      (min(when(col("cum") >= expr(s"((n - 1) * $p) div 100") + 1, col("bin")))
+        .cast("double") / lit(binsPerUnit.toDouble)).as(s"p${p}_est")
+    } :+ max(col("n")).as("n")
+    cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
 }

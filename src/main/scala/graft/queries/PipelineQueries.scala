@@ -477,8 +477,9 @@ object PipelineQueries {
     // interpolation arithmetic, so the selected doubles are row
     // values both engines read identically from parquet. Exact
     // selection inherently sorts within each group (the honest
-    // plan); at real corpus scale the sketch path (approx
-    // percentile / KLL) replaces it, the same way q21 replaces q31.
+    // plan); at real corpus scale the sketch path — q72's binned
+    // histogram (Sketches.binnedPercentiles) — replaces it, the
+    // same way q21 replaces q31.
     Q("q62_percentiles", Some("""
       WITH e AS (SELECT event_type, value, event_id FROM events),
       r AS (SELECT event_type, value,
@@ -638,6 +639,36 @@ object PipelineQueries {
       Stats.linearFit(ev, Seq("event_type"),
           expr("ts div 1000000000") - lit(1704067200L), col("value"))
         .select(col("event_type"), col("n"), col("slope"), col("intercept"), col("r2"))
+        .orderBy("event_type")
+    },
+
+    // ---- q72: approximate percentile SKETCH — the corpus-scale
+    // twin q62's doc block promises: exact selection sorts every
+    // group's rows, while this fixed-bin scaled histogram reduces
+    // the group to O(distinct bins) integer state first (bin =
+    // floor(value*4), an exact IEEE scaling both engines compute
+    // bit-identically), then picks the percentile's bin by windowed
+    // cumulative count over BINS. The oracle replays the sketch —
+    // bin ids, histogram merge, rank targets — exactly, so the
+    // approximate path hash-gates like an exact one; the one-bin
+    // error bound vs exact q62 is pinned in SketchesSpec.
+    Q("q72_percentile_sketch", Some("""
+      WITH b AS (SELECT event_type, CAST(floor(value * 4) AS BIGINT) AS bin
+                 FROM events WHERE value IS NOT NULL),
+      h AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2),
+      c AS (SELECT event_type, bin, cnt,
+              CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM h)
+      SELECT event_type,
+             CAST(MIN(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN bin END) AS DOUBLE) / 4 AS p50_est,
+             CAST(MIN(CASE WHEN cum >= ((n - 1) * 90) // 100 + 1 THEN bin END) AS DOUBLE) / 4 AS p90_est,
+             MAX(n) AS n
+      FROM c GROUP BY event_type
+      ORDER BY event_type""")) { (s, d) =>
+      Sketches.binnedPercentiles(Tables.events(s, d), Seq("event_type"),
+          col("value"), percentiles = Seq(50, 90), binsPerUnit = 4)
         .orderBy("event_type")
     })
 }

@@ -450,6 +450,75 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
+    // → benchmark decontamination (q48) → stratified sampling (q50)
+    // → sequence packing (q49), chained in one lineage the way a
+    // real pre-training data build runs them. Composition order is
+    // the production one: dedup first (cheapest eliminator), then
+    // drop eval-contaminated docs, then rebalance languages, and
+    // pack only what survives. The sample stage is a pure codegen
+    // filter fused into the packing scan (no shuffle of its own);
+    // dedup's survivor semi-join and the decontamination anti-join
+    // are the only corpus-wide exchanges before the single packing
+    // repartition — the fused plan is pinned in PLANS.md. The
+    // oracle replays all four stages stage-for-stage: survivor
+    // min-ids, 15-hex shingle hits, md5 strat buckets, and the
+    // recursive next-fit walk.
+    Q("q73_curation_pipeline", Some("""
+      WITH RECURSIVE
+      surv AS (
+        SELECT MIN(doc_id) AS doc_id
+        FROM documents
+        GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))),
+      dd AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN surv USING (doc_id)),
+      e AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+              [array_to_string(string_split(text,' ')[i:i+2], ' ')
+               FOR i IN range(1, len(string_split(text,' ')) - 1)],
+              x -> substr(md5(x), 1, 15)))) AS sh
+            FROM documents WHERE doc_id % 97 = 0),
+      tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                 FOR i IN range(1, len(string_split(text,' ')) - 1)],
+                x -> substr(md5(x), 1, 15)))) AS sh
+              FROM dd),
+      cont AS (SELECT DISTINCT tsh.doc_id FROM tsh JOIN e USING (sh)),
+      clean AS (SELECT dd.* FROM dd ANTI JOIN cont USING (doc_id)),
+      sampled AS (
+        SELECT * FROM clean
+        WHERE ('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000 <
+              CASE lang WHEN 'en' THEN 250000 WHEN 'de' THEN 500000
+                        WHEN 'fr' THEN 1000000 WHEN 'es' THEN 100000 ELSE 0 END),
+      d2 AS (SELECT doc_id, doc_id % 32 AS shard,
+                    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+             FROM sampled),
+      ord AS (SELECT doc_id, shard, w,
+                     CAST(row_number() OVER (PARTITION BY shard ORDER BY doc_id) - 1 AS BIGINT) AS i
+              FROM d2),
+      walk AS (
+        SELECT shard, i, doc_id, CAST(0 AS BIGINT) AS seq, w AS cum, w
+        FROM ord WHERE i = 0
+        UNION ALL
+        SELECT o.shard, o.i, o.doc_id,
+               CASE WHEN wk.cum + o.w > 512 THEN wk.seq + 1 ELSE wk.seq END,
+               CASE WHEN wk.cum + o.w > 512 THEN o.w ELSE wk.cum + o.w END,
+               o.w
+        FROM walk wk JOIN ord o ON o.shard = wk.shard AND o.i = wk.i + 1)
+      SELECT doc_id, shard, seq AS seq_id, w AS n_tokens
+      FROM walk
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val survivors = Dedup.exactByFingerprint(docs).select(col("doc_id"))
+      val deduped = docs.join(survivors, Seq("doc_id"), "left_semi")
+      val contaminated = Curation
+        .flagContaminated(deduped, docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 3)
+        .filter(col("contaminated")).select(col("doc_id"))
+      val clean = deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      val sampled = Curation.sampleStratified(clean, col("lang"),
+        Map("en" -> 0.25, "de" -> 0.5, "fr" -> 1.0, "es" -> 0.1))
+      Curation.packSequences(sampled, maxTokens = 512, shards = 32)
+        .orderBy("doc_id")
+    },
+
     // ---- q52: count-min sketch term estimates — the bounded-state
     // aggregation (4x512 cells regardless of vocabulary size) probed
     // for the stopword vocabulary. All four cell hashes are 32-bit

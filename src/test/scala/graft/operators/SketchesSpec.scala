@@ -75,6 +75,33 @@ class SketchesSpec extends SparkSuite {
     assert(s > 63L * (1L << 55) && s < 64L * (1L << 55), s"s_scaled $s out of range")
   }
 
+  test("binnedPercentiles: estimate is the floor of the exact discrete percentile, within one bin") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Random per-group samples incl. negative values and ties; the
+    // exact discrete percentile (q62's rank convention) must land
+    // inside the reported bin: est ≤ exact < est + 1/binsPerUnit.
+    val rowGen = for {
+      n <- Gen.chooseNum(5, 200)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-40000, 40000).map(_ / 100.0))
+    } yield vs
+    for (groups <- PropSampling.sample(Gen.listOfN(3, rowGen), n = 4)) {
+      val rows = groups.zipWithIndex.flatMap { case (vs, g) => vs.map(v => (s"g$g", v)) }
+      val df = rows.toDF("grp", "value").repartition(7)
+      val got = Sketches.binnedPercentiles(df, Seq("grp"), col("value"),
+          percentiles = Seq(50, 90), binsPerUnit = 4)
+        .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+      groups.zipWithIndex.foreach { case (vs, g) =>
+        val sorted = vs.sorted
+        val (e50, e90) = (sorted(((vs.size - 1) * 50) / 100), sorted(((vs.size - 1) * 90) / 100))
+        val (p50, p90, n) = got(s"g$g")
+        assert(n === vs.size.toLong)
+        assert(p50 <= e50 && e50 < p50 + 0.25, s"p50 est $p50 vs exact $e50")
+        assert(p90 <= e90 && e90 < p90 + 0.25, s"p90 est $p90 vs exact $e90")
+      }
+    }
+  }
+
   test("unseen probes estimate zero on empty buckets") {
     import spark.implicits._
     val sketch = Sketches.countMinSketch(Seq("a", "a", "b").toDF("term"), "term", 4, 4096)
