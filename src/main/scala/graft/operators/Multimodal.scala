@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/video assets as opaque binary
   * columns with typed metadata, following the same pattern as the
   * audio family — header-only metadata extraction stays cheap and
-  * prunable, full decode is a clearly-marked stand-in behind a
-  * stable operator surface (the container ships no image/video
-  * libraries; a real deployment swaps the kernel, not the plan),
-  * and per-row transforms batch through executor-side functions.
+  * prunable, full pixel decode is a REAL java.base-only PNG decoder
+  * (Inflater + scanline defilter; no image library needed), and
+  * per-row transforms batch through executor-side functions.
   */
 object Multimodal {
 
   final case class PngInfo(width: Int, height: Int, bitDepth: Int, colorType: Int)
+
+  private def be32(bytes: Array[Byte], off: Int): Int =
+    ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+      ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
 
   /** REAL header parse: PNG signature + IHDR chunk (width, height,
     * bit depth, color type) — no image library needed, and metadata
@@ -25,10 +28,7 @@ object Multimodal {
     while (i < 8) { if (bytes(i) != sig(i)) return null; i += 1 }
     // first chunk must be IHDR: length(4) type(4) data(13)
     if (!(bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R')) return null
-    def be32(off: Int): Int =
-      ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
-        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
-    PngInfo(be32(16), be32(20), bytes(24) & 0xff, bytes(25) & 0xff)
+    PngInfo(be32(bytes, 16), be32(bytes, 20), bytes(24) & 0xff, bytes(25) & 0xff)
   }
 
   private val pngInfoUdf = udf((b: Array[Byte]) => Option(pngInfo(b)))
@@ -36,23 +36,131 @@ object Multimodal {
   /** Header-only image metadata column. */
   def imageInfo(bin: Column): Column = pngInfoUdf(bin)
 
-  /** STUB pixel decode — deterministic fake: pixel (x, y) of an
-    * image with content hash h is `(h + x*31 + y*17) mod 256`,
-    * flattened row-major. The schema/batch shape downstream
-    * operators see is the real one (array<int> of w*h grayscale);
-    * only the pixel values are fake. Marked stand-in: a real
-    * deployment replaces this kernel with an actual decoder. */
-  def decodeStub(bin: Column, info: Column): Column = {
-    val f = udf((b: Array[Byte], w: Int, h: Int) => {
-      if (b == null || w <= 0 || h <= 0) null
+  /** Bound on decoded pixels per image (16 MPix): a hostile or
+    * corrupt header cannot make one row allocate unbounded memory —
+    * the same per-row-state discipline as the audio kernels. */
+  private val MaxDecodePixels = 1 << 24
+
+  /** REAL PNG pixel decode, java.base only: walks the chunk stream,
+    * inflates the concatenated IDAT payload
+    * (`java.util.zip.Inflater` — zlib ships in the JDK), and
+    * defilters each scanline (filter types 0-4: None/Sub/Up/
+    * Average/Paeth, the full non-interlaced set). Supports 8-bit
+    * gray (color type 0), RGB (2) and RGBA (6); returns row-major
+    * packed ints — gray value, 0xRRGGBB, or 0xAARRGGBB — and null
+    * for anything outside that envelope (bad signature, palette/
+    * 16-bit/interlaced images, truncated or corrupt IDAT). CRCs are
+    * not validated: a flipped payload bit surfaces as inflate
+    * failure or wrong pixels, and the decode path is for trusted
+    * lake-resident assets, not adversarial input. */
+  def decodePng(bytes: Array[Byte]): Array[Int] = {
+    val info = pngInfo(bytes)
+    if (info == null || info.bitDepth != 8) return null
+    val bpp = info.colorType match {
+      case 0 => 1
+      case 2 => 3
+      case 6 => 4
+      case _ => return null
+    }
+    if (bytes(28) != 0) return null // interlaced (Adam7) unsupported
+    val w = info.width
+    val h = info.height
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxDecodePixels) return null
+    // Chunk walk: concatenate every IDAT payload (the spec allows
+    // the zlib stream to split across chunks at any byte).
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 8
+    var end = false
+    while (!end && off + 8 <= bytes.length) {
+      val len = be32(bytes, off)
+      if (len < 0 || off + 8 + len + 4 > bytes.length) end = true
       else {
-        val hash = java.util.Arrays.hashCode(b) & 0x7fffffff
-        Array.tabulate(math.min(w * h, 1 << 20))(i =>
-          (hash + (i % w) * 31 + (i / w) * 17) % 256)
+        def typeIs(s: String): Boolean =
+          bytes(off + 4) == s.charAt(0).toByte && bytes(off + 5) == s.charAt(1).toByte &&
+            bytes(off + 6) == s.charAt(2).toByte && bytes(off + 7) == s.charAt(3).toByte
+        if (typeIs("IDAT")) idat.write(bytes, off + 8, len)
+        if (typeIs("IEND")) end = true
+        off += 8 + len + 4 // data + crc (not validated)
       }
-    })
-    f(bin, info.getField("width"), info.getField("height"))
+    }
+    val compressed = idat.toByteArray
+    if (compressed.isEmpty) return null
+    // Inflate exactly h * (1 + stride) bytes of filtered scanlines.
+    val stride = w * bpp
+    val raw = new Array[Byte]((stride + 1) * h)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(compressed)
+    var got = 0
+    try {
+      while (got < raw.length && !inflater.finished()) {
+        val n = inflater.inflate(raw, got, raw.length - got)
+        if (n == 0 && inflater.needsInput()) return null // truncated stream
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inflater.end()
+    if (got < raw.length) return null
+    // Defilter in place: each byte's predictors (left, up, upper-left)
+    // read the already-reconstructed image, per the PNG spec.
+    val img = new Array[Byte](stride * h)
+    var y = 0
+    while (y < h) {
+      val filter = raw(y * (stride + 1)) & 0xff
+      val rowOff = y * (stride + 1) + 1
+      val outOff = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + x) & 0xff
+        val left = if (x >= bpp) img(outOff + x - bpp) & 0xff else 0
+        val up = if (y > 0) img(outOff - stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) img(outOff - stride + x - bpp) & 0xff else 0
+        val v = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + ((left + up) >> 1)
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left)
+            val pb = math.abs(p - up)
+            val pc = math.abs(p - ul)
+            cur + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => return null
+        }
+        img(outOff + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val out = new Array[Int](w * h)
+    var i = 0
+    bpp match {
+      case 1 =>
+        while (i < out.length) { out(i) = img(i) & 0xff; i += 1 }
+      case 3 =>
+        while (i < out.length) {
+          val o = i * 3
+          out(i) = ((img(o) & 0xff) << 16) | ((img(o + 1) & 0xff) << 8) | (img(o + 2) & 0xff)
+          i += 1
+        }
+      case 4 =>
+        while (i < out.length) {
+          val o = i * 4
+          out(i) = ((img(o + 3) & 0xff) << 24) | ((img(o) & 0xff) << 16) |
+            ((img(o + 1) & 0xff) << 8) | (img(o + 2) & 0xff)
+          i += 1
+        }
+    }
+    out
   }
+
+  private val decodePngUdf = udf((b: Array[Byte]) => Option(decodePng(b)))
+
+  /** Real pixel-decode column: row-major packed ints (see
+    * [[decodePng]]), null for unsupported/corrupt images — a
+    * downstream filter on `isNotNull` is the quarantine step. */
+  def decodeImage(bin: Column): Column = decodePngUdf(bin)
 
   /** Nearest-neighbor resize over a row-major pixel array — real
     * arithmetic over whatever the decode produced. */

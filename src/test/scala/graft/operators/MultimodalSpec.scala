@@ -4,8 +4,9 @@ import org.apache.spark.sql.functions._
 import graft.SparkSuite
 
 /** Multimodal binary-column plumbing: real PNG header parse, the
-  * deterministic decode stub, resize arithmetic, and codegen-native
-  * frame sampling. */
+  * real Inflater-based pixel decode (verified pixel-exact against an
+  * independently forward-filtered synthesized PNG), resize
+  * arithmetic, and codegen-native frame sampling. */
 class MultimodalSpec extends SparkSuite {
   import spark.implicits._
 
@@ -20,6 +21,54 @@ class MultimodalSpec extends SparkSuite {
     buf.array()
   }
 
+  /** COMPLETE synthesized PNG: forward-filters `pixels` row by row
+    * (an independent re-implementation of the spec's filters — the
+    * decoder must invert it exactly), deflates, and wraps in real
+    * chunks. `filters(y)` picks each row's filter type so one image
+    * exercises every defilter branch. CRCs are zeroed (the decoder
+    * documents it does not validate them). */
+  private def realPng(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+                      filters: Seq[Int]): Array[Byte] = {
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+    val stride = w * bpp
+    require(pixels.length == stride * h && filters.length == h)
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      val f = filters(y)
+      raw(y * (stride + 1)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = pixels(y * stride + x) & 0xff
+        val left = if (x >= bpp) pixels(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * stride + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) pixels((y - 1) * stride + x - bpp) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) >> 1
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+        }
+        raw(y * (stride + 1) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val comp = new Array[Byte](raw.length + 64)
+    val n = deflater.deflate(comp)
+    deflater.end()
+    val out = java.nio.ByteBuffer.allocate(8 + 25 + (12 + n) + 12)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+    out.put(0.toByte).put(0.toByte).put(0.toByte).putInt(0) // + zero CRC
+    out.putInt(n).put("IDAT".getBytes("US-ASCII")).put(comp, 0, n).putInt(0)
+    out.putInt(0).put("IEND".getBytes("US-ASCII")).putInt(0)
+    out.array()
+  }
+
   test("PNG header parse without pixel data") {
     val df = Seq((1L, png(640, 480)), (2L, "not a png".getBytes.asInstanceOf[Array[Byte]]))
       .toDF("img_id", "content")
@@ -30,18 +79,47 @@ class MultimodalSpec extends SparkSuite {
     assert(got == Set((1L, 640, 480, 8), (2L, -1, -1, -1)))
   }
 
-  test("decode stub produces the declared shape; resize arithmetic is real") {
-    val df = Seq((1L, png(8, 4))).toDF("img_id", "content")
+  test("real PNG decode is pixel-exact across all five filter types (gray + RGB)") {
+    // Grayscale 8x5, one row per filter type 0..4, deterministic
+    // non-trivial pixel values.
+    val gw = 8; val gh = 5
+    val gray = Array.tabulate(gw * gh)(i => ((i * 37 + 11) % 256).toByte)
+    val grayPng = realPng(gw, gh, 0, gray, Seq(0, 1, 2, 3, 4))
+    // RGB 5x5, same filter coverage, bpp=3 exercises the left/ul
+    // predictors at pixel (not byte) offsets.
+    val cw = 5; val ch = 5
+    val rgb = Array.tabulate(cw * ch * 3)(i => ((i * 73 + 29) % 256).toByte)
+    val rgbPng = realPng(cw, ch, 2, rgb, Seq(4, 3, 2, 1, 0))
+    val df = Seq((1L, grayPng), (2L, rgbPng)).toDF("img_id", "content")
+      .withColumn("pixels", Multimodal.decodeImage(col("content")))
+    val got = df.select("img_id", "pixels").as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) === gray.map(_ & 0xff).toSeq, "grayscale decode diverged")
+    val rgbExpect = Array.tabulate(cw * ch) { i =>
+      ((rgb(i * 3) & 0xff) << 16) | ((rgb(i * 3 + 1) & 0xff) << 8) | (rgb(i * 3 + 2) & 0xff)
+    }.toSeq
+    assert(got(2L) === rgbExpect, "RGB decode diverged")
+  }
+
+  test("decode rejects what it cannot decode; resize arithmetic is real") {
+    // Header-only PNG (no IDAT) and junk bytes both decode to null
+    // instead of throwing — the quarantine contract.
+    val headerOnly = png(8, 4)
+    val df0 = Seq((1L, headerOnly), (2L, "junk".getBytes.asInstanceOf[Array[Byte]]))
+      .toDF("img_id", "content")
+      .withColumn("pixels", Multimodal.decodeImage(col("content")))
+    assert(df0.filter(col("pixels").isNotNull).count() === 0L)
+    // Resize over really-decoded pixels: nearest-neighbor (0,0)
+    // samples input (0,0).
+    val gray = Array.tabulate(32)(i => ((i * 37 + 11) % 256).toByte)
+    val df = Seq((1L, realPng(8, 4, 0, gray, Seq(0, 1, 2, 4)))).toDF("img_id", "content")
       .withColumn("info", Multimodal.imageInfo(col("content")))
-      .withColumn("pixels", Multimodal.decodeStub(col("content"), col("info")))
+      .withColumn("pixels", Multimodal.decodeImage(col("content")))
     val px = df.select("pixels").as[Seq[Int]].head()
     assert(px.length == 32)
-    assert(px.forall(p => p >= 0 && p < 256))
     val small = df.select(
       Multimodal.resize(col("pixels"), col("info.width"), col("info.height"), 4, 2).as("r"))
       .as[Seq[Int]].head()
     assert(small.length == 8)
-    // nearest-neighbor: output (0,0) samples input (0,0)
     assert(small.head == px.head)
   }
 
