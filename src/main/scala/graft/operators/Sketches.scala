@@ -192,16 +192,39 @@ object Sketches {
     * Null values are excluded, like every percentile convention. */
   def binnedPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                         percentiles: Seq[Int], binsPerUnit: Int = 4): DataFrame = {
+    val gcols = groupCols.map(col)
+    val hist = df.filter(valueCol.isNotNull)
+      .select(gcols :+ histogramBin(valueCol, binsPerUnit).as("bin"): _*)
+      .groupBy(gcols :+ col("bin"): _*)
+      .agg(count(lit(1)).as("cnt"))
+    histogramPercentiles(hist, groupCols, percentiles, binsPerUnit)
+  }
+
+  /** Bin id for the scaled histogram — shared by the batch sketch
+    * above and the streaming windowed histogram
+    * (`EventStreams.histogramBinsWindowed`), so their states merge
+    * and finalize identically. */
+  def histogramBin(valueCol: Column, binsPerUnit: Int): Column = {
+    require(binsPerUnit > 0 && (binsPerUnit & (binsPerUnit - 1)) == 0,
+      "binsPerUnit must be a power of two so the bin scaling stays IEEE-exact")
+    floor(valueCol * lit(binsPerUnit)).cast("long")
+  }
+
+  /** Finalize `(groupCols..., bin, cnt)` histogram rows into
+    * percentile estimates — the fold both the batch sketch and a
+    * streaming sink's closed windows run (the HLL
+    * registers/finalize split applied to percentiles). Histograms
+    * for the same group merge beforehand by summing `cnt` — which
+    * the cumulative window does implicitly, so duplicate bin rows
+    * (e.g. one per micro-batch) are fine as long as each count is
+    * disjoint. */
+  def histogramPercentiles(hist: DataFrame, groupCols: Seq[String],
+                           percentiles: Seq[Int], binsPerUnit: Int): DataFrame = {
     require(binsPerUnit > 0 && (binsPerUnit & (binsPerUnit - 1)) == 0,
       "binsPerUnit must be a power of two so the bin scaling stays IEEE-exact")
     require(percentiles.nonEmpty && percentiles.forall(p => p >= 0 && p <= 100),
       "percentiles must be in [0, 100]")
     val gcols = groupCols.map(col)
-    val bin = floor(valueCol * lit(binsPerUnit)).cast("long")
-    val hist = df.filter(valueCol.isNotNull)
-      .select(gcols :+ bin.as("bin"): _*)
-      .groupBy(gcols :+ col("bin"): _*)
-      .agg(count(lit(1)).as("cnt"))
     val byBin = Window.partitionBy(gcols: _*).orderBy(col("bin"))
     val whole = Window.partitionBy(gcols: _*)
     val cum = hist

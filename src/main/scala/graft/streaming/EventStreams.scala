@@ -303,6 +303,32 @@ object EventStreams {
         col("d"), col("bucket"), col("cnt"))
   }
 
+  /** Streaming scaled-histogram bins: per tumbling window and event
+    * type, the (bin, cnt) rows of the percentile sketch
+    * ([[graft.operators.Sketches.binnedPercentiles]]) as a
+    * watermarked streaming count-aggregation. State per open window
+    * is bounded by the value range × binsPerUnit — never by event
+    * count — the same bounded-state story as the HLL/CMS streams.
+    * Emitted rows finalize through the SAME
+    * [[graft.operators.Sketches.histogramPercentiles]] fold the
+    * batch sketch uses (run it as a cheap batch pass over the
+    * sink), so a closed window's estimates are bit-identical to
+    * batch `binnedPercentiles` over the same rows. */
+  def histogramBinsWindowed(events: DataFrame, binsPerUnit: Int = 4,
+                            watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Sketches
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("event_time"), "1 hour"),
+        col("event_type"),
+        Sketches.histogramBin(col("value"), binsPerUnit).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("bin"), col("cnt"))
+  }
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

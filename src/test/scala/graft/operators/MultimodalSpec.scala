@@ -100,6 +100,35 @@ class MultimodalSpec extends SparkSuite {
     assert(got(2L) === rgbExpect, "RGB decode diverged")
   }
 
+  test("real PNG decode fuzz: random sizes, pixels, and per-row filters round-trip (gray/RGB/RGBA)") {
+    // Driver-side decode check (the kernel is plain JVM code): the
+    // forward filter in realPng is an independent implementation,
+    // so agreement on random inputs is a true differential test.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 30) {
+      val w = 1 + rnd.nextInt(12)
+      val h = 1 + rnd.nextInt(10)
+      val colorType = Seq(0, 2, 6)(trial % 3)
+      val bpp = colorType match { case 0 => 1; case 2 => 3; case 6 => 4 }
+      val pixels = Array.fill(w * h * bpp)(rnd.nextInt(256).toByte)
+      val filters = Seq.fill(h)(rnd.nextInt(5))
+      val decoded = Multimodal.decodePng(realPng(w, h, colorType, pixels, filters))
+      assert(decoded != null, s"decode failed: w=$w h=$h ct=$colorType filters=$filters")
+      val expect = colorType match {
+        case 0 => Array.tabulate(w * h)(i => pixels(i) & 0xff)
+        case 2 => Array.tabulate(w * h) { i =>
+          ((pixels(i * 3) & 0xff) << 16) | ((pixels(i * 3 + 1) & 0xff) << 8) | (pixels(i * 3 + 2) & 0xff)
+        }
+        case 6 => Array.tabulate(w * h) { i =>
+          ((pixels(i * 4 + 3) & 0xff) << 24) | ((pixels(i * 4) & 0xff) << 16) |
+            ((pixels(i * 4 + 1) & 0xff) << 8) | (pixels(i * 4 + 2) & 0xff)
+        }
+      }
+      assert(decoded.toSeq === expect.toSeq,
+        s"pixel mismatch: w=$w h=$h ct=$colorType filters=$filters")
+    }
+  }
+
   test("decode rejects what it cannot decode; resize arithmetic is real") {
     // Header-only PNG (no IDAT) and junk bytes both decode to null
     // instead of throwing — the quarantine contract.

@@ -121,6 +121,45 @@ class EventStreamsSpec extends SparkSuite {
       "streaming CMS cells diverged from the batch sketch (or the open window leaked)")
   }
 
+  test("streaming histogram bins finalize to the same percentiles as the batch sketch") {
+    // Values spread over several bins (incl. a negative one and a
+    // repeated bin) in hour 1; the sentinel closes the window.
+    val rows = Seq(
+      ev(1, 1 * H + 10, 1, "click", 1.30), ev(2, 1 * H + 20, 2, "click", 1.45),
+      ev(3, 1 * H + 30, 3, "click", -0.60), ev(4, 1 * H + 40, 4, "click", 7.25),
+      ev(5, 1 * H + 50, 5, "click", 2.10), ev(6, 1 * H + 60, 6, "buy", 0.40),
+      ev(7, 1 * H + 70, 7, "buy", 0.90),
+      ev(8, 10 * H, 9, "sentinel", 0.0))
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "histout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.histogramBinsWindowed(
+        EventStreams.readEventsJson(spark, dir), binsPerUnit = 4),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val sunk = spark.read.parquet(s"$out/data")
+    // Closed-window rows finalize through the SAME fold as batch…
+    val streamed = graft.operators.Sketches
+      .histogramPercentiles(sunk, Seq("window_start", "event_type"),
+        percentiles = Seq(50, 90), binsPerUnit = 4)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("p50_est"), r.getAs[Double]("p90_est"), r.getAs[Long]("n")))).toMap
+    // …so they must equal batch binnedPercentiles over the same rows.
+    val batchInput = Seq(
+      ("click", 1.30), ("click", 1.45), ("click", -0.60), ("click", 7.25),
+      ("click", 2.10), ("buy", 0.40), ("buy", 0.90)).toDF("event_type", "value")
+    val batch = graft.operators.Sketches
+      .binnedPercentiles(batchInput, Seq("event_type"),
+        org.apache.spark.sql.functions.col("value"),
+        percentiles = Seq(50, 90), binsPerUnit = 4)
+      .collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Double]("p50_est"), r.getAs[Double]("p90_est"), r.getAs[Long]("n")))).toMap
+    assert(streamed.keySet === Set("click", "buy"), "open sentinel window leaked")
+    assert(streamed === batch, "streaming and batch percentile sketches diverged")
+  }
+
   test("streaming dedup drops same-fingerprint arrivals within the watermark") {
     import org.apache.spark.sql.functions.col
     // events 1 and 2 carry the same token SET ("hello world" vs
