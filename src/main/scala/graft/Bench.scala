@@ -45,7 +45,8 @@ object Bench {
     // (the round-5 seven-query subset left e.g. the prefix-join
     // pipeline cold, and its first run pays 2-3x), so the only
     // warm-up that covers the timed work is the full set. Work at
-    // sf0.001 is seconds; timings below remain single-run at sfDir.
+    // sf0.001 is seconds; the sfDir-specific AQE plans then warm on
+    // the first of the median-of-N timed runs below.
     for (w <- SparkEntry.queries.keys.toSeq.sorted) {
       try SparkEntry.queries(w)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
@@ -54,21 +55,27 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       var err: Option[String] = None
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        if (err.isEmpty) {
+      // Only runs that actually executed count toward the median —
+      // after a failure the remaining runs are skipped, and a
+      // skipped run's ~0s elapsed must not masquerade as a timing.
+      val times = (1 to runs).flatMap { _ =>
+        if (err.isDefined) None
+        else {
+          val t0 = System.nanoTime()
           try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           catch {
             case e: Throwable =>
               err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
           }
+          Some((System.nanoTime() - t0) / 1e9)
         }
-        (System.nanoTime() - t0) / 1e9
       }.sorted
-      // Median of the sorted runs (lower-middle for even N): robust
-      // to the one cold first-run outlier without hiding a query
-      // that is consistently slow.
-      (name, times((runs - 1) / 2), err)
+      // Median of the executed runs (lower-middle for even N):
+      // robust to the one cold first-run outlier without hiding a
+      // query that is consistently slow. A query that failed on run
+      // k reports the median of its k observed durations (the
+      // failing attempt included) alongside its `err` entry.
+      (name, times((times.length - 1) / 2), err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")

@@ -73,7 +73,9 @@ object Multimodal {
     var end = false
     while (!end && off + 8 <= bytes.length) {
       val len = be32(bytes, off)
-      if (len < 0 || off + 8 + len + 4 > bytes.length) end = true
+      // Long compare: a corrupt length near Int.MaxValue would wrap
+      // the Int sum negative and sneak past the bounds check.
+      if (len < 0 || off.toLong + 8 + len + 4 > bytes.length) end = true
       else {
         def typeIs(s: String): Boolean =
           bytes(off + 4) == s.charAt(0).toByte && bytes(off + 5) == s.charAt(1).toByte &&
@@ -94,7 +96,10 @@ object Multimodal {
     try {
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        if (n == 0 && inflater.needsInput()) return null // truncated stream
+        // n == 0 while unfinished means truncated input OR a
+        // needsDictionary stall (FDICT zlib header — illegal in PNG);
+        // either way bail, never spin.
+        if (n == 0) return null
         got += n
       }
     } catch {

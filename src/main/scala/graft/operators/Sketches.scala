@@ -193,7 +193,11 @@ object Sketches {
   def binnedPercentiles(df: DataFrame, groupCols: Seq[String], valueCol: Column,
                         percentiles: Seq[Int], binsPerUnit: Int = 4): DataFrame = {
     val gcols = groupCols.map(col)
-    val hist = df.filter(valueCol.isNotNull)
+    // NaN must drop with null: floor(NaN) casts to a null bin that
+    // would sort FIRST in the cumulative window — silently inflating
+    // n and shifting every percentile (and DuckDB errors on the same
+    // cast, so the engines would diverge rather than gate).
+    val hist = df.filter(valueCol.isNotNull && !isnan(valueCol))
       .select(gcols :+ histogramBin(valueCol, binsPerUnit).as("bin"): _*)
       .groupBy(gcols :+ col("bin"): _*)
       .agg(count(lit(1)).as("cnt"))

@@ -320,7 +320,9 @@ object EventStreams {
     events
       .withColumn("event_time", tsCol)
       .withWatermark("event_time", watermark)
-      .filter(col("value").isNotNull)
+      // NaN drops with null, matching the batch sketch's filter —
+      // see Sketches.binnedPercentiles.
+      .filter(col("value").isNotNull && !isnan(col("value")))
       .groupBy(window(col("event_time"), "1 hour"),
         col("event_type"),
         Sketches.histogramBin(col("value"), binsPerUnit).as("bin"))

@@ -137,9 +137,20 @@ class MultimodalSpec extends SparkSuite {
       .toDF("img_id", "content")
       .withColumn("pixels", Multimodal.decodeImage(col("content")))
     assert(df0.filter(col("pixels").isNotNull).count() === 0L)
+    // Corrupt chunk length near Int.MaxValue must not wrap the
+    // bounds check (driver-side kernel calls — no UDF needed).
+    val gray = Array.tabulate(32)(i => ((i * 37 + 11) % 256).toByte)
+    val corrupt = realPng(8, 4, 0, gray.clone(), Seq(0, 0, 0, 0))
+    // IHDR ends at offset 33 (incl. CRC); patch the IDAT length field.
+    java.nio.ByteBuffer.wrap(corrupt).putInt(33, 0x7ffffff4)
+    assert(Multimodal.decodePng(corrupt) == null, "wrapped chunk bound must reject, not throw")
+    // FDICT zlib header (0x78 0x20) must reject, not spin: replace
+    // the IDAT payload's first bytes with a preset-dictionary header.
+    val fdict = realPng(8, 4, 0, gray, Seq(0, 0, 0, 0))
+    fdict(41) = 0x78.toByte; fdict(42) = 0x20.toByte
+    assert(Multimodal.decodePng(fdict) == null, "FDICT stream must reject, not hang")
     // Resize over really-decoded pixels: nearest-neighbor (0,0)
     // samples input (0,0).
-    val gray = Array.tabulate(32)(i => ((i * 37 + 11) % 256).toByte)
     val df = Seq((1L, realPng(8, 4, 0, gray, Seq(0, 1, 2, 4)))).toDF("img_id", "content")
       .withColumn("info", Multimodal.imageInfo(col("content")))
       .withColumn("pixels", Multimodal.decodeImage(col("content")))

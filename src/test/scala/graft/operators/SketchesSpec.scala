@@ -102,6 +102,18 @@ class SketchesSpec extends SparkSuite {
     }
   }
 
+  test("binnedPercentiles drops NaN with null — neither inflates n nor shifts ranks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      ("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Some(Double.NaN)), ("g", None: Option[Double])).toDF("grp", "value")
+    val r = Sketches.binnedPercentiles(df, Seq("grp"), col("value"),
+      percentiles = Seq(50), binsPerUnit = 4).collect().head
+    assert(r.getLong(2) === 3L, "n must count only finite observed values")
+    assert(r.getDouble(1) === 2.0, "p50 over {1,2,3} is 2")
+  }
+
   test("unseen probes estimate zero on empty buckets") {
     import spark.implicits._
     val sketch = Sketches.countMinSketch(Seq("a", "a", "b").toDF("term"), "term", 4, 4096)
