@@ -193,4 +193,38 @@ object Curation {
       greatest(size(toks) - 1, lit(0)).cast("long").as("n_bigrams"),
       GraftFunctions.top_shingle_run(toks, 2).as("top_bigram_count"))
   }
+
+  /** Deterministic bottom-k (KMV) sample per stratum: the k rows
+    * with the SMALLEST salted md5 hash of their id — a uniform
+    * FIXED-SIZE sample without RNG, complementing
+    * [[sampleStratified]]'s fixed-RATE filter. Same-salt re-runs
+    * reproduce the sample exactly, and growing the corpus only
+    * displaces rows whose hash exceeds the new k-th minimum (the
+    * k-minimum-values property; the k-th hash also estimates the
+    * stratum's distinct-id count, KMV's classic second life).
+    *
+    * Scale shape: ranking rides the bounded [[TopK]] typed
+    * Aggregator — each partition reduces to ≤k candidates per
+    * stratum BEFORE the exchange, so the shuffle moves
+    * O(strata × k) rows, never the corpus (the window-rank plan
+    * re-shuffles every row). The hash is the first 48 bits of the
+    * md5 — 48 and not 60 because the candidate channel carries sims
+    * as doubles, and 48-bit integers round-trip a double exactly
+    * (2^48 < 2^53) while 60-bit ones do not; ties (a 48-bit
+    * collision) break on id ascending, deterministically, on both
+    * engines. */
+  def bottomKSample(docs: DataFrame, strataCol: String, k: Int,
+                    idCol: String = "doc_id", salt: String = "boka"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hk = conv(substring(
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    TopK.perGroup(
+        docs.select(col(strataCol), col(idCol),
+          (-hk.cast("double")).as("__nh")),
+        strataCol, idCol, "__nh", k)
+      .select(col(strataCol), col("neighbor_id").as(idCol),
+        col("rank").cast("long").as("rank"),
+        (-col("sim_raw")).cast("long").as("sample_hash"))
+  }
 }

@@ -450,6 +450,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q74: deterministic bottom-k (KMV) sample — the FIXED-SIZE
+    // companion to q50's fixed-rate stratified filter: per language,
+    // the 10 docs with the smallest salted 48-bit md5 hash. Ranking
+    // rides the bounded TopK aggregator (≤k candidates per stratum
+    // per partition BEFORE the shuffle — the window-rank oracle
+    // formulation below re-shuffles every row, which is exactly the
+    // plan the operator avoids); 48-bit hashes round-trip the
+    // double candidate channel exactly, so the oracle's integer
+    // ordering and the aggregator's double ordering agree
+    // bit-for-bit.
+    Q("q74_sample_bottomk", Some("""
+      WITH h AS (SELECT lang, doc_id,
+               ('0x' || substr(md5('boka:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS sample_hash
+             FROM documents),
+      r AS (SELECT lang, doc_id, sample_hash,
+              CAST(row_number() OVER (PARTITION BY lang
+                                      ORDER BY sample_hash, doc_id) AS BIGINT) AS rank
+            FROM h)
+      SELECT lang, doc_id, rank, sample_hash
+      FROM r WHERE rank <= 10
+      ORDER BY lang, rank""")) { (s, d) =>
+      Curation.bottomKSample(Tables.documents(s, d), "lang", k = 10)
+        .orderBy("lang", "rank")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a

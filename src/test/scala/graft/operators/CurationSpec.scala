@@ -86,6 +86,40 @@ class CurationSpec extends SparkSuite {
     assert(other !== take1, "different salt should move the sample")
   }
 
+  test("bottomKSample ≡ driver-side md5 ordering; KMV stability under corpus growth") {
+    import spark.implicits._
+    val docs = (0L until 300L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    // Independent reference: same salted md5, first 12 hex chars,
+    // ordered ascending with id tiebreak.
+    def refHash(id: Long): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"boka:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(6).map(b => f"$b%02x").mkString, 16)
+    }
+    val expect = (0L until 300L).groupBy(i => if (i % 2 == 0) "a" else "b")
+      .flatMap { case (lang, ids) =>
+        ids.map(i => (lang, i, refHash(i))).sortBy(t => (t._3, t._2)).take(10)
+          .zipWithIndex.map { case ((l, i, h), r) => (l, i, r + 1L, h) }
+      }.toSet
+    val got = Curation.bottomKSample(docs, "lang", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === expect, "bottom-k diverged from the reference md5 ordering")
+    // KMV property: adding rows only displaces hashes above the
+    // k-th minimum — survivors of the grown corpus that existed
+    // before must be exactly the old sample's smallest hashes.
+    val grown = (0L until 600L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got2 = Curation.bottomKSample(grown, "lang", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val oldSurvivors = got.filter { case (l, i, _, _) => got2.contains((l, i)) }
+      .groupBy(_._1).view.mapValues(_.map(_._3).toSeq.sorted).toMap
+    oldSurvivors.foreach { case (l, ranks) =>
+      assert(ranks === (1L to ranks.length.toLong),
+        s"stratum $l: survivors must be a rank prefix of the old sample, got $ranks")
+    }
+  }
+
   test("redactPii scrubs every category, counts actual replacements, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(
