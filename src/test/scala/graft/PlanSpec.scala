@@ -53,6 +53,16 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q74 bottom-k sampling is a partial aggregate, not a window shuffle") {
+    // The KMV sample must reduce to ≤k candidates per stratum per
+    // partition BEFORE the exchange — the oracle's row_number
+    // formulation is exactly the plan this operator exists to avoid.
+    val wins = optimized("q74_sample_bottomk").collect { case w: LWindow => w }
+    assert(wins.isEmpty, "q74 still contains a Window operator")
+    assert(physical("q74_sample_bottomk").contains("ObjectHashAggregate"),
+      "q74 lacks the typed top-k aggregate")
+  }
+
   test("q33 has no unbounded single-partition window") {
     // Any Window without partitioning must sit above a GlobalLimit —
     // i.e. it only ever sees a bounded row set (the centroid seeds),
