@@ -331,6 +331,39 @@ object EventStreams {
         col("event_type"), col("bin"), col("cnt"))
   }
 
+  /** Streaming deterministic bottom-k (KMV) sample: per tumbling
+    * window and event type, the k events with the smallest salted
+    * 48-bit md5 hash of their id — the streaming twin of
+    * [[graft.operators.Curation.bottomKSample]], maintained as a
+    * watermarked streaming aggregation over the SAME bounded
+    * [[graft.operators.TopK]] aggregator, so state per open window
+    * is ≤k candidates per (window, type) no matter how many events
+    * flow through. Emitted rows match batch `bottomKSample` over
+    * the same rows column-for-column (the parity gate), because
+    * hash, ordering, and tiebreak are shared. */
+  def bottomKSampleWindowed(events: DataFrame, k: Int, salt: String = "boka",
+                            watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.TopK
+    val hk = conv(substring(
+        md5(concat(lit(s"$salt:"), col("event_id").cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    val top = udaf(TopK.aggregator(k),
+      org.apache.spark.sql.Encoders.product[TopK.Scored])
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .select(col("event_time"), col("event_type"), col("event_id"),
+        (-hk.cast("double")).as("__nh"))
+      .groupBy(window(col("event_time"), "1 hour"), col("event_type"))
+      .agg(top(col("event_id"), col("__nh")).as("top"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        posexplode(col("top")))
+      .select(col("window_start"), col("event_type"),
+        col("col.id").as("event_id"),
+        (col("pos") + 1).cast("long").as("rank"),
+        (-col("col.sim")).cast("long").as("sample_hash"))
+  }
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

@@ -160,6 +160,33 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamed === batch, "streaming and batch percentile sketches diverged")
   }
 
+  test("streaming bottom-k sample matches batch bottomKSample on closed windows") {
+    // 8 click events and 3 buys in hour 1; k=4 forces real selection
+    // on the click stratum. The sentinel closes the window.
+    val rows = (1 to 8).map(i => ev(i.toLong, 1 * H + i * 10, i.toLong, "click", 1.0)) ++
+      (9 to 11).map(i => ev(i.toLong, 1 * H + i * 10, i.toLong, "buy", 1.0)) :+
+      ev(99, 10 * H, 99, "sentinel", 0.0)
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "kmvout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.bottomKSampleWindowed(EventStreams.readEventsJson(spark, dir), k = 4),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .select("event_type", "event_id", "rank", "sample_hash")
+      .as[(String, Long, Long, Long)].collect().toSet
+    // Batch twin over the same rows, stratum = event_type, id = event_id.
+    val batchInput = ((1 to 8).map(i => (i.toLong, "click")) ++ (9 to 11).map(i => (i.toLong, "buy")))
+      .toDF("event_id", "event_type")
+    val batch = graft.operators.Curation
+      .bottomKSample(batchInput, "event_type", k = 4, idCol = "event_id")
+      .select("event_type", "event_id", "rank", "sample_hash")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(streamed.exists(_._1 == "click") && streamed.count(_._1 == "click") === 4)
+    assert(!streamed.exists(_._1 == "sentinel"), "open sentinel window leaked")
+    assert(streamed === batch, "streaming and batch bottom-k samples diverged")
+  }
+
   test("streaming dedup drops same-fingerprint arrivals within the watermark") {
     import org.apache.spark.sql.functions.col
     // events 1 and 2 carry the same token SET ("hello world" vs
