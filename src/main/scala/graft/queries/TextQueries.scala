@@ -377,6 +377,57 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q75: canonical-document selection — the dedup ENDGAME
+    // composed from q47's components: per near-dup cluster keep the
+    // highest-quality member (most raw tokens, smallest id on ties)
+    // plus the cluster size for audit. The oracle states the pick as
+    // a window rank over the same recursive closure; the engine
+    // computes it as a COMBINABLE struct-argmax aggregate —
+    // max(struct(n_toks, -id)) — so the selection is a partial
+    // aggregation that never re-shuffles every member row the way
+    // the row_number formulation would.
+    Q("q75_canonical_docs", Some("""
+      WITH RECURSIVE d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      l AS (SELECT doc_id, len(toks) AS n FROM d),
+      ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+             FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      p AS (SELECT doc_a, doc_b
+            FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
+            WHERE ov / (la.n + lb.n - ov) >= 0.99),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+      reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+      comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+               FROM reach GROUP BY src),
+      asg AS (SELECT dd.doc_id, COALESCE(c.component_id, dd.doc_id) AS component_id
+              FROM documents dd LEFT JOIN comp c ON c.doc_id = dd.doc_id),
+      sz AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+             FROM documents),
+      r AS (SELECT component_id, asg.doc_id, n_toks,
+              row_number() OVER (PARTITION BY component_id
+                                 ORDER BY n_toks DESC, asg.doc_id) AS rn,
+              CAST(COUNT(*) OVER (PARTITION BY component_id) AS BIGINT) AS n_members
+            FROM asg JOIN sz ON sz.doc_id = asg.doc_id)
+      SELECT component_id, doc_id AS keep_id, n_toks, n_members
+      FROM r WHERE rn = 1
+      ORDER BY component_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val comps = Dedup.nearDupComponents(docs, threshold = 0.99)
+      val sized = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      comps.join(sized, "doc_id")
+        .groupBy(col("component_id"))
+        .agg(max(struct(col("n_toks"), (-col("doc_id")).as("nid"))).as("b"),
+          count(lit(1)).as("n_members"))
+        .select(col("component_id"), (-col("b.nid")).as("keep_id"),
+          col("b.n_toks").as("n_toks"), col("n_members"))
+        .orderBy("component_id")
+    },
+
     // ---- q48: benchmark decontamination — flag every corpus doc
     // sharing a word 3-gram with an "eval set" (every 97th doc, so
     // the eval docs themselves are contaminated by construction and
