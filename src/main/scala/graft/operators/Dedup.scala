@@ -235,11 +235,12 @@ object Dedup {
     */
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
                           bands: Int = 2, rowsPerBand: Int = 32,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                          idCol: String = "doc_id", textCol: String = "text",
+                          maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val reps = collapseIdentical(docs, idCol, textCol)
     val sigs = reps.select(col("fp"), GraftFunctions.minhash_sig(col("toks"), bands * rowsPerBand).as("sig"))
       .withColumnRenamed("fp", idCol) // band on fp: the rep's identity IS its set
-    val cands = lshCandidates(sigs, bands, rowsPerBand, idCol)
+    val cands = lshCandidates(sigs, bands, rowsPerBand, idCol, maxBandSize)
       .select(col("doc_a").as("fp_a"), col("doc_b").as("fp_b"))
     val verified = verifyJaccardByFp(cands, reps, threshold)
     expandPairs(reps, verified)

@@ -171,6 +171,43 @@ class DedupPropSpec extends SparkSuite {
     assert(coolPairs === coolExpect, "cool band lost its all-pairs semantics")
   }
 
+  test("hot-band guard end-to-end: a capped near-identical cluster still collapses via star pairs") {
+    import spark.implicits._
+    // 60 docs sharing a 40-token base, each with one unique token:
+    // pairwise Jaccard = 40/42 ≈ 0.952, so at t=0.9 every emitted
+    // pair is a true near-dup. The shared base makes many docs
+    // collide per band (each unique token perturbs a given band
+    // with p ≈ 0.55, leaving multi-doc buckets of varying size), so
+    // a tiny cap forces the star channel on the oversized buckets
+    // while small buckets keep all-pairs — both channels active in
+    // one corpus.
+    val base = (1 to 40).map(i => s"base$i").mkString(" ")
+    val docs = (0L until 60L).map(i => (i, s"$base unique$i")).toDF("doc_id", "text")
+    def pairsOf(cap: Int): Set[(Long, Long)] =
+      Dedup.minhashNearDupPairs(docs, threshold = 0.9, maxBandSize = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairsOf(8)
+    val uncapped = pairsOf(Int.MaxValue)
+    assert(capped.nonEmpty, "capped pipeline lost the cluster entirely")
+    assert(capped.size < uncapped.size, "cap did not reduce the pair count")
+    assert(capped.subsetOf(uncapped), "star channel invented a pair")
+    // The load-bearing property: within a hot band the star spans
+    // every member exactly like the clique does, so the CONNECTED
+    // COMPONENTS over capped pairs must equal the uncapped ones —
+    // component-style dedup (q47/q75) loses nothing to the cap.
+    def components(pairs: Set[(Long, Long)]): Map[Int, Int] = {
+      val parent = Array.tabulate(60)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      (0 until 60).map(i => i -> find(i)).toMap
+    }
+    assert(components(capped) === components(uncapped),
+      "star-capped pairs must preserve the uncapped pipeline's components")
+  }
+
   test("connectedComponents ≡ union-find on random pair graphs (chains, cliques, singletons)") {
     import spark.implicits._
     // Sparse random graphs over a node range produce a mix of long
