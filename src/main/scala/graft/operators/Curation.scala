@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
@@ -226,5 +227,78 @@ object Curation {
       .select(col(strataCol), col("neighbor_id").as(idCol),
         col("rank").cast("long").as("rank"),
         (-col("sim_raw")).cast("long").as("sample_hash"))
+  }
+
+  /** Token-budget domain mixing — the data-mixing step of a corpus
+    * build: derive a per-domain keep-rate from the domain's OWN token
+    * mass (`rate = min(1, budget / domain_tokens)`), then apply it as
+    * the same deterministic md5-bucket filter [[sampleStratified]]
+    * uses. Over-represented domains are downsampled toward the
+    * budget; domains already under it pass whole. Unlike
+    * [[sampleStratified]], the rates are DERIVED, not configured —
+    * this is "cap every domain at N tokens", the standard rebalance
+    * before mixing heterogeneous crawls.
+    *
+    * Two passes over the corpus by construction (a rate that depends
+    * on a global aggregate cannot be known mid-scan): pass 1
+    * aggregates per-domain token sums — map-side combine collapses
+    * each partition to one row per domain, so the shuffle moves
+    * O(domains) rows; pass 2 re-scans, joins the domain→threshold
+    * table (broadcast — domain cardinality is small by definition)
+    * and filters. No corpus-wide shuffle in either pass.
+    *
+    * Float portability: the only non-integer step is
+    * `least(1.0, budget/tokens) * 1e6` — IEEE division and
+    * multiplication are correctly rounded, hence bit-identical across
+    * engines when the expression shape matches (the established
+    * oracle rule); `floor` then lands on an exact integer threshold.
+    * Rows whose domain is null are dropped (no budget row to join).
+    */
+  def mixByTokenBudget(docs: DataFrame, domainCol: String, tokenBudget: Long,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       salt: String = "mix"): DataFrame = {
+    require(tokenBudget > 0, "tokenBudget must be positive")
+    val sized = docs.select(col(idCol), col(domainCol),
+      size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+    val thresholds = sized.groupBy(col(domainCol))
+      .agg(sum(col("n_tokens")).as("domain_tokens"))
+      .select(col(domainCol),
+        floor(least(lit(1.0d),
+            lit(tokenBudget.toDouble) / col("domain_tokens").cast("double"))
+          * lit(1000000.0d)).cast("long").as("mix_threshold"))
+    val bucket = pmod(
+      HashFunctions.h60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+      lit(1000000L))
+    sized.join(broadcast(thresholds), Seq(domainCol))
+      .filter(bucket < col("mix_threshold"))
+      .select(col(idCol), col(domainCol), col("n_tokens"), col("mix_threshold"))
+  }
+
+  /** Deterministic corpus shuffle-shard: assign every document a
+    * pseudo-random shard and an in-shard position from a salted md5
+    * hash — the "global shuffle before writing training shards" step
+    * that decorrelates document order (crawl order is heavily
+    * clustered by site/time, and adjacent training sequences should
+    * not be). No RNG: same salt → same permutation, so a re-run
+    * (or an incremental top-up) reproduces shard layouts exactly.
+    *
+    * One shuffle total: the window partitions by shard — exactly the
+    * exchange a shard writer needs anyway — and the in-shard
+    * `(hash, id)` sort is the per-partition external sort Spark
+    * already performs for a sorted write. `shards` is the
+    * parallelism/file-count knob: size it so a shard fits an
+    * executor's spill budget at the target corpus (the hash is
+    * uniform, so shards balance to corpus/shards rows ± noise; no
+    * skew handling needed by construction). */
+  def shuffleShard(docs: DataFrame, shards: Int, idCol: String = "doc_id",
+                   salt: String = "shuf"): DataFrame = {
+    require(shards > 0, "shards must be positive")
+    val h = HashFunctions.h60(concat(lit(s"$salt:"), col(idCol).cast("string")))
+    val w = Window.partitionBy(col("shard")).orderBy(col("shuffle_hash"), col(idCol))
+    docs.select(col(idCol), h.as("shuffle_hash"))
+      .withColumn("shard", pmod(col("shuffle_hash"), lit(shards.toLong)))
+      .select(col(idCol), col("shard"),
+        (row_number().over(w) - 1).cast("long").as("pos"),
+        col("shuffle_hash"))
   }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
-import graft.operators.{Curation, Dedup, LangId, SentenceGrouping, Sketches, TextRank}
+import graft.operators.{CharLm, Curation, Dedup, LangId, SentenceGrouping, Sketches, TextRank}
 
 /** LLM-data-pipeline text operators over the `documents` table:
   * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
@@ -524,6 +524,81 @@ object TextQueries {
       ORDER BY lang, rank""")) { (s, d) =>
       Curation.bottomKSample(Tables.documents(s, d), "lang", k = 10)
         .orderBy("lang", "rank")
+    },
+
+    // ---- q76: token-budget domain mixing — cap every language at
+    // 6000 tokens. The corpus is en-heavy (~3x the other languages),
+    // so the derived keep-rates actually rebalance: en is sampled
+    // hardest, small languages pass at higher rates (and at sf0.001
+    // a language under the budget passes WHOLE — both branches of
+    // the least() exercise). Pass 1's shuffle is O(domains) after
+    // map-side combine; pass 2 is a broadcast join + codegen filter.
+    // The only float step, least(1.0, budget/tokens)*1e6, is
+    // correctly-rounded IEEE ops with matching shape on both sides.
+    Q("q76_mix_token_budget", Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      r AS (SELECT lang,
+                   CAST(floor(LEAST(1.0, CAST(6000 AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE))
+                              * 1000000.0) AS BIGINT) AS mix_threshold
+            FROM t GROUP BY lang)
+      SELECT t.doc_id, t.lang, t.n_tokens, r.mix_threshold
+      FROM t JOIN r USING (lang)
+      WHERE ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+            < r.mix_threshold
+      ORDER BY doc_id""")) { (s, d) =>
+      Curation.mixByTokenBudget(Tables.documents(s, d), "lang", tokenBudget = 6000)
+        .orderBy("doc_id")
+    },
+
+    // ---- q77: char-bigram familiarity — the integer-exact core of
+    // perplexity quality filtering: fit a character-bigram census on
+    // the corpus (bounded at charset² rows, broadcast back), then
+    // score every document by total corpus-familiarity of its
+    // bigrams plus a RELATIVE rare-bigram occurrence count
+    // (count * 2000 < total — all-integer, so the gate survives any
+    // scale factor where an absolute cutoff goes vacuous). Sums are
+    // longs: order-independent, hash-exact, no ln() portability trap.
+    Q("q77_chargram_familiarity", Some("""
+      WITH bg AS (SELECT doc_id,
+                         unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+                  FROM documents),
+      m0 AS (SELECT bg, COUNT(*) AS bg_count FROM bg GROUP BY bg),
+      m AS (SELECT bg, bg_count,
+                   bg_count * 2000 < (SELECT SUM(bg_count) FROM m0) AS is_rare
+            FROM m0),
+      s AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(m.bg_count) AS BIGINT) AS familiarity,
+                   CAST(SUM(CASE WHEN m.is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+            FROM bg JOIN m USING (bg) GROUP BY bg.doc_id)
+      SELECT d.doc_id,
+             COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             COALESCE(s.familiarity, 0) AS familiarity,
+             COALESCE(s.n_rare, 0) AS n_rare
+      FROM documents d LEFT JOIN s USING (doc_id)
+      ORDER BY doc_id""")) { (s, d) =>
+      CharLm.bigramFamiliarity(Tables.documents(s, d), rareFactor = 2000)
+        .orderBy("doc_id")
+    },
+
+    // ---- q78: deterministic corpus shuffle-shard — the global
+    // decorrelation pass before writing training shards: salted-md5
+    // shard + in-shard position, zero RNG, one exchange (the window's
+    // partition-by-shard — the same exchange the shard writer needs).
+    Q("q78_shuffle_shard", Some("""
+      WITH h AS (SELECT doc_id,
+                        ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                          AS shuffle_hash
+                 FROM documents)
+      SELECT doc_id, shuffle_hash % 8 AS shard,
+             CAST(row_number() OVER (PARTITION BY shuffle_hash % 8
+                                     ORDER BY shuffle_hash, doc_id) - 1 AS BIGINT) AS pos,
+             shuffle_hash
+      FROM h
+      ORDER BY doc_id""")) { (s, d) =>
+      Curation.shuffleShard(Tables.documents(s, d), shards = 8)
+        .orderBy("doc_id")
     },
 
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)

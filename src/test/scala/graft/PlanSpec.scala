@@ -169,4 +169,28 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Exchange"), s"sampling introduced a shuffle:\n${p.take(2000)}")
     assert(p.contains("Filter"), "sampling must be a filter over the scan")
   }
+
+  test("q76 mixing joins a BROADCAST threshold table — no corpus-side shuffle join") {
+    val p = physical("q76_mix_token_budget")
+    assert(p.contains("BroadcastHashJoin"), s"threshold join must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), "corpus must not sort-merge against the tiny rate table")
+  }
+
+  test("q77 familiarity scoring broadcasts the bigram model, never shuffles occurrences") {
+    val p = physical("q77_chargram_familiarity")
+    assert(p.contains("BroadcastHashJoin"), s"model join must broadcast:\n${p.take(2000)}")
+    // The per-occurrence explode must not reach any exchange: the only
+    // shuffled relations are the model (charset² rows) and the
+    // per-document partial aggregates.
+    assert(!p.contains("SortMergeJoin"), "occurrence-level sort-merge join would shuffle the corpus per character")
+  }
+
+  test("q78 shuffle-shard: the window's partition-by-shard is the plan's only exchange") {
+    import graft.operators.Curation
+    val out = Curation.shuffleShard(Tables.documents(spark, sfDir), shards = 8)
+    val p = out.queryExecution.executedPlan.toString
+    val exchanges = "(?m)^[-+:\\s]*Exchange".r.findAllIn(p).size
+    assert(p.contains("Window"), "sharding ranks through a window")
+    assert(exchanges <= 1, s"shuffle-shard must shuffle exactly once:\n${p.take(2000)}")
+  }
 }

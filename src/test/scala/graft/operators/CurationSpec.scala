@@ -209,4 +209,75 @@ class CurationSpec extends SparkSuite {
       assert(got === expected, s"repetition stats diverged on $docs")
     }
   }
+
+  /** Driver-side h60 twin (first 15 md5 hex chars) for mixing refs. */
+  private def refH60(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString.take(15), 16)
+
+  test("mixByTokenBudget ≡ sequential reference; budget monotone; null domains drop") {
+    import spark.implicits._
+    val vocab = (1 to 6).map(i => s"m$i")
+    for (base <- PropSampling.sample(corpus(vocab, nDocs = 60, maxLen = 10), n = 4)) {
+      val docs = base.map { case (id, t) =>
+        (id, if (id % 7 == 0) null else s"dom${id % 3}", t)
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val budget = 60L
+      // Sequential reference: per-domain token sums -> threshold -> filter.
+      val sized = docs.collect { case (id, d, t) if d != null =>
+        (id, d, t.split(" ", -1).length.toLong)
+      }
+      val thr = sized.groupBy(_._2).map { case (d, rs) =>
+        d -> math.floor(math.min(1.0, budget.toDouble / rs.map(_._3).sum.toDouble) * 1000000.0).toLong
+      }
+      val expected = sized.collect {
+        case (id, d, w) if refH60(s"mix:$id") % 1000000L < thr(d) => (id, d, w, thr(d))
+      }.toSet
+      val got = Curation.mixByTokenBudget(df, "lang", tokenBudget = budget)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === expected, s"mixing diverged on: $docs")
+      assert(got.forall(_._2 != null), "null domains must drop")
+      // Monotonicity: a bigger budget only raises thresholds, so the
+      // kept id set grows (same salt, same buckets).
+      val bigger = Curation.mixByTokenBudget(df, "lang", tokenBudget = budget * 10)
+        .collect().map(_.getLong(0)).toSet
+      assert(got.map(_._1).subsetOf(bigger), "larger budget must keep a superset")
+      // A domain wholly under the budget passes intact.
+      val whole = Curation.mixByTokenBudget(df, "lang", tokenBudget = 1000000L)
+        .collect().map(_.getLong(0)).toSet
+      assert(whole === sized.map(_._1).toSet, "budget above every domain keeps all non-null rows")
+    }
+  }
+
+  test("shuffleShard: exact permutation, dense in-shard positions, salted determinism") {
+    import spark.implicits._
+    val n = 500L
+    val docs = (0L until n).map(i => (i, s"t$i")).toDF("doc_id", "text")
+    val out = Curation.shuffleShard(docs, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // Permutation: every doc appears exactly once.
+    assert(out.map(_._1).sorted.toSeq === (0L until n), "must be a permutation of the input ids")
+    // Shard = hash mod shards, hash = salted h60.
+    out.foreach { case (id, shard, _, h) =>
+      assert(h === refH60(s"shuf:$id"), s"hash mismatch for $id")
+      assert(shard === h % 8, s"shard mismatch for $id")
+    }
+    // Positions are dense 0..n_s-1 within each shard, ordered by (hash, id).
+    out.groupBy(_._2).foreach { case (shard, rows) =>
+      val byPos = rows.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq === (0L until rows.length.toLong),
+        s"shard $shard positions not dense")
+      assert(byPos.map(r => (r._4, r._1)).toSeq === byPos.map(r => (r._4, r._1)).sortBy(identity).toSeq,
+        s"shard $shard not ordered by (hash, id)")
+    }
+    // Determinism + salt sensitivity.
+    val again = Curation.shuffleShard(docs, shards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(again === out.map(t => (t._1, t._2, t._3)).toSet, "same salt must reproduce")
+    val other = Curation.shuffleShard(docs, shards = 8, salt = "other").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(other !== again, "different salt must move the permutation")
+  }
 }
