@@ -153,12 +153,84 @@ object Similarity {
       .join(buck.select(col("tb"), col(idCol).as("vec_b")), Seq("tb"))
       .filter(col("vec_a") < col("vec_b"))
       .select("vec_a", "vec_b").distinct()
+    refinePairs(cand, prep, threshold, idCol)
+  }
+
+  /** Exact-cosine refinement of an ids-only `(vec_a, vec_b)`
+    * candidate frame: vectors rejoin by id (two narrow equi-joins —
+    * wide rows never ride the candidate shuffle), pairs below
+    * `threshold` drop. Shared tail of every blocked/bucketed
+    * near-dup path. */
+  private def refinePairs(cand: DataFrame, prep: DataFrame, threshold: Double,
+                          idCol: String): DataFrame = {
     val a = prep.select(col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
     val b = prep.select(col(idCol).as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
     cand.join(a, "vec_a").join(b, "vec_b")
       .withColumn("sim_raw", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("sim_raw") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
+  /** Semantic-blocked near-duplicate pairs — centroid blocking as
+    * the third corpus-scale near-dup path beside the hyperplane-LSH
+    * bucketing of [[nearDupPairsLsh]] (the SemDeDup recipe: cluster
+    * the embedding space, compare only within clusters). Every
+    * vector is assigned to its `nAssign` nearest of `nCentroids`
+    * hash-seeded centroids with a map-side fold over the broadcast
+    * centroid array — no window, no corpus shuffle — and only
+    * same-block id pairs pay the exact cosine refinement.
+    *
+    * Recall: a pair is missed only if the two vectors share NONE of
+    * their assigned blocks; `nAssign = 2` catches the
+    * cluster-boundary pairs that top-1 assignment splits (the
+    * multi-probe idea applied to indexing). Unlike the LSH path the
+    * miss rate is data-dependent, not a hyperplane probability — the
+    * SimilaritySpec pins full twin recall on the synthetic-near-dup
+    * corpus and containment in the exact ground truth.
+    *
+    * Scale: block size ≈ nAssign·n/nCentroids, so the in-block
+    * self-join is quadratic only in the block — size `nCentroids`
+    * with the corpus (≈√n keeps total candidate work ≈ n·nAssign²·
+    * n/nCentroids ≈ linear·√n); the candidate join moves ids only,
+    * vectors rejoin by id ([[refinePairs]]). Deterministic
+    * end-to-end (hash-seeded centroids, ordered tie-breaks), so an
+    * oracle replays block membership exactly — q79 hash-gates it. */
+  def semanticBlockedPairs(embeddings: DataFrame, threshold: Double,
+                           nCentroids: Int = 16, nAssign: Int = 2,
+                           idCol: String = "vec_id"): DataFrame = {
+    require(nAssign == 1 || nAssign == 2, "nAssign must be 1 or 2")
+    val c = prepared(embeddings, idCol)
+    val centArr = centroidArray(c, nCentroids, idCol)
+    // Top-2 centroids in one fold: a two-slot accumulator replayed
+    // by the oracle's row_number(ORDER BY sim DESC, centroid_id).
+    // Strict > everywhere + ascending centroid order in `cents`
+    // means ties keep the earlier centroid, matching that ordering.
+    val sentinel = struct(lit(Int.MaxValue).as("centroid_id"),
+      lit(Double.NegativeInfinity).as("csim"))
+    val assigned = c.crossJoin(broadcast(centArr))
+      .withColumn("top2", aggregate(
+        col("cents"),
+        struct(sentinel.as("s1"), sentinel.as("s2")),
+        (acc, cent) => {
+          val s = cosinePrenormed(dot(col("vec"), cent("cvec")), col("norm"), cent("cnorm"))
+          val cur = struct(cent("centroid_id").as("centroid_id"), s.as("csim"))
+          when(s > acc("s1")("csim"), struct(cur.as("s1"), acc("s1").as("s2")))
+            .when(s > acc("s2")("csim"), struct(acc("s1").as("s1"), cur.as("s2")))
+            .otherwise(acc)
+        }))
+    val blockIds =
+      if (nAssign == 1) array(col("top2.s1.centroid_id"))
+      else array(col("top2.s1.centroid_id"), col("top2.s2.centroid_id"))
+    val blocks = assigned
+      .select(col(idCol), explode(blockIds).as("centroid_id"))
+      .filter(col("centroid_id") =!= lit(Int.MaxValue)) // unfilled slot (nCentroids < 2)
+    // A pair sharing both blocks must surface once: distinct on the
+    // id pair before any vector is fetched (the q57 candidate rule).
+    val cand = blocks.select(col("centroid_id"), col(idCol).as("vec_a"))
+      .join(blocks.select(col("centroid_id"), col(idCol).as("vec_b")), Seq("centroid_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    refinePairs(cand, c, threshold, idCol)
   }
 
   /** IVF-style ANN: corpus is assigned to the nearest of `nCentroids`
@@ -172,26 +244,24 @@ object Similarity {
     * fold over the broadcast centroid array inside a projection, so
     * no step ever moves the corpus into a single partition (the old
     * unpartitioned-Window form did exactly that). */
-  def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCentroids: Int, nProbe: Int,
-             idCol: String = "vec_id"): DataFrame = {
-    val c = prepared(corpus, idCol)
-    // Deterministic "training": pick centroid vectors by id hash.
-    // The row_number window only ever sees the nCentroids rows that
-    // survive the limit.
-    val seeds = c
-      .withColumn("cid", pmod(col(idCol) * 2654435761L, lit(1000000007L)))
+  /** One-row frame holding the broadcastable centroid array `cents`
+    * for a prepared corpus: `nCentroids` hash-selected seed vectors,
+    * numbered by their (hash, id) sort position.
+    *
+    * Deterministic "training": seeds are picked by id hash with
+    * `orderBy(...).limit(n)` — a global top-n via per-partition
+    * partial limits. Numbering happens WITHOUT a window: the seeds
+    * are about to be collected into one broadcastable array anyway,
+    * so sort that array (struct order = cid asc, id asc — (cid, id)
+    * is unique, deeper fields never compared) and let the array
+    * index BE the centroid id. Removes the unpartitioned WindowExec
+    * entirely (row_number().over(orderBy(...)) moved the — bounded,
+    * but warning-spamming — seed set to a single partition; a
+    * partitionBy(lit(0)) declaration gets constant-folded away). */
+  private def centroidArray(c: DataFrame, nCentroids: Int, idCol: String): DataFrame =
+    c.withColumn("cid", pmod(col(idCol) * 2654435761L, lit(1000000007L)))
       .orderBy(col("cid"), col(idCol))
       .limit(nCentroids)
-    // Centroid numbering WITHOUT a window: the seeds are about to be
-    // collected into one broadcastable array anyway, so sort that
-    // array (struct order = cid asc, id asc — (cid, id) is unique,
-    // deeper fields never compared) and let the array index BE the
-    // centroid id. Removes the unpartitioned WindowExec entirely
-    // (row_number().over(orderBy(...)) moved the — bounded, but
-    // warning-spamming — seed set to a single partition; a
-    // partitionBy(lit(0)) declaration gets constant-folded away).
-    val centArr = seeds
       .agg(sort_array(collect_list(
         struct(col("cid"), col(idCol), col("vec"), col("norm")))).as("seedArr"))
       .select(transform(col("seedArr"), (s, i) =>
@@ -199,6 +269,12 @@ object Similarity {
           (i + 1).as("centroid_id"),
           s.getField("vec").as("cvec"),
           s.getField("norm").as("cnorm"))).as("cents"))
+
+  def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCentroids: Int, nProbe: Int,
+             idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, idCol)
+    val centArr = centroidArray(c, nCentroids, idCol)
 
     // Row form of the same centroids, for the query-side probe join.
     val centroids = centArr

@@ -208,5 +208,64 @@ object VectorQueries {
       Similarity.nearDupPairsLsh(base.unionByName(twins), threshold = 0.99,
           dim = 64, nPlanes = 6, nTables = 16)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- q79: semantic-blocked near-dup pairs — the SemDeDup-style
+    // third scale path: q33's deterministic hash-seeded centroids,
+    // each vector assigned to its TOP-2 centroids by a broadcast
+    // map-side fold, exact cosine only within shared blocks. Same
+    // synthesized-twin corpus as q57 (the driver's embeddings are
+    // near-orthogonal), and the blocking finds every twin at all
+    // SFs (a twin's centroid ranking almost never diverges from its
+    // original's — and top-2 assignment absorbs the boundary cases).
+    // The oracle replays seeds → numbering → top-2 assignment
+    // (row_number over sim DESC, centroid_id — the fold's strict->
+    // two-slot accumulator is exactly this ordering) → block join →
+    // refinement, so block membership and every float hash-gate.
+    Q("q79_neardup_semantic", Some(oracleProlog + """,
+      corpus AS (
+        SELECT vec_id, v, nrm FROM p
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, w AS v,
+               sqrt(list_inner_product(w, w)) AS nrm
+        FROM (SELECT vec_id, [v[1] * 1.2] || v[2:] AS w
+              FROM p WHERE vec_id % 10 = 0)),
+      seeds AS (
+        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
+        FROM corpus ORDER BY cid, vec_id LIMIT 16),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
+               v AS cv, nrm AS cnrm
+        FROM seeds),
+      assign AS (
+        SELECT c.vec_id, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                                  ORDER BY list_inner_product(c.v, cent.cv)/(c.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS rn
+        FROM corpus c CROSS JOIN cent),
+      blocks AS (SELECT vec_id, centroid_id FROM assign WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM blocks a JOIN blocks b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+      refined AS (
+        SELECT c.vec_a, c.vec_b,
+               list_inner_product(ca.v, cb.v)/(ca.nrm*cb.nrm) AS sim_raw
+        FROM cand c
+        JOIN corpus ca ON ca.vec_id = c.vec_a
+        JOIN corpus cb ON cb.vec_id = c.vec_b)
+      SELECT vec_a, vec_b, round(sim_raw, 6) AS sim FROM refined
+      WHERE sim_raw >= 0.99
+      ORDER BY vec_a, vec_b""")) { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      val twins = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.2)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      Similarity.semanticBlockedPairs(base.unionByName(twins), threshold = 0.99,
+          nCentroids = 16, nAssign = 2)
+        .orderBy("vec_a", "vec_b")
     })
 }

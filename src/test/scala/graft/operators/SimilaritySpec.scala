@@ -94,6 +94,44 @@ class SimilaritySpec extends SparkSuite {
       s"routed path missed twins: ${(twinPairs -- routedPairs).take(5)}")
   }
 
+  test("semantic blocking ⊆ exact pairs, catches every twin, and never plans all-pairs") {
+    import graft.functions.VectorFunctions.asDouble
+    // Same twin corpus as the LSH test — centroid blocking is the
+    // third scale path and must pass the same containment + recall
+    // gates.
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val blocked = Similarity.semanticBlockedPairs(corpus, threshold = 0.99,
+      nCentroids = 16, nAssign = 2)
+    val p = blocked.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "blocking must never plan the quadratic self-join")
+    // The only permitted nested loops are the one-row broadcast
+    // centroid-array attaches (O(n); the self-join references the
+    // un-reused assignment lineage once per side, so the attach
+    // appears twice). The candidate stage itself stays equi-join.
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2,
+      s"unexpected nested-loop joins:\n${p.take(2000)}")
+    val got = blocked.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exactPairs = Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exactPairs), "blocking must never invent a pair")
+    val twinPairs = twins.select("vec_id").as[Long].collect()
+      .map(t => (t - 1000000L, t)).toSet
+    assert(twinPairs.subsetOf(got),
+      s"blocking missed twins: ${(twinPairs -- got).take(5)}")
+    // Top-1 assignment is strictly coarser: still contained in the
+    // exact set, never larger than the top-2 result.
+    val top1 = Similarity.semanticBlockedPairs(corpus, threshold = 0.99,
+        nCentroids = 16, nAssign = 1)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(top1.subsetOf(got), "top-1 blocks must be a subset of top-2 blocks")
+  }
+
   test("brute force matches a driver-side exact computation") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
