@@ -2,6 +2,9 @@ package graft.functions
 
 import java.text.Normalizer
 
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
 /** JVM implementations backing the custom Catalyst expressions.
   *
   * Kept as a top-level object so Scala emits static forwarders —
@@ -33,6 +36,37 @@ object StringOps {
     * empty fields treated as 0. Returns total seconds; NaN signals
     * parse failure (mapped to SQL NULL by the expression).
     */
+  /** Character-bigram array of a string — the codegen'd kernel
+    * behind [[graft.operators.CharLm.charBigrams]] (an interpreted
+    * per-char `transform(sequence(...))` HOF was the q77 scan's hot
+    * loop, the q59 lesson again). Walks the UTF-8 bytes directly and
+    * slices on CHARACTER starts — code-point indexing, matching
+    * Spark `substring` and DuckDB `substr` on multibyte text — so
+    * no UTF-16 surrogate hazard and zero String conversions; each
+    * bigram is one small byte copy. Empty below two characters. */
+  def charBigrams(s: UTF8String): ArrayData = {
+    val n = s.numChars()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val bytes = s.getBytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var o = 0
+    while (o < bytes.length) {
+      offs(i) = o
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+      i += 1
+    }
+    offs(n) = bytes.length
+    val out = new Array[Any](n - 1)
+    i = 0
+    while (i < n - 1) {
+      out(i) = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, offs(i), offs(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def durationSeconds(s: String): Double = {
     if (s == null) return Double.NaN
     val cleaned = s.trim.replaceAll("[;:]+", ":")

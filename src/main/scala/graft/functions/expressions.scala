@@ -30,6 +30,22 @@ case class DeaccentSlug(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): DeaccentSlug = copy(child = c)
 }
 
+/** Character-bigram array (string → array<string>, code-point
+  * slicing) in one codegen'd kernel call ([[StringOps.charBigrams]]);
+  * empty below two characters. */
+case class CharBigrams(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    StringOps.charBigrams(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringOps.charBigrams($c)")
+
+  override protected def withNewChildInternal(c: Expression): CharBigrams = copy(child = c)
+}
+
 /** Tolerant "HH:MM:SS" → seconds (reference F2 `__init__.py:32-73`);
   * null on malformed input like the reference's except→None path. */
 case class DurationSeconds(child: Expression) extends UnaryExpression {
@@ -371,6 +387,7 @@ object GraftFunctions {
   private def expr(c: Column): Expression = ColumnShim.expression(c)
 
   def deaccent_slug(c: Column): Column = col(DeaccentSlug(expr(c)))
+  def char_bigrams(c: Column): Column = col(CharBigrams(expr(c)))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
@@ -407,6 +424,7 @@ object GraftFunctions {
     def intArg(e: Expression): Int =
       e.eval(null).asInstanceOf[Number].intValue()
     reg.createOrReplaceTempFunction("deaccent_slug", es => DeaccentSlug(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("char_bigrams", es => CharBigrams(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("duration_seconds", es => DurationSeconds(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60", es => SimHash60(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("simhash60_tokens", es => SimHashTokens60(es.head), "scala_udf")

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Character-n-gram language-model scoring — the portable core of
   * the perplexity quality gate every pre-training pipeline runs
@@ -27,13 +28,15 @@ import org.apache.spark.sql.functions._
 object CharLm {
 
   /** Character-bigram array of a string column: positions 1..len-1,
-    * two characters each; empty below length 2 (guarded — Spark's
-    * `sequence(1, 0)` would DESCEND, not return empty). Character
-    * (not byte) indexing on both engines, so multibyte text (the
-    * corpus's zh documents) shingles identically. */
-  def charBigrams(c: Column): Column =
-    when(length(c) < 2, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), length(c) - 1), i => c.substr(i, lit(2))))
+    * two characters each; empty below length 2. Character (not
+    * byte) indexing on both engines, so multibyte text (the
+    * corpus's zh documents) shingles identically. One codegen'd
+    * kernel call per row ([[graft.functions.StringOps
+    * .charBigrams]]) — the first cut, an interpreted
+    * `transform(sequence(1, len-1), i -> substr)` HOF, evaluated an
+    * expression tree per CHARACTER and was the q77 scan's hot loop
+    * (~4.1 s at sf0.1 vs ~1 s with the kernel; the q59 lesson). */
+  def charBigrams(c: Column): Column = GraftFunctions.char_bigrams(c)
 
   /** Corpus bigram model: `(bg, bg_count, is_rare)`. Bounded state:
     * distinct char bigrams are charset², so the groupBy's map-side
