@@ -35,6 +35,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Cross-source duplication matrix: for every pair of sources, the
+    * number of distinct content fingerprints both contain — the
+    * curation diagnostic behind "which crawls re-crawl each other"
+    * (run before [[exactByFingerprint]] collapses them, its per-pair
+    * attribution is gone after).
+    *
+    * Scale shape: one shuffle builds the distinct `(fp, source)`
+    * relation — map-side combine collapses same-partition repeats
+    * first — then the fp self-join emits at most `sources²/2` pairs
+    * PER FINGERPRINT (bounded by source cardinality, not by how many
+    * documents share the fingerprint: a million-copy template costs
+    * the same rows as a two-copy one), and the final aggregate has at
+    * most `sources²/2` keys. Source here is crawl/domain-CLASS
+    * granularity (tens to thousands); at per-domain granularity
+    * (millions) the same shape works but the pair count is
+    * `pairs-of-domains-actually-sharing`, and a hot-fp cap like
+    * [[lshCandidates]]' would be the guard to add. */
+  def crossSourceDupMatrix(docs: DataFrame, srcCol: String = "source",
+                           textCol: String = "text"): DataFrame = {
+    val d = docs
+      .select(TextFunctions.canonicalFingerprint(col(textCol)).as("fp"), col(srcCol))
+      .distinct()
+    d.as("a").join(d.as("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$srcCol") < col(s"b.$srcCol"))
+      .select(col(s"a.$srcCol").as("src_a"), col(s"b.$srcCol").as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash signature (array of k minima) per document — one
     * projection, no shuffle, one md5 per token (codegen'd
     * [[graft.functions.MinHashSig]]; the earlier column-tree form

@@ -601,6 +601,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q80: cross-source duplication matrix — per source pair,
+    // the count of distinct content fingerprints both carry: the
+    // "which crawls duplicate each other" diagnostic a curation run
+    // consults before deciding dedup priority and domain weights.
+    // Bounded by construction: the fp self-join emits at most
+    // sources²/2 rows per fingerprint no matter how many documents
+    // share it.
+    Q("q80_source_dup_matrix", Some("""
+      WITH f AS (SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+                        source
+                 FROM documents),
+      d AS (SELECT fp, source FROM f GROUP BY fp, source)
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+      FROM d a JOIN d b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2
+      ORDER BY src_a, src_b""")) { (s, d) =>
+      Dedup.crossSourceDupMatrix(Tables.documents(s, d))
+        .orderBy("src_a", "src_b")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a

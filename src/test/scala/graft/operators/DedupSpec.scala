@@ -52,6 +52,28 @@ class DedupSpec extends SparkSuite {
     assert(total == n && nGroups <= n)
   }
 
+  test("cross-source dup matrix ≡ brute-force fingerprint intersection; bounded by source pairs") {
+    // Handwritten corpus: identical token SETS across sources (order
+    // and multiplicity must not matter), a three-source fingerprint,
+    // and a source with no cross-source dups at all.
+    val rows = Seq(
+      (1L, "s1", "a b c"), (2L, "s2", "c b a"), (3L, "s3", "b a c c"),
+      (4L, "s1", "x y"), (5L, "s2", "y x"),
+      (6L, "s1", "solo text one"), (7L, "s3", "unshared here"),
+      (8L, "s4", "only s4 content"), (9L, "s4", "x y z")).toDF("doc_id", "source", "text")
+    val got = Dedup.crossSourceDupMatrix(rows)
+      .as[(String, String, Long)].collect().toSet
+    // fp(a b c) in s1,s2,s3 -> 3 pairs; fp(x y) in s1,s2 -> 1 pair.
+    val expected = Set(
+      ("s1", "s2", 2L), // {a b c} and {x y}
+      ("s1", "s3", 1L), ("s2", "s3", 1L))
+    assert(got === expected, s"matrix diverged: $got")
+    // Bound law on the real corpus: rows never exceed source-pairs.
+    val nSrc = docs.select("source").distinct().count()
+    val m = Dedup.crossSourceDupMatrix(docs)
+    assert(m.count() <= nSrc * (nSrc - 1) / 2, "matrix exceeded the source-pair bound")
+  }
+
   test("minhash signature values equal the per-permutation column form") {
     // The one-pass kernel must be bit-identical to the md5-derived
     // permutation scheme it replaced (engine-portability contract).
