@@ -2,8 +2,26 @@ package graft.functions
 
 import java.text.Normalizer
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
+
+/** A collected char-bigram census ([[graft.operators.CharLm
+  * .bigramModel]] brought to the driver, bounded at charset² rows):
+  * the serializable model a [[CharBigramScore]] expression closes
+  * over, so one batch-fit model scores any frame — batch or
+  * STREAMING — as a stateless codegen'd projection. The UTF8String
+  * lookup table is transient and rebuilt once per deserialization
+  * (per executor), not per row. */
+case class CharLmModel(counts: Map[String, Long], total: Long, rareFactor: Long) {
+  require(rareFactor > 0, "rareFactor must be positive")
+  @transient lazy val utf8Table: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](counts.size * 2)
+    counts.foreach { case (k, v) => m.put(UTF8String.fromString(k), java.lang.Long.valueOf(v)) }
+    m
+  }
+}
 
 /** JVM implementations backing the custom Catalyst expressions.
   *
@@ -65,6 +83,46 @@ object StringOps {
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Familiarity statistics of a string against a FIXED bigram
+    * model — the kernel behind [[CharBigramScore]]: same byte walk
+    * as [[charBigrams]], but folding `(n_bigrams, familiarity,
+    * n_rare)` directly instead of materializing the array (scoring
+    * never needs the bigrams themselves). A bigram absent from the
+    * model contributes familiarity 0 and counts rare (count 0 is
+    * below any rarity threshold) — on the model's own fit corpus
+    * every bigram is present, so this reduces exactly to
+    * [[graft.operators.CharLm.bigramFamiliarity]]'s distributed
+    * fit+score (the parity the specs pin). */
+  def charBigramScore(s: UTF8String,
+                      counts: java.util.HashMap[UTF8String, java.lang.Long],
+                      total: Long, rareFactor: Long): InternalRow = {
+    val n = s.numChars()
+    if (n < 2) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val bytes = s.getBytes
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var o = 0
+    while (o < bytes.length) {
+      offs(i) = o
+      o += UTF8String.numBytesForFirstByte(bytes(o))
+      i += 1
+    }
+    offs(n) = bytes.length
+    var fam = 0L
+    var rare = 0L
+    i = 0
+    while (i < n - 1) {
+      val bg = UTF8String.fromBytes(
+        java.util.Arrays.copyOfRange(bytes, offs(i), offs(i + 2)))
+      val c = counts.get(bg)
+      val cv = if (c == null) 0L else c.longValue()
+      fam += cv
+      if (cv * rareFactor < total) rare += 1L
+      i += 1
+    }
+    new GenericInternalRow(Array[Any]((n - 1).toLong, fam, rare))
   }
 
   def durationSeconds(s: String): Double = {

@@ -46,6 +46,32 @@ case class CharBigrams(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharBigrams = copy(child = c)
 }
 
+/** Familiarity statistics of a string against a plan-time
+  * [[CharLmModel]] (string → struct<n_bigrams, familiarity, n_rare>,
+  * all long): the model rides the expression into the generated code
+  * via `addReferenceObj`, so a batch-fit census scores any frame —
+  * including an unbounded STREAM — as a stateless codegen'd
+  * projection ([[StringOps.charBigramScore]]). */
+case class CharBigramScore(child: Expression, model: CharLmModel) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("familiarity", LongType, nullable = false),
+    StructField("n_rare", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    StringOps.charBigramScore(
+      v.asInstanceOf[UTF8String], model.utf8Table, model.total, model.rareFactor)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("charLmModel", model, classOf[CharLmModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringOps.charBigramScore($c, $ref.utf8Table(), $ref.total(), $ref.rareFactor())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharBigramScore = copy(child = c)
+}
+
 /** Tolerant "HH:MM:SS" → seconds (reference F2 `__init__.py:32-73`);
   * null on malformed input like the reference's except→None path. */
 case class DurationSeconds(child: Expression) extends UnaryExpression {
@@ -388,6 +414,8 @@ object GraftFunctions {
 
   def deaccent_slug(c: Column): Column = col(DeaccentSlug(expr(c)))
   def char_bigrams(c: Column): Column = col(CharBigrams(expr(c)))
+  def char_bigram_score(c: Column, model: CharLmModel): Column =
+    col(CharBigramScore(expr(c), model))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))

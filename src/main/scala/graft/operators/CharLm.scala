@@ -92,4 +92,42 @@ object CharLm {
         lit(0L).as("familiarity"), lit(0L).as("n_rare"))
     scored.union(zeros)
   }
+
+  /** Collect a [[bigramModel]] to the driver as a serializable
+    * [[graft.functions.CharLmModel]] — the fit-once half of
+    * fit-batch/score-anywhere: the returned model closes over a
+    * codegen'd expression ([[scoreWithModel]]) that scores any
+    * frame, batch or streaming, with ZERO per-row state and no
+    * join. The collect is bounded by construction (distinct char
+    * bigrams ≤ charset²) and guarded by `maxModelRows` — exceeding
+    * it fails fast rather than silently ballooning the driver (the
+    * house rule for every bounded driver-side read). */
+  def collectModel(docs: DataFrame, rareFactor: Long = 2000,
+                   textCol: String = "text",
+                   maxModelRows: Int = 1 << 20): graft.functions.CharLmModel = {
+    val rows = bigramModel(docs, rareFactor, textCol)
+      .select(col("bg"), col("bg_count"))
+      .limit(maxModelRows + 1).collect()
+    require(rows.length <= maxModelRows,
+      s"bigram model exceeds $maxModelRows rows — not a char-bigram-sized census")
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.functions.CharLmModel(counts, counts.valuesIterator.sum, rareFactor)
+  }
+
+  /** Score a frame against a FIXED batch-fit model: a pure codegen'd
+    * projection (no model join, no aggregation, no state), so it
+    * runs identically on a batch frame and on an unbounded stream —
+    * the standard fit-once/score-forever deployment of a corpus
+    * quality model. On the model's own fit corpus this equals
+    * [[bigramFamiliarity]] row-for-row (spec-pinned); on NEW text,
+    * bigrams the fit corpus never saw contribute familiarity 0 and
+    * count rare. */
+  def scoreWithModel(docs: DataFrame, model: graft.functions.CharLmModel,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        GraftFunctions.char_bigram_score(col(textCol), model).as("__s"))
+      .select(col(idCol),
+        coalesce(col("__s.n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("__s.familiarity"), lit(0L)).as("familiarity"),
+        coalesce(col("__s.n_rare"), lit(0L)).as("n_rare"))
 }

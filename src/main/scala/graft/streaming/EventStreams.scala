@@ -364,6 +364,22 @@ object EventStreams {
         (-col("col.sim")).cast("long").as("sample_hash"))
   }
 
+  /** Streaming quality scoring with a batch-fit char-bigram model —
+    * the fit-once/score-forever deployment every ingestion pipeline
+    * runs: [[graft.operators.CharLm.collectModel]] fits on the
+    * existing corpus (batch), and the incoming document stream is
+    * scored by a pure codegen'd projection that closes over the
+    * model. ZERO streaming state — no watermark, no aggregation, no
+    * stream-static join — so the op appends at ingest rate
+    * regardless of how long the stream runs; re-fit is redeploying
+    * with a new model value. Batch parity is exact on the fit corpus
+    * (spec-pinned); unseen bigrams score familiarity 0 and count
+    * rare, which is precisely the "this text looks nothing like the
+    * corpus" signal the gate exists to raise. */
+  def familiarityScored(docs: DataFrame, model: graft.functions.CharLmModel,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.CharLm.scoreWithModel(docs, model, idCol, textCol)
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

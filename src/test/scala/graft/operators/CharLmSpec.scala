@@ -48,6 +48,28 @@ class CharLmSpec extends SparkSuite {
     }
   }
 
+  test("scoreWithModel ≡ bigramFamiliarity on the fit corpus; unseen bigrams score 0 and rare") {
+    import spark.implicits._
+    val docGen = Gen.chooseNum(0, 12).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf('a', 'b', 'c', ' ')).map(_.mkString))
+    for (texts <- PropSampling.sample(Gen.listOfN(15, docGen), n = 4)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val model = CharLm.collectModel(docs, rareFactor = 10)
+      val viaModel = CharLm.scoreWithModel(docs, model)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      val distributed = CharLm.bigramFamiliarity(docs, rareFactor = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(viaModel === distributed, s"model scoring diverged on: $texts")
+    }
+    // Unseen text: every bigram contributes familiarity 0, counts rare.
+    val fit = Seq((1L, "aaaa bbbb")).toDF("doc_id", "text")
+    val model = CharLm.collectModel(fit, rareFactor = 10)
+    val out = CharLm.scoreWithModel(Seq((9L, "zzqq")).toDF("doc_id", "text"), model)
+      .collect().head
+    assert((out.getLong(1), out.getLong(2), out.getLong(3)) === ((3L, 0L, 3L)),
+      "unseen bigrams must score familiarity 0 and all-rare")
+  }
+
   test("relative rarity separates corpus-typical text from injected garbage") {
     import spark.implicits._
     // 50 docs drawn from one template distribution + 1 doc of noise

@@ -32,6 +32,34 @@ class EventStreamsSpec extends SparkSuite {
   private def ev(id: Long, ts: Long, user: Long, typ: String, value: Double): String =
     s"""{"event_id":$id,"ts":$ts,"user_id":$user,"event_type":"$typ","value":$value,"props":"{}"}"""
 
+  test("stateless model scoring on a document stream ≡ batch scoring; no state store in the plan") {
+    // Fit the model in BATCH on a small corpus, then score the same
+    // docs arriving as a stream — parity must be exact, and the
+    // streaming plan must contain no stateful operator at all.
+    val corpus = Seq((1L, "the cat sat"), (2L, "the cat spat"), (3L, "dog dog dog"),
+      (4L, "zq"), (5L, "the the the cat"))
+    val model = graft.operators.CharLm.collectModel(
+      corpus.toDF("doc_id", "text"), rareFactor = 10)
+    val dir = Files.createTempDirectory(Paths.get("target"), "docs-landing")
+    corpus.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val scored = EventStreams.familiarityScored(stream, model)
+    val out = Files.createTempDirectory(Paths.get("target"), "scoreout")
+    val q = EventStreams.writeParquetSink(scored, s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.operators.CharLm.scoreWithModel(corpus.toDF("doc_id", "text"), model)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch, "streaming and batch model scoring diverged")
+    assert(streamed.size === corpus.size)
+    // Zero-state law: no state operator ever appears in progress.
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
+  }
+
   test("watermarked hourly window aggregate over file arrivals") {
     // The sentinel advances the watermark past the earlier windows;
     // its own window stays open and must NOT be emitted — that
