@@ -291,6 +291,88 @@ object Dedup {
       .filter(col("jaccard_raw") >= threshold && col("jaccard_raw") < 1.0d)
       .select(col("fp_a"), col("fp_b"), (floor(col("jaccard_raw") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
 
+  /** Incremental ingestion triage: classify a SMALL new batch
+    * (`delta`, e.g. today's crawl) against the standing corpus as
+    * `exact` (same canonical token set as some corpus doc), `near`
+    * (Jaccard ≥ threshold with some corpus doc), or `accepted` —
+    * with the best matching corpus id and quantized similarity. The
+    * direction every production dedup actually runs daily: the
+    * corpus is orders of magnitude larger than the batch, so
+    * corpus-vs-corpus machinery (q22/q21) is the wrong shape.
+    *
+    * Scale contract: THE CORPUS IS NEVER SHUFFLED. Every corpus-side
+    * step is a scan projection joined against BROADCAST delta
+    * structures — fingerprints for the exact tier; PPJoin-style
+    * lexicographic prefixes (slice of the already-sorted distinct
+    * token array: no frequency aggregate, any common total order
+    * satisfies the prefix theorem) with length-window + positional
+    * filters for the near tier; candidates verified exactly via
+    * [[graft.functions.SortedIntersectCount]] on the token arrays.
+    * Only candidate ids and per-delta aggregates shuffle, all
+    * bounded by the (small) delta and its match counts. */
+  def deltaIngest(corpus: DataFrame, delta: DataFrame, threshold: Double,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
+    val dPrep = delta.select(col(idCol).as("dn_id"), toksOf.as("dtoks"),
+      size(toksOf).as("dn"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+    val cPrep = corpus.select(col(idCol).as("cn_id"), toksOf.as("ctoks"), size(toksOf).as("cn"))
+
+    // Exact tier: corpus fingerprints against the broadcast delta's.
+    val exact = corpus
+      .select(col(idCol).as("match_id"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+      .join(broadcast(dPrep.select(col("dn_id"), col("fp"))), Seq("fp"))
+      .groupBy(col("dn_id")).agg(min(col("match_id")).as("exact_match_id"))
+
+    // Near tier, candidates: prefix tokens (n - ceil(t*n) + 1
+    // lexicographically-smallest) of each side must intersect for a
+    // qualifying pair; hash join key (collisions only ADD candidates,
+    // verification is exact), length window, and the q22 positional
+    // bound prune the rest.
+    def prefixed(prep: DataFrame, id: String, n: String, toks: String): DataFrame =
+      prep.select(col(id), col(n),
+          posexplode(slice(col(toks), lit(1),
+            (col(n) - ceil(lit(threshold) * col(n)) + 1).cast("int"))))
+        .select(col(id), col(n), col("pos"), xxhash64(col("col")).as("tok"))
+    val alpha = lit(threshold / (1.0d + threshold)) * (col("cn") + col("dn")) - lit(1e-9)
+    val cPre = prefixed(cPrep, "cn_id", "cn", "ctoks").as("c")
+    val dPre = prefixed(dPrep, "dn_id", "dn", "dtoks").as("d")
+    val candidates = cPre.join(broadcast(dPre),
+        col("c.tok") === col("d.tok") &&
+        col("c.cn") >= lit(threshold) * col("d.dn") &&
+        col("d.dn") >= lit(threshold) * col("c.cn") &&
+        least(col("c.cn") - col("c.pos"), col("d.dn") - col("d.pos")) >= alpha)
+      .select(col("c.cn_id"), col("d.dn_id")).distinct()
+
+    // Exact verification: token arrays rejoin by id — the corpus
+    // side via broadcast candidate ids, the delta side broadcast
+    // whole.
+    val verified = cPrep.join(broadcast(candidates), Seq("cn_id"))
+      .join(broadcast(dPrep.select(col("dn_id"), col("dtoks"), col("dn"))), Seq("dn_id"))
+      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("ctoks"), col("dtoks")))
+      .withColumn("jr", col("ov") / (col("cn") + col("dn") - col("ov")))
+      .filter(col("jr") >= threshold)
+    val best = verified
+      .groupBy(col("dn_id"))
+      .agg(max(struct(col("jr"), (-col("cn_id")).as("negid"))).as("b"))
+      .select(col("dn_id"), col("b.jr").as("best_jr"), (-col("b.negid")).as("near_match_id"))
+
+    // Both attachment frames are delta-bounded (≤ one row per delta
+    // doc), so broadcast is correct by the op's own contract — and
+    // keeps the whole plan exchange-free on the corpus lineage.
+    delta.select(col(idCol).as("dn_id"))
+      .join(broadcast(exact), Seq("dn_id"), "left")
+      .join(broadcast(best), Seq("dn_id"), "left")
+      .select(col("dn_id").as(idCol),
+        when(col("exact_match_id").isNotNull, lit("exact"))
+          .when(col("near_match_id").isNotNull, lit("near"))
+          .otherwise(lit("accepted")).as("status"),
+        coalesce(col("exact_match_id"), col("near_match_id")).as("match_id"),
+        when(col("exact_match_id").isNotNull, lit(1.0d))
+          .when(col("near_match_id").isNotNull,
+            floor(col("best_jr") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
+  }
+
   /** SimHash signature per document over its distinct-token 60-bit
     * hashes (one codegen'd pass, single projection). */
   def simhashSignatures(docs: DataFrame,

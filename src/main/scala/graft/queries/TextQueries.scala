@@ -621,6 +621,50 @@ object TextQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // ---- q81: incremental ingestion triage — classify a small
+    // "today's batch" (doc_id % 17 = 0) against the standing corpus
+    // (the rest) as exact / near (Jaccard ≥ 0.9) / accepted, with
+    // best match id and quantized similarity. The corpus side is
+    // scan+broadcast-join only (never shuffled); the oracle computes
+    // the same classification by direct inverted-index overlap — the
+    // PPJoin prefix/positional pruning never drops a qualifying
+    // pair, so results agree though the plans differ.
+    Q("q81_delta_ingest", Some("""
+      WITH delta AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+      corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      dfp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM delta),
+      cfp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM corpus),
+      ex AS (SELECT dfp.doc_id, MIN(cfp.doc_id) AS match_id
+             FROM dfp JOIN cfp USING (fp) GROUP BY dfp.doc_id),
+      dt AS (SELECT doc_id AS dn_id, list_distinct(string_split(text, ' ')) AS toks FROM delta),
+      ct AS (SELECT doc_id AS cn_id, list_distinct(string_split(text, ' ')) AS toks FROM corpus),
+      du AS (SELECT dn_id, unnest(toks) AS tok, len(toks) AS dn FROM dt),
+      cu AS (SELECT cn_id, unnest(toks) AS tok, len(toks) AS cn FROM ct),
+      ovt AS (SELECT dn_id, cn_id, dn, cn, COUNT(*) AS ov
+              FROM du JOIN cu USING (tok) GROUP BY 1, 2, 3, 4),
+      near AS (SELECT dn_id, cn_id, ov / (dn + cn - ov) AS jr
+               FROM ovt WHERE ov / (dn + cn - ov) >= 0.9),
+      best AS (SELECT dn_id, cn_id, jr FROM near
+               QUALIFY row_number() OVER (PARTITION BY dn_id ORDER BY jr DESC, cn_id) = 1)
+      SELECT d.doc_id,
+             CASE WHEN ex.match_id IS NOT NULL THEN 'exact'
+                  WHEN b.cn_id IS NOT NULL THEN 'near'
+                  ELSE 'accepted' END AS status,
+             COALESCE(ex.match_id, b.cn_id) AS match_id,
+             CASE WHEN ex.match_id IS NOT NULL THEN 1.0
+                  WHEN b.cn_id IS NOT NULL THEN floor(b.jr * 10000 + 0.5) / 10000 END AS jaccard
+      FROM delta d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      LEFT JOIN best b ON b.dn_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Dedup.deltaIngest(
+          docs.filter(pmod(col("doc_id"), lit(17)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(17)) === 0),
+          threshold = 0.9)
+        .orderBy("doc_id")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a

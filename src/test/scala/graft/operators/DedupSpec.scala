@@ -52,6 +52,47 @@ class DedupSpec extends SparkSuite {
     assert(total == n && nGroups <= n)
   }
 
+  test("deltaIngest ≡ brute-force triage on random corpora; corpus side never sort-merges") {
+    import org.scalacheck.Gen
+    import graft.PropSampling
+    val vocab = (1 to 6).map(i => s"w$i")
+    val docGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val t = 0.6
+    for (texts <- PropSampling.sample(Gen.listOfN(40, docGen), n = 4)) {
+      val all = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      val (deltaRows, corpusRows) = all.partition(_._1 % 5 == 0)
+      def set(s: String): Set[String] = s.split(" ").toSet
+      val expected = deltaRows.map { case (id, txt) =>
+        val dSet = set(txt)
+        val exact = corpusRows.filter(c => set(c._2) == dSet).map(_._1).sorted.headOption
+        val near = corpusRows.iterator.map { case (cid, ctxt) =>
+          val cSet = set(ctxt)
+          val ov = (dSet & cSet).size.toDouble
+          (cid, ov / (dSet.size + cSet.size - ov))
+        }.filter(_._2 >= t).toSeq
+        val bestNear = near.sortBy { case (cid, jr) => (-jr, cid) }.headOption
+        exact match {
+          case Some(m) => (id, "exact", Some(m), Some(1.0))
+          case None => bestNear match {
+            case Some((cid, jr)) =>
+              (id, "near", Some(cid), Some(math.floor(jr * 10000.0 + 0.5) / 10000.0))
+            case None => (id, "accepted", None, None)
+          }
+        }
+      }.toSet
+      val out = Dedup.deltaIngest(
+        corpusRows.toDF("doc_id", "text"), deltaRows.toDF("doc_id", "text"), threshold = t)
+      val got = out.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      assert(got === expected, s"triage diverged on: $all")
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"corpus side must join broadcast-only:\n${p.take(1500)}")
+    }
+  }
+
   test("cross-source dup matrix ≡ brute-force fingerprint intersection; bounded by source pairs") {
     // Handwritten corpus: identical token SETS across sources (order
     // and multiplicity must not matter), a three-source fingerprint,
