@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.{asDouble, dot}
+
+/** Deterministic Lloyd's k-means over an embedding column — the
+  * "train" half of the centroid machinery [[Similarity.ivfAnn]] and
+  * [[Similarity.semanticBlockedPairs]] consume (those use hash-SEEDED
+  * centroids; this refines the same seeds with real Lloyd
+  * iterations, the SemDeDup / IVF-training recipe).
+  *
+  * Determinism & cross-engine exactness (the q56/q60 integer-state
+  * recipe):
+  *  - Seeds are the k corpus vectors with the smallest
+  *    `(id*2654435761) % 1000000007` hash, id tie-break — the same
+  *    deterministic selection [[Similarity]] uses, so an oracle can
+  *    replay it with ORDER BY + LIMIT.
+  *  - Assignment distance is squared Euclidean in the
+  *    `|v|^2 - 2*v.c + |c|^2` form: every term is a left-to-right
+  *    double dot product ([[graft.functions.DotProduct]] /
+  *    DuckDB `list_inner_product`), so the doubles are bit-identical
+  *    across engines; ties break to the smaller centroid id (strict
+  *    `<` fold here, `row_number() ORDER BY dist, cluster_id` there).
+  *  - The update step's per-cluster vector sums are where
+  *    floating-point would diverge (double sums are
+  *    accumulation-order dependent, and a shuffle has no order), so
+  *    they run on an integer quantization: `floor(x*2^20 + 0.5)`
+  *    per component (multiply by a power of two is exact, floor is
+  *    exact → identical BIGINTs on both engines), summed as longs by
+  *    a typed Aggregator whose partial states are one `long[dim]`
+  *    per cluster per partition. The new centroid component is
+  *    `(double)sum / ((double)n * 2^20)` — two correctly-rounded ops,
+  *    bit-identical everywhere. Clusters that lose all members keep
+  *    their previous centroid.
+  *
+  * Scale: each iteration is one corpus scan (the assignment fold is
+  * a pure projection against plan-literal centroids — no join, no
+  * broadcast exchange, no window) plus one partial aggregation whose
+  * shuffle moves at most k×(dim+1) longs per input partition.
+  * Centroid state is O(k·dim) on the driver — the same bounded
+  * strategy-state exception as [[graft.sources.Consolidate]]'s
+  * max-narrators scalar (and what Spark MLlib's KMeans does). The
+  * corpus is re-scanned once per iteration; at 100 TB callers either
+  * accept iters+1 scans or persist the prepared projection.
+  *
+  * Reference scope: the reference pipeline has no clustering; this
+  * is north-star tier for corpus curation (topic balancing, SemDeDup
+  * blocking, IVF index training).
+  */
+object Clustering {
+
+  private case class Centroid(id: Int, vec: Array[Double]) {
+    /** |c|^2 summed left-to-right — same order as the engines' dot. */
+    val normSq: Double = {
+      var s = 0.0d; var i = 0
+      while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
+      s
+    }
+  }
+
+  /** Elementwise long-vector sum as a typed Aggregator: the partial
+    * state is a single `long[dim]` per group per partition, so the
+    * update shuffle moves merged states, not rows (the TopK rule). */
+  private[operators] val vecSumAgg: Aggregator[Seq[Long], Array[Long], Seq[Long]] =
+    new Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+      override def zero: Array[Long] = Array.emptyLongArray
+      override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] =
+        if (b.isEmpty) a.toArray
+        else { var i = 0; while (i < b.length) { b(i) += a(i); i += 1 }; b }
+      override def merge(x: Array[Long], y: Array[Long]): Array[Long] =
+        if (x.isEmpty) y else if (y.isEmpty) x
+        else { var i = 0; while (i < x.length) { x(i) += y(i); i += 1 }; x }
+      override def finish(b: Array[Long]): Seq[Long] = b.toSeq
+      override def bufferEncoder = ExpressionEncoder[Array[Long]]()
+      override def outputEncoder = ExpressionEncoder[Seq[Long]]()
+    }
+
+  private val QuantScale = 1048576.0d // 2^20: exact multiply, exact floor
+
+  /** `iters` Lloyd rounds from hash-picked seeds; returns the final
+    * assignment `(idCol, cluster_id, dist)` against the
+    * post-iteration centroids, `dist` quantized floor(x*1e6+0.5)/1e6
+    * (the engine-portable rounding — see q26's doc block). */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(iters >= 0, "iters must be >= 0")
+    val v = asDouble(col(vecCol))
+    val prep = embeddings.select(
+      col(idCol),
+      v.as("v"),
+      transform(v, x => floor(x * lit(QuantScale) + lit(0.5d)).cast("long")).as("qv"),
+      dot(v, v).as("vv"))
+
+    // Seed pick: bounded k-row collect off a global top-k (per-
+    // partition partial limits — the corpus is never sorted whole).
+    val seedRows = prep
+      .select(pmod(col(idCol) * lit(2654435761L), lit(1000000007L)).as("h"),
+        col(idCol).as("id"), col("v"))
+      .orderBy(col("h"), col("id")).limit(k)
+      .collect()
+    var cents: Array[Centroid] = seedRows
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+      .zipWithIndex
+      .map { case ((_, _, vec), i) => Centroid(i + 1, vec) }
+
+    // Assignment fold: strict < keeps the earlier (smaller-id)
+    // centroid on ties — the replayable `ORDER BY dist, cluster_id`
+    // order. Centroids are plan literals: a pure projection, nothing
+    // joined, nothing shuffled.
+    def best(cs: Array[Centroid]): Column = {
+      def distTo(c: Centroid): Column =
+        col("vv") - lit(2.0d) * dot(col("v"), lit(c.vec)) + lit(c.normSq)
+      cs.tail.foldLeft(
+        struct(distTo(cs.head).as("d"), lit(cs.head.id).as("cid"))) { (acc, c) =>
+        val d = distTo(c)
+        when(d < acc("d"), struct(d.as("d"), lit(c.id).as("cid"))).otherwise(acc)
+      }
+    }
+
+    val vecSum = udaf(vecSumAgg, ExpressionEncoder[Seq[Long]]())
+    for (_ <- 1 to iters) {
+      val sums = prep
+        .select(best(cents)("cid").as("cluster_id"), col("qv"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n"), vecSum(col("qv")).as("sq"))
+        .collect() // bounded: k rows of (dim+1) longs — strategy state
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Long](2))).toMap
+      cents = cents.map { c =>
+        sums.get(c.id) match {
+          case Some((n, sq)) =>
+            Centroid(c.id, sq.map(s => s.toDouble / (n.toDouble * QuantScale)).toArray)
+          case None => c // emptied cluster keeps its previous centroid
+        }
+      }
+    }
+
+    prep.select(col(idCol), best(cents).as("a"))
+      .select(col(idCol), col("a.cid").as("cluster_id"),
+        (floor(col("a.d") * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("dist"))
+  }
+}

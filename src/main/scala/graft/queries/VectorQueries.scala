@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.asDouble
-import graft.operators.Similarity
+import graft.operators.{Clustering, Similarity}
 
 /** Similarity search over the `embeddings` table (`array<float>`,
   * 64-dim): exact brute-force top-k (ground truth), exact near-dup
@@ -267,5 +267,84 @@ object VectorQueries {
       Similarity.semanticBlockedPairs(base.unionByName(twins), threshold = 0.99,
           nCentroids = 16, nAssign = 2)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- q82: deterministic Lloyd's k-means (k=8, 2 iterations) —
+    // the trained-centroid upgrade of q33/q79's hash seeds (IVF
+    // index training / SemDeDup clustering). Distances are
+    // bit-identical left-to-right double dot products; the update
+    // sums — the one accumulation-order-dependent step — run on the
+    // floor(x*2^20+0.5) integer quantization so the shuffled state
+    // is exact BIGINTs (the q56/q60 integer-state recipe), and the
+    // oracle replays both iterations as unrolled CTEs. Per Spark
+    // iteration: one scan, one k×(dim+1)-long partial-agg shuffle,
+    // O(k·dim) driver state.
+    Q("q82_kmeans", Some("""
+      WITH p AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               list_transform(embedding::DOUBLE[],
+                 x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv,
+               list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS vv
+        FROM embeddings),
+      seeds AS (
+        SELECT vec_id, v, (vec_id * 2654435761) % 1000000007 AS h
+        FROM p ORDER BY h, vec_id LIMIT 8),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cluster_id,
+               v AS cv
+        FROM seeds),
+      a1 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT p.vec_id, c.cluster_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                            + list_inner_product(c.cv, c.cv),
+                            c.cluster_id) AS rn
+          FROM p CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (
+        SELECT a1.cluster_id, g.i AS pos, SUM(p.qv[g.i]) AS sq, COUNT(*) AS n
+        FROM a1 JOIN p USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT c0.cluster_id, COALESCE(u.cv, c0.cv) AS cv
+        FROM c0 LEFT JOIN (
+          SELECT cluster_id,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s1 GROUP BY 1) u USING (cluster_id)),
+      a2 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT p.vec_id, c.cluster_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                            + list_inner_product(c.cv, c.cv),
+                            c.cluster_id) AS rn
+          FROM p CROSS JOIN c1 c) WHERE rn = 1),
+      s2 AS (
+        SELECT a2.cluster_id, g.i AS pos, SUM(p.qv[g.i]) AS sq, COUNT(*) AS n
+        FROM a2 JOIN p USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cluster_id, COALESCE(u.cv, c1.cv) AS cv
+        FROM c1 LEFT JOIN (
+          SELECT cluster_id,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s2 GROUP BY 1) u USING (cluster_id)),
+      fin AS (
+        SELECT vec_id, cluster_id, d FROM (
+          SELECT p.vec_id, c.cluster_id,
+                 p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                   + list_inner_product(c.cv, c.cv) AS d,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                            + list_inner_product(c.cv, c.cv),
+                            c.cluster_id) AS rn
+          FROM p CROSS JOIN c2 c) WHERE rn = 1)
+      SELECT vec_id, cluster_id,
+             floor(d * 1000000.0 + 0.5) / 1000000.0 AS dist
+      FROM fin ORDER BY vec_id""")) { (s, d) =>
+      Clustering.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
+        .orderBy("vec_id")
     })
 }

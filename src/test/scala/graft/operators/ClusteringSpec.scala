@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+
+import graft.{PropSampling, SparkSuite}
+
+class ClusteringSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private val dim = 8
+
+  private def toDf(vecs: Seq[(Long, Array[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    spark.createDataFrame(
+      vecs.map { case (id, v) => Row(id, v.toSeq) }.asJava, schema)
+  }
+
+  /** Driver-side replay of the operator's exact arithmetic: double
+    * distances in index order, floor(x*2^20+0.5) long sums, keep-old
+    * on emptied clusters. */
+  private def reference(vecs: Seq[(Long, Array[Float])], k: Int, iters: Int) = {
+    val quant = 1048576.0d
+    val prep = vecs.map { case (id, vf) =>
+      val v = vf.map(_.toDouble)
+      val qv = v.map(x => math.floor(x * quant + 0.5).toLong)
+      val vv = v.foldLeft(0.0d)((a, x) => a + x * x)
+      (id, v, qv, vv)
+    }
+    var cents: Seq[(Int, Array[Double])] = prep
+      .map { case (id, v, _, _) => ((id * 2654435761L) % 1000000007L, id, v) }
+      .sortBy { case (h, id, _) => (h, id) }
+      .take(k).zipWithIndex
+      .map { case ((_, _, v), i) => (i + 1, v) }
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def assign(v: Array[Double], vv: Double): (Int, Double) =
+      cents.map { case (cid, c) => (cid, vv - 2.0d * dot(v, c) + dot(c, c)) }
+        .reduceLeft((a, b) => if (b._2 < a._2) b else a) // strict <: first wins ties
+    for (_ <- 1 to iters) {
+      val byC = prep.map { case (id, v, qv, vv) => (assign(v, vv)._1, qv) }
+        .groupBy(_._1)
+      cents = cents.map { case (cid, c) =>
+        byC.get(cid) match {
+          case Some(members) =>
+            val n = members.size.toDouble
+            val sums = members.map(_._2).transpose.map(_.sum)
+            (cid, sums.map(s => s.toDouble / (n * quant)).toArray)
+          case None => (cid, c)
+        }
+      }
+    }
+    prep.map { case (id, v, _, vv) =>
+      val (cid, d) = assign(v, vv)
+      (id, cid, math.floor(d * 1000000.0d + 0.5) / 1000000.0d)
+    }.toSet
+  }
+
+  test("kmeans ≡ driver-side replay on random corpora (ties, duplicate points)") {
+    // Coordinates on a coarse grid force duplicate points and exact
+    // distance ties, exercising the smaller-centroid-id tie rule.
+    val vecGen = Gen.listOfN(dim, Gen.chooseNum(-4, 4).map(_ / 2.0f)).map(_.toArray)
+    val corpusGen = Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, vecGen))
+    for ((vecs, i) <- PropSampling.sample(corpusGen, n = 4).zipWithIndex) {
+      val rows = vecs.zipWithIndex.map { case (v, j) => (j.toLong * 3 + 1, v) }
+      val got = Clustering.kmeans(toDf(rows), k = 4, iters = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+      assert(got === reference(rows, k = 4, iters = 2), s"sample $i diverged")
+    }
+  }
+
+  test("emptied clusters keep their previous centroid; k > n degenerates safely") {
+    // Two far blobs, k=4: at most two clusters keep members after the
+    // first update; the other seeds must survive as stale centroids
+    // without crashing the next round.
+    val rows = Seq[(Long, Array[Float])](
+      (1L, Array.fill(dim)(0.0f)), (2L, Array.fill(dim)(0.01f)),
+      (3L, Array.fill(dim)(10.0f)), (4L, Array.fill(dim)(10.01f)),
+      (5L, Array.fill(dim)(0.02f)))
+    val got = Clustering.kmeans(toDf(rows), k = 4, iters = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(got === reference(rows, k = 4, iters = 3))
+    // k > n: every point seeds its own cluster and stays there.
+    val tiny = rows.take(2)
+    val got2 = Clustering.kmeans(toDf(tiny), k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got2.map(_._1) === Set(1L, 2L) && got2.map(_._2).size == 2)
+  }
+
+  test("assignment plan is a pure projection: no join, no window, no corpus sort") {
+    val rows = (0 until 50).map(i => (i.toLong, Array.fill(dim)(i.toFloat / 10)))
+    val out = Clustering.kmeans(toDf(rows), k = 4, iters = 1)
+    val plan = out.queryExecution.executedPlan.toString
+    for (bad <- Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"))
+      assert(!plan.contains(bad), s"assignment must not plan a $bad:\n${plan.take(1200)}")
+  }
+}
