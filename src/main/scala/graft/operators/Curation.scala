@@ -301,4 +301,40 @@ object Curation {
         (row_number().over(w) - 1).cast("long").as("pos"),
         col("shuffle_hash"))
   }
+
+  /** Fixed-size token-window chunking with stride — the map-only
+    * prep step between curation and embedding in a retrieval
+    * pipeline (every chunk of `chunkSize` tokens starts `stride`
+    * tokens after the previous one; `chunkSize - stride` tokens of
+    * overlap preserve cross-boundary context). Emits one row per
+    * `(doc, window)` with the chunk ordinal, token offset, length,
+    * and re-joined text.
+    *
+    * Pure codegen projection + generator: `sequence` builds the
+    * start offsets, `posexplode` emits them, `slice`/`array_join`
+    * cut the window — no shuffle anywhere, chunks inherit the scan's
+    * partitioning (at 100 TB this runs at parquet-scan speed, and
+    * the chunk stream feeds straight into the embedding stage).
+    * The last window may be shorter than `chunkSize`; a window
+    * starting past the end is never emitted (starts stop at n-1).
+    * Tokenization is the engine-wide single-space split
+    * ([[graft.functions.TextFunctions.tokens]], = DuckDB
+    * `string_split`), under which an empty text is one empty token —
+    * one empty chunk, same on both engines. */
+  def chunkTokens(docs: DataFrame, chunkSize: Int, stride: Int,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(stride >= 1, "stride must be >= 1")
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .select(col(idCol), toks.as("toks"), size(toks).as("n"))
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), col("n") - 1, lit(stride))))
+      .select(
+        col(idCol),
+        col("pos").cast("int").as("chunk_id"),
+        col("col").cast("int").as("tok_start"),
+        size(slice(col("toks"), col("col") + 1, lit(chunkSize))).as("n_toks"),
+        array_join(slice(col("toks"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"))
+  }
 }

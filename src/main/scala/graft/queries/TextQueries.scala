@@ -665,6 +665,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q83: retrieval chunking — 32-token windows every 24
+    // tokens (8 overlap) over every document, with chunk ordinal,
+    // token offset, window length, and re-joined text. Zero-shuffle
+    // generator projection (sequence → posexplode → slice); the
+    // oracle replays the windows with generate_series + list_slice.
+    Q("q83_chunk_documents", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      s AS (SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, 24)) AS tok_start
+            FROM t)
+      SELECT doc_id,
+             CAST(tok_start // 24 AS INTEGER) AS chunk_id,
+             CAST(tok_start AS INTEGER) AS tok_start,
+             CAST(len(list_slice(toks, tok_start + 1, tok_start + 32)) AS INTEGER) AS n_toks,
+             array_to_string(list_slice(toks, tok_start + 1, tok_start + 32), ' ') AS chunk_text
+      FROM s
+      ORDER BY doc_id, chunk_id""")) { (s, d) =>
+      Curation.chunkTokens(Tables.documents(s, d), chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a

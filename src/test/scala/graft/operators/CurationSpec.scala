@@ -280,4 +280,38 @@ class CurationSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(other !== again, "different salt must move the permutation")
   }
+
+  test("chunkTokens: coverage, overlap, short-tail and boundary-length docs; no shuffle") {
+    import spark.implicits._
+    val chunk = 5; val stride = 3
+    // Lengths around every boundary: shorter than a chunk, exactly a
+    // chunk, exactly a stride multiple, one past it, and a long doc.
+    val docs = Seq(1, 4, 5, 6, 9, 10, 23).zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(t => s"t$t").mkString(" "))
+    }
+    val out = Curation.chunkTokens(docs.toDF("doc_id", "text"), chunk, stride)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    for (((n, _), id) <- Seq(1, 4, 5, 6, 9, 10, 23).zipWithIndex.map { case (n, i) => ((n, ()), i.toLong) }) {
+      val toks = (1 to n).map(t => s"t$t")
+      val mine = out.filter(_._1 == id).sortBy(_._2)
+      val wantStarts = 0 until n by stride
+      assert(mine.map(_._3).toSeq === wantStarts, s"starts for n=$n")
+      assert(mine.map(_._2).toSeq === wantStarts.indices, s"ordinals for n=$n")
+      for (((_, _, start, nt, text), _) <- mine.zipWithIndex) {
+        val want = toks.slice(start, start + chunk)
+        assert(nt === want.length && text === want.mkString(" "), s"window at $start for n=$n")
+      }
+      // Every token of the doc appears in at least one window.
+      assert(wantStarts.flatMap(s0 => s0 until math.min(s0 + chunk, n)).toSet === (0 until n).toSet)
+    }
+    // Empty text = one empty token = one empty chunk (the split("")
+    // convention both engines share).
+    val empty = Curation.chunkTokens(Seq((9L, "")).toDF("doc_id", "text"), chunk, stride)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(empty.toSeq === Seq((0, 1, "")))
+    val plan = Curation.chunkTokens(docs.toDF("doc_id", "text"), chunk, stride)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(800)}")
+  }
 }
