@@ -113,6 +113,27 @@ object Sinks {
     } finally ranked.unpersist(blocking = false)
   }
 
+  /** Bucketed parquet table — the co-located-join layout for keys
+    * that are joined or aggregated repeatedly at scale: the write
+    * pays the shuffle ONCE (hash(keyCol) mod buckets decides the
+    * file, sortBy orders within each bucket), and every later
+    * equi-join or groupBy on `keyCol` between tables bucketed the
+    * same way plans with ZERO Exchange — at 100 TB that converts the
+    * nightly fact-to-fact join from a full-cluster shuffle into a
+    * per-bucket merge. `path` makes the table external, so the data
+    * lands where the caller says and only bucketing metadata lives
+    * in the session catalog (read back via `spark.table(table)` —
+    * bucket metadata does NOT survive a plain `spark.read.parquet`).
+    * Bucket counts must match across tables meant to co-join; pick
+    * them so one bucket of the LARGEST table fits an executor
+    * (SinksBucketingSpec pins the Exchange-free plans). */
+  def bucketedTable(df: DataFrame, table: String, path: String,
+                    buckets: Int, keyCol: String): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keyCol).sortBy(keyCol)
+      .option("path", path)
+      .saveAsTable(table)
+
   private def flattenComplex(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
