@@ -65,7 +65,7 @@ object Clustering {
   /** Elementwise long-vector sum as a typed Aggregator: the partial
     * state is a single `long[dim]` per group per partition, so the
     * update shuffle moves merged states, not rows (the TopK rule). */
-  private[operators] val vecSumAgg: Aggregator[Seq[Long], Array[Long], Seq[Long]] =
+  private[graft] val vecSumAgg: Aggregator[Seq[Long], Array[Long], Seq[Long]] =
     new Aggregator[Seq[Long], Array[Long], Seq[Long]] {
       override def zero: Array[Long] = Array.emptyLongArray
       override def reduce(b: Array[Long], a: Seq[Long]): Array[Long] =
@@ -109,18 +109,20 @@ object Clustering {
       .zipWithIndex
       .map { case ((_, _, vec), i) => Centroid(i + 1, vec) }
 
-    // Assignment fold: strict < keeps the earlier (smaller-id)
-    // centroid on ties — the replayable `ORDER BY dist, cluster_id`
-    // order. Centroids are plan literals: a pure projection, nothing
-    // joined, nothing shuffled.
+    // Assignment: array_min over k (dist, cid) structs — struct
+    // ordering is lexicographic (d, then cid), exactly the
+    // replayable `ORDER BY dist, cluster_id` tie rule. Linear
+    // expression tree: a when-chain fold that repeats the
+    // accumulator in both branches doubles the TREE per centroid
+    // (2^k nodes — at k=8 analysis+codegen walked ~256 copies of
+    // each dot product and cost more than the data). Centroids are
+    // plan literals: a pure projection, nothing joined, nothing
+    // shuffled.
     def best(cs: Array[Centroid]): Column = {
       def distTo(c: Centroid): Column =
         col("vv") - lit(2.0d) * dot(col("v"), lit(c.vec)) + lit(c.normSq)
-      cs.tail.foldLeft(
-        struct(distTo(cs.head).as("d"), lit(cs.head.id).as("cid"))) { (acc, c) =>
-        val d = distTo(c)
-        when(d < acc("d"), struct(d.as("d"), lit(c.id).as("cid"))).otherwise(acc)
-      }
+      array_min(array(cs.map(c =>
+        struct(distTo(c).as("d"), lit(c.id).as("cid"))): _*))
     }
 
     val vecSum = udaf(vecSumAgg, ExpressionEncoder[Seq[Long]]())
