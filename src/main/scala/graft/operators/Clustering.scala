@@ -53,13 +53,23 @@ import graft.functions.VectorFunctions.{asDouble, dot}
   */
 object Clustering {
 
-  private case class Centroid(id: Int, vec: Array[Double]) {
+  private[operators] case class Centroid(id: Int, vec: Array[Double]) {
     /** |c|^2 summed left-to-right — same order as the engines' dot. */
     val normSq: Double = {
       var s = 0.0d; var i = 0
       while (i < vec.length) { s += vec(i) * vec(i); i += 1 }
       s
     }
+  }
+
+  /** A fitted set of centroids — the deployable artifact of [[fit]]:
+    * plain driver-side doubles, so it serializes into a closure /
+    * plan literal and scores batch or stream identically (the
+    * fit-batch / score-stream split [[graft.streaming.EventStreams
+    * .clusterAssigned]] deploys). */
+  final case class KMeansModel(centroids: Seq[(Int, Seq[Double])]) {
+    private[operators] def toCentroids: Array[Centroid] =
+      centroids.map { case (id, v) => Centroid(id, v.toArray) }.toArray
   }
 
   /** Elementwise long-vector sum as a typed Aggregator: the partial
@@ -86,7 +96,13 @@ object Clustering {
     * post-iteration centroids, `dist` quantized floor(x*1e6+0.5)/1e6
     * (the engine-portable rounding — see q26's doc block). */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    assignWithModel(embeddings, fit(embeddings, k, iters, idCol, vecCol), idCol, vecCol)
+
+  /** The training half: `iters` Lloyd rounds, returning the fitted
+    * centroids as a deployable [[KMeansModel]]. */
+  def fit(embeddings: DataFrame, k: Int, iters: Int,
+          idCol: String = "vec_id", vecCol: String = "embedding"): KMeansModel = {
     require(k >= 1, "k must be >= 1")
     require(iters >= 0, "iters must be >= 0")
     val v = asDouble(col(vecCol))
@@ -109,22 +125,6 @@ object Clustering {
       .zipWithIndex
       .map { case ((_, _, vec), i) => Centroid(i + 1, vec) }
 
-    // Assignment: array_min over k (dist, cid) structs — struct
-    // ordering is lexicographic (d, then cid), exactly the
-    // replayable `ORDER BY dist, cluster_id` tie rule. Linear
-    // expression tree: a when-chain fold that repeats the
-    // accumulator in both branches doubles the TREE per centroid
-    // (2^k nodes — at k=8 analysis+codegen walked ~256 copies of
-    // each dot product and cost more than the data). Centroids are
-    // plan literals: a pure projection, nothing joined, nothing
-    // shuffled.
-    def best(cs: Array[Centroid]): Column = {
-      def distTo(c: Centroid): Column =
-        col("vv") - lit(2.0d) * dot(col("v"), lit(c.vec)) + lit(c.normSq)
-      array_min(array(cs.map(c =>
-        struct(distTo(c).as("d"), lit(c.id).as("cid"))): _*))
-    }
-
     val vecSum = udaf(vecSumAgg, ExpressionEncoder[Seq[Long]]())
     for (_ <- 1 to iters) {
       val sums = prep
@@ -142,8 +142,39 @@ object Clustering {
       }
     }
 
-    prep.select(col(idCol), best(cents).as("a"))
+    KMeansModel(cents.map(c => (c.id, c.vec.toSeq)).toSeq)
+  }
+
+  /** The scoring half: nearest-centroid assignment of `embeddings`
+    * (batch OR streaming — the plan is a pure stateless projection)
+    * against a fitted model. Same output contract as [[kmeans]]. */
+  def assignWithModel(embeddings: DataFrame, model: KMeansModel,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(model.centroids.nonEmpty, "model must have at least one centroid")
+    val v = asDouble(col(vecCol))
+    prepAssign(embeddings.select(col(idCol), v.as("v"), dot(v, v).as("vv")),
+      model.toCentroids)
       .select(col(idCol), col("a.cid").as("cluster_id"),
         (floor(col("a.d") * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("dist"))
   }
+
+  // Assignment: array_min over k (dist, cid) structs — struct
+  // ordering is lexicographic (d, then cid), exactly the replayable
+  // `ORDER BY dist, cluster_id` tie rule. Linear expression tree: a
+  // when-chain fold that repeats the accumulator in both branches
+  // doubles the TREE per centroid (2^k nodes — at k=8
+  // analysis+codegen walked ~256 copies of each dot product and cost
+  // more than the data). Centroids are plan literals: a pure
+  // projection, nothing joined, nothing shuffled.
+  private def best(cs: Array[Centroid]): Column = {
+    def distTo(c: Centroid): Column =
+      col("vv") - lit(2.0d) * dot(col("v"), lit(c.vec)) + lit(c.normSq)
+    array_min(array(cs.map(c =>
+      struct(distTo(c).as("d"), lit(c.id).as("cid"))): _*))
+  }
+
+  /** `(input + best-struct "a")` projection over a frame carrying
+    * `v` and `vv`. */
+  private def prepAssign(prepped: DataFrame, cs: Array[Centroid]): DataFrame =
+    prepped.withColumn("a", best(cs))
 }

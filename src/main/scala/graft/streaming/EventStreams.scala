@@ -380,6 +380,21 @@ object EventStreams {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.CharLm.scoreWithModel(docs, model, idCol, textCol)
 
+  /** Streaming nearest-centroid assignment with a batch-fit k-means
+    * model — the same fit-once/score-forever deployment as
+    * [[familiarityScored]], for the embedding side: [[graft.operators
+    * .Clustering.fit]] trains on the standing corpus (batch), and
+    * arriving vectors are routed to their cluster by a pure
+    * stateless projection (centroids are plan literals — no
+    * watermark, no stream-static join, no state store), so the
+    * stream appends at ingest rate forever. This is the online half
+    * of IVF routing / SemDeDup blocking / topic-quota admission:
+    * batch parity with [[graft.operators.Clustering.assignWithModel]]
+    * is exact and spec-pinned. */
+  def clusterAssigned(vectors: DataFrame, model: graft.operators.Clustering.KMeansModel,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.operators.Clustering.assignWithModel(vectors, model, idCol, vecCol)
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

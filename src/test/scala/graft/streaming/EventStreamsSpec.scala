@@ -1,6 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSuite
 
@@ -31,6 +32,33 @@ class EventStreamsSpec extends SparkSuite {
 
   private def ev(id: Long, ts: Long, user: Long, typ: String, value: Double): String =
     s"""{"event_id":$id,"ts":$ts,"user_id":$user,"event_type":"$typ","value":$value,"props":"{}"}"""
+
+  test("stateless cluster assignment on a vector stream ≡ batch assignment; no state store") {
+    // Fit k-means in BATCH on the fixture embeddings, then route the
+    // same vectors arriving as a JSON stream — exact parity, zero
+    // streaming state.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val model = graft.operators.Clustering.fit(emb, k = 4, iters = 2)
+    val dir = Files.createTempDirectory(Paths.get("target"), "vec-landing")
+    emb.limit(64).coalesce(1).write.mode("overwrite").json(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .json(dir.resolve("in").toString)
+    val out = Files.createTempDirectory(Paths.get("target"), "clusout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.clusterAssigned(stream, model), s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    val ids = streamed.map(_._1)
+    val batch = graft.operators.Clustering
+      .assignWithModel(emb.filter(col("vec_id").isin(ids.toSeq: _*)), model)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(streamed === batch, "streaming and batch cluster assignment diverged")
+    assert(streamed.size === 64)
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"assignment must hold no streaming state: ${st.mkString(",")}")
+  }
 
   test("stateless model scoring on a document stream ≡ batch scoring; no state store in the plan") {
     // Fit the model in BATCH on a small corpus, then score the same
