@@ -233,6 +233,44 @@ object Similarity {
     refinePairs(cand, c, threshold, idCol)
   }
 
+  /** [[semanticBlockedPairs]] with TRAINED centroids — the full
+    * SemDeDup recipe: block by a fitted [[Clustering.KMeansModel]]
+    * (Lloyd-refined clusters follow the density of the embedding
+    * space, so blocks are tighter and boundary splits rarer than
+    * with the hash seeds) and pay exact cosine refinement only
+    * inside blocks. Assignment is the model's own squared-Euclidean
+    * metric, each vector routed to its `nAssign` nearest centroids
+    * via one per-row sort of k plan-literal (dist, cid) structs —
+    * lexicographic struct order IS the `ORDER BY dist, cluster_id`
+    * rule, so an oracle replays block membership exactly (q84
+    * hash-gates it end-to-end, training included). Same candidate
+    * and refinement tail as the other blocked paths: only same-block
+    * id pairs shuffle, vectors rejoin by id ([[refinePairs]]). */
+  def semanticBlockedPairsWithModel(embeddings: DataFrame, threshold: Double,
+                                    model: Clustering.KMeansModel, nAssign: Int = 2,
+                                    idCol: String = "vec_id"): DataFrame = {
+    require(nAssign >= 1, "nAssign must be >= 1")
+    val c = prepared(embeddings, idCol)
+      .withColumn("vv", dot(col("vec"), col("vec")))
+    val distStructs = model.centroids.map { case (cid, cv) =>
+      val cvec = cv.toArray
+      var cc = 0.0d; var i = 0
+      while (i < cvec.length) { cc += cvec(i) * cvec(i); i += 1 }
+      struct(
+        (col("vv") - lit(2.0d) * dot(col("vec"), lit(cvec)) + lit(cc)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val blocks = c
+      .select(col(idCol),
+        explode(slice(array_sort(array(distStructs: _*)), 1, nAssign)).as("a"))
+      .select(col(idCol), col("a.cid").as("cluster_id"))
+    val cand = blocks.select(col("cluster_id"), col(idCol).as("vec_a"))
+      .join(blocks.select(col("cluster_id"), col(idCol).as("vec_b")), Seq("cluster_id"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    refinePairs(cand, c, threshold, idCol)
+  }
+
   /** IVF-style ANN: corpus is assigned to the nearest of `nCentroids`
     * deterministic seed centroids (hash-selected corpus vectors);
     * queries probe their `nProbe` closest centroids. Classic

@@ -346,5 +346,103 @@ object VectorQueries {
       FROM fin ORDER BY vec_id""")) { (s, d) =>
       Clustering.kmeans(Tables.embeddings(s, d), k = 8, iters = 2)
         .orderBy("vec_id")
+    },
+
+    // ---- q84: SemDeDup with TRAINED centroids — q79's blocking
+    // upgraded from hash seeds to a 2-iteration Lloyd fit (q82's
+    // training, replayed by the oracle in full), top-2 block
+    // assignment in the model's own squared-Euclidean metric, exact
+    // cosine refinement only inside blocks. The one query that
+    // hash-gates the whole train→block→refine composition.
+    Q("q84_semantic_trained", Some("""
+      WITH p0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM p0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, [v[1] * 1.2] || v[2:] AS v
+        FROM p0 WHERE vec_id % 10 = 0),
+      p AS (SELECT vec_id, v,
+              list_transform(v, x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS qv,
+              list_inner_product(v, v) AS vv,
+              sqrt(list_inner_product(v, v)) AS nrm
+            FROM corpus),
+      seeds AS (
+        SELECT vec_id, v, (vec_id * 2654435761) % 1000000007 AS h
+        FROM p ORDER BY h, vec_id LIMIT 8),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cluster_id,
+               v AS cv
+        FROM seeds),
+      a1 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT p.vec_id, c.cluster_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                            + list_inner_product(c.cv, c.cv),
+                            c.cluster_id) AS rn
+          FROM p CROSS JOIN c0 c) WHERE rn = 1),
+      s1 AS (
+        SELECT a1.cluster_id, g.i AS pos, SUM(p.qv[g.i]) AS sq, COUNT(*) AS n
+        FROM a1 JOIN p USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+      c1 AS (
+        SELECT c0.cluster_id, COALESCE(u.cv, c0.cv) AS cv
+        FROM c0 LEFT JOIN (
+          SELECT cluster_id,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s1 GROUP BY 1) u USING (cluster_id)),
+      a2 AS (
+        SELECT vec_id, cluster_id FROM (
+          SELECT p.vec_id, c.cluster_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                            + list_inner_product(c.cv, c.cv),
+                            c.cluster_id) AS rn
+          FROM p CROSS JOIN c1 c) WHERE rn = 1),
+      s2 AS (
+        SELECT a2.cluster_id, g.i AS pos, SUM(p.qv[g.i]) AS sq, COUNT(*) AS n
+        FROM a2 JOIN p USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(i)
+        GROUP BY 1, 2),
+      c2 AS (
+        SELECT c1.cluster_id, COALESCE(u.cv, c1.cv) AS cv
+        FROM c1 LEFT JOIN (
+          SELECT cluster_id,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s2 GROUP BY 1) u USING (cluster_id)),
+      assign AS (
+        SELECT p.vec_id, c.cluster_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY p.vv - 2.0 * list_inner_product(p.v, c.cv)
+                          + list_inner_product(c.cv, c.cv),
+                          c.cluster_id) AS rn
+        FROM p CROSS JOIN c2 c),
+      blocks AS (SELECT vec_id, cluster_id FROM assign WHERE rn <= 2),
+      cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM blocks a JOIN blocks b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id),
+      refined AS (
+        SELECT c.vec_a, c.vec_b,
+               list_inner_product(pa.v, pb.v) / (pa.nrm * pb.nrm) AS sim_raw
+        FROM cand c
+        JOIN p pa ON pa.vec_id = c.vec_a
+        JOIN p pb ON pb.vec_id = c.vec_b)
+      SELECT vec_a, vec_b, round(sim_raw, 6) AS sim FROM refined
+      WHERE sim_raw >= 0.99
+      ORDER BY vec_a, vec_b""")) { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      val twins = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.2)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = base.unionByName(twins)
+      val model = Clustering.fit(corpus, k = 8, iters = 2)
+      Similarity.semanticBlockedPairsWithModel(corpus, threshold = 0.99,
+          model = model, nAssign = 2)
+        .orderBy("vec_a", "vec_b")
     })
 }

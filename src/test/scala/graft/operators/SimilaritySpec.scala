@@ -132,6 +132,32 @@ class SimilaritySpec extends SparkSuite {
     assert(top1.subsetOf(got), "top-1 blocks must be a subset of top-2 blocks")
   }
 
+  test("trained-centroid blocking ⊆ exact pairs, catches every twin, no all-pairs plan") {
+    import graft.functions.VectorFunctions.asDouble
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+    val twins = base.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+          slice(col("embedding"), 2, 63)).as("embedding"))
+    val corpus = base.unionByName(twins)
+    val model = Clustering.fit(corpus, k = 8, iters = 2)
+    val blocked = Similarity.semanticBlockedPairsWithModel(corpus, threshold = 0.99,
+      model = model, nAssign = 2)
+    val p = blocked.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"),
+      "trained blocking must never plan the quadratic self-join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "trained centroids are plan literals — no attach join at all:\n" + p.take(1200))
+    val got = blocked.select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val exactPairs = Similarity.nearDupPairs(corpus, threshold = 0.99)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(exactPairs), "trained blocking must never invent a pair")
+    val twinPairs = twins.select("vec_id").as[Long].collect()
+      .map(t => (t - 1000000L, t)).toSet
+    assert(twinPairs.subsetOf(got),
+      s"trained blocking missed twins: ${(twinPairs -- got).take(5)}")
+  }
+
   test("brute force matches a driver-side exact computation") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
