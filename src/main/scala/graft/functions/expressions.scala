@@ -72,6 +72,26 @@ case class CharBigramScore(child: Expression, model: CharLmModel) extends UnaryE
   override protected def withNewChildInternal(c: Expression): CharBigramScore = copy(child = c)
 }
 
+/** BPE subword tokens of a string under a plan-time [[BpeModel]]
+  * (string → array<string>): the fitted merge table rides into the
+  * generated code via `addReferenceObj` — the [[CharBigramScore]]
+  * deployment pattern — so a batch-fit tokenizer segments any frame,
+  * including a stream, as a stateless codegen'd projection. */
+case class BpeEncode(child: Expression, model: BpeModel) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    model.encodeArrayData(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model, classOf[BpeModel].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encodeArrayData($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode = copy(child = c)
+}
+
 /** Tolerant "HH:MM:SS" → seconds (reference F2 `__init__.py:32-73`);
   * null on malformed input like the reference's except→None path. */
 case class DurationSeconds(child: Expression) extends UnaryExpression {
@@ -436,6 +456,7 @@ object GraftFunctions {
   def vi_process_text(c: Column): Column = col(ViProcessText(expr(c)))
   def css_select(html: Column, selector: String): Column =
     col(CssSelect(expr(html), selector))
+  def bpe_encode(c: Column, model: BpeModel): Column = col(BpeEncode(expr(c), model))
 
   /** Register all custom functions for SQL use, so `spark.sql`
     * callers get the same codegen'd expressions as the Column API
