@@ -47,6 +47,17 @@ import graft.functions.VectorFunctions.{asDouble, dot}
   * corpus is re-scanned once per iteration; at 100 TB callers either
   * accept iters+1 scans or persist the prepared projection.
   *
+  * Practical k bound: centroids are embedded as plan LITERALS
+  * (k·dim doubles per assignment expression — zero joins, and the
+  * generated source is literal-independent so codegen caches across
+  * iterations). That is the right trade up to k·dim ≈ 10⁵ (k≈1000 at
+  * dim 64 — the √n rule for corpora to ~10⁶ reps); past it, plan
+  * size and analysis cost grow linearly and the broadcast
+  * centroid-array fold ([[Similarity.semanticBlockedPairs]]'s
+  * attach) becomes the better carrier. The k in an engine this size
+  * realistically stays in the tens-to-hundreds (IVF lists, SemDeDup
+  * blocks), squarely inside the literal regime.
+  *
   * Reference scope: the reference pipeline has no clustering; this
   * is north-star tier for corpus curation (topic balancing, SemDeDup
   * blocking, IVF index training).

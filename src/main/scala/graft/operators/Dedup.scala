@@ -309,10 +309,22 @@ object Dedup {
     * filters for the near tier; candidates verified exactly via
     * [[graft.functions.SortedIntersectCount]] on the token arrays.
     * Only candidate ids and per-delta aggregates shuffle, all
-    * bounded by the (small) delta and its match counts. */
+    * bounded by the (small) delta and its match counts. A delta that
+    * exceeds `maxBroadcastDelta` (probed, never assumed) drops the
+    * broadcast hints and the same joins run shuffled — correct at
+    * any size, just no longer corpus-shuffle-free. */
   def deltaIngest(corpus: DataFrame, delta: DataFrame, threshold: Double,
-                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                  idCol: String = "doc_id", textCol: String = "text",
+                  maxBroadcastDelta: Int = 1 << 20): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    // Contract guard, probed not assumed (the q31/q22 routing rule):
+    // a "delta" above maxBroadcastDelta rows stops being broadcast
+    // material. The tiers then run as ordinary shuffled equi-joins —
+    // the corpus pays its shuffle and the no-corpus-shuffle contract
+    // degrades gracefully instead of OOMing an executor on a
+    // corpus-sized broadcast. The probe is a bounded limited scan.
+    val smallDelta = delta.limit(maxBroadcastDelta + 1).count() <= maxBroadcastDelta
+    def b(df: DataFrame): DataFrame = if (smallDelta) broadcast(df) else df
     val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
     val dPrep = delta.select(col(idCol).as("dn_id"), toksOf.as("dtoks"),
       size(toksOf).as("dn"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
@@ -321,7 +333,7 @@ object Dedup {
     // Exact tier: corpus fingerprints against the broadcast delta's.
     val exact = corpus
       .select(col(idCol).as("match_id"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
-      .join(broadcast(dPrep.select(col("dn_id"), col("fp"))), Seq("fp"))
+      .join(b(dPrep.select(col("dn_id"), col("fp"))), Seq("fp"))
       .groupBy(col("dn_id")).agg(min(col("match_id")).as("exact_match_id"))
 
     // Near tier, candidates: prefix tokens (n - ceil(t*n) + 1
@@ -337,7 +349,7 @@ object Dedup {
     val alpha = lit(threshold / (1.0d + threshold)) * (col("cn") + col("dn")) - lit(1e-9)
     val cPre = prefixed(cPrep, "cn_id", "cn", "ctoks").as("c")
     val dPre = prefixed(dPrep, "dn_id", "dn", "dtoks").as("d")
-    val candidates = cPre.join(broadcast(dPre),
+    val candidates = cPre.join(b(dPre),
         col("c.tok") === col("d.tok") &&
         col("c.cn") >= lit(threshold) * col("d.dn") &&
         col("d.dn") >= lit(threshold) * col("c.cn") &&
@@ -347,8 +359,8 @@ object Dedup {
     // Exact verification: token arrays rejoin by id — the corpus
     // side via broadcast candidate ids, the delta side broadcast
     // whole.
-    val verified = cPrep.join(broadcast(candidates), Seq("cn_id"))
-      .join(broadcast(dPrep.select(col("dn_id"), col("dtoks"), col("dn"))), Seq("dn_id"))
+    val verified = cPrep.join(b(candidates), Seq("cn_id"))
+      .join(b(dPrep.select(col("dn_id"), col("dtoks"), col("dn"))), Seq("dn_id"))
       .withColumn("ov", GraftFunctions.sorted_intersect_count(col("ctoks"), col("dtoks")))
       .withColumn("jr", col("ov") / (col("cn") + col("dn") - col("ov")))
       .filter(col("jr") >= threshold)
@@ -361,8 +373,8 @@ object Dedup {
     // doc), so broadcast is correct by the op's own contract — and
     // keeps the whole plan exchange-free on the corpus lineage.
     delta.select(col(idCol).as("dn_id"))
-      .join(broadcast(exact), Seq("dn_id"), "left")
-      .join(broadcast(best), Seq("dn_id"), "left")
+      .join(b(exact), Seq("dn_id"), "left")
+      .join(b(best), Seq("dn_id"), "left")
       .select(col("dn_id").as(idCol),
         when(col("exact_match_id").isNotNull, lit("exact"))
           .when(col("near_match_id").isNotNull, lit("near"))

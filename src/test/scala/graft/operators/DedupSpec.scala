@@ -90,6 +90,15 @@ class DedupSpec extends SparkSuite {
       val p = out.queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"corpus side must join broadcast-only:\n${p.take(1500)}")
+      // Oversized-delta guard: a bound below the delta size drops the
+      // broadcast hints — same classification, shuffled joins.
+      val big = Dedup.deltaIngest(
+        corpusRows.toDF("doc_id", "text"), deltaRows.toDF("doc_id", "text"),
+        threshold = t, maxBroadcastDelta = 1)
+      val gotBig = big.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]))).toSet
+      assert(gotBig === expected, "guarded path must classify identically")
     }
   }
 
