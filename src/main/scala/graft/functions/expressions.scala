@@ -72,6 +72,30 @@ case class CharBigramScore(child: Expression, model: CharLmModel) extends UnaryE
   override protected def withNewChildInternal(c: Expression): CharBigramScore = copy(child = c)
 }
 
+/** Unicode NFC normalization (string → string) — the first scrub of
+  * any crawl pipeline: combining-mark sequences (e.g. decomposed
+  * Vietnamese "a" + U+0302 + U+0301) collapse to their canonical
+  * composed forms so hashing/dedup/tokenization see one byte
+  * representation per logical text. Delegates to `java.text
+  * .Normalizer` (Unicode-conformant, as is DuckDB's utf8proc —
+  * identical output by the standard, which is what lets q85
+  * hash-gate it cross-engine). */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"java.text.Normalizer.normalize($c.toString(), java.text.Normalizer.Form.NFC))")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize = copy(child = c)
+}
+
 /** BPE subword tokens of a string under a plan-time [[BpeModel]]
   * (string → array<string>): the fitted merge table rides into the
   * generated code via `addReferenceObj` — the [[CharBigramScore]]
@@ -457,6 +481,7 @@ object GraftFunctions {
   def css_select(html: Column, selector: String): Column =
     col(CssSelect(expr(html), selector))
   def bpe_encode(c: Column, model: BpeModel): Column = col(BpeEncode(expr(c), model))
+  def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
 
   /** Register all custom functions for SQL use, so `spark.sql`
     * callers get the same codegen'd expressions as the Column API
@@ -483,6 +508,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("min_shingle_hash", es => MinShingleHash(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("top_shingle_run", es => TopShingleRun(es.head, intArg(es(1))), "scala_udf")
     reg.createOrReplaceTempFunction("canonical_url", es => CanonicalUrl(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",

@@ -686,6 +686,44 @@ object TextQueries {
         .orderBy("doc_id", "chunk_id")
     },
 
+    // ---- q85: Unicode NFC normalization — the first scrub of a
+    // crawl pipeline. Test documents are already NFC (the gate would
+    // be vacuous), so the workload is synthesized q46-style: every
+    // doc gets a decomposed-Vietnamese suffix (base letters +
+    // combining circumflex/breve/horn + tone marks) that NFC must
+    // collapse to composed codepoints. Java Normalizer and DuckDB's
+    // utf8proc are both Unicode-conformant, so outputs hash-match;
+    // changed flag + char deltas make silent no-ops visible. Pure
+    // codegen projection, zero shuffle.
+    {
+      // DECOMPOSED by construction (base letter + combining marks as
+      // separate codepoints — an editor would silently compose a
+      // pasted composed form): "ấn mẹ ứ ề" spelled as
+      // a+U+0302+U+0301, e+U+0323, u+U+031B+U+0301, e+U+0302+U+0300.
+      // The same Scala constant feeds the Spark literal AND the
+      // interpolated oracle SQL, so both engines normalize the
+      // identical byte sequence.
+      val suffix = " a\u0302\u0301n me\u0323 u\u031b\u0301 e\u0302\u0300"
+      Q("q85_nfc_normalize", Some(s"""
+      SELECT doc_id,
+             nfc_normalize(text || '$suffix') AS text_nfc,
+             (nfc_normalize(text || '$suffix') <> (text || '$suffix')) AS changed,
+             CAST(length(text || '$suffix') AS BIGINT) AS n_chars_raw,
+             CAST(length(nfc_normalize(text || '$suffix')) AS BIGINT) AS n_chars_nfc
+      FROM documents
+      ORDER BY doc_id""")) { (s, d) =>
+        val raw = concat(col("text"), lit(suffix))
+        val nfc = GraftFunctions.nfc_normalize(raw)
+        Tables.documents(s, d).select(
+          col("doc_id"),
+          nfc.as("text_nfc"),
+          (nfc =!= raw).as("changed"),
+          length(raw).cast("long").as("n_chars_raw"),
+          length(nfc).cast("long").as("n_chars_nfc"))
+          .orderBy("doc_id")
+      }
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a
