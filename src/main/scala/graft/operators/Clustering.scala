@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -135,6 +135,8 @@ object Clustering {
       .sortBy { case (h, id, _) => (h, id) }
       .zipWithIndex
       .map { case ((_, _, vec), i) => Centroid(i + 1, vec) }
+    require(cents.nonEmpty,
+      "cannot fit k-means on an empty corpus (no seed vectors)")
 
     val vecSum = udaf(vecSumAgg, ExpressionEncoder[Seq[Long]]())
     for (_ <- 1 to iters) {
@@ -169,6 +171,19 @@ object Clustering {
         (floor(col("a.d") * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("dist"))
   }
 
+  /** One `(d, cid)` struct per centroid over a frame carrying `v`
+    * (double vector) and `vv` (its self-dot): d = |v|² - 2·v.c + |c|²
+    * with every term a left-to-right double op. THE single copy of
+    * the exactness-critical distance expression — [[best]] takes its
+    * array_min and [[Similarity.semanticBlockedPairsWithModel]] its
+    * sorted top-nAssign slice. */
+  private[operators] def distStructs(cs: Array[Centroid]): Seq[Column] =
+    cs.toSeq.map { c =>
+      struct(
+        (col("vv") - lit(2.0d) * dot(col("v"), lit(c.vec)) + lit(c.normSq)).as("d"),
+        lit(c.id).as("cid"))
+    }
+
   // Assignment: array_min over k (dist, cid) structs — struct
   // ordering is lexicographic (d, then cid), exactly the replayable
   // `ORDER BY dist, cluster_id` tie rule. Linear expression tree: a
@@ -177,12 +192,8 @@ object Clustering {
   // analysis+codegen walked ~256 copies of each dot product and cost
   // more than the data). Centroids are plan literals: a pure
   // projection, nothing joined, nothing shuffled.
-  private def best(cs: Array[Centroid]): Column = {
-    def distTo(c: Centroid): Column =
-      col("vv") - lit(2.0d) * dot(col("v"), lit(c.vec)) + lit(c.normSq)
-    array_min(array(cs.map(c =>
-      struct(distTo(c).as("d"), lit(c.id).as("cid"))): _*))
-  }
+  private def best(cs: Array[Centroid]): Column =
+    array_min(array(distStructs(cs): _*))
 
   /** `(input + best-struct "a")` projection over a frame carrying
     * `v` and `vv`. */

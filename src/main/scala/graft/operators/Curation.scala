@@ -317,6 +317,10 @@ object Curation {
     * the chunk stream feeds straight into the embedding stage).
     * The last window may be shorter than `chunkSize`; a window
     * starting past the end is never emitted (starts stop at n-1).
+    * `stride > chunkSize` is allowed and means SAMPLED chunking:
+    * the `stride - chunkSize` tokens after each window are skipped
+    * by design (cheap sparse coverage), not covered — callers who
+    * need every token in some chunk must keep stride <= chunkSize.
     * Tokenization is the engine-wide single-space split
     * ([[graft.functions.TextFunctions.tokens]], = DuckDB
     * `string_split`), under which an empty text is one empty token —

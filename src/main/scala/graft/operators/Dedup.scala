@@ -341,25 +341,36 @@ object Dedup {
     // qualifying pair; hash join key (collisions only ADD candidates,
     // verification is exact), length window, and the q22 positional
     // bound prune the rest.
+    // Every float prune carries the alpha-style 1e-9 slack: t*n that
+    // lands one ULP ABOVE an exact integer boundary (e.g. 0.55*100 =
+    // 55.000000000000007) would otherwise shorten the prefix by one
+    // and fail the length window for a pair whose exact Jaccard
+    // equals the threshold — a dropped qualifying pair that the
+    // exact verification downstream can never resurrect. Slack only
+    // ever ADDS candidates, and verification is exact.
     def prefixed(prep: DataFrame, id: String, n: String, toks: String): DataFrame =
       prep.select(col(id), col(n),
           posexplode(slice(col(toks), lit(1),
-            (col(n) - ceil(lit(threshold) * col(n)) + 1).cast("int"))))
+            (col(n) - ceil(lit(threshold) * col(n) - lit(1e-9)) + 1).cast("int"))))
         .select(col(id), col(n), col("pos"), xxhash64(col("col")).as("tok"))
     val alpha = lit(threshold / (1.0d + threshold)) * (col("cn") + col("dn")) - lit(1e-9)
     val cPre = prefixed(cPrep, "cn_id", "cn", "ctoks").as("c")
     val dPre = prefixed(dPrep, "dn_id", "dn", "dtoks").as("d")
     val candidates = cPre.join(b(dPre),
         col("c.tok") === col("d.tok") &&
-        col("c.cn") >= lit(threshold) * col("d.dn") &&
-        col("d.dn") >= lit(threshold) * col("c.cn") &&
+        col("c.cn") >= lit(threshold) * col("d.dn") - lit(1e-9) &&
+        col("d.dn") >= lit(threshold) * col("c.cn") - lit(1e-9) &&
         least(col("c.cn") - col("c.pos"), col("d.dn") - col("d.pos")) >= alpha)
       .select(col("c.cn_id"), col("d.dn_id")).distinct()
 
-    // Exact verification: token arrays rejoin by id — the corpus
-    // side via broadcast candidate ids, the delta side broadcast
-    // whole.
-    val verified = cPrep.join(b(candidates), Seq("cn_id"))
+    // Exact verification: token arrays rejoin by id. The candidate
+    // set is bounded by the delta's MATCH COUNTS, not the delta
+    // itself (one templated delta doc can near-match an unbounded
+    // slice of the corpus), so it gets NO forced broadcast — AQE
+    // converts the join to broadcast at runtime when the candidates
+    // are actually small, and falls back to a shuffle instead of a
+    // driver OOM when they are not. The delta side stays hinted.
+    val verified = cPrep.join(candidates, Seq("cn_id"))
       .join(b(dPrep.select(col("dn_id"), col("dtoks"), col("dn"))), Seq("dn_id"))
       .withColumn("ov", GraftFunctions.sorted_intersect_count(col("ctoks"), col("dtoks")))
       .withColumn("jr", col("ov") / (col("cn") + col("dn") - col("ov")))
@@ -613,7 +624,9 @@ object Dedup {
     // per doc upstream (the old window form spilled instead, at 5-10×
     // the wall-time).
     val ranked = tok.join(freq, "tok")
-    val prefixLen = (col("n_toks") - ceil(lit(threshold) * col("n_toks")) + 1).cast("int")
+    // 1e-9 slack mirrors deltaIngest: a t*n one ULP above an exact
+    // integer must not shorten the prefix past the theorem's bound.
+    val prefixLen = (col("n_toks") - ceil(lit(threshold) * col("n_toks") - lit(1e-9)) + 1).cast("int")
     val prefix = ranked
       .groupBy(col("fp"))
       .agg(
@@ -646,9 +659,10 @@ object Dedup {
     val candidates = a.join(b,
         col("a.tok") === col("b.tok") &&
         col("a.fp") < col("b.fp") &&
-        // Jaccard length bound: |b| >= t * |a| (and symmetrically).
-        col("b.n_toks") >= lit(threshold) * col("a.n_toks") &&
-        col("a.n_toks") >= lit(threshold) * col("b.n_toks") &&
+        // Jaccard length bound: |b| >= t * |a| (and symmetrically),
+        // with the same 1e-9 slack against one-ULP-high t*n.
+        col("b.n_toks") >= lit(threshold) * col("a.n_toks") - lit(1e-9) &&
+        col("a.n_toks") >= lit(threshold) * col("b.n_toks") - lit(1e-9) &&
         least(col("a.n_toks") - col("a.pos"), col("b.n_toks") - col("b.pos")) >= alpha)
       .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()

@@ -250,19 +250,16 @@ object Similarity {
                                     model: Clustering.KMeansModel, nAssign: Int = 2,
                                     idCol: String = "vec_id"): DataFrame = {
     require(nAssign >= 1, "nAssign must be >= 1")
+    // `v`/`vv` aliases satisfy [[Clustering.distStructs]]'s frame
+    // contract — the ONE copy of the distance expression, shared with
+    // the trainer so the metric can never drift between fit and use.
     val c = prepared(embeddings, idCol)
       .withColumn("vv", dot(col("vec"), col("vec")))
-    val distStructs = model.centroids.map { case (cid, cv) =>
-      val cvec = cv.toArray
-      var cc = 0.0d; var i = 0
-      while (i < cvec.length) { cc += cvec(i) * cvec(i); i += 1 }
-      struct(
-        (col("vv") - lit(2.0d) * dot(col("vec"), lit(cvec)) + lit(cc)).as("d"),
-        lit(cid).as("cid"))
-    }
+    val dists = Clustering.distStructs(model.toCentroids)
     val blocks = c
+      .withColumn("v", col("vec"))
       .select(col(idCol),
-        explode(slice(array_sort(array(distStructs: _*)), 1, nAssign)).as("a"))
+        explode(slice(array_sort(array(dists: _*)), 1, nAssign)).as("a"))
       .select(col(idCol), col("a.cid").as("cluster_id"))
     val cand = blocks.select(col("cluster_id"), col(idCol).as("vec_a"))
       .join(blocks.select(col("cluster_id"), col(idCol).as("vec_b")), Seq("cluster_id"))

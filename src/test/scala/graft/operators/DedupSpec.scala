@@ -90,6 +90,20 @@ class DedupSpec extends SparkSuite {
       val p = out.queryExecution.executedPlan.toString
       assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
         s"corpus side must join broadcast-only:\n${p.take(1500)}")
+      // Float-boundary regression: exact Jaccard == threshold where
+      // t*n computes one ULP high (0.55*100 = 55.000000000000007
+      // in doubles). Without the 1e-9 slack the prefix shortens by
+      // one and the length window fails — the qualifying pair
+      // silently dropped. |corpus ∩ delta| = 55, |union| = 100.
+      val bigDelta = Seq((1000L, (1 to 100).map(i => s"w$i").mkString(" ")))
+      val bigCorpus = Seq((2000L, (1 to 55).map(i => s"w$i").mkString(" ")))
+      val boundary = Dedup.deltaIngest(
+          bigCorpus.toDF("doc_id", "text"), bigDelta.toDF("doc_id", "text"),
+          threshold = 0.55)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.get(2))).toSeq
+      assert(boundary === Seq((1000L, "near", 2000L)),
+        s"exact-threshold pair must survive the float prunes: $boundary")
+
       // Oversized-delta guard: a bound below the delta size drops the
       // broadcast hints — same classification, shuffled joins.
       val big = Dedup.deltaIngest(
