@@ -219,4 +219,49 @@ object Temporal {
       .filter(col("__b") === bucketize(s"greatest(`$lStart`, `$rStart`)"))
       .drop("__b")
   }
+
+  /** Ordered-funnel completion per key: how far each key advanced
+    * through `steps` (event types that must occur in order, each at
+    * a time STRICTLY after the previous stage's completion — a
+    * same-instant next step does not count, which also makes the
+    * result independent of tie order). Returns one row per key that
+    * has at least one step-event: `(keyCol, steps_completed,
+    * t_complete)` — the stage count reached and the completion time
+    * of the last stage reached (null at stage 0). Greedy
+    * earliest-match is provably the chained-minima semantics
+    * (t1 = min t of step 1; t_{i+1} = min t of step i+1 with
+    * t > t_i), which is exactly how the q86 oracle replays it.
+    *
+    * Scale shape: irrelevant event types drop BEFORE the shuffle, so
+    * the one hash exchange moves only step events; per-key state is
+    * the collected (t, type) list — bounded by a key's step-event
+    * count, same bound as [[sessionize]]'s per-key window. The fold
+    * over the sorted list is a per-row HOF (interpreted — fine at
+    * per-key list sizes; a hot corpus-wide funnel would move it into
+    * a codegen kernel, the TopShingleRun rule). */
+  def funnel(events: DataFrame, keyCol: String, timeCol: String,
+             typeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val stepArr = array(steps.map(lit): _*)
+    val acc0 = struct(lit(0).as("stage"), lit(Long.MinValue).as("t"))
+    val folded = aggregate(
+      sort_array(col("evs")),
+      acc0,
+      (acc, ev) => when(
+        acc("stage") < lit(steps.size) &&
+          ev("ty") === element_at(stepArr, acc("stage") + 1) &&
+          ev("t") > acc("t"),
+        struct((acc("stage") + 1).as("stage"), ev("t").as("t")))
+        .otherwise(acc))
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol), struct(col(timeCol).as("t"), col(typeCol).as("ty")).as("ev"))
+      .groupBy(col(keyCol))
+      .agg(collect_list(col("ev")).as("evs"))
+      .select(col(keyCol), folded.as("f"))
+      .select(col(keyCol),
+        col("f.stage").as("steps_completed"),
+        when(col("f.stage") > 0, col("f.t")).as("t_complete"))
+  }
 }

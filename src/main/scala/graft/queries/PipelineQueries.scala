@@ -345,6 +345,46 @@ object PipelineQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ---- q86: ordered event funnel view → click → purchase per
+    // user, over the sparse high-value event subset. Spark runs the
+    // greedy sorted-scan fold (one shuffle, step events only); the
+    // oracle replays the equivalent chained-minima formulation
+    // (t_{i+1} = min t of step i+1 strictly after t_i) — two
+    // genuinely different algorithms that must agree exactly,
+    // same-instant steps excluded by both.
+    Q("q86_event_funnel", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')
+                   AND value >= 100.0),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(t) AS t2 FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND t > t1 GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND t > t2 GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM e)
+      SELECT u.user_id,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       WHEN t1 IS NOT NULL THEN 1
+                       ELSE 0 END AS INTEGER) AS steps_completed,
+             COALESCE(t3, t2, t1) AS t_complete
+      FROM u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id""")) { (s, d) =>
+      // value >= 100 keeps ~10% of step events: per-user step counts
+      // drop to ~1 and every stage branch (0/1/2/3) is populated at
+      // every SF — unfiltered, the dense streams complete the funnel
+      // for every user and the classification never branches.
+      val ev = Tables.events(s, d)
+        .filter(col("value") >= 100.0d)
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+      Temporal.funnel(ev, "user_id", "t", "event_type",
+          steps = Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+
     // ---- q56: HyperLogLog distinct users per event type, next to
     // the exact count it approximates. The register build is pure
     // integer arithmetic (md5 slice, bin()-length rank, power-of-two

@@ -179,6 +179,48 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("funnel ≡ chained strict-minima brute force; same-instant steps excluded") {
+    import spark.implicits._
+    val steps = Seq("A", "B", "C")
+    // Coarse time grid forces same-instant collisions (the strict->
+    // rule) and duplicate (t, type) rows; extra types are noise the
+    // op must drop pre-shuffle.
+    val evGen = for {
+      u <- Gen.chooseNum(1, 6)
+      t <- Gen.chooseNum(0L, 8L)
+      ty <- Gen.oneOf("A", "B", "C", "X")
+    } yield (u.toLong, t, ty)
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, evGen))
+    for (events <- PropSampling.sample(corpusGen, n = 6)) {
+      def chained(evs: Seq[(Long, Long, String)]): Map[Long, (Int, Option[Long])] = {
+        val byUser = evs.filter(e => steps.contains(e._3)).groupBy(_._1)
+        byUser.map { case (u, es) =>
+          var last = Long.MinValue; var stage = 0
+          var advancing = true
+          while (advancing && stage < steps.size) {
+            val nxt = es.filter(e => e._3 == steps(stage) && e._2 > last)
+            if (nxt.isEmpty) advancing = false
+            else { last = nxt.map(_._2).min; stage += 1 }
+          }
+          u -> (stage, if (stage > 0) Some(last) else None)
+        }
+      }
+      val got = Temporal.funnel(events.toDF("user_id", "t", "event_type"),
+          "user_id", "t", "event_type", steps)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1), Option(r.get(2)).map(_.asInstanceOf[Long]))))
+        .toMap
+      assert(got === chained(events), s"funnel diverged on $events")
+    }
+    // Pinned same-instant case: B at the exact instant of A must not
+    // count; a later B does.
+    val pinned = Seq((1L, 5L, "A"), (1L, 5L, "B"), (2L, 5L, "A"), (2L, 6L, "B"))
+    val out = Temporal.funnel(pinned.toDF("user_id", "t", "event_type"),
+        "user_id", "t", "event_type", steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(out === Map(1L -> 1, 2L -> 2))
+  }
+
   test("inverted interval bounds are dropped, not exploded downward") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "t")
