@@ -264,4 +264,34 @@ object Temporal {
         col("f.stage").as("steps_completed"),
         when(col("f.stage") > 0, col("f.t")).as("t_complete"))
   }
+
+  /** Cohort retention: bucket every key by its FIRST-seen period
+    * (cohort), then count distinct keys active per (cohort, period
+    * offset) — the standard retention triangle. `periodWidth` is in
+    * the time column's own unit; period index is floor division
+    * (negative-safe), so epoch times before 0 bucket correctly.
+    *
+    * Scale shape: first-seen is one map-side-combinable min-agg
+    * (keys-sized output); activity re-joins it by key (equi-join —
+    * AQE broadcasts the first-seen side when keys are few), then one
+    * distinct + count whose state is bounded by keys × active
+    * periods. Nothing driver-side, output bounded by cohorts ×
+    * offsets. */
+  def cohortRetention(events: DataFrame, keyCol: String, timeCol: String,
+                      periodWidth: Long): DataFrame = {
+    require(periodWidth > 0, "periodWidth must be positive")
+    def period(e: String): Column =
+      expr(s"(($e) - pmod(($e), ${periodWidth}L)) div ${periodWidth}L")
+    val firstSeen = events
+      .groupBy(col(keyCol))
+      .agg(min(col(timeCol)).as("__t0"))
+      .select(col(keyCol), period("__t0").as("cohort"))
+    events
+      .select(col(keyCol), period(timeCol).as("__p"))
+      .join(firstSeen, Seq(keyCol))
+      .select(col(keyCol), col("cohort"), (col("__p") - col("cohort")).as("week_offset"))
+      .distinct()
+      .groupBy(col("cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

@@ -385,6 +385,25 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // ---- q87: weekly cohort retention triangle — users bucketed by
+    // first-seen week, distinct-active counts per (cohort, week
+    // offset). Pure integer time math (epoch-micros floor-div), so
+    // the gate is exact; one min-agg + one equi-join + one distinct
+    // count, output bounded by cohorts × offsets.
+    Q("q87_cohort_retention", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS p FROM events),
+      f AS (SELECT user_id, MIN(p) AS cohort FROM e GROUP BY 1),
+      a AS (SELECT DISTINCT e.user_id, f.cohort, e.p - f.cohort AS week_offset
+            FROM e JOIN f USING (user_id))
+      SELECT cohort, week_offset, COUNT(*) AS n_active
+      FROM a GROUP BY 1, 2
+      ORDER BY cohort, week_offset""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("t"))
+      Temporal.cohortRetention(ev, "user_id", "t", periodWidth = 604800000000L)
+        .orderBy("cohort", "week_offset")
+    },
+
     // ---- q56: HyperLogLog distinct users per event type, next to
     // the exact count it approximates. The register build is pure
     // integer arithmetic (md5 slice, bin()-length rank, power-of-two

@@ -221,6 +221,29 @@ class TemporalSpec extends SparkSuite {
     assert(out === Map(1L -> 1, 2L -> 2))
   }
 
+  test("cohortRetention ≡ brute force; negative times bucket by floor division") {
+    import spark.implicits._
+    val w = 10L
+    val evGen = for {
+      u <- Gen.chooseNum(1, 8)
+      t <- Gen.chooseNum(-35L, 55L) // negative epochs exercise floor-div
+    } yield (u.toLong, t)
+    val corpusGen = Gen.chooseNum(4, 50).flatMap(n => Gen.listOfN(n, evGen))
+    for (events <- PropSampling.sample(corpusGen, n = 6)) {
+      def fl(t: Long): Long = Math.floorDiv(t, w)
+      val first = events.groupBy(_._1).map { case (u, es) => u -> fl(es.map(_._2).min) }
+      val expected = events
+        .map { case (u, t) => (first(u), fl(t) - first(u), u) }.distinct
+        .groupBy { case (c, o, _) => (c, o) }
+        .map { case ((c, o), xs) => (c, o, xs.size.toLong) }.toSet
+      val got = Temporal.cohortRetention(events.toDF("user_id", "t"), "user_id", "t", w)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"retention diverged on $events")
+      // Offsets are never negative: the cohort period is the minimum.
+      assert(got.forall(_._2 >= 0))
+    }
+  }
+
   test("inverted interval bounds are dropped, not exploded downward") {
     import spark.implicits._
     val points = Seq((1L, 5L)).toDF("pid", "t")
