@@ -134,6 +134,46 @@ object Sinks {
       .option("path", path)
       .saveAsTable(table)
 
+  /** Range-sorted parquet layout: globally range-partition on
+    * `sortCol` into `nFiles` files, sorted within each. Every file
+    * then owns a DISJOINT value range (SinksLayoutSpec reads the
+    * footers back and proves it), which is what makes file- and
+    * row-group-level min/max pruning effective: a `sortCol`
+    * predicate at read time skips whole files instead of sampling
+    * every one — on a 100 TB time-ordered table the difference
+    * between touching one day's files and touching all of them.
+    * The range exchange samples `sortCol` to pick balanced
+    * boundaries (skew-tolerant, no manual split points). */
+  def rangeSortedParquet(df: DataFrame, sortCol: String, path: String,
+                         nFiles: Int): Unit = {
+    require(nFiles > 0, "nFiles must be positive")
+    df.repartitionByRange(nFiles, col(sortCol))
+      .sortWithinPartitions(col(sortCol))
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Small-file compaction: rewrite a parquet dataset into
+    * `ceil(bytes / targetFileBytes)` files (size probed from the
+    * source files, never hardcoded). The operational janitor every
+    * long-lived table needs — streaming sinks and fine-grained
+    * partitions accumulate kilobyte files whose per-file
+    * open/footer/seek overhead dominates scans at scale (the classic
+    * small-files problem); compaction restores scan-sized files.
+    * Round-trips the data unchanged (spec-gated); pair with
+    * [[rangeSortedParquet]] to restore pruning order in the same
+    * rewrite. */
+  def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
+                     outPath: String, targetFileBytes: Long = 128L << 20): Unit = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val bytes = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.length()).sum
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(outPath)
+  }
+
   private def flattenComplex(df: DataFrame): DataFrame = {
     val cols = df.schema.fields.map { f =>
       f.dataType match {
