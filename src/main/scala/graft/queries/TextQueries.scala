@@ -724,6 +724,67 @@ object TextQueries {
       }
     },
 
+    // ---- q88: sketch-driven quality stratification — how a corpus
+    // is split into quality quartiles at 100 TB WITHOUT a global
+    // sort: quartile boundaries come from the q72 mergeable binned
+    // histogram (bounded state, one bounded boundary row collected
+    // as strategy constants), every document classifies against the
+    // boundary BINS as a pure codegen projection, and the per-
+    // stratum report aggregates exactly (quantized quality, long
+    // token sums). The oracle replays histogram, boundary pick, and
+    // classification from first principles.
+    Q("q88_quality_strata", Some(s"""
+      WITH q AS (
+        SELECT doc_id,
+               floor((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                    + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                    + 0.3 * (len(list_filter(string_split(text, ' '),
+                          x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))))
+                     * 10000 + 0.5) / 10000 AS q,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        FROM documents),
+      b AS (SELECT doc_id, q, n_toks, CAST(floor(q * 64) AS BIGINT) AS bin FROM q),
+      h AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS cnt FROM b GROUP BY 1),
+      c AS (SELECT bin, cnt,
+              CAST(SUM(cnt) OVER (ORDER BY bin) AS BIGINT) AS cum,
+              CAST(SUM(cnt) OVER () AS BIGINT) AS n
+            FROM h),
+      bd AS (SELECT
+               MIN(CASE WHEN cum >= ((n - 1) * 25) // 100 + 1 THEN bin END) AS b25,
+               MIN(CASE WHEN cum >= ((n - 1) * 50) // 100 + 1 THEN bin END) AS b50,
+               MIN(CASE WHEN cum >= ((n - 1) * 75) // 100 + 1 THEN bin END) AS b75
+             FROM c)
+      SELECT CAST(1 + (bin > b25)::INT + (bin > b50)::INT + (bin > b75)::INT AS INTEGER) AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_toks) AS BIGINT) AS sum_tokens,
+             MIN(q) AS q_min,
+             MAX(q) AS q_max
+      FROM b, bd
+      GROUP BY 1
+      ORDER BY stratum""")) { (s, d) =>
+      val qcol = floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)
+      val docs = Tables.documents(s, d).select(
+        col("doc_id"), qcol.as("q"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_toks"))
+        .withColumn("g", lit(0))
+      // Quartile boundary bins from the mergeable sketch: ONE bounded
+      // row, collected as strategy constants (the k-means centroid
+      // rule) so classification below is a literal-only projection.
+      val bounds = Sketches.binnedPercentiles(docs, Seq("g"), col("q"),
+        percentiles = Seq(25, 50, 75), binsPerUnit = 64).head()
+      def boundaryBin(name: String): Long =
+        math.round(bounds.getAs[Double](name) * 64.0d) // bin/64 * 64 — exact
+      val (b25, b50, b75) = (boundaryBin("p25_est"), boundaryBin("p50_est"), boundaryBin("p75_est"))
+      val bin = Sketches.histogramBin(col("q"), 64)
+      docs.select(col("q"), col("n_toks"),
+          (lit(1) + (bin > lit(b25)).cast("int") + (bin > lit(b50)).cast("int")
+            + (bin > lit(b75)).cast("int")).as("stratum"))
+        .groupBy(col("stratum"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("sum_tokens"),
+          min(col("q")).as("q_min"), max(col("q")).as("q_max"))
+        .orderBy("stratum")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a
