@@ -785,6 +785,39 @@ object TextQueries {
         .orderBy("stratum")
     },
 
+    // ---- q89: duplicate-passage mining — the 8-gram spans shared
+    // by >= 2 documents, ranked by spread: the shingle-level view
+    // behind exact-substring dedup (find the boilerplate/quoted
+    // passages document-level dedup misses). Per-doc DISTINCT
+    // shingles (spans repeated within one doc count once), one
+    // partial-agg shuffle on 15-hex shingle keys, top-50 via
+    // TakeOrdered on the total (n_docs desc, shingle) order — the
+    // corpus never sorts whole.
+    Q("q89_repeated_passages", Some("""
+      WITH ds AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 [array_to_string(string_split(text,' ')[i:i+7], ' ')
+                  FOR i IN range(1, len(string_split(text,' ')) - 6)],
+                 x -> substr(md5(x), 1, 15))) AS shs
+        FROM documents),
+      t AS (SELECT doc_id, unnest(shs) AS sh FROM ds),
+      g AS (SELECT sh, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS min_doc
+            FROM t GROUP BY 1)
+      SELECT sh, n_docs, min_doc FROM g
+      WHERE n_docs >= 2
+      ORDER BY n_docs DESC, sh
+      LIMIT 50""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(array_distinct(
+          GraftFunctions.shingle_hex_tokens(TextFunctions.tokens(col("text")), 8))).as("sh"))
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("sh"))
+        .limit(50)
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a
