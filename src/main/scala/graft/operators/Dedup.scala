@@ -396,6 +396,64 @@ object Dedup {
             floor(col("best_jr") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
   }
 
+  /** Directed containment join: pairs `(doc_a, doc_b)` where at
+    * least `threshold` of A's distinct tokens also occur in B
+    * (`|A∩B| / |A| >= t`, a ≠ b) — the ASYMMETRIC dedup relation
+    * that catches excerpts, quotes, and template supersets which
+    * symmetric Jaccard misses outright (a half-length excerpt has
+    * Jaccard ≈ 0.5 against its source but containment 1.0).
+    *
+    * Prefix filter, containment form: index only the
+    * `n_a - ceil(t·n_a) + 1` lexicographically-smallest tokens of
+    * the CONTAINED side (if none of them lands in B, the shared set
+    * fits inside A's suffix of size ceil(t·n_a) - 1 — too small),
+    * but ALL tokens of the containing side (no symmetric pruning
+    * exists: B may be arbitrarily larger). Length bound
+    * `n_b >= t·n_a` and the earliest-shared-token positional bound
+    * `min(n_a - pa, n_b - pb) >= ceil(t·n_a)` prune further; every
+    * float prune carries the 1e-9 slack (exact-boundary rule), and
+    * candidates verify exactly via sorted-intersect. Shuffle shape:
+    * 8-byte token-hash keys, ids-only candidates, token arrays
+    * rejoin by id. Exact-duplicate mega-clusters make the DIRECTED
+    * answer itself quadratic in the cluster — collapse with
+    * [[exactByFingerprint]] first and run containment on
+    * representatives when that matters. */
+  def containmentJoin(docs: DataFrame, threshold: Double,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
+    // The id-keyed repartition is a MATERIALIZATION POINT, not a
+    // co-location trick: four consumers read prep (both explode
+    // sides + both verify rejoins), and without an exchange in the
+    // common subtree each re-executes the caller's tokenize/prep
+    // lineage — ReuseExchange dedupes them to one computation. The
+    // id partitioning additionally lines up with the verify joins.
+    val prep = docs
+      .select(col(idCol).as("id"), toksOf.as("toks"), size(toksOf).as("n"))
+      .repartition(col("id"))
+    val need = ceil(lit(threshold) * col("na") - lit(1e-9))
+    val aPre = prep.select(col("id").as("a_id"), col("n").as("na"),
+        posexplode(slice(col("toks"), lit(1),
+          (col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1).cast("int"))))
+      .select(col("a_id"), col("na"), col("pos").as("pa"), xxhash64(col("col")).as("tok"))
+    val bAll = prep.select(col("id").as("b_id"), col("n").as("nb"),
+        posexplode(col("toks")))
+      .select(col("b_id"), col("nb"), col("pos").as("pb"), xxhash64(col("col")).as("tok"))
+    val cand = aPre.join(bAll,
+        aPre("tok") === bAll("tok") && col("a_id") =!= col("b_id") &&
+        col("nb") >= lit(threshold) * col("na") - lit(1e-9) &&
+        least(col("na") - col("pa"), col("nb") - col("pb")) >= need)
+      .select("a_id", "b_id").distinct()
+    cand
+      .join(prep.select(col("id").as("a_id"), col("toks").as("atoks"), col("n").as("na")), "a_id")
+      .join(prep.select(col("id").as("b_id"), col("toks").as("btoks")), "b_id")
+      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("atoks"), col("btoks")))
+      .withColumn("cr", col("ov") / col("na"))
+      .filter(col("cr") >= threshold)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        (floor(col("cr") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("containment"))
+  }
+
   /** SimHash signature per document over its distinct-token 60-bit
     * hashes (one codegen'd pass, single projection). */
   def simhashSignatures(docs: DataFrame,

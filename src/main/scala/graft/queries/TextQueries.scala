@@ -818,6 +818,76 @@ object TextQueries {
         .limit(50)
     },
 
+    // ---- q90: directed containment join (near-subset dedup) on a
+    // q46-style synthesized Zipf-vocabulary corpus (the documents
+    // table's 31-token vocab makes containment vacuously dense).
+    // Every ninth order emits a base doc; even k add a drop-last
+    // twin (twin→base containment 1.0; base→twin = (n-1)/n — >= 0.9
+    // only when n >= 10, so both accept/reject branches populate);
+    // k%3==0 add a HALF-length excerpt (excerpt→base 1.0 while
+    // Jaccard ≈ 0.5 — the asymmetric case symmetric dedup misses by
+    // construction). The oracle is the full inverted-index overlap;
+    // the engine runs the prefix-filtered containment join
+    // (contained-side prefixes vs full containing-side index).
+    Q("q90_containment", Some("""
+      WITH tok AS (
+        SELECT o_orderkey AS k, j,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM orders CROSS JOIN generate_series(0, 14) g(j)
+        WHERE o_orderkey % 9 = 0 AND j <= 7 + (o_orderkey % 8)),
+      w AS (
+        SELECT k, j,
+               'w' || CAST((h >> 30) % (1 + ((h & 1073741823) % 30000)) AS VARCHAR) AS w
+        FROM tok),
+      base AS (SELECT k, string_agg(w, ' ' ORDER BY j) AS text, COUNT(*) AS len FROM w GROUP BY k),
+      docs AS (
+        SELECT k * 4 AS doc_id, text FROM base
+        UNION ALL
+        SELECT k * 4 + 1 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:len - 1], ' ') AS text
+        FROM base WHERE k % 2 = 0
+        UNION ALL
+        SELECT k * 4 + 2 AS doc_id,
+               array_to_string(string_split(text, ' ')[1:CAST(ceil(len / 2.0) AS INTEGER)], ' ') AS text
+        FROM base WHERE k % 3 = 0),
+      d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM docs),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      l AS (SELECT doc_id, len(toks) AS n FROM d),
+      ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+             FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+             GROUP BY 1, 2)
+      SELECT doc_a, doc_b,
+             floor((ov / la.n) * 10000 + 0.5) / 10000 AS containment
+      FROM ov JOIN l la ON la.doc_id = doc_a
+      WHERE ov / la.n >= 0.9
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val hs = transform(
+        sequence(lit(0), (lit(7) + pmod(col("k"), lit(8))).cast("int")),
+        j => HashFunctions.h60(
+          concat(col("k").cast("string"), lit(":"), j.cast("string"))))
+      val words = transform(hs, h =>
+        concat(lit("w"),
+          pmod(shiftright(h, 30),
+            lit(1L) + pmod(h.bitwiseAND(lit(1073741823L)), lit(30000L)))
+            .cast("string")))
+      val corpus = graft.Tables.orders(s, d)
+        .filter(pmod(col("o_orderkey"), lit(9)) === 0)
+        .select(col("o_orderkey").as("k"))
+        .select(col("k"), words.as("toks"), size(words).as("len"))
+        .select(inline(array(
+          struct((col("k") * 4).as("doc_id"), array_join(col("toks"), " ").as("text")),
+          struct((col("k") * 4 + 1).as("doc_id"),
+            when(pmod(col("k"), lit(2)) === 0,
+              array_join(slice(col("toks"), lit(1), col("len") - 1), " ")).as("text")),
+          struct((col("k") * 4 + 2).as("doc_id"),
+            when(pmod(col("k"), lit(3)) === 0,
+              array_join(slice(col("toks"), lit(1),
+                ceil(col("len") / lit(2.0d)).cast("int")), " ")).as("text")))))
+        .filter(col("text").isNotNull)
+      Dedup.containmentJoin(corpus, threshold = 0.9)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a

@@ -116,6 +116,42 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("containmentJoin ≡ brute-force directed containment; catches excerpts Jaccard misses") {
+    import org.scalacheck.Gen
+    import graft.PropSampling
+    val vocab = (1 to 9).map(i => s"w$i")
+    val docGen = Gen.chooseNum(1, 7).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val t = 0.6
+    for (texts <- PropSampling.sample(Gen.listOfN(25, docGen), n = 4)) {
+      val all = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      def set(s: String): Set[String] = s.split(" ").toSet
+      val expected = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia != ib
+        ov = (set(ta) & set(tb)).size.toDouble
+        cr = ov / set(ta).size
+        if cr >= t
+      } yield (ia, ib, math.floor(cr * 10000.0 + 0.5) / 10000.0)).toSet
+      val got = Dedup.containmentJoin(all.toDF("doc_id", "text"), threshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === expected, s"containment diverged on $all")
+    }
+    // The asymmetric showcase: a half-excerpt is contained (1.0) in
+    // its source while symmetric Jaccard sits at 0.5 and misses it.
+    val pair = Seq((1L, "a b c d e f g h"), (2L, "a b c d"))
+    val out = Dedup.containmentJoin(pair.toDF("doc_id", "text"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out === Set((2L, 1L, 1.0)))
+    assert(Dedup.jaccardSimilarityJoin(pair.toDF("doc_id", "text"), threshold = 0.9)
+      .collect().isEmpty, "symmetric Jaccard must miss the excerpt")
+    // Exact float boundary, directed form: 0.6 * 5 = 3.0000000000000004
+    // in doubles without the slack; |A|=5 sharing exactly 3 with B.
+    val bnd = Seq((1L, "a b c d e"), (2L, "a b c x y z"))
+    val gotB = Dedup.containmentJoin(bnd.toDF("doc_id", "text"), threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotB.contains((1L, 2L, 0.6)), s"boundary pair dropped: $gotB")
+  }
+
   test("cross-source dup matrix ≡ brute-force fingerprint intersection; bounded by source pairs") {
     // Handwritten corpus: identical token SETS across sources (order
     // and multiplicity must not matter), a three-source fingerprint,
