@@ -219,6 +219,24 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Count of DISTINCT word n-gram shingles of `tokens` whose 15-hex
+    * md5 form is in `evalSet` — [[shingleHexTokens]]' hashing fused
+    * with the membership probe, so contamination scoring is one pass
+    * with no shingle array materialized. The per-doc dedup set only
+    * holds MATCHED hexes (bounded by hits, not doc length). */
+  def evalShingleHits(tokens: ArrayData, n: Int,
+                      evalSet: java.util.HashSet[String]): Long = {
+    val shingles = shingleHexTokens(tokens, n)
+    val matched = new java.util.HashSet[String]()
+    var i = 0
+    while (i < shingles.numElements()) {
+      val hex = shingles.getUTF8String(i).toString
+      if (evalSet.contains(hex)) matched.add(hex)
+      i += 1
+    }
+    matched.size.toLong
+  }
+
   /** Intersection size of two individually-sorted string arrays via a
     * single merge scan — O(|a|+|b|) with zero allocation, vs the
     * hash-set build of `array_intersect` per pair. Inputs must be

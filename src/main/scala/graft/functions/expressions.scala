@@ -257,6 +257,41 @@ case class ShingleHexTokens(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHexTokens = copy(child = c)
 }
 
+/** A collected evaluation-set shingle table (15-hex md5 forms) — the
+  * deployable artifact of [[graft.operators.Curation
+  * .collectEvalShingles]], carried into generated code the way
+  * [[CharLmModel]] is. Eval sets are benchmark-sized, so the table is
+  * bounded by construction. */
+final case class ShingleSetModel(n: Int, hexes: Array[String]) extends Serializable {
+  @transient lazy val hexSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](hexes.length * 2)
+    hexes.foreach(s.add)
+    s
+  }
+}
+
+/** Distinct eval-shingle hit count of a token array against a
+  * plan-time [[ShingleSetModel]] (array<string> → long): shingle
+  * hashing fused with the membership probe
+  * ([[HashOps.evalShingleHits]]), stateless and codegen'd — the
+  * streaming-deployable form of benchmark decontamination. */
+case class EvalShingleHits(child: Expression, model: ShingleSetModel) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(
+      HashOps.evalShingleHits(v.asInstanceOf[ArrayData], model.n, model.hexSet))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingleSetModel", model, classOf[ShingleSetModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.evalShingleHits($c, $ref.n(), $ref.hexSet())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): EvalShingleHits = copy(child = c)
+}
+
 /** Stopword-profile language id of a token array (array<string> →
   * string) in one codegen'd pass ([[LangIdOps.predict]]); replaces an
   * O(langs²)-evaluation `when`-reduce column tree. */
@@ -482,6 +517,8 @@ object GraftFunctions {
     col(CssSelect(expr(html), selector))
   def bpe_encode(c: Column, model: BpeModel): Column = col(BpeEncode(expr(c), model))
   def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
+  def eval_shingle_hits(c: Column, model: ShingleSetModel): Column =
+    col(EvalShingleHits(expr(c), model))
 
   /** Register all custom functions for SQL use, so `spark.sql`
     * callers get the same codegen'd expressions as the Column API

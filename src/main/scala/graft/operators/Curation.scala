@@ -48,6 +48,35 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Fit half of the stream-deployable decontamination split:
+    * collect the eval set's distinct shingle hexes into a bounded
+    * [[graft.functions.ShingleSetModel]] (eval sets are
+    * benchmark-sized — thousands of docs — so the table is O(eval
+    * shingles), the same boundedness [[flagContaminated]]'s
+    * broadcast relies on). */
+  def collectEvalShingles(evalDocs: DataFrame, n: Int = 3,
+                          textCol: String = "text"): graft.functions.ShingleSetModel =
+    graft.functions.ShingleSetModel(n, evalDocs
+      .select(explode(array_distinct(
+        GraftFunctions.shingle_hex_tokens(TextFunctions.tokens(col(textCol)), n))).as("sh"))
+      .distinct().collect().map(_.getString(0)))
+
+  /** Score half: per-doc distinct eval-shingle hits + flag, as a
+    * PURE stateless codegen projection (shingle hashing fused with
+    * the membership probe — no explode, no join, no shuffle), so it
+    * runs identically on batch frames and unbounded streams
+    * ([[graft.streaming.EventStreams.contaminationScored]]). Same
+    * output contract as [[flagContaminated]]; parity is spec-pinned. */
+  def contaminationScoredWithModel(docs: DataFrame,
+                                   model: graft.functions.ShingleSetModel,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    val hits = GraftFunctions.eval_shingle_hits(
+      TextFunctions.tokens(col(textCol)), model)
+    docs.select(col(idCol), hits.as("n_eval_shingles"),
+      (hits > 0).as("contaminated"))
+  }
+
   /** Deterministic stratified sampling: keep a row iff
     * `h60(salt:id) mod 1e6 < fraction(stratum) * 1e6`. A pure
     * codegen'd filter — no shuffle, no RNG, no sampling state — so

@@ -395,6 +395,20 @@ object EventStreams {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graft.operators.Clustering.assignWithModel(vectors, model, idCol, vecCol)
 
+  /** Streaming benchmark decontamination with a batch-collected eval
+    * shingle set — the third fit-batch/score-forever deployment
+    * (quality [[familiarityScored]], routing [[clusterAssigned]],
+    * and now admission hygiene): [[graft.operators.Curation
+    * .collectEvalShingles]] fits on the eval corpus once, and every
+    * arriving document is scored by a fused shingle-hash +
+    * membership probe in a stateless codegen projection — no
+    * explode, no stream-static join, no state store. Batch parity
+    * with [[graft.operators.Curation.flagContaminated]] is exact and
+    * spec-pinned. */
+  def contaminationScored(docs: DataFrame, model: graft.functions.ShingleSetModel,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Curation.contaminationScoredWithModel(docs, model, idCol, textCol)
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

@@ -60,6 +60,41 @@ class EventStreamsSpec extends SparkSuite {
     assert(st.isEmpty, s"assignment must hold no streaming state: ${st.mkString(",")}")
   }
 
+  test("stateless contamination scoring on a doc stream ≡ batch flagContaminated; no state") {
+    // Fit the eval shingle set in BATCH on a benchmark doc, stream a
+    // corpus where ids % 3 == 0 quote a benchmark passage (unique
+    // per-doc words otherwise, so clean docs share NO 3-gram), and
+    // require exact agreement with the join-based batch operator —
+    // two different algorithms for the same contract.
+    val corpus = (0L until 90L).map { i =>
+      val own = (1 to 6).map(j => s"u${i}w$j").mkString(" ")
+      val text = if (i % 3 == 0) s"$own the quoted benchmark passage ends" else own
+      (i, text)
+    }
+    val docs = corpus.toDF("doc_id", "text")
+    val evalSet = Seq((1000L, "intro the quoted benchmark passage ends outro"))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Curation.collectEvalShingles(evalSet, n = 3)
+    val dir = Files.createTempDirectory(Paths.get("target"), "decon-landing")
+    docs.coalesce(1).write.mode("overwrite").json(dir.resolve("in").toString)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.resolve("in").toString)
+    val out = Files.createTempDirectory(Paths.get("target"), "deconout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.contaminationScored(stream, model), s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val batch = graft.operators.Curation
+      .flagContaminated(docs, evalSet, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed === batch, "streaming and batch decontamination diverged")
+    assert(streamed.size === 90)
+    assert(streamed.exists(_._3) && streamed.exists(!_._3),
+      "fixture must exercise both contaminated and clean outcomes")
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
+  }
+
   test("stateless model scoring on a document stream ≡ batch scoring; no state store in the plan") {
     // Fit the model in BATCH on a small corpus, then score the same
     // docs arriving as a stream — parity must be exact, and the
