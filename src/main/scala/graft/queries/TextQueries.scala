@@ -888,6 +888,66 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q91: per-source corpus health report — the dashboard a
+    // curation run consults first: doc and exact-dup counts
+    // (fingerprint-distinct), contamination counts (vs the q48 eval
+    // set), token totals, and mean quality. Every statistic is
+    // integer-exact or scaled-long (quality sums ride 1e4-scaled
+    // longs; the one division is shape-matched double), so the per-
+    // source report hash-gates. One grouped aggregate over a scan +
+    // broadcast semi-join lineage — no corpus-wide shuffle beyond
+    // the per-source agg.
+    Q("q91_source_health", Some(s"""
+      WITH q AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+               CAST(floor((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                    + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                    + 0.3 * (len(list_filter(string_split(text, ' '),
+                          x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))))
+                     * 10000 + 0.5) AS BIGINT) AS q4
+        FROM documents),
+      ds AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                  FOR i IN range(1, len(string_split(text,' ')) - 1)],
+                 x -> substr(md5(x), 1, 15))) AS shs
+        FROM documents),
+      e AS (SELECT DISTINCT unnest(shs) AS sh FROM ds WHERE doc_id % 97 = 0),
+      hit AS (SELECT DISTINCT ds.doc_id FROM ds, unnest(ds.shs) AS u(sh)
+              JOIN e ON u.sh = e.sh)
+      SELECT q.source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) - COUNT(DISTINCT q.fp) AS BIGINT) AS n_exact_dups,
+             CAST(COUNT(*) FILTER (WHERE hit.doc_id IS NOT NULL) AS BIGINT) AS n_contaminated,
+             CAST(SUM(q.n_toks) AS BIGINT) AS sum_tokens,
+             CAST(SUM(q.q4) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10000.0) AS mean_quality
+      FROM q LEFT JOIN hit ON hit.doc_id = q.doc_id
+      GROUP BY q.source
+      ORDER BY q.source""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val flagged = Curation.flagContaminated(
+        docs, docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 3)
+      val toks = TextFunctions.tokens(col("text"))
+      docs.select(col("doc_id"), col("source"),
+          TextFunctions.canonicalFingerprint(col("text")).as("fp"),
+          size(toks).cast("long").as("n_toks"),
+          floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d))
+            .cast("long").as("q4"))
+        .join(flagged.select(col("doc_id"), col("contaminated")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_exact_dups"),
+          sum(col("contaminated").cast("long")).as("n_contaminated"),
+          sum(col("n_toks")).as("sum_tokens"),
+          (sum(col("q4")).cast("double") / (count(lit(1)).cast("double") * lit(10000.0d)))
+            .as("mean_quality"))
+        .orderBy("source")
+    },
+
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)
     // → benchmark decontamination (q48) → stratified sampling (q50)
     // → sequence packing (q49), chained in one lineage the way a
