@@ -220,18 +220,42 @@ object HashOps {
   }
 
   /** Count of DISTINCT word n-gram shingles of `tokens` whose 15-hex
-    * md5 form is in `evalSet` — [[shingleHexTokens]]' hashing fused
-    * with the membership probe, so contamination scoring is one pass
-    * with no shingle array materialized. The per-doc dedup set only
-    * holds MATCHED hexes (bounded by hits, not doc length). */
+    * md5 form is in `evalSet` — [[shingleHexTokens]]' hashing loop
+    * inlined against the membership probe, so contamination scoring
+    * is one pass with no shingle ArrayData materialized (each hex is
+    * a transient String handed straight to the probe). The per-doc
+    * dedup set only holds MATCHED hexes (bounded by hits, not doc
+    * length). */
   def evalShingleHits(tokens: ArrayData, n: Int,
                       evalSet: java.util.HashSet[String]): Long = {
-    val shingles = shingleHexTokens(tokens, n)
-    val matched = new java.util.HashSet[String]()
+    val cnt = tokens.numElements()
+    if (cnt < n) return 0L
+    val toks = new Array[Array[Byte]](cnt)
     var i = 0
-    while (i < shingles.numElements()) {
-      val hex = shingles.getUTF8String(i).toString
-      if (evalSet.contains(hex)) matched.add(hex)
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val matched = new java.util.HashSet[String]()
+    val buf = new java.io.ByteArrayOutputStream(64)
+    val d = md5Local.get()
+    val hex = new Array[Char](15)
+    i = 0
+    while (i <= cnt - n) {
+      buf.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) buf.write(' ')
+        buf.write(toks(i + j))
+        j += 1
+      }
+      d.reset()
+      val dig = d.digest(buf.toByteArray)
+      var k = 0
+      while (k < 15) {
+        val b = dig(k / 2) & 0xff
+        hex(k) = HexDigits(if (k % 2 == 0) b >>> 4 else b & 0xf)
+        k += 1
+      }
+      val s = new String(hex)
+      if (evalSet.contains(s)) matched.add(s)
       i += 1
     }
     matched.size.toLong

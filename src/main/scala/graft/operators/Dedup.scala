@@ -74,11 +74,15 @@ object Dedup {
       col(idCol),
       GraftFunctions.minhash_sig(TextFunctions.tokens(col(textCol)), k).as("sig"))
 
-  /** Default hot-band bound for [[lshCandidates]]: a band at the cap
+  /** Hot-band bound used by [[nearDupComponents]]: a band at the cap
     * contributes at most ~maxBandSize²/2 ≈ 5×10⁵ pairs (the last
     * all-pairs band) and every band beyond it only maxBandSize-1
     * star pairs — per-band work is bounded no matter how templated
-    * the corpus. */
+    * the corpus. NOT the default for the pair-level APIs
+    * ([[lshCandidates]]/[[minhashNearDupPairs]]): their contract is
+    * "all pairs above threshold", and a silent cap would degrade
+    * completeness without opt-in — the cap is something a caller
+    * chooses, sized via [[lshHotBands]]. */
   val DefaultMaxBandSize = 1024
 
   /** LSH candidate pairs from banded minhash signatures.
@@ -92,47 +96,78 @@ object Dedup {
     * pair, and every candidate is exactly verified downstream, so
     * recall and output are unaffected.
     *
-    * Hot-band guard: identical-set collapse upstream removes exact
-    * duplicates, but a cluster of NEAR-identical documents (templated
-    * pages differing by a token) still shares bands, and the band
-    * self-join is quadratic in band size — AQE can split a skewed
-    * partition but cannot reduce the pair count. Bands larger than
-    * `maxBandSize` therefore switch from all-pairs to STAR pairs:
-    * (band-min id, member) only — O(m) pairs per band instead of
-    * O(m²), while keeping every member of the hot band connected to
-    * one representative, so component-style dedup (collapse the
-    * cluster, keep one) still sees the whole cluster. The recall
+    * Hot-band guard (OPT-IN via `maxBandSize`; default uncapped so
+    * the "all colliding pairs" contract holds exactly): identical-set
+    * collapse upstream removes exact duplicates, but a cluster of
+    * NEAR-identical documents (templated pages differing by a token)
+    * still shares bands, and the band self-join is quadratic in band
+    * size — AQE can split a skewed partition but cannot reduce the
+    * pair count. With a cap set, bands larger than `maxBandSize`
+    * switch from all-pairs to STAR pairs: (band-min id, member)
+    * only — O(m) pairs per band instead of O(m²), while keeping
+    * every member of the hot band connected to one representative,
+    * so component-style dedup (collapse the cluster, keep one) still
+    * sees the whole cluster ([[nearDupComponents]] opts in with
+    * [[DefaultMaxBandSize]] for exactly this reason). The recall
     * trade, deterministic and documented like `maxClusterIds`: a
     * non-star pair (b,c) inside a hot band surfaces only if some
     * OTHER band ≤ the cap contains it, so "all pairs above
     * threshold" completeness degrades to "all members reachable from
-    * the band representative" within hot bands. The band-frequency
-    * probe is a window count over the same hash partitioning the
-    * self-join needs anyway — no extra shuffle of the banded rows. */
+    * the band representative" within hot bands — size the cap with
+    * [[lshHotBands]] before opting in. When capped, the
+    * band-frequency probe is a window count over the same hash
+    * partitioning the self-join needs anyway — no extra shuffle of
+    * the banded rows; uncapped, no window runs at all. */
   def lshCandidates(sigs: DataFrame, bands: Int, rowsPerBand: Int,
                     idCol: String = "doc_id",
-                    maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+                    maxBandSize: Int = Int.MaxValue): DataFrame = {
     val bandKeys = (0 until bands).map { b =>
       xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
     }
-    val w = Window.partitionBy("band")
-    val banded = sigs
-      .select(col(idCol), explode(array(bandKeys: _*)).as("band"))
-      .select(col(idCol), col("band"),
-        count(lit(1)).over(w).as("bf"), min(col(idCol)).over(w).as("band_min"))
-    val cool = banded.filter(col("bf") <= maxBandSize)
-    val a = cool.as("a")
-    val b = cool.as("b")
-    val allPairs = a
-      .join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
-    // band_min is the band's minimum, so band_min < id already holds
-    // for every non-representative member — pair order is canonical
-    // without least/greatest.
-    val starPairs = banded
-      .filter(col("bf") > maxBandSize && col(idCol) =!= col("band_min"))
-      .select(col("band_min").as("doc_a"), col(idCol).as("doc_b"))
-    allPairs.unionByName(starPairs).distinct()
+    val exploded = sigs.select(col(idCol), explode(array(bandKeys: _*)).as("band"))
+    if (maxBandSize == Int.MaxValue) {
+      // Uncapped (default, exact): no band-frequency window at all —
+      // the plan is the plain band self-join.
+      exploded.as("a")
+        .join(exploded.as("b"),
+          col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+        .distinct()
+    } else {
+      val w = Window.partitionBy("band")
+      val banded = exploded
+        .select(col(idCol), col("band"),
+          count(lit(1)).over(w).as("bf"), min(col(idCol)).over(w).as("band_min"))
+      val cool = banded.filter(col("bf") <= maxBandSize)
+      val a = cool.as("a")
+      val b = cool.as("b")
+      val allPairs = a
+        .join(b, col("a.band") === col("b.band") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      // band_min is the band's minimum, so band_min < id already holds
+      // for every non-representative member — pair order is canonical
+      // without least/greatest.
+      val starPairs = banded
+        .filter(col("bf") > maxBandSize && col(idCol) =!= col("band_min"))
+        .select(col("band_min").as("doc_a"), col(idCol).as("doc_b"))
+      allPairs.unionByName(starPairs).distinct()
+    }
+  }
+
+  /** Diagnostic for sizing a hot-band cap: the bands whose member
+    * count exceeds `maxBandSize`, with their frequencies. Run this
+    * before opting a pair-level call into a cap — a nonempty result
+    * quantifies exactly how many bands (and how many members each)
+    * would switch from all-pairs to star pairs. */
+  def lshHotBands(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                  idCol: String = "doc_id",
+                  maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val bandKeys = (0 until bands).map { b =>
+      xxhash64(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))
+    }
+    sigs.select(col(idCol), explode(array(bandKeys: _*)).as("band"))
+      .groupBy("band").agg(count(lit(1)).as("bf"))
+      .filter(col("bf") > maxBandSize)
   }
 
   /** Identical-token-set collapse: one representative row per
@@ -265,7 +300,7 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
                           bands: Int = 2, rowsPerBand: Int = 32,
                           idCol: String = "doc_id", textCol: String = "text",
-                          maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+                          maxBandSize: Int = Int.MaxValue): DataFrame = {
     val reps = collapseIdentical(docs, idCol, textCol)
     val sigs = reps.select(col("fp"), GraftFunctions.minhash_sig(col("toks"), bands * rowsPerBand).as("sig"))
       .withColumnRenamed("fp", idCol) // band on fp: the rep's identity IS its set
@@ -322,7 +357,11 @@ object Dedup {
     // material. The tiers then run as ordinary shuffled equi-joins —
     // the corpus pays its shuffle and the no-corpus-shuffle contract
     // degrades gracefully instead of OOMing an executor on a
-    // corpus-sized broadcast. The probe is a bounded limited scan.
+    // corpus-sized broadcast. The probe is a bounded limited scan —
+    // but it RE-EXECUTES the delta's lineage (the broadcast later
+    // executes it again): a caller whose delta is an expensive
+    // derived frame (not a plain scan) should .persist() or
+    // materialize it before calling, or the derivation runs twice.
     val smallDelta = delta.limit(maxBroadcastDelta + 1).count() <= maxBroadcastDelta
     def b(df: DataFrame): DataFrame = if (smallDelta) broadcast(df) else df
     val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
@@ -853,9 +892,15 @@ object Dedup {
     * corpus dedup: downstream, `filter(col(idCol) === col("component_id"))`
     * is the keeper set. */
   def nearDupComponents(docs: DataFrame, threshold: Double,
-                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    // Opts in to the hot-band star-pair guard: component collapse
+    // needs connectivity, not pair completeness, and star pairs keep
+    // every hot-band member attached to its representative — the
+    // scale-critical path stays O(m) per band by default here.
     val comps = connectedComponents(
-      minhashNearDupPairs(docs, threshold, idCol = idCol, textCol = textCol))
+      minhashNearDupPairs(docs, threshold, idCol = idCol, textCol = textCol,
+        maxBandSize = maxBandSize))
     docs.select(col(idCol))
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component_id"))

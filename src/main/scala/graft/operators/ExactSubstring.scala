@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Exact-substring (suffix-array-style) deduplication: the maximal
+  * repeated token spans of a corpus, in the sense of Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better" — a
+  * span is REPEATED when every length-`k` token window inside it
+  * occurs at least `minCount` times corpus-wide. Production text
+  * pipelines run this tier after document-level dedup: boilerplate,
+  * licenses, and quoted passages recur verbatim inside otherwise
+  * distinct documents, and document-level Jaccard never sees them.
+  *
+  * The reference pipeline deduplicates at whole-item granularity
+  * only (`tts_data_pipeline/crawler/utils.py:120-152` drops
+  * name-identical books); this operator is the corpus-scale text
+  * tier layered above that.
+  *
+  * Suffix arrays are the single-node construction; the Spark-native
+  * shape is k-gram anchoring, which needs no global ordered
+  * structure at all:
+  *
+  *  1. ANCHOR: every position's k-token window, hashed to a compact
+  *     15-hex md5 key ([[graft.functions.ShingleHexTokens]] — one
+  *     codegen'd pass, one md5 per window). One row per token ≈
+  *     corpus-linear, like the tokenized corpus itself.
+  *  2. FREQUENCY: windows occurring ≥ `minCount` times. A window
+  *     count over `hash(h)` partitioning — the same single shuffle a
+  *     groupBy would pay, without the second join-back shuffle of
+  *     the anchor set.
+  *  3. EXTEND: per document, maximal runs of CONSECUTIVE duplicated
+  *     anchor positions coalesce into spans (`pos - row_number()`
+  *     run ids over a per-doc window): adjacent duplicated k-grams
+  *     overlap in k-1 tokens, so a run [p..q] certifies the whole
+  *     token span [p, q+k-1] as repeated — the "extension" step of
+  *     the suffix-array formulation, done with one shuffle by doc.
+  *
+  * Total: two shuffles of the anchor set (by window hash, then by
+  * doc), both with map-side partial reduction where applicable —
+  * never any pairwise join, so a templated 100 TB corpus costs the
+  * same two linear shuffles as a clean one. The run groupBy after
+  * the per-doc window introduces no third exchange: the rows are
+  * already hash-partitioned by `idCol`, which satisfies the
+  * `(idCol, run)` clustering requirement.
+  *
+  * Spans from different documents that share content surface
+  * independently (each document reports its own repeated regions) —
+  * exactly what a span-removal rewrite consumes.
+  */
+object ExactSubstring {
+
+  /** Maximal repeated spans per document: (idCol, span_start,
+    * span_len) with `span_start` a 0-based token position and
+    * `span_len ≥ k` in tokens. See the object doc for semantics and
+    * the shuffle budget. */
+  def repeatedSpans(docs: DataFrame, k: Int, minCount: Int = 2,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minCount >= 2, "minCount must be at least 2")
+    val anchors = docs.select(
+      col(idCol),
+      posexplode(GraftFunctions.shingle_hex_tokens(
+        TextFunctions.tokens(col(textCol)), k)).as(Seq("pos", "h")))
+    val dup = anchors
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+      .filter(col("cnt") >= minCount)
+    val runs = dup.withColumn("run",
+      col("pos") - row_number().over(Window.partitionBy(idCol).orderBy("pos")))
+    runs.groupBy(col(idCol), col("run"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + lit(k)).cast("long").as("span_len"))
+      .select(col(idCol), col("span_start").cast("long").as("span_start"), col("span_len"))
+  }
+
+  /** Corpus rewrite dropping every repeated span: each document's
+    * kept text is its tokens MINUS all positions covered by a
+    * [[repeatedSpans]] span (the Lee-et-al. "drop the duplicated
+    * bytes, keep one copy nowhere" policy applied symmetrically —
+    * callers wanting keep-first instead can left-anti join spans
+    * beforehand). Documents with no repeated span pass through
+    * unchanged; a fully-repeated document comes out empty (kept_len
+    * 0), which downstream length filters then drop. Span rows are
+    * corpus-sparse (only repeated regions), so the join fans out at
+    * most a few rows per affected doc; reassembly is one per-doc
+    * aggregate over covered positions — no pairwise work. */
+  def dropRepeatedSpans(docs: DataFrame, k: Int, minCount: Int = 2,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = repeatedSpans(docs, k, minCount, idCol, textCol)
+      .select(col(idCol), col("span_start"), (col("span_start") + col("span_len")).as("span_end"))
+    val toks = docs.select(col(idCol),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val kept = toks.join(spans, toks(idCol) === spans(idCol) &&
+        col("pos") >= col("span_start") && col("pos") < col("span_end"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+          array_sort(collect_list(struct(col("pos"), col("tok")))).getField("tok")).as("kept_text"),
+        count(lit(1)).cast("long").as("kept_len"))
+    // A fully-repeated document loses every token to the anti join
+    // and would vanish from the groupBy — restore it as an explicit
+    // empty row (kept_len 0) so the corpus row count is preserved
+    // and downstream length filters, not silent absence, drop it.
+    docs.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("kept_text"), lit("")).as("kept_text"),
+        coalesce(col("kept_len"), lit(0L)).as("kept_len"))
+  }
+}

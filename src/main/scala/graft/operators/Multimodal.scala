@@ -62,6 +62,11 @@ object Multimodal {
       case 6 => 4
       case _ => return null
     }
+    // IHDR method bytes: compression (26) and filter (27) have only
+    // one defined value (0) — a nonzero filter-method image whose
+    // per-scanline filter bytes happen to land in 0-4 would otherwise
+    // defilter to garbage pixels instead of returning null.
+    if (bytes(26) != 0 || bytes(27) != 0) return null
     if (bytes(28) != 0) return null // interlaced (Adam7) unsupported
     val w = info.width
     val h = info.height

@@ -119,13 +119,24 @@ object RelationalQueries {
     },
 
     // ---- q05: anti join (J7 outlier removal shape: NOT EXISTS).
+    // Churned customers: no orders since 2000-01-01. The date slice
+    // exists to make the gate NON-VACUOUS — every customer in the
+    // synthetic data has at least one order overall, so the unsliced
+    // anti join returned 0 rows at every SF and the oracle
+    // hash-matched on empty results (round-7 verdict). With the
+    // slice the gate carries 14/135/1355 rows at sf0.001/0.01/0.1,
+    // and the filter still pushes into the orders scan.
     Q("q05_customers_no_orders", Some("""
       SELECT c_custkey, c_name
       FROM customer
-      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       ORDER BY c_custkey""")) { (s, d) =>
       Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, d)
+                .filter(col("o_orderdate") >= lit("2000-01-01 00:00:00")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")
     },

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
-import graft.operators.{CharLm, Curation, Dedup, LangId, SentenceGrouping, Sketches, TextRank}
+import graft.operators.{CharLm, Curation, Dedup, ExactSubstring, LangId, SentenceGrouping, Sketches, TextRank}
 
 /** LLM-data-pipeline text operators over the `documents` table:
   * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
@@ -946,6 +946,74 @@ object TextQueries {
           (sum(col("q4")).cast("double") / (count(lit(1)).cast("double") * lit(10000.0d)))
             .as("mean_quality"))
         .orderBy("source")
+    },
+
+    // ---- q92: exact-substring dedup (suffix-array tier, Lee et
+    // al.) — maximal repeated token spans: every 8-token window
+    // inside a reported span occurs >= 2 times corpus-wide. The
+    // k-gram-anchor formulation runs in two corpus-linear shuffles
+    // (anchors by window hash, duplicated anchors by doc) with no
+    // pairwise join anywhere; run-coalescing per doc is the span
+    // "extension" step of the suffix-array construction. The oracle
+    // replays anchors positionally (struct list comprehension) and
+    // the same pos - row_number() run trick.
+    Q("q92_exact_substring_spans", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      anch0 AS (
+        SELECT doc_id,
+               [{'pos': i - 1, 'h': substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)}
+                FOR i IN range(1, len(ts) - 6)] AS a
+        FROM toks),
+      anch AS (SELECT doc_id, unnest(a, recursive := true) FROM anch0),
+      freq AS (SELECT h FROM anch GROUP BY h HAVING COUNT(*) >= 2),
+      da AS (SELECT a.doc_id, a.pos FROM anch a JOIN freq USING (h)),
+      runs AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM da)
+      SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+             CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_len
+      FROM runs GROUP BY doc_id, run
+      ORDER BY doc_id, span_start""")) { (s, d) =>
+      ExactSubstring.repeatedSpans(Tables.documents(s, d), k = 8)
+        .orderBy("doc_id", "span_start")
+    },
+
+    // ---- q93: the exact-substring REWRITE — drop every token
+    // covered by a q92 repeated span, reassemble the remainder in
+    // order, and keep fully-repeated documents as explicit empty
+    // rows so the corpus row count is invariant (it's a downstream
+    // length filter's job to drop them). The oracle replays the q92
+    // span derivation, anti-joins positions, and string_aggs the
+    // survivors positionally.
+    Q("q93_drop_repeated_spans", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      anch0 AS (
+        SELECT doc_id,
+               [{'pos': i - 1, 'h': substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)}
+                FOR i IN range(1, len(ts) - 6)] AS a
+        FROM toks),
+      anch AS (SELECT doc_id, unnest(a, recursive := true) FROM anch0),
+      freq AS (SELECT h FROM anch GROUP BY h HAVING COUNT(*) >= 2),
+      da AS (SELECT a.doc_id, a.pos FROM anch a JOIN freq USING (h)),
+      runs AS (SELECT doc_id, pos,
+               pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS run FROM da),
+      spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 8 AS e
+                FROM runs GROUP BY doc_id, run),
+      tok AS (
+        SELECT doc_id, unnest([{'pos': i - 1, 'tok': ts[i]}
+                               FOR i IN range(1, len(ts) + 1)], recursive := true)
+        FROM toks),
+      kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+               WHERE NOT EXISTS (SELECT 1 FROM spans s
+                                 WHERE s.doc_id = t.doc_id
+                                   AND t.pos >= s.s AND t.pos < s.e))
+      SELECT d.doc_id,
+             coalesce(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS kept_text,
+             CAST(COUNT(k.tok) AS BIGINT) AS kept_len
+      FROM documents d LEFT JOIN kept k USING (doc_id)
+      GROUP BY d.doc_id
+      ORDER BY doc_id""")) { (s, d) =>
+      ExactSubstring.dropRepeatedSpans(Tables.documents(s, d), k = 8)
+        .orderBy("doc_id")
     },
 
     // ---- q73: the COMPOSED curation pipeline — exact dedup (q20)

@@ -46,21 +46,27 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
-    // ---- q31: embedding near-duplicate pairs (cosine >= 0.99),
+    // ---- q31: embedding near-duplicate pairs (cosine >= 0.45),
     // size-guarded: up to 16384 vectors the exact self-join runs
     // (every test SF — the oracle below IS the exact join, so the
     // gate exercises that branch); above the bound the plan routes
     // to the LSH-bucketed candidates + exact refinement instead of
     // dying quadratically (SimilaritySpec pins the routing and the
     // routed result). The bounded limit-probe never full-counts the
-    // corpus.
+    // corpus. Threshold 0.45, NOT a production 0.99: the synthetic
+    // embeddings carry no true twins (max pairwise cosine ≈ 0.51 at
+    // sf0.01), so a 0.99 gate hash-matched on EMPTY results — a bug
+    // that also returned empty would have passed (round-7 verdict).
+    // At 0.45 the gate carries 7/14/144 pairs at sf0.001/0.01/0.1;
+    // the 0.99 near-dup semantics stay pinned on synthesized twins
+    // in SimilaritySpec.
     Q("q31_embedding_neardup", Some(oracleProlog + """
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              round(list_inner_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
       FROM p a JOIN p b ON a.vec_id < b.vec_id
-      WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.99
+      WHERE list_inner_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
       ORDER BY vec_a, vec_b""")) { (s, d) =>
-      Similarity.nearDupPairsAuto(Tables.embeddings(s, d), threshold = 0.99, dim = 64)
+      Similarity.nearDupPairsAuto(Tables.embeddings(s, d), threshold = 0.45, dim = 64)
         .orderBy("vec_a", "vec_b")
     },
 

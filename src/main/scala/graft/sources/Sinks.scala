@@ -76,7 +76,8 @@ object Sinks {
     * fine for thousands of speakers and fatal for a high-cardinality
     * dictionary column. */
   def dictionaryEncode(df: DataFrame, keyCol: String,
-                       numPartitions: Int = 32): (DataFrame, DataFrame) = {
+                       numPartitions: Int = 32,
+                       maxBroadcastKeys: Long = 4L << 20): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.expressions.Window
     // Range-partition boundaries come from a random sample whose seed
     // varies per COMPILED PLAN, so the bucket-count collect and the id
@@ -108,8 +109,17 @@ object Sinks {
           (col("__r") - 1 + coalesce(element_at(offsetOf, col("__b")), lit(0L))).cast("int"))
         .select(col(keyCol), col(s"${keyCol}_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      dim.count() // materialize while the parent cache is still hot
-      (df.join(org.apache.spark.sql.functions.broadcast(dim), Seq(keyCol)), dim)
+      // Materializes the cache while the parent is still hot AND
+      // yields the exact cardinality for free — which gates the
+      // broadcast below: a speaker-id-sized dictionary broadcasts, a
+      // high-cardinality one (url-level keys) would OOM an executor
+      // as a forced broadcast, so past `maxBroadcastKeys` the encode
+      // join runs as an ordinary shuffled equi-join instead.
+      val nKeys = dim.count()
+      val dimSide =
+        if (nKeys <= maxBroadcastKeys) org.apache.spark.sql.functions.broadcast(dim)
+        else dim
+      (df.join(dimSide, Seq(keyCol)), dim)
     } finally ranked.unpersist(blocking = false)
   }
 
@@ -165,7 +175,19 @@ object Sinks {
   def compactParquet(spark: org.apache.spark.sql.SparkSession, path: String,
                      outPath: String, targetFileBytes: Long = 128L << 20): Unit = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val bytes = new java.io.File(path).listFiles()
+    // Recursive walk: a partitioned dataset (the streaming file sink
+    // this compacts writes partition SUBDIRECTORIES) keeps its data
+    // files below the root, so a non-recursive listing would sum 0
+    // bytes and silently compact everything into one file. A missing
+    // or non-directory path is a caller error — fail loudly instead
+    // of NPE-ing on listFiles()'s null.
+    def walk(f: java.io.File): Iterator[java.io.File] = {
+      val kids = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+      kids.iterator.flatMap(k => if (k.isDirectory) walk(k) else Iterator.single(k))
+    }
+    val root = new java.io.File(path)
+    require(root.isDirectory, s"compactParquet: $path is not a directory")
+    val bytes = walk(root)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
       .map(_.length()).sum
     val nFiles = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)

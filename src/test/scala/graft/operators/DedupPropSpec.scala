@@ -151,14 +151,17 @@ class DedupPropSpec extends SparkSuite {
   test("hot-band guard: a 10k near-identical cluster yields O(m) star candidates, cool bands keep all pairs") {
     import spark.implicits._
     // 10k identical signatures: both bands collapse to one hot
-    // bucket each — ungarded, the band self-join would build
-    // ~5×10⁷ pairs. The guard must emit exactly the m-1 star pairs
-    // to the band-min representative instead, while a small clique
-    // with its own signature keeps untouched all-pairs semantics.
+    // bucket each — uncapped (the pair-level DEFAULT since the cap
+    // became opt-in), the band self-join would build ~5×10⁷ pairs
+    // and OOM a test heap. Opting in at DefaultMaxBandSize must emit
+    // exactly the m-1 star pairs to the band-min representative
+    // instead, while a small clique with its own signature keeps
+    // untouched all-pairs semantics.
     val hot = (0L until 10000L).map(i => (i, Array.fill(64)(7L)))
     val cool = (20000L until 20005L).map(i => (i, Array.fill(64)(9L)))
     val sigs = (hot ++ cool).toDF("doc_id", "sig")
-    val cands = Dedup.lshCandidates(sigs, bands = 2, rowsPerBand = 32)
+    val cands = Dedup.lshCandidates(sigs, bands = 2, rowsPerBand = 32,
+        maxBandSize = Dedup.DefaultMaxBandSize)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val hotPairs = cands.filter(_._1 < 20000L)
     assert(hotPairs.length === 9999, s"expected star pairs, got ${hotPairs.length}")
