@@ -6,11 +6,13 @@ import org.apache.spark.sql.SparkSession
   * run with identical semantics-relevant configuration.
   *
   * Notable settings:
-  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: the driver's
-  *    `events.parquet` carries `ts` as TIMESTAMP(NANOS), which Spark 4
-  *    otherwise rejects at schema inference
-  *    ([PARQUET_TYPE_ILLEGAL]). With this flag the column reads as a
-  *    BIGINT of epoch nanoseconds — analytics convert explicitly.
+  *  - `spark.sql.legacy.parquet.nanosAsLong=true`: kept for
+  *    events.parquet generations that carry `ts` as TIMESTAMP(NANOS),
+  *    which Spark 4 otherwise rejects at schema inference
+  *    ([PARQUET_TYPE_ILLEGAL]). With the flag that generation reads
+  *    as BIGINT epoch-nanos; newer `timestamp[us]` generations read
+  *    as TIMESTAMP_NTZ, and [[Tables.events]] normalizes either shape
+  *    to the BIGINT-nanos contract.
   *  - shuffle partitions sized to the local core count rather than the
   *    200 default: at sf0.1 each partition stays comfortably
   *    in-memory, and on a real cluster this is the knob that must
