@@ -20,6 +20,20 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession("graft-bench", cpus)
+    // Durable artifact: every per-query line plus the summary also
+    // lands in target/bench/ as files. Round 8's artifact captured
+    // only a truncated stdout tail swamped by error spam and the
+    // round published no timings at all — stdout is a transport, not
+    // a store.
+    val outDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "target/bench"))
+    outDir.mkdirs()
+    val linesPath = new java.io.File(outDir, "bench_lines.jsonl").toPath
+    val summaryPath = new java.io.File(outDir, "bench_summary.json").toPath
+    java.nio.file.Files.deleteIfExists(linesPath)
+    def appendLine(path: java.nio.file.Path, line: String): Unit =
+      try java.nio.file.Files.writeString(path, line + "\n",
+        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () } // file durability must never kill the run
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""
@@ -91,14 +105,27 @@ object Bench {
       // was measured plus all raw run times (not just the median).
       val runsJson = times.map(t => f"$t%.4f").mkString("[", ",", "]")
       val errJson = err.map(e => s",${jstr("err")}:${jstr(e)}").getOrElse("")
-      println(s"""{"q":${jstr(name)},"sec":$median,"runs":$runsJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}$errJson}""")
+      val line = s"""{"q":${jstr(name)},"sec":$median,"runs":$runsJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}$errJson}"""
+      println(line)
       Console.out.flush()
+      appendLine(linesPath, line)
       (name, median, err)
     }
     val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}""")
+    val nErr = results.count(_._3.isDefined)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+    println(summary)
+    Console.out.flush()
+    try java.nio.file.Files.writeString(summaryPath, summary + "\n") catch { case _: Throwable => () }
     spark.stop()
+    // An engine bench with erroring queries must not end in success:
+    // round 8 ran with 10 broken queries and still exited 0, so the
+    // failure surfaced only in the judge's read of the artifact.
+    if (nErr > 0) {
+      System.err.println(s"[bench] $nErr quer${if (nErr == 1) "y" else "ies"} FAILED — see $summaryPath")
+      sys.exit(1)
+    }
   }
 }
