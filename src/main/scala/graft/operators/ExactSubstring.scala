@@ -27,10 +27,16 @@ import graft.functions.{GraftFunctions, TextFunctions}
   *     15-hex md5 key ([[graft.functions.ShingleHexTokens]] — one
   *     codegen'd pass, one md5 per window). One row per token ≈
   *     corpus-linear, like the tokenized corpus itself.
-  *  2. FREQUENCY: windows occurring ≥ `minCount` times. A window
-  *     count over `hash(h)` partitioning — the same single shuffle a
-  *     groupBy would pay, without the second join-back shuffle of
-  *     the anchor set.
+  *  2. FREQUENCY: windows occurring ≥ `minCount` times, as a
+  *     `groupBy(h).count` (map-side partial aggregation: only
+  *     per-partition distinct `(h, cnt)` pairs shuffle) followed by a
+  *     LEFT SEMI join of the anchors against the qualifying hashes.
+  *     NOT a `count over Window.partitionBy(h)`: a window buffers
+  *     every occurrence of one hash in a single task's frame, so one
+  *     boilerplate k-gram with 10⁷ corpus-wide hits is a single-task
+  *     OOM — whereas the semi join's build side carries exactly one
+  *     row per qualifying hash, streams the anchor side, and lets
+  *     AQE broadcast it outright when the repeated-hash set is small.
   *  3. EXTEND: per document, maximal runs of CONSECUTIVE duplicated
   *     anchor positions coalesce into spans (`pos - row_number()`
   *     run ids over a per-doc window): adjacent duplicated k-grams
@@ -38,13 +44,15 @@ import graft.functions.{GraftFunctions, TextFunctions}
   *     token span [p, q+k-1] as repeated — the "extension" step of
   *     the suffix-array formulation, done with one shuffle by doc.
   *
-  * Total: two shuffles of the anchor set (by window hash, then by
-  * doc), both with map-side partial reduction where applicable —
-  * never any pairwise join, so a templated 100 TB corpus costs the
-  * same two linear shuffles as a clean one. The run groupBy after
-  * the per-doc window introduces no third exchange: the rows are
-  * already hash-partitioned by `idCol`, which satisfies the
-  * `(idCol, run)` clustering requirement.
+  * Total: two full shuffles of the anchor set (by window hash for
+  * the semi join, then by doc) plus one map-side-combined shuffle of
+  * the small `(h, cnt)` census — never any pairwise join, and never
+  * a per-key in-memory buffer proportional to a hash's occurrence
+  * count, so a templated 100 TB corpus costs the same linear
+  * shuffles as a clean one. The run groupBy after the per-doc window
+  * introduces no extra exchange: the rows are already
+  * hash-partitioned by `idCol`, which satisfies the `(idCol, run)`
+  * clustering requirement.
   *
   * Spans from different documents that share content surface
   * independently (each document reports its own repeated regions) —
@@ -64,9 +72,13 @@ object ExactSubstring {
       col(idCol),
       posexplode(GraftFunctions.shingle_hex_tokens(
         TextFunctions.tokens(col(textCol)), k)).as(Seq("pos", "h")))
-    val dup = anchors
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("h")))
+    // Qualifying hashes as a one-row-per-hash build side; see the
+    // object doc for why this beats a count-over-window on `h`.
+    val frequent = anchors.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
+      .select(col("h"))
+    val dup = anchors.join(frequent, Seq("h"), "left_semi")
     val runs = dup.withColumn("run",
       col("pos") - row_number().over(Window.partitionBy(idCol).orderBy("pos")))
     runs.groupBy(col(idCol), col("run"))

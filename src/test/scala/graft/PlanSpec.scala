@@ -185,6 +185,27 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), "occurrence-level sort-merge join would shuffle the corpus per character")
   }
 
+  test("q92/q93 exact-substring: no window over the anchor hash — frequency is an agg + semi join") {
+    // A count-over-Window.partitionBy(h) buffers every occurrence of
+    // one k-gram hash in a single task (a boilerplate k-gram with 10⁷
+    // corpus hits = one-task OOM at 100 TB). The frequency gate must
+    // instead be groupBy(h).count + semi join back: windows in these
+    // plans may partition only by the document id (the run-coalescing
+    // pass), never by the anchor hash.
+    for (name <- Seq("q92_exact_substring_spans", "q93_drop_repeated_spans")) {
+      val wins = optimized(name).collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name lost its per-doc run window")
+      for (w <- wins) {
+        assert(w.partitionSpec.nonEmpty, s"$name has an unpartitioned window")
+        val partCols = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+        assert(!partCols.contains("h"),
+          s"$name windows over the anchor hash — hot-anchor single-task buffering:\n$w")
+      }
+      assert(physical(name).contains("LeftSemi"),
+        s"$name frequency gate lost its semi join")
+    }
+  }
+
   test("q78 shuffle-shard: the window's partition-by-shard is the plan's only exchange") {
     import graft.operators.Curation
     val out = Curation.shuffleShard(Tables.documents(spark, sfDir), shards = 8)
