@@ -23,6 +23,25 @@ case class CharLmModel(counts: Map[String, Long], total: Long, rareFactor: Long)
   }
 }
 
+/** A collected word-n-gram class census ([[graft.operators
+  * .QualityClassifier.fit]] brought to the driver, bounded by the
+  * census's minCount support filter and a caller guard): the
+  * serializable model a [[WordNgramScore]] expression closes over —
+  * the fastText-classifier deployment shape (bag of word uni+bigrams,
+  * linear in counts) with INTEGER sufficient statistics instead of
+  * trained float weights, so batch and stream scores hash-gate
+  * exactly. `counts` maps term → (positive-class occurrences,
+  * negative-class occurrences); totals are the class masses the
+  * prediction cross-multiplies against. */
+case class WordLmModel(counts: Map[String, (Long, Long)], posTotal: Long, negTotal: Long) {
+  /** term → [pos_count, neg_count]; rebuilt once per executor. */
+  @transient lazy val utf8Table: java.util.HashMap[UTF8String, Array[Long]] = {
+    val m = new java.util.HashMap[UTF8String, Array[Long]](counts.size * 2)
+    counts.foreach { case (k, (p, n)) => m.put(UTF8String.fromString(k), Array(p, n)) }
+    m
+  }
+}
+
 /** JVM implementations backing the custom Catalyst expressions.
   *
   * Kept as a top-level object so Scala emits static forwarders —
@@ -123,6 +142,43 @@ object StringOps {
       i += 1
     }
     new GenericInternalRow(Array[Any]((n - 1).toLong, fam, rare))
+  }
+
+  /** Word-uni+bigram classifier statistics of a string against a
+    * plan-time [[WordLmModel]] census — the scoring half of the
+    * fastText-shape quality classifier, as one stateless kernel call
+    * (string → (n_terms, pos_mass, neg_mass, pred_pos)).
+    *
+    * Tokenization mirrors `split(text, ' ')` EXACTLY (single-space
+    * separator, empty tokens preserved) so the kernel's terms are
+    * byte-identical to the batch census's — the parity the spec pins.
+    * Terms absent from the census contribute nothing and do NOT
+    * count toward `n_terms` (inner-join semantics, matching the
+    * batch score). Prediction is the integer cross-multiplication
+    * `pos_mass·negTotal > neg_mass·posTotal` — no float division, so
+    * engines agree bit-for-bit (overflow-safe while both factors stay
+    * under ~3·10⁹; beyond that move the comparison to log space
+    * downstream). */
+  def wordNgramScore(s: UTF8String,
+                     counts: java.util.HashMap[UTF8String, Array[Long]],
+                     posTotal: Long, negTotal: Long): InternalRow = {
+    val toks = s.split(UTF8String.fromString(" "), -1)
+    var nTerms = 0L
+    var posMass = 0L
+    var negMass = 0L
+    def add(term: UTF8String): Unit = {
+      val c = counts.get(term)
+      if (c != null) { nTerms += 1L; posMass += c(0); negMass += c(1) }
+    }
+    var i = 0
+    while (i < toks.length) {
+      add(toks(i))
+      if (i + 1 < toks.length)
+        add(UTF8String.concat(toks(i), UTF8String.fromString(" "), toks(i + 1)))
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](nTerms, posMass, negMass,
+      posMass * negTotal > negMass * posTotal))
   }
 
   def durationSeconds(s: String): Double = {

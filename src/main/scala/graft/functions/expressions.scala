@@ -72,6 +72,34 @@ case class CharBigramScore(child: Expression, model: CharLmModel) extends UnaryE
   override protected def withNewChildInternal(c: Expression): CharBigramScore = copy(child = c)
 }
 
+/** Word-n-gram classifier statistics of a string against a plan-time
+  * [[WordLmModel]] (string → struct<n_terms, pos_mass, neg_mass,
+  * pred_pos>): the census rides the expression into the generated
+  * code via `addReferenceObj` — the [[CharBigramScore]] deployment
+  * pattern — so one batch-fit classifier scores any frame, including
+  * an unbounded STREAM, as a stateless codegen'd projection
+  * ([[StringOps.wordNgramScore]]). */
+case class WordNgramScore(child: Expression, model: WordLmModel) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_terms", LongType, nullable = false),
+    StructField("pos_mass", LongType, nullable = false),
+    StructField("neg_mass", LongType, nullable = false),
+    StructField("pred_pos", BooleanType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    StringOps.wordNgramScore(
+      v.asInstanceOf[UTF8String], model.utf8Table, model.posTotal, model.negTotal)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("wordLmModel", model, classOf[WordLmModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringOps.wordNgramScore($c, $ref.utf8Table(), $ref.posTotal(), $ref.negTotal())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordNgramScore = copy(child = c)
+}
+
 /** Unicode NFC normalization (string → string) — the first scrub of
   * any crawl pipeline: combining-mark sequences (e.g. decomposed
   * Vietnamese "a" + U+0302 + U+0301) collapse to their canonical
@@ -495,6 +523,8 @@ object GraftFunctions {
   def char_bigrams(c: Column): Column = col(CharBigrams(expr(c)))
   def char_bigram_score(c: Column, model: CharLmModel): Column =
     col(CharBigramScore(expr(c), model))
+  def word_ngram_score(c: Column, model: WordLmModel): Column =
+    col(WordNgramScore(expr(c), model))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
-import graft.operators.{CharLm, Curation, Dedup, ExactSubstring, LangId, SentenceGrouping, Sketches, TextRank}
+import graft.operators.{CharLm, Curation, Dedup, ExactSubstring, LangId, QualityClassifier, SentenceGrouping, Sketches, TextRank}
 
 /** LLM-data-pipeline text operators over the `documents` table:
   * dedup (exact / MinHash+LSH / SimHash / exact similarity join),
@@ -1269,6 +1269,45 @@ object TextQueries {
       ORDER BY term""")) { (s, d) =>
       TextRank.invertedIndex(Tables.documents(s, d))
         .orderBy("term")
+    },
+
+    // ---- q94: word-n-gram quality classifier (fastText-shape) —
+    // the seed-vs-rest gate of CCNet/GPT-3-style curation, with
+    // integer sufficient statistics instead of trained float
+    // weights: fit a class-conditional uni+bigram census (support
+    // >= 2, the fastText minCount bound) with src0-2 as the seed
+    // class, then score every document by its census mass per class;
+    // prediction is the cross-multiplied naive-Bayes log-odds sign,
+    // all-integer so the gate hash-matches across engines. Census =
+    // one map-side-combined groupBy; scoring = explode + equi-join
+    // (AQE broadcasts the census) + per-doc re-aggregate.
+    Q("q94_quality_classifier", Some("""
+      WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      terms AS (
+        SELECT doc_id, source, unnest(t) AS term FROM toks
+        UNION ALL
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+        FROM toks),
+      census AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS BIGINT) AS pos_count,
+               CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) AS BIGINT) AS neg_count
+        FROM terms GROUP BY term
+        HAVING COUNT(*) >= 2),
+      tot AS (SELECT CAST(SUM(pos_count) AS BIGINT) AS pt, CAST(SUM(neg_count) AS BIGINT) AS nt FROM census)
+      SELECT t.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_terms,
+             CAST(SUM(c.pos_count) AS BIGINT) AS pos_mass,
+             CAST(SUM(c.neg_count) AS BIGINT) AS neg_mass,
+             CAST(SUM(c.pos_count) AS BIGINT) * (SELECT nt FROM tot)
+               > CAST(SUM(c.neg_count) AS BIGINT) * (SELECT pt FROM tot) AS pred_pos
+      FROM terms t JOIN census c USING (term)
+      GROUP BY t.doc_id
+      ORDER BY t.doc_id""")) { (s, d) =>
+      QualityClassifier.fitScore(Tables.documents(s, d),
+          isPositive = col("source").isin("src0", "src1", "src2"))
+        .orderBy("doc_id")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

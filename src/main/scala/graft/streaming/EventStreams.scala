@@ -380,6 +380,19 @@ object EventStreams {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.CharLm.scoreWithModel(docs, model, idCol, textCol)
 
+  /** Streaming quality CLASSIFICATION with a batch-fit word-n-gram
+    * census — the word-tier sibling of [[familiarityScored]] and the
+    * fastText-gate deployment every curation pipeline runs at
+    * ingest: [[graft.operators.QualityClassifier.collectModel]] fits
+    * seed-vs-rest on the standing corpus (batch), and each arriving
+    * document is scored + classified by a stateless codegen'd
+    * projection closing over the census — no stream-static join, no
+    * state store, appends at ingest rate forever. Batch parity on
+    * the fit corpus is exact and spec-pinned. */
+  def qualityClassified(docs: DataFrame, model: graft.functions.WordLmModel,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.QualityClassifier.scoreWithModel(docs, model, idCol, textCol)
+
   /** Streaming nearest-centroid assignment with a batch-fit k-means
     * model — the same fit-once/score-forever deployment as
     * [[familiarityScored]], for the embedding side: [[graft.operators
