@@ -515,25 +515,57 @@ object Dedup {
     * expanded back to member pairs (same-signature pairs at hamming 0
     * plus every member combination of a verified signature pair). */
   def simhashNearDupPairs(docs: DataFrame, maxHamming: Int,
-                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = simhashSignatures(docs, idCol, textCol)
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hammingNearDupPairs(simhashSignatures(docs, idCol, textCol),
+      sigBits = 60, maxHamming = maxHamming, idCol = idCol, sigCol = "simhash",
+      repProbe = Some(docs))
+
+  /** Signature-GENERIC hamming near-dup pairs: every `(doc_a, doc_b,
+    * hamming)` with hamming(sig_a, sig_b) ≤ `maxHamming`, for any
+    * ≤64-bit LONG signature column — text SimHash
+    * ([[simhashNearDupPairs]]) and perceptual image dHash
+    * ([[Multimodal.imageNearDupPairs]]) are the two deployments.
+    * Null signatures (e.g. undecodable images) are excluded.
+    *
+    * `repProbe`: the bitmask-vs-banding strategy probe counts rows of
+    * this frame instead of `sigs` when provided — callers whose
+    * signature computation is expensive (an md5 per token, a PNG
+    * decode per row) pass the RAW input so the probe is a plain
+    * limited scan, not a bounded signature recomputation. */
+  def hammingNearDupPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int,
+                          idCol: String = "doc_id", sigCol: String = "simhash",
+                          repProbe: Option[DataFrame] = None): DataFrame = {
+    require(sigBits >= 2 && sigBits <= 64, "signature width must be 2..64 bits")
+    require(maxHamming >= 0 && maxHamming < sigBits,
+      "maxHamming must be in [0, sigBits)")
+    val s = sigs.select(col(idCol), col(sigCol).as("simhash"))
+      .filter(col("simhash").isNotNull)
+    val probe = repProbe.getOrElse(s)
     // One shuffle over (id, simhash); every downstream consumer
     // derives from this aggregate, so the signature computation (an
-    // md5 per token) runs once — as separate branches it re-ran per
-    // consumer, and at corpus scale each re-run is a full scan. The
-    // scan + partial agg sit below the exchange, which Spark's
-    // ReuseExchange dedupes across the three consumers.
-    val sigGroups = sigs.groupBy(col("simhash"))
+    // md5 per token, a pixel decode) runs once — as separate branches
+    // it re-ran per consumer, and at corpus scale each re-run is a
+    // full scan. The scan + partial agg sit below the exchange, which
+    // Spark's ReuseExchange dedupes across the three consumers.
+    val sigGroups = s.groupBy(col("simhash"))
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
     val reps = sigGroups.select(col("simhash"))
     val a = reps.as("a")
     val b = reps.as("b")
     val hamming = bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
     val sigPairs =
-      // Probe the raw doc count, not distinct signatures: docs <=
+      // maxHamming 0 means exact-signature equality — the `within`
+      // expansion below IS the whole answer, and the banding math
+      // (one chunk spanning a possibly-64-bit signature) degenerates.
+      if (maxHamming == 0) {
+        reps.select(col("simhash").as("sig_a"), col("simhash").as("sig_b"),
+            lit(0).cast("int").as("hamming"))
+          .limit(0)
+      }
+      // Probe the raw row count, not distinct signatures: rows <=
       // bound implies sigs <= bound and the probe is a plain limited
       // scan instead of a full signature+shuffle recomputation.
-      if (docs.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps) {
+      else if (probe.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps) {
         // Bounded rep count: one codegen'd broadcast nested-loop pass
         // over all signature pairs — an xor+popcount per pair beats
         // the banding plan's explode + chunk shuffle + distinct until
@@ -542,13 +574,15 @@ object Dedup {
           .select(col("a.simhash").as("sig_a"), col("b.simhash").as("sig_b"),
             hamming.as("hamming"))
       } else {
-        // Scale path: band the 60-bit signature into maxHamming + 1
-        // chunks; any pair within the radius shares an exact chunk
-        // (pigeonhole), so candidates come from an equi-join. Chunk
-        // keys pack (chunk idx, chunk bits) into one long — no
-        // string building on the shuffle key.
+        // Scale path: band the signature into maxHamming + 1 chunks;
+        // any pair within the radius shares an exact chunk
+        // (pigeonhole — this holds even when sigBits % nChunks leaves
+        // high bits uncovered: uncovered differences only REDUCE the
+        // differences landing inside chunks), so candidates come from
+        // an equi-join. Chunk keys pack (chunk idx, chunk bits) into
+        // one long — no string building on the shuffle key.
         val nChunks = maxHamming + 1
-        val chunkBits = 60 / nChunks
+        val chunkBits = sigBits / nChunks
         val chunks = (0 until nChunks).map { i =>
           shiftright(col("simhash"), i * chunkBits).bitwiseAND(lit((1L << chunkBits) - 1))
             .bitwiseOR(lit(i.toLong << chunkBits))

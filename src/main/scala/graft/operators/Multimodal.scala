@@ -186,6 +186,103 @@ object Multimodal {
     f(pixels, w, h)
   }
 
+  /** Minimal gray-8 PNG ENCODER, java.base only (CRC32 + Deflater
+    * ship in the JDK): color type 0, bit depth 8, filter 0 per
+    * scanline. The sink-side complement of [[decodePng]] — round-trip
+    * is spec-pinned — and the fixture generator for the perceptual-
+    * hash gate (q95 synthesizes cluster corpora through it). */
+  def encodePngGray(px: Array[Int], w: Int, h: Int): Array[Byte] = {
+    require(px != null && w > 0 && h > 0 && px.length >= w * h, "bad pixel buffer")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be32(v: Int): Array[Byte] =
+      Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+        ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tpe: String, data: Array[Byte]): Unit = {
+      out.write(be32(data.length))
+      val body = tpe.getBytes("US-ASCII") ++ data
+      out.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(body)
+      out.write(be32(crc.getValue.toInt))
+    }
+    chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 0, 0, 0, 0))
+    val raw = new Array[Byte]((w + 1) * h)
+    var y = 0
+    while (y < h) {
+      raw(y * (w + 1)) = 0 // filter: None
+      var x = 0
+      while (x < w) { raw(y * (w + 1) + 1 + x) = (px(y * w + x) & 0xff).toByte; x += 1 }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zipped = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zipped.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    chunk("IDAT", zipped.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Perceptual dHash (difference hash) of a PNG, 64 bits: decode,
+    * integer luma (`(299r + 587g + 114b) / 1000`; gray passes
+    * through, alpha ignored), nearest-neighbor downsample to a 9×8
+    * luma grid, one bit per horizontal gradient (`left > right`).
+    * All-integer — bit-stable across engines and platforms, which is
+    * what lets hamming-threshold dedup hash-gate. Null for anything
+    * [[decodePng]] rejects. A 9×8 input is its own grid, so
+    * fixture hashes are analytically predictable. */
+  def dHashPng(bytes: Array[Byte]): java.lang.Long = {
+    val info = pngInfo(bytes)
+    val px = decodePng(bytes)
+    if (px == null) return null
+    val w = info.width
+    val h = info.height
+    def luma(p: Int): Int = info.colorType match {
+      case 0 => p & 0xff
+      case _ => (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff) + 114 * (p & 0xff)) / 1000
+    }
+    val g = Array.tabulate(8, 9) { (y, x) =>
+      luma(px(math.min(h - 1, y * h / 8) * w + math.min(w - 1, x * w / 9)))
+    }
+    var bits = 0L
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) > g(y)(x + 1)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  private val dHashUdf = udf((b: Array[Byte]) => Option(dHashPng(b)).map(_.longValue))
+
+  /** Perceptual-hash column: binary PNG → 64-bit dHash (null when
+    * undecodable). */
+  def dhash64(bin: Column): Column = dHashUdf(bin)
+
+  /** Perceptual image near-dup pairs: every image pair whose dHash
+    * differs in ≤ `maxHamming` bits — the image-tier sibling of
+    * [[Dedup.simhashNearDupPairs]], riding the SAME signature-level
+    * hamming machinery ([[Dedup.hammingNearDupPairs]]): identical
+    * hashes collapse to one rep, candidates come from pigeonhole
+    * chunk banding (never an uncollapsed all-pairs), verification is
+    * one xor+popcount. Undecodable images drop out (null hash); the
+    * raw frame serves as the strategy probe so probing never decodes
+    * more than the bound. */
+  def imageNearDupPairs(images: DataFrame, maxHamming: Int,
+                        idCol: String = "img_id", binCol: String = "img"): DataFrame =
+    Dedup.hammingNearDupPairs(
+      images.select(col(idCol), dhash64(col(binCol)).as("dhash")),
+      sigBits = 64, maxHamming = maxHamming, idCol = idCol, sigCol = "dhash",
+      repProbe = Some(images))
+
   /** Frame sampling for fixed-frame-size binary "video": every k-th
     * frame as its own row — pure slice arithmetic on the binary
     * column (substring on binary stays in codegen), no decode. */

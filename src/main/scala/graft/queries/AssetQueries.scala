@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, HashFunctions}
+import graft.operators.Multimodal
 
 /** Asset/path-shaped operators from SURVEY §2 that had no gate yet:
   * ordered concat aggregation with natural-order sort (A12+W1+F15),
@@ -222,5 +223,57 @@ object AssetQueries {
           col("info").getField("bitDepth").as("bit_depth"),
           col("info").getField("colorType").as("color_type"))
         .orderBy("doc_id")
+    },
+
+    // ---- q95: perceptual image near-dup (dHash + hamming banding,
+    // [[Multimodal.imageNearDupPairs]] over [[Dedup
+    // .hammingNearDupPairs]]): REAL gray-8 PNGs are synthesized per
+    // document through the library's own encoder so that each
+    // 5-document cluster shares a base 9×8 gradient image (60-bit
+    // md5 pattern; a 9×8 image IS its dHash grid, so dhash ==
+    // pattern analytically) and members 1-4 flip one distinct
+    // pattern bit each; every 10th document is garbage bytes
+    // (undecodable → excluded, the quarantine path). At radius 2 the
+    // qualifying pairs are exactly the within-cluster ones — base
+    // pairs at hamming 1, member-member at 2; cross-cluster patterns
+    // are independent md5 draws (min pairwise hamming >> 2) — so the
+    // oracle predicts the full pair set arithmetically and any slip
+    // in encode, decode, luma, downsample, banding, or null
+    // handling flips the hash.
+    Q("q95_image_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id // 5 AS c, doc_id % 5 AS m
+                 FROM documents WHERE doc_id % 10 <> 0)
+      SELECT a.doc_id AS img_a, b.doc_id AS img_b,
+             CAST(CASE WHEN a.m = 0 OR b.m = 0 THEN 1 ELSE 2 END AS INTEGER) AS hamming
+      FROM d a JOIN d b ON a.c = b.c AND a.doc_id < b.doc_id
+      ORDER BY img_a, img_b""")) { (s, d) =>
+      val pat = HashFunctions.h60(concat(lit("img:"), expr("doc_id div 5")))
+      val member = pmod(col("doc_id"), lit(5L))
+      val flipBit = expr("shiftleft(1L, cast((doc_id % 5) * 13 AS int))")
+      val flipped = when(member > 0, pat.bitwiseXOR(flipBit)).otherwise(pat)
+      val png = when(pmod(col("doc_id"), lit(10L)) === 0, unhex(lit("DEADBEEF")))
+        .otherwise(patternPng(flipped))
+      Multimodal.imageNearDupPairs(
+          Tables.documents(s, d).select(col("doc_id").as("img_id"), png.as("img")),
+          maxHamming = 2)
+        .select(col("doc_a").as("img_a"), col("doc_b").as("img_b"), col("hamming"))
+        .orderBy("img_a", "img_b")
     })
+
+  /** Fixture synthesis for q95: a 60-bit pattern realized as a 9×8
+    * gray PNG whose dHash equals the pattern — row walks start at
+    * luma 128 and step ±7 by pattern bit (`left > right` exactly when
+    * the bit is set; a one-bit pattern flip shifts the rest of the
+    * row uniformly, leaving every other gradient sign intact). */
+  private val patternPng = udf { (pat: Long) =>
+    val px = new Array[Int](9 * 8)
+    for (y <- 0 until 8) {
+      px(y * 9) = 128
+      for (x <- 0 until 8) {
+        val bit = (pat >>> (y * 8 + x)) & 1L
+        px(y * 9 + x + 1) = px(y * 9 + x) + (if (bit == 1L) -7 else 7)
+      }
+    }
+    Multimodal.encodePngGray(px, 9, 8)
+  }
 }

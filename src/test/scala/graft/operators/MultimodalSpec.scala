@@ -173,4 +173,61 @@ class MultimodalSpec extends SparkSuite {
     assert(frames.map(_._1) == Seq(0, 3, 6, 9))
     assert(frames.forall { case (i, bytes) => bytes == Seq.fill(4)(i.toByte) })
   }
+
+  test("gray-8 PNG encoder round-trips through the decoder pixel-exactly") {
+    val px = Array.tabulate(12 * 5)(i => (i * 7 + 3) % 256)
+    val bytes = Multimodal.encodePngGray(px, 12, 5)
+    val info = Multimodal.pngInfo(bytes)
+    assert(info == Multimodal.PngInfo(12, 5, 8, 0))
+    assert(Multimodal.decodePng(bytes).toSeq == px.toSeq)
+  }
+
+  /** A 60-bit pattern as a 9×8 gray PNG whose dHash IS the pattern
+    * (same walk as the q95 fixture). */
+  private def patternPng(pat: Long): Array[Byte] = {
+    val px = new Array[Int](9 * 8)
+    for (y <- 0 until 8) {
+      px(y * 9) = 128
+      for (x <- 0 until 8)
+        px(y * 9 + x + 1) = px(y * 9 + x) + (if (((pat >>> (y * 8 + x)) & 1L) == 1L) -7 else 7)
+    }
+    Multimodal.encodePngGray(px, 9, 8)
+  }
+
+  test("dHash of a 9x8 gradient image equals its construction pattern") {
+    for (pat <- Seq(0L, 0x0ABCDEF123456789L & ((1L << 60) - 1), (1L << 60) - 1)) {
+      assert(Multimodal.dHashPng(patternPng(pat)) == pat, f"pattern $pat%x")
+    }
+    // a flipped pattern bit flips exactly that dHash bit
+    val base = 0x123456789ABCDEFL
+    assert(java.lang.Long.bitCount(
+      Multimodal.dHashPng(patternPng(base)) ^
+        Multimodal.dHashPng(patternPng(base ^ (1L << 13)))) == 1)
+    assert(Multimodal.dHashPng("not a png".getBytes) == null)
+  }
+
+  test("dHash is luma-based: an RGB image hashes like its grayscale twin") {
+    // RGB pixels whose luma reproduces a known gradient pattern.
+    val pat = 0x5A5A5A5A5A5A5A5L & ((1L << 60) - 1)
+    val gray = Multimodal.decodePng(patternPng(pat))
+    val rgb = gray.flatMap(v => Array(v.toByte, v.toByte, v.toByte))
+    val rgbPng = realPng(9, 8, 2, rgb, Seq.fill(8)(0))
+    assert(Multimodal.dHashPng(rgbPng) == pat)
+  }
+
+  test("image near-dup pairs: clusters at hamming <= 2, garbage quarantined, cross-cluster apart") {
+    // cluster c base pattern; members flip distinct bits; one garbage row
+    val baseA = 0x0F0F0F0F0F0F0F0L
+    val baseB = 0x70707070707070FL
+    val images = Seq(
+      (0L, patternPng(baseA)),
+      (1L, patternPng(baseA ^ (1L << 13))),
+      (2L, patternPng(baseA ^ (1L << 26))),
+      (10L, patternPng(baseB)),
+      (11L, patternPng(baseB ^ (1L << 39))),
+      (99L, "garbage".getBytes)).toDF("img_id", "img")
+    val pairs = Multimodal.imageNearDupPairs(images, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((0L, 1L, 1), (0L, 2L, 1), (1L, 2L, 2), (10L, 11L, 1)))
+  }
 }
