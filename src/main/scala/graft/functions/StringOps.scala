@@ -233,18 +233,38 @@ object StringOps {
   /** Sentence tokenizer (reference F9 stand-in for
     * `underthesea.sent_tokenize`, `process_all.py:291`): maximal
     * runs of non-terminator characters with their trailing
-    * terminators, trimmed, empties dropped. The pattern uses no
-    * lookarounds so an RE2-based oracle (DuckDB) can replicate it
-    * exactly. */
+    * terminators, trimmed, empties dropped. Deepened in r9 with the
+    * two protections a sentence tokenizer actually needs on real
+    * text — decimal points (3.14) and title abbreviations (TS. GS.
+    * Dr. …) must not terminate a sentence — implemented as
+    * placeholder substitution (protect → split → restore) so the
+    * whole pipeline stays lookaround-free and an RE2-based oracle
+    * (DuckDB: regexp_replace + replace chains) replicates it
+    * byte-for-byte. Abbreviations are matched case-sensitively and
+    * longest-first (PGS. before GS.) so replace chains agree across
+    * engines. */
   private val SentencePattern = java.util.regex.Pattern.compile("[^.!?]+[.!?]*")
+  private val DecimalDotPattern = java.util.regex.Pattern.compile("(\\d)\\.(\\d)")
+
+  /** Vietnamese titles + a few latin ones; longest-first where one
+    * contains another. Public list, mirrored in the q42 oracle. */
+  val SentenceAbbrevs: Seq[String] = Seq(
+    "PGS.", "ThS.", "GS.", "TS.", "BS.", "TP.", "Tr.",
+    "Mr.", "Mrs.", "Ms.", "Dr.", "St.", "vs.", "etc.")
+
+  private val Protected = '\u0001'
 
   def sentenceSplit(s: String): Array[String] = {
     if (s == null) return Array.empty
-    val m = SentencePattern.matcher(s)
+    var t = DecimalDotPattern.matcher(s).replaceAll("$1" + Protected + "$2")
+    SentenceAbbrevs.foreach { a =>
+      t = t.replace(a, a.dropRight(1) + Protected)
+    }
+    val m = SentencePattern.matcher(t)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) {
-      val t = m.group().trim
-      if (t.nonEmpty) out += t
+      val piece = m.group().replace(Protected, '.').trim
+      if (piece.nonEmpty) out += piece
     }
     out.toArray
   }

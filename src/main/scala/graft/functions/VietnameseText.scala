@@ -8,12 +8,15 @@ import java.util.regex.{Matcher, Pattern}
   * and the `process_text` cleaner of `alignment/post_process.py:100-122`.
   *
   * The reference's `underthesea.text_normalize` step is an external
-  * library call; here it is an identity hook (documented stand-in —
-  * no parity claim), exactly as SURVEY §7 prescribes for
-  * external-tool stages. Likewise `num2words(lang="vi")` is re-
-  * implemented with the standard mốt/lăm/tư/lẻ reading rules; the
-  * golden pins in VietnameseTextSpec define this implementation's
-  * semantics rather than claiming bit-parity with num2words.
+  * library call; here the hook is a deterministic tone-mark
+  * normalizer implementing the public orthography rules
+  * ([[toneNormalize]] — reproduces underthesea's documented example
+  * exactly; still a declared stand-in, no full-library parity
+  * claim), per SURVEY §7's prescription for external-tool stages.
+  * Likewise `num2words(lang="vi")` is re-implemented with the
+  * standard mốt/lăm/tư/lẻ reading rules; the golden pins in
+  * VietnameseTextSpec define this implementation's semantics rather
+  * than claiming bit-parity with num2words.
   */
 object VietnameseText {
 
@@ -86,14 +89,88 @@ object VietnameseText {
       catch { case _: NumberFormatException => m.group() }
     }
 
+  // ---- Tone-mark normalization (the underthesea.text_normalize
+  // stand-in, r9: was identity). underthesea's documented behavior on
+  // "Ðảm baỏ chất lựơng phòng thí nghịêm hoá học" is lookalike repair
+  // (latin eth Ð → Đ) plus re-placing each syllable's tone mark on
+  // its orthographically correct vowel ("baỏ" → "bảo", "lựơng" →
+  // "lượng", "hoá" → "hóa"). That rule set is public orthography, so
+  // it is implementable deterministically:
+  //   1. carrier priority: the LAST diacritic-modified vowel
+  //      (ă â ê ô ơ ư) if any;
+  //   2. else closed syllable (consonant after the vowel cluster):
+  //      the last vowel;
+  //   3. else open cluster of ≥2 vowels: the second-to-last vowel
+  //      (classic style: hòa, not hoà — matches underthesea);
+  //   4. single vowel: itself.
+  // `u` after `q` and `i` after `g` (with vowels following) are
+  // glide letters, never carriers (quý, già). Tokens with zero or
+  // multiple tone marks, non-contiguous vowel runs (foreign words),
+  // or no vowels pass through unchanged — correctness on
+  // already-standard text (the no-op invariant q36 gates on) matters
+  // more than coverage of typos the corpus does not contain.
+  private val ToneMarkChars = "\u0301\u0300\u0309\u0303\u0323" // sắc huyền hỏi ngã nặng
+  private val BaseVowels = "aăâeêioôơuưy"
+  private val ModifiedVowels = "ăâêôơư"
+  private val tokenPat = Pattern.compile("\\S+")
+
+  /** One token: strip the tone mark, find the correct carrier,
+    * recompose. Returns the input (with only lookalike repair) when
+    * the token is not a well-formed single-tone Vietnamese syllable. */
+  def toneNormalizeToken(tok0: String): String = {
+    val tok = tok0.replace('Ð', 'Đ').replace('ð', 'đ')
+    // Fast path: pure-ASCII tokens carry no tone marks.
+    var ascii = true
+    var k = 0
+    while (ascii && k < tok.length) { if (tok.charAt(k) >= 0x80) ascii = false; k += 1 }
+    if (ascii) return tok
+    val nfd = Normalizer.normalize(tok, Normalizer.Form.NFD)
+    val kept = new java.lang.StringBuilder
+    var tone: Char = 0
+    var nTones = 0
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (ToneMarkChars.indexOf(c) >= 0) { nTones += 1; tone = c }
+      else kept.append(c)
+      i += 1
+    }
+    if (nTones != 1) return tok
+    val base = Normalizer.normalize(kept.toString, Normalizer.Form.NFC)
+    val lower = base.toLowerCase(java.util.Locale.ROOT)
+    val vowelIdx = (0 until base.length).filter(j => BaseVowels.indexOf(lower.charAt(j)) >= 0)
+    if (vowelIdx.isEmpty) return tok
+    // one contiguous vowel run only (a Vietnamese syllable's shape)
+    if (vowelIdx.last - vowelIdx.head + 1 != vowelIdx.length) return tok
+    var run = vowelIdx
+    if (run.length > 1) {
+      val h = run.head
+      val prev = if (h > 0) lower.charAt(h - 1) else ' '
+      if ((lower.charAt(h) == 'u' && prev == 'q') ||
+          (lower.charAt(h) == 'i' && prev == 'g')) run = run.tail
+    }
+    val modIdx = run.filter(j => ModifiedVowels.indexOf(lower.charAt(j)) >= 0)
+    val carrier =
+      if (modIdx.nonEmpty) modIdx.last
+      else if (vowelIdx.last < base.length - 1) run.last // closed syllable
+      else if (run.length >= 2) run(run.length - 2)
+      else run.last
+    val composed = Normalizer.normalize(base.charAt(carrier).toString + tone, Normalizer.Form.NFC)
+    base.substring(0, carrier) + composed + base.substring(carrier + 1)
+  }
+
+  /** Token-wise [[toneNormalizeToken]] over running text. */
+  def toneNormalize(text: String): String =
+    replaceAll(tokenPat, text)(m => toneNormalizeToken(m.group()))
+
   /** F7 (`process_all.py:165-193`): the full chain — URL strip → NFC
-    * → (underthesea hook: identity) → F3 → F5 → F6 → numbers-to-words
-    * → trim, whitespace squeeze, lowercase. */
+    * → tone-mark normalize (the underthesea stand-in) → F3 → F5 → F6
+    * → numbers-to-words → trim, whitespace squeeze, lowercase. */
   def normalizeText(text: String): String = {
     if (text == null || text.isEmpty) return ""
     var t = urlPat.matcher(text).replaceAll("")
     t = Normalizer.normalize(t, Normalizer.Form.NFC)
-    // underthesea.text_normalize hook — identity stand-in.
+    t = toneNormalize(t)
     t = normalizeNumberFormats(t)
     t = normalizeCurrency(t)
     t = normalizeDates(t)
@@ -109,7 +186,10 @@ object VietnameseText {
   def numberName(n: Long): String = {
     if (n < 0) return "âm " + numberName(-n)
     if (n == 0) return digitWords(0)
-    val scales = Array("", " nghìn", " triệu", " tỷ", " nghìn tỷ", " triệu tỷ")
+    // Covers the full Long range: 7 groups (10^18) reads "tỷ tỷ" —
+    // the r8 table stopped at "triệu tỷ" and numberName(>=10^18)
+    // threw ArrayIndexOutOfBounds.
+    val scales = Array("", " nghìn", " triệu", " tỷ", " nghìn tỷ", " triệu tỷ", " tỷ tỷ")
     // split into 3-digit groups, most significant first
     val groups = scala.collection.mutable.ArrayBuffer.empty[Int]
     var rest = n

@@ -1117,18 +1117,25 @@ object TextQueries {
     // ---- q42: sentence tokenize as a custom Generator (F9,
     // process_all.py:291): punctuation is synthesized into the
     // corpus (a period every five words), then the SentenceSplit
-    // generator expands one row per sentence. The pattern avoids
-    // lookarounds so DuckDB's RE2 replicates it exactly.
-    Q("q42_sentence_split", Some("""
+    // generator expands one row per sentence. The whole pipeline —
+    // including the r9 decimal/abbreviation protections (see
+    // StringOps.sentenceSplit: protect → split → restore via chr(1)
+    // placeholders, no lookarounds) — is replicated in the oracle
+    // with RE2 regexp_replace + the same ordered replace chain, so
+    // DuckDB agrees byte-for-byte.
+    Q("q42_sentence_split", Some(s"""
       WITH m AS (
         SELECT doc_id,
-               regexp_replace(text, '((?:\S+ ){4}\S+) ', '\1. ', 'g') AS t
+               regexp_replace(text, '((?:\\S+ ){4}\\S+) ', '\\1. ', 'g') AS t0
         FROM documents),
+      p AS (
+        SELECT doc_id, ${TextQueries.sentenceProtectSql("regexp_replace(t0, '(\\d)\\.(\\d)', '\\1' || chr(1) || '\\2', 'g')")} AS t
+        FROM m),
       s AS (
         SELECT doc_id,
                list_filter(list_transform(regexp_extract_all(t, '[^.!?]+[.!?]*'),
-                                          x -> trim(x)), x -> x <> '') AS sents
-        FROM m)
+                                          x -> trim(replace(x, chr(1), '.'))), x -> x <> '') AS sents
+        FROM p)
       SELECT doc_id,
              CAST(generate_subscripts(sents, 1) - 1 AS BIGINT) AS pos,
              unnest(sents) AS sentence
@@ -1313,4 +1320,14 @@ object TextQueries {
   /** DuckDB list literal of the quality-score stopwords. */
   def stopwordSqlList: String =
     TextFunctions.Stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** Wraps `inner` in the ORDERED abbreviation-protection replace
+    * chain of [[graft.functions.StringOps.sentenceSplit]] —
+    * generated from the same `SentenceAbbrevs` list, so engine and
+    * oracle can never drift on membership or order. */
+  def sentenceProtectSql(inner: String): String =
+    graft.functions.StringOps.SentenceAbbrevs.foldLeft(inner) { (acc, a) =>
+      val stem = a.dropRight(1)
+      s"replace($acc, '$a', '$stem' || chr(1))"
+    }
 }

@@ -117,4 +117,39 @@ class StringOpsSpec extends AnyFunSuite {
     assert(StringOps.simhash60(hashes) == 0x7L)
     assert(StringOps.simhash60(Array.empty[Long]) == 0L)
   }
+
+  // ---- sentence split (F9) with r9 protections
+
+  test("sentenceSplit keeps terminators, trims, drops empties") {
+    assert(StringOps.sentenceSplit("One. Two! Three?").toSeq ==
+      Seq("One.", "Two!", "Three?"))
+    assert(StringOps.sentenceSplit("No terminator").toSeq == Seq("No terminator"))
+    assert(StringOps.sentenceSplit("").toSeq == Seq.empty)
+    assert(StringOps.sentenceSplit("Wait... what?").toSeq == Seq("Wait...", "what?"))
+  }
+
+  test("sentenceSplit does not break on decimal points") {
+    assert(StringOps.sentenceSplit("Pi là 3.14 nhé. Xong.").toSeq ==
+      Seq("Pi là 3.14 nhé.", "Xong."))
+    // Protection matches are NON-OVERLAPPING (Java replaceAll and
+    // RE2 'g' agree): in "1.2.3" the first match consumes its
+    // trailing digit, so the second dot is unprotected — both
+    // engines split there identically, which is the invariant that
+    // matters (engine ≡ oracle, not linguistic perfection).
+    assert(StringOps.sentenceSplit("v1.2.3 ra mắt. Hết.").toSeq ==
+      Seq("v1.2.", "3 ra mắt.", "Hết."))
+  }
+
+  test("sentenceSplit does not break on title abbreviations") {
+    assert(StringOps.sentenceSplit("TS. Nam nói chuyện. GS. Lan nghe.").toSeq ==
+      Seq("TS. Nam nói chuyện.", "GS. Lan nghe."))
+    // PGS. must be protected as one unit, not via its GS. suffix
+    assert(StringOps.sentenceSplit("PGS. Hoa dạy. Hết giờ.").toSeq ==
+      Seq("PGS. Hoa dạy.", "Hết giờ."))
+    assert(StringOps.sentenceSplit("Dr. Smith vs. Mr. Jones. Done.").toSeq ==
+      Seq("Dr. Smith vs. Mr. Jones.", "Done."))
+    // lowercase 'ts.' is NOT an abbreviation (case-sensitive list)
+    assert(StringOps.sentenceSplit("nước ts. chảy").toSeq ==
+      Seq("nước ts.", "chảy"))
+  }
 }

@@ -70,4 +70,45 @@ class VietnameseTextSpec extends AnyFunSuite {
     assert(processText("a…–b") == "ab")
     assert(processText("  x   y  ") == "x y")
   }
+
+  test("F11 number naming covers the full Long range (tỷ tỷ scale)") {
+    assert(numberName(1000000000L) == "một tỷ")
+    assert(numberName(1000000000000L) == "một nghìn tỷ")
+    assert(numberName(1000000000000000000L) == "một tỷ tỷ")
+    // r8 threw ArrayIndexOutOfBounds here; now every Long names.
+    assert(numberName(Long.MaxValue).startsWith("chín tỷ tỷ"))
+    assert(numberName(-21L) == "âm hai mươi mốt")
+  }
+
+  test("tone normalization reproduces underthesea's documented example") {
+    // underthesea.text_normalize("Ðảm baỏ chất lựơng phòng thí nghịêm
+    // hoá học") == "Đảm bảo chất lượng phòng thí nghiệm hóa học"
+    assert(toneNormalize("Ðảm baỏ chất lựơng phòng thí nghịêm hoá học") ==
+      "Đảm bảo chất lượng phòng thí nghiệm hóa học")
+  }
+
+  test("tone normalization: carrier rules per shape") {
+    // modified vowel wins, last of them (ươ)
+    assert(toneNormalizeToken("lựơng") == "lượng")
+    // closed syllable: last vowel
+    assert(toneNormalizeToken("hòang") == "hoàng")
+    // open cluster: second-to-last (classic style)
+    assert(toneNormalizeToken("hoà") == "hòa")
+    assert(toneNormalizeToken("baỏ") == "bảo")
+    // qu- and gi- glides never carry
+    assert(toneNormalizeToken("qúy") == "quý")
+    assert(toneNormalizeToken("gìa") == "già")
+    // single-vowel gi (no following vowel): i carries
+    assert(toneNormalizeToken("gì") == "gì")
+  }
+
+  test("tone normalization is a NO-OP on already-standard text (the q36 invariant)") {
+    val std = Seq("Đảm", "bảo", "chất", "lượng", "phòng", "thí", "nghiệm",
+      "hóa", "học", "già", "quý", "được", "người", "hoàng", "giá", "vnđ",
+      "spark", "window", "3,14", "the", "đồng")
+    for (w <- std) assert(toneNormalizeToken(w) == w, s"changed: $w")
+    // multi-tone / no-vowel / foreign tokens pass through
+    assert(toneNormalizeToken("piano") == "piano")
+    assert(toneNormalizeToken("xyz") == "xyz")
+  }
 }
