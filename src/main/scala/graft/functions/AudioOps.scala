@@ -119,6 +119,45 @@ object AudioOps {
   }
 
   /** Test-fixture encoder: float32 mono → PCM16 WAV bytes. */
+  /** Perceptual audio envelope hash, 64 bits — the audio sibling of
+    * the image dHash ([[graft.operators.Multimodal.dHashPng]]):
+    * decode, split into 65 equal-length frames, one bit per
+    * inter-frame LOUDNESS gradient (mean |amplitude| strictly
+    * decreasing → bit set). The comparison cross-multiplies frame
+    * sums by frame lengths instead of dividing, and PCM16 sample
+    * values are exact multiples of 2⁻¹⁵ summed in double, so the
+    * hash is bit-deterministic — what lets hamming-threshold near-dup
+    * hash-gate. Envelope shape survives resampling, volume-preserving
+    * re-encoding, and small edits — the Chromaprint-family intuition
+    * at its simplest. Null for undecodable bytes or fewer than 65
+    * samples. */
+  def envelopeHash64(bytes: Array[Byte]): java.lang.Long = {
+    val s = wavSamples(bytes)
+    if (s == null || s.length < 65) return null
+    val frames = 65
+    val sums = new Array[Double](frames)
+    val lens = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      val from = (f.toLong * s.length / frames).toInt
+      val until = ((f + 1).toLong * s.length / frames).toInt
+      var acc = 0.0
+      var i = from
+      while (i < until) { acc += math.abs(s(i)); i += 1 }
+      sums(f) = acc
+      lens(f) = until - from
+      f += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      // mean(b) > mean(b+1)  ⇔  sum(b)·len(b+1) > sum(b+1)·len(b)
+      if (sums(b) * lens(b + 1) > sums(b + 1) * lens(b)) bits |= 1L << b
+      b += 1
+    }
+    bits
+  }
+
   def toWavBytes(samples: Array[Float], sampleRate: Int): Array[Byte] = {
     val dataLen = samples.length * 2
     val buf = java.nio.ByteBuffer.allocate(44 + dataLen)

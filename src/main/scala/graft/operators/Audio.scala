@@ -70,4 +70,27 @@ object Audio {
     slice(samples,
       (startSec * sr).cast("int") + 1,
       (durSec * sr).cast("int"))
+
+  private val envelopeHashUdf =
+    udf((b: Array[Byte]) => Option(AudioOps.envelopeHash64(b)).map(_.longValue))
+
+  /** Perceptual audio hash column: binary WAV → 64-bit loudness-
+    * envelope gradient hash ([[graft.functions.AudioOps
+    * .envelopeHash64]]; null when undecodable). */
+  def envelopeHash64(bin: Column): Column = envelopeHashUdf(bin)
+
+  /** Perceptual audio near-dup pairs at hamming radius `maxHamming`
+    * — the audio-tier deployment of the signature-generic hamming
+    * machinery ([[Dedup.hammingNearDupPairs]]; text SimHash and
+    * image dHash are the other two): identical envelopes collapse to
+    * one rep, candidates come from pigeonhole chunk banding, never
+    * an uncollapsed all-pairs. Undecodable clips drop out (null
+    * hash); the raw frame is the strategy probe so probing never
+    * decodes more than the bound. */
+  def audioNearDupPairs(audio: DataFrame, maxHamming: Int,
+                        idCol: String = "clip_id", binCol: String = "audio"): DataFrame =
+    Dedup.hammingNearDupPairs(
+      audio.select(col(idCol), envelopeHash64(col(binCol)).as("ehash")),
+      sigBits = 64, maxHamming = maxHamming, idCol = idCol, sigCol = "ehash",
+      repProbe = Some(audio))
 }

@@ -283,6 +283,28 @@ object Multimodal {
       sigBits = 64, maxHamming = maxHamming, idCol = idCol, sigCol = "dhash",
       repProbe = Some(images))
 
+  /** Image dedup endgame: resolve [[imageNearDupPairs]] into GROUPS
+    * — `(img_id, group_id, group_size)` with `group_id` the minimum
+    * member id (the canonical pick) — via the same label-propagation
+    * components that close the text tier ([[Dedup
+    * .connectedComponents]]; at radius ≤ a few bits near-dup is not
+    * transitive in general, so the component view is the honest
+    * cluster semantics). Images outside every pair — unique content
+    * AND undecodable rows — come back as singletons of themselves,
+    * so the corpus row count is preserved and the quarantine path
+    * stays visible. */
+  def imageDedupGroups(images: DataFrame, maxHamming: Int,
+                       idCol: String = "img_id", binCol: String = "img"): DataFrame = {
+    val comps = Dedup.connectedComponents(imageNearDupPairs(images, maxHamming, idCol, binCol))
+    val grouped = images.select(col(idCol))
+      .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("group_id"))
+    grouped.join(
+      grouped.groupBy(col("group_id")).agg(count(lit(1)).as("group_size")),
+      Seq("group_id"))
+      .select(col(idCol), col("group_id"), col("group_size"))
+  }
+
   /** Frame sampling for fixed-frame-size binary "video": every k-th
     * frame as its own row — pure slice arithmetic on the binary
     * column (substring on binary stays in codegen), no decode. */

@@ -258,6 +258,66 @@ object AssetQueries {
           maxHamming = 2)
         .select(col("doc_a").as("img_a"), col("doc_b").as("img_b"), col("hamming"))
         .orderBy("img_a", "img_b")
+    },
+
+    // ---- q96: image dedup GROUPS — q95's pair graph resolved into
+    // canonical clusters via the shared label-propagation components
+    // (the dedup endgame for the image tier, mirroring q47/q75 for
+    // text): every image keeps a row, group_id is the minimum member
+    // id, unique content and undecodable rows come back as
+    // singletons of themselves. The oracle rebuilds the expected
+    // clustering arithmetically from the q95 fixture design
+    // (5-image md5-pattern clusters, every 10th row garbage).
+    Q("q96_image_dedup_groups", Some("""
+      WITH d AS (SELECT doc_id, doc_id // 5 AS c, doc_id % 10 = 0 AS garbage FROM documents),
+      m AS (SELECT c, MIN(doc_id) AS gid, CAST(COUNT(*) AS BIGINT) AS sz
+            FROM d WHERE NOT garbage GROUP BY c)
+      SELECT d.doc_id AS img_id,
+             CASE WHEN d.garbage THEN d.doc_id ELSE m.gid END AS group_id,
+             CASE WHEN d.garbage THEN 1 ELSE m.sz END AS group_size
+      FROM d LEFT JOIN m USING (c)
+      ORDER BY img_id""")) { (s, d) =>
+      val pat = HashFunctions.h60(concat(lit("img:"), expr("doc_id div 5")))
+      val member = pmod(col("doc_id"), lit(5L))
+      val flipBit = expr("shiftleft(1L, cast((doc_id % 5) * 13 AS int))")
+      val flipped = when(member > 0, pat.bitwiseXOR(flipBit)).otherwise(pat)
+      val png = when(pmod(col("doc_id"), lit(10L)) === 0, unhex(lit("DEADBEEF")))
+        .otherwise(patternPng(flipped))
+      Multimodal.imageDedupGroups(
+          Tables.documents(s, d).select(col("doc_id").as("img_id"), png.as("img")),
+          maxHamming = 2)
+        .orderBy("img_id")
+    },
+
+    // ---- q97: perceptual AUDIO near-dup (loudness-envelope hash +
+    // hamming banding — the audio-tier deployment of the same
+    // signature-generic machinery as q24/q95): real PCM16 WAVs are
+    // synthesized per document through the library's own encoder,
+    // each 5-clip cluster sharing a 65-frame amplitude walk built
+    // from a 60-bit md5 pattern (constant-amplitude frames make the
+    // envelope hash analytically equal the pattern; exact float
+    // round-trip through encode/decode), members 1-4 flip one
+    // distinct pattern bit, every 10th row is garbage bytes. At
+    // radius 2 the qualifying pairs are exactly the within-cluster
+    // ones, so the oracle predicts the full pair set arithmetically.
+    Q("q97_audio_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id // 5 AS c, doc_id % 5 AS m
+                 FROM documents WHERE doc_id % 10 <> 0)
+      SELECT a.doc_id AS clip_a, b.doc_id AS clip_b,
+             CAST(CASE WHEN a.m = 0 OR b.m = 0 THEN 1 ELSE 2 END AS INTEGER) AS hamming
+      FROM d a JOIN d b ON a.c = b.c AND a.doc_id < b.doc_id
+      ORDER BY clip_a, clip_b""")) { (s, d) =>
+      val pat = HashFunctions.h60(concat(lit("aud:"), expr("doc_id div 5")))
+      val member = pmod(col("doc_id"), lit(5L))
+      val flipBit = expr("shiftleft(1L, cast((doc_id % 5) * 13 AS int))")
+      val flipped = when(member > 0, pat.bitwiseXOR(flipBit)).otherwise(pat)
+      val wav = when(pmod(col("doc_id"), lit(10L)) === 0, unhex(lit("DEADBEEF")))
+        .otherwise(patternWav(flipped))
+      graft.operators.Audio.audioNearDupPairs(
+          Tables.documents(s, d).select(col("doc_id").as("clip_id"), wav.as("audio")),
+          maxHamming = 2)
+        .select(col("doc_a").as("clip_a"), col("doc_b").as("clip_b"), col("hamming"))
+        .orderBy("clip_a", "clip_b")
     })
 
   /** Fixture synthesis for q95: a 60-bit pattern realized as a 9×8
@@ -275,5 +335,26 @@ object AssetQueries {
       }
     }
     Multimodal.encodePngGray(px, 9, 8)
+  }
+
+  /** Fixture synthesis for q97: a 60-bit pattern realized as a
+    * 65-frame constant-amplitude PCM16 WAV whose envelope hash
+    * equals the pattern — the amplitude walk starts at 16000 and
+    * steps ∓200 by pattern bit (strictly decreasing exactly when the
+    * bit is set; a one-bit flip shifts the remaining frames
+    * uniformly, leaving every other gradient sign intact). Frame
+    * values a/32768f round-trip the PCM16 encode/decode exactly, so
+    * frame means are exact and the gradient comparisons
+    * deterministic. */
+  private val patternWav = udf { (pat: Long) =>
+    val frameLen = 64
+    val amps = new Array[Int](65)
+    amps(0) = 16000
+    for (b <- 0 until 64)
+      amps(b + 1) = amps(b) + (if (((pat >>> b) & 1L) == 1L) -200 else 200)
+    val samples = new Array[Float](65 * frameLen)
+    for (f <- 0 until 65; i <- 0 until frameLen)
+      samples(f * frameLen + i) = amps(f) / 32768.0f
+    graft.functions.AudioOps.toWavBytes(samples, 16000)
   }
 }

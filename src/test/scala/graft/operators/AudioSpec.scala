@@ -81,4 +81,54 @@ class AudioSpec extends SparkSuite {
     // segment starts at sample 800 -> (800%100)/100*0.5 = 0.0
     assert(math.abs(seg.head - 0.0f) < 1e-3)
   }
+
+  /** A 60-bit pattern as a 65-frame constant-amplitude WAV whose
+    * envelope hash IS the pattern (q97 fixture walk). */
+  private def patternWav(pat: Long): Array[Byte] = {
+    val amps = new Array[Int](65)
+    amps(0) = 16000
+    for (b <- 0 until 64)
+      amps(b + 1) = amps(b) + (if (((pat >>> b) & 1L) == 1L) -200 else 200)
+    val samples = Array.tabulate(65 * 64)(i => amps(i / 64) / 32768.0f)
+    graft.functions.AudioOps.toWavBytes(samples, 16000)
+  }
+
+  test("envelope hash of a constant-frame WAV equals its construction pattern") {
+    for (pat <- Seq(0L, 0x5A5A5A5A5A5A5A5L, (1L << 60) - 1)) {
+      assert(graft.functions.AudioOps.envelopeHash64(patternWav(pat)) == pat, f"pattern $pat%x")
+    }
+    // one flipped pattern bit flips exactly that hash bit
+    val base = 0x123456789ABCDEFL
+    assert(java.lang.Long.bitCount(
+      graft.functions.AudioOps.envelopeHash64(patternWav(base)) ^
+        graft.functions.AudioOps.envelopeHash64(patternWav(base ^ (1L << 26)))) == 1)
+    assert(graft.functions.AudioOps.envelopeHash64("not audio".getBytes) == null)
+    // envelope hash is volume-scale sensitive only through gradient
+    // SIGNS: doubling every amplitude preserves the hash
+    val doubled = {
+      val amps = new Array[Int](65)
+      amps(0) = 16000
+      for (b <- 0 until 64)
+        amps(b + 1) = amps(b) + (if (((base >>> b) & 1L) == 1L) -200 else 200)
+      val samples = Array.tabulate(65 * 64)(i => amps(i / 64) * 2 / 65536.0f)
+      graft.functions.AudioOps.toWavBytes(samples, 16000)
+    }
+    assert(graft.functions.AudioOps.envelopeHash64(doubled) ==
+      graft.functions.AudioOps.envelopeHash64(patternWav(base)))
+  }
+
+  test("audio near-dup pairs: clusters at hamming <= 2, garbage quarantined") {
+    val baseA = 0x0F0F0F0F0F0F0F0L
+    val baseB = 0x70707070707070FL
+    val clips = Seq(
+      (0L, patternWav(baseA)),
+      (1L, patternWav(baseA ^ (1L << 13))),
+      (2L, patternWav(baseA ^ (1L << 26))),
+      (10L, patternWav(baseB)),
+      (11L, patternWav(baseB ^ (1L << 39))),
+      (99L, "garbage".getBytes)).toDF("clip_id", "audio")
+    val pairs = Audio.audioNearDupPairs(clips, maxHamming = 2)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs === Set((0L, 1L, 1), (0L, 2L, 1), (1L, 2L, 2), (10L, 11L, 1)))
+  }
 }

@@ -230,4 +230,21 @@ class MultimodalSpec extends SparkSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs === Set((0L, 1L, 1), (0L, 2L, 1), (1L, 2L, 2), (10L, 11L, 1)))
   }
+
+  test("image dedup groups: canonical min-id clusters, singletons preserved") {
+    val baseA = 0x0F0F0F0F0F0F0F0L
+    val baseB = 0x70707070707070FL
+    val images = Seq(
+      (5L, patternPng(baseA)),
+      (1L, patternPng(baseA ^ (1L << 13))),
+      (2L, patternPng(baseA ^ (1L << 26))),
+      (10L, patternPng(baseB)),
+      (99L, "garbage".getBytes)).toDF("img_id", "img")
+    val groups = Multimodal.imageDedupGroups(images, maxHamming = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(groups === Set(
+      (1L, 1L, 3L), (2L, 1L, 3L), (5L, 1L, 3L), // cluster canonical = min id 1
+      (10L, 10L, 1L),                            // unique content singleton
+      (99L, 99L, 1L)))                           // undecodable singleton
+  }
 }
