@@ -206,6 +206,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q94 classifier: no window, no cartesian; totals attach by broadcast") {
+    // The census is a grouped aggregate and scoring a per-doc
+    // re-aggregate — neither may plan as a window over the exploded
+    // terms; the class-totals attach is a one-row broadcast cross
+    // join, never a shuffled join of the corpus against a scalar.
+    val wins = optimized("q94_quality_classifier").collect { case w: LWindow => w }
+    assert(wins.isEmpty, "q94 contains a Window operator")
+    val p = physical("q94_quality_classifier")
+    assert(!p.contains("CartesianProduct"), "totals attach planned as cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "class totals must broadcast")
+  }
+
   test("q78 shuffle-shard: the window's partition-by-shard is the plan's only exchange") {
     import graft.operators.Curation
     val out = Curation.shuffleShard(Tables.documents(spark, sfDir), shards = 8)
