@@ -531,10 +531,17 @@ object Dedup {
     * this frame instead of `sigs` when provided — callers whose
     * signature computation is expensive (an md5 per token, a PNG
     * decode per row) pass the RAW input so the probe is a plain
-    * limited scan, not a bounded signature recomputation. */
+    * limited scan, not a bounded signature recomputation.
+    *
+    * `maxBitmaskReps` overrides the bitmask-path row bound —
+    * production callers keep the default; the differential spec sets
+    * 0 to force the banded path on a small corpus (the path that
+    * otherwise only runs above the bound) and pin banded ≡ bitmask
+    * ≡ brute force. */
   def hammingNearDupPairs(sigs: DataFrame, sigBits: Int, maxHamming: Int,
                           idCol: String = "doc_id", sigCol: String = "simhash",
-                          repProbe: Option[DataFrame] = None): DataFrame = {
+                          repProbe: Option[DataFrame] = None,
+                          maxBitmaskReps: Int = MaxBitmaskReps): DataFrame = {
     require(sigBits >= 2 && sigBits <= 64, "signature width must be 2..64 bits")
     require(maxHamming >= 0 && maxHamming < sigBits,
       "maxHamming must be in [0, sigBits)")
@@ -565,7 +572,8 @@ object Dedup {
       // Probe the raw row count, not distinct signatures: rows <=
       // bound implies sigs <= bound and the probe is a plain limited
       // scan instead of a full signature+shuffle recomputation.
-      else if (probe.limit(MaxBitmaskReps + 1).count() <= MaxBitmaskReps) {
+      else if (maxBitmaskReps > 0 &&
+          probe.limit(maxBitmaskReps + 1).count() <= maxBitmaskReps) {
         // Bounded rep count: one codegen'd broadcast nested-loop pass
         // over all signature pairs — an xor+popcount per pair beats
         // the banding plan's explode + chunk shuffle + distinct until

@@ -133,6 +133,42 @@ class DedupPropSpec extends SparkSuite {
     }
   }
 
+  test("hamming banding path ≡ bitmask path ≡ brute force on random 64-bit signatures") {
+    // The BANDED path only runs above the 32k-row bitmask bound in
+    // production, so fixtures never reach it — force it with
+    // maxBitmaskReps = 0 and differential-test all three
+    // formulations across radii (incl. radii where sigBits %
+    // (maxHamming+1) leaves high bits uncovered by chunks — the
+    // pigeonhole still holds, see the operator comment).
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(20, 40)
+      base <- Gen.listOfN(n / 4 + 1, Gen.choose(Long.MinValue, Long.MaxValue))
+      sigs <- Gen.listOfN(n, for {
+        b <- Gen.oneOf(base)
+        flips <- Gen.choose(0, 6)
+        bits <- Gen.listOfN(flips, Gen.choose(0, 63))
+      } yield bits.foldLeft(b)((acc, i) => acc ^ (1L << i)))
+    } yield sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    for (rows <- PropSampling.sample(gen, n = 4); maxHamming <- Seq(1, 3, 5)) {
+      val df = rows.toDF("doc_id", "sig")
+      val expected = (for {
+        (a, sa) <- rows; (b, sb) <- rows
+        if a < b
+        h = java.lang.Long.bitCount(sa ^ sb)
+        if h <= maxHamming
+      } yield (a, b, h)).toSet
+      val banded = Dedup.hammingNearDupPairs(df, sigBits = 64, maxHamming = maxHamming,
+          sigCol = "sig", maxBitmaskReps = 0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val bitmask = Dedup.hammingNearDupPairs(df, sigBits = 64, maxHamming = maxHamming,
+          sigCol = "sig")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(banded === expected, s"banded diverged at radius $maxHamming on: $rows")
+      assert(bitmask === expected, s"bitmask diverged at radius $maxHamming on: $rows")
+    }
+  }
+
   /** In-test reference: union-find over the pair list. */
   private def bruteComponents(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
     val parent = scala.collection.mutable.Map.empty[Long, Long]
