@@ -130,4 +130,43 @@ object TextRank {
       .orderBy(col("score").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Windowed co-occurrence census — the sufficient statistics of
+    * PMI collocation mining (word2vec-era corpus analysis): for each
+    * unordered token pair within `window` positions, the pair count
+    * plus each side's corpus unigram count. INTEGER stats only (the
+    * house float rule — PMI's `ln(N·c_ab/(c_a·c_b))` is the caller's
+    * derivation); `minCount` bounds the output the way it bounds
+    * every census here.
+    *
+    * Scale shape: pair generation is a GENERATE-ONLY nested
+    * transform inside the row (window · n_tokens pairs, corpus-
+    * linear for fixed window — never a positional self-join), the
+    * pair census is one map-side-combined groupBy, and the unigram
+    * counts attach by two equi-joins of the (already aggregated,
+    * census-sized) pair table — the corpus itself is scanned twice
+    * (pairs, unigrams) and shuffled only in census-sized
+    * aggregates. */
+  def cooccurrence(docs: DataFrame, window: Int = 5, minCount: Long = 5,
+                   textCol: String = "text"): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    val t = toks(col(textCol))
+    val prs = filter(
+      flatten(transform(sequence(lit(1), size(t)),
+        i => transform(sequence(lit(1), lit(window)), j =>
+          when(i + j <= size(t), struct(
+            least(element_at(t, i), element_at(t, i + j)).as("a"),
+            greatest(element_at(t, i), element_at(t, i + j)).as("b")))))),
+      x => x.isNotNull)
+    val pairCounts = docs.select(explode(prs).as("p"))
+      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    val unigrams = docs.select(explode(t).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    pairCounts
+      .join(unigrams.select(col("term").as("term_a"), col("n").as("n_a")), Seq("term_a"))
+      .join(unigrams.select(col("term").as("term_b"), col("n").as("n_b")), Seq("term_b"))
+      .select(col("term_a"), col("term_b"), col("n_pair"), col("n_a"), col("n_b"))
+  }
 }

@@ -729,5 +729,25 @@ object PipelineQueries {
       Sketches.binnedPercentiles(Tables.events(s, d), Seq("event_type"),
           col("value"), percentiles = Seq(50, 90), binsPerUnit = 4)
         .orderBy("event_type")
+    },
+
+    // ---- q98: key-skew diagnostics report — the heaviest keys of a
+    // column with counts and parts-per-million share, the census an
+    // engine (or operator author) consults before choosing salting /
+    // AQE-skew-join strategy ([[graft.operators.Skew]]'s two
+    // mitigations are the consumers). Share is integer floor
+    // division of scaled longs; the (n desc, key asc) total order
+    // makes the top-k cut deterministic under the uniform corpus's
+    // many count ties. One map-side-combined aggregate + bounded
+    // TakeOrdered — the key census never globally sorts, the total
+    // attaches by one-row broadcast.
+    Q("q98_key_skew_report", Some("""
+      WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+      SELECT user_id, n, n * 1000000 // (SELECT total FROM t) AS ppm
+      FROM c
+      ORDER BY n DESC, user_id
+      LIMIT 20""")) { (s, d) =>
+      graft.operators.Skew.keySkewReport(Tables.events(s, d), "user_id", topK = 20)
     })
 }

@@ -1315,6 +1315,36 @@ object TextQueries {
       QualityClassifier.fitScore(Tables.documents(s, d),
           isPositive = col("source").isin("src0", "src1", "src2"))
         .orderBy("doc_id")
+    },
+
+    // ---- q99: windowed co-occurrence census — PMI-collocation
+    // sufficient statistics (pair count within a 5-token window +
+    // each side's unigram count), integer-only per the house float
+    // rule (PMI's ln is the caller's derivation). Pair generation is
+    // a generate-only nested transform inside the row — corpus-
+    // linear for fixed window, never a positional self-join; the
+    // oracle replays the same nested list construction in DuckDB.
+    Q("q99_cooccurrence", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      pl AS (
+        SELECT doc_id,
+               list_filter(flatten(list_transform(range(1, len(t)+1),
+                 i -> list_transform(range(1, 6),
+                   j -> CASE WHEN i+j <= len(t)
+                        THEN least(t[i], t[i+j]) || chr(9) || greatest(t[i], t[i+j]) END))),
+                 x -> x IS NOT NULL) AS ps
+        FROM toks),
+      pairs AS (SELECT string_split(unnest(ps), chr(9)) AS pr FROM pl),
+      tc AS (SELECT unnest(t) AS term FROM toks),
+      tcnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tc GROUP BY term)
+      SELECT pr[1] AS term_a, pr[2] AS term_b, CAST(COUNT(*) AS BIGINT) AS n_pair,
+             MIN(ca.n) AS n_a, MIN(cb.n) AS n_b
+      FROM pairs JOIN tcnt ca ON ca.term = pr[1] JOIN tcnt cb ON cb.term = pr[2]
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+      ORDER BY term_a, term_b""")) { (s, d) =>
+      TextRank.cooccurrence(Tables.documents(s, d), window = 5, minCount = 5)
+        .orderBy("term_a", "term_b")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

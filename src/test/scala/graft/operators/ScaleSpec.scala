@@ -95,4 +95,30 @@ class ScaleSpec extends SparkSuite {
     assert(salted.groupBy("k").count().as[(String, Long)].collect().toMap ==
       plain.groupBy("k").count().as[(String, Long)].collect().toMap)
   }
+
+  test("key-skew report ranks heavy keys with exact ppm shares and deterministic tie cut") {
+    // 100 rows total: one 50-row hot key, one 30-row warm key, and
+    // four 5-row keys tied at the cut — (n desc, key asc) must keep
+    // the lexicographically smallest tied keys.
+    val rows = Seq.fill(50)("hot") ++ Seq.fill(30)("warm") ++
+      Seq("t1", "t2", "t3", "t4").flatMap(k => Seq.fill(5)(k))
+    val report = Skew.keySkewReport(rows.toDF("k"), "k", topK = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(report === Seq(
+      ("hot", 50L, 500000L), ("warm", 30L, 300000L),
+      ("t1", 5L, 50000L), ("t2", 5L, 50000L)))
+  }
+
+  test("co-occurrence census counts windowed pairs with unigram stats") {
+    import graft.operators.TextRank
+    // "a b a" with window 2: pairs (a,b)@1-2, (a,a)@1-3, (a,b)@2-3
+    val docs = Seq("a b a", "a b a").toDF("text")
+    val out = TextRank.cooccurrence(docs, window = 2, minCount = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(out === Set(("a", "b", 4L, 4L, 2L), ("a", "a", 2L, 4L, 4L)))
+    // window 1 drops the distance-2 (a,a) pair
+    val w1 = TextRank.cooccurrence(docs, window = 1, minCount = 2)
+      .as[(String, String, Long, Long, Long)].collect().toSet
+    assert(w1 === Set(("a", "b", 4L, 4L, 2L)))
+  }
 }
