@@ -428,6 +428,56 @@ case class ViNormalizeText(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ViNormalizeText = copy(child = c)
 }
 
+/** Windowed co-occurrence pair Generator: one output row per
+  * unordered token pair within `window` positions — the generation
+  * kernel behind [[graft.operators.TextRank.cooccurrence]]. A nested
+  * `transform`/`filter` HOF formulation of the same pairs is
+  * interpreted per ELEMENT (CodegenFallback with per-element lambda
+  * binding); this Generator walks the array once per row in plain
+  * JVM code (the q59/q77 kernel lesson applied to generation).
+  * Generators fall back from codegen by design, matching Spark's own
+  * explode family. */
+case class WindowedPairs(child: Expression, window: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(window >= 1, "window must be at least 1")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", StringType, nullable = true),
+    StructField("b", StringType, nullable = true)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Nil
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i); i += 1 }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](
+      math.min(n * window, n * (n - 1) / 2))
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      val hi = math.min(n - 1, i + window)
+      while (j <= hi) {
+        val x = toks(i)
+        val y = toks(j)
+        if (x == null || y == null) out += InternalRow(null, null)
+        else if (x.compareTo(y) <= 0) out += InternalRow(x, y)
+        else out += InternalRow(y, x)
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): WindowedPairs = copy(child = c)
+}
+
 /** Quote/bullet strip + full Vietnamese number naming (F11). */
 case class ViProcessText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -525,6 +575,8 @@ object GraftFunctions {
     col(CharBigramScore(expr(c), model))
   def word_ngram_score(c: Column, model: WordLmModel): Column =
     col(WordNgramScore(expr(c), model))
+  def windowed_pairs(c: Column, window: Int): Column =
+    col(WindowedPairs(expr(c), window))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))

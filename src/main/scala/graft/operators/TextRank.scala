@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftFunctions
 
 /** Keyword search and BM25 relevance ranking over a tokenized text
   * column — the retrieval tier of a training-data pipeline (query a
@@ -150,19 +151,20 @@ object TextRank {
   def cooccurrence(docs: DataFrame, window: Int = 5, minCount: Long = 5,
                    textCol: String = "text"): DataFrame = {
     require(window >= 1, "window must be at least 1")
-    val t = toks(col(textCol))
-    val prs = filter(
-      flatten(transform(sequence(lit(1), size(t)),
-        i => transform(sequence(lit(1), lit(window)), j =>
-          when(i + j <= size(t), struct(
-            least(element_at(t, i), element_at(t, i + j)).as("a"),
-            greatest(element_at(t, i), element_at(t, i + j)).as("b")))))),
-      x => x.isNotNull)
-    val pairCounts = docs.select(explode(prs).as("p"))
-      .groupBy(col("p.a").as("term_a"), col("p.b").as("term_b"))
+    // Pair generation rides a dedicated Generator kernel
+    // ([[graft.functions.WindowedPairs]] — one plain-JVM array walk
+    // per row): the first cut, a nested transform/filter HOF, was
+    // interpreted per ELEMENT and re-evaluated its inlined `split`
+    // on every element_at reference — ~30 s at the sf0.1 gate vs
+    // the floor band with the kernel (the q59/q77 lesson applied to
+    // generation). Tokenize once, then generate.
+    val tokenized = docs.select(toks(col(textCol)).as("__t"))
+    val pairCounts = tokenized
+      .select(GraftFunctions.windowed_pairs(col("__t"), window))
+      .groupBy(col("a").as("term_a"), col("b").as("term_b"))
       .agg(count(lit(1)).as("n_pair"))
       .filter(col("n_pair") >= minCount)
-    val unigrams = docs.select(explode(t).as("term"))
+    val unigrams = tokenized.select(explode(col("__t")).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("n"))
     pairCounts
       .join(unigrams.select(col("term").as("term_a"), col("n").as("n_a")), Seq("term_a"))
