@@ -339,4 +339,79 @@ object HashOps {
     }
     acc
   }
+
+  /** 15-hex md5 form of a UTF-8 byte payload — the one hash spelling
+    * every cross-engine gate here shares (`substr(md5(x),1,15)`). */
+  private def hex15(payload: Array[Byte]): Array[Byte] = {
+    val d = md5Local.get()
+    d.reset()
+    val dig = d.digest(payload)
+    val hex = new Array[Byte](15)
+    var k = 0
+    while (k < 15) {
+      val b = dig(k / 2) & 0xff
+      hex(k) = HexDigits(if (k % 2 == 0) b >>> 4 else b & 0xf).toByte
+      k += 1
+    }
+    hex
+  }
+
+  /** Content-defined chunking (FastCDC/rsync family, token
+    * granularity): cut AFTER token `i+k-1` whenever the k-gram
+    * starting at `i` hashes to `0 mod divisor` (the same 15-hex md5
+    * spelling as [[shingleHexTokens]], parsed as a 60-bit long), so
+    * chunk boundaries depend only on LOCAL content — an insertion
+    * early in a document shifts at most one chunk's boundary instead
+    * of re-aligning every fixed-width window, which is what makes
+    * chunk-level dedup storage work. Returns
+    * (chunk_idx, n_tokens, chunk_text, chunk_hash) rows; documents
+    * shorter than `k` tokens are a single chunk. A qualifying k-gram
+    * ending exactly at the last token produces no empty trailing
+    * chunk. */
+  def cdcChunks(tokens: ArrayData, k: Int, divisor: Int): Seq[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val cnt = tokens.numElements()
+    if (cnt == 0) return Nil
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    // chunk start positions (0-based), always beginning at 0
+    val starts = scala.collection.mutable.ArrayBuffer(0)
+    if (cnt >= k) {
+      val buf = new java.io.ByteArrayOutputStream(64)
+      i = 0
+      while (i <= cnt - k) {
+        buf.reset()
+        var j = 0
+        while (j < k) {
+          if (j > 0) buf.write(' ')
+          buf.write(toks(i + j))
+          j += 1
+        }
+        val h = java.lang.Long.parseLong(new String(hex15(buf.toByteArray), "US-ASCII"), 16)
+        val cut = i + k
+        if (h % divisor == 0 && cut < cnt) starts += cut
+        i += 1
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](starts.length)
+    var m = 0
+    while (m < starts.length) {
+      val s = starts(m)
+      val e = if (m + 1 < starts.length) starts(m + 1) else cnt
+      val buf = new java.io.ByteArrayOutputStream(64)
+      var j = s
+      while (j < e) {
+        if (j > s) buf.write(' ')
+        buf.write(toks(j))
+        j += 1
+      }
+      val text = buf.toByteArray
+      out += InternalRow(m, (e - s).toLong,
+        UTF8String.fromBytes(text), UTF8String.fromBytes(hex15(text)))
+      m += 1
+    }
+    out.toSeq
+  }
 }

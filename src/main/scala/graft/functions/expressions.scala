@@ -478,6 +478,33 @@ case class WindowedPairs(child: Expression, window: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): WindowedPairs = copy(child = c)
 }
 
+/** Content-defined chunking Generator (array<string> tokens → one
+  * row per chunk): boundaries where a k-gram hashes to 0 mod divisor
+  * — local-content cuts, the property chunk-level dedup storage
+  * needs (an early edit shifts one boundary, not every fixed-width
+  * window). Kernel in [[HashOps.cdcChunks]], same 15-hex md5
+  * spelling as the shingle family so the oracle replays it in SQL. */
+case class CdcChunks(child: Expression, k: Int, divisor: Int) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(k >= 1, "k must be at least 1")
+  require(divisor >= 2, "divisor must be at least 2")
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("chunk_idx", IntegerType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("chunk_text", StringType, nullable = true),
+    StructField("chunk_hash", StringType, nullable = true)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) Nil
+    else HashOps.cdcChunks(v.asInstanceOf[ArrayData], k, divisor)
+  }
+
+  override protected def withNewChildInternal(c: Expression): CdcChunks = copy(child = c)
+}
+
 /** Quote/bullet strip + full Vietnamese number naming (F11). */
 case class ViProcessText(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
@@ -577,6 +604,8 @@ object GraftFunctions {
     col(WordNgramScore(expr(c), model))
   def windowed_pairs(c: Column, window: Int): Column =
     col(WindowedPairs(expr(c), window))
+  def cdc_chunks(c: Column, k: Int, divisor: Int): Column =
+    col(CdcChunks(expr(c), k, divisor))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))

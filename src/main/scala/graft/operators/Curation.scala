@@ -370,4 +370,22 @@ object Curation {
         size(slice(col("toks"), col("col") + 1, lit(chunkSize))).as("n_toks"),
         array_join(slice(col("toks"), col("col") + 1, lit(chunkSize)), " ").as("chunk_text"))
   }
+
+  /** CONTENT-DEFINED chunking (FastCDC/rsync family at token
+    * granularity) — the complement of [[chunkTokens]]' fixed
+    * windows: a cut lands after every k-gram that hashes to
+    * `0 mod divisor`, so boundaries depend only on local content and
+    * an edit early in a document shifts one boundary instead of
+    * re-aligning every window. That stability is exactly what makes
+    * chunk-level dedup STORAGE work: unchanged regions of two
+    * document versions produce identical `(chunk_text, chunk_hash)`
+    * rows, and a groupBy on `chunk_hash` collapses them corpus-wide.
+    * Expected chunk length ≈ `divisor` tokens (+ k). One Generator
+    * kernel pass per row ([[graft.functions.CdcChunks]]), no
+    * shuffle; the 15-hex md5 spelling matches the shingle family so
+    * the oracle replays cuts and hashes in SQL. */
+  def cdcChunks(docs: DataFrame, k: Int = 3, divisor: Int = 64,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+      GraftFunctions.cdc_chunks(TextFunctions.tokens(col(textCol)), k, divisor))
 }

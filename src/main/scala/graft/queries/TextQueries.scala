@@ -1345,6 +1345,42 @@ object TextQueries {
       ORDER BY term_a, term_b""")) { (s, d) =>
       TextRank.cooccurrence(Tables.documents(s, d), window = 5, minCount = 5)
         .orderBy("term_a", "term_b")
+    },
+
+    // ---- q100: content-defined chunking (FastCDC/rsync family,
+    // token granularity) — cuts where a 3-gram md5 hashes to
+    // 0 mod 64, so boundaries follow CONTENT, not offsets: the
+    // property that lets chunk-hash dedup collapse unchanged regions
+    // across document versions. One Generator kernel pass per row,
+    // no shuffle; the oracle replays cut selection, chunk slicing,
+    // and the 15-hex chunk hash with the same md5 spelling.
+    Q("q100_cdc_chunks", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      cuts AS (
+        SELECT doc_id, t,
+               list_prepend(CAST(1 AS BIGINT), list_filter(
+                 list_transform(range(1, len(t) - 3 + 2),
+                   i -> CASE WHEN ('0x' || substr(md5(array_to_string(t[i:i+2], ' ')), 1, 15))::BIGINT % 64 = 0
+                             AND i + 3 <= len(t)
+                        THEN CAST(i + 3 AS BIGINT) END),
+                 x -> x IS NOT NULL)) AS starts
+        FROM toks),
+      ch AS (
+        SELECT doc_id, t, starts,
+               CAST(generate_subscripts(starts, 1) - 1 AS INTEGER) AS chunk_idx,
+               unnest(starts) AS s
+        FROM cuts),
+      fin AS (
+        SELECT doc_id, chunk_idx,
+               CAST(COALESCE(starts[chunk_idx + 2], len(t) + 1) - s AS BIGINT) AS n_tokens,
+               array_to_string(t[s:COALESCE(starts[chunk_idx + 2], len(t) + 1) - 1], ' ') AS chunk_text
+        FROM ch)
+      SELECT doc_id, chunk_idx, n_tokens, chunk_text,
+             substr(md5(chunk_text), 1, 15) AS chunk_hash
+      FROM fin
+      ORDER BY doc_id, chunk_idx""")) { (s, d) =>
+      Curation.cdcChunks(Tables.documents(s, d), k = 3, divisor = 64)
+        .orderBy("doc_id", "chunk_idx")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

@@ -314,4 +314,42 @@ class CurationSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(800)}")
   }
+
+  test("cdcChunks: reassembly, boundary-locality under edits, short docs, no shuffle") {
+    import spark.implicits._
+    val base = (1 to 200).map(i => s"w${i % 23}x${i % 7}").mkString(" ")
+    val df = Seq((1L, base)).toDF("doc_id", "text")
+    val chunks = Curation.cdcChunks(df, k = 3, divisor = 8)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens", "chunk_text", "chunk_hash")
+      .as[(Int, Long, String, String)].collect().toSeq
+    // chunks partition the document: reassembly is exact
+    assert(chunks.map(_._3).mkString(" ") === base)
+    assert(chunks.map(_._2).sum === 200L)
+    assert(chunks.size > 2, "divisor 8 over 200 tokens must cut more than twice")
+
+    // CONTENT-DEFINED locality: prepending tokens re-chunks only the
+    // region before the first original cut — every cut is decided by
+    // a local 3-gram, and those 3-grams recur verbatim in the edited
+    // document, so the original chunk sequence AFTER its first cut
+    // must reappear as an exact ordered suffix of the edited
+    // chunking (a fixed-width chunker re-aligns everything instead).
+    val edited = "zzz qqq " + base
+    val editedChunks = Curation.cdcChunks(Seq((1L, edited)).toDF("doc_id", "text"),
+        k = 3, divisor = 8)
+      .orderBy("chunk_idx").select("chunk_hash").as[String].collect().toSeq
+    val originalTail = chunks.drop(1).map(_._4)
+    assert(editedChunks.takeRight(originalTail.size) === originalTail,
+      "edit relocated chunks beyond the first boundary")
+
+    // short and empty docs: one chunk, hash of the raw text
+    val tiny = Curation.cdcChunks(Seq((2L, "a b"), (3L, "")).toDF("doc_id", "text"),
+        k = 3, divisor = 8)
+      .select("doc_id", "chunk_idx", "n_tokens", "chunk_text")
+      .as[(Long, Int, Long, String)].collect().toSet
+    assert(tiny === Set((2L, 0, 2L, "a b"), (3L, 0, 1L, "")))
+
+    val plan = Curation.cdcChunks(df, 3, 8).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"CDC chunking must not shuffle:\n${plan.take(800)}")
+  }
 }
