@@ -78,6 +78,33 @@ class TsFixtureSpec extends SparkSuite {
     assert(a === b)
   }
 
+  test("adjusted-to-UTC TIMESTAMP parquet ingests identically (the third branch)") {
+    // A generator could also ship ts as instant-semantics TIMESTAMP
+    // (isAdjustedToUTC=true). Write one via outputTimestampType=
+    // TIMESTAMP_MICROS and pin that Tables.events' TimestampType
+    // branch lands on the same epochs as the other two generations.
+    val dir = Files.createTempDirectory("ts-fixture-utc").toFile
+    dir.deleteOnExit()
+    val utcDir = new java.io.File(dir, "utc").getAbsolutePath
+    val rows = epochMicros.zipWithIndex.map { case (us, i) =>
+      val t = new Timestamp(us / 1000000L * 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      Row(i.toLong, t, i.toLong % 2, "click", 1.0, "{}")
+    }
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // Whatever parquet physical form the session writes TimestampType
+    // as (INT96 or adjusted-to-UTC micros), it reads back as
+    // TimestampType — the branch under test — at micros precision.
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .write.mode("overwrite").parquet(s"$utcDir/events.parquet")
+    val got = Tables.events(spark, utcDir)
+      .orderBy("event_id").select("ts").collect().map(_.getLong(0)).toSeq
+    assert(got === epochMicros.map(_ * 1000L))
+  }
+
   test("ingested ts pins the exact UTC epoch values") {
     val (_, microsDir) = writeFixtures()
     val got = Tables.events(spark, microsDir)
