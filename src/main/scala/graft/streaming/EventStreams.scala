@@ -393,6 +393,20 @@ object EventStreams {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.QualityClassifier.scoreWithModel(docs, model, idCol, textCol)
 
+  /** Streaming content-defined chunking at ingest — the storage-side
+    * twin of the batch operator ([[graft.operators.Curation
+    * .cdcChunks]]): every arriving document splits into
+    * content-defined chunks with stable hashes in a pure stateless
+    * Generator projection (no watermark, no aggregation, no state
+    * store — appends at ingest rate forever). Chunk hashes feed the
+    * downstream dedup-storage join exactly as in batch; boundary
+    * locality means a re-crawled document's unchanged regions
+    * reproduce their chunk hashes. Batch parity is exact
+    * (spec-pinned). */
+  def cdcChunked(docs: DataFrame, k: Int = 3, divisor: Int = 64,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Curation.cdcChunks(docs, k, divisor, idCol, textCol)
+
   /** Streaming nearest-centroid assignment with a batch-fit k-means
     * model — the same fit-once/score-forever deployment as
     * [[familiarityScored]], for the embedding side: [[graft.operators

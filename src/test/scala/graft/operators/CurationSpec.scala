@@ -352,4 +352,27 @@ class CurationSpec extends SparkSuite {
     val plan = Curation.cdcChunks(df, 3, 8).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"CDC chunking must not shuffle:\n${plan.take(800)}")
   }
+
+  test("streaming CDC chunking ≡ batch; zero streaming state") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val corpus = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three"), (3L, ""))
+    val dir = Files.createTempDirectory(Paths.get("target"), "cdc-landing")
+    corpus.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val chunked = graft.streaming.EventStreams.cdcChunked(stream, k = 2, divisor = 4)
+    val out = Files.createTempDirectory(Paths.get("target"), "cdc-out")
+    val q = graft.streaming.EventStreams.writeParquetSink(chunked, s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, Int, Long, String, String)].collect().toSet
+    val batch = Curation.cdcChunks(corpus.toDF("doc_id", "text"), k = 2, divisor = 4)
+      .as[(Long, Int, Long, String, String)].collect().toSet
+    assert(streamed === batch, "streaming and batch CDC chunking diverged")
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"chunking must hold no streaming state: ${st.mkString(",")}")
+  }
 }
