@@ -156,9 +156,10 @@ object StringOps {
     * count toward `n_terms` (inner-join semantics, matching the
     * batch score). Prediction is the integer cross-multiplication
     * `pos_mass·negTotal > neg_mass·posTotal` — no float division, so
-    * engines agree bit-for-bit (overflow-safe while both factors stay
-    * under ~3·10⁹; beyond that move the comparison to log space
-    * downstream). */
+    * engines agree bit-for-bit. The products are compared EXACTLY at
+    * 128 bits ([[productGt]]), so unlike a raw `Long` multiply this
+    * never wraps at corpus scale — the kernel path is overflow-safe
+    * for any mass the census can hold. */
   def wordNgramScore(s: UTF8String,
                      counts: java.util.HashMap[UTF8String, Array[Long]],
                      posTotal: Long, negTotal: Long): InternalRow = {
@@ -178,7 +179,45 @@ object StringOps {
       i += 1
     }
     new GenericInternalRow(Array[Any](nTerms, posMass, negMass,
-      posMass * negTotal > negMass * posTotal))
+      productGt(posMass, negTotal, negMass, posTotal)))
+  }
+
+  /** Word uni+bigram term array of a string — the codegen'd kernel
+    * behind [[graft.operators.QualityClassifier.terms]] (the
+    * interpreted `transform(sequence(...))` HOF it replaces was the
+    * q94 census's hot loop — the q59/q77/q99 CodegenFallback lesson
+    * again). Tokenization mirrors `split(text, ' ')` exactly
+    * (single-space separator, empty tokens preserved); unigrams
+    * first, then bigrams joined with one space, matching the
+    * column-level construction the oracle replays. */
+  def wordNgramTerms(s: UTF8String): ArrayData = {
+    val toks = s.split(UTF8String.fromString(" "), -1)
+    val n = toks.length
+    val out = new Array[Any](n + (if (n >= 2) n - 1 else 0))
+    var i = 0
+    while (i < n) { out(i) = toks(i); i += 1 }
+    val sp = UTF8String.fromString(" ")
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = UTF8String.concat(toks(i), sp, toks(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** `a·b > c·d` computed EXACTLY for non-negative operands: both
+    * products are formed as unsigned 128-bit values
+    * (`Math.multiplyHigh` + wrapped low word) and compared
+    * lexicographically. A raw `Long` multiply silently wraps in
+    * non-ANSI Spark once a product passes 2⁶³ (≈ masses of 3·10⁹
+    * against class totals of the same order — reachable at corpus
+    * scale) while DuckDB errors, so the naive form diverges from the
+    * oracle exactly when it matters; this never does. */
+  def productGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b)
+    val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
   def durationSeconds(s: String): Double = {

@@ -46,6 +46,26 @@ case class CharBigrams(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): CharBigrams = copy(child = c)
 }
 
+/** Word uni+bigram term array of a string (string → array<string>):
+  * the census-side kernel of the word-n-gram quality classifier —
+  * one codegen'd call replacing the interpreted
+  * `transform(sequence(...))` HOF that was the q94 fit's hot loop
+  * (CodegenFallback re-evaluating the inlined `split` per element —
+  * the q59/q77/q99 lesson). Semantics identical to unigrams ++
+  * space-joined bigrams under `split(text, ' ')` tokenization. */
+case class WordNgramTerms(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    StringOps.wordNgramTerms(v.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.StringOps.wordNgramTerms($c)")
+
+  override protected def withNewChildInternal(c: Expression): WordNgramTerms = copy(child = c)
+}
+
 /** Familiarity statistics of a string against a plan-time
   * [[CharLmModel]] (string → struct<n_bigrams, familiarity, n_rare>,
   * all long): the model rides the expression into the generated code
@@ -598,6 +618,7 @@ object GraftFunctions {
 
   def deaccent_slug(c: Column): Column = col(DeaccentSlug(expr(c)))
   def char_bigrams(c: Column): Column = col(CharBigrams(expr(c)))
+  def word_ngram_terms(c: Column): Column = col(WordNgramTerms(expr(c)))
   def char_bigram_score(c: Column, model: CharLmModel): Column =
     col(CharBigramScore(expr(c), model))
   def word_ngram_score(c: Column, model: WordLmModel): Column =

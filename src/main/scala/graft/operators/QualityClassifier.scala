@@ -39,17 +39,12 @@ object QualityClassifier {
   /** Word unigrams ++ bigrams of a text column, under the engine's
     * canonical tokenization (`split(text, ' ')` — single-space,
     * empty tokens preserved, exactly DuckDB's `string_split`).
-    * Bigrams join with a single space; below two tokens the bigram
-    * set is empty (guarded: Spark's `sequence(0, -1)` would DESCEND,
-    * not return empty). */
-  def terms(c: Column): Column = {
-    val t = TextFunctions.tokens(c)
-    val bigrams = when(size(t) >= 2,
-      transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-      .otherwise(array().cast("array<string>"))
-    concat(t, bigrams)
-  }
+    * Bigrams join with a single space. One codegen'd kernel call
+    * ([[graft.functions.WordNgramTerms]]) — the column-level
+    * `transform(sequence(...))` construction it replaces was
+    * CodegenFallback and re-evaluated the inlined `split` per
+    * element, making term generation the census's hot loop. */
+  def terms(c: Column): Column = GraftFunctions.word_ngram_terms(c)
 
   /** Class-conditional term census: `(term, pos_count, neg_count)`
     * for every term with total support ≥ `minCount`. `isPositive` is
@@ -79,6 +74,15 @@ object QualityClassifier {
     val totals = census.agg(
       sum(col("pos_count")).as("__pos_total"),
       sum(col("neg_count")).as("__neg_total"))
+    // pred_pos multiplies masses by class totals; mass ≤ total per
+    // class, so both products are bounded by pos_total·neg_total.
+    // Spark (non-ANSI) would WRAP a Long overflow where DuckDB
+    // errors, silently flipping predictions exactly when the corpus
+    // is large — so the join plan fails fast outside the safe range
+    // (the kernel path, [[scoreWithModel]], compares at 128 bits and
+    // has no such bound).
+    val safeTotals = col("__pos_total").cast("double") *
+      col("__neg_total").cast("double") < 9.0e18
     docs
       .select(col(idCol), explode(terms(col(textCol))).as("term"))
       .join(census, Seq("term"))
@@ -89,8 +93,11 @@ object QualityClassifier {
         sum(col("neg_count")).as("neg_mass"))
       .crossJoin(broadcast(totals))
       .select(col(idCol), col("n_terms"), col("pos_mass"), col("neg_mass"),
-        (col("pos_mass") * col("__neg_total") >
-          col("neg_mass") * col("__pos_total")).as("pred_pos"))
+        when(assert_true(safeTotals, lit(
+            "class-mass product would overflow Long — score via scoreWithModel " +
+              "(128-bit comparison) or raise minCount")).isNull,
+          col("pos_mass") * col("__neg_total") >
+            col("neg_mass") * col("__pos_total")).as("pred_pos"))
   }
 
   /** Fit on `docs` and score the same corpus — the one-lineage gate
@@ -100,6 +107,28 @@ object QualityClassifier {
                idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     score(docs, fit(docs, isPositive, minCount, textCol), idCol, textCol)
 
+  /** [[fitScore]] with the scoring half as a ZERO-JOIN codegen
+    * projection when the census fits the `maxVocab` driver bound:
+    * fit distributively (one map-side-combined groupBy, unchanged),
+    * collect the bounded census once, then score every document with
+    * [[graft.functions.WordNgramScore]] — one corpus scan, no
+    * explode, no census equi-join, no per-doc re-aggregation, and an
+    * overflow-proof 128-bit prediction. `filter(n_terms > 0)`
+    * restores [[score]]'s inner-join row semantics (spec-pinned
+    * parity). A census past `maxVocab` falls back to the distributed
+    * join plan — same results, no driver risk — so the operator stays
+    * safe at any corpus scale while taking the fast path whenever the
+    * model genuinely fits (fastText-size vocabularies always do). */
+  def fitScoreFast(docs: DataFrame, isPositive: Column, minCount: Long = 2,
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxVocab: Int = 1 << 21): DataFrame =
+    collectModelOpt(docs, isPositive, minCount, textCol, maxVocab) match {
+      case Some(m) =>
+        scoreWithModel(docs, m, idCol, textCol).filter(col("n_terms") > 0)
+      case None =>
+        fitScore(docs, isPositive, minCount, idCol, textCol)
+    }
+
   /** Collect a fitted census to the driver as a serializable
     * [[WordLmModel]] — the fit-once half of fit-batch/score-stream.
     * Bounded by the census's `minCount` support filter and guarded
@@ -108,15 +137,26 @@ object QualityClassifier {
     * raise `minCount` rather than `maxVocab` when it trips). */
   def collectModel(docs: DataFrame, isPositive: Column, minCount: Long = 2,
                    textCol: String = "text",
-                   maxVocab: Int = 1 << 21): WordLmModel = {
+                   maxVocab: Int = 1 << 21): WordLmModel =
+    collectModelOpt(docs, isPositive, minCount, textCol, maxVocab).getOrElse(
+      throw new IllegalArgumentException(
+        s"word census exceeds $maxVocab terms — raise minCount to bound the vocabulary"))
+
+  /** [[collectModel]] that reports an over-bound census as `None`
+    * instead of throwing — the probe [[fitScoreFast]] uses to decide
+    * between the codegen projection and the distributed join plan. */
+  def collectModelOpt(docs: DataFrame, isPositive: Column, minCount: Long = 2,
+                      textCol: String = "text",
+                      maxVocab: Int = 1 << 21): Option[WordLmModel] = {
     val rows = fit(docs, isPositive, minCount, textCol)
       .limit(maxVocab + 1).collect()
-    require(rows.length <= maxVocab,
-      s"word census exceeds $maxVocab terms — raise minCount to bound the vocabulary")
-    val counts = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
-    WordLmModel(counts,
-      counts.valuesIterator.map(_._1).sum,
-      counts.valuesIterator.map(_._2).sum)
+    if (rows.length > maxVocab) None
+    else {
+      val counts = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      Some(WordLmModel(counts,
+        counts.valuesIterator.map(_._1).sum,
+        counts.valuesIterator.map(_._2).sum))
+    }
   }
 
   /** Score a frame against a FIXED batch-fit model: a pure codegen'd

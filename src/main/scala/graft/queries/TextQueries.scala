@@ -1286,8 +1286,11 @@ object TextQueries {
     // class, then score every document by its census mass per class;
     // prediction is the cross-multiplied naive-Bayes log-odds sign,
     // all-integer so the gate hash-matches across engines. Census =
-    // one map-side-combined groupBy; scoring = explode + equi-join
-    // (AQE broadcasts the census) + per-doc re-aggregate.
+    // one map-side-combined groupBy; scoring (since r10) = the
+    // zero-join WordNgramScore codegen projection over one corpus
+    // scan — no explode, no census equi-join, no re-aggregate —
+    // behind the maxVocab driver bound, falling back to the
+    // distributed join plan when the census exceeds it.
     Q("q94_quality_classifier", Some("""
       WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       terms AS (
@@ -1312,7 +1315,7 @@ object TextQueries {
       FROM terms t JOIN census c USING (term)
       GROUP BY t.doc_id
       ORDER BY t.doc_id""")) { (s, d) =>
-      QualityClassifier.fitScore(Tables.documents(s, d),
+      QualityClassifier.fitScoreFast(Tables.documents(s, d),
           isPositive = col("source").isin("src0", "src1", "src2"))
         .orderBy("doc_id")
     },

@@ -206,17 +206,22 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q94 classifier: no window, no cartesian; totals attach by broadcast") {
-    // The census is a grouped aggregate and scoring a per-doc
-    // re-aggregate — neither may plan as a window over the exploded
-    // terms; the class-totals attach is a one-row broadcast cross
-    // join, never a shuffled join of the corpus against a scalar.
+  test("q94 classifier: scoring is a zero-join codegen projection") {
+    // Since r10 the gate scores through the collected census
+    // (WordNgramScore expression): the scoring plan must be scan →
+    // project → filter → sort with NO join, NO explode/Generate, NO
+    // window, and NO aggregation — one corpus scan, everything
+    // whole-stage-codegen'd. (The census fit runs eagerly at plan
+    // build; only the scoring lineage is what executes here.)
     val wins = optimized("q94_quality_classifier").collect { case w: LWindow => w }
     assert(wins.isEmpty, "q94 contains a Window operator")
     val p = physical("q94_quality_classifier")
-    assert(!p.contains("CartesianProduct"), "totals attach planned as cartesian")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
-      "class totals must broadcast")
+    assert(!p.contains("Join"), s"q94 scoring must not join:\n${p.take(2000)}")
+    assert(!p.contains("Generate"), s"q94 scoring must not explode:\n${p.take(2000)}")
+    assert(!p.contains("HashAggregate") && !p.contains("SortAggregate"),
+      s"q94 scoring must not aggregate:\n${p.take(2000)}")
+    assert(p.contains("wordngramscore") || p.contains("WordNgramScore") ||
+      p.contains("word_ngram_score"), s"q94 must score via the codegen expression:\n${p.take(2000)}")
   }
 
   test("q78 shuffle-shard: the window's partition-by-shard is the plan's only exchange") {

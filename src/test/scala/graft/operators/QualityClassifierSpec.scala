@@ -66,6 +66,34 @@ class QualityClassifierSpec extends SparkSuite {
     assert(alien === Seq((9L, 0L, 0L, 0L, false)))
   }
 
+  test("fitScoreFast ≡ fitScore on both the codegen path and the join fallback") {
+    val expect = QualityClassifier.fitScore(docs, isPos)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    val fast = QualityClassifier.fitScoreFast(docs, isPos)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(fast === expect, "codegen scoring path diverged from the join plan")
+    // maxVocab = 1 forces the over-bound fallback: same results, via
+    // the distributed join plan.
+    val fallback = QualityClassifier.fitScoreFast(docs, isPos, maxVocab = 1)
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+    assert(fallback === expect, "join fallback diverged")
+  }
+
+  test("productGt compares 128-bit products exactly where a Long multiply wraps") {
+    import graft.functions.StringOps.productGt
+    // s = ⌈√(2⁶³)⌉: s·s wraps negative while s·(s−1) stays positive,
+    // so the naive Long compare inverts — the exact one must not.
+    val s = 3037000500L
+    assert(productGt(s, s, s, s - 1))
+    assert(!productGt(s, s - 1, s, s))
+    assert(!productGt(s, s, s, s)) // strict
+    assert((s * s) < (s * (s - 1)), "premise: the naive compare wraps here")
+    // Boundary sanity at small magnitudes.
+    assert(productGt(3, 5, 2, 7))
+    assert(!productGt(2, 7, 3, 5))
+    assert(!productGt(0, Long.MaxValue, 0, Long.MaxValue))
+  }
+
   test("streaming classification ≡ batch on a document stream; zero streaming state") {
     val model = QualityClassifier.collectModel(docs, isPos)
     val dir = Files.createTempDirectory(Paths.get("target"), "qc-landing")
