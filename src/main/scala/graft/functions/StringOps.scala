@@ -220,9 +220,13 @@ object StringOps {
     else java.lang.Long.compareUnsigned(a * b, c * d) > 0
   }
 
+  // Precompiled: String.replaceAll would re-compile the pattern on
+  // EVERY call — a per-row Pattern.compile in the q17 hot loop.
+  private val SepRuns = java.util.regex.Pattern.compile("[;:]+")
+
   def durationSeconds(s: String): Double = {
     if (s == null) return Double.NaN
-    val cleaned = s.trim.replaceAll("[;:]+", ":")
+    val cleaned = SepRuns.matcher(s.trim).replaceAll(":")
     if (cleaned.isEmpty) return Double.NaN
     val parts = cleaned.split(":", -1)
     if (parts.length > 3) return Double.NaN

@@ -344,7 +344,11 @@ object RelationalQueries {
 
     // ---- q17: duration parse custom expression (F2) — round-trips a
     // synthesized M:SS clock string; the oracle computes the expected
-    // seconds arithmetically, independent of the parser.
+    // seconds arithmetically, independent of the parser. dur_str is
+    // materialized by its own projection so the floor/cast/concat
+    // subtree is built once per row and the parser reads the column
+    // (CollapseProject keeps non-cheap multiply-referenced aliases
+    // in their own Project, so this survives optimization).
     Q("q17_duration_parse", Some("""
       SELECT event_id,
              CAST(FLOOR(value / 60) AS BIGINT) || ':' || CAST(FLOOR(fmod(value, 60)) AS BIGINT) AS dur_str,
@@ -355,10 +359,11 @@ object RelationalQueries {
         floor(col("value") / 60).cast("long").cast("string"), lit(":"),
         floor(col("value") % 60).cast("long").cast("string"))
       Tables.events(s, d)
+        .select(col("event_id"), durStr.as("dur_str"))
         .select(
           col("event_id"),
-          durStr.as("dur_str"),
-          GraftFunctions.duration_seconds(durStr).as("seconds"))
+          col("dur_str"),
+          GraftFunctions.duration_seconds(col("dur_str")).as("seconds"))
         .orderBy("event_id")
     },
 
