@@ -295,6 +295,17 @@ object StringOps {
     "PGS.", "ThS.", "GS.", "TS.", "BS.", "TP.", "Tr.",
     "Mr.", "Mrs.", "Ms.", "Dr.", "St.", "vs.", "etc.")
 
+  /** Protect placeholder for the protect→split→restore pipeline.
+    * PRECONDITION: input text does not itself contain U+0001 — a
+    * pre-existing occurrence would be "restored" to '.' in the
+    * output. Engine and oracle replay the identical substitution
+    * chain, so PARITY holds regardless; what's at stake on
+    * adversarial input is only fidelity of that one control char,
+    * which the control-char scrub any crawl pipeline runs upstream
+    * already removes. Chosen over escaping because the oracle must
+    * reproduce the chain byte-for-byte with plain
+    * replace/regexp_replace — an escape scheme would need
+    * lookarounds DuckDB's RE2 lacks. */
   private val Protected = '\u0001'
 
   def sentenceSplit(s: String): Array[String] = {

@@ -193,6 +193,14 @@ object Multimodal {
     * hash gate (q95 synthesizes cluster corpora through it). */
   def encodePngGray(px: Array[Int], w: Int, h: Int): Array[Byte] = {
     require(px != null && w > 0 && h > 0 && px.length >= w * h, "bad pixel buffer")
+    // Luma range-check up front: `& 0xff` below would otherwise
+    // silently truncate an out-of-range value from a future fixture
+    // generator into VALID-looking image data.
+    var p = 0
+    while (p < w * h) {
+      require(px(p) >= 0 && px(p) <= 255, s"luma out of range at $p: ${px(p)}")
+      p += 1
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
     def be32(v: Int): Array[Byte] =

@@ -1327,6 +1327,9 @@ object TextQueries {
     // a generate-only nested transform inside the row — corpus-
     // linear for fixed window, never a positional self-join; the
     // oracle replays the same nested list construction in DuckDB.
+    // Oracle pairs join on chr(1) (the q42 placeholder convention,
+    // under the same no-U+0001-in-text corpus precondition) — a tab
+    // separator would mis-split on tokens that contain tabs.
     Q("q99_cooccurrence", Some("""
       WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
       pl AS (
@@ -1334,10 +1337,10 @@ object TextQueries {
                list_filter(flatten(list_transform(range(1, len(t)+1),
                  i -> list_transform(range(1, 6),
                    j -> CASE WHEN i+j <= len(t)
-                        THEN least(t[i], t[i+j]) || chr(9) || greatest(t[i], t[i+j]) END))),
+                        THEN least(t[i], t[i+j]) || chr(1) || greatest(t[i], t[i+j]) END))),
                  x -> x IS NOT NULL) AS ps
         FROM toks),
-      pairs AS (SELECT string_split(unnest(ps), chr(9)) AS pr FROM pl),
+      pairs AS (SELECT string_split(unnest(ps), chr(1)) AS pr FROM pl),
       tc AS (SELECT unnest(t) AS term FROM toks),
       tcnt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tc GROUP BY term)
       SELECT pr[1] AS term_a, pr[2] AS term_b, CAST(COUNT(*) AS BIGINT) AS n_pair,
