@@ -313,17 +313,4 @@ object Multimodal {
       .select(col(idCol), col("group_id"), col("group_size"))
   }
 
-  /** Frame sampling for fixed-frame-size binary "video": every k-th
-    * frame as its own row — pure slice arithmetic on the binary
-    * column (substring on binary stays in codegen), no decode. */
-  def sampleFrames(video: DataFrame, binCol: String, frameBytes: Int, everyK: Int,
-                   idCol: String = "video_id"): DataFrame = {
-    val nFrames = (length(col(binCol)) / frameBytes).cast("int")
-    video
-      .withColumn("frame_idx",
-        explode(sequence(lit(0), greatest(nFrames - 1, lit(0)), lit(everyK))))
-      .select(
-        col(idCol), col("frame_idx"),
-        col(binCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
-  }
 }

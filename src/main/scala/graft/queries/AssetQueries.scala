@@ -318,6 +318,41 @@ object AssetQueries {
           maxHamming = 2)
         .select(col("doc_a").as("clip_a"), col("doc_b").as("clip_b"), col("hamming"))
         .orderBy("clip_a", "clip_b")
+    },
+
+    // ---- q101: perceptual VIDEO near-dup — the video-tier
+    // deployment of the signature-generic hamming machinery, now
+    // over a REAL container decode ([[graft.operators.Video]]): each
+    // document synthesizes a 3-frame RIFF/AVI (Motion-PNG codec,
+    // every frame a real gray-8 PNG through the library's own
+    // encoders), the engine walks the container chunks, decodes each
+    // frame's PNG, dHashes it, and banded-hamming-joins frames
+    // across videos. Fixture design mirrors q95: 5-video clusters
+    // (doc_id div 5) where frame f of the cluster base realizes the
+    // 60-bit md5 pattern of (cluster, f) and members 1-4 flip one
+    // member-specific bit in EVERY frame; every 10th document is
+    // garbage bytes (no frames — quarantine). At radius 2 each
+    // within-cluster pair matches on exactly its 3 same-slot frame
+    // pairs (cross-slot/cross-cluster patterns are independent md5
+    // draws), so the oracle predicts pairs, counts, and min-hamming
+    // arithmetically, and any slip in the RIFF walk, the padding
+    // math, the PNG decode, the dHash, or the pair aggregation
+    // flips the hash.
+    Q("q101_video_neardup", Some("""
+      WITH d AS (SELECT doc_id, doc_id // 5 AS c, doc_id % 5 AS m
+                 FROM documents WHERE doc_id % 10 <> 0)
+      SELECT a.doc_id AS vid_a, b.doc_id AS vid_b,
+             CAST(3 AS BIGINT) AS n_frame_pairs,
+             CAST(CASE WHEN a.m = 0 OR b.m = 0 THEN 1 ELSE 2 END AS INTEGER) AS min_hamming
+      FROM d a JOIN d b ON a.c = b.c AND a.doc_id < b.doc_id
+      ORDER BY vid_a, vid_b""")) { (s, d) =>
+      val avi = when(pmod(col("doc_id"), lit(10L)) === 0, unhex(lit("DEADBEEF")))
+        .otherwise(patternAvi(expr("doc_id div 5"), pmod(col("doc_id"), lit(5L))))
+      graft.operators.Video.videoNearDupPairs(
+          Tables.documents(s, d).select(col("doc_id").as("video_id"), avi.as("video")),
+          maxHamming = 2)
+        .select(col("vid_a"), col("vid_b"), col("n_frame_pairs"), col("min_hamming"))
+        .orderBy("vid_a", "vid_b")
     })
 
   /** Fixture synthesis for q95: a 60-bit pattern realized as a 9×8
@@ -356,5 +391,31 @@ object AssetQueries {
     for (f <- 0 until 65; i <- 0 until frameLen)
       samples(f * frameLen + i) = amps(f) / 32768.0f
     graft.functions.AudioOps.toWavBytes(samples, 16000)
+  }
+
+  /** Fixture synthesis for q101: a 3-frame RIFF/AVI (MPNG codec)
+    * whose frame f realizes the 60-bit md5 pattern of
+    * `vid:<cluster>:<f>` as a 9×8 gray PNG (the q95 gradient-walk
+    * construction, so each frame's dHash equals its pattern
+    * analytically); members > 0 flip bit `member·13` in every
+    * frame. Built entirely through the library's own encoders —
+    * [[graft.operators.Multimodal.encodePngGray]] inside
+    * [[graft.operators.Video.encodeAviMpng]] — so the gate
+    * round-trips real container AND real codec bytes. */
+  private val patternAvi = udf { (cluster: Long, member: Long) =>
+    val frames = Array.tabulate(3) { f =>
+      var pat = graft.functions.HashOps.h60(s"vid:$cluster:$f".getBytes("UTF-8"))
+      if (member > 0) pat ^= 1L << (member * 13).toInt
+      val px = new Array[Int](9 * 8)
+      for (y <- 0 until 8) {
+        px(y * 9) = 128
+        for (x <- 0 until 8) {
+          val bit = (pat >>> (y * 8 + x)) & 1L
+          px(y * 9 + x + 1) = px(y * 9 + x) + (if (bit == 1L) -7 else 7)
+        }
+      }
+      graft.operators.Multimodal.encodePngGray(px, 9, 8)
+    }
+    graft.operators.Video.encodeAviMpng(frames, 9, 8)
   }
 }

@@ -163,16 +163,6 @@ class MultimodalSpec extends SparkSuite {
     assert(small.head == px.head)
   }
 
-  test("frame sampling slices binary video without decoding") {
-    // 10 "frames" of 4 bytes each: frame i is [i,i,i,i]
-    val video = Array.tabulate(40)(i => (i / 4).toByte)
-    val df = Seq((7L, video)).toDF("video_id", "data")
-    val frames = Multimodal.sampleFrames(df, "data", frameBytes = 4, everyK = 3, idCol = "video_id")
-      .select(col("video_id"), col("frame_idx"), col("frame"))
-      .collect().map(r => (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toSeq.sortBy(_._1)
-    assert(frames.map(_._1) == Seq(0, 3, 6, 9))
-    assert(frames.forall { case (i, bytes) => bytes == Seq.fill(4)(i.toByte) })
-  }
 
   test("gray-8 PNG encoder round-trips through the decoder pixel-exactly") {
     val px = Array.tabulate(12 * 5)(i => (i * 7 + 3) % 256)
