@@ -81,6 +81,97 @@ object HashOps {
       ((dig(6) & 0xffL) << 4) | ((dig(7) & 0xffL) >>> 4)
   }
 
+  /** The i-th Bloom bit position of a key: `h60("i:" || key) mod
+    * numBits` — one engine-portable md5 per probe, replayable in SQL
+    * as `('0x' || substr(md5(i || ':' || key), 1, 15))::BIGINT %
+    * numBits`, which is what lets a Bloom filter hash-GATE: the
+    * oracle rebuilds the exact bit set and replays membership,
+    * false positives included. */
+  def bloomPos(keyBytes: Array[Byte], i: Int, numBits: Int): Long = {
+    val prefix = (i.toString + ":").getBytes("UTF-8")
+    val buf = new Array[Byte](prefix.length + keyBytes.length)
+    System.arraycopy(prefix, 0, buf, 0, prefix.length)
+    System.arraycopy(keyBytes, 0, buf, prefix.length, keyBytes.length)
+    h60(buf) % numBits
+  }
+
+  /** All k Bloom positions of a key (fit side: explode + bit_or). */
+  def bloomPositions(s: org.apache.spark.unsafe.types.UTF8String,
+                     k: Int, numBits: Int): ArrayData = {
+    val kb = s.getBytes
+    val out = new Array[Any](k)
+    var i = 0
+    while (i < k) { out(i) = java.lang.Long.valueOf(bloomPos(kb, i, numBits)); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Probe a key against a fitted bitset: `(n_hit, maybe)` — the
+    * count of the k positions that are set, and whether all are
+    * (Bloom "maybe contains"; n_hit < k is a definite miss). */
+  def bloomHits(s: org.apache.spark.unsafe.types.UTF8String, k: Int, numBits: Int,
+                words: Array[Long]): org.apache.spark.sql.catalyst.InternalRow = {
+    val kb = s.getBytes
+    var hit = 0L
+    var i = 0
+    while (i < k) {
+      val p = bloomPos(kb, i, numBits)
+      if ((words((p >>> 6).toInt) & (1L << (p & 63L).toInt)) != 0L) hit += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](hit, hit == k.toLong))
+  }
+
+  /** Count of DISTINCT word n-gram shingles whose 15-hex md5 form
+    * "maybe" passes a Bloom fit on shingle hexes — the prefilter
+    * twin of [[evalShingleHits]] (no false negatives: a Bloom hit
+    * count of 0 proves zero exact hits), with the shingle walk and
+    * hex formation inlined exactly as there. */
+  def bloomShingleHits(tokens: ArrayData, n: Int, k: Int, numBits: Int,
+                       words: Array[Long]): Long = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return 0L
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val matched = new java.util.HashSet[String]()
+    val buf = new java.io.ByteArrayOutputStream(64)
+    val d = md5Local.get()
+    val hex = new Array[Char](15)
+    i = 0
+    while (i <= cnt - n) {
+      buf.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) buf.write(' ')
+        buf.write(toks(i + j))
+        j += 1
+      }
+      d.reset()
+      val dig = d.digest(buf.toByteArray)
+      var x = 0
+      while (x < 15) {
+        val b = dig(x / 2) & 0xff
+        hex(x) = HexDigits(if (x % 2 == 0) b >>> 4 else b & 0xf)
+        x += 1
+      }
+      val s = new String(hex)
+      if (!matched.contains(s)) {
+        val kb = s.getBytes("UTF-8")
+        var hit = true
+        var q = 0
+        while (hit && q < k) {
+          val p = bloomPos(kb, q, numBits)
+          if ((words((p >>> 6).toInt) & (1L << (p & 63L).toInt)) == 0L) hit = false
+          q += 1
+        }
+        if (hit) matched.add(s)
+      }
+      i += 1
+    }
+    matched.size.toLong
+  }
+
   /** Minimum 60-bit hash over word n-gram shingles, one md5 per
     * shingle in a single pass (shingle bytes are assembled directly,
     * no intermediate strings). Null when fewer than n tokens —

@@ -318,6 +318,89 @@ final case class ShingleSetModel(n: Int, hexes: Array[String]) extends Serializa
   }
 }
 
+/** A fitted Bloom filter (bitset + hash count) — the broadcast
+  * membership sketch completing the family (CMS counts, HLL
+  * cardinality, KMV samples, Bloom MEMBERSHIP). `numBits` and `k`
+  * are plan-time constants; `words` is the packed bitset
+  * (`numBits/64` longs). Fit collects the FILTER, never the keys:
+  * the driver read is bounded by `numBits/64` words regardless of
+  * corpus size ([[graft.operators.Sketches.fitBloom]]), which is
+  * what makes this the standard 100-TB semi-join accelerator — a
+  * few MB of bitset broadcast where the exact key set would be GBs.
+  * Hash scheme is the engine-portable md5 form ([[HashOps
+  * .bloomPos]]), so an oracle replays exact membership semantics,
+  * false positives included. */
+final case class BloomModel(numBits: Int, k: Int, words: Array[Long]) extends Serializable {
+  require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+  require(k >= 1 && k <= 64, "k must be in 1..64")
+  require(words.length == numBits / 64, "bitset length mismatch")
+}
+
+/** Bloom membership probe of a string key against a plan-time
+  * [[BloomModel]] (string → struct<n_hit, maybe>): stateless,
+  * codegen'd, streaming-deployable — the [[CharBigramScore]]
+  * deployment pattern for the membership sketch. `maybe = false` is
+  * a PROOF of absence (Bloom has no false negatives); `maybe = true`
+  * needs the exact check only where one exists downstream. */
+case class BloomMembership(child: Expression, model: BloomModel) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_hit", LongType, nullable = false),
+    StructField("maybe", BooleanType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.bloomHits(v.asInstanceOf[UTF8String], model.k, model.numBits, model.words)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomModel", model, classOf[BloomModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.bloomHits($c, $ref.k(), $ref.numBits(), $ref.words())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomMembership = copy(child = c)
+}
+
+/** All k Bloom bit positions of a string key (string → array<long>)
+  * — the FIT side: explode + per-word `bit_or` aggregation builds
+  * the bitset distributively ([[graft.operators.Sketches
+  * .fitBloom]]). */
+case class BloomPositions(child: Expression, k: Int, numBits: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.bloomPositions(v.asInstanceOf[UTF8String], k, numBits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.bloomPositions($c, $k, $numBits)")
+
+  override protected def withNewChildInternal(c: Expression): BloomPositions = copy(child = c)
+}
+
+/** Bloom-probed distinct shingle hit count (array<string> → long):
+  * the prefilter twin of [[EvalShingleHits]], probing each shingle's
+  * 15-hex md5 form against a [[BloomModel]] fit on the eval set's
+  * shingle hexes. Zero means PROVABLY uncontaminated — the bitset
+  * broadcast replaces the GB-scale exact hex set for the first pass
+  * at 100-TB corpus scale. */
+case class BloomShingleHits(child: Expression, n: Int, model: BloomModel) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashOps.bloomShingleHits(
+      v.asInstanceOf[ArrayData], n, model.k, model.numBits, model.words))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloomModel", model, classOf[BloomModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.bloomShingleHits($c, $n, $ref.k(), $ref.numBits(), $ref.words())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BloomShingleHits = copy(child = c)
+}
+
 /** Distinct eval-shingle hit count of a token array against a
   * plan-time [[ShingleSetModel]] (array<string> → long): shingle
   * hashing fused with the membership probe
@@ -651,6 +734,12 @@ object GraftFunctions {
   def nfc_normalize(c: Column): Column = col(NfcNormalize(expr(c)))
   def eval_shingle_hits(c: Column, model: ShingleSetModel): Column =
     col(EvalShingleHits(expr(c), model))
+  def bloom_positions(c: Column, k: Int, numBits: Int): Column =
+    col(BloomPositions(expr(c), k, numBits))
+  def bloom_membership(c: Column, model: BloomModel): Column =
+    col(BloomMembership(expr(c), model))
+  def bloom_shingle_hits(c: Column, n: Int, model: BloomModel): Column =
+    col(BloomShingleHits(expr(c), n, model))
 
   /** Register all custom functions for SQL use, so `spark.sql`
     * callers get the same codegen'd expressions as the Column API

@@ -61,6 +61,36 @@ object Curation {
         GraftFunctions.shingle_hex_tokens(TextFunctions.tokens(col(textCol)), n))).as("sh"))
       .distinct().collect().map(_.getString(0)))
 
+  /** Bloom twin of [[collectEvalShingles]]: fit the membership
+    * sketch on the eval set's distinct shingle hexes. At benchmark
+    * scale the exact hex set is small and this is optional; at a
+    * 100-TB eval-suite union the bitset (numBits/8 bytes, caller-
+    * bounded) broadcasts where the exact set would not. */
+  def collectEvalBloom(evalDocs: DataFrame, n: Int = 3, textCol: String = "text",
+                       numBits: Int = 1 << 20, k: Int = 5): graft.functions.BloomModel =
+    Sketches.fitBloom(
+      evalDocs.select(explode(array_distinct(
+        GraftFunctions.shingle_hex_tokens(TextFunctions.tokens(col(textCol)), n))).as("key")),
+      "key", numBits, k)
+
+  /** [[contaminationScoredWithModel]] behind a Bloom PREFILTER fit
+    * on the same eval shingles: the bitset probe runs first and the
+    * exact hex-set probe only where the Bloom reports a possible hit
+    * — identical output (Bloom has no false negatives; spec-pinned),
+    * but on a clean-dominated corpus the expensive exact probe runs
+    * on the false-positive sliver instead of every row. */
+  def contaminationScoredWithBloom(docs: DataFrame,
+                                   model: graft.functions.ShingleSetModel,
+                                   bloom: graft.functions.BloomModel,
+                                   idCol: String = "doc_id",
+                                   textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val hits = when(GraftFunctions.bloom_shingle_hits(toks, model.n, bloom) > 0,
+      GraftFunctions.eval_shingle_hits(toks, model)).otherwise(lit(0L))
+    docs.select(col(idCol), hits.as("n_eval_shingles"),
+      (hits > 0).as("contaminated"))
+  }
+
   /** Score half: per-doc distinct eval-shingle hits + flag, as a
     * PURE stateless codegen projection (shingle hashing fused with
     * the membership probe — no explode, no join, no shuffle), so it

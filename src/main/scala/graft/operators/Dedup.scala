@@ -348,9 +348,20 @@ object Dedup {
     * exceeds `maxBroadcastDelta` (probed, never assumed) drops the
     * broadcast hints and the same joins run shuffled — correct at
     * any size, just no longer corpus-shuffle-free. */
+  /** Fit [[deltaIngest]]'s optional exact-tier Bloom: the membership
+    * sketch over the delta's canonical fingerprints ([[Sketches
+    * .fitBloom]] — driver state bounded by `numBits/64` words, not
+    * by delta size). */
+  def deltaFingerprintBloom(delta: DataFrame, textCol: String = "text",
+                            numBits: Int = 1 << 20, k: Int = 5): graft.functions.BloomModel =
+    Sketches.fitBloom(
+      delta.select(TextFunctions.canonicalFingerprint(col(textCol)).as("key")),
+      "key", numBits, k)
+
   def deltaIngest(corpus: DataFrame, delta: DataFrame, threshold: Double,
                   idCol: String = "doc_id", textCol: String = "text",
-                  maxBroadcastDelta: Int = 1 << 20): DataFrame = {
+                  maxBroadcastDelta: Int = 1 << 20,
+                  fpBloom: Option[graft.functions.BloomModel] = None): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
     // Contract guard, probed not assumed (the q31/q22 routing rule):
     // a "delta" above maxBroadcastDelta rows stops being broadcast
@@ -370,8 +381,17 @@ object Dedup {
     val cPrep = corpus.select(col(idCol).as("cn_id"), toksOf.as("ctoks"), size(toksOf).as("cn"))
 
     // Exact tier: corpus fingerprints against the broadcast delta's.
+    // Optional Bloom fast path ([[deltaFingerprintBloom]]): a bitset
+    // probe on the corpus side drops provably-unmatched rows before
+    // the hash join — identical output (no false negatives;
+    // spec-pinned), but the join's build-side lookups run only on
+    // the maybe sliver. On a 100-TB corpus where the daily delta
+    // still exceeds comfortable broadcast-hash-join sizing, the
+    // few-MB bitset is the cheaper first gate.
     val exact = corpus
       .select(col(idCol).as("match_id"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+      .filter(fpBloom.map(m =>
+        GraftFunctions.bloom_membership(col("fp"), m).getField("maybe")).getOrElse(lit(true)))
       .join(b(dPrep.select(col("dn_id"), col("fp"))), Seq("fp"))
       .groupBy(col("dn_id")).agg(min(col("match_id")).as("exact_match_id"))
 

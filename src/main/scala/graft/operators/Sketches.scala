@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.HashFunctions
+import graft.functions.{BloomModel, GraftFunctions, HashFunctions}
 
 /** Deterministic sketches for corpus-scale statistics.
   *
@@ -240,4 +240,44 @@ object Sketches {
     } :+ max(col("n")).as("n")
     cum.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Fit a Bloom filter on a key column — the membership sketch
+    * completing the family (CMS counts, HLL cardinality, binned
+    * percentiles, Bloom MEMBERSHIP).
+    *
+    * The fit collects the FILTER, never the keys: positions are
+    * computed distributively (one codegen'd expression per key),
+    * packed into 64-bit words by a per-word `bit_or` aggregate
+    * (map-side combine bounds each task's state at `numBits/64`
+    * entries), and the driver reads at most `numBits/64` rows — a
+    * bound chosen by the CALLER, independent of corpus size. That is
+    * the whole reason a Bloom filter is the standard 100-TB
+    * decontamination/delta-ingest accelerator: a few MB of bitset
+    * broadcast where the exact key set would be GBs. */
+  def fitBloom(keys: DataFrame, keyCol: String,
+               numBits: Int = 1 << 20, k: Int = 5): BloomModel = {
+    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
+    require(k >= 1 && k <= 64, "k must be in 1..64")
+    val words = new Array[Long](numBits / 64)
+    keys
+      .select(explode(GraftFunctions.bloom_positions(col(keyCol), k, numBits)).as("p"))
+      .select((col("p") / 64).cast("long").as("w"),
+        expr("shiftleft(1L, cast(p % 64 AS int))").as("m"))
+      .groupBy(col("w")).agg(bit_or(col("m")).as("word"))
+      .collect()
+      .foreach(r => words(r.getLong(0).toInt) = r.getLong(1))
+    BloomModel(numBits, k, words)
+  }
+
+  /** Probe every row's key against a fitted filter: `(idCol, n_hit,
+    * maybe_in_set)` as a pure stateless codegen projection — no
+    * join, no shuffle, streaming-deployable ([[graft.streaming
+    * .EventStreams]]). `maybe_in_set = false` is exact absence. */
+  def bloomScored(docs: DataFrame, model: BloomModel,
+                  idCol: String = "doc_id", keyCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        GraftFunctions.bloom_membership(col(keyCol), model).as("__b"))
+      .select(col(idCol),
+        col("__b.n_hit").as("n_hit"),
+        col("__b.maybe").as("maybe_in_set"))
 }

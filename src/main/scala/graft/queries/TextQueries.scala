@@ -1353,6 +1353,39 @@ object TextQueries {
         .orderBy("term_a", "term_b")
     },
 
+    // ---- q102: Bloom-filter membership sketch (completing the
+    // sketch family: CMS counts, HLL cardinality, percentiles, now
+    // MEMBERSHIP — the standard 100-TB decontamination/delta-ingest
+    // accelerator). Fit on the eval slice's text keys (doc_id % 37),
+    // probe every document: (n_hit of k, maybe_in_set). Hashing is
+    // the engine-portable md5 scheme (position i = h60(i':'key) mod
+    // numBits), so the oracle REBUILDS the exact bitset and replays
+    // membership semantics bit-for-bit — false positives included
+    // (numBits=1024 is deliberately small so FP arithmetic is
+    // actually exercised at sf0.1 rather than vacuously absent).
+    // Fit collects the filter, never the keys: the driver reads at
+    // most numBits/64 bit_or-merged words at ANY corpus size.
+    Q("q102_bloom_membership", Some("""
+      WITH fit AS (SELECT text FROM documents WHERE doc_id % 37 = 0),
+      bits AS (SELECT DISTINCT
+                 ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 1024 AS p
+               FROM fit, range(5) r(i)),
+      probe AS (SELECT doc_id,
+                  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || text), 1, 15))::BIGINT % 1024 AS p
+                FROM documents, range(5) r(i)),
+      hit AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+              FROM probe JOIN bits USING (p) GROUP BY doc_id)
+      SELECT d.doc_id, COALESCE(h.n_hit, 0) AS n_hit,
+             COALESCE(h.n_hit, 0) = 5 AS maybe_in_set
+      FROM documents d LEFT JOIN hit h USING (doc_id)
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val model = Sketches.fitBloom(
+        docs.filter(col("doc_id") % 37 === 0).select(col("text").as("key")),
+        "key", numBits = 1024, k = 5)
+      Sketches.bloomScored(docs, model).orderBy("doc_id")
+    },
+
     // ---- q100: content-defined chunking (FastCDC/rsync family,
     // token granularity) — cuts where a 3-gram md5 hashes to
     // 0 mod 64, so boundaries follow CONTENT, not offsets: the

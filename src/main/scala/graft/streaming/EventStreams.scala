@@ -393,6 +393,21 @@ object EventStreams {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.QualityClassifier.scoreWithModel(docs, model, idCol, textCol)
 
+  /** Streaming Bloom membership with a batch-fit filter — the
+    * sketch-family deployment of the same fit-once/score-forever
+    * shape: [[graft.operators.Sketches.fitBloom]] fits on the
+    * standing key set (batch: eval-suite keys, yesterday's
+    * fingerprints), and each arriving row is probed by a stateless
+    * codegen'd projection closing over the bitset — no stream-static
+    * join, no state store, appends at ingest rate forever.
+    * `maybe_in_set = false` is a PROOF of absence, so a streaming
+    * decontamination gate can drop clean rows immediately and route
+    * only the maybe sliver to an exact check. Batch parity is exact
+    * by construction (same expression; spec-pinned). */
+  def bloomScored(docs: DataFrame, model: graft.functions.BloomModel,
+                  idCol: String = "doc_id", keyCol: String = "text"): DataFrame =
+    graft.operators.Sketches.bloomScored(docs, model, idCol, keyCol)
+
   /** Streaming content-defined chunking at ingest — the storage-side
     * twin of the batch operator ([[graft.operators.Curation
     * .cdcChunks]]): every arriving document splits into
