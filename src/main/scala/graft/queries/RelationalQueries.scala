@@ -330,16 +330,34 @@ object RelationalQueries {
         .orderBy("status")
     },
 
-    // ---- q16: slugify custom expression (F1) over part names.
-    Q("q16_slugify", Some("""
+    // ---- q16: slugify custom expression (F1) over part names —
+    // with a DIACRITIC-BEARING suffix so the de-accent path itself
+    // is hash-gated, not just spec-gated (p_name alone is ASCII and
+    // the gate was vacuous on the Unicode branch). The suffix is
+    // deliberately DECOMPOSED (base letters + combining circumflex/
+    // dot-below as separate codepoints) plus the non-decomposable
+    // Đ — the reference's own quirk (Đ has no NFD decomposition, so
+    // slugify KEEPS it, lowercased to đ, `__init__.py:10-29`). The
+    // oracle applies its ASCII chain to p_name and appends the
+    // PREDICTED de-accented slug of the suffix as a constant (the
+    // q45/q95 analytic-oracle pattern): any slip in NFD, mark
+    // stripping, the (?U) word-char class, or hyphen collapsing
+    // flips the hash.
+    {
+      // " Đêm Việt 123" with ê = e+U+0302 and ệ = e+U+0323+U+0302.
+      val rawSuffix = " \u0110e\u0302m Vie\u0323\u0302t 123"
+      val slugSuffix = "-\u0111em-viet-123"
+      Q("q16_slugify", Some(s"""
       SELECT p_partkey,
-             regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_\s-]', '', 'g')),
-                            '\s+', '-', 'g') AS slug
+             regexp_replace(trim(regexp_replace(lower(p_name), '[^a-z0-9_\\s-]', '', 'g')),
+                            '\\s+', '-', 'g') || '$slugSuffix' AS slug
       FROM part
       ORDER BY p_partkey""")) { (s, d) =>
-      Tables.part(s, d)
-        .select(col("p_partkey"), GraftFunctions.deaccent_slug(col("p_name")).as("slug"))
-        .orderBy("p_partkey")
+        Tables.part(s, d)
+          .select(col("p_partkey"),
+            GraftFunctions.deaccent_slug(concat(col("p_name"), lit(rawSuffix))).as("slug"))
+          .orderBy("p_partkey")
+      }
     },
 
     // ---- q17: duration parse custom expression (F2) — round-trips a
