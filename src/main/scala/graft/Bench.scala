@@ -109,13 +109,20 @@ object Bench {
       println(line)
       Console.out.flush()
       appendLine(linesPath, line)
-      (name, median, err)
+      (name, median, times.head, err)
     }
-    val qs = results.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // Min-of-N alongside the median: on a contended machine the median
+    // absorbs noise runs (round 9's q16 spread was 13x) while the min
+    // is the closest observable to the uncontended cost; publishing
+    // both in the same artifact lets a reader separate machine noise
+    // from real drift without a re-run.
+    val qsMin = results.map { case (k, _, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val nErr = results.count(_._3.isDefined)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+    val totalMin = results.map(_._3).sum
+    val nErr = results.count(_._4.isDefined)
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
     println(summary)
     Console.out.flush()
     try java.nio.file.Files.writeString(summaryPath, summary + "\n") catch { case _: Throwable => () }

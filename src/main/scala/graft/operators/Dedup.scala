@@ -373,12 +373,9 @@ object Dedup {
     // executes it again): a caller whose delta is an expensive
     // derived frame (not a plain scan) should .persist() or
     // materialize it before calling, or the derivation runs twice.
-    val smallDelta = delta.limit(maxBroadcastDelta + 1).count() <= maxBroadcastDelta
-    def b(df: DataFrame): DataFrame = if (smallDelta) broadcast(df) else df
-    val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
-    val dPrep = delta.select(col(idCol).as("dn_id"), toksOf.as("dtoks"),
-      size(toksOf).as("dn"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
-    val cPrep = corpus.select(col(idCol).as("cn_id"), toksOf.as("ctoks"), size(toksOf).as("cn"))
+    val parts = deltaNearParts(corpus, delta, threshold, idCol, textCol, maxBroadcastDelta)
+    import parts.{dPrep, cPrep, candidates}
+    def b(df: DataFrame): DataFrame = if (parts.smallDelta) broadcast(df) else df
 
     // Exact tier: corpus fingerprints against the broadcast delta's.
     // Optional Bloom fast path ([[deltaFingerprintBloom]]): a bitset
@@ -394,33 +391,6 @@ object Dedup {
         GraftFunctions.bloom_membership(col("fp"), m).getField("maybe")).getOrElse(lit(true)))
       .join(b(dPrep.select(col("dn_id"), col("fp"))), Seq("fp"))
       .groupBy(col("dn_id")).agg(min(col("match_id")).as("exact_match_id"))
-
-    // Near tier, candidates: prefix tokens (n - ceil(t*n) + 1
-    // lexicographically-smallest) of each side must intersect for a
-    // qualifying pair; hash join key (collisions only ADD candidates,
-    // verification is exact), length window, and the q22 positional
-    // bound prune the rest.
-    // Every float prune carries the alpha-style 1e-9 slack: t*n that
-    // lands one ULP ABOVE an exact integer boundary (e.g. 0.55*100 =
-    // 55.000000000000007) would otherwise shorten the prefix by one
-    // and fail the length window for a pair whose exact Jaccard
-    // equals the threshold — a dropped qualifying pair that the
-    // exact verification downstream can never resurrect. Slack only
-    // ever ADDS candidates, and verification is exact.
-    def prefixed(prep: DataFrame, id: String, n: String, toks: String): DataFrame =
-      prep.select(col(id), col(n),
-          posexplode(slice(col(toks), lit(1),
-            (col(n) - ceil(lit(threshold) * col(n) - lit(1e-9)) + 1).cast("int"))))
-        .select(col(id), col(n), col("pos"), xxhash64(col("col")).as("tok"))
-    val alpha = lit(threshold / (1.0d + threshold)) * (col("cn") + col("dn")) - lit(1e-9)
-    val cPre = prefixed(cPrep, "cn_id", "cn", "ctoks").as("c")
-    val dPre = prefixed(dPrep, "dn_id", "dn", "dtoks").as("d")
-    val candidates = cPre.join(b(dPre),
-        col("c.tok") === col("d.tok") &&
-        col("c.cn") >= lit(threshold) * col("d.dn") - lit(1e-9) &&
-        col("d.dn") >= lit(threshold) * col("c.cn") - lit(1e-9) &&
-        least(col("c.cn") - col("c.pos"), col("d.dn") - col("d.pos")) >= alpha)
-      .select(col("c.cn_id"), col("d.dn_id")).distinct()
 
     // Exact verification: token arrays rejoin by id. The candidate
     // set is bounded by the delta's MATCH COUNTS, not the delta
@@ -455,6 +425,51 @@ object Dedup {
             floor(col("best_jr") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
   }
 
+  /** [[deltaIngest]]'s shared prep frames and near-tier candidate
+    * stage (pure code motion) — the sweep counts `candidates` with
+    * the production plan. */
+  private[graft] final case class DeltaParts(smallDelta: Boolean, dPrep: DataFrame,
+                                             cPrep: DataFrame, candidates: DataFrame)
+
+  private[graft] def deltaNearParts(corpus: DataFrame, delta: DataFrame, threshold: Double,
+                                    idCol: String, textCol: String,
+                                    maxBroadcastDelta: Int): DeltaParts = {
+    val smallDelta = delta.limit(maxBroadcastDelta + 1).count() <= maxBroadcastDelta
+    def b(df: DataFrame): DataFrame = if (smallDelta) broadcast(df) else df
+    val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
+    val dPrep = delta.select(col(idCol).as("dn_id"), toksOf.as("dtoks"),
+      size(toksOf).as("dn"), TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+    val cPrep = corpus.select(col(idCol).as("cn_id"), toksOf.as("ctoks"), size(toksOf).as("cn"))
+
+    // Near tier, candidates: prefix tokens (n - ceil(t*n) + 1
+    // lexicographically-smallest) of each side must intersect for a
+    // qualifying pair; hash join key (collisions only ADD candidates,
+    // verification is exact), length window, and the q22 positional
+    // bound prune the rest.
+    // Every float prune carries the alpha-style 1e-9 slack: t*n that
+    // lands one ULP ABOVE an exact integer boundary (e.g. 0.55*100 =
+    // 55.000000000000007) would otherwise shorten the prefix by one
+    // and fail the length window for a pair whose exact Jaccard
+    // equals the threshold — a dropped qualifying pair that the
+    // exact verification downstream can never resurrect. Slack only
+    // ever ADDS candidates, and verification is exact.
+    def prefixed(prep: DataFrame, id: String, n: String, toks: String): DataFrame =
+      prep.select(col(id), col(n),
+          posexplode(slice(col(toks), lit(1),
+            (col(n) - ceil(lit(threshold) * col(n) - lit(1e-9)) + 1).cast("int"))))
+        .select(col(id), col(n), col("pos"), xxhash64(col("col")).as("tok"))
+    val alpha = lit(threshold / (1.0d + threshold)) * (col("cn") + col("dn")) - lit(1e-9)
+    val cPre = prefixed(cPrep, "cn_id", "cn", "ctoks").as("c")
+    val dPre = prefixed(dPrep, "dn_id", "dn", "dtoks").as("d")
+    val candidates = cPre.join(b(dPre),
+        col("c.tok") === col("d.tok") &&
+        col("c.cn") >= lit(threshold) * col("d.dn") - lit(1e-9) &&
+        col("d.dn") >= lit(threshold) * col("c.cn") - lit(1e-9) &&
+        least(col("c.cn") - col("c.pos"), col("d.dn") - col("d.pos")) >= alpha)
+      .select(col("c.cn_id"), col("d.dn_id")).distinct()
+    DeltaParts(smallDelta, dPrep, cPrep, candidates)
+  }
+
   /** Directed containment join: pairs `(doc_a, doc_b)` where at
     * least `threshold` of A's distinct tokens also occur in B
     * (`|A∩B| / |A| >= t`, a ≠ b) — the ASYMMETRIC dedup relation
@@ -480,6 +495,21 @@ object Dedup {
   def containmentJoin(docs: DataFrame, threshold: Double,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, "threshold must be in (0, 1]")
+    val prep = containmentPrep(docs, idCol, textCol)
+    containmentCandidates(prep, threshold)
+      .join(prep.select(col("id").as("a_id"), col("toks").as("atoks"), col("n").as("na")), "a_id")
+      .join(prep.select(col("id").as("b_id"), col("toks").as("btoks")), "b_id")
+      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("atoks"), col("btoks")))
+      .withColumn("cr", col("ov") / col("na"))
+      .filter(col("cr") >= threshold)
+      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
+        (floor(col("cr") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("containment"))
+  }
+
+  /** [[containmentJoin]]'s tokenized/materialized input frame —
+    * split out (pure code motion) for the scale sweep. */
+  private[graft] def containmentPrep(docs: DataFrame,
+                                     idCol: String, textCol: String): DataFrame = {
     val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
     // The id-keyed repartition is a MATERIALIZATION POINT, not a
     // co-location trick: four consumers read prep (both explode
@@ -487,9 +517,15 @@ object Dedup {
     // common subtree each re-executes the caller's tokenize/prep
     // lineage — ReuseExchange dedupes them to one computation. The
     // id partitioning additionally lines up with the verify joins.
-    val prep = docs
+    docs
       .select(col(idCol).as("id"), toksOf.as("toks"), size(toksOf).as("n"))
       .repartition(col("id"))
+  }
+
+  /** [[containmentJoin]]'s candidate-pair stage, pre-verification —
+    * split out (pure code motion) for the scale sweep's candidate
+    * counts. */
+  private[graft] def containmentCandidates(prep: DataFrame, threshold: Double): DataFrame = {
     val need = ceil(lit(threshold) * col("na") - lit(1e-9))
     val aPre = prep.select(col("id").as("a_id"), col("n").as("na"),
         posexplode(slice(col("toks"), lit(1),
@@ -498,19 +534,11 @@ object Dedup {
     val bAll = prep.select(col("id").as("b_id"), col("n").as("nb"),
         posexplode(col("toks")))
       .select(col("b_id"), col("nb"), col("pos").as("pb"), xxhash64(col("col")).as("tok"))
-    val cand = aPre.join(bAll,
+    aPre.join(bAll,
         aPre("tok") === bAll("tok") && col("a_id") =!= col("b_id") &&
         col("nb") >= lit(threshold) * col("na") - lit(1e-9) &&
         least(col("na") - col("pa"), col("nb") - col("pb")) >= need)
       .select("a_id", "b_id").distinct()
-    cand
-      .join(prep.select(col("id").as("a_id"), col("toks").as("atoks"), col("n").as("na")), "a_id")
-      .join(prep.select(col("id").as("b_id"), col("toks").as("btoks")), "b_id")
-      .withColumn("ov", GraftFunctions.sorted_intersect_count(col("atoks"), col("btoks")))
-      .withColumn("cr", col("ov") / col("na"))
-      .filter(col("cr") >= threshold)
-      .select(col("a_id").as("doc_a"), col("b_id").as("doc_b"),
-        (floor(col("cr") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("containment"))
   }
 
   /** SimHash signature per document over its distinct-token 60-bit
@@ -705,10 +733,7 @@ object Dedup {
     val reps =
       if (joinExpand) collapseIdenticalNoIds(docs, idCol, textCol)
       else collapseIdentical(docs, idCol, textCol)
-    val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
-
-    // Global token order: rarest first, ties broken lexicographically.
-    val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+    val (tok, freq) = tokFreqOf(reps)
 
     // Probe order matters at scale: the doc-count guard is a plain
     // limited scan (docs <= bound implies reps <= bound — the probe
@@ -764,10 +789,31 @@ object Dedup {
         (floor(col("jaccard_raw") * lit(10000.0d) + lit(0.5d)) / lit(10000.0d)).as("jaccard"))
   }
 
+  /** Collapsed-rep token explosion + global token frequencies — the
+    * two inputs the prefix filter ranks against. Exposed to
+    * [[graft.PrefixJoinSweep]] so candidate counts are measured on
+    * the operator's OWN frames, not a re-derivation that could
+    * drift. */
+  private[graft] def tokFreqOf(reps: DataFrame): (DataFrame, DataFrame) = {
+    val tok = reps.select(col("fp"), col("n_toks"), explode(col("toks")).as("tok"))
+    // Global token order: rarest first, ties broken lexicographically.
+    val freq = tok.groupBy("tok").agg(count(lit(1)).as("freq"))
+    (tok, freq)
+  }
+
   /** Large-vocabulary strategy: PPJoin-style prefix-filtered
     * inverted-index join + exact verification. */
   private def prefixFilteredPairs(reps: DataFrame, tok: DataFrame, freq: DataFrame,
-                                  threshold: Double): DataFrame = {
+                                  threshold: Double): DataFrame =
+    verifyJaccardByFp(prefixJaccardCandidates(tok, freq, threshold), reps, threshold)
+
+  /** The prefix path's candidate-pair stage, pre-verification —
+    * `(fp_a, fp_b)` distinct pairs surviving the prefix, length and
+    * positional filters. Split out of [[prefixFilteredPairs]] (pure
+    * code motion) so the scale sweep can count candidates with the
+    * exact production plan. */
+  private[graft] def prefixJaccardCandidates(tok: DataFrame, freq: DataFrame,
+                                             threshold: Double): DataFrame = {
     // Prefix = the `n - ceil(t*n) + 1` globally-rarest tokens per set.
     // Built with one hash aggregate (partial-agg combinable, no sort
     // exchange): collect (freq, tok) per fp, array_sort (struct order
@@ -825,8 +871,7 @@ object Dedup {
         least(col("a.n_toks") - col("a.pos"), col("b.n_toks") - col("b.pos")) >= alpha)
       .select(col("a.fp").as("fp_a"), col("b.fp").as("fp_b"))
       .distinct()
-
-    verifyJaccardByFp(candidates, reps, threshold)
+    candidates
   }
 
   /** Connected components over an undirected pair list — the cluster

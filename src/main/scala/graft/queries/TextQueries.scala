@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{GraftFunctions, HashFunctions, TextFunctions}
@@ -41,6 +42,77 @@ object TextQueries {
              FROM h CROSS JOIN generate_series(0, 59) g(j)
              GROUP BY doc_id, j),
     s AS (SELECT doc_id, CAST(SUM(bit) AS BIGINT) AS simhash FROM bits GROUP BY doc_id)"""
+
+  /** The q46/q90 synthetic Zipf-vocabulary word list for order key
+    * `kCol` — 8 + k%8 words, token id md5-hash-driven through an
+    * integer log-skew map (small ids common, tail ids rare). Shared
+    * by the two queries and by [[graft.PrefixJoinSweep]]. */
+  private[graft] def zipfWordsOf(kCol: Column): Column = {
+    val hs = transform(
+      sequence(lit(0), (lit(7) + pmod(kCol, lit(8))).cast("int")),
+      j => HashFunctions.h60(
+        concat(kCol.cast("string"), lit(":"), j.cast("string"))))
+    transform(hs, h =>
+      concat(lit("w"),
+        pmod(shiftright(h, 30),
+          lit(1L) + pmod(h.bitwiseAND(lit(1073741823L)), lit(30000L)))
+          .cast("string")))
+  }
+
+  /** q43's shingle-set corpus over any `(doc_id, text)` frame: word
+    * 3-gram shingles as compact 15-hex md5 tokens (code motion from
+    * the q43 body, shared with the scale sweep). */
+  private[graft] def q43Corpus(docs: DataFrame): DataFrame =
+    docs
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        array_join(
+          GraftFunctions.shingle_hex_tokens(split(col("text"), " "), 3),
+          " ").as("text"))
+
+  /** q46's corpus: every third order emits a base doc; every ninth
+    * also a drop-last-token twin (pure code motion from the q46
+    * body so the scale sweep replays the identical workload). */
+  private[graft] def q46Corpus(s: SparkSession, d: String): DataFrame = {
+    val words = zipfWordsOf(col("k"))
+    val withToks = graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey").as("k"))
+      .select(col("k"), words.as("toks"))
+    // Base doc + optional twin from ONE pass over the md5 word
+    // synthesis: a union of two selects re-executes the transform
+    // per branch (separate subtrees reuse nothing), which doubled
+    // the single most expensive stage of this corpus.
+    withToks
+      .select(inline(array(
+        struct((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text")),
+        struct((col("k") * 2 + 1).as("doc_id"),
+          when(pmod(col("k"), lit(9)) === 0,
+            array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " "))
+            .as("text")))))
+      .filter(col("text").isNotNull)
+  }
+
+  /** q90's corpus: every ninth order emits a base doc; even k a
+    * drop-last twin; k%3==0 a half-length excerpt (code motion from
+    * the q90 body, shared with the scale sweep). */
+  private[graft] def q90Corpus(s: SparkSession, d: String): DataFrame = {
+    val words = zipfWordsOf(col("k"))
+    graft.Tables.orders(s, d)
+      .filter(pmod(col("o_orderkey"), lit(9)) === 0)
+      .select(col("o_orderkey").as("k"))
+      .select(col("k"), words.as("toks"), size(words).as("len"))
+      .select(inline(array(
+        struct((col("k") * 4).as("doc_id"), array_join(col("toks"), " ").as("text")),
+        struct((col("k") * 4 + 1).as("doc_id"),
+          when(pmod(col("k"), lit(2)) === 0,
+            array_join(slice(col("toks"), lit(1), col("len") - 1), " ")).as("text")),
+        struct((col("k") * 4 + 2).as("doc_id"),
+          when(pmod(col("k"), lit(3)) === 0,
+            array_join(slice(col("toks"), lit(1),
+              ceil(col("len") / lit(2.0d)).cast("int")), " ")).as("text")))))
+      .filter(col("text").isNotNull)
+  }
 
   val qs: Seq[Q] = Seq(
 
@@ -262,13 +334,7 @@ object TextQueries {
       FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
       WHERE ov / (la.n + lb.n - ov) >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
-      val shingled = Tables.documents(s, d)
-        .filter(size(split(col("text"), " ")) >= 3)
-        .select(col("doc_id"),
-          array_join(
-            GraftFunctions.shingle_hex_tokens(split(col("text"), " "), 3),
-            " ").as("text"))
-      Dedup.jaccardSimilarityJoin(shingled, threshold = 0.9)
+      Dedup.jaccardSimilarityJoin(q43Corpus(Tables.documents(s, d)), threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -316,32 +382,7 @@ object TextQueries {
       FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
       WHERE ov / (la.n + lb.n - ov) >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
-      val hs = transform(
-        sequence(lit(0), (lit(7) + pmod(col("k"), lit(8))).cast("int")),
-        j => HashFunctions.h60(
-          concat(col("k").cast("string"), lit(":"), j.cast("string"))))
-      val words = transform(hs, h =>
-        concat(lit("w"),
-          pmod(shiftright(h, 30),
-            lit(1L) + pmod(h.bitwiseAND(lit(1073741823L)), lit(30000L)))
-            .cast("string")))
-      val withToks = graft.Tables.orders(s, d)
-        .filter(pmod(col("o_orderkey"), lit(3)) === 0)
-        .select(col("o_orderkey").as("k"))
-        .select(col("k"), words.as("toks"))
-      // Base doc + optional twin from ONE pass over the md5 word
-      // synthesis: a union of two selects re-executes the transform
-      // per branch (separate subtrees reuse nothing), which doubled
-      // the single most expensive stage of this corpus.
-      val corpus = withToks
-        .select(inline(array(
-          struct((col("k") * 2).as("doc_id"), array_join(col("toks"), " ").as("text")),
-          struct((col("k") * 2 + 1).as("doc_id"),
-            when(pmod(col("k"), lit(9)) === 0,
-              array_join(slice(col("toks"), lit(1), size(col("toks")) - 1), " "))
-              .as("text")))))
-        .filter(col("text").isNotNull)
-      Dedup.jaccardSimilarityJoin(corpus, threshold = 0.9)
+      Dedup.jaccardSimilarityJoin(q46Corpus(s, d), threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -861,30 +902,7 @@ object TextQueries {
       FROM ov JOIN l la ON la.doc_id = doc_a
       WHERE ov / la.n >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
-      val hs = transform(
-        sequence(lit(0), (lit(7) + pmod(col("k"), lit(8))).cast("int")),
-        j => HashFunctions.h60(
-          concat(col("k").cast("string"), lit(":"), j.cast("string"))))
-      val words = transform(hs, h =>
-        concat(lit("w"),
-          pmod(shiftright(h, 30),
-            lit(1L) + pmod(h.bitwiseAND(lit(1073741823L)), lit(30000L)))
-            .cast("string")))
-      val corpus = graft.Tables.orders(s, d)
-        .filter(pmod(col("o_orderkey"), lit(9)) === 0)
-        .select(col("o_orderkey").as("k"))
-        .select(col("k"), words.as("toks"), size(words).as("len"))
-        .select(inline(array(
-          struct((col("k") * 4).as("doc_id"), array_join(col("toks"), " ").as("text")),
-          struct((col("k") * 4 + 1).as("doc_id"),
-            when(pmod(col("k"), lit(2)) === 0,
-              array_join(slice(col("toks"), lit(1), col("len") - 1), " ")).as("text")),
-          struct((col("k") * 4 + 2).as("doc_id"),
-            when(pmod(col("k"), lit(3)) === 0,
-              array_join(slice(col("toks"), lit(1),
-                ceil(col("len") / lit(2.0d)).cast("int")), " ")).as("text")))))
-        .filter(col("text").isNotNull)
-      Dedup.containmentJoin(corpus, threshold = 0.9)
+      Dedup.containmentJoin(q90Corpus(s, d), threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
 
