@@ -29,7 +29,11 @@ import graft.queries.TextQueries
   */
 object PrefixJoinSweep {
 
-  private def replicate(corpus: DataFrame, m: Int): DataFrame =
+  /** m disjoint replicas of a `(doc_id, text)` corpus — tokens of
+    * copy c>0 prefixed `c{c}·`, ids offset. Shared with
+    * `CandidateLinearitySpec`, the in-suite regression gate over the
+    * same invariant this sweep measures at scale. */
+  private[graft] def replicate(corpus: DataFrame, m: Int): DataFrame =
     (0 until m).map { c =>
       if (c == 0) corpus
       else corpus.select(
