@@ -256,16 +256,41 @@ object Similarity {
     val c = prepared(embeddings, idCol)
       .withColumn("vv", dot(col("vec"), col("vec")))
     val dists = Clustering.distStructs(model.toCentroids)
+    // Block rows carry their vector: the within-block self-join
+    // verifies INLINE (dot + threshold inside the join) instead of
+    // materializing an id-pair candidate set. The id-pair tail
+    // ([[refinePairs]]) shuffles every candidate pair through a
+    // distinct before refining — with k ≪ √n blocks (q84's k = 8 over
+    // ~14k vectors ⇒ ~46M candidate pairs) that distinct IS the
+    // query's cost, and at production k = √n the within-block pair
+    // count Σ n_c² ≈ n^1.5 still dwarfs the n·nAssign·dim fat rows
+    // this shape shuffles instead. Pairs stream through the codegen'd
+    // cosine + filter without ever shuffling; only survivors (rare at
+    // 0.99) reach the distinct that collapses duplicate-cluster hits.
+    // `sim` is deterministic per pair, so distinct-after-refine emits
+    // exactly the rows the distinct-before-refine plan did.
     val blocks = c
       .withColumn("v", col("vec"))
-      .select(col(idCol),
+      .select(col(idCol), col("vec"), col("norm"),
         explode(slice(array_sort(array(dists: _*)), 1, nAssign)).as("a"))
-      .select(col(idCol), col("a.cid").as("cluster_id"))
-    val cand = blocks.select(col("cluster_id"), col(idCol).as("vec_a"))
-      .join(blocks.select(col("cluster_id"), col(idCol).as("vec_b")), Seq("cluster_id"))
+      .select(col(idCol), col("vec"), col("norm"), col("a.cid").as("cluster_id"))
+    // Low-cardinality join key (k clusters): salt side A into
+    // `saltBuckets` slices and replicate side B across them so the
+    // per-cluster work spreads over saltBuckets × k tasks instead of
+    // k. Deterministic (id-hash) — output-invariant.
+    val saltBuckets = 8
+    val a = blocks.select(col("cluster_id"),
+      pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("salt"),
+      col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    val b = blocks.select(col("cluster_id"), explode(
+        sequence(lit(0L), lit(saltBuckets - 1L))).as("salt"),
+      col(idCol).as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cluster_id", "salt"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    refinePairs(cand, c, threshold, idCol)
+      .withColumn("sim_raw", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+      .distinct()
   }
 
   /** IVF-style ANN: corpus is assigned to the nearest of `nCentroids`
