@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions.{asDouble, dot}
+
+/** Product quantization (PQ) — the memory-compressed ANN tier: a
+  * 64-dim float vector (256 B) becomes `m` small sub-codes (here
+  * 8 codes of 3 bits' worth of centroids — one byte each packed, 64×
+  * compression), and query-to-corpus distance is approximated
+  * asymmetrically (ADC): the query stays full-precision, each corpus
+  * vector contributes only its per-subspace codebook centroids.
+  * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+  * TPAMI 2011 — the standard recipe behind FAISS's IVF-PQ.
+  *
+  * Scale shape, by construction:
+  *  - TRAIN: one bounded seed collect (`ksub` rows via global
+  *    orderBy+limit — per-partition partial limits, the corpus is
+  *    never sorted whole), then one Lloyd round per `iters` as a
+  *    single exploded aggregate over `(subspace, code)` — map-side
+  *    combinable, m×ksub result rows to the driver. Same
+  *    integer-quantized sufficient statistics as [[Clustering.fit]]
+  *    (sums on the 2^20 grid), so the oracle replays training
+  *    bit-for-bit.
+  *  - ENCODE: a zero-shuffle codegen projection — `m` plan-literal
+  *    argmins per row ([[Clustering.distStructs]]'s (d, cid) struct
+  *    order = the replayable `ORDER BY dist, cid` tie rule).
+  *  - SEARCH: broadcast the (small) query set, scan the encoded
+  *    corpus once; per-pair ADC distance is an INTEGER sum of m
+  *    quantized per-subspace terms (floor(term·1e6+0.5) — order-free
+  *    addition, so the oracle's GROUP BY sum is exact), and top-k
+  *    selection rides [[TopK.perGroup]]'s bounded partial aggregate.
+  *    No corpus shuffle anywhere; compose with
+  *    [[Similarity.ivfAnn]]-style routing for IVF-PQ when the scan
+  *    itself must shrink.
+  */
+object Quantization {
+
+  private val QuantScale = 1048576.0d // 2^20: exact multiply, exact floor
+  private val AdcScale = 1000000.0d   // ADC term grid: floor(t*1e6+0.5)
+
+  /** Fitted codebooks: `codebooks(j)(c)` is subspace j's centroid
+    * c+1 (`dsub` doubles). Plain driver-side values — serializes
+    * into a plan literal, so batch and stream score identically. */
+  final case class PqModel(m: Int, dsub: Int, codebooks: Seq[Seq[Seq[Double]]]) {
+    private[operators] def cbArrays: Array[Array[Array[Double]]] =
+      codebooks.map(_.map(_.toArray).toArray).toArray
+  }
+
+  /** |c|² summed left-to-right — the engines' shared dot order. */
+  private def normSq(c: Array[Double]): Double = {
+    var s = 0.0d; var i = 0
+    while (i < c.length) { s += c(i) * c(i); i += 1 }
+    s
+  }
+
+  /** Per-subspace argmin codes as ONE plan-literal projection column
+    * (`array<int>`, codes 1-based): for subspace j, the (d, cid)
+    * struct-min over ksub literal centroids with
+    * d = |sub|² - 2·sub·c + |c|² — identical metric and tie rule to
+    * [[Clustering.distStructs]]. */
+  private def codesExpr(v: Column, cbs: Array[Array[Array[Double]]], dsub: Int): Column =
+    array(cbs.toSeq.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(v, j * dsub + 1, dsub)
+      val svv = dot(sub, sub)
+      array_min(array(cents.toSeq.zipWithIndex.map { case (c, i) =>
+        struct(
+          (svv - lit(2.0d) * dot(sub, lit(c)) + lit(normSq(c))).as("d"),
+          lit(i + 1).as("cid"))
+      }: _*)).getField("cid")
+    }: _*)
+
+  /** Train per-subspace codebooks: `ksub` shared seed vectors picked
+    * by the engine-wide deterministic hash rule (h = id·2654435761
+    * mod 1000000007, order (h, id) — [[Clustering.fit]]'s rule, so
+    * one oracle CTE seeds every subspace), sliced per subspace, then
+    * `iters` Lloyd rounds. Each round is ONE distributed job:
+    * encode inline (plan-literal argmin), posexplode the code array,
+    * aggregate integer-quantized subvector sums by (subspace, code).
+    * Empty codes keep their previous centroid. Driver state:
+    * m·ksub·dsub doubles. */
+  def fitPq(embeddings: DataFrame, m: Int = 8, ksub: Int = 8, iters: Int = 1,
+            idCol: String = "vec_id", vecCol: String = "embedding"): PqModel = {
+    require(m >= 1 && ksub >= 1 && iters >= 0, "m, ksub >= 1; iters >= 0")
+    val prep = embeddings.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val seedRows = prep
+      .select(pmod(col("id") * lit(2654435761L), lit(1000000007L)).as("h"),
+        col("id"), col("v"))
+      .orderBy(col("h"), col("id")).limit(ksub)
+      .collect()
+    require(seedRows.nonEmpty, "cannot fit PQ on an empty corpus")
+    val seeds = seedRows
+      .map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2).toArray))
+      .sortBy { case (h, id, _) => (h, id) }
+      .map(_._3)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val dsub = dim / m
+    var cbs: Array[Array[Array[Double]]] =
+      Array.tabulate(m)(j => seeds.map(_.slice(j * dsub, (j + 1) * dsub)))
+
+    val vecSum = udaf(Clustering.vecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    for (_ <- 1 to iters) {
+      val sums = prep
+        .select(posexplode(codesExpr(col("v"), cbs, dsub)).as(Seq("j", "cid")), col("v"))
+        .select(col("j"), col("cid"),
+          transform(slice(col("v"), col("j") * lit(dsub) + lit(1), lit(dsub)),
+            x => floor(x * lit(QuantScale) + lit(0.5d)).cast("long")).as("qsv"))
+        .groupBy(col("j"), col("cid"))
+        .agg(count(lit(1)).as("n"), vecSum(col("qsv")).as("sq"))
+        .collect() // bounded: m*ksub rows of (dsub+2) values — model state
+        .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getSeq[Long](3)))
+        .toMap
+      cbs = Array.tabulate(m) { j =>
+        Array.tabulate(cbs(j).length) { i =>
+          sums.get((j, i + 1)) match {
+            case Some((n, sq)) =>
+              sq.map(s => s.toDouble / (n.toDouble * QuantScale)).toArray
+            case None => cbs(j)(i) // emptied code keeps its centroid
+          }
+        }
+      }
+    }
+    PqModel(m, dsub, cbs.map(_.map(_.toSeq).toSeq).toSeq)
+  }
+
+  /** Encode a corpus against a fitted model: `(idCol, codes)` with
+    * `codes` an `array<int>` of m 1-based sub-codes — a pure
+    * zero-shuffle projection (batch OR streaming). */
+  def encodePq(embeddings: DataFrame, model: PqModel,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    embeddings.select(col(idCol),
+      codesExpr(asDouble(col(vecCol)), model.cbArrays, model.dsub).as("codes"))
+
+  /** ADC top-k: for every query (full-precision), the k nearest
+    * encoded corpus vectors by asymmetric distance
+    * `Σ_j ||q_j − cb_j[code_j]||²`, each per-subspace term quantized
+    * to the 1e-6 grid so the sum is an exact integer (order-free —
+    * the oracle's GROUP BY replays it exactly). Ties break by
+    * candidate id. Returns `(query_id, neighbor_id, rank, adist)`
+    * with `adist` the integer-backed quantized distance. */
+  def adcTopK(corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val cbs = model.cbArrays
+    val dsub = model.dsub
+    val enc = encodePq(corpus, idCol = idCol, vecCol = vecCol, model = model)
+      .select(col(idCol).as("cand_id"), col("codes"))
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val pairs = enc.crossJoin(broadcast(q))
+    // Per-subspace quantized term: the codebook entry is selected by
+    // the row's code through a nested plan literal; every float op
+    // (two dots + the a−b+c chain) matches the oracle's
+    // list_inner_product spelling left-to-right.
+    val cbLit = typedLit(model.codebooks)
+    val terms = (0 until model.m).map { j =>
+      val qsub = slice(col("qv"), j * dsub + 1, dsub)
+      val cent = element_at(element_at(cbLit, j + 1), element_at(col("codes"), j + 1))
+      val t = dot(qsub, qsub) - lit(2.0d) * dot(qsub, cent) + dot(cent, cent)
+      floor(t * lit(AdcScale) + lit(0.5d)).cast("long")
+    }
+    val dist = terms.reduce(_ + _)
+    TopK.perGroup(
+        pairs.select(col("query_id"), col("cand_id"),
+          (-dist).cast("double").as("nsim")),
+        "query_id", "cand_id", "nsim", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        ((-col("sim_raw")) / lit(AdcScale)).as("adist"))
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorFunctions.asDouble
-import graft.operators.{Clustering, Similarity}
+import graft.operators.{Clustering, Quantization, Similarity}
 
 /** Similarity search over the `embeddings` table (`array<float>`,
   * 64-dim): exact brute-force top-k (ground truth), exact near-dup
@@ -450,5 +450,83 @@ object VectorQueries {
       Similarity.semanticBlockedPairsWithModel(corpus, threshold = 0.99,
           model = model, nAssign = 2)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- q103: product-quantization ANN end-to-end — train
+    // per-subspace codebooks (8 subspaces × 8 codes, one Lloyd round
+    // from the engine-wide hash-picked seeds), encode every corpus
+    // vector to 8 sub-codes, and answer every 97th vector's top-5 by
+    // asymmetric distance. The oracle replays training (quantized
+    // integer sufficient statistics), encoding ((d, cid) argmin per
+    // subspace) and search (per-subspace terms on the 1e-6 integer
+    // grid, so the distance sum is order-free and exact). Compression
+    // story: 64 doubles → 8 codes; the search is one corpus scan
+    // against broadcast queries with a bounded top-k aggregate.
+    Q("q103_pq_ann", Some("""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      seeds AS (
+        SELECT vec_id, v, (vec_id * 2654435761) % 1000000007 AS h
+        FROM p ORDER BY h, vec_id LIMIT 8),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid, v AS cv
+        FROM seeds),
+      sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv
+              FROM p CROSS JOIN generate_series(0, 7) g(j)),
+      c0s AS (SELECT j, cid, cv[j*8+1 : j*8+8] AS cv
+              FROM c0 CROSS JOIN generate_series(0, 7) g(j)),
+      a0 AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c0s c USING (j)) WHERE rn = 1),
+      s1 AS (
+        SELECT a0.j, a0.cid, g.i AS pos,
+               SUM(CAST(floor(sub.sv[g.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM a0 JOIN sub USING (vec_id, j) CROSS JOIN generate_series(1, 8) g(i)
+        GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT c0s.j, c0s.cid, COALESCE(u.cv, c0s.cv) AS cv
+        FROM c0s LEFT JOIN (
+          SELECT j, cid,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s1 GROUP BY 1, 2) u USING (j, cid)),
+      enc AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c1 c USING (j)) WHERE rn = 1),
+      qsub AS (SELECT vec_id AS query_id, j, sv AS qsv
+               FROM sub WHERE vec_id % 97 = 0),
+      terms AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               CAST(floor((list_inner_product(q.qsv, q.qsv)
+                           - 2.0 * list_inner_product(q.qsv, c.cv)
+                           + list_inner_product(c.cv, c.cv)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS tq
+        FROM qsub q
+        JOIN enc e ON e.j = q.j
+        JOIN c1 c ON c.j = e.j AND c.cid = e.cid),
+      d AS (SELECT query_id, cand_id, SUM(tq) AS dist FROM terms GROUP BY 1, 2),
+      r AS (SELECT query_id, cand_id, dist,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY dist, cand_id) AS rn
+            FROM d)
+      SELECT query_id, cand_id AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+             CAST(dist AS DOUBLE) / 1000000.0 AS adist
+      FROM r WHERE rn <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+      Quantization.adcTopK(emb, emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+          model = model, k = 5)
+        .orderBy("query_id", "rank")
     })
 }

@@ -224,6 +224,23 @@ class PlanSpec extends SparkSuite {
       p.contains("word_ngram_score"), s"q94 must score via the codegen expression:\n${p.take(2000)}")
   }
 
+  test("q103 PQ: queries broadcast, corpus never shuffled before the top-k aggregate") {
+    // The ADC scan must be corpus-scan → broadcast-join(queries) →
+    // partial top-k: the only Exchanges allowed are the broadcast of
+    // the query side and the by-query_id exchange of BOUNDED top-k
+    // aggregate states (plus the final presentation sort). A
+    // corpus-side hash Exchange before aggregation would mean the
+    // pair stream is being shuffled — the shape that dies at 100 TB.
+    val p = physical("q103_pq_ann")
+    assert(p.contains("BroadcastExchange"), s"q103 must broadcast the query side:\n${p.take(2000)}")
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    assert(aggIdx >= 0, s"q103 must select top-k via the bounded typed aggregate:\n${p.take(2000)}")
+    val belowAgg = p.substring(p.lastIndexOf("ObjectHashAggregate"))
+    assert(!belowAgg.replace("BroadcastExchange", "").contains("Exchange"),
+      s"q103 shuffles below the partial top-k aggregate:\n${p.take(3000)}")
+    assert(!p.contains("Window "), s"q103 must not rank via a window:\n${p.take(2000)}")
+  }
+
   test("q78 shuffle-shard: the window's partition-by-shard is the plan's only exchange") {
     import graft.operators.Curation
     val out = Curation.shuffleShard(Tables.documents(spark, sfDir), shards = 8)

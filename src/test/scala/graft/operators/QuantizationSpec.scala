@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSuite
+
+/** Product-quantization properties beyond the q103 hash gate. */
+class QuantizationSpec extends SparkSuite {
+
+  private lazy val emb = graft.Tables.embeddings(spark, sfDir)
+  private lazy val model = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+
+  test("fitPq shape: 8 subspaces x 8 codes x 8 dims, deterministic across fits") {
+    assert(model.m === 8 && model.dsub === 8)
+    assert(model.codebooks.length === 8)
+    assert(model.codebooks.forall(cb => cb.length === 8 && cb.forall(_.length === 8)))
+    val again = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+    assert(again === model, "fit must be bit-deterministic")
+  }
+
+  test("encodePq: m codes per row, all in 1..ksub, matches a driver-side argmin") {
+    val enc = Quantization.encodePq(emb, model).collect()
+    assert(enc.length === emb.count())
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    for (row <- enc.take(25)) {
+      val codes = row.getSeq[Int](1)
+      assert(codes.length === 8 && codes.forall(c => c >= 1 && c <= 8))
+      val v = vecs(row.getLong(0))
+      for (j <- 0 until 8) {
+        val sub = v.slice(j * 8, j * 8 + 8)
+        // Same metric as the plan expression: |s|^2 - 2 s·c + |c|^2,
+        // left-to-right doubles, tie by smaller cid.
+        def dot(a: Array[Double], b: Array[Double]): Double = {
+          var s = 0.0d; var i = 0
+          while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+        }
+        val best = model.codebooks(j).zipWithIndex.map { case (c, i) =>
+          (dot(sub, sub) - 2.0d * dot(sub, c.toArray) + dot(c.toArray, c.toArray), i + 1)
+        }.min
+        assert(codes(j) === best._2,
+          s"vec ${row.getLong(0)} subspace $j: plan code ${codes(j)} != driver argmin ${best._2}")
+      }
+    }
+  }
+
+  test("adcTopK: a query's own vector is always among the minimum-distance rows") {
+    // ADC distance depends only on the CANDIDATE's codes, and the
+    // query's own codes are the per-subspace argmin against the
+    // query — so no candidate can score strictly below the query
+    // itself. With ties broken by id, the self row surfaces at rank
+    // 1 whenever the query id is the smallest among tied minima.
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val top = Quantization.adcTopK(emb, queries, model, k = 5)
+    val byQuery = top.collect().groupBy(_.getLong(0))
+    assert(byQuery.nonEmpty)
+    for ((qid, rows) <- byQuery) {
+      val sorted = rows.sortBy(_.getInt(2))
+      val minDist = sorted.head.getDouble(3)
+      val selfRow = sorted.find(_.getLong(1) == qid)
+      assert(selfRow.isDefined, s"query $qid: self not in top-5")
+      assert(selfRow.get.getDouble(3) === minDist,
+        s"query $qid: self adist ${selfRow.get.getDouble(3)} above the minimum $minDist")
+    }
+  }
+
+  test("adcTopK ranks are dense 1..k with adist non-decreasing") {
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val top = Quantization.adcTopK(emb, queries, model, k = 5).collect()
+    for ((_, rows) <- top.groupBy(_.getLong(0))) {
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to sorted.length))
+      val dists = sorted.map(_.getDouble(3)).toSeq
+      assert(dists === dists.sorted, s"adist not monotone: $dists")
+    }
+  }
+}
