@@ -168,4 +168,73 @@ object Quantization {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         ((-col("sim_raw")) / lit(AdcScale)).as("adist"))
   }
+
+  /** IVF-PQ — the production composition (FAISS's default index
+    * family): a coarse quantizer routes vectors to inverted lists,
+    * PQ encodes each vector's RESIDUAL against its list centroid
+    * (residuals are tighter than raw vectors, so the same codebook
+    * budget buys more precision), and a query probes only its
+    * `nProbe` nearest lists. Search cost shrinks ~nProbe/nCoarse vs
+    * the flat [[adcTopK]] scan while storage stays m bytes/vector.
+    *
+    * Shapes: coarse seeds are [[Clustering.fit]] with iters = 0 (the
+    * deterministic hash-picked seed rule, one bounded collect — the
+    * q33 IVF precedent); assignment + residual is one zero-shuffle
+    * projection via [[Clustering.distStructs]] (the ONE copy of the
+    * metric, so routing can never drift from training); the PQ model
+    * fits on residuals through the same [[fitPq]] path; probing
+    * explodes each query to its nProbe (d, cid)-sorted lists and the
+    * candidate join is corpus-side-stationary — encoded lists join a
+    * BROADCAST probe frame on `list_id`, terms are the same integer
+    * grid as [[adcTopK]], top-k the same bounded aggregate. A
+    * candidate lives in exactly one list, so no dedup is needed. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                nCoarse: Int = 16, nProbe: Int = 4,
+                m: Int = 8, ksub: Int = 8, iters: Int = 1,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nProbe >= 1 && nProbe <= nCoarse, "need 1 <= nProbe <= nCoarse")
+    val coarse = Clustering.fit(corpus, nCoarse, iters = 0, idCol = idCol, vecCol = vecCol)
+    val cents = coarse.toCentroids
+    val centVecs = typedLit(coarse.centroids.sortBy(_._1).map(_._2))
+    val dists = Clustering.distStructs(cents)
+
+    val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val assigned = c
+      .select(col("cand_id"), col("v"),
+        array_min(array(dists: _*)).getField("cid").as("list_id"))
+      .withColumn("rvec",
+        zip_with(col("v"), element_at(centVecs, col("list_id")), (a, b) => a - b))
+    val pq = fitPq(assigned.select(col("cand_id"), col("rvec")),
+      m = m, ksub = ksub, iters = iters, idCol = "cand_id", vecCol = "rvec")
+    val enc = assigned.select(col("cand_id"), col("list_id"),
+      codesExpr(col("rvec"), pq.cbArrays, pq.dsub).as("codes"))
+
+    val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("v"))
+      .withColumn("vv", dot(col("v"), col("v")))
+    val probes = q
+      .select(col("query_id"), col("v"),
+        explode(slice(array_sort(array(dists: _*)), 1, nProbe)).as("a"))
+      .select(col("query_id"), col("v"), col("a.cid").as("list_id"))
+      .withColumn("rq",
+        zip_with(col("v"), element_at(centVecs, col("list_id")), (a, b) => a - b))
+      .select(col("query_id"), col("list_id"), col("rq"))
+
+    val pairs = enc.join(broadcast(probes), Seq("list_id"))
+    val cbLit = typedLit(pq.codebooks)
+    val dsub = pq.dsub
+    val terms = (0 until pq.m).map { j =>
+      val qsub = slice(col("rq"), j * dsub + 1, dsub)
+      val cent = element_at(element_at(cbLit, j + 1), element_at(col("codes"), j + 1))
+      val t = dot(qsub, qsub) - lit(2.0d) * dot(qsub, cent) + dot(cent, cent)
+      floor(t * lit(AdcScale) + lit(0.5d)).cast("long")
+    }
+    val dist = terms.reduce(_ + _)
+    TopK.perGroup(
+        pairs.select(col("query_id"), col("cand_id"),
+          (-dist).cast("double").as("nsim")),
+        "query_id", "cand_id", "nsim", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        ((-col("sim_raw")) / lit(AdcScale)).as("adist"))
+  }
 }

@@ -528,5 +528,110 @@ object VectorQueries {
       Quantization.adcTopK(emb, emb.filter(pmod(col("vec_id"), lit(97)) === 0),
           model = model, k = 5)
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q104: IVF-PQ composed search — the production ANN recipe
+    // (FAISS's default): 16 hash-seeded coarse lists (q33's routing
+    // rule), PQ codebooks fitted on RESIDUALS against the list
+    // centroid, queries probe their 4 nearest lists and rank by
+    // integer-grid ADC within them. The oracle replays coarse
+    // routing, residuals, PQ training, encoding and the probed
+    // search — the whole composed index, hash-exact.
+    Q("q104_ivf_pq", Some("""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      cs AS (SELECT vec_id, v, (vec_id * 2654435761) % 1000000007 AS h
+             FROM p ORDER BY h, vec_id LIMIT 16),
+      cc AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS lid,
+                    v AS cv
+             FROM cs),
+      asg AS (
+        SELECT vec_id, lid FROM (
+          SELECT p.vec_id, c.lid,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_inner_product(p.v, p.v)
+                            - 2.0 * list_inner_product(p.v, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.lid) AS rn
+          FROM p CROSS JOIN cc c) WHERE rn = 1),
+      r AS (
+        SELECT p.vec_id, asg.lid,
+               [p.v[i] - c.cv[i] FOR i IN range(1, len(p.v) + 1)] AS rv
+        FROM p JOIN asg USING (vec_id) JOIN cc c ON c.lid = asg.lid),
+      pseeds AS (SELECT vec_id, rv, (vec_id * 2654435761) % 1000000007 AS h
+                 FROM r ORDER BY h, vec_id LIMIT 8),
+      pc0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid,
+                     rv AS cv
+              FROM pseeds),
+      sub AS (SELECT vec_id, j, rv[j*8+1 : j*8+8] AS sv
+              FROM r CROSS JOIN generate_series(0, 7) g(j)),
+      pc0s AS (SELECT j, cid, cv[j*8+1 : j*8+8] AS cv
+               FROM pc0 CROSS JOIN generate_series(0, 7) g(j)),
+      a0 AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN pc0s c USING (j)) WHERE rn = 1),
+      s1 AS (
+        SELECT a0.j, a0.cid, g.i AS pos,
+               SUM(CAST(floor(sub.sv[g.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM a0 JOIN sub USING (vec_id, j) CROSS JOIN generate_series(1, 8) g(i)
+        GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT pc0s.j, pc0s.cid, COALESCE(u.cv, pc0s.cv) AS cv
+        FROM pc0s LEFT JOIN (
+          SELECT j, cid,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s1 GROUP BY 1, 2) u USING (j, cid)),
+      enc AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c1 c USING (j)) WHERE rn = 1),
+      qp AS (SELECT vec_id AS query_id, v FROM p WHERE vec_id % 97 = 0),
+      probe AS (
+        SELECT query_id, lid FROM (
+          SELECT q.query_id, c.lid,
+                 row_number() OVER (PARTITION BY q.query_id
+                   ORDER BY list_inner_product(q.v, q.v)
+                            - 2.0 * list_inner_product(q.v, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.lid) AS rn
+          FROM qp q CROSS JOIN cc c) WHERE rn <= 4),
+      qsub AS (
+        SELECT pr.query_id, pr.lid, g.j,
+               ([q.v[i] - c.cv[i] FOR i IN range(1, len(q.v) + 1)])[g.j*8+1 : g.j*8+8] AS qsv
+        FROM probe pr
+        JOIN qp q USING (query_id)
+        JOIN cc c ON c.lid = pr.lid
+        CROSS JOIN generate_series(0, 7) g(j)),
+      terms AS (
+        SELECT qs.query_id, e.vec_id AS cand_id,
+               CAST(floor((list_inner_product(qs.qsv, qs.qsv)
+                           - 2.0 * list_inner_product(qs.qsv, c.cv)
+                           + list_inner_product(c.cv, c.cv)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS tq
+        FROM qsub qs
+        JOIN asg a2 ON a2.lid = qs.lid
+        JOIN enc e ON e.vec_id = a2.vec_id AND e.j = qs.j
+        JOIN c1 c ON c.j = e.j AND c.cid = e.cid),
+      d AS (SELECT query_id, cand_id, SUM(tq) AS dist FROM terms GROUP BY 1, 2),
+      rr AS (SELECT query_id, cand_id, dist,
+                    row_number() OVER (PARTITION BY query_id
+                                       ORDER BY dist, cand_id) AS rn
+             FROM d)
+      SELECT query_id, cand_id AS neighbor_id, CAST(rn AS INTEGER) AS rank,
+             CAST(dist AS DOUBLE) / 1000000.0 AS adist
+      FROM rr WHERE rn <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Quantization.ivfPqTopK(emb, emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+          k = 5, nCoarse = 16, nProbe = 4, m = 8, ksub = 8, iters = 1)
+        .orderBy("query_id", "rank")
     })
 }

@@ -437,6 +437,18 @@ object EventStreams {
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     graft.operators.Clustering.assignWithModel(vectors, model, idCol, vecCol)
 
+  /** Streaming PQ encoding with a batch-fitted
+    * [[graft.operators.Quantization.PqModel]] — the compression twin
+    * of [[clusterAssigned]]: every arriving vector becomes its m
+    * sub-codes in a stateless plan-literal argmin projection (no
+    * state store, no stream-static join), so an ingest stream can
+    * land 64-byte codes instead of 256-byte vectors into the ANN
+    * index. Batch parity is exact by construction (same projection)
+    * and spec-pinned. */
+  def pqEncoded(vectors: DataFrame, model: graft.operators.Quantization.PqModel,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    graft.operators.Quantization.encodePq(vectors, model, idCol, vecCol)
+
   /** Streaming benchmark decontamination with a batch-collected eval
     * shingle set — the third fit-batch/score-forever deployment
     * (quality [[familiarityScored]], routing [[clusterAssigned]],

@@ -63,6 +63,39 @@ class QuantizationSpec extends SparkSuite {
     }
   }
 
+  test("ivfPqTopK: every neighbor lives in one of its query's probed lists") {
+    // Independent replay of the routing through the PUBLIC coarse
+    // APIs: fit the same seed-only coarse model, assign the corpus
+    // with assignWithModel (the shared-metric scorer), and compute
+    // each query's nProbe nearest lists driver-side. Every reported
+    // neighbor must belong to a probed list — the inverted-file
+    // contract that gives IVF-PQ its ~nProbe/nCoarse scan shape.
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val top = Quantization.ivfPqTopK(emb, queries, k = 5,
+      nCoarse = 16, nProbe = 4, m = 8, ksub = 8, iters = 1).collect()
+    assert(top.nonEmpty)
+    val coarse = Clustering.fit(emb, k = 16, iters = 0)
+    val listOf = Clustering.assignWithModel(emb, coarse)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = coarse.centroids.sortBy(_._1).map(_._2.toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val qvecs = queries.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val probed = qvecs.map { case (qid, v) =>
+      qid -> cents.zipWithIndex
+        .map { case (c, i) => (dot(v, v) - 2.0d * dot(v, c) + dot(c, c), i + 1) }
+        .sorted.take(4).map(_._2).toSet
+    }
+    for (row <- top) {
+      val (qid, nid) = (row.getLong(0), row.getLong(1))
+      assert(probed(qid).contains(listOf(nid)),
+        s"query $qid: neighbor $nid from unprobed list ${listOf(nid)} (probed ${probed(qid)})")
+    }
+  }
+
   test("adcTopK ranks are dense 1..k with adist non-decreasing") {
     val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
     val top = Quantization.adcTopK(emb, queries, model, k = 5).collect()

@@ -60,6 +60,33 @@ class EventStreamsSpec extends SparkSuite {
     assert(st.isEmpty, s"assignment must hold no streaming state: ${st.mkString(",")}")
   }
 
+  test("stateless PQ encoding on a vector stream ≡ batch encodePq; no state store") {
+    // Fit PQ in BATCH on the fixture embeddings, then encode the
+    // same vectors arriving as a JSON stream — the compression twin
+    // of cluster routing: exact parity, zero streaming state.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+    val model = graft.operators.Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+    val dir = Files.createTempDirectory(Paths.get("target"), "pq-landing")
+    emb.limit(64).coalesce(1).write.mode("overwrite").json(dir.resolve("in").toString)
+    val stream = spark.readStream
+      .schema("vec_id LONG, embedding ARRAY<FLOAT>")
+      .json(dir.resolve("in").toString)
+    val out = Files.createTempDirectory(Paths.get("target"), "pqout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.pqEncoded(stream, model), s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    val ids = streamed.map(_._1)
+    val batch = graft.operators.Quantization
+      .encodePq(emb.filter(col("vec_id").isin(ids.toSeq: _*)), model)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet
+    assert(streamed === batch, "streaming and batch PQ encoding diverged")
+    assert(streamed.size === 64)
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"encoding must hold no streaming state: ${st.mkString(",")}")
+  }
+
   test("stateless contamination scoring on a doc stream ≡ batch flagContaminated; no state") {
     // Fit the eval shingle set in BATCH on a benchmark doc, stream a
     // corpus where ids % 3 == 0 quote a benchmark passage (unique
