@@ -96,6 +96,41 @@ class QuantizationSpec extends SparkSuite {
     }
   }
 
+  test("PQ and IVF-PQ recall@5 against exact euclidean top-5 is usable") {
+    // Collapse floor, not a tuning target: the fixture vectors are
+    // near-uniform, so distances CONCENTRATE and recall@5 plateaus
+    // around 0.33-0.37 no matter the codebook budget (measured:
+    // ksub 8→32, iters 1→3 all land there — the information just
+    // isn't in 24-bit codes for this distribution; real embedding
+    // corpora are far more clusterable). Random guessing would score
+    // 5/500 = 0.01, so a floor well above chance still catches a
+    // silent metric or codebook regression that the hash gates
+    // (which pin the model's own output, right or wrong) cannot.
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def sqd(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }; s
+    }
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val qids = queries.select("vec_id").collect().map(_.getLong(0))
+    val exact = qids.map { qid =>
+      qid -> vecs.toSeq.map { case (id, v) => (sqd(vecs(qid), v), id) }
+        .sorted.take(5).map(_._2).toSet
+    }.toMap
+    def recall(res: Array[org.apache.spark.sql.Row]): Double = {
+      val byQ = res.groupBy(_.getLong(0))
+      val hits = qids.map(q => byQ.getOrElse(q, Array.empty)
+        .count(r => exact(q).contains(r.getLong(1)))).sum
+      hits.toDouble / (qids.length * 5)
+    }
+    val pq = recall(Quantization.adcTopK(emb, queries, model, k = 5).collect())
+    val ivf = recall(Quantization.ivfPqTopK(emb, queries, k = 5,
+      nCoarse = 16, nProbe = 4, m = 8, ksub = 8, iters = 1).collect())
+    assert(pq >= 0.2, s"flat PQ recall@5 collapsed: $pq")
+    assert(ivf >= 0.15, s"IVF-PQ recall@5 collapsed: $ivf")
+  }
+
   test("adcTopK ranks are dense 1..k with adist non-decreasing") {
     val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
     val top = Quantization.adcTopK(emb, queries, model, k = 5).collect()
