@@ -115,6 +115,44 @@ object Curation {
     * `fractions` are dropped (fraction 0). This is the
     * language/quality-rebalancing step of a corpus pipeline, shaped
     * so the oracle can replay the exact selection. */
+  /** Politeness-scheduled crawl frontier — the batch planner for the
+    * reference pipeline's rate-limited fetcher (per-host concurrency
+    * semaphores): given a frontier of requests with a host key and a
+    * deterministic FIFO discovery order, assign every request to a
+    * dispatch wave such that
+    *  - no host appears more than `maxPerHost` times in one
+    *    politeness ROUND (`round = (host_seq − 1) div maxPerHost`),
+    *  - each round dispatches in global BATCHES of at most
+    *    `waveCapacity` requests (the fetcher fleet's total
+    *    concurrency), FIFO by (host, host_seq) within the round.
+    *
+    * Output per request: `host_seq` (1-based position in its host's
+    * queue), `round`, `batch` (0-based within the round), i.e. the
+    * (round, batch) pair is the dispatch wave. Pure window
+    * arithmetic — integer-exact, replayable on any engine.
+    *
+    * Scale shape: two partitioned windows (by host, then by round) —
+    * both shuffle the frontier once on bounded keys; no global
+    * window (the within-round order is partitioned by round, whose
+    * size is ≤ hosts × maxPerHost). A global greedy scheduler is
+    * inherently sequential; this two-level relaxation is the
+    * distributed-planning standard and keeps every wave feasible by
+    * construction. */
+  def crawlSchedule(frontier: DataFrame, hostCol: String, orderCol: String,
+                    maxPerHost: Int, waveCapacity: Int): DataFrame = {
+    require(maxPerHost >= 1 && waveCapacity >= 1,
+      "maxPerHost and waveCapacity must be >= 1")
+    val byHost = Window.partitionBy(col(hostCol)).orderBy(col(orderCol))
+    val byRound = Window.partitionBy(col("round"))
+      .orderBy(col(hostCol), col("host_seq"))
+    frontier
+      .withColumn("host_seq", row_number().over(byHost).cast("long"))
+      .withColumn("round", expr(s"(host_seq - 1) div $maxPerHost"))
+      .withColumn("__rn", row_number().over(byRound).cast("long"))
+      .withColumn("batch", expr(s"(__rn - 1) div $waveCapacity"))
+      .drop("__rn")
+  }
+
   def sampleStratified(docs: DataFrame, strataCol: Column,
                        fractions: Map[String, Double],
                        idCol: String = "doc_id", salt: String = "strat"): DataFrame = {

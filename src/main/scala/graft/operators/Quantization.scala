@@ -166,7 +166,45 @@ object Quantization {
           (-dist).cast("double").as("nsim")),
         "query_id", "cand_id", "nsim", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        ((-col("sim_raw")) / lit(AdcScale)).as("adist"))
+        ((-col("sim_raw")) / lit(AdcScale) + lit(0.0d)).as("adist"))
+  }
+
+  /** Two-stage retrieval: ADC shortlist → EXACT cosine re-rank — the
+    * production serving shape (FAISS `IndexRefine`, every
+    * retrieval-augmented pipeline's "ANN then re-score"): the
+    * compressed index proposes `kShort` candidates per query from
+    * codes alone, and only those kShort rows ever touch their
+    * full-precision vectors again. The compressed scan prunes, the
+    * exact pass decides — recall costs one small join instead of a
+    * corpus-wide exact scan.
+    *
+    * Plan shape: stage 1 is [[adcTopK]] (corpus scanned once against
+    * broadcast queries, bounded top-kShort aggregate); stage 2 joins
+    * the (queries × kShort)-row shortlist BACK onto the corpus
+    * scan with the shortlist broadcast — the corpus is never
+    * shuffled, and the exact cosine (same left-to-right double dot
+    * as q30's ground truth) runs on shortlist rows only. Output
+    * matches [[Similarity.bruteForceTopK]]'s presentation:
+    * `(query_id, neighbor_id, rank, sim)` with raw-sim ranking,
+    * id tiebreak, 6 dp display rounding. */
+  def adcRerankTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
+                    kShort: Int, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && kShort >= k, "need kShort >= k >= 1")
+    val short = adcTopK(corpus, queries, model, kShort, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val c = Similarity.prepared(corpus, idCol, vecCol)
+      .select(col(idCol).as("cand_id"), col("vec"), col("norm"))
+    val q = Similarity.prepared(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
+    val scored = c.join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        graft.functions.VectorFunctions.cosinePrenormed(
+          dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
+    TopK.perGroup(scored, "query_id", "cand_id", "sim_raw", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim_raw"), 6).as("sim"))
   }
 
   /** IVF-PQ — the production composition (FAISS's default index
@@ -235,6 +273,6 @@ object Quantization {
           (-dist).cast("double").as("nsim")),
         "query_id", "cand_id", "nsim", k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
-        ((-col("sim_raw")) / lit(AdcScale)).as("adist"))
+        ((-col("sim_raw")) / lit(AdcScale) + lit(0.0d)).as("adist"))
   }
 }

@@ -168,6 +168,64 @@ object Sketches {
     hllFinalize(registers, groupCols, p)
   }
 
+  /** HLL set algebra over groups — union and intersection estimates
+    * for every unordered group pair, from ONE pass of register
+    * state. This is the property that makes HLL (and not exact
+    * distinct sets) the right state for corpus overlap questions:
+    * registers of A∪B are the element-wise max of A's and B's
+    * registers, so "how many users do every two event types share",
+    * "how many documents do two crawl sources both contain" reduce
+    * to algebra over `groups × m` integers — no re-scan per pair,
+    * no exact per-key set survives the aggregation.
+    *
+    * Per pair (a < b by group value): `nd_a`, `nd_b` (the raw
+    * estimates of each side), `nd_union` (finalized from the maxed
+    * registers), and `nd_intersect_est = nd_a + nd_b − nd_union`
+    * (inclusion–exclusion — derived from the three portable doubles
+    * with two correctly-rounded ops, hence itself cross-engine
+    * exact; can be ≤ 0 for disjoint sets, the standard artifact of
+    * subtracting estimates, reported as-is).
+    *
+    * Plan shape: one corpus scan into per-group register maxima
+    * (≤ groups·m rows — the same bounded state as [[hyperloglog]]),
+    * then every join below runs on register tables, never on the
+    * corpus. The pair frame is groups², which for sketch-algebra
+    * use is a HANDFUL (event types, sources, languages); guarded so
+    * an accidental high-cardinality group fails fast instead of
+    * silently exploding quadratically. */
+  def hllPairAlgebra(df: DataFrame, termCol: String, groupCol: String,
+                     p: Int = 6, maxGroups: Int = 64): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
+    val registers = df
+      .select(col(groupCol).as("g"), hllRegister(col(termCol), p).as("reg"),
+        hllRank(col(termCol), p).as("rho"))
+      .groupBy(col("g"), col("reg")).agg(max(col("rho")).as("maxrho"))
+      .localCheckpoint(true)
+    val groups = registers.select(col("g")).distinct()
+    val nGroups = groups.count()
+    require(nGroups <= maxGroups,
+      s"hllPairAlgebra: $nGroups groups exceeds maxGroups=$maxGroups — " +
+        "pair algebra is quadratic in groups by design; raise the bound " +
+        "only for genuinely small group domains")
+    val singles = hllFinalize(registers, Seq("g"), p)
+      .select(col("g"), col("nd_estimate"))
+    val pairs = groups.select(col("g").as("g_a"))
+      .crossJoin(broadcast(groups.select(col("g").as("g_b"))))
+      .filter(col("g_a") < col("g_b"))
+    val unionRegs = pairs
+      .join(registers.withColumnRenamed("g", "g_a"), Seq("g_a"))
+      .unionByName(pairs.join(registers.withColumnRenamed("g", "g_b"), Seq("g_b"))
+        .select(col("g_a"), col("g_b"), col("reg"), col("maxrho")))
+      .groupBy(col("g_a"), col("g_b"), col("reg"))
+      .agg(max(col("maxrho")).as("maxrho"))
+    hllFinalize(unionRegs, Seq("g_a", "g_b"), p)
+      .select(col("g_a"), col("g_b"), col("nd_estimate").as("nd_union"))
+      .join(broadcast(singles.select(col("g").as("g_a"), col("nd_estimate").as("nd_a"))), Seq("g_a"))
+      .join(broadcast(singles.select(col("g").as("g_b"), col("nd_estimate").as("nd_b"))), Seq("g_b"))
+      .select(col("g_a"), col("g_b"), col("nd_a"), col("nd_b"), col("nd_union"),
+        (col("nd_a") + col("nd_b") - col("nd_union")).as("nd_intersect_est"))
+  }
+
   /** Approximate per-group percentiles from a fixed-bin scaled
     * histogram — the corpus-scale replacement for exact ordered
     * selection (q62), the way the LSH join replaces the quadratic

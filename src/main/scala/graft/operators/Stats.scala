@@ -73,4 +73,51 @@ object Stats {
       .withColumn("r2", when(dx =!= 0.0 && dy =!= 0.0, cov * cov / (dx * dy)))
       .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
   }
+
+  /** Per-group z-score outlier detection — the metric-anomaly scan
+    * every telemetry/quality pipeline runs (flag documents with
+    * aberrant length, events with aberrant value) as ONE aggregate +
+    * one broadcast join back onto the scan.
+    *
+    * Same exactness recipe as [[linearFit]]: values quantize to
+    * DECIMAL(`prec`,`scale`) (half-up, try_cast so overflow drops
+    * the row in both ANSI and legacy modes), the per-group
+    * sufficient sums (n, Σv, Σv²) are exact and order-independent,
+    * and the derivation — mean `Σv/n`, sample variance
+    * `(n·Σv² − Σv²)/(n·(n−1))`, `z = (v − mean)/sqrt(var)` — uses
+    * only correctly-rounded IEEE ops (+ − * / sqrt), so z is
+    * bit-identical on any engine that writes the same shape (no
+    * pow/ln anywhere — that is why z-score gates cross-engine and
+    * e.g. a log-normal fit would not).
+    *
+    * Returns the flagged rows only: `idCol`, group columns, `v` (the
+    * quantized value as double), `z`. Degenerate groups (n < 2 or
+    * zero variance) flag nothing. Scale shape: the stats frame is
+    * one row per group (broadcast), the corpus is scanned twice
+    * (sums, scoring) and never shuffled. */
+  def zscoreOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
+                     valueCol: Column, threshold: Double = 3.0,
+                     prec: Int = 18, scale: Int = 2): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val gcols = groupCols.map(col)
+    val v = valueCol.try_cast(s"decimal($prec,$scale)")
+    val rows = df.filter(v.isNotNull)
+      .select(col(idCol) +: (gcols :+ v.cast("double").as("v")): _*)
+    val stats = df.filter(v.isNotNull).groupBy(gcols: _*).agg(
+      count(lit(1)).as("__n"),
+      sum(v).as("__sv"), sum(v * v).as("__svv"))
+    val n = col("__n").cast("double")
+    val sv = col("__sv").cast("double")
+    val svv = col("__svv").cast("double")
+    val mean = sv / n
+    val varS = (n * svv - sv * sv) / (n * (n - lit(1.0d)))
+    val prepared = stats
+      .withColumn("__mean", mean)
+      .withColumn("__sd", when(col("__n") >= 2 && varS > 0.0, sqrt(varS)))
+      .select(gcols :+ col("__mean") :+ col("__sd"): _*)
+    rows.join(broadcast(prepared), groupCols)
+      .withColumn("z", (col("v") - col("__mean")) / col("__sd"))
+      .filter(col("__sd").isNotNull && abs(col("z")) > threshold)
+      .select(col(idCol) +: (gcols :+ col("v") :+ col("z")): _*)
+  }
 }

@@ -749,5 +749,157 @@ object PipelineQueries {
       ORDER BY n DESC, user_id
       LIMIT 20""")) { (s, d) =>
       graft.operators.Skew.keySkewReport(Tables.events(s, d), "user_id", topK = 20)
+    },
+
+    // ---- q109: per-group z-score outlier scan — the telemetry
+    // anomaly sweep, built on q71's exactness recipe: decimal-exact
+    // sufficient sums (order-independent), then mean/variance/z
+    // derived through correctly-rounded IEEE ops ONLY (+ − * /
+    // sqrt) in the same shape on both engines — which is exactly
+    // why a z-score gate crosses engines bit-for-bit and a
+    // log-normal score (ln) would not. One bounded aggregate +
+    // broadcast re-join onto the scan; the corpus never shuffles.
+    Q("q109_zscore_outliers", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        TRY_CAST(value AS DECIMAL(18,2)) AS v
+                 FROM events),
+      s AS (SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS nd,
+              CAST(SUM(v) AS DOUBLE) AS sv,
+              CAST(SUM(v * v) AS DOUBLE) AS svv
+            FROM e WHERE v IS NOT NULL GROUP BY 1),
+      p AS (SELECT event_type, sv / nd AS mean,
+              CASE WHEN nd >= 2 AND (nd * svv - sv * sv) / (nd * (nd - 1.0)) > 0
+                   THEN sqrt((nd * svv - sv * sv) / (nd * (nd - 1.0)))
+              END AS sd
+            FROM s),
+      z AS (SELECT e.event_id, e.event_type, CAST(e.v AS DOUBLE) AS v,
+              (CAST(e.v AS DOUBLE) - p.mean) / p.sd AS z
+            FROM e JOIN p USING (event_type)
+            WHERE e.v IS NOT NULL AND p.sd IS NOT NULL)
+      SELECT event_id, event_type, v, z
+      FROM z WHERE abs(z) > 3.0
+      ORDER BY event_id""")) { (s, d) =>
+      Stats.zscoreOutliers(Tables.events(s, d), Seq("event_type"), "event_id",
+          col("value"), threshold = 3.0)
+        .orderBy("event_id")
+    },
+
+    // ---- q105: exact triangle census + local clustering
+    // coefficients — the graph tier's cohesion measure next to q60's
+    // ranks and q47's components, on a sparser (2048-node) synthesis
+    // of the same orders interaction graph. Degree-ordered
+    // orientation means every triangle is found once at its
+    // minimum-(deg, node) corner and no out-neighborhood exceeds
+    // O(sqrt(2m)) — the skew bound that keeps the wedge join linear
+    // on a power-law web graph (see Graph.triangleCount). All-integer
+    // counting; `clust` is one correctly-rounded double division, so
+    // the whole frame hash-gates.
+    Q("q105_triangle_count", Some("""
+      WITH e0 AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % 2048 AS a,
+                 (o_custkey * 7 + o_orderkey * 13) % 2048 AS b
+          FROM orders)
+        WHERE a <> b),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS src,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS dst,
+               CASE WHEN du < dv OR (du = dv AND u < v) THEN dv ELSE du END AS ddeg
+        FROM (SELECT e0.u, e0.v, da.deg AS du, db.deg AS dv
+              FROM e0 JOIN deg da ON da.node = e0.u
+                      JOIN deg db ON db.node = e0.v)),
+      tri AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM o e1 JOIN o e2 ON e1.src = e2.src
+          AND (e1.ddeg < e2.ddeg OR (e1.ddeg = e2.ddeg AND e1.dst < e2.dst))
+        JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+      cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+          SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY 1)
+      SELECT deg.node, deg.deg, COALESCE(cnt.n_tri, 0) AS n_tri,
+             CASE WHEN deg.deg >= 2
+                  THEN CAST(COALESCE(cnt.n_tri, 0) * 2 AS DOUBLE)
+                       / CAST(deg.deg * (deg.deg - 1) AS DOUBLE)
+             END AS clust
+      FROM deg LEFT JOIN cnt ON cnt.node = deg.node
+      ORDER BY deg.node""")) { (s, d) =>
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(2048)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(2048)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.triangleCount(edges, "src", "dst").orderBy("node")
+    },
+
+    // ---- q106: HLL set algebra — union and intersection estimates
+    // for every event-type pair from ONE register build, next to the
+    // exact overlap it approximates. The reason HLL (not exact sets)
+    // is the 100-TB state: corpus overlap for all pairs costs
+    // register algebra (groups × 64 integers), not a re-scan per
+    // pair. Union registers are element-wise maxima (exact integer
+    // state, same as q56); the intersection estimate is
+    // inclusion–exclusion over three already-portable doubles (two
+    // correctly-rounded ops), so everything hash-gates.
+    Q("q106_hll_algebra", Some {
+      val p = 6
+      val m = 1 << p
+      val low = 60 - p
+      val scaleExp = 60 - p + 1
+      val cNum = Sketches.hllAlpha(p) * m * m
+      val cDen = (1L << scaleExp).toDouble
+      s"""
+      WITH h AS (SELECT event_type AS g,
+                        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                 FROM events),
+      r AS (SELECT g, h >> $low AS reg,
+              CASE WHEN (h & ((1::BIGINT << $low) - 1)) = 0 THEN ${low + 1}
+                   ELSE ${low + 1} - length(bin(h & ((1::BIGINT << $low) - 1)))
+              END AS rho
+            FROM h),
+      mx AS (SELECT g, reg, MAX(rho) AS maxrho FROM r GROUP BY 1, 2),
+      fin AS (SELECT g,
+                CAST(SUM(1::BIGINT << ($scaleExp - maxrho)) AS BIGINT)
+                  + ($m - COUNT(*)) * (1::BIGINT << $scaleExp) AS s_scaled
+              FROM mx GROUP BY 1),
+      est AS (SELECT g, $cNum / (CAST(s_scaled AS DOUBLE) / $cDen) AS nd FROM fin),
+      pairs AS (SELECT a.g AS g_a, b.g AS g_b
+                FROM (SELECT DISTINCT g FROM mx) a
+                JOIN (SELECT DISTINCT g FROM mx) b ON a.g < b.g),
+      ur AS (SELECT p.g_a, p.g_b, m.reg, m.maxrho
+             FROM pairs p JOIN mx m ON m.g = p.g_a
+             UNION ALL
+             SELECT p.g_a, p.g_b, m.reg, m.maxrho
+             FROM pairs p JOIN mx m ON m.g = p.g_b),
+      um AS (SELECT g_a, g_b, reg, MAX(maxrho) AS maxrho FROM ur GROUP BY 1, 2, 3),
+      uf AS (SELECT g_a, g_b,
+               CAST(SUM(1::BIGINT << ($scaleExp - maxrho)) AS BIGINT)
+                 + ($m - COUNT(*)) * (1::BIGINT << $scaleExp) AS s_scaled
+             FROM um GROUP BY 1, 2),
+      ue AS (SELECT g_a, g_b, $cNum / (CAST(s_scaled AS DOUBLE) / $cDen) AS nd_union
+             FROM uf),
+      du AS (SELECT DISTINCT event_type AS g, user_id FROM events),
+      ex AS (SELECT a.g AS g_a, b.g AS g_b,
+               CAST(COUNT(*) AS BIGINT) AS n_intersect_exact
+             FROM du a JOIN du b ON a.user_id = b.user_id AND a.g < b.g
+             GROUP BY 1, 2)
+      SELECT ue.g_a, ue.g_b, ea.nd AS nd_a, eb.nd AS nd_b, ue.nd_union,
+             ea.nd + eb.nd - ue.nd_union AS nd_intersect_est,
+             COALESCE(ex.n_intersect_exact, 0) AS n_intersect_exact
+      FROM ue JOIN est ea ON ea.g = ue.g_a JOIN est eb ON eb.g = ue.g_b
+      LEFT JOIN ex ON ex.g_a = ue.g_a AND ex.g_b = ue.g_b
+      ORDER BY ue.g_a, ue.g_b"""
+    }) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val pairs = Sketches.hllPairAlgebra(ev, "user_id", "event_type", p = 6)
+      val du = ev.select(col("event_type").as("g"), col("user_id")).distinct()
+      val ex = du.as("a").join(du.as("b"),
+          col("a.user_id") === col("b.user_id") && col("a.g") < col("b.g"))
+        .groupBy(col("a.g").as("g_a"), col("b.g").as("g_b"))
+        .agg(count(lit(1)).as("n_intersect_exact"))
+      pairs.join(ex, Seq("g_a", "g_b"), "left")
+        .select(col("g_a"), col("g_b"), col("nd_a"), col("nd_b"), col("nd_union"),
+          col("nd_intersect_est"),
+          coalesce(col("n_intersect_exact"), lit(0L)).as("n_intersect_exact"))
+        .orderBy("g_a", "g_b")
     })
 }

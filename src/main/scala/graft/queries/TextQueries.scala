@@ -1438,6 +1438,36 @@ object TextQueries {
       ORDER BY doc_id, chunk_idx""")) { (s, d) =>
       Curation.cdcChunks(Tables.documents(s, d), k = 3, divisor = 64)
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // ---- q108: politeness-scheduled crawl frontier — the batch
+    // planner for the reference's per-host-semaphore fetcher: each
+    // request gets its host-FIFO position, a politeness ROUND (at
+    // most 4 requests per host per round) and a global dispatch
+    // BATCH within the round (at most 16 requests per batch, FIFO by
+    // host then queue position). Pure integer window arithmetic —
+    // two partitioned windows on bounded keys, no global sort of the
+    // frontier (the final ORDER BY is presentation, the schedule
+    // itself never totals-orders the corpus).
+    Q("q108_crawl_schedule", Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS host_seq
+        FROM documents),
+      r AS (SELECT doc_id, source, host_seq,
+                   (host_seq - 1) // 4 AS round
+            FROM f)
+      SELECT doc_id, source, host_seq, round,
+             (CAST(row_number() OVER (PARTITION BY round
+                                      ORDER BY source, host_seq) AS BIGINT) - 1) // 16 AS batch
+      FROM r
+      ORDER BY doc_id""")) { (s, d) =>
+      Curation.crawlSchedule(
+          Tables.documents(s, d).select(col("doc_id"), col("source")),
+          hostCol = "source", orderCol = "doc_id",
+          maxPerHost = 4, waveCapacity = 16)
+        .select(col("doc_id"), col("source"), col("host_seq"), col("round"), col("batch"))
+        .orderBy("doc_id")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

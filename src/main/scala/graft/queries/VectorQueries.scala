@@ -633,5 +633,98 @@ object VectorQueries {
       Quantization.ivfPqTopK(emb, emb.filter(pmod(col("vec_id"), lit(97)) === 0),
           k = 5, nCoarse = 16, nProbe = 4, m = 8, ksub = 8, iters = 1)
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q107: two-stage retrieval — q103's compressed ADC index
+    // proposes a 25-candidate shortlist per query, then ONLY those
+    // rows rejoin their full-precision vectors for an exact-cosine
+    // re-rank to the top 5 (FAISS IndexRefine; the serving shape of
+    // every RAG retrieval stack). The oracle replays the whole
+    // composition: PQ training, encoding, integer-grid ADC
+    // shortlist, and the q30-convention exact re-rank — so the gate
+    // covers the stage boundary, not just each stage alone.
+    Q("q107_pq_rerank", Some("""
+      WITH p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      seeds AS (
+        SELECT vec_id, v, (vec_id * 2654435761) % 1000000007 AS h
+        FROM p ORDER BY h, vec_id LIMIT 8),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid, v AS cv
+        FROM seeds),
+      sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv
+              FROM p CROSS JOIN generate_series(0, 7) g(j)),
+      c0s AS (SELECT j, cid, cv[j*8+1 : j*8+8] AS cv
+              FROM c0 CROSS JOIN generate_series(0, 7) g(j)),
+      a0 AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c0s c USING (j)) WHERE rn = 1),
+      s1 AS (
+        SELECT a0.j, a0.cid, g.i AS pos,
+               SUM(CAST(floor(sub.sv[g.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM a0 JOIN sub USING (vec_id, j) CROSS JOIN generate_series(1, 8) g(i)
+        GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT c0s.j, c0s.cid, COALESCE(u.cv, c0s.cv) AS cv
+        FROM c0s LEFT JOIN (
+          SELECT j, cid,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s1 GROUP BY 1, 2) u USING (j, cid)),
+      enc AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c1 c USING (j)) WHERE rn = 1),
+      qsub AS (SELECT vec_id AS query_id, j, sv AS qsv
+               FROM sub WHERE vec_id % 97 = 0),
+      terms AS (
+        SELECT q.query_id, e.vec_id AS cand_id,
+               CAST(floor((list_inner_product(q.qsv, q.qsv)
+                           - 2.0 * list_inner_product(q.qsv, c.cv)
+                           + list_inner_product(c.cv, c.cv)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS tq
+        FROM qsub q
+        JOIN enc e ON e.j = q.j
+        JOIN c1 c ON c.j = e.j AND c.cid = e.cid),
+      d AS (SELECT query_id, cand_id, SUM(tq) AS dist FROM terms GROUP BY 1, 2),
+      short AS (
+        SELECT query_id, cand_id FROM (
+          SELECT query_id, cand_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY dist, cand_id) AS rn
+          FROM d) WHERE rn <= 25),
+      ex AS (
+        SELECT s.query_id, s.cand_id,
+               list_inner_product(pc.v, pq.v) / (pc.nrm * pq.nrm) AS sim_raw
+        FROM short s
+        JOIN p pc ON pc.vec_id = s.cand_id
+        JOIN p pq ON pq.vec_id = s.query_id),
+      rr AS (
+        SELECT query_id, cand_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, cand_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM ex)
+      SELECT query_id, cand_id AS neighbor_id, rank, sim
+      FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+      Quantization.adcRerankTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+          model = model, kShort = 25, k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
 }

@@ -120,6 +120,41 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("crawlSchedule: politeness and capacity invariants; ≡ sequential two-level planner") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 120)
+      rows <- Gen.listOfN(n, Gen.chooseNum(1, 8).map(h => s"host$h"))
+    } yield rows.zipWithIndex.map { case (h, i) => (i.toLong, h) }
+    for (frontier <- PropSampling.sample(gen, n = 5) if frontier.nonEmpty) {
+      val (maxPerHost, cap) = (3, 7)
+      val got = Curation.crawlSchedule(frontier.toDF("id", "host"),
+          hostCol = "host", orderCol = "id", maxPerHost = maxPerHost, waveCapacity = cap)
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      // Sequential reference: FIFO per host, then FIFO batches per round.
+      val hostSeq = frontier.groupBy(_._2).flatMap { case (_, rs) =>
+        rs.sortBy(_._1).zipWithIndex.map { case ((id, h), i) => id -> (h, i + 1L) }
+      }
+      val expect = hostSeq.map { case (id, (h, seq)) => (id, h, seq, (seq - 1) / maxPerHost) }
+        .groupBy(_._4).flatMap { case (_, inRound) =>
+          inRound.toSeq.sortBy(r => (r._2, r._3)).zipWithIndex
+            .map { case ((id, h, seq, round), i) => (id, h, seq, round, i.toLong / cap) }
+        }.toSet
+      assert(got.toSet === expect, s"schedule diverged on $frontier")
+      // No host exceeds maxPerHost in a round; no batch exceeds capacity.
+      for ((_, n) <- got.groupBy(r => (r._2, r._4)).view.mapValues(_.length))
+        assert(n <= maxPerHost)
+      for ((_, n) <- got.groupBy(r => (r._4, r._5)).view.mapValues(_.length))
+        assert(n <= cap)
+      // Batches are dense from 0 within each round.
+      for ((_, rows) <- got.groupBy(_._4)) {
+        val bs = rows.map(_._5).distinct.sorted.toSeq
+        assert(bs === (0L until bs.length.toLong), s"batches not dense: $bs")
+      }
+    }
+  }
+
   test("redactPii scrubs every category, counts actual replacements, leaves clean text alone") {
     import spark.implicits._
     val docs = Seq(

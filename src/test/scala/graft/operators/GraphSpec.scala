@@ -55,6 +55,54 @@ class GraphSpec extends SparkSuite {
     assert(ranks.forall(_ > 0L), "every node keeps at least the teleport base")
   }
 
+  /** Brute-force per-node triangle count over the canonical
+    * undirected edge set. */
+  private def triReference(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val ue = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.toSet
+    val nodes = ue.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+    val counts = scala.collection.mutable.Map(nodes.map(_ -> 0L): _*)
+    for {
+      Seq(x, y, z) <- nodes.combinations(3)
+      if ue.contains((x, y)) && ue.contains((x, z)) && ue.contains((y, z))
+      n <- Seq(x, y, z)
+    } counts(n) += 1L
+    counts.toMap
+  }
+
+  test("triangleCount ≡ brute-force enumeration on random graphs; clust from exact pieces") {
+    import spark.implicits._
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
+      val rows = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst").collect()
+      val expect = triReference(edges)
+      val got = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got === expect, s"triangle census diverged on $edges")
+      for (r <- rows) {
+        val (deg, tri) = (r.getLong(1), r.getLong(2))
+        if (deg >= 2)
+          assert(r.getDouble(3) === (tri * 2L).toDouble / (deg * (deg - 1L)).toDouble)
+        else assert(r.isNullAt(3), "clust must be null below degree 2")
+      }
+    }
+  }
+
+  test("triangleCount fixtures: K4 closes every corner, a path closes none, direction/dups don't matter") {
+    import spark.implicits._
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val got = Graph.triangleCount(k4.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSet === Set((1L, 3L, 3L, 1.0d), (2L, 3L, 3L, 1.0d),
+      (3L, 3L, 3L, 1.0d), (4L, 3L, 3L, 1.0d)))
+    // Reversed + duplicated edges canonicalize to the same census.
+    val noisy = (k4 ++ k4.map(_.swap) ++ k4).toDF("src", "dst")
+    assert(Graph.triangleCount(noisy, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet ===
+      got.map(r => (r._1, r._3)).toSet)
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(Graph.triangleCount(path.toDF("src", "dst"), "src", "dst")
+      .collect().forall(_.getLong(2) === 0L))
+  }
+
   test("a sink-heavy graph still terminates with base ranks downstream") {
     import spark.implicits._
     // 1 -> 2, 2 dangles: after one iteration 2 holds base + damped

@@ -141,4 +141,40 @@ class QuantizationSpec extends SparkSuite {
       assert(dists === dists.sorted, s"adist not monotone: $dists")
     }
   }
+
+  test("adcRerankTopK: results ⊆ shortlist, exactly re-ordered by true cosine, self on top") {
+    val queries = emb.filter(pmod(col("vec_id"), lit(97)) === 0)
+    val kShort = 25
+    val short = Quantization.adcTopK(emb, queries, model, k = kShort)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rr = Quantization.adcRerankTopK(emb, queries, model, kShort = kShort, k = 5)
+      .collect().groupBy(_.getLong(0))
+    assert(rr.keySet === short.keySet)
+    val vecs = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    for ((qid, rows) <- rr) {
+      val sorted = rows.sortBy(_.getInt(2))
+      assert(sorted.map(_.getInt(2)).toSeq === (1 to sorted.length))
+      assert(sorted.forall(r => short(qid).contains(r.getLong(1))),
+        s"query $qid: re-ranked neighbor outside the ADC shortlist")
+      // Rank 1 is the query itself at cosine 1 (the shortlist always
+      // carries it — see the adcTopK self-minimality test).
+      assert(sorted.head.getLong(1) === qid && sorted.head.getDouble(3) === 1.0d)
+      // The top-5 must be the shortlist's true-cosine top-5 (exact
+      // driver-side replay: corpus-vec-first dot, raw-sim order,
+      // id tiebreak), i.e. stage 2 really re-decides stage 1's order.
+      val exactTop = short(qid).toSeq.map { id =>
+        val (q, c) = (vecs(qid), vecs(id))
+        val sim = dot(c, q) / (math.sqrt(dot(c, c)) * math.sqrt(dot(q, q)))
+        (-sim, id)
+      }.sorted.take(5).map(_._2)
+      assert(sorted.map(_.getLong(1)).toSeq === exactTop,
+        s"query $qid: re-rank order diverged from exact shortlist cosine")
+    }
+  }
 }

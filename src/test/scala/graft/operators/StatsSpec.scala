@@ -104,4 +104,36 @@ class StatsSpec extends SparkSuite {
     assert(out("consty").getDouble(2) === 0.0)
     assert(out("consty").isNullAt(4))
   }
+
+  test("zscoreOutliers ≡ driver-side replay; degenerate and null groups flag nothing") {
+    import spark.implicits._
+    // One wild value per group among tight clusters, plus a
+    // constant group, a singleton group, and nulls.
+    val rows = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(10.5)), ("a", 3L, Some(9.5)),
+      ("a", 4L, Some(10.25)), ("a", 5L, Some(10.1)), ("a", 6L, Some(9.9)),
+      ("a", 7L, Some(60.0)),
+      ("const", 8L, Some(4.0)), ("const", 9L, Some(4.0)),
+      ("single", 10L, Some(2.0)),
+      ("a", 11L, None))
+    val df = rows.toDF("g", "id", "v")
+    val got = Stats.zscoreOutliers(df, Seq("g"), "id", col("v"), threshold = 2.0)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // Driver replay of the operator's exact arithmetic: quantize to
+    // 2dp half-up, sum in EXACT BigDecimal (the engine's decimal
+    // sums), then derive through the same double ops.
+    val quant = rows.filter(r => r._1 == "a" && r._3.isDefined)
+      .map(r => r._2 -> BigDecimal(r._3.get).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+    val n = quant.length.toDouble
+    val sv = quant.map(_._2).sum.toDouble
+    val svv = quant.map { case (_, d) => d * d }.sum.toDouble
+    val sd = math.sqrt((n * svv - sv * sv) / (n * (n - 1.0d)))
+    val expect = quant
+      .map { case (id, d) => id -> (d.toDouble - sv / n) / sd }
+      .filter { case (_, z) => math.abs(z) > 2.0 }.toMap
+    assert(expect.nonEmpty && got === expect,
+      s"z replay diverged: got $got expect $expect")
+    assert(!got.contains(8L) && !got.contains(9L) && !got.contains(10L) &&
+      !got.contains(11L), "degenerate/null rows must never flag")
+  }
 }
