@@ -201,6 +201,18 @@ object Sketches {
         hllRank(col(termCol), p).as("rho"))
       .groupBy(col("g"), col("reg")).agg(max(col("rho")).as("maxrho"))
       .localCheckpoint(true)
+    hllPairAlgebraFromRegisters(registers, p, maxGroups)
+  }
+
+  /** Register-level core of [[hllPairAlgebra]]: consumes
+    * `(g, reg, maxrho)` rows — the shape both the batch register
+    * build above and a closed streaming window
+    * (`EventStreams.hllRegistersWindowed`) emit, so streamed
+    * register state composes into the same pair algebra
+    * bit-for-bit (EventStreamsSpec pins it). */
+  def hllPairAlgebraFromRegisters(registers: DataFrame,
+                                  p: Int = 6, maxGroups: Int = 64): DataFrame = {
+    require(p >= 4 && p <= 16, "p must be in [4, 16]")
     val groups = registers.select(col("g")).distinct()
     val nGroups = groups.count()
     require(nGroups <= maxGroups,

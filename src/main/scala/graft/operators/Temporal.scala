@@ -265,6 +265,55 @@ object Temporal {
         when(col("f.stage") > 0, col("f.t")).as("t_complete"))
   }
 
+  /** Windowed ordered funnel (the ClickHouse-`windowFunnel` family,
+    * anchored variant): like [[funnel]], but every later stage must
+    * also land within `window` time units of the chain's FIRST step
+    * — conversion only counts if the whole journey fits the window.
+    * The anchor is the earliest step-1 event (greedy, like the base
+    * funnel); a chain whose window expires does not restart at a
+    * later step-1 event — the deterministic, chained-minima-
+    * replayable policy (a restarting variant needs per-level
+    * timestamp state and is not expressible as minima; documented
+    * trade, not an oversight). Equivalence: t1 = min t of step 1;
+    * t_{i+1} = min t of step i+1 with t > t_i AND t − t1 ≤ window —
+    * which is exactly how the q110 oracle replays it.
+    *
+    * Returns `(keyCol, steps_completed, t_start, t_complete)` —
+    * `t_start` the anchor (null at stage 0), `t_complete` the last
+    * stage's time. Same scale shape as [[funnel]]: irrelevant types
+    * drop before the one shuffle, per-key state bounded by the
+    * key's step-event count. */
+  def windowFunnel(events: DataFrame, keyCol: String, timeCol: String,
+                   typeCol: String, steps: Seq[String], window: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(window > 0, "window must be positive")
+    val stepArr = array(steps.map(lit): _*)
+    val acc0 = struct(lit(0).as("stage"), lit(Long.MinValue).as("t"),
+      lit(Long.MinValue).as("anchor"))
+    val folded = aggregate(
+      sort_array(col("evs")),
+      acc0,
+      (acc, ev) => when(
+        acc("stage") < lit(steps.size) &&
+          ev("ty") === element_at(stepArr, acc("stage") + 1) &&
+          ev("t") > acc("t") &&
+          (acc("stage") === 0 || ev("t") - acc("anchor") <= lit(window)),
+        struct((acc("stage") + 1).as("stage"), ev("t").as("t"),
+          when(acc("stage") === 0, ev("t")).otherwise(acc("anchor")).as("anchor")))
+        .otherwise(acc))
+    events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(keyCol), struct(col(timeCol).as("t"), col(typeCol).as("ty")).as("ev"))
+      .groupBy(col(keyCol))
+      .agg(collect_list(col("ev")).as("evs"))
+      .select(col(keyCol), folded.as("f"))
+      .select(col(keyCol),
+        col("f.stage").as("steps_completed"),
+        when(col("f.stage") > 0, col("f.anchor")).as("t_start"),
+        when(col("f.stage") > 0, col("f.t")).as("t_complete"))
+  }
+
   /** Cohort retention: bucket every key by its FIRST-seen period
     * (cohort), then count distinct keys active per (cohort, period
     * offset) — the standard retention triangle. `periodWidth` is in

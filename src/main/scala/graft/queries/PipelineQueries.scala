@@ -385,6 +385,48 @@ object PipelineQueries {
         .orderBy("user_id")
     },
 
+    // ---- q110: WINDOWED funnel — q86's journey with a conversion
+    // deadline: every later stage must land within 7 days of the
+    // chain's first step (the ClickHouse-windowFunnel family,
+    // anchored variant — no restart, the chained-minima-replayable
+    // policy; see Temporal.windowFunnel). Same value>=100 thinning
+    // as q86 so every stage branch is populated; at this window the
+    // stage histogram differs sharply from the unwindowed q86
+    // (sf0.01: 27/88/32/3 vs 27/51/38/34), so the gate can tell the
+    // two operators apart.
+    Q("q110_window_funnel", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_type FROM events
+                 WHERE event_type IN ('view', 'click', 'purchase')
+                   AND value >= 100.0),
+      s1 AS (SELECT user_id, MIN(t) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(s1.t1) AS ta, MIN(t) AS t2
+             FROM e JOIN s1 USING (user_id)
+             WHERE event_type = 'click' AND t > s1.t1
+               AND t - s1.t1 <= 604800000000 GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(t) AS t3 FROM e JOIN s2 USING (user_id)
+             WHERE event_type = 'purchase' AND t > s2.t2
+               AND t - s2.ta <= 604800000000 GROUP BY 1),
+      u AS (SELECT DISTINCT user_id FROM e)
+      SELECT u.user_id,
+             CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                       WHEN t2 IS NOT NULL THEN 2
+                       WHEN t1 IS NOT NULL THEN 1
+                       ELSE 0 END AS INTEGER) AS steps_completed,
+             t1 AS t_start,
+             COALESCE(t3, t2, t1) AS t_complete
+      FROM u
+      LEFT JOIN s1 USING (user_id)
+      LEFT JOIN s2 USING (user_id)
+      LEFT JOIN s3 USING (user_id)
+      ORDER BY user_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("value") >= 100.0d)
+        .select(col("user_id"), expr("ts div 1000").as("t"), col("event_type"))
+      Temporal.windowFunnel(ev, "user_id", "t", "event_type",
+          steps = Seq("view", "click", "purchase"), window = 604800000000L)
+        .orderBy("user_id")
+    },
+
     // ---- q87: weekly cohort retention triangle — users bucketed by
     // first-seen week, distinct-active counts per (cohort, week
     // offset). Pure integer time math (epoch-micros floor-div), so

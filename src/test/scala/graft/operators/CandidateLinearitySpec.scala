@@ -94,4 +94,35 @@ class CandidateLinearitySpec extends SparkSuite {
     assert(r1 === delta1.count(), "q81: one row per delta doc violated at m=1")
     assert(rM === deltaM.count(), s"q81: one row per delta doc violated ($rM vs ${deltaM.count()})")
   }
+
+  test("q105-shape triangle census grows exactly m× on disjoint graph replicas") {
+    // Disjoint replicas by node-id offset: replicas share no nodes,
+    // so a correctly-localized wedge join must produce EXACTLY m×
+    // the base triangle census, and each replica's per-node counts
+    // must equal the base's modulo the offset — any cross-replica
+    // triangle (impossible without a join-key bug) or count drift
+    // (an orientation bug double/under-counting) fails here at spec
+    // scale, not in a production graph.
+    val offset = 1000000L
+    val base = graft.Tables.orders(spark, sfDir).select(
+        pmod(col("o_custkey"), lit(256)).as("src"),
+        pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(256)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val scaled = (0 until M).map(c =>
+        base.select((col("src") + lit(c * offset)).as("src"),
+          (col("dst") + lit(c * offset)).as("dst")))
+      .reduce(_ unionByName _)
+    val b = Graph.triangleCount(base, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val s = Graph.triangleCount(scaled, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val triBase = b.values.map(_._2).sum
+    assert(triBase > 0, "q105: base graph has no triangles — vacuous gate")
+    assert(s.size === M * b.size, s"q105: node count not linear (${b.size} → ${s.size})")
+    assert(s.values.map(_._2).sum === M * triBase,
+      s"q105: triangle mass not linear ($triBase → ${s.values.map(_._2).sum})")
+    for (c <- 0 until M; (node, v) <- b)
+      assert(s(node + c * offset) === v,
+        s"q105: replica $c node $node census drifted from base")
+  }
 }

@@ -221,6 +221,64 @@ class TemporalSpec extends SparkSuite {
     assert(out === Map(1L -> 1, 2L -> 2))
   }
 
+  test("windowFunnel ≡ windowed chained minima; wide window ≡ funnel; window binds") {
+    import spark.implicits._
+    val steps = Seq("A", "B", "C")
+    val evGen = for {
+      u <- Gen.chooseNum(1, 6)
+      t <- Gen.chooseNum(0L, 12L)
+      ty <- Gen.oneOf("A", "B", "C", "X")
+    } yield (u.toLong, t, ty)
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n => Gen.listOfN(n, evGen))
+    def chainedW(evs: Seq[(Long, Long, String)], w: Long): Map[Long, (Int, Option[Long], Option[Long])] = {
+      val byUser = evs.filter(e => steps.contains(e._3)).groupBy(_._1)
+      byUser.map { case (u, es) =>
+        var last = Long.MinValue; var anchor = Long.MinValue; var stage = 0
+        var advancing = true
+        while (advancing && stage < steps.size) {
+          val nxt = es.filter(e => e._3 == steps(stage) && e._2 > last &&
+            (stage == 0 || e._2 - anchor <= w))
+          if (nxt.isEmpty) advancing = false
+          else {
+            last = nxt.map(_._2).min
+            if (stage == 0) anchor = last
+            stage += 1
+          }
+        }
+        u -> ((stage, if (stage > 0) Some(anchor) else None,
+          if (stage > 0) Some(last) else None))
+      }
+    }
+    for (events <- PropSampling.sample(corpusGen, n = 6); w <- Seq(2L, 5L)) {
+      val got = Temporal.windowFunnel(events.toDF("user_id", "t", "event_type"),
+          "user_id", "t", "event_type", steps, window = w)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getInt(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Long]))))
+        .toMap
+      assert(got === chainedW(events, w), s"windowFunnel diverged on $events w=$w")
+      // A window wider than the time span degenerates to the plain
+      // funnel's stages.
+      val wide = Temporal.windowFunnel(events.toDF("user_id", "t", "event_type"),
+          "user_id", "t", "event_type", steps, window = 1000L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val plain = Temporal.funnel(events.toDF("user_id", "t", "event_type"),
+          "user_id", "t", "event_type", steps)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(wide === plain, "wide window must reproduce the base funnel")
+    }
+    // Pinned: journey A@0 B@1 C@4 completes in window 4, stalls at B
+    // in window 2; the expired chain never restarts at A@10.
+    val pinned = Seq((1L, 0L, "A"), (1L, 1L, "B"), (1L, 4L, "C"),
+      (1L, 10L, "A"), (1L, 11L, "B"), (1L, 12L, "C"))
+    def run(w: Long) = Temporal.windowFunnel(pinned.toDF("user_id", "t", "event_type"),
+        "user_id", "t", "event_type", steps, window = w)
+      .collect().map(r => (r.getInt(1), r.get(2), r.get(3))).head
+    assert(run(4L) === ((3, 0L, 4L)))
+    assert(run(2L) === ((2, 0L, 1L)), "no-restart policy: anchor stays at the first step-1")
+  }
+
   test("cohortRetention ≡ brute force; negative times bucket by floor division") {
     import spark.implicits._
     val w = 10L

@@ -213,6 +213,22 @@ class EventStreamsSpec extends SparkSuite {
           r.getAs[Double]("nd_estimate")))).toMap
     assert(streamed.keySet === Set("click", "buy"), "open sentinel window leaked")
     assert(streamed === batch, "streaming and batch HLL diverged")
+    // The streamed register rows also COMPOSE: feeding the closed
+    // window's (g, reg, maxrho) state into the pair-algebra core
+    // yields the same union/intersection estimates as the batch
+    // operator over the same rows — sketch state is the mergeable
+    // interface, not just a per-group summary.
+    val streamedAlg = graft.operators.Sketches
+      .hllPairAlgebraFromRegisters(
+        registers.select(col("event_type").as("g"), col("reg"), col("maxrho")), p = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    val batchAlg = graft.operators.Sketches
+      .hllPairAlgebra(batchInput, "user_id", "event_type", p = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    assert(streamedAlg === batchAlg && streamedAlg.keySet === Set(("buy", "click")),
+      "streamed-register pair algebra diverged from batch")
   }
 
   test("streaming CMS cells match the batch sketch cell-for-cell on closed windows") {
