@@ -169,6 +169,50 @@ object Quantization {
         ((-col("sim_raw")) / lit(AdcScale) + lit(0.0d)).as("adist"))
   }
 
+  /** Compressed-domain near-dup: vectors whose PQ codes agree on ALL
+    * m subspaces are candidate duplicates, verified by exact cosine
+    * — SemDeDup blocking moved into the compressed domain. This is
+    * the practical 100-TB embedding-dedup shape: the blocking key is
+    * m bytes (not 64 floats), the only corpus-wide movement is ONE
+    * shuffle on that key, and the exact refinement touches
+    * within-bucket pairs only. Recall trades like any blocking
+    * scheme (a near-dup pair split by one sub-code is missed —
+    * q57/q79's banded tiers are the higher-recall alternatives);
+    * precision is restored by the exact verify.
+    *
+    * Buckets are quadratic inside, so an over-collapsed codebook
+    * (every vector coding identically) would silently turn the
+    * verify into an all-pairs join — the probe fails fast past
+    * `maxBucketSize` with a bounded `limit(1)` check, the
+    * hllPairAlgebra/maxVocab fail-fast convention: the caller must
+    * re-fit a wider codebook or switch to a banded tier, not wait
+    * out an accidental n² job. */
+  def pqCodeNearDup(corpus: DataFrame, model: PqModel, threshold: Double,
+                    maxBucketSize: Int = 4096,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
+    val prep = corpus.select(
+      col(idCol),
+      asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .withColumn("codes", codesExpr(col("vec"), model.cbArrays, model.dsub))
+    val over = prep.groupBy(col("codes")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucketSize).limit(1).count()
+    require(over == 0L,
+      s"pqCodeNearDup: a code bucket exceeds $maxBucketSize vectors — the " +
+        "codebook over-collapses this corpus; re-fit with more codes or use " +
+        "the banded near-dup tiers (nearDupPairsLsh / semanticBlockedPairs)")
+    val a = prep.select(col(idCol).as("vec_a"), col("vec").as("va"),
+      col("norm").as("na"), col("codes"))
+    val b = prep.select(col(idCol).as("vec_b"), col("vec").as("vb"),
+      col("norm").as("nb"), col("codes"))
+    a.join(b, a("codes") === b("codes") && col("vec_a") < col("vec_b"))
+      .withColumn("sim_raw", graft.functions.VectorFunctions.cosinePrenormed(
+        dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+  }
+
   /** Two-stage retrieval: ADC shortlist → EXACT cosine re-rank — the
     * production serving shape (FAISS `IndexRefine`, every
     * retrieval-augmented pipeline's "ANN then re-score"): the

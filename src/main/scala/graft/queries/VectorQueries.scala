@@ -726,5 +726,84 @@ object VectorQueries {
           model = model, kShort = 25, k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q111: compressed-domain near-dup — q57's synthesized-twin
+    // corpus deduplicated by PQ-CODE equality (all 8 sub-codes
+    // agree) + exact cosine verify: SemDeDup blocking moved into the
+    // compressed domain, where the blocking key is 8 bytes and the
+    // only corpus-wide movement is one shuffle on it. Recall is the
+    // blocking trade (a twin split by one sub-code is missed — 47 of
+    // 50 twins collide at sf0.001, the banded tiers q57/q79 are the
+    // higher-recall alternatives); the oracle replays train → encode
+    // → code-bucket join → refine, so the whole compressed pipeline
+    // hash-gates.
+    Q("q111_pq_code_dedup", Some("""
+      WITH p0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      corpus AS (
+        SELECT vec_id, v FROM p0
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, [v[1] * 1.2] || v[2:] AS v
+        FROM p0 WHERE vec_id % 10 = 0),
+      seeds AS (
+        SELECT vec_id, v, (vec_id * 2654435761) % 1000000007 AS h
+        FROM corpus ORDER BY h, vec_id LIMIT 8),
+      c0 AS (
+        SELECT CAST(row_number() OVER (ORDER BY h, vec_id) AS INTEGER) AS cid, v AS cv
+        FROM seeds),
+      sub AS (SELECT vec_id, j, v[j*8+1 : j*8+8] AS sv
+              FROM corpus CROSS JOIN generate_series(0, 7) g(j)),
+      c0s AS (SELECT j, cid, cv[j*8+1 : j*8+8] AS cv
+              FROM c0 CROSS JOIN generate_series(0, 7) g(j)),
+      a0 AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c0s c USING (j)) WHERE rn = 1),
+      s1 AS (
+        SELECT a0.j, a0.cid, g.i AS pos,
+               SUM(CAST(floor(sub.sv[g.i] * 1048576.0 + 0.5) AS BIGINT)) AS sq,
+               COUNT(*) AS n
+        FROM a0 JOIN sub USING (vec_id, j) CROSS JOIN generate_series(1, 8) g(i)
+        GROUP BY 1, 2, 3),
+      c1 AS (
+        SELECT c0s.j, c0s.cid, COALESCE(u.cv, c0s.cv) AS cv
+        FROM c0s LEFT JOIN (
+          SELECT j, cid,
+                 list(CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * 1048576.0)
+                      ORDER BY pos) AS cv
+          FROM s1 GROUP BY 1, 2) u USING (j, cid)),
+      enc AS (
+        SELECT vec_id, j, cid FROM (
+          SELECT sub.vec_id, sub.j, c.cid,
+                 row_number() OVER (PARTITION BY sub.vec_id, sub.j
+                   ORDER BY list_inner_product(sub.sv, sub.sv)
+                            - 2.0 * list_inner_product(sub.sv, c.cv)
+                            + list_inner_product(c.cv, c.cv), c.cid) AS rn
+          FROM sub JOIN c1 c USING (j)) WHERE rn = 1),
+      codes AS (SELECT vec_id, list(cid ORDER BY j) AS code FROM enc GROUP BY 1),
+      pn AS (SELECT c.vec_id, c.v, sqrt(list_inner_product(c.v, c.v)) AS nrm, codes.code
+             FROM corpus c JOIN codes USING (vec_id)),
+      pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS sim_raw
+        FROM pn a JOIN pn b ON a.code = b.code AND a.vec_id < b.vec_id)
+      SELECT vec_a, vec_b, round(sim_raw, 6) AS sim
+      FROM pairs WHERE sim_raw >= 0.99
+      ORDER BY vec_a, vec_b""")) { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      val twins = base.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(
+            array(element_at(col("embedding"), 1) * lit(1.2)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val corpus = base.unionByName(twins)
+      val model = Quantization.fitPq(corpus, m = 8, ksub = 8, iters = 1)
+      Quantization.pqCodeNearDup(corpus, model, threshold = 0.99)
+        .orderBy("vec_a", "vec_b")
     })
 }
