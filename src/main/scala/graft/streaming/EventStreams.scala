@@ -248,6 +248,38 @@ object EventStreams {
       }
   }
 
+  /** Declarative sessionization — the same gap-session semantics as
+    * [[sessionize]] through Catalyst's native `session_window`
+    * aggregate instead of custom `flatMapGroupsWithState` state.
+    * This is the preference-order point (compose built-ins before
+    * custom state): the built-in window gets codegen, state-store
+    * merge, and watermark eviction for free; the custom path earns
+    * its keep only where the semantics outgrow an aggregate (the
+    * reference's accumulate-then-flush loops map to either).
+    * EventStreamsSpec pins the two against each other on closed
+    * sessions — the session_window's `end` is last-event + gap by
+    * definition, so `session_end_ts` here subtracts the gap back to
+    * the last event time to match [[Session]]'s convention.
+    *
+    * State per open (user, session) is one aggregation buffer —
+    * same bound as the tumbling windows above, evicted when the
+    * watermark passes the session end. */
+  def sessionWindowAgg(events: DataFrame, gapMinutes: Int = 30,
+                       watermark: String = "2 hours"): DataFrame = {
+    val gapMicros = gapMinutes * 60L * 1000000L
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .groupBy(session_window(col("event_time"), s"$gapMinutes minutes"),
+        col("user_id"))
+      .agg(count(lit(1)).cast("int").as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("user_id"),
+        (unix_micros(col("session_window.start")) * 1000L).as("session_start_ts"),
+        ((unix_micros(col("session_window.end")) - gapMicros) * 1000L).as("session_end_ts"),
+        col("n_events"), col("total_value"))
+  }
+
   /** Streaming HyperLogLog: per (tumbling window, event_type)
     * distinct-user registers, maintained as a watermarked streaming
     * max-aggregation. State is bounded at `2^p` registers per open

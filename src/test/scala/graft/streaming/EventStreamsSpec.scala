@@ -455,6 +455,42 @@ class EventStreamsSpec extends SparkSuite {
       s"streaming and batch sessionization diverged: $streamed vs $batchClosed")
   }
 
+  test("session_window aggregate ≡ stateful sessionize on closed sessions") {
+    // The declarative Catalyst session_window path must agree with
+    // the custom flatMapGroupsWithState path session-for-session —
+    // same gap, same watermark, same closed set. (Fixture times are
+    // micro-aligned so the tsCol nano→micro truncation is exact and
+    // the reconstructed session_end matches Session.endTs
+    // bit-for-bit.)
+    val M = 60L * 1000000000L
+    val rows = Seq(
+      ev(1, 10 * M, 1, "click", 1.0), ev(2, 15 * M, 1, "click", 2.0),
+      ev(3, 80 * M, 1, "click", 4.0),
+      ev(4, 12 * M, 2, "view", 8.0),
+      ev(5, 600 * M, 9, "sentinel", 0.0))
+    val dir = writeLandingFilePerLine(rows)
+    val outW = Files.createTempDirectory(Paths.get("target"), "sesswin")
+    val qw = EventStreams.writeParquetSink(
+      EventStreams.sessionWindowAgg(
+        EventStreams.readEventsJson(spark, dir), gapMinutes = 30),
+      s"$outW/data", s"$outW/ckpt")
+    qw.awaitTermination(60000)
+    val windowed = spark.read.parquet(s"$outW/data")
+      .select("user_id", "session_start_ts", "session_end_ts", "n_events", "total_value")
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    val outS = Files.createTempDirectory(Paths.get("target"), "sessstate")
+    val qs = EventStreams.writeParquetSink(
+      EventStreams.sessionize(
+        EventStreams.readEventsJson(spark, dir), gapMinutes = 30).toDF(),
+      s"$outS/data", s"$outS/ckpt")
+    qs.awaitTermination(60000)
+    val stateful = spark.read.parquet(s"$outS/data")
+      .select("userId", "startTs", "endTs", "nEvents", "totalValue")
+      .as[(Long, Long, Long, Int, Double)].collect().toSet
+    assert(windowed.nonEmpty && windowed === stateful,
+      s"session_window and flatMapGroupsWithState diverged: $windowed vs $stateful")
+  }
+
   test("sessionization closes sessions at the gap, keeps state bounded") {
     // user 1: two events 10 min apart (one session), then one 2h
     // later (second session, still open at end of stream).
