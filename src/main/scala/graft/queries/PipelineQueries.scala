@@ -708,6 +708,65 @@ object PipelineQueries {
         .orderBy("url")
     },
 
+    // ---- q112: composed crawl-ingest planner — the reference's
+    // crawler front half in ONE lineage (the q73 composition
+    // pattern applied to ingest): raw URL variants → CanonicalUrl
+    // kernel → frontier dedup by canonical key (hits + variant
+    // census) → host extraction (parse_url, on the gated path) →
+    // politeness schedule (≤8 per host per round, global batches of
+    // 32). One kernel projection, one dedup shuffle, two bounded
+    // windows — the oracle builds the canonical form and host from
+    // first principles (q66's rule: the kernels sit ALONE on the
+    // gated path) and replays the schedule arithmetic.
+    Q("q112_ingest_planner", Some("""
+      WITH f AS (SELECT
+          'https://shop' || CAST(o_custkey % 5 AS VARCHAR) || '.example.com/item/'
+            || CAST(o_custkey AS VARCHAR) || '?a=1&b=' || CAST(o_custkey % 7 AS VARCHAR) AS url,
+          'shop' || CAST(o_custkey % 5 AS VARCHAR) || '.example.com' AS host,
+          o_orderkey, o_orderkey % 4 AS variant
+        FROM orders),
+      d AS (SELECT url, MIN(host) AS host, MIN(o_orderkey) AS first_seen,
+              CAST(COUNT(*) AS BIGINT) AS n_hits,
+              CAST(COUNT(DISTINCT variant) AS BIGINT) AS n_variants
+            FROM f GROUP BY url),
+      r AS (SELECT *, CAST(row_number() OVER (PARTITION BY host
+                                              ORDER BY first_seen) AS BIGINT) AS host_seq
+            FROM d),
+      r2 AS (SELECT *, (host_seq - 1) // 8 AS round FROM r)
+      SELECT url, host, n_hits, n_variants, host_seq, round,
+             (CAST(row_number() OVER (PARTITION BY round
+                                      ORDER BY host, host_seq) AS BIGINT) - 1) // 32 AS batch
+      FROM r2
+      ORDER BY url""")) { (s, d) =>
+      val k = col("o_custkey").cast("string")
+      val m = pmod(col("o_custkey"), lit(7)).cast("string")
+      val h = pmod(col("o_custkey"), lit(5)).cast("string")
+      val variant = pmod(col("o_orderkey"), lit(4))
+      val raw =
+        when(variant === 0,
+          concat(lit("https://shop"), h, lit(".example.com/item/"), k, lit("?a=1&b="), m))
+        .when(variant === 1,
+          concat(lit("HTTPS://Shop"), h, lit(".Example.COM:443/item/"), k, lit("?a=1&b="), m))
+        .when(variant === 2,
+          concat(lit("https://shop"), h, lit(".example.com/item/"), k, lit("/?b="), m, lit("&a=1")))
+        .otherwise(
+          concat(lit("https://shop"), h, lit(".example.com/item/"), k, lit("?a=1&b="), m, lit("#sec")))
+      val frontier = Tables.orders(s, d)
+        .select(GraftFunctions.canonical_url(raw).as("url"), raw.as("raw"),
+          col("o_orderkey"))
+        .groupBy(col("url"))
+        .agg(min(col("o_orderkey")).as("first_seen"),
+          count(lit(1)).as("n_hits"),
+          count_distinct(col("raw")).as("n_variants"))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+      graft.operators.Curation.crawlSchedule(frontier,
+          hostCol = "host", orderCol = "first_seen",
+          maxPerHost = 8, waveCapacity = 32)
+        .select(col("url"), col("host"), col("n_hits"), col("n_variants"),
+          col("host_seq"), col("round"), col("batch"))
+        .orderBy("url")
+    },
+
     // ---- q71: distributed OLS — per event type, the linear trend
     // of value over time (slope/intercept/r²) from ONE aggregation
     // of exact decimal sufficient statistics; the closed form then
