@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev tool: disjoint-replica wall-time sweep of the round-10 heavy
+  * additions — q105 triangle census, q107 PQ re-rank, q111
+  * compressed-domain dedup — the runtime companion of the in-suite
+  * count gates (`CandidateLinearitySpec`).
+  *
+  * Scaling model per family:
+  *  - graph: m node-offset replicas of the sf0.1 orders graph —
+  *    replicas share no nodes, so nodes/triangles grow exactly m×
+  *    and any super-linear TIME is the plan's fault (wedge blowup);
+  *  - vectors: `ScaleCorpus` replica dirs (per-copy jitter breaks
+  *    cross-copy neighbors) — q111's twin pairs and q107's query
+  *    count grow ~m× (the PQ model refits on each scaled corpus, so
+  *    code-collision recall may drift a few pairs; counts printed
+  *    so the drift is visible, time is the gated claim).
+  *
+  * Usage: first materialize /tmp/nsweep{2,4}x via ScaleCorpus, then
+  *   sbt "runMain graft.NewOpsSweep"
+  */
+object NewOpsSweep {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession("graft-newops-sweep", "32")
+    val sf = "/root/testdata/sf0.1"
+
+    def time3[A](body: => DataFrame): (Double, Long) = {
+      var rows = 0L
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        rows = body.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.sorted.apply(1), rows)
+    }
+
+    // q105 family: m disjoint graph replicas.
+    val baseEdges = Tables.orders(spark, sf).select(
+        pmod(col("o_custkey"), lit(2048)).as("src"),
+        pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(2048)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    for (m <- Seq(1, 2, 4)) {
+      val edges = (0 until m).map(c =>
+          baseEdges.select((col("src") + lit(c * 1000000L)).as("src"),
+            (col("dst") + lit(c * 1000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(graft.operators.Graph.triangleCount(edges, "src", "dst"))
+      println(f"NEWOPS q105 m=$m nodes=$rows median=$t%.2f")
+    }
+
+    // q107 + q111 families: ScaleCorpus replica dirs.
+    val dirs = Seq(1 -> sf, 2 -> "/tmp/nsweep2x", 4 -> "/tmp/nsweep4x")
+    for ((m, dir) <- dirs) {
+      val (t7, rows7) = time3(SparkEntry.queries("q107_pq_rerank")(spark, dir))
+      println(f"NEWOPS q107 m=$m rows=$rows7 median=$t7%.2f")
+      val (t11, rows11) = time3(SparkEntry.queries("q111_pq_code_dedup")(spark, dir))
+      println(f"NEWOPS q111 m=$m pairs=$rows11 median=$t11%.2f")
+    }
+    spark.stop()
+  }
+}
