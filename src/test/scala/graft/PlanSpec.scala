@@ -249,4 +249,37 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("Window"), "sharding ranks through a window")
     assert(exchanges <= 1, s"shuffle-shard must shuffle exactly once:\n${p.take(2000)}")
   }
+
+  test("q105 triangles: equi-joins only — no cartesian, no nested loop, no window") {
+    // Degree-ordered orientation keeps every join an equi-join on
+    // edge keys; a cartesian/NL here would be the quadratic wedge
+    // materialization the orientation exists to prevent.
+    val p = physical("q105_triangle_count")
+    assert(!p.contains("CartesianProduct"), "triangle census planned a cartesian")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "triangle census fell back to nested loop")
+    assert(!p.contains("Window "), "triangle census must not rank via a window")
+  }
+
+  test("q109 z-score: stats re-join is a BROADCAST, corpus never shuffles") {
+    // One bounded aggregate + broadcast of the per-group stats back
+    // onto the scan — the corpus-side plan must carry no hash
+    // exchange except the (group-count-bounded) aggregate's own.
+    val p = physical("q109_zscore_outliers")
+    assert(p.contains("BroadcastHashJoin"), s"q109 must broadcast the stats side:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"), "q109 shuffled the corpus to join one-row-per-group stats")
+    assert(!p.contains("Window "), "q109 must not use a window")
+  }
+
+  test("q111 code dedup: one equi-join on the code key, no cartesian fallback") {
+    val p = physical("q111_pq_code_dedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"compressed-domain dedup lost its equi-join on codes:\n${p.take(2000)}")
+  }
+
+  test("q112 ingest planner: partitioned windows only over the deduped frontier") {
+    val wins = optimized("q112_ingest_planner").collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "planner lost its schedule windows")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "planner fell into an unpartitioned window over the frontier")
+  }
 }
