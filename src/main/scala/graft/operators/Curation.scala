@@ -107,14 +107,6 @@ object Curation {
       (hits > 0).as("contaminated"))
   }
 
-  /** Deterministic stratified sampling: keep a row iff
-    * `h60(salt:id) mod 1e6 < fraction(stratum) * 1e6`. A pure
-    * codegen'd filter — no shuffle, no RNG, no sampling state — so
-    * it scales as a scan, re-runs reproducibly (same salt -> same
-    * sample), and composes with pushdown. Strata missing from
-    * `fractions` are dropped (fraction 0). This is the
-    * language/quality-rebalancing step of a corpus pipeline, shaped
-    * so the oracle can replay the exact selection. */
   /** Politeness-scheduled crawl frontier — the batch planner for the
     * reference pipeline's rate-limited fetcher (per-host concurrency
     * semaphores): given a frontier of requests with a host key and a
@@ -153,6 +145,14 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Deterministic stratified sampling: keep a row iff
+    * `h60(salt:id) mod 1e6 < fraction(stratum) * 1e6`. A pure
+    * codegen'd filter — no shuffle, no RNG, no sampling state — so
+    * it scales as a scan, re-runs reproducibly (same salt -> same
+    * sample), and composes with pushdown. Strata missing from
+    * `fractions` are dropped (fraction 0). This is the
+    * language/quality-rebalancing step of a corpus pipeline, shaped
+    * so the oracle can replay the exact selection. */
   def sampleStratified(docs: DataFrame, strataCol: Column,
                        fractions: Map[String, Double],
                        idCol: String = "doc_id", salt: String = "strat"): DataFrame = {

@@ -191,11 +191,16 @@ object Quantization {
                     maxBucketSize: Int = 4096,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(maxBucketSize >= 2, "maxBucketSize must be at least 2")
+    // localCheckpoint: the encode projection (m·ksub literal argmins
+    // per row) is consumed three times — the guard probe and both
+    // self-join sides — so cutting lineage here trades one corpus
+    // materialization for two redundant full encode passes.
     val prep = corpus.select(
       col(idCol),
       asDouble(col(vecCol)).as("vec"))
       .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("codes", codesExpr(col("vec"), model.cbArrays, model.dsub))
+      .localCheckpoint(true)
     val over = prep.groupBy(col("codes")).agg(count(lit(1)).as("n"))
       .filter(col("n") > maxBucketSize).limit(1).count()
     require(over == 0L,

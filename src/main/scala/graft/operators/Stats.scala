@@ -84,7 +84,7 @@ object Stats {
     * the row in both ANSI and legacy modes), the per-group
     * sufficient sums (n, Σv, Σv²) are exact and order-independent,
     * and the derivation — mean `Σv/n`, sample variance
-    * `(n·Σv² − Σv²)/(n·(n−1))`, `z = (v − mean)/sqrt(var)` — uses
+    * `(n·Σv² − (Σv)²)/(n·(n−1))`, `z = (v − mean)/sqrt(var)` — uses
     * only correctly-rounded IEEE ops (+ − * / sqrt), so z is
     * bit-identical on any engine that writes the same shape (no
     * pow/ln anywhere — that is why z-score gates cross-engine and

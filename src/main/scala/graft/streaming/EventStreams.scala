@@ -261,6 +261,15 @@ object EventStreams {
     * definition, so `session_end_ts` here subtracts the gap back to
     * the last event time to match [[Session]]'s convention.
     *
+    * Precision contract: `session_window` works on TimestampType,
+    * which is MICROsecond-precision — [[tsCol]] truncates the
+    * engine's nano timestamps, so gap decisions and the emitted
+    * `session_*_ts` are exact only for micro-aligned event times
+    * (the driver's events are). A sub-microsecond delta straddling
+    * exactly `gap` can merge here while [[sessionize]] (raw nanos)
+    * splits — the one place the two paths may diverge; data with
+    * meaningful sub-µs gaps must use the stateful path.
+    *
     * State per open (user, session) is one aggregation buffer —
     * same bound as the tumbling windows above, evicted when the
     * watermark passes the session end. */
