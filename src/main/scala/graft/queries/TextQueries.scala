@@ -1440,6 +1440,99 @@ object TextQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- q113: ensemble quality GATE — the production filter step
+    // that q26/q77/q94 exist to feed, composed in one lineage: fit
+    // the char-bigram LM and the word-n-gram classifier (two bounded
+    // census jobs), then score EVERY document in a single scan — the
+    // heuristic score, the LM familiarity and the classifier verdict
+    // are all stateless codegen projections closing over broadcast
+    // models, so the scoring pass has zero joins and zero shuffles
+    // (the fit-batch/score-stream split means this same projection
+    // deploys on a stream). Gate rule (each clause binds on real
+    // docs at every SF): quality ≥ 0.38 AND classifier-positive AND
+    // rare-bigram mass ≤ 0.5% (n_rare·200 ≤ n_bigrams, the q77
+    // relative-bound convention). The oracle replays all three
+    // scorers and the gate.
+    Q("q113_quality_gate", Some(s"""
+      WITH h AS (
+        SELECT doc_id,
+               floor((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                    + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                    + 0.3 * (len(list_filter(string_split(text, ' '),
+                          x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))))
+                     * 10000 + 0.5) / 10000 AS quality
+        FROM documents),
+      bg AS (SELECT doc_id,
+                    unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+             FROM documents),
+      m0 AS (SELECT bg, COUNT(*) AS bg_count FROM bg GROUP BY bg),
+      m AS (SELECT bg, bg_count,
+                   bg_count * 2000 < (SELECT SUM(bg_count) FROM m0) AS is_rare
+            FROM m0),
+      s AS (SELECT bg.doc_id, COUNT(*) AS n_bigrams,
+                   CAST(SUM(m.bg_count) AS BIGINT) AS familiarity,
+                   CAST(SUM(CASE WHEN m.is_rare THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+            FROM bg JOIN m USING (bg) GROUP BY bg.doc_id),
+      toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      terms AS (
+        SELECT doc_id, source, unnest(t) AS term FROM toks
+        UNION ALL
+        SELECT doc_id, source,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS term
+        FROM toks),
+      census AS (
+        SELECT term,
+               CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 1 ELSE 0 END) AS BIGINT) AS pos_count,
+               CAST(SUM(CASE WHEN source IN ('src0','src1','src2') THEN 0 ELSE 1 END) AS BIGINT) AS neg_count
+        FROM terms GROUP BY term
+        HAVING COUNT(*) >= 2),
+      tot AS (SELECT CAST(SUM(pos_count) AS BIGINT) AS pt, CAST(SUM(neg_count) AS BIGINT) AS nt FROM census),
+      w AS (SELECT t.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(c.pos_count) AS BIGINT) AS pos_mass,
+                   CAST(SUM(c.neg_count) AS BIGINT) AS neg_mass,
+                   CAST(SUM(c.pos_count) AS BIGINT) * (SELECT nt FROM tot)
+                     > CAST(SUM(c.neg_count) AS BIGINT) * (SELECT pt FROM tot) AS pred_pos
+            FROM terms t JOIN census c USING (term)
+            GROUP BY t.doc_id)
+      SELECT d.doc_id, h.quality,
+             COALESCE(s.n_bigrams, 0) AS n_bigrams,
+             COALESCE(s.familiarity, 0) AS familiarity,
+             COALESCE(s.n_rare, 0) AS n_rare,
+             COALESCE(w.n_terms, 0) AS n_terms,
+             COALESCE(w.pos_mass, 0) AS pos_mass,
+             COALESCE(w.neg_mass, 0) AS neg_mass,
+             COALESCE(w.pred_pos, FALSE) AS pred_pos,
+             h.quality >= 0.38 AND COALESCE(w.pred_pos, FALSE)
+               AND COALESCE(s.n_rare, 0) * 200 <= COALESCE(s.n_bigrams, 0) AS pass
+      FROM documents d
+      JOIN h USING (doc_id)
+      LEFT JOIN s USING (doc_id)
+      LEFT JOIN w USING (doc_id)
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lm = CharLm.collectModel(docs, rareFactor = 2000)
+      val cls = QualityClassifier.collectModel(docs,
+        isPositive = col("source").isin("src0", "src1", "src2"))
+      docs.select(col("doc_id"),
+          (floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d))
+            / lit(10000.0d)).as("quality"),
+          GraftFunctions.char_bigram_score(col("text"), lm).as("__c"),
+          GraftFunctions.word_ngram_score(col("text"), cls).as("__w"))
+        .select(col("doc_id"), col("quality"),
+          coalesce(col("__c.n_bigrams"), lit(0L)).as("n_bigrams"),
+          coalesce(col("__c.familiarity"), lit(0L)).as("familiarity"),
+          coalesce(col("__c.n_rare"), lit(0L)).as("n_rare"),
+          coalesce(col("__w.n_terms"), lit(0L)).as("n_terms"),
+          coalesce(col("__w.pos_mass"), lit(0L)).as("pos_mass"),
+          coalesce(col("__w.neg_mass"), lit(0L)).as("neg_mass"),
+          coalesce(col("__w.pred_pos"), lit(false)).as("pred_pos"))
+        .withColumn("pass",
+          col("quality") >= 0.38d && col("pred_pos") &&
+            col("n_rare") * 200L <= col("n_bigrams"))
+        .orderBy("doc_id")
+    },
+
     // ---- q108: politeness-scheduled crawl frontier — the batch
     // planner for the reference's per-host-semaphore fetcher: each
     // request gets its host-FIFO position, a politeness ROUND (at

@@ -276,6 +276,17 @@ class PlanSpec extends SparkSuite {
       s"compressed-domain dedup lost its equi-join on codes:\n${p.take(2000)}")
   }
 
+  test("q113 quality gate: scoring is one scan — zero joins, no exchange but the sort") {
+    // Both models fit driver-side before the plan is built, so the
+    // returned frame must be scan + codegen projections + the
+    // presentation sort — the shape that deploys unchanged on a
+    // stream.
+    val p = physical("q113_quality_gate")
+    assert(!p.contains("Join"), s"ensemble scoring must not join:\n${p.take(2000)}")
+    val exchanges = "(?m)^[-+:\\s]*Exchange".r.findAllIn(p).size
+    assert(exchanges <= 1, s"ensemble scoring shuffled beyond the sort:\n${p.take(2000)}")
+  }
+
   test("q112 ingest planner: partitioned windows only over the deduped frontier") {
     val wins = optimized("q112_ingest_planner").collect { case w: LWindow => w }
     assert(wins.nonEmpty, "planner lost its schedule windows")
