@@ -109,6 +109,80 @@ object Graph {
             (col("deg") * (col("deg") - 1L)).cast("double")))
   }
 
+  /** Bounded-round k-core peel — the graph tier's density filter
+    * (q60 ranks, q47 resolves, q105 measures cohesion, this PRUNES
+    * to the cohesive core): repeatedly drop nodes of degree < k and
+    * re-filter edges to surviving endpoints, `rounds` times, then
+    * return the surviving nodes with their core-subgraph degree.
+    * Fixed rounds — not iterate-to-fixpoint — is what keeps the
+    * operator ORACLE-REPLAYABLE (each round unrolls to one degree
+    * CTE + one filter join, the q60 unrolled-recurrence pattern);
+    * convergence on the gated workload happens within the round
+    * budget and [[kCoreFixpoint]] is the to-convergence variant the
+    * spec differentially checks against.
+    *
+    * Scale shape per round: one map-side-combinable degree aggregate
+    * + two equi-joins of the (nodes-sized) survivor set back onto
+    * the edge list — never a window, never a collect; edge state is
+    * localCheckpoint'd per round so the plan does not grow with the
+    * round count (the q47/q60 lineage lesson). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 0, "k >= 1 and rounds >= 0")
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(cur).filter(col("deg") >= k)
+      cur = cur
+        .join(keep.select(col("node").as("u")), "u")
+        .join(keep.select(col("node").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    degrees(cur).filter(col("deg") >= k)
+  }
+
+  /** [[kCore]] iterated to the true fixed point: peel until a round
+    * removes nothing (each round's survivor count is one bounded
+    * driver-side aggregate). The result is the maximal subgraph of
+    * minimum degree ≥ k — the textbook k-core; bounded [[kCore]]
+    * equals it whenever `rounds` covers the peel depth (spec-pinned
+    * differentially on random graphs). */
+  def kCoreFixpoint(edges: DataFrame, srcCol: String, dstCol: String,
+                    k: Int, maxRounds: Int = 1000): DataFrame = {
+    var cur = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    var prev = -1L
+    var n = cur.count()
+    var r = 0
+    while (n != prev && r < maxRounds) {
+      val keep = degrees(cur).filter(col("deg") >= k)
+      cur = cur
+        .join(keep.select(col("node").as("u")), "u")
+        .join(keep.select(col("node").as("v")), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+      prev = n
+      n = cur.count()
+      r += 1
+    }
+    degrees(cur).filter(col("deg") >= k)
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000000000L): DataFrame = {

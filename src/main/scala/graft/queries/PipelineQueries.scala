@@ -932,6 +932,50 @@ object PipelineQueries {
       Graph.triangleCount(edges, "src", "dst").orderBy("node")
     },
 
+    // ---- q114: k-core peel — the graph tier's density filter, on a
+    // DENSITY-STABLE synthesis: the node modulus scales with the
+    // orders row count (computed identically by both engines), so
+    // average degree — and therefore the peel dynamics — stay
+    // comparable at every SF instead of the fixed-modulus graph's
+    // phase collapse. Three unrolled peel rounds (the q60
+    // bounded-recurrence oracle pattern); convergence within the
+    // budget plus equality-to-fixpoint is GraphSpec's differential
+    // claim, the hash gate pins the bounded semantics exactly.
+    Q("q114_kcore", Some("""
+      WITH e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      d1 AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM e UNION ALL SELECT v FROM e) GROUP BY 1),
+      c1 AS (SELECT e.u, e.v FROM e
+             JOIN d1 a ON a.node = e.u AND a.d >= 8
+             JOIN d1 b ON b.node = e.v AND b.d >= 8),
+      d2 AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM c1 UNION ALL SELECT v FROM c1) GROUP BY 1),
+      c2 AS (SELECT c1.u, c1.v FROM c1
+             JOIN d2 a ON a.node = c1.u AND a.d >= 8
+             JOIN d2 b ON b.node = c1.v AND b.d >= 8),
+      d3 AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM c2 UNION ALL SELECT v FROM c2) GROUP BY 1),
+      c3 AS (SELECT c2.u, c2.v FROM c2
+             JOIN d3 a ON a.node = c2.u AND a.d >= 8
+             JOIN d3 b ON b.node = c2.v AND b.d >= 8),
+      d4 AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT u AS node FROM c3 UNION ALL SELECT v FROM c3) GROUP BY 1)
+      SELECT node, CAST(d AS BIGINT) AS deg FROM d4 WHERE d >= 8
+      ORDER BY node""")) { (s, d) =>
+      val mod = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(mod)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(mod)).as("dst"))
+      Graph.kCore(edges, "src", "dst", k = 8, rounds = 3)
+        .orderBy("node")
+    },
+
     // ---- q106: HLL set algebra — union and intersection estimates
     // for every event-type pair from ONE register build, next to the
     // exact overlap it approximates. The reason HLL (not exact sets)

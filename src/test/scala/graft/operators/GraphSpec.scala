@@ -103,6 +103,45 @@ class GraphSpec extends SparkSuite {
       .collect().forall(_.getLong(2) === 0L))
   }
 
+  /** Sequential peel-to-fixpoint: the textbook k-core. */
+  private def coreReference(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+    var ue = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .filter { case (a, b) => a != b }.distinct
+    var changed = true
+    while (changed) {
+      val deg = ue.flatMap { case (a, b) => Seq(a, b) }
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val keep = deg.filter(_._2 >= k).keySet
+      val next = ue.filter { case (a, b) => keep(a) && keep(b) }
+      changed = next.size != ue.size
+      ue = next
+    }
+    ue.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      .filter(_._2 >= k)
+  }
+
+  test("kCoreFixpoint ≡ sequential peel; bounded kCore converges to it; survivors monotone") {
+    import spark.implicits._
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty; k <- Seq(2, 3)) {
+      val expect = coreReference(edges, k)
+      val fix = Graph.kCoreFixpoint(edges.toDF("src", "dst"), "src", "dst", k)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fix === expect, s"fixpoint core diverged on $edges k=$k")
+      // Enough rounds = fixpoint (peel depth ≤ node count).
+      val n = edges.flatMap(e => Seq(e._1, e._2)).distinct.size
+      val bounded = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds = n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(bounded === expect, s"bounded peel with ample rounds missed the fixpoint on $edges")
+      // Zero rounds = plain degree filter; more rounds never grows it.
+      val r0 = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds = 0).count()
+      val r1 = Graph.kCore(edges.toDF("src", "dst"), "src", "dst", k, rounds = 1).count()
+      assert(r0 >= r1 && r1 >= fix.size.toLong, "peel must shrink monotonically to the core")
+      // Textbook property: the core's induced degrees all meet k.
+      assert(expect.values.forall(_ >= k))
+    }
+  }
+
   test("a sink-heavy graph still terminates with base ranks downstream") {
     import spark.implicits._
     // 1 -> 2, 2 dangles: after one iteration 2 holds base + damped
