@@ -207,11 +207,15 @@ object Quantization {
       s"pqCodeNearDup: a code bucket exceeds $maxBucketSize vectors — the " +
         "codebook over-collapses this corpus; re-fit with more codes or use " +
         "the banded near-dup tiers (nearDupPairsLsh / semanticBlockedPairs)")
+    // Distinct join-key aliases per side: a bare self-join on
+    // `codes` relies on the analyzer's dataset-id disambiguation
+    // (it repairs the reference but warns "trivially true
+    // predicate"); explicit names make the equi-join unambiguous.
     val a = prep.select(col(idCol).as("vec_a"), col("vec").as("va"),
-      col("norm").as("na"), col("codes"))
+      col("norm").as("na"), col("codes").as("ca"))
     val b = prep.select(col(idCol).as("vec_b"), col("vec").as("vb"),
-      col("norm").as("nb"), col("codes"))
-    a.join(b, a("codes") === b("codes") && col("vec_a") < col("vec_b"))
+      col("norm").as("nb"), col("codes").as("cb"))
+    a.join(b, col("ca") === col("cb") && col("vec_a") < col("vec_b"))
       .withColumn("sim_raw", graft.functions.VectorFunctions.cosinePrenormed(
         dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("sim_raw") >= threshold)

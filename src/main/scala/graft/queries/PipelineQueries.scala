@@ -976,6 +976,68 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // ---- q115: degree assortativity — does the interaction graph
+    // wire hubs to hubs? Pearson correlation of endpoint degrees
+    // over the symmetric edge list (Newman's r), composed entirely
+    // from existing machinery: q105's canonical graph + q71's
+    // decimal-exact OLS sufficient statistics, with r derived as
+    // sign(slope)·sqrt(r²) — sqrt and the sign test are the only
+    // added ops, both correctly-rounded/portable, so the one-row
+    // statistic hash-gates bit-for-bit (measured: −0.72 at sf0.001
+    // → −0.004 at sf0.1, the correct drift toward neutrality as the
+    // synthesis grows denser and more uniform).
+    Q("q115_degree_assortativity", Some("""
+      WITH e0 AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % 2048 AS a,
+                 (o_custkey * 7 + o_orderkey * 13) % 2048 AS b
+          FROM orders)
+        WHERE a <> b),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+          SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0) GROUP BY 1),
+      pairs AS (
+        SELECT du.d AS x0, dv.d AS y0
+        FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v
+        UNION ALL
+        SELECT dv.d, du.d
+        FROM e0 JOIN deg du ON du.node = e0.u JOIN deg dv ON dv.node = e0.v),
+      p AS (SELECT CAST(x0 AS DECIMAL(12,0)) AS x, CAST(y0 AS DECIMAL(18,2)) AS y
+            FROM pairs),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+              CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+      f AS (SELECT n,
+              CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                   THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+              CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                   THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
+              CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 AND CAST(n AS DOUBLE) * syy - sy * sy <> 0
+                   THEN (CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+            FROM s)
+      SELECT n, slope, intercept, r2,
+             CASE WHEN slope < 0 THEN -sqrt(r2) ELSE sqrt(r2) END AS assortativity
+      FROM f""")) { (s, d) =>
+      val ue = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(2048)).as("a"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(2048)).as("b"))
+        .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val deg = ue.select(col("u").as("node")).union(ue.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      val withDeg = ue
+        .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+        .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+      val pairs = withDeg.select(col("du").as("x"), col("dv").as("y"))
+        .unionAll(withDeg.select(col("dv").as("x"), col("du").as("y")))
+      Stats.linearFit(pairs, Seq(), col("x"), col("y"))
+        .withColumn("assortativity",
+          when(col("slope") < 0, -sqrt(col("r2"))).otherwise(sqrt(col("r2"))))
+    },
+
     // ---- q106: HLL set algebra — union and intersection estimates
     // for every event-type pair from ONE register build, next to the
     // exact overlap it approximates. The reason HLL (not exact sets)
