@@ -132,6 +132,39 @@ object TextRank {
       .limit(k)
   }
 
+  /** Reciprocal-rank fusion — the standard hybrid-retrieval combiner
+    * (Cormack et al. 2009; every lexical+dense "hybrid search" RAG
+    * stack): two ranked lists merge by
+    * `rrf(d) = Σ_lists 1/(c + rank_list(d))`, absent-from-a-list
+    * contributing 0. Rank-based (not score-based) fusion needs no
+    * score calibration between a BM25-ish lexical ranker and a
+    * cosine ANN — which is exactly why it is the default fuser.
+    *
+    * Exactness: each term is ONE correctly-rounded division of
+    * exact integers and the fusion is one addition in fixed written
+    * order, so the floats hash-gate cross-engine (the no-ln rule —
+    * score-based fusers like log-odds would not). Ties break by id.
+    *
+    * Scale shape: the inputs are already top-k lists (bounded —
+    * queries × k rows), so the full-outer fuse, projection and
+    * final top-`k` cut all run on presentation-sized frames; the
+    * corpus-sized work happened inside the upstream rankers. */
+  def rrfFuse(a: DataFrame, aIdCol: String, aRankCol: String,
+              b: DataFrame, bIdCol: String, bRankCol: String,
+              k: Int, c: Int = 60): DataFrame = {
+    require(k >= 1 && c >= 0, "k >= 1 and c >= 0")
+    val la = a.select(col(aIdCol).cast("long").as("doc_id"),
+      col(aRankCol).cast("long").as("rank_a"))
+    val lb = b.select(col(bIdCol).cast("long").as("doc_id"),
+      col(bRankCol).cast("long").as("rank_b"))
+    la.join(lb, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("rank_a"), col("rank_b"),
+        (coalesce(lit(1.0d) / (lit(c.toDouble) + col("rank_a")), lit(0.0d)) +
+          coalesce(lit(1.0d) / (lit(c.toDouble) + col("rank_b")), lit(0.0d))).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Windowed co-occurrence census — the sufficient statistics of
     * PMI collocation mining (word2vec-era corpus analysis): for each
     * unordered token pair within `window` positions, the pair count

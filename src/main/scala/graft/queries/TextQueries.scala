@@ -1196,6 +1196,68 @@ object TextQueries {
         terms = Seq("spark", "window", "dup"), k = 20)
     },
 
+    // ---- q116: hybrid retrieval via reciprocal-rank fusion — the
+    // RAG-stack default combiner: q55's integer-exact lexical top-50
+    // and q30's dense cosine top-50 (query = vector 0) merge by
+    // rrf = Σ 1/(60 + rank), absent lists contributing 0. Rank-based
+    // fusion needs no score calibration between rankers — and each
+    // term is one correctly-rounded division plus one fixed-order
+    // addition, so the fused floats hash-gate (the no-ln rule:
+    // score-based fusers would not). All fusion work runs on the
+    // two bounded top-k lists; corpus-sized work stays inside the
+    // upstream rankers.
+    Q("q116_hybrid_rrf", Some("""
+      WITH scored AS (
+        SELECT doc_id,
+               CAST((len(list_filter(string_split(text, ' '), x -> x = 'spark')) > 0)::INT
+                  + (len(list_filter(string_split(text, ' '), x -> x = 'window')) > 0)::INT
+                  + (len(list_filter(string_split(text, ' '), x -> x = 'dup')) > 0)::INT AS BIGINT)
+                 AS n_matched,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark'))
+                  + len(list_filter(string_split(text, ' '), x -> x = 'window'))
+                  + len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS BIGINT)
+                 AS tf_total
+        FROM documents),
+      kwr AS (SELECT doc_id,
+                CAST(row_number() OVER (ORDER BY n_matched DESC, tf_total DESC, doc_id) AS BIGINT) AS kw_rank
+              FROM scored WHERE n_matched > 0),
+      kw AS (SELECT * FROM kwr WHERE kw_rank <= 50),
+      p AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                   sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings),
+      ds AS (SELECT c.vec_id AS neighbor_id,
+               list_inner_product(c.v, q.v) / (c.nrm * q.nrm) AS sim_raw
+             FROM p c JOIN p q ON q.vec_id = 0 AND c.vec_id <> 0),
+      dr AS (SELECT neighbor_id,
+               CAST(row_number() OVER (ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS dense_rank
+             FROM ds),
+      dn AS (SELECT * FROM dr WHERE dense_rank <= 50),
+      f AS (SELECT COALESCE(kw.doc_id, dn.neighbor_id) AS doc_id,
+              kw.kw_rank, dn.dense_rank,
+              COALESCE(1.0 / (60.0 + kw.kw_rank), 0.0)
+                + COALESCE(1.0 / (60.0 + dn.dense_rank), 0.0) AS rrf
+            FROM kw FULL OUTER JOIN dn ON dn.neighbor_id = kw.doc_id)
+      SELECT doc_id, kw_rank, dense_rank, rrf FROM f
+      ORDER BY rrf DESC, doc_id
+      LIMIT 10""")) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      // The rank windows run over the 50-row top-k lists, not the
+      // corpus — presentation-sized, like the final LIMIT.
+      val kw = TextRank.keywordSearch(Tables.documents(s, d), "doc_id", "text",
+          terms = Seq("spark", "window", "dup"), k = 50)
+        .withColumn("kw_rank", row_number().over(
+          Window.orderBy(col("n_matched").desc, col("tf_total").desc, col("doc_id")))
+          .cast("long"))
+      val emb = Tables.embeddings(s, d)
+      val dense = graft.operators.Similarity
+        .bruteForceTopK(emb, emb.filter(col("vec_id") === 0), k = 50)
+        .select(col("neighbor_id"), col("rank").cast("long").as("dense_rank"))
+      TextRank.rrfFuse(kw, "doc_id", "kw_rank",
+          dense, "neighbor_id", "dense_rank", k = 10)
+        .select(col("doc_id"), col("rank_a").as("kw_rank"),
+          col("rank_b").as("dense_rank"), col("rrf"))
+    },
+
     // ---- q58: PII redaction — emails/phones/IPs are synthesized
     // onto each document deterministically (with per-category
     // presence varying by doc_id so the counts exercise 0 and 1),

@@ -96,4 +96,29 @@ class TextRankSpec extends SparkSuite {
       Seq("alpha", "rare"), k = 3).collect().map(_.getLong(0)).toSeq
     assert(top === Seq(2L, 1L), "full match must outrank heavier partial match")
   }
+
+  test("rrfFuse ≡ driver-side fusion; both-lists beats single-list; absent contributes zero") {
+    import spark.implicits._
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "r")
+    val b = Seq((20L, 1L), (40L, 2L), (10L, 3L)).toDF("id", "r")
+    val got = TextRank.rrfFuse(a, "id", "r", b, "id", "r", k = 10, c = 60)
+      .collect().map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getDouble(3)))
+    def t(r: Option[Long]): Double = r.map(x => 1.0d / (60.0d + x)).getOrElse(0.0d)
+    val expect = Map(
+      10L -> (Some(1L), Some(3L)), 20L -> (Some(2L), Some(1L)),
+      30L -> (Some(3L), None), 40L -> (None, Some(2L)))
+      .map { case (id, (ra, rb)) => id -> ((ra, rb, t(ra) + t(rb))) }
+    assert(got.length === 4)
+    for ((id, ra, rb, s) <- got)
+      assert(expect(id) === ((ra, rb, s)), s"fusion diverged for $id")
+    // Docs in BOTH lists outrank every single-list doc here, and the
+    // produced order is (rrf desc, id).
+    val order = got.map(_._1).toSeq
+    assert(order.take(2).toSet === Set(10L, 20L),
+      s"both-list docs must lead the fusion: $order")
+    assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse,
+      "fused scores must be non-increasing in output order")
+  }
 }
