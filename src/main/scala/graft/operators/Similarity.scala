@@ -372,4 +372,64 @@ object Similarity {
         cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
     rankTopK(scored, k)
   }
+
+  /** One MMR selection: `(rank, id, relevance, mmr_score)`. */
+  final case class MmrPick(rank: Int, id: Long, relevance: Double, mmrScore: Double)
+
+  /** Maximal-marginal-relevance diversification (Carbonell &
+    * Goldstein 1998) — the re-rank-for-diversity tail of the
+    * retrieval tier (shortlist → exact re-rank [q107] → fuse [q116]
+    * → DIVERSIFY): greedily pick k results maximizing
+    * `λ·sim(q, d) − (1−λ)·max_{s∈picked} sim(d, s)`, ties by id.
+    * λ = 1 degenerates to plain relevance ranking (spec-pinned);
+    * lower λ trades relevance for novelty — the dedup instinct
+    * applied to result lists.
+    *
+    * Scale/execution contract: greedy selection is inherently
+    * sequential in k, so this runs on a COLLECTED shortlist — the
+    * caller bounds it (`maxShortlist` guard, the collectModel
+    * convention), and the distributed work is the shortlist
+    * construction ([[bruteForceTopK]]/`Quantization.adcTopK`)
+    * upstream. Spec-gated (TextRank.bm25TopK precedent): the greedy
+    * trace is not SQL-expressible, so parity is pinned against an
+    * independent in-test reference, not a DuckDB oracle. */
+  def mmrSelect(shortlist: DataFrame, queryVec: Seq[Double], k: Int,
+                lambda: Double = 0.7, maxShortlist: Int = 1024,
+                idCol: String = "vec_id", vecCol: String = "embedding"): Seq[MmrPick] = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0, 1]")
+    val rows = shortlist
+      .select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(maxShortlist + 1).collect()
+    require(rows.length <= maxShortlist,
+      s"mmrSelect shortlist exceeds $maxShortlist rows — diversification is " +
+        "O(k·n) driver work by design; shrink the shortlist upstream")
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val q = queryVec.toArray
+    val qn = math.sqrt(dotA(q, q))
+    val cands = rows.map { r =>
+      val v = r.getSeq[Double](1).toArray
+      (r.getLong(0), v, math.sqrt(dotA(v, v)))
+    }.sortBy(_._1)
+    val rel = cands.map { case (id, v, n) => id -> dotA(v, q) / (n * qn) }.toMap
+    val picked = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double], Double)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[MmrPick]
+    var remaining = cands.toBuffer
+    while (out.length < k && remaining.nonEmpty) {
+      val (id, v, n) = remaining.minBy { case (cid, cv, cn) =>
+        val nov = if (picked.isEmpty) 0.0d
+          else picked.map { case (_, pv, pn) => dotA(cv, pv) / (cn * pn) }.max
+        (-(lambda * rel(cid) - (1.0d - lambda) * nov), cid)
+      }
+      val nov = if (picked.isEmpty) 0.0d
+        else picked.map { case (_, pv, pn) => dotA(v, pv) / (n * pn) }.max
+      out += MmrPick(out.length + 1, id, rel(id), lambda * rel(id) - (1.0d - lambda) * nov)
+      picked += ((id, v, n))
+      remaining = remaining.filterNot(_._1 == id)
+    }
+    out.toSeq
+  }
 }

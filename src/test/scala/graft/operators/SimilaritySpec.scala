@@ -175,4 +175,56 @@ class SimilaritySpec extends SparkSuite {
     }).flatten.toSet
     assert(exact == expect)
   }
+
+  test("mmrSelect: λ=1 ≡ relevance ranking; duplicates are deferred; greedy ≡ reference; guard trips") {
+    import spark.implicits._
+    // Shortlist with an exact duplicate of the most relevant item:
+    // plain ranking puts the twin at rank 2, MMR at λ=0.5 defers it.
+    val q = Seq(1.0, 0.0, 0.0, 0.0)
+    val short = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),   // relevance 1.0
+      (2L, Seq(1.0, 0.0, 0.0, 0.0)),   // exact duplicate of 1
+      (3L, Seq(0.6, 0.8, 0.0, 0.0)),   // relevant but novel
+      (4L, Seq(0.0, 0.0, 1.0, 0.0)))   // orthogonal
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.mmrSelect(short, q, k = 4, lambda = 1.0)
+    assert(plain.map(_.id) === Seq(1L, 2L, 3L, 4L),
+      "λ=1 must reproduce the (relevance desc, id) ranking")
+    // λ=0.4: after the top pick, the duplicate's novelty penalty
+    // (max-sim 1.0) outweighs its relevance, the orthogonal doc wins
+    // round 2, the novel-but-related doc round 3, the duplicate last.
+    // (λ=0.5 on this fixture ties every marginal score at 0 — the
+    // degenerate point where MMR decides by id alone.)
+    val div = Similarity.mmrSelect(short, q, k = 4, lambda = 0.4)
+    assert(div.head.id === 1L, "first pick is always the most relevant")
+    assert(div.map(_.id) === Seq(1L, 4L, 3L, 2L),
+      s"duplicate must be deferred to the end: ${div.map(_.id)}")
+    assert(div.map(_.rank) === Seq(1, 2, 3, 4))
+    // Greedy reference replay on a less structured shortlist.
+    val vecs = Map(
+      10L -> Seq(0.9, 0.1, 0.0), 11L -> Seq(0.8, 0.2, 0.1),
+      12L -> Seq(0.1, 0.9, 0.2), 13L -> Seq(0.2, 0.1, 0.9))
+    val q2 = Seq(1.0, 0.2, 0.1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val lam = 0.7
+    var pickedRef = Seq.empty[Long]
+    for (_ <- 1 to 3) {
+      val best = vecs.keys.toSeq.filterNot(pickedRef.contains).map { id =>
+        val nov = if (pickedRef.isEmpty) 0.0
+          else pickedRef.map(p => cos(vecs(id), vecs(p))).max
+        (-(lam * cos(vecs(id), q2) - (1 - lam) * nov), id)
+      }.min._2
+      pickedRef :+= best
+    }
+    val got = Similarity.mmrSelect(vecs.toSeq.toDF("vec_id", "embedding"), q2,
+      k = 3, lambda = lam)
+    assert(got.map(_.id) === pickedRef, s"greedy trace diverged: ${got.map(_.id)} vs $pickedRef")
+    // Oversized shortlist fails fast instead of collecting the corpus.
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrSelect(short, q, k = 2, lambda = 0.5, maxShortlist = 3))
+    assert(e.getMessage.contains("maxShortlist") || e.getMessage.contains("shortlist"))
+  }
 }
