@@ -183,6 +183,53 @@ object Graph {
     degrees(cur).filter(col("deg") >= k)
   }
 
+  /** Synchronous label-propagation community detection — the graph
+    * tier's grouping lens beside q47's connectivity (components join
+    * everything reachable; communities stop where the link density
+    * does). Every node starts labeled with itself; each ROUND every
+    * node simultaneously adopts the most frequent label among its
+    * neighbors, ties broken by the SMALLEST label — the deterministic
+    * synchronous variant of Raghavan et al.'s LPA. Fixed `rounds`
+    * keeps the op oracle-replayable (each round unrolls to one
+    * neighbor-label join + one census + one arg-min, the q60/q114
+    * bounded-recurrence pattern); determinism needs no RNG because
+    * both the schedule (synchronous) and the tie-break (min label)
+    * are total.
+    *
+    * Scale shape per round: one equi-join of the label table onto the
+    * symmetric adjacency (shuffle on node id), one map-side-combinable
+    * (node, label) census, then the arg-min as `min(struct(-cnt,
+    * label))` — an AGGREGATE, not a window, so no per-node sort and
+    * no skew cliff on a hub node; label state localCheckpoint'd per
+    * round (the q47/q60 lineage lesson). Isolated nodes cannot occur
+    * (nodes are defined as edge endpoints); a node keeps its own
+    * label only by winning the census through a neighbor. */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       rounds: Int): DataFrame = {
+    require(rounds >= 0, "rounds must be nonnegative")
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("node"), col("u").as("nbr")))
+    var labels = adj.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      labels = adj
+        .join(labels.select(col("node").as("nbr"), col("label")), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("best"))
+        .select(col("node"), col("best.l").as("label"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000000000L): DataFrame = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.GraftFunctions
-import graft.operators.{Graph, Sketches, Stats, Temporal, Wer}
+import graft.operators.{Graph, Layout, Sketches, Stats, Temporal, Wer}
 
 /** Reference-pipeline operators over the driver's tables: the
   * Python-literal column family (F12–F14, A4), the corpus-WER QC
@@ -1108,5 +1108,106 @@ object PipelineQueries {
           col("nd_intersect_est"),
           coalesce(col("n_intersect_exact"), lit(0L)).as("n_intersect_exact"))
         .orderBy("g_a", "g_b")
+    },
+
+    // ---- q117: Z-order zone-map census — the data-LAYOUT operator:
+    // quantize (l_partkey, l_suppkey) to 8 bits each against their
+    // global min/max, interleave into a 16-bit Morton value, bucket
+    // by the top 6 bits (an 8×8 grid over both dimensions at once)
+    // and emit each bucket's count + per-column min/max — exactly the
+    // zone maps a 100-TB scan prunes with, so the gated frame IS the
+    // layout's prunability measurement (LayoutSpec quantifies the
+    // win over a single-column sort). The oracle replays the
+    // quantizer (one correctly-rounded double division + floor, the
+    // established float rule) and the full 32-term bit interleave
+    // from first principles, so the whole curve construction sits on
+    // the gated path. One scan + one bounded min/max agg + one
+    // map-side-combined bucket agg; no corpus-wide shuffle beyond
+    // the ≤64-row census exchange.
+    Q("q117_zorder_layout", Some {
+      val morton = (0 until 8).flatMap(i => Seq(
+        s"(((xq >> $i) & 1) << ${2 * i})",
+        s"(((yq >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+      s"""
+      WITH s AS (SELECT CAST(MIN(l_partkey) AS BIGINT) AS mnx,
+                        CAST(MAX(l_partkey) AS BIGINT) AS mxx,
+                        CAST(MIN(l_suppkey) AS BIGINT) AS mny,
+                        CAST(MAX(l_suppkey) AS BIGINT) AS mxy
+                 FROM lineitem),
+      q AS (SELECT l_partkey, l_suppkey,
+              CASE WHEN s.mxx > s.mnx
+                   THEN CAST(FLOOR(CAST((l_partkey - s.mnx) * 255 AS DOUBLE)
+                                   / CAST(s.mxx - s.mnx AS DOUBLE)) AS BIGINT)
+                   ELSE 0 END AS xq,
+              CASE WHEN s.mxy > s.mny
+                   THEN CAST(FLOOR(CAST((l_suppkey - s.mny) * 255 AS DOUBLE)
+                                   / CAST(s.mxy - s.mny AS DOUBLE)) AS BIGINT)
+                   ELSE 0 END AS yq
+            FROM lineitem, s),
+      z AS (SELECT l_partkey, l_suppkey, ($morton) AS zv FROM q)
+      SELECT zv >> 10 AS bucket, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(MIN(l_partkey) AS BIGINT) AS l_partkey_min,
+             CAST(MAX(l_partkey) AS BIGINT) AS l_partkey_max,
+             CAST(MIN(l_suppkey) AS BIGINT) AS l_suppkey_min,
+             CAST(MAX(l_suppkey) AS BIGINT) AS l_suppkey_max
+      FROM z GROUP BY 1 ORDER BY 1"""
+    }) { (s, d) =>
+      Layout.zorderZoneMap(
+          Tables.lineitem(s, d).select("l_partkey", "l_suppkey"),
+          Seq("l_partkey", "l_suppkey"), bits = 8, bucketBits = 6)
+        .orderBy("bucket")
+    },
+
+    // ---- q118: label-propagation communities — the graph tier's
+    // grouping lens (q47 joins everything reachable; LPA stops where
+    // link density does), on a PLANTED-community synthesis: 1024
+    // nodes in 8 dense blocks of 128, with a 1-in-17 slice of edges
+    // rewired across blocks, all computed identically by both
+    // engines from orders columns. Two synchronous rounds, each
+    // unrolled in the oracle as one neighbor-label join + one
+    // (node, label) census + one deterministic arg-max (count desc,
+    // label asc) — the q60/q114 bounded-recurrence pattern; the
+    // Spark side resolves the same arg-max as min(struct(-c, label)),
+    // an aggregate rather than a window, so a hub node never sorts
+    // its neighborhood. GraphSpec differentially pins the operator
+    // against a sequential replay and a two-clique fixture.
+    Q("q118_label_communities", Some("""
+      WITH raw AS (SELECT o_custkey % 1024 AS a, o_custkey, o_orderkey FROM orders),
+      e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT a, CASE WHEN o_orderkey % 17 = 0
+                         THEN (o_custkey * 11 + o_orderkey * 3) % 1024
+                         ELSE (a - (a % 128)) + ((o_custkey * 7 + o_orderkey * 13) % 128)
+                    END AS b
+          FROM raw)
+        WHERE a <> b),
+      adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      l0 AS (SELECT DISTINCT node, node AS label FROM adj),
+      c1 AS (SELECT a.node, l.label, COUNT(*) AS c
+             FROM adj a JOIN l0 l ON l.node = a.nbr GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label) AS rn
+               FROM c1) WHERE rn = 1),
+      c2 AS (SELECT a.node, l.label, COUNT(*) AS c
+             FROM adj a JOIN l1 l ON l.node = a.nbr GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label,
+                      ROW_NUMBER() OVER (PARTITION BY node
+                                         ORDER BY c DESC, label) AS rn
+               FROM c2) WHERE rn = 1)
+      SELECT node, label FROM l2 ORDER BY node""")) { (s, d) =>
+      val raw = Tables.orders(s, d).select(
+        pmod(col("o_custkey"), lit(1024L)).as("a"),
+        col("o_custkey"), col("o_orderkey"))
+      val b = when(pmod(col("o_orderkey"), lit(17L)) === 0L,
+          pmod(col("o_custkey") * 11L + col("o_orderkey") * 3L, lit(1024L)))
+        .otherwise((col("a") - pmod(col("a"), lit(128L))) +
+          pmod(col("o_custkey") * 7L + col("o_orderkey") * 13L, lit(128L)))
+      val edges = raw.select(col("a").as("src"), b.as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.labelPropagation(edges, "src", "dst", rounds = 2)
+        .orderBy("node")
     })
 }

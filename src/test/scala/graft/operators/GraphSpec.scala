@@ -151,4 +151,43 @@ class GraphSpec extends SparkSuite {
     assert(got === reference(Seq((1L, 2L)), iters = 3))
     assert(got(2L) > got(1L), "the pointed-at node must outrank its source")
   }
+
+  /** Sequential replay of synchronous LPA: every node simultaneously
+    * adopts the most frequent neighbor label, ties to the smallest. */
+  private def lpaReference(edges: Seq[(Long, Long)], rounds: Int): Map[Long, Long] = {
+    val ue = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+      .filter(e => e._1 != e._2).distinct
+    val adj = (ue ++ ue.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      labels = adj.map { case (n, nbrs) =>
+        val census = nbrs.map(labels).groupBy(identity).view.mapValues(_.size)
+        n -> census.toSeq.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    labels
+  }
+
+  test("labelPropagation ≡ sequential synchronous replay on random graphs") {
+    import spark.implicits._
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
+      for (rounds <- Seq(0, 1, 3)) {
+        val got = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", rounds)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === lpaReference(edges, rounds),
+          s"LPA diverged on $edges rounds=$rounds")
+      }
+    }
+  }
+
+  test("labelPropagation: two disjoint cliques each converge to their minimum id") {
+    import spark.implicits._
+    def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L))
+    val got = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L, 3L).forall(got(_) == 0L), s"first clique: $got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), s"second clique: $got")
+  }
 }
