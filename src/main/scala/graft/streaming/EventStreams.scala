@@ -504,6 +504,53 @@ object EventStreams {
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.Curation.contaminationScoredWithModel(docs, model, idCol, textCol)
 
+  /** Watermarked STREAM-STREAM inner join — the attribution /
+    * request-response correlation shape (click within `horizon` of
+    * its impression, response matched to request, ASR result matched
+    * to submitted segment), and the tier's first two-unbounded-inputs
+    * operator: every prior streaming op here is one stream against
+    * either bounded state or a broadcast model.
+    *
+    * Both sides carry a watermark and the join predicate carries a
+    * closed event-time range; together those are what let Spark
+    * EVICT join state — an impression can only match clicks in
+    * `[imp_time, imp_time + horizon]`, so once the click watermark
+    * passes that bound the buffered impression row is dropped. State
+    * is bounded by (watermark + horizon) × arrival rate per key,
+    * never by stream length; an unconstrained stream-stream join
+    * would buffer both streams forever, which is why the time bound
+    * is mandatory, not an optimization. Shuffle is on the join key —
+    * the same exchange the batch join runs. Inner-join results are
+    * watermark-independent under AvailableNow backfill, so batch
+    * parity is EXACT (spec-pinned: the same frames joined with the
+    * same predicate in batch): one more fit-batch/score-stream-style
+    * twin, here join-batch/join-stream.
+    *
+    * Emits every qualifying (impression, click) pair — last-touch /
+    * first-touch attribution is a downstream aggregate over pairs
+    * (arg-min by click_time per impression, the q98-style
+    * min(struct) cut), kept out of this operator so the pair stream
+    * stays append-mode composable. */
+  def attributionJoin(impressions: DataFrame, clicks: DataFrame,
+                      keyCol: String = "user_id",
+                      horizon: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val imp = impressions
+      .withColumn("imp_time", tsCol)
+      .withWatermark("imp_time", watermark)
+      .select(col(keyCol).as("__k"), col("event_id").as("imp_id"), col("imp_time"))
+    val clk = clicks
+      .withColumn("click_time", tsCol)
+      .withWatermark("click_time", watermark)
+      .select(col(keyCol).as("__ck"), col("event_id").as("click_id"), col("click_time"))
+    imp.join(clk,
+        col("__k") === col("__ck") &&
+          col("click_time") >= col("imp_time") &&
+          col("click_time") <= col("imp_time") + expr(s"INTERVAL $horizon"))
+      .select(col("__k").as(keyCol), col("imp_id"), col("click_id"),
+        col("imp_time"), col("click_time"))
+  }
+
   /** Streaming file sink (S16 shape): append the stream to a
     * partitioned parquet dataset with checkpointing — exactly-once
     * per file-sink semantics. Returns the started query. */

@@ -521,4 +521,46 @@ class EventStreamsSpec extends SparkSuite {
     // user 2: 1 event, 8.0. (user 3's sentinel stays open.)
     assert(got == Set((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
   }
+
+  test("stream-stream attribution join ≡ the same join on batch frames; join state present") {
+    // impressions and clicks for users 1/2/3; horizon 1 hour.
+    val impLines = Seq(
+      ev(100, 1 * H, 1, "view", 0.0),
+      ev(101, 2 * H, 2, "view", 0.0),
+      ev(102, 2 * H + H / 2, 1, "view", 0.0),
+      ev(103, 2 * H + H / 4, 1, "view", 0.0))
+    val clkLines = Seq(
+      ev(200, 1 * H + H / 4, 1, "click", 1.0), // inside imp 100's window only
+      ev(201, 2 * H + 3 * H / 5, 1, "click", 1.0), // inside BOTH 102 and 103
+      ev(202, H / 2, 1, "click", 1.0), // before any impression: no match
+      ev(203, 3 * H + 9 * H / 10, 2, "click", 1.0), // past imp 101's horizon
+      ev(204, 2 * H + H / 4, 2, "click", 1.0), // inside imp 101's window
+      ev(205, 2 * H + 3 * H / 4, 3, "click", 1.0)) // user with no impressions
+    val impDir = writeLanding(impLines)
+    val clkDir = writeLanding(clkLines)
+    val out = Files.createTempDirectory(Paths.get("target"), "attrout")
+    val joined = EventStreams.attributionJoin(
+      EventStreams.readEventsJson(spark, impDir),
+      EventStreams.readEventsJson(spark, clkDir),
+      horizon = "1 hour")
+    val q = EventStreams.writeParquetSink(joined, s"$out/data", s"$out/ckpt")
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // Twin claim: the SAME operator on batch frames (watermarks are
+    // no-ops in batch) computes the expected pair set.
+    def batchFrame(lines: Seq[String]) =
+      spark.read.schema(EventStreams.eventSchema).json(
+        spark.createDataset(lines)(org.apache.spark.sql.Encoders.STRING))
+    val expected = EventStreams.attributionJoin(
+        batchFrame(impLines), batchFrame(clkLines), horizon = "1 hour")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === expected, "stream-stream join diverged from batch twin")
+    assert(expected === Set(
+      (1L, 100L, 200L), (1L, 102L, 201L), (1L, 103L, 201L), (2L, 101L, 204L)))
+    // The join must actually hold (bounded) state — it is not a
+    // stateless projection like the model-deployment twins.
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.nonEmpty, "stream-stream join should report a state operator")
+  }
 }
