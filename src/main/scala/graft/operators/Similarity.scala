@@ -54,6 +54,50 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Contrastive TRIPLET MINING — the training-pair construction
+    * step for embedding-model fine-tuning: for every anchor, the
+    * single nearest SAME-label candidate (the positive) and the
+    * `kNeg` highest-cosine DIFFERENT-label candidates (the hard
+    * negatives — the near-misses that actually carry gradient, vs
+    * random negatives a trained model already separates).
+    *
+    * One corpus scan: anchors broadcast, every candidate scored
+    * once, and the (anchor, role) pair packed into a single group
+    * key (`anchor*2 + role-bit`) so positives and negatives fall out
+    * of ONE bounded [[TopK]] aggregate — each partition reduces to
+    * ≤kNeg candidates per (anchor, role) before the exchange, the
+    * same O(anchors × k) shuffle as [[bruteForceTopK]]. At corpus
+    * scale the same composition runs behind an ANN shortlist
+    * (q107's two-stage shape) instead of the full scan; the brute
+    * pass here is the exact-oracle baseline. A null-label candidate
+    * never label-matches, so it mines as a negative. */
+  def tripletMine(corpus: DataFrame, anchors: DataFrame, kNeg: Int,
+                  idCol: String = "vec_id", vecCol: String = "embedding",
+                  labelCol: String = "label"): DataFrame = {
+    require(kNeg >= 1, "kNeg must be positive")
+    val c = corpus.select(col(idCol), asDouble(col(vecCol)).as("vec"),
+      l2Norm(asDouble(col(vecCol))).as("norm"), col(labelCol).as("__clabel"))
+    val q = anchors.select(col(idCol).as("query_id"),
+      asDouble(col(vecCol)).as("qvec"),
+      l2Norm(asDouble(col(vecCol))).as("qnorm"), col(labelCol).as("__qlabel"))
+    val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
+      .select(col("query_id"), col(idCol).as("cand_id"),
+        cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm"))
+          .as("sim_raw"),
+        coalesce(col("__clabel") === col("__qlabel"), lit(false)).as("is_pos"))
+      .withColumn("gk",
+        col("query_id") * 2L + when(col("is_pos"), lit(0L)).otherwise(lit(1L)))
+    TopK.perGroup(scored, "gk", "cand_id", "sim_raw", kNeg)
+      .select(
+        shiftright(col("gk"), 1).as("query_id"),
+        when(pmod(col("gk"), lit(2L)) === 0L, lit("pos")).otherwise(lit("neg"))
+          .as("role"),
+        col("rank").cast("long").as("rank"),
+        col("neighbor_id"),
+        round(col("sim_raw"), 6).as("sim"))
+      .filter(col("role") === "neg" || col("rank") === 1L)
+  }
+
   /** All pairs with cosine >= threshold (exact, self-join).
     * Quadratic — appropriate as ground truth and for bounded
     * partitions; the LSH variant below is the scale path. */

@@ -805,5 +805,38 @@ object VectorQueries {
       val model = Quantization.fitPq(corpus, m = 8, ksub = 8, iters = 1)
       Quantization.pqCodeNearDup(corpus, model, threshold = 0.99)
         .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- q119: contrastive triplet mining — the training-pair
+    // construction step for embedding fine-tuning: per anchor
+    // (vec_id < 8), the nearest SAME-label candidate (positive) and
+    // the 5 highest-cosine DIFFERENT-label candidates (hard
+    // negatives — the near-misses that carry gradient). One corpus
+    // scan against broadcast anchors; positives and negatives fall
+    // out of a single bounded TopK aggregate via a packed
+    // (anchor, role) group key, so the exchange moves
+    // O(anchors × k) rows. q30's float conventions throughout
+    // (rank on raw sim with id tie-break, display rounded to 6 dp).
+    Q("q119_triplet_mine", Some("""
+      WITH p AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                        sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+                 FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_inner_product(c.v, q.v) / (c.nrm * q.nrm) AS sim_raw,
+               CASE WHEN c.label = q.label THEN 'pos' ELSE 'neg' END AS role
+        FROM p c JOIN p q ON q.vec_id < 8 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT query_id, role, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id, role
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM scored)
+      SELECT query_id, role, rank, neighbor_id, sim FROM ranked
+      WHERE (role = 'pos' AND rank = 1) OR (role = 'neg' AND rank <= 5)
+      ORDER BY query_id, role, rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.tripletMine(emb, emb.filter(col("vec_id") < 8), kNeg = 5)
+        .orderBy("query_id", "role", "rank")
     })
 }

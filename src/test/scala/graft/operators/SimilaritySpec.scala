@@ -176,6 +176,38 @@ class SimilaritySpec extends SparkSuite {
     assert(exact == expect)
   }
 
+  test("tripletMine ≡ driver-side replay: 1 same-label positive + k cross-label hard negatives") {
+    val rows = emb.select("vec_id", "embedding", "label")
+      .as[(Long, Seq[Float], Int)].collect()
+      .map { case (id, v, l) => (id, v.map(_.toDouble).toArray, l) }
+    val vecs = rows.map(r => r._1 -> r._2).toMap
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val kNeg = 5
+    val expect = (for (q <- 0L until 8L) yield {
+      val scored = rows.filter(_._1 != q)
+        .map { case (id, v, l) => (id, cos(vecs(q), v), l == labels(q)) }
+        .sortBy { case (id, s, _) => (-s, id) }
+      val pos = scored.filter(_._3).take(1).map(t => (q, "pos", t._1))
+      val neg = scored.filterNot(_._3).take(kNeg).map(t => (q, "neg", t._1))
+      pos ++ neg
+    }).flatten.toSet
+    val got = Similarity.tripletMine(emb, queries.filter(col("vec_id") < 8), kNeg)
+      .select("query_id", "role", "neighbor_id").as[(Long, String, Long)]
+      .collect().toSet
+    assert(got === expect, "triplet mining diverged from the sequential replay")
+    // structural claims: every anchor mines exactly 1 positive and
+    // kNeg negatives; positives share the anchor's label, negatives don't
+    assert(got.count(_._2 == "pos") === 8)
+    assert(got.count(_._2 == "neg") === 8 * kNeg)
+    assert(got.filter(_._2 == "pos").forall(t => labels(t._3) == labels(t._1)))
+    assert(got.filter(_._2 == "neg").forall(t => labels(t._3) != labels(t._1)))
+  }
+
   test("mmrSelect: λ=1 ≡ relevance ranking; duplicates are deferred; greedy ≡ reference; guard trips") {
     import spark.implicits._
     // Shortlist with an exact duplicate of the most relevant item:
