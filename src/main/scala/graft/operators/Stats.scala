@@ -37,6 +37,54 @@ object Stats {
     * would silently skew every coefficient). Degenerate groups
     * (constant x, constant y, or a single row) yield null
     * slope/intercept/r² rather than ±Inf/NaN. */
+  /** One-pass column PROFILER — the ANALYZE / data-quality census a
+    * pipeline runs on every new source before trusting it: per
+    * column, row count, null count, exact distinct count, and
+    * min/max (numeric columns as exact doubles; string columns as
+    * strings — two channels so no cross-engine float formatting ever
+    * enters the frame; each column fills one channel, the other is
+    * null). Output is one row per column, so the profile of a
+    * 1000-column table is a 1000-row frame, not a 4000-column one.
+    *
+    * Scale shape: a single scan. The multiple exact count-distincts
+    * plan as one Expand pass (input multiplied by the aggregate
+    * count) — exact is the right default for a profile gate; the
+    * approximate twin at extreme width is [[Sketches]]' HLL per
+    * column. The aggregate collapses to ONE row, and the per-column
+    * unpivot is a projection of that row — no collect, no second
+    * scan. */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to profile")
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val kinds = cols.map { c =>
+      df.schema(c).dataType match {
+        case _: NumericType => c -> true
+        case StringType     => c -> false
+        case other => throw new IllegalArgumentException(
+          s"profileColumns supports numeric and string columns; $c is $other")
+      }
+    }
+    val aggs = count(lit(1)).as("__n") +: kinds.flatMap { case (c, _) => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c)).as(s"__mn_$c"),
+      max(col(c)).as(s"__mx_$c"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = kinds.map { case (c, numeric) =>
+      struct(
+        lit(c).as("col_name"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__nn_$c")).as("n_null"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (numeric) lit(null).cast("string") else col(s"__mn_$c").cast("string")).as("min_str"),
+        (if (numeric) lit(null).cast("string") else col(s"__mx_$c").cast("string")).as("max_str"),
+        (if (numeric) col(s"__mn_$c").cast("double") else lit(null).cast("double")).as("min_num"),
+        (if (numeric) col(s"__mx_$c").cast("double") else lit(null).cast("double")).as("max_num"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+
   def linearFit(df: DataFrame, groupCols: Seq[String],
                 xCol: Column, yCol: Column,
                 xPrec: Int = 12, xScale: Int = 0,

@@ -1209,5 +1209,59 @@ object PipelineQueries {
         .filter(col("src") =!= col("dst"))
       Graph.labelPropagation(edges, "src", "dst", rounds = 2)
         .orderBy("node")
+    },
+
+    // ---- q120: one-pass column profiler — the ANALYZE / source-
+    // intake census, on a derived events frame with injected nulls
+    // (the raw fixture has none, and a null-count gate over an
+    // all-non-null frame would pass vacuously). Numeric min/max
+    // travel as exact doubles and string min/max as strings — two
+    // typed channels so no float→text formatting (a known
+    // cross-engine divergence) ever sits on the gated path. One
+    // scan, one 1-row aggregate (the count-distincts share a single
+    // Expand pass), unpivoted by projection — no collect, no second
+    // scan.
+    Q("q120_profile", Some("""
+      WITH f AS (SELECT user_id,
+                        event_type,
+                        CASE WHEN value > 300 THEN NULL ELSE value END AS value_gapped,
+                        CASE WHEN event_id % 11 = 0 THEN NULL ELSE props END AS props_gapped
+                 FROM events)
+      SELECT * FROM (
+        SELECT 'user_id' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) - COUNT(user_id) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+               NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str,
+               CAST(MIN(user_id) AS DOUBLE) AS min_num, CAST(MAX(user_id) AS DOUBLE) AS max_num
+        FROM f
+        UNION ALL
+        SELECT 'event_type', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(event_type) AS BIGINT),
+               CAST(COUNT(DISTINCT event_type) AS BIGINT),
+               MIN(event_type), MAX(event_type), NULL::DOUBLE, NULL::DOUBLE
+        FROM f
+        UNION ALL
+        SELECT 'value_gapped', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(value_gapped) AS BIGINT),
+               CAST(COUNT(DISTINCT value_gapped) AS BIGINT),
+               NULL::VARCHAR, NULL::VARCHAR,
+               CAST(MIN(value_gapped) AS DOUBLE), CAST(MAX(value_gapped) AS DOUBLE)
+        FROM f
+        UNION ALL
+        SELECT 'props_gapped', CAST(COUNT(*) AS BIGINT),
+               CAST(COUNT(*) - COUNT(props_gapped) AS BIGINT),
+               CAST(COUNT(DISTINCT props_gapped) AS BIGINT),
+               MIN(props_gapped), MAX(props_gapped), NULL::DOUBLE, NULL::DOUBLE
+        FROM f)
+      ORDER BY col_name""")) { (s, d) =>
+      val f = Tables.events(s, d).select(
+        col("user_id"),
+        col("event_type"),
+        when(col("value") > 300d, lit(null)).otherwise(col("value")).as("value_gapped"),
+        when(pmod(col("event_id"), lit(11L)) === 0L, lit(null)).otherwise(col("props"))
+          .as("props_gapped"))
+      Stats.profileColumns(f,
+          Seq("user_id", "event_type", "value_gapped", "props_gapped"))
+        .orderBy("col_name")
     })
 }

@@ -136,4 +136,30 @@ class StatsSpec extends SparkSuite {
     assert(!got.contains(8L) && !got.contains(9L) && !got.contains(10L) &&
       !got.contains(11L), "degenerate/null rows must never flag")
   }
+
+  test("profileColumns: per-column null/distinct/min-max on a hand fixture; typed channels") {
+    val df = Seq(
+      (Some(3L), Some("b"), Some(1.5)),
+      (Some(1L), None, Some(-2.0)),
+      (None, Some("a"), Some(1.5)),
+      (Some(3L), Some("c"), None))
+      .toDF("k", "s", "v")
+    val got = Stats.profileColumns(df, Seq("k", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got.keySet === Set("k", "s", "v"))
+    val k = got("k")
+    assert((k.getLong(1), k.getLong(2), k.getLong(3)) === ((4L, 1L, 2L)))
+    assert(k.isNullAt(4) && k.isNullAt(5)) // numeric: string channel empty
+    assert((k.getDouble(6), k.getDouble(7)) === ((1.0, 3.0)))
+    val s = got("s")
+    assert((s.getLong(1), s.getLong(2), s.getLong(3)) === ((4L, 1L, 3L)))
+    assert((s.getString(4), s.getString(5)) === (("a", "c")))
+    assert(s.isNullAt(6) && s.isNullAt(7)) // string: numeric channel empty
+    val v = got("v")
+    assert((v.getLong(2), v.getLong(3)) === ((1L, 2L)))
+    assert((v.getDouble(6), v.getDouble(7)) === ((-2.0, 1.5)))
+    // unsupported column types fail fast instead of profiling garbage
+    val arr = Seq((1L, Seq(1, 2))).toDF("k", "a")
+    intercept[IllegalArgumentException](Stats.profileColumns(arr, Seq("a")))
+  }
 }
