@@ -54,6 +54,58 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** LATE-INTERACTION scoring (the ColBERT / MaxSim family): query
+    * and document are BAGS of token vectors, and the pair score is
+    * `Σ over query tokens of max over doc tokens of cos(qt, dt)` —
+    * every query token finds its best-matching document token, so
+    * partial topical overlap scores higher than single-vector cosine
+    * allows. Here both sides' "token vectors" are the `nTok`
+    * contiguous `subDim`-slices of the embedding column (the fixture
+    * carries one vector per row; a real late-interaction corpus
+    * stores per-token vectors and the operator is unchanged in
+    * shape).
+    *
+    * Scale shape: queries broadcast, corpus scanned once with all
+    * nTok slices and their norms precomputed in the same narrow
+    * projection, the nTok×nTok cosine grid evaluated as a codegen'd
+    * expression tree (`greatest` per query token, one left-to-right
+    * sum — exactly replayable arithmetic: max is order-exact and
+    * every add/div is correctly rounded, which is why a MaxSim gate
+    * crosses engines while a softmax-style late interaction would
+    * not), and the per-query top-k cut by the bounded [[TopK]]
+    * aggregate. Precondition: no all-zero slice (a zero norm would
+    * divide by zero); holds for real embedding output.
+    *
+    * At 100 TB this runs as the re-rank stage behind an ANN
+    * shortlist (q107's two-stage shape) — MaxSim over the full
+    * corpus is a research-cluster job, MaxSim over a shortlist is
+    * the production serving shape. */
+  def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                 nTok: Int = 8, subDim: Int = 8,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && nTok >= 1 && subDim >= 1, "k, nTok, subDim must be positive")
+    def sliced(df: DataFrame, p: String, outId: String): DataFrame = {
+      val v = asDouble(col(vecCol))
+      val cols = (0 until nTok).flatMap { i =>
+        val s = slice(v, i * subDim + 1, subDim)
+        Seq(s.as(s"${p}v$i"), l2Norm(s).as(s"${p}n$i"))
+      }
+      df.select(col(idCol).as(outId) +: cols: _*)
+    }
+    val c = sliced(corpus, "c", "cand_id")
+    val q = sliced(queries, "q", "query_id")
+    val score = (0 until nTok).map { i =>
+      val cosines = (0 until nTok).map { j =>
+        cosinePrenormed(dot(col(s"qv$i"), col(s"cv$j")),
+          col(s"qn$i"), col(s"cn$j"))
+      }
+      if (cosines.sizeIs == 1) cosines.head else greatest(cosines: _*)
+    }.reduceLeft(_ + _)
+    val scored = c.join(broadcast(q), col("cand_id") =!= col("query_id"))
+      .select(col("query_id"), col("cand_id"), score.as("sim_raw"))
+    rankTopK(scored, k)
+  }
+
   /** Contrastive TRIPLET MINING — the training-pair construction
     * step for embedding-model fine-tuning: for every anchor, the
     * single nearest SAME-label candidate (the positive) and the

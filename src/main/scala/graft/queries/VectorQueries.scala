@@ -838,5 +838,52 @@ object VectorQueries {
       val emb = Tables.embeddings(s, d)
       Similarity.tripletMine(emb, emb.filter(col("vec_id") < 8), kNeg = 5)
         .orderBy("query_id", "role", "rank")
+    },
+
+    // ---- q121: late-interaction MaxSim re-rank (ColBERT family) —
+    // query and document as bags of 8 "token vectors" (the 8-dim
+    // slices of the embedding), pair score = Σ over query tokens of
+    // max over doc tokens of cosine. The oracle rebuilds the full
+    // 8×8 cosine grid, the per-token `greatest`, and the SAME
+    // left-to-right outer sum from first principles — max is
+    // order-exact and every add/div correctly rounded, which is what
+    // lets a late-interaction score hash-gate across engines (a
+    // softmax-style pooling would not). Queries vec_id < 4 broadcast;
+    // one corpus scan; bounded TopK cut — at 100 TB the identical
+    // expression runs behind an ANN shortlist (the q107 two-stage
+    // shape) instead of the full scan.
+    Q("q121_maxsim_rerank", Some {
+      val slices = (0 until 8).map { i =>
+        s"(embedding::DOUBLE[])[${i * 8 + 1}:${i * 8 + 8}] AS v$i, " +
+          s"sqrt(list_inner_product((embedding::DOUBLE[])[${i * 8 + 1}:${i * 8 + 8}], " +
+          s"(embedding::DOUBLE[])[${i * 8 + 1}:${i * 8 + 8}])) AS n$i"
+      }.mkString(",\n                 ")
+      val score = (0 until 8).map { i =>
+        "greatest(" + (0 until 8).map { j =>
+          s"list_inner_product(q.v$i, c.v$j) / (q.n$i * c.n$j)"
+        }.mkString(", ") + ")"
+      }.mkString("\n               + ")
+      s"""
+      WITH p AS (SELECT vec_id,
+                 $slices
+                 FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               $score AS sim_raw
+        FROM p c JOIN p q ON q.vec_id < 4 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, sim FROM ranked
+      WHERE rank <= 5
+      ORDER BY query_id, rank"""
+    }) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 4), k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
     })
 }

@@ -176,6 +176,40 @@ class SimilaritySpec extends SparkSuite {
     assert(exact == expect)
   }
 
+  test("maxSimTopK ≡ driver-side replay; an exact duplicate scores the per-token maximum") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def maxsim(q: Array[Double], c: Array[Double]): Double =
+      (0 until 8).map { i =>
+        (0 until 8).map { j =>
+          cos(q.slice(i * 8, i * 8 + 8), c.slice(j * 8, j * 8 + 8))
+        }.max
+      }.sum
+    val expect = (for (q <- 0L until 4L) yield {
+      vecs.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (id, maxsim(vecs(q), v)) }
+        .sortBy { case (id, s) => (-s, id) }
+        .take(5).zipWithIndex.map { case ((id, _), r) => (q, r + 1, id) }
+    }).flatten.toSet
+    val got = Similarity.maxSimTopK(emb, queries.filter(col("vec_id") < 4), k = 5)
+      .select("query_id", "rank", "neighbor_id").as[(Long, Int, Long)]
+      .collect().toSet
+    assert(got === expect, "MaxSim diverged from the sequential replay")
+    // an exact duplicate of the query scores exactly nTok (each token
+    // matches itself at cosine 1) and outranks everything
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val withDup = emb.unionByName(dup)
+    val top = Similarity.maxSimTopK(withDup, withDup.filter(col("vec_id") === 0L), k = 1)
+      .select("neighbor_id", "sim").as[(Long, Double)].collect()
+    assert(top === Array((999999L, 8.0)), s"duplicate should top out at 8.0: ${top.toSeq}")
+  }
+
   test("tripletMine ≡ driver-side replay: 1 same-label positive + k cross-label hard negatives") {
     val rows = emb.select("vec_id", "embedding", "label")
       .as[(Long, Seq[Float], Int)].collect()
