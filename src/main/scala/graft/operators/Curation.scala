@@ -326,6 +326,60 @@ object Curation {
         (-col("sim_raw")).cast("long").as("sample_hash"))
   }
 
+  /** Token-weighted SYSTEMATIC sampling: walk the corpus in doc-id
+    * order and pick every document that covers a `step`-th token
+    * boundary — the classic systematic (every-k-th-unit) sample, by
+    * TOKEN mass rather than row count, so long documents are
+    * proportionally more likely to be picked and the sample's token
+    * total tracks `corpus_tokens / step` exactly. Deterministic, no
+    * RNG (the [[bottomKSample]]/[[sampleStratified]] convention);
+    * complements them with the only sampling design here whose
+    * inclusion probability is proportional to size.
+    *
+    * The primitive underneath is an EXACT GLOBAL PREFIX SUM, built
+    * the scalable way: ids are blocked (`id div blockSize`), one
+    * map-side-combinable aggregate computes per-block token totals,
+    * the driver turns that BOUNDED block table (fail-fast guarded at
+    * `maxBlocks` — the maxVocab convention) into running offsets,
+    * and a per-block window adds the in-block running sum to the
+    * broadcast block offset. The naive plan — one global
+    * `Window.orderBy(id)` — funnels the corpus through a single
+    * partition; this shape keeps every stage partition-parallel, and
+    * the same two-phase scheme serves any exact-cumsum need
+    * (quantile splits, contiguous sharding). Selection is then pure
+    * integer arithmetic on nonnegative longs (`div` agrees with the
+    * oracle's floor division there): a doc is picked iff
+    * `cum div step > (cum - w) div step`. */
+  def systematicSampleByTokens(docs: DataFrame, step: Long,
+                               idCol: String = "doc_id", textCol: String = "text",
+                               blockSize: Long = 256L,
+                               maxBlocks: Int = 1 << 20): DataFrame = {
+    require(step > 0, "step must be positive")
+    require(blockSize > 0, "blockSize must be positive")
+    val sized = docs.select(col(idCol).cast("long").as(idCol),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__blk", expr(s"`$idCol` div $blockSize"))
+    val blockRows = sized.groupBy(col("__blk"))
+      .agg(sum(col("n_tokens")).as("__bt"))
+      .limit(maxBlocks + 1).collect()
+    require(blockRows.length <= maxBlocks,
+      s"more than $maxBlocks id blocks at blockSize=$blockSize — raise blockSize")
+    val totals = blockRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = totals.map(_._1)
+      .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val offDf = offsets.toDF("__blk", "__off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk")).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    sized.join(broadcast(offDf), "__blk")
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w) + col("__off"))
+      .filter(expr(s"(cum_tokens div $step) > ((cum_tokens - n_tokens) div $step)"))
+      .select(col(idCol), col("n_tokens"), col("cum_tokens"))
+  }
+
   /** Token-budget domain mixing — the data-mixing step of a corpus
     * build: derive a per-domain keep-rate from the domain's OWN token
     * mass (`rate = min(1, budget / domain_tokens)`), then apply it as

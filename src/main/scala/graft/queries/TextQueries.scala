@@ -593,6 +593,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q122: token-weighted SYSTEMATIC sample — pick every
+    // document covering a 500th-token boundary of the id-ordered
+    // corpus: the one sampling design here with size-proportional
+    // inclusion (long docs more likely), next to q50's fixed-rate,
+    // q74's fixed-size and q76's derived-rate filters. The engine
+    // side computes the exact global token prefix sum with the
+    // two-phase block scheme (per-block totals → bounded driver
+    // prefix → per-block window), never a single-partition global
+    // window; the oracle IS that naive global window, so the gate
+    // proves the scalable plan equals the sequential definition
+    // boundary-for-boundary. Selection is nonnegative integer
+    // arithmetic only (`div` ≡ `//` there).
+    Q("q122_systematic_sample", Some("""
+      WITH w AS (SELECT doc_id,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                 FROM documents),
+      c AS (SELECT doc_id, n_tokens,
+              CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens
+            FROM w)
+      SELECT doc_id, n_tokens, cum_tokens FROM c
+      WHERE (cum_tokens // 500) > ((cum_tokens - n_tokens) // 500)
+      ORDER BY doc_id""")) { (s, d) =>
+      Curation.systematicSampleByTokens(Tables.documents(s, d), step = 500L)
+        .orderBy("doc_id")
+    },
+
     // ---- q77: char-bigram familiarity — the integer-exact core of
     // perplexity quality filtering: fit a character-bigram census on
     // the corpus (bounded at charset² rows, broadcast back), then

@@ -293,4 +293,25 @@ class PlanSpec extends SparkSuite {
     assert(wins.forall(_.partitionSpec.nonEmpty),
       "planner fell into an unpartitioned window over the frontier")
   }
+
+  test("q122 systematic sample: the prefix sum is block-partitioned, never a global window") {
+    // The whole point of the two-phase cumsum: the corpus-sized
+    // window runs partitioned by id block; only blocked windows may
+    // appear, and the offsets attach by broadcast join.
+    val wins = optimized("q122_systematic_sample").collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "sampler lost its running-sum window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "systematic sampler fell into a single-partition global window")
+    assert(physical("q122_systematic_sample").contains("BroadcastHashJoin"),
+      "block offsets must attach by broadcast")
+  }
+
+  test("q117 z-order census: one scan, broadcast stats, one bucket aggregate shuffle") {
+    val p = physical("q117_zorder_layout")
+    assert(!p.contains("Window"), "zone-map census must not window")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "global min/max must attach by broadcast")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected the lineitem scan + the 1-row stats scan, got $scans:\n${p.take(1500)}")
+  }
 }

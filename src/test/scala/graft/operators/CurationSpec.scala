@@ -410,4 +410,40 @@ class CurationSpec extends SparkSuite {
     val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
     assert(st.isEmpty, s"chunking must hold no streaming state: ${st.mkString(",")}")
   }
+
+  test("systematicSampleByTokens ≡ sequential walk; block size never changes the result") {
+    import spark.implicits._
+    // ids with gaps (sparse blocks) and varied lengths; words are
+    // space-joined so n_tokens is the word count exactly
+    val docs = Seq(
+      0L -> 7, 1L -> 120, 5L -> 1, 6L -> 400, 300L -> 90, 301L -> 250,
+      777L -> 333, 1024L -> 100, 1025L -> 1, 4000L -> 600)
+      .map { case (id, n) => (id, Seq.fill(n)("w").mkString(" ")) }
+    val df = docs.toDF("doc_id", "text")
+    def sequential(step: Long): Seq[(Long, Long, Long)] = {
+      var cum = 0L
+      docs.sortBy(_._1).flatMap { case (id, text) =>
+        val w = text.split(" ").length.toLong
+        val before = cum; cum += w
+        if (cum / step > before / step) Some((id, w, cum)) else None
+      }
+    }
+    for (step <- Seq(100L, 333L, 997L); blockSize <- Seq(1L, 256L, 1000000L)) {
+      val got = Curation.systematicSampleByTokens(df, step, blockSize = blockSize)
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      assert(got === sequential(step),
+        s"diverged at step=$step blockSize=$blockSize")
+    }
+    // token-mass invariant: every 100-token boundary is covered by
+    // exactly one picked document (a long doc may cover several)
+    val total = docs.map(_._2.split(" ").length.toLong).sum
+    val covered = Curation.systematicSampleByTokens(df, 100L)
+      .as[(Long, Long, Long)].collect()
+      .map { case (_, w, cum) => cum / 100L - (cum - w) / 100L }.sum
+    assert(covered === total / 100L, "picked docs must cover every boundary once")
+    // block-count guard fails fast instead of collecting unbounded totals
+    val e = intercept[IllegalArgumentException](
+      Curation.systematicSampleByTokens(df, 100L, blockSize = 1L, maxBlocks = 3))
+    assert(e.getMessage.contains("blocks"))
+  }
 }
