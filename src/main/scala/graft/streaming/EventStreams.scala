@@ -530,11 +530,24 @@ object EventStreams {
     * first-touch attribution is a downstream aggregate over pairs
     * (arg-min by click_time per impression, the q98-style
     * min(struct) cut), kept out of this operator so the pair stream
-    * stays append-mode composable. */
+    * stays append-mode composable.
+    *
+    * `joinType = "left_outer"` additionally emits each UNATTRIBUTED
+    * impression once, with null click columns, when the click
+    * watermark proves no match can still arrive (watermark past
+    * `imp_time + horizon`) — the conversion-funnel denominator.
+    * Unlike inner pairs, outer rows are inherently
+    * watermark-DEPENDENT: an impression whose horizon the final
+    * watermark never passed stays buffered unemitted, so the spec's
+    * batch-parity claim restricts to impressions with a closed
+    * horizon. */
   def attributionJoin(impressions: DataFrame, clicks: DataFrame,
                       keyCol: String = "user_id",
                       horizon: String = "30 minutes",
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left_outer",
+      s"attribution join supports inner and left_outer, got $joinType")
     val imp = impressions
       .withColumn("imp_time", tsCol)
       .withWatermark("imp_time", watermark)
@@ -546,7 +559,8 @@ object EventStreams {
     imp.join(clk,
         col("__k") === col("__ck") &&
           col("click_time") >= col("imp_time") &&
-          col("click_time") <= col("imp_time") + expr(s"INTERVAL $horizon"))
+          col("click_time") <= col("imp_time") + expr(s"INTERVAL $horizon"),
+        joinType)
       .select(col("__k").as(keyCol), col("imp_id"), col("click_id"),
         col("imp_time"), col("click_time"))
   }

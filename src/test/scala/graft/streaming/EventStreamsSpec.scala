@@ -563,4 +563,48 @@ class EventStreamsSpec extends SparkSuite {
     val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
     assert(st.nonEmpty, "stream-stream join should report a state operator")
   }
+
+  test("left-outer attribution: unattributed impressions flush with null clicks after the horizon closes") {
+    val impLines = Seq(
+      ev(100, 1 * H, 1, "view", 0.0),
+      ev(101, 2 * H, 2, "view", 0.0),
+      ev(102, 2 * H + H / 2, 1, "view", 0.0),
+      ev(103, 2 * H + H / 4, 1, "view", 0.0),
+      ev(104, 5 * H, 9, "view", 0.0), // user 9 never clicks
+      // impression-side sentinel: the JOIN watermark is the MIN over
+      // both inputs, so the impression watermark must also advance
+      // past imp 104's horizon. The sentinel's own horizon never
+      // closes, so it stays buffered and unemitted — excluded below.
+      ev(105, 150 * H, 888, "view", 0.0))
+    // Delivery shape matters for OUTER results: all real events land
+    // in the FIRST micro-batch (inner matches emit immediately, as the
+    // inner test proves), then two far-future click sentinels arrive
+    // as separate later batches — the first advances the join
+    // watermark (the MIN over both inputs, hence the impression-side
+    // sentinel above) past every real impression's horizon, and the
+    // second gives the state store a batch in which to evict-emit the
+    // unmatched rows. Outer emission NEEDS that later batch; that is
+    // the documented watermark-dependence of outer results.
+    val clkDir = Files.createTempDirectory(Paths.get("target"), "landing")
+    Files.writeString(clkDir.resolve("part0.json"), Seq(
+      ev(200, 1 * H + H / 4, 1, "click", 1.0),
+      ev(201, 2 * H + 3 * H / 5, 1, "click", 1.0),
+      ev(204, 2 * H + H / 4, 2, "click", 1.0)).mkString("\n"))
+    Files.writeString(clkDir.resolve("part1.json"), ev(998, 100 * H, 777, "click", 1.0))
+    Files.writeString(clkDir.resolve("part2.json"), ev(999, 200 * H, 777, "click", 1.0))
+    val out = Files.createTempDirectory(Paths.get("target"), "attrlout")
+    val joined = EventStreams.attributionJoin(
+      EventStreams.readEventsJson(spark, writeLanding(impLines)),
+      EventStreams.readEventsJson(spark, clkDir.toString, maxFilesPerTrigger = 1),
+      horizon = "1 hour", joinType = "left_outer")
+    val q = EventStreams.writeParquetSink(joined, s"$out/data", s"$out/ckpt")
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    assert(streamed === Set(
+      (1L, 100L, Some(200L)), (1L, 102L, Some(201L)), (1L, 103L, Some(201L)),
+      (2L, 101L, Some(204L)), (9L, 104L, None)),
+      s"left-outer attribution diverged: $streamed")
+  }
 }
