@@ -35,6 +35,15 @@ object Sinks {
   def textLines(df: DataFrame, column: String, path: String): Unit =
     df.select(col(column).cast("string").as("value")).write.mode("overwrite").text(path)
 
+  /** Columnar interchange beyond parquet: ORC write, same writer
+    * semantics (overwrite, partition-parallel). ORC is the other
+    * columnar lakehouse format a consumer may demand; it keeps the
+    * engine's scale story intact — the round-trip spec pins that
+    * filters still push into the ORC scan and column pruning still
+    * reaches it, so switching format costs no pruning. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** S17-shape: dataset partitioned by a key column (the
     * `dataset/{speaker_id}/...` layout + HF `class_encode_column`
     * analogue — the dictionary is a dense_rank dimension a consumer

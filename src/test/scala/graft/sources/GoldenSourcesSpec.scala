@@ -114,6 +114,23 @@ class GoldenSourcesSpec extends SparkSuite {
     assert(ds.count() == 2 && ds.columns.contains("speaker_id"))
   }
 
+  test("ORC round-trip preserves rows and keeps pushdown + pruning on the scan") {
+    val tmp = Files.createTempDirectory(Paths.get("target"), "orc").toString
+    val df = spark.read.parquet(s"$sfDir/documents.parquet")
+    Sinks.orc(df, s"$tmp/docs")
+    val back = spark.read.orc(s"$tmp/docs")
+    assert(back.count() === df.count())
+    assert(back.schema === df.schema)
+    val q = back.filter(col("lang") === "vi").select("doc_id", "lang")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("lang"),
+      s"ORC scan lost predicate pushdown:\n${plan.take(1200)}")
+    val read = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"),
+      s"ORC scan lost column pruning: $read")
+    assert(q.count() === df.filter(col("lang") === "vi").count())
+  }
+
   test("alignment TSV reader: schema, id clean (F17), duration (F18)") {
     val tmp = Files.createTempDirectory(Paths.get("target"), "align")
     Files.writeString(tmp.resolve("book1.tsv"), "0.0\t2.5\t1f\n2.5\t6.125\t2f\n")
