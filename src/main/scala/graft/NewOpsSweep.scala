@@ -50,13 +50,54 @@ object NewOpsSweep {
       println(f"NEWOPS q105 m=$m nodes=$rows median=$t%.2f")
     }
 
-    // q107 + q111 families: ScaleCorpus replica dirs.
+    // q118 family: LPA on the same disjoint graph replicas — labels
+    // cannot leak across replicas, so nodes grow exactly m× and the
+    // per-round join/census plan must track it linearly.
+    val lpaBase = Tables.orders(spark, sf).select(
+        pmod(col("o_custkey"), lit(1024L)).as("src"),
+        pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(1024L)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    for (m <- Seq(1, 2, 4)) {
+      val edges = (0 until m).map(c =>
+          lpaBase.select((col("src") + lit(c * 1000000L)).as("src"),
+            (col("dst") + lit(c * 1000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(
+        graft.operators.Graph.labelPropagation(edges, "src", "dst", rounds = 2))
+      println(f"NEWOPS q118 m=$m nodes=$rows median=$t%.2f")
+    }
+
+    // q117 family: z-order census on m key-INTERLEAVED lineitem
+    // replicas (`k*m + c` — a block offset would collapse each copy
+    // into one grid cell and measure a degenerate census): the key
+    // range grows m×, the fill stays uniform, buckets stay 64, and
+    // the single scan + census shuffle must track rows linearly.
+    val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
+    for (m <- Seq(1, 2, 4)) {
+      val wide = (0 until m).map(c =>
+          li.select((col("l_partkey") * m + lit(c.toLong)).as("l_partkey"),
+            (col("l_suppkey") * m + lit(c.toLong)).as("l_suppkey")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(graft.operators.Layout.zorderZoneMap(
+        wide, Seq("l_partkey", "l_suppkey"), bits = 8, bucketBits = 6))
+      println(f"NEWOPS q117 m=$m buckets=$rows median=$t%.2f")
+    }
+
+    // q107 + q111 + session additions: ScaleCorpus replica dirs.
     val dirs = Seq(1 -> sf, 2 -> "/tmp/nsweep2x", 4 -> "/tmp/nsweep4x")
     for ((m, dir) <- dirs) {
       val (t7, rows7) = time3(SparkEntry.queries("q107_pq_rerank")(spark, dir))
       println(f"NEWOPS q107 m=$m rows=$rows7 median=$t7%.2f")
       val (t11, rows11) = time3(SparkEntry.queries("q111_pq_code_dedup")(spark, dir))
       println(f"NEWOPS q111 m=$m pairs=$rows11 median=$t11%.2f")
+      // q121: anchors (vec_id < 4) live in copy 0 only — the corpus
+      // scan grows m×, the result stays 20 rows.
+      val (t21, rows21) = time3(SparkEntry.queries("q121_maxsim_rerank")(spark, dir))
+      println(f"NEWOPS q121 m=$m rows=$rows21 median=$t21%.2f")
+      // q122: doc ids replicate at +10M offsets — sparse id blocks,
+      // picks grow ~m× with the token mass.
+      val (t22, rows22) = time3(SparkEntry.queries("q122_systematic_sample")(spark, dir))
+      println(f"NEWOPS q122 m=$m picks=$rows22 median=$t22%.2f")
     }
     spark.stop()
   }
