@@ -157,7 +157,7 @@ object Temporal {
     * anything with a total order under `<=`). */
   def intervalJoin(points: DataFrame, intervals: DataFrame,
                    pointCol: String, startCol: String, endCol: String,
-                   bucketWidth: Long): DataFrame = {
+                   bucketWidth: Long, equiKeys: Seq[String] = Nil): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     // Exact integral FLOOR division: `/` on longs is double division
     // in Spark and corrupts epoch-nano values above 2^53, and `div`
@@ -179,9 +179,49 @@ object Temporal {
         // end is exclusive: an interval ending exactly on a bucket
         // boundary does not reach into that bucket.
         explode(sequence(bucketize(s"`$startCol`"), bucketize(s"`$endCol` - 1"))))
-    p.join(iv, Seq("__b"))
+    // Extra equi-keys (a user id, a shard) join INSIDE the shuffle
+    // key, so candidates are per-(bucket, key) instead of
+    // bucket-wide — the difference between a time-slice cross
+    // product and a per-entity one on a high-cardinality key.
+    p.join(iv, "__b" +: equiKeys)
       .filter(col(startCol) <= col(pointCol) && col(pointCol) < col(endCol))
       .drop("__b")
+  }
+
+  /** LAST-TOUCH ATTRIBUTION, batch form of the streaming
+    * [[graft.streaming.EventStreams.attributionJoin]] + arg-max: for
+    * every click, the single most recent impression by the same key
+    * within `[click − horizon, click]` (ties on the timestamp break
+    * to the smallest impression id). The marketing/causal bookkeeping
+    * join every event pipeline ends up needing; "first-touch" is the
+    * same plan with the struct order flipped.
+    *
+    * Scale shape: the candidate match rides [[intervalJoin]] with the
+    * key in the equi-join (bucketized band join — never a
+    * key-only join whose per-user candidate lists a time filter then
+    * prunes), and the per-click arg-max is an AGGREGATE
+    * (`min(struct(-imp_ts, imp_id))`), not a window — no per-click
+    * sort, no skew cliff on a hot user. Output: one row per
+    * attributed click. */
+  def lastTouchAttribution(impressions: DataFrame, clicks: DataFrame,
+                           keyCol: String, idCol: String, tsCol: String,
+                           horizon: Long, bucketWidth: Long): DataFrame = {
+    require(horizon > 0, "horizon must be positive")
+    val iv = impressions.select(col(keyCol), col(idCol).as("imp_id"),
+      col(tsCol).as("imp_ts"), col(tsCol).as("__start"),
+      // half-open [start, end): end = imp_ts + horizon + 1 keeps the
+      // click == imp_ts + horizon boundary INSIDE the window, the
+      // inclusive contract the streaming twin uses.
+      (col(tsCol) + horizon + 1L).as("__end"))
+    val p = clicks.select(col(keyCol), col(idCol).as("click_id"),
+      col(tsCol).as("click_ts"))
+    intervalJoin(p, iv, "click_ts", "__start", "__end", bucketWidth,
+        equiKeys = Seq(keyCol))
+      .groupBy(col("click_id"))
+      .agg(min(col(keyCol)).as(keyCol), min(col("click_ts")).as("click_ts"),
+        min(struct((-col("imp_ts")).as("nt"), col("imp_id").as("i"))).as("best"))
+      .select(col("click_id"), col(keyCol), col("click_ts"),
+        col("best.i").as("imp_id"), (-col("best.nt")).as("imp_ts"))
   }
 
   /** Interval × interval overlap join: every (left, right) pair of

@@ -1211,6 +1211,43 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // ---- q123: last-touch attribution — the batch twin of the
+    // streaming attribution join, run as a real gate over the events
+    // table: every click attributed to its most recent same-user
+    // view within 2 hours (ties to the smallest impression id). The
+    // candidate match rides intervalJoin's bucketized band join WITH
+    // user_id in the equi-key (per-user candidates, never a
+    // time-slice cross product), and the per-click arg-max is an
+    // aggregate, not a window. The oracle replays the inclusive-
+    // horizon predicate and the (imp_ts desc, imp_id) choice from
+    // first principles. At sf0.01+ some clicks see multiple
+    // impressions, so the arg-max binds.
+    Q("q123_attribution", Some("""
+      WITH i AS (SELECT event_id AS imp_id, user_id, epoch_ns(ts) AS imp_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_ts
+            FROM events WHERE event_type = 'click'),
+      p AS (SELECT c.click_id, c.user_id, c.click_ts, i.imp_id, i.imp_ts
+            FROM c JOIN i ON i.user_id = c.user_id
+             AND c.click_ts >= i.imp_ts
+             AND c.click_ts <= i.imp_ts + 7200000000000)
+      SELECT click_id, user_id, click_ts, imp_id, imp_ts FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY click_id
+                                     ORDER BY imp_ts DESC, imp_id) AS rn
+        FROM p)
+      WHERE rn = 1
+      ORDER BY click_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Temporal.lastTouchAttribution(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "event_id", "ts"),
+          ev.filter(col("event_type") === "click")
+            .select("user_id", "event_id", "ts"),
+          keyCol = "user_id", idCol = "event_id", tsCol = "ts",
+          horizon = 7200000000000L, bucketWidth = 3600000000000L)
+        .orderBy("click_id")
+    },
+
     // ---- q120: one-pass column profiler — the ANALYZE / source-
     // intake census, on a derived events frame with injected nulls
     // (the raw fixture has none, and a null-count gate over an

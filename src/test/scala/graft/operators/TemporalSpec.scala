@@ -76,6 +76,49 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("lastTouchAttribution ≡ brute force: most recent in-horizon impression, ties to min id") {
+    import spark.implicits._
+    val gen = for {
+      ni <- Gen.chooseNum(1, 15)
+      nc <- Gen.chooseNum(1, 15)
+      imps <- Gen.listOfN(ni, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 60L)
+      } yield (k, t))
+      clks <- Gen.listOfN(nc, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 60L)
+      } yield (k, t))
+    } yield (imps.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) },
+             clks.zipWithIndex.map { case ((k, t), i) => (k, i.toLong + 100L, t) })
+    val horizon = 10L
+    for ((imps, clks) <- PropSampling.sample(gen, n = 6)) {
+      val expected = clks.flatMap { case (ck, cid, ct) =>
+        val cands = imps.filter { case (ik, _, it) =>
+          ik == ck && ct >= it && ct <= it + horizon }
+        if (cands.isEmpty) None
+        else {
+          val (_, iid, its) = cands.minBy { case (_, iid, it) => (-it, iid) }
+          Some((cid, ck, ct, iid, its))
+        }
+      }.toSet
+      val got = Temporal.lastTouchAttribution(
+          imps.toDF("user_id", "event_id", "ts"),
+          clks.toDF("user_id", "event_id", "ts"),
+          "user_id", "event_id", "ts", horizon = horizon, bucketWidth = 4L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got === expected, s"attribution diverged on imps=$imps clks=$clks")
+    }
+    // boundary pins: click exactly at imp + horizon attributes (the
+    // inclusive contract); one tick later does not; a same-key
+    // same-instant timestamp tie picks the smaller impression id.
+    val fi = Seq((1L, 10L, 0L), (1L, 11L, 0L)).toDF("user_id", "event_id", "ts")
+    val fc = Seq((1L, 100L, 10L), (1L, 101L, 11L)).toDF("user_id", "event_id", "ts")
+    val f = Temporal.lastTouchAttribution(fi, fc, "user_id", "event_id", "ts",
+        horizon = 10L, bucketWidth = 4L)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(f === Map(100L -> 10L), s"boundary/tie pins violated: $f")
+  }
+
   test("asof: null keys never match; same-instant ties resolve by tieCols deterministically") {
     import spark.implicits._
     val left = Seq(
