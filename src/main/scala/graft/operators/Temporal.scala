@@ -224,6 +224,35 @@ object Temporal {
         col("best.i").as("imp_id"), (-col("best.nt")).as("imp_ts"))
   }
 
+  /** Per-entity event-TRANSITION matrix — the path-analysis census
+    * behind "what do users do next": for every consecutive pair of
+    * events of the same key (ordered by time, ties by `tieCol`),
+    * count the (from_type, to_type) transition and derive the
+    * row-conditional probability `p = n / Σ n(from)`. The Markov-
+    * chain sufficient statistics of the event stream; funnels (q86)
+    * ask about one fixed path, this measures all of them.
+    *
+    * Scale shape: ONE shuffle — the `lead` window partitions by the
+    * entity key (bounded per-key state, the q54 sessionize exchange),
+    * then a map-side-combinable (from, to) census whose output is
+    * bounded by |type|² rows; the per-from totals attach back by
+    * broadcast. The probability is a single correctly-rounded
+    * division, so the frame hash-gates cross-engine. */
+  def transitionMatrix(events: DataFrame, keyCol: String, typeCol: String,
+                       tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val t = events
+      .select(col(keyCol), col(typeCol), col(tsCol), col(tieCol))
+      .withColumn("__nxt", lead(col(typeCol), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__nxt").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = t.groupBy(col("from_type")).agg(sum(col("n")).as("__tn"))
+    t.join(broadcast(totals), "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("__tn").cast("double")).as("p"))
+  }
+
   /** Interval × interval overlap join: every (left, right) pair of
     * NON-EMPTY intervals with `lStart < rEnd AND rStart < lEnd`
     * (half-open overlap), plus the caller's extra equi-keys (a user

@@ -1248,6 +1248,33 @@ object PipelineQueries {
         .orderBy("click_id")
     },
 
+    // ---- q124: event-transition matrix — the Markov path census
+    // ("what do users do next") beside q86's fixed-path funnel: for
+    // every consecutive same-user event pair (time order, event_id
+    // tie-break), the (from, to) count and the row-conditional
+    // probability. One key-partitioned lead window (the q54
+    // exchange), a census bounded by |type|², totals re-attached by
+    // broadcast; p is one correctly-rounded division so the frame
+    // hash-gates.
+    Q("q124_transition_matrix", Some("""
+      WITH s AS (SELECT user_id, event_type,
+                        LEAD(event_type) OVER (PARTITION BY user_id
+                                               ORDER BY epoch_ns(ts), event_id) AS nxt
+                 FROM events),
+      t AS (SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+      tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tn FROM t GROUP BY 1)
+      SELECT t.from_type, t.to_type, t.n,
+             CAST(t.n AS DOUBLE) / CAST(tot.tn AS DOUBLE) AS p
+      FROM t JOIN tot USING (from_type)
+      ORDER BY from_type, to_type""")) { (s, d) =>
+      Temporal.transitionMatrix(Tables.events(s, d),
+          keyCol = "user_id", typeCol = "event_type",
+          tsCol = "ts", tieCol = "event_id")
+        .orderBy("from_type", "to_type")
+    },
+
     // ---- q120: one-pass column profiler — the ANALYZE / source-
     // intake census, on a derived events frame with injected nulls
     // (the raw fixture has none, and a null-count gate over an

@@ -119,6 +119,35 @@ class TemporalSpec extends SparkSuite {
     assert(f === Map(100L -> 10L), s"boundary/tie pins violated: $f")
   }
 
+  test("transitionMatrix ≡ sequential per-key walk; rows are conditional distributions") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 40)
+      es <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 20L)
+        y <- Gen.oneOf("a", "b", "c")
+      } yield (k, t, y))
+    } yield es.zipWithIndex.map { case ((k, t, y), i) => (k, i.toLong, t, y) }
+    for (es <- PropSampling.sample(gen, n = 6)) {
+      val expected = es.groupBy(_._1).values.flatMap { ks =>
+        ks.sortBy(e => (e._3, e._2)).sliding(2).collect {
+          case Seq(a, b) => (a._4, b._4)
+        }
+      }.toSeq.groupBy(identity).map { case ((f, t), xs) => (f, t) -> xs.size.toLong }
+      val got = Temporal.transitionMatrix(
+          es.toDF("user_id", "event_id", "ts", "event_type"),
+          "user_id", "event_type", "ts", "event_id")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got === expected, s"transitions diverged on $es")
+    }
+    // probabilities: each from-row sums to exactly 1 on the fixture table
+    val p = Temporal.transitionMatrix(
+        graft.Tables.events(spark, sfDir), "user_id", "event_type", "ts", "event_id")
+      .groupBy("from_type").agg(org.apache.spark.sql.functions.sum("p").as("s"))
+      .collect().map(_.getDouble(1))
+    assert(p.forall(s => math.abs(s - 1.0) < 1e-9), s"row sums: ${p.toSeq}")
+  }
+
   test("asof: null keys never match; same-instant ties resolve by tieCols deterministically") {
     import spark.implicits._
     val left = Seq(
