@@ -885,5 +885,42 @@ object VectorQueries {
       Similarity.maxSimTopK(emb, emb.filter(col("vec_id") < 4), k = 5)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q125: per-dimension feature statistics — the
+    // standardization fit the euclidean tier (k-means q82, PQ q103)
+    // depends on: a dimension with 10× the variance silently
+    // dominates unweighted distance unless the corpus is scaled
+    // first. Exactness is q82's integer-quantization recipe (one
+    // correctly-rounded multiply + floor per element, LONG
+    // sufficient sums — order-independent) and q109's
+    // correctly-rounded-only derivation, so mean/std gate
+    // bit-for-bit. One posexplode scan into a census bounded by the
+    // dimensionality; FeaturesSpec pins the standardized corpus to
+    // mean ≈ 0 / std ≈ 1 and the projection to zero shuffles.
+    Q("q125_dimension_stats", Some("""
+      WITH e AS (SELECT i AS dim, embedding[i] AS x
+                 FROM embeddings, generate_series(1, 64) t(i)),
+      q AS (SELECT CAST(dim AS BIGINT) AS dim,
+                   CAST(FLOOR(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+            FROM e),
+      s AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(qv) AS BIGINT) AS sv,
+                   CAST(SUM(qv * qv) AS BIGINT) AS svv
+            FROM q GROUP BY 1)
+      SELECT dim, n,
+             (CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / 1000000.0 AS mean,
+             CASE WHEN n >= 2
+                   AND (CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) > 0
+                  THEN sqrt((CAST(n AS DOUBLE) * CAST(svv AS DOUBLE)
+                             - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)))
+                       / 1000000.0
+             END AS std
+      FROM s ORDER BY dim""")) { (s, d) =>
+      graft.operators.Features.dimensionStats(Tables.embeddings(s, d))
+        .orderBy("dim")
     })
 }

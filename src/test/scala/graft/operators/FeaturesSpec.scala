@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
+
+/** Standardization: the stats fit must equal an exact driver-side
+  * replay of the quantized sufficient statistics, the transform must
+  * actually center/scale the corpus, and the projection must stay a
+  * scan (stream-deployable, zero shuffle). */
+class FeaturesSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val emb = Tables.embeddings(spark, sfDir)
+
+  test("dimensionStats ≡ exact driver replay of the quantized sums") {
+    val vecs = emb.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val dims = vecs.head.length
+    val got = Features.dimensionStats(emb).orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length === dims)
+    for (d <- 0 until dims) {
+      val qs = vecs.map(v => math.floor(v(d) * 1000000L + 0.5d).toLong)
+      val n = qs.length.toDouble
+      val sv = qs.sum
+      val svv = qs.map(q => q * q).sum
+      val mean = (sv.toDouble / n) / 1000000.0d
+      val std = math.sqrt((n * svv.toDouble - sv.toDouble * sv.toDouble) /
+        (n * (n - 1.0d))) / 1000000.0d
+      val (gd, gn, gm, gs) = got(d)
+      assert(gd === d + 1L && gn === qs.length.toLong)
+      assert(gm === mean, s"mean dim $d")
+      assert(gs === std, s"std dim $d")
+    }
+  }
+
+  test("standardize: per-dimension mean ≈ 0 and std ≈ 1; plan is a pure projection") {
+    val model = Features.fitStandardizer(emb)
+    val out = Features.standardize(emb, model)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"standardize must not shuffle:\n${plan.take(800)}")
+    val check = Features.dimensionStats(
+        out.select(col("standardized").as("embedding")), scale = 1000000L)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3)))
+    assert(check.forall { case (m, s) =>
+      math.abs(m) < 1e-4 && math.abs(s - 1.0) < 1e-3
+    }, s"standardized stats off: ${check.take(4).toSeq}")
+  }
+
+  test("fitStandardizer fails fast on a degenerate dimension") {
+    val bad = Seq((1L, Seq(1.0f, 5.0f)), (2L, Seq(2.0f, 5.0f)), (3L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException](Features.fitStandardizer(bad))
+    assert(e.getMessage.contains("degenerate"))
+  }
+}
