@@ -37,6 +37,48 @@ object Stats {
     * would silently skew every coefficient). Degenerate groups
     * (constant x, constant y, or a single row) yield null
     * slope/intercept/r² rather than ±Inf/NaN. */
+  /** Distribution-DRIFT monitor: Pearson's chi-square statistic of
+    * each group's value histogram against the pooled distribution —
+    * the "did this source/day change shape?" gate a production
+    * pipeline runs before trusting new data. A large chi2 relative
+    * to (n_bins − 1) flags a group whose distribution departs from
+    * the corpus; the statistic (not a p-value) is emitted because
+    * chi2 itself needs only +,−,×,÷ — all correctly rounded, hence
+    * cross-engine exact — while a p-value's incomplete-gamma would
+    * break the no-transcendentals gate rule.
+    *
+    * Construction: [[Sketches.histogramBin]] buckets values (shared
+    * kernel with q72's percentile sketch, an exact IEEE scaling);
+    * observed counts per (group, bin), pooled counts per bin, group
+    * totals — all bounded, map-side-combined aggregates. Expected
+    * `e = pooled_bin · n_group / N` and the per-cell term
+    * `(o − e)²/e` are fixed-shape double arithmetic; zero-observed
+    * cells (a bin the pooled corpus has but the group lacks)
+    * CONTRIBUTE `e` each, so cells are completed by a
+    * (groups × bins) cross of the two bounded censuses before a left
+    * join of the observations. The final per-group sum runs in
+    * DECIMAL(28,12) quantization (the [[graft.queries.Q.dsumSql]]
+    * convention) so float summation order never enters the gate. */
+  def chiSquareDrift(df: DataFrame, groupCol: String, valueCol: Column,
+                     binsPerUnit: Int = 4): DataFrame = {
+    val hist = df.filter(valueCol.isNotNull && !isnan(valueCol))
+      .select(col(groupCol), Sketches.histogramBin(valueCol, binsPerUnit).as("bin"))
+      .groupBy(col(groupCol), col("bin")).agg(count(lit(1)).as("o"))
+    val pooled = hist.groupBy(col("bin")).agg(sum(col("o")).as("pb"))
+    val gtot = hist.groupBy(col(groupCol)).agg(sum(col("o")).as("ng"))
+    val nTotal = hist.agg(sum(col("o")).as("nn"), count_distinct(col("bin")).as("n_bins"))
+    val cells = gtot.crossJoin(broadcast(pooled))
+      .join(hist, Seq(groupCol, "bin"), "left")
+      .crossJoin(broadcast(nTotal))
+    val e = col("pb").cast("double") * col("ng").cast("double") / col("nn").cast("double")
+    val o = coalesce(col("o"), lit(0L)).cast("double")
+    val term = (o - e) * (o - e) / e
+    cells
+      .select(col(groupCol), col("ng").as("n"), col("n_bins"), term.as("__t"))
+      .groupBy(col(groupCol), col("n"), col("n_bins"))
+      .agg(sum(col("__t").cast("decimal(28,12)")).cast("double").as("chi2"))
+  }
+
   /** One-pass column PROFILER — the ANALYZE / data-quality census a
     * pipeline runs on every new source before trusting it: per
     * column, row count, null count, exact distinct count, and

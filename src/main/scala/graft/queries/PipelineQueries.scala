@@ -1248,6 +1248,46 @@ object PipelineQueries {
         .orderBy("click_id")
     },
 
+    // ---- q126: distribution drift — per-group chi-square of the
+    // value histogram against the pooled distribution, the "did this
+    // source change shape?" production gate. Bins ride q72's shared
+    // histogramBin kernel (exact IEEE scaling); observed/pooled/total
+    // censuses are bounded aggregates; zero-observed cells complete
+    // via a (groups × bins) cross of the two censuses; the statistic
+    // is fixed-shape +−×÷ only (a p-value's incomplete gamma would
+    // break the no-transcendentals rule) and the per-group sum runs
+    // decimal-quantized (the dsum convention) so float order never
+    // gates.
+    Q("q126_drift_chi2", Some("""
+      WITH h AS (SELECT event_type AS g, CAST(floor(value * 4) AS BIGINT) AS bin,
+                        CAST(COUNT(*) AS BIGINT) AS o
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS pb FROM h GROUP BY 1),
+      gt AS (SELECT g, CAST(SUM(o) AS BIGINT) AS ng FROM h GROUP BY 1),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
+                    CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins FROM h),
+      cells AS (SELECT gt.g, gt.ng, p.bin, p.pb, COALESCE(h.o, 0) AS o
+                FROM gt CROSS JOIN p
+                LEFT JOIN h ON h.g = gt.g AND h.bin = p.bin),
+      t AS (SELECT g, ng,
+              (CAST(o AS DOUBLE)
+                 - CAST(pb AS DOUBLE) * CAST(ng AS DOUBLE)
+                   / (SELECT CAST(nn AS DOUBLE) FROM nn))
+              * (CAST(o AS DOUBLE)
+                 - CAST(pb AS DOUBLE) * CAST(ng AS DOUBLE)
+                   / (SELECT CAST(nn AS DOUBLE) FROM nn))
+              / (CAST(pb AS DOUBLE) * CAST(ng AS DOUBLE)
+                 / (SELECT CAST(nn AS DOUBLE) FROM nn)) AS term
+            FROM cells)
+      SELECT g AS event_type, ng AS n, (SELECT n_bins FROM nn) AS n_bins,
+             CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS chi2
+      FROM t GROUP BY 1, 2
+      ORDER BY 1""")) { (s, d) =>
+      Stats.chiSquareDrift(Tables.events(s, d), "event_type", col("value"),
+          binsPerUnit = 4)
+        .orderBy("event_type")
+    },
+
     // ---- q124: event-transition matrix — the Markov path census
     // ("what do users do next") beside q86's fixed-path funnel: for
     // every consecutive same-user event pair (time order, event_id

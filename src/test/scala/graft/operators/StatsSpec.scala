@@ -137,6 +137,36 @@ class StatsSpec extends SparkSuite {
       !got.contains(11L), "degenerate/null rows must never flag")
   }
 
+  test("chiSquareDrift: zero on identical shapes, large on a shifted group, exact decimal replay") {
+    // groups a and b share one distribution; c is shifted far away
+    val rows = (0 until 200).flatMap { i =>
+      val v = (i % 10).toDouble / 2.0
+      Seq(("a", v), ("b", v), ("c", v + 50.0))
+    }
+    val df = rows.toDF("g", "v")
+    val got = Stats.chiSquareDrift(df, "g", col("v"), binsPerUnit = 4)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // driver replay with the same quantized-decimal summation
+    val bins = rows.map { case (g, v) => (g, math.floor(v * 4).toLong) }
+    val hist = bins.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val pooled = bins.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val gtot = bins.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = bins.size.toDouble
+    for ((g, (gn, nBins, chi2)) <- got) {
+      assert(gn === gtot(g) && nBins === pooled.size.toLong)
+      val expect = pooled.toSeq.map { case (b, pb) =>
+        val e = pb.toDouble * gtot(g).toDouble / n
+        val o = hist.getOrElse((g, b), 0L).toDouble
+        BigDecimal((o - e) * (o - e) / e).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      }.sum.toDouble
+      assert(chi2 === expect, s"chi2 replay diverged for $g")
+    }
+    // identical groups score identically and far below the shifted one
+    assert(got("a")._3 === got("b")._3)
+    assert(got("c")._3 > got("a")._3 * 2 + 100.0,
+      s"shifted group must dominate: ${got.view.mapValues(_._3).toMap}")
+  }
+
   test("profileColumns: per-column null/distinct/min-max on a hand fixture; typed channels") {
     val df = Seq(
       (Some(3L), Some("b"), Some(1.5)),
