@@ -54,6 +54,40 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Sampled RECALL AUDIT of the LSH ANN path against exact ground
+    * truth — the evaluation loop a production ANN deployment runs
+    * continuously: approximate indexes silently lose recall as the
+    * corpus drifts (bucket occupancy shifts, hot regions form), and
+    * the audit is how that is caught before retrieval quality decays.
+    * For each probe query: exact top-k (brute force over the corpus
+    * — affordable because the PROBE SET is sampled-small, not the
+    * corpus), the LSH top-k, and `n_hit / k` recall@k. Both inputs
+    * are deterministic here, so the audit frame itself hash-gates —
+    * the rare property that makes an ANN *quality metric* a
+    * correctness gate. Queries with zero hits still emit (recall 0),
+    * left-join completed.
+    *
+    * Scale shape: the exact side is one corpus scan × broadcast
+    * probes with the bounded TopK cut; the LSH side is the indexed
+    * path being audited; the comparison joins two O(probes × k)
+    * frames. Cost scales with the probe sample, never the corpus². */
+  def lshRecallAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+                     dim: Int, nPlanes: Int, nTables: Int,
+                     idCol: String = "vec_id"): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k, idCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = lshAnn(corpus, queries, k, dim, nPlanes, nTables)
+      .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
+    val hits = exact.join(ann,
+        col("query_id") === col("__aq") && col("neighbor_id") === col("__an"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    queries.select(col(idCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+  }
+
   /** LATE-INTERACTION scoring (the ColBERT / MaxSim family): query
     * and document are BAGS of token vectors, and the pair score is
     * `Σ over query tokens of max over doc tokens of cos(qt, dt)` —

@@ -887,6 +887,67 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- q127: LSH recall audit — the evaluation loop a production
+    // ANN deployment runs continuously: per probe query, exact
+    // top-10 (brute force over the corpus — the PROBE set is small,
+    // not the corpus) vs the LSH top-10, and recall@10. Both paths
+    // are deterministic (md5 hyperplanes), so the quality metric
+    // itself hash-gates: the oracle rebuilds the exact ranking AND
+    // the full bucket machinery and intersects them, meaning a
+    // recall regression in either path flips the gate. Zero-hit
+    // probes emit recall 0 via the left-join completion.
+    Q("q127_ann_recall_audit", Some(oracleProlog + """,
+      planes AS (
+        SELECT pl, list_transform(range(0, 64), j ->
+            CASE WHEN ((('0x'||substr(md5('plane:'||pl||':'||j),1,15))::BIGINT >> (j%60)) & 1) = 1
+                 THEN 1.0 ELSE -1.0 END) AS s
+        FROM range(0, 96) t(pl)),
+      bits AS (
+        SELECT p.vec_id, pl.pl // 6 AS tbl, pl.pl % 6 AS pidx,
+               CASE WHEN list_inner_product(p.v, pl.s) > 0 THEN 1 ELSE 0 END AS bit
+        FROM p CROSS JOIN planes pl),
+      bucks AS (
+        SELECT vec_id, tbl, CAST(SUM(bit << pidx) AS BIGINT) AS bucket
+        FROM bits GROUP BY vec_id, tbl),
+      cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS cand_id
+        FROM bucks cb JOIN bucks qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+        WHERE qb.vec_id < 10 AND cb.vec_id <> qb.vec_id),
+      lscored AS (
+        SELECT c.query_id, c.cand_id AS neighbor_id,
+               list_inner_product(pc.v, pq.v)/(pc.nrm*pq.nrm) AS sim_raw
+        FROM cand c JOIN p pc ON pc.vec_id = c.cand_id JOIN p pq ON pq.vec_id = c.query_id),
+      lranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_raw DESC, neighbor_id) AS rank
+        FROM lscored),
+      escored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_inner_product(c.v, q.v) / (c.nrm * q.nrm) AS sim_raw
+        FROM p c JOIN p q ON q.vec_id < 10 AND c.vec_id <> q.vec_id),
+      eranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_raw DESC, neighbor_id) AS rank
+        FROM escored),
+      hits AS (
+        SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+        FROM eranked e JOIN lranked l
+          ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+        WHERE e.rank <= 10 AND l.rank <= 10
+        GROUP BY 1)
+      SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
+             CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+      FROM (SELECT vec_id FROM p WHERE vec_id < 10) q
+      LEFT JOIN hits h ON h.query_id = q.vec_id
+      ORDER BY query_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshRecallAudit(emb, emb.filter(col("vec_id") < 10), k = 10,
+          dim = 64, nPlanes = 6, nTables = 16)
+        .orderBy("query_id")
+    },
+
     // ---- q125: per-dimension feature statistics — the
     // standardization fit the euclidean tier (k-means q82, PQ q103)
     // depends on: a dimension with 10× the variance silently

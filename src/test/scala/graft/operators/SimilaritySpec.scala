@@ -176,6 +176,20 @@ class SimilaritySpec extends SparkSuite {
     assert(exact == expect)
   }
 
+  test("lshRecallAudit ≡ intersection of the two paths it audits; zero-hit probes still emit") {
+    val k = 10
+    val exact = pairs(Similarity.bruteForceTopK(emb, queries, k))
+    val ann = pairs(Similarity.lshAnn(emb, queries, k, dim = 64, nPlanes = 6, nTables = 16))
+    val expect = (0L until 10L).map { q =>
+      q -> (exact.filter(_._1 == q) intersect ann.filter(_._1 == q)).size.toLong
+    }.toMap
+    val got = Similarity.lshRecallAudit(emb, queries, k, dim = 64, nPlanes = 6, nTables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 10)
+    assert(got.map(g => g._1 -> g._2).toMap === expect, "audit hits ≠ path intersection")
+    assert(got.forall { case (_, h, r) => r === h.toDouble / k && r >= 0.0 && r <= 1.0 })
+  }
+
   test("maxSimTopK ≡ driver-side replay; an exact duplicate scores the per-token maximum") {
     val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
       .map { case (id, v) => id -> v.map(_.toDouble).toArray }.toMap
