@@ -326,6 +326,40 @@ object Curation {
         (-col("sim_raw")).cast("long").as("sample_hash"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assign every document to a
+    * split by hashing its duplicate-GROUP representative, not the
+    * document itself — two copies of the same content can then never
+    * land in different splits, which is the eval-contamination
+    * failure mode a per-doc hash split silently commits (a val
+    * document whose duplicate sits in train is a leaked answer).
+    * Groups here are exact-duplicate classes (the
+    * [[Dedup.exactByFingerprint]] canonical fingerprint); a stricter
+    * pipeline passes near-dup component ids from
+    * [[Dedup.connectedComponents]] through the same rep-hash rule.
+    * Buckets 0–7/8/9 of the 10-way salted hash give the standard
+    * 80/10/10; same salt → same split forever (the no-RNG
+    * convention), so later corpus top-ups never reshuffle history.
+    *
+    * Scale shape: one fingerprint aggregate (map-side combined) +
+    * one equi-join of the group-rep table back onto the corpus on
+    * the fingerprint — the same single-shuffle shape as the dedup it
+    * rides. */
+  def leakageSafeSplit(docs: DataFrame, salt: String = "split",
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = TextFunctions.canonicalFingerprint(col(textCol))
+    val reps = docs.select(fp.as("__fp"), col(idCol))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as("group_rep"))
+    val bucket = pmod(
+      HashFunctions.h60(concat(lit(s"$salt:"), col("group_rep").cast("string"))),
+      lit(10L))
+    docs.select(col(idCol), fp.as("__fp"))
+      .join(reps, "__fp")
+      .select(col(idCol), col("group_rep"),
+        when(bucket <= 7, lit("train"))
+          .when(bucket === 8, lit("val"))
+          .otherwise(lit("test")).as("split"))
+  }
+
   /** Token-weighted SYSTEMATIC sampling: walk the corpus in doc-id
     * order and pick every document that covers a `step`-th token
     * boundary — the classic systematic (every-k-th-unit) sample, by

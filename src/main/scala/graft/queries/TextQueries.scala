@@ -593,6 +593,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q128: leakage-safe train/val/test split — docs assigned by
+    // hashing their exact-duplicate-group REPRESENTATIVE (q20's
+    // canonical fingerprint, min-id rep), so duplicates can never
+    // straddle splits: the eval-contamination failure a per-doc hash
+    // silently commits. Buckets 0-7/8/9 of the salted 10-way hash =
+    // 80/10/10; no RNG, so corpus top-ups never reshuffle history.
+    // One fingerprint census + one equi-join back — the q20 shuffle.
+    Q("q128_leakage_split", Some("""
+      WITH f AS (SELECT doc_id,
+                   md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+                 FROM documents),
+      r AS (SELECT fp, MIN(doc_id) AS group_rep FROM f GROUP BY 1),
+      j AS (SELECT f.doc_id, r.group_rep,
+              ('0x' || substr(md5('split:' || CAST(r.group_rep AS VARCHAR)), 1, 15))::BIGINT % 10 AS b
+            FROM f JOIN r USING (fp))
+      SELECT doc_id, group_rep,
+             CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      FROM j ORDER BY doc_id""")) { (s, d) =>
+      Curation.leakageSafeSplit(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
     // ---- q122: token-weighted SYSTEMATIC sample — pick every
     // document covering a 500th-token boundary of the id-ordered
     // corpus: the one sampling design here with size-proportional

@@ -411,6 +411,30 @@ class CurationSpec extends SparkSuite {
     assert(st.isEmpty, s"chunking must hold no streaming state: ${st.mkString(",")}")
   }
 
+  test("leakageSafeSplit: duplicates never straddle splits; deterministic; ~80/10/10") {
+    import spark.implicits._
+    // duplicate classes: ids 0/1/2 share text A (under token-set
+    // canonicalization), 3/4 share B, the rest are singletons
+    val docs = (Seq((0L, "x y z"), (1L, "z y x"), (2L, "x x y z"),
+      (3L, "a b"), (4L, "b a")) ++
+      (5L until 400L).map(i => (i, s"doc $i unique words w$i v$i")))
+      .toDF("doc_id", "text")
+    val s1 = Curation.leakageSafeSplit(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byId = s1.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(Seq(0L, 1L, 2L).map(byId(_)).distinct.size === 1, "class A straddled splits")
+    assert(byId(0L)._1 === 0L, "rep must be the min id of the class")
+    assert(Seq(3L, 4L).map(byId(_)).distinct.size === 1, "class B straddled splits")
+    // determinism: a re-run is identical
+    val s2 = Curation.leakageSafeSplit(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1)))
+    // split mass tracks 80/10/10 within hash noise
+    val shares = s1.groupBy(_._3).view.mapValues(_.size.toDouble / s1.length).toMap
+    assert(shares("train") > 0.7 && shares("train") < 0.9, shares.toString)
+    assert(shares.getOrElse("val", 0.0) < 0.2 && shares.getOrElse("test", 0.0) < 0.2)
+  }
+
   test("systematicSampleByTokens ≡ sequential walk; block size never changes the result") {
     import spark.implicits._
     // ids with gaps (sparse blocks) and varied lengths; words are
