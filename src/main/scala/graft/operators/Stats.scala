@@ -79,6 +79,64 @@ object Stats {
       .agg(sum(col("__t").cast("decimal(28,12)")).cast("double").as("chi2"))
   }
 
+  /** Pooled histogram collected as a broadcast-able baseline for
+    * [[chiSquareVsBaseline]] — bins are bounded by value range ×
+    * binsPerUnit, so the table is sketch-sized, never corpus-sized
+    * (fail-fast guarded like every collectModel fit). */
+  final case class HistogramBaseline(bins: Array[Long], counts: Array[Long]) {
+    require(bins.length == counts.length && bins.nonEmpty, "empty baseline")
+    val total: Long = counts.sum
+  }
+
+  /** Fit a [[HistogramBaseline]] on a reference corpus/period. */
+  def fitHistogramBaseline(df: DataFrame, valueCol: Column, binsPerUnit: Int = 4,
+                           maxBins: Int = 1 << 20): HistogramBaseline = {
+    val rows = df.filter(valueCol.isNotNull && !isnan(valueCol))
+      .groupBy(Sketches.histogramBin(valueCol, binsPerUnit).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("bin").limit(maxBins + 1).collect()
+    require(rows.length <= maxBins, s"more than $maxBins bins — raise binsPerUnit granularity")
+    HistogramBaseline(rows.map(_.getLong(0)), rows.map(_.getLong(1)))
+  }
+
+  /** Chi-square of already-binned group histograms against a FITTED
+    * baseline — the fit-batch/score-anywhere half of
+    * [[chiSquareDrift]]: the same cell completion and fixed-shape
+    * term arithmetic, but expected shares come from the broadcast
+    * model instead of the frame's own pooled margin, so the input
+    * can be a batch histogram OR the closed windows of
+    * [[graft.streaming.EventStreams.histogramBinsWindowed]] (drift
+    * monitoring of a live stream against last week's shape; parity
+    * is spec-pinned). Observed bins ABSENT from the baseline cannot
+    * contribute a term (expected = 0); their mass is reported
+    * honestly as `n_unseen` — on a drift monitor, unseen-domain mass
+    * IS the signal, not an error. */
+  def chiSquareVsBaseline(hist: DataFrame, groupCols: Seq[String],
+                          binCol: String, cntCol: String,
+                          model: HistogramBaseline): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column")
+    val sp = hist.sparkSession
+    import sp.implicits._
+    val modelDf = model.bins.zip(model.counts).toSeq.toDF(binCol, "__pb")
+    val gcols = groupCols.map(col)
+    val groups = hist.groupBy(gcols: _*).agg(sum(col(cntCol)).as("__ng"))
+    val inModel = hist.join(broadcast(modelDf.select(col(binCol))), binCol)
+    val unseen = hist.join(broadcast(modelDf.select(col(binCol))), Seq(binCol), "left_anti")
+      .groupBy(gcols: _*).agg(sum(col(cntCol)).as("__unseen"))
+    val cells = groups.crossJoin(broadcast(modelDf))
+      .join(inModel, groupCols :+ binCol, "left")
+    val e = col("__pb").cast("double") * col("__ng").cast("double") / lit(model.total.toDouble)
+    val o = coalesce(col(cntCol), lit(0L)).cast("double")
+    val term = (o - e) * (o - e) / e
+    cells
+      .select(gcols :+ col("__ng") :+ term.as("__t"): _*)
+      .groupBy(gcols :+ col("__ng"): _*)
+      .agg(sum(col("__t").cast("decimal(28,12)")).cast("double").as("chi2"))
+      .join(unseen, groupCols, "left")
+      .select(gcols :+ col("__ng").as("n") :+ col("chi2") :+
+        coalesce(col("__unseen"), lit(0L)).as("n_unseen"): _*)
+  }
+
   /** One-pass column PROFILER — the ANALYZE / data-quality census a
     * pipeline runs on every new source before trusting it: per
     * column, row count, null count, exact distinct count, and

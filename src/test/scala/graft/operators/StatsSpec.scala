@@ -167,6 +167,30 @@ class StatsSpec extends SparkSuite {
       s"shifted group must dominate: ${got.view.mapValues(_._3).toMap}")
   }
 
+  test("chiSquareVsBaseline ≡ chiSquareDrift on the pooled margin; unseen mass reported, not scored") {
+    val ev = graft.Tables.events(spark, sfDir)
+    val drift = Stats.chiSquareDrift(ev, "event_type", col("value"), binsPerUnit = 4)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    val model = Stats.fitHistogramBaseline(ev, col("value"), binsPerUnit = 4)
+    val hist = ev.filter(col("value").isNotNull && !isnan(col("value")))
+      .groupBy(col("event_type"),
+        Sketches.histogramBin(col("value"), 4).as("bin"))
+      .agg(count(lit(1)).as("cnt"))
+    val vs = Stats.chiSquareVsBaseline(hist, Seq("event_type"), "bin", "cnt", model)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(vs.view.mapValues(v => (v._1, v._2)).toMap === drift,
+      "baseline-scored chi2 must equal the one-pass drift statistic bit-for-bit")
+    assert(vs.values.forall(_._3 === 0L), "nothing is unseen against the pooled fit")
+    // a bin the baseline never saw: mass lands in n_unseen, chi2 stays finite
+    import spark.implicits._
+    val withAlien = hist.unionByName(
+      Seq(("click", 10000000L, 7L)).toDF("event_type", "bin", "cnt"))
+    val vs2 = Stats.chiSquareVsBaseline(withAlien, Seq("event_type"), "bin", "cnt", model)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
+    assert(vs2("click")._2 === 7L, s"alien mass must report as unseen: $vs2")
+    assert(!vs2("click")._1.isNaN && !vs2("click")._1.isInfinite)
+  }
+
   test("profileColumns: per-column null/distinct/min-max on a hand fixture; typed channels") {
     val df = Seq(
       (Some(3L), Some("b"), Some(1.5)),

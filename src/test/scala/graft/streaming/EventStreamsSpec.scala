@@ -522,6 +522,50 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == Set((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
   }
 
+  test("windowed drift: streamed histogram bins scored against a batch baseline ≡ batch scoring") {
+    // baseline = the corpus' pooled value histogram (fit in batch);
+    // the stream's closed hourly windows are then drift-scored
+    // against it — live monitoring against last week's shape.
+    val rows = Seq(
+      ev(1, 1 * H + 10, 1, "click", 1.30), ev(2, 1 * H + 20, 2, "click", 1.45),
+      ev(3, 1 * H + 30, 3, "click", -0.60), ev(4, 1 * H + 40, 4, "click", 7.25),
+      ev(5, 1 * H + 50, 5, "click", 2.10), ev(6, 1 * H + 60, 6, "buy", 0.40),
+      ev(7, 1 * H + 70, 7, "buy", 0.90),
+      ev(8, 10 * H, 9, "sentinel", 0.0))
+    val baseline = graft.operators.Stats.fitHistogramBaseline(
+      Seq(1.30, 1.45, -0.60, 7.25, 2.10, 0.40, 0.90, 3.3, 3.4).toDF("value"),
+      col("value"), binsPerUnit = 4)
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "driftout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.histogramBinsWindowed(
+        EventStreams.readEventsJson(spark, dir), binsPerUnit = 4),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val sunkBins = spark.read.parquet(s"$out/data")
+    def score(bins: org.apache.spark.sql.DataFrame) =
+      graft.operators.Stats.chiSquareVsBaseline(
+          bins, Seq("window_start", "event_type"), "bin", "cnt", baseline)
+        .collect().map(r => (r.getAs[String]("event_type"),
+          r.getAs[Long]("n"), r.getAs[Double]("chi2"), r.getAs[Long]("n_unseen"))).toSet
+    val streamed = score(sunkBins)
+    // batch twin: the same rows binned declaratively
+    val batchBins = Seq(
+      ("click", 1.30), ("click", 1.45), ("click", -0.60), ("click", 7.25),
+      ("click", 2.10), ("buy", 0.40), ("buy", 0.90)).toDF("event_type", "value")
+      .withColumn("window_start",
+        org.apache.spark.sql.functions.lit(new java.sql.Timestamp(3600L * 1000L)))
+      .groupBy(col("window_start"), col("event_type"),
+        graft.operators.Sketches.histogramBin(col("value"), 4).as("bin"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+    val batch = score(batchBins)
+    assert(streamed.map(t => (t._1, t._2, t._3, t._4)) ===
+      batch.map(t => (t._1, t._2, t._3, t._4)),
+      s"streamed drift scoring diverged: $streamed vs $batch")
+    assert(streamed.exists(_._2 > 0), "no closed windows scored")
+  }
+
   test("stream-stream attribution join ≡ the same join on batch frames; join state present") {
     // impressions and clicks for users 1/2/3; horizon 1 hour.
     val impLines = Seq(
