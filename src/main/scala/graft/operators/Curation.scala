@@ -394,10 +394,17 @@ object Curation {
         size(TextFunctions.tokens(col(textCol))).cast("long").as("n_tokens"))
       .withColumn("__blk", expr(s"`$idCol` div $blockSize"))
     val blockRows = sized.groupBy(col("__blk"))
-      .agg(sum(col("n_tokens")).as("__bt"))
+      .agg(sum(col("n_tokens")).as("__bt"),
+        count(lit(1)).as("__n"), count_distinct(col(idCol)).as("__nd"))
       .limit(maxBlocks + 1).collect()
     require(blockRows.length <= maxBlocks,
       s"more than $maxBlocks id blocks at blockSize=$blockSize — raise blockSize")
+    // The walk order — and the oracle's RANGE-frame cumulative sum —
+    // is only well-defined when ids are unique; a duplicated id would
+    // make which copy crosses a boundary run-dependent. The check
+    // rides the block aggregate already being paid.
+    require(blockRows.forall(r => r.getLong(2) == r.getLong(3)),
+      s"duplicate values in id column `$idCol` — systematic sampling needs a unique walk order")
     val totals = blockRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val offsets = totals.map(_._1)
       .zip(totals.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq

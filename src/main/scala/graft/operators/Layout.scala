@@ -72,23 +72,33 @@ object Layout {
     * per partition. Nothing here grows with corpus size except the
     * single scan; at a real write the same z-value feeds
     * [[clusterByZorder]] instead of a census. */
-  def zorderZoneMap(df: DataFrame, cols: Seq[String], bits: Int,
-                    bucketBits: Int): DataFrame = {
+  /** Attach the Morton z-value (global min/max fit by one bounded
+    * aggregate, re-attached by one-row broadcast) — the shared core
+    * of the census and the write path, so the two can never disagree
+    * about which bucket a row lands in. */
+  private def withZValue(df: DataFrame, cols: Seq[String], bits: Int,
+                         zCol: String): DataFrame = {
     require(cols.nonEmpty, "at least one layout column")
-    require(bucketBits >= 1 && bucketBits <= cols.size * bits,
-      s"bucketBits must be in [1, ${cols.size * bits}]")
     val statAggs = cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"__mn_$c"),
       max(col(c)).cast("long").as(s"__mx_$c")))
     val stats = df.agg(statAggs.head, statAggs.tail: _*)
     val qs = cols.map(c =>
       quantize(col(c).cast("long"), col(s"__mn_$c"), col(s"__mx_$c"), bits))
-    val bucket = shiftright(mortonCode(qs, bits), cols.size * bits - bucketBits)
+    df.crossJoin(broadcast(stats))
+      .withColumn(zCol, mortonCode(qs, bits))
+      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+  }
+
+  def zorderZoneMap(df: DataFrame, cols: Seq[String], bits: Int,
+                    bucketBits: Int): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= cols.size * bits,
+      s"bucketBits must be in [1, ${cols.size * bits}]")
     val zoneAggs = count(lit(1)).as("n") +: cols.flatMap(c => Seq(
       min(col(c)).cast("long").as(s"${c}_min"),
       max(col(c)).cast("long").as(s"${c}_max")))
-    df.crossJoin(broadcast(stats))
-      .withColumn("__bucket", bucket)
+    withZValue(df, cols, bits, "__z")
+      .withColumn("__bucket", shiftright(col("__z"), cols.size * bits - bucketBits))
       .groupBy(col("__bucket").as("bucket"))
       .agg(zoneAggs.head, zoneAggs.tail: _*)
   }
@@ -104,15 +114,7 @@ object Layout {
   def clusterByZorder(df: DataFrame, cols: Seq[String], bits: Int,
                       files: Int, zCol: String = "zval"): DataFrame = {
     require(files >= 1, "files must be positive")
-    val statAggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("long").as(s"__mn_$c"),
-      max(col(c)).cast("long").as(s"__mx_$c")))
-    val stats = df.agg(statAggs.head, statAggs.tail: _*)
-    val qs = cols.map(c =>
-      quantize(col(c).cast("long"), col(s"__mn_$c"), col(s"__mx_$c"), bits))
-    df.crossJoin(broadcast(stats))
-      .withColumn(zCol, mortonCode(qs, bits))
-      .drop(cols.flatMap(c => Seq(s"__mn_$c", s"__mx_$c")): _*)
+    withZValue(df, cols, bits, zCol)
       .repartitionByRange(files, col(zCol))
       .sortWithinPartitions(col(zCol))
   }

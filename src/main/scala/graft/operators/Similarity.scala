@@ -76,16 +76,25 @@ object Similarity {
                      idCol: String = "vec_id"): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, k, idCol)
       .select(col("query_id"), col("neighbor_id"))
-    val ann = lshAnn(corpus, queries, k, dim, nPlanes, nTables)
+    val ann = lshAnn(corpus, queries, k, dim, nPlanes, nTables, idCol)
       .select(col("query_id").as("__aq"), col("neighbor_id").as("__an"))
     val hits = exact.join(ann,
         col("query_id") === col("__aq") && col("neighbor_id") === col("__an"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    // recall@k denominates by the GROUND-TRUTH size, not k: a probe
+    // with fewer than k eligible neighbors (tiny corpus, filtered
+    // stratum) can still score a perfect 1.0 instead of tripping a
+    // recall gate spuriously.
+    val truth = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
     queries.select(col(idCol).as("query_id"))
+      .join(truth, Seq("query_id"), "left")
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-        (coalesce(col("n_hit"), lit(0L)).cast("double") / k).as("recall"))
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"),
+        when(coalesce(col("n_truth"), lit(0L)) > 0L,
+          coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_truth").cast("double")).as("recall"))
   }
 
   /** LATE-INTERACTION scoring (the ColBERT / MaxSim family): query
@@ -115,9 +124,14 @@ object Similarity {
     * corpus is a research-cluster job, MaxSim over a shortlist is
     * the production serving shape. */
   def maxSimTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                 nTok: Int = 8, subDim: Int = 8,
+                 nTok: Int = 8, subDim: Int = 8, dim: Int = 64,
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && nTok >= 1 && subDim >= 1, "k, nTok, subDim must be positive")
+    // Out-of-range slices of a short vector would be EMPTY, giving
+    // 0-norm tokens and 0/0 = NaN scores that silently poison the
+    // top-k ordering — fail fast instead (the lshAnn dim contract).
+    require(nTok * subDim <= dim,
+      s"nTok*subDim = ${nTok * subDim} exceeds the declared dim $dim")
     def sliced(df: DataFrame, p: String, outId: String): DataFrame = {
       val v = asDouble(col(vecCol))
       val cols = (0 until nTok).flatMap { i =>

@@ -107,10 +107,16 @@ object Stats {
     * can be a batch histogram OR the closed windows of
     * [[graft.streaming.EventStreams.histogramBinsWindowed]] (drift
     * monitoring of a live stream against last week's shape; parity
-    * is spec-pinned). Observed bins ABSENT from the baseline cannot
-    * contribute a term (expected = 0); their mass is reported
-    * honestly as `n_unseen` — on a drift monitor, unseen-domain mass
-    * IS the signal, not an error. */
+    * is spec-pinned). Duplicate `(group, bin)` rows merge first —
+    * per-micro-batch re-emission is a documented-legal histogram
+    * shape (see [[Sketches.histogramPercentiles]]) and split cells
+    * would corrupt the squared terms. Observed bins ABSENT from the
+    * baseline contribute NOTHING to chi2: expected counts condition
+    * on the group's IN-MODEL mass, so unseen mass is signaled
+    * exactly once, in `n_unseen`, instead of also smearing a
+    * spurious deficit across every in-model cell. A group whose
+    * mass is entirely unseen has no in-model distribution to test —
+    * its chi2 is null. */
   def chiSquareVsBaseline(hist: DataFrame, groupCols: Seq[String],
                           binCol: String, cntCol: String,
                           model: HistogramBaseline): DataFrame = {
@@ -119,19 +125,24 @@ object Stats {
     import sp.implicits._
     val modelDf = model.bins.zip(model.counts).toSeq.toDF(binCol, "__pb")
     val gcols = groupCols.map(col)
-    val groups = hist.groupBy(gcols: _*).agg(sum(col(cntCol)).as("__ng"))
-    val inModel = hist.join(broadcast(modelDf.select(col(binCol))), binCol)
-    val unseen = hist.join(broadcast(modelDf.select(col(binCol))), Seq(binCol), "left_anti")
-      .groupBy(gcols: _*).agg(sum(col(cntCol)).as("__unseen"))
-    val cells = groups.crossJoin(broadcast(modelDf))
+    val merged = hist.groupBy(gcols :+ col(binCol): _*)
+      .agg(sum(col(cntCol)).as("__cnt"))
+    val groups = merged.groupBy(gcols: _*).agg(sum(col("__cnt")).as("__ng"))
+    val inModel = merged.join(broadcast(modelDf.select(col(binCol))), binCol)
+    val unseen = merged.join(broadcast(modelDf.select(col(binCol))), Seq(binCol), "left_anti")
+      .groupBy(gcols: _*).agg(sum(col("__cnt")).as("__unseen"))
+    val inTotals = inModel.groupBy(gcols: _*).agg(sum(col("__cnt")).as("__ngm"))
+    val cells = inTotals.crossJoin(broadcast(modelDf))
       .join(inModel, groupCols :+ binCol, "left")
-    val e = col("__pb").cast("double") * col("__ng").cast("double") / lit(model.total.toDouble)
-    val o = coalesce(col(cntCol), lit(0L)).cast("double")
+    val e = col("__pb").cast("double") * col("__ngm").cast("double") / lit(model.total.toDouble)
+    val o = coalesce(col("__cnt"), lit(0L)).cast("double")
     val term = (o - e) * (o - e) / e
-    cells
-      .select(gcols :+ col("__ng") :+ term.as("__t"): _*)
-      .groupBy(gcols :+ col("__ng"): _*)
+    val chi2 = cells
+      .select(gcols :+ term.as("__t"): _*)
+      .groupBy(gcols: _*)
       .agg(sum(col("__t").cast("decimal(28,12)")).cast("double").as("chi2"))
+    groups
+      .join(chi2, groupCols, "left")
       .join(unseen, groupCols, "left")
       .select(gcols :+ col("__ng").as("n") :+ col("chi2") :+
         coalesce(col("__unseen"), lit(0L)).as("n_unseen"): _*)

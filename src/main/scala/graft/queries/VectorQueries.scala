@@ -936,10 +936,17 @@ object VectorQueries {
         FROM eranked e JOIN lranked l
           ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
         WHERE e.rank <= 10 AND l.rank <= 10
-        GROUP BY 1)
+        GROUP BY 1),
+      truth AS (
+        SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+        FROM eranked WHERE rank <= 10 GROUP BY 1)
       SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0) AS n_hit,
-             CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / 10 AS recall
+             COALESCE(t.n_truth, 0) AS n_truth,
+             CASE WHEN COALESCE(t.n_truth, 0) > 0
+                  THEN CAST(COALESCE(h.n_hit, 0) AS DOUBLE)
+                       / CAST(t.n_truth AS DOUBLE) END AS recall
       FROM (SELECT vec_id FROM p WHERE vec_id < 10) q
+      LEFT JOIN truth t ON t.query_id = q.vec_id
       LEFT JOIN hits h ON h.query_id = q.vec_id
       ORDER BY query_id""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)

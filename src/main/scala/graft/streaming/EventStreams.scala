@@ -39,9 +39,16 @@ object EventStreams {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .json(dir)
 
-  /** Epoch-nano BIGINT → timestamp column. */
+  /** Epoch-nano BIGINT → timestamp column. `div`, not `/`: Column./
+    * on longs is DOUBLE division, and realistic epoch-nanos
+    * (~1.8e18) exceed 2^53, so the double detour rounds ts by up to
+    * ~128 ns and the truncating cast then lands 1 µs off exact
+    * ns÷1000 — enough to flip an inclusive horizon-boundary match
+    * relative to the exact-integer batch twin (the same hazard
+    * [[graft.operators.Temporal.intervalJoin]] documents for its
+    * bucket arithmetic). */
   def tsCol: org.apache.spark.sql.Column =
-    timestamp_micros((col("ts") / 1000L).cast("long"))
+    timestamp_micros(expr("ts div 1000"))
 
   /** Watermarked tumbling-window aggregate: events per (window,
     * type) with value sum. Late events beyond the watermark are

@@ -184,10 +184,23 @@ class SimilaritySpec extends SparkSuite {
       q -> (exact.filter(_._1 == q) intersect ann.filter(_._1 == q)).size.toLong
     }.toMap
     val got = Similarity.lshRecallAudit(emb, queries, k, dim = 64, nPlanes = 6, nTables = 16)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
     assert(got.length === 10)
     assert(got.map(g => g._1 -> g._2).toMap === expect, "audit hits ≠ path intersection")
-    assert(got.forall { case (_, h, r) => r === h.toDouble / k && r >= 0.0 && r <= 1.0 })
+    // recall denominates by ground-truth size (= k here, corpus >> k)
+    assert(got.forall { case (_, h, t, r) =>
+      t === k.toLong && r === h.toDouble / t && r >= 0.0 && r <= 1.0 })
+    // a probe with fewer than k eligible neighbors can still score
+    // 1.0: identical vectors share every LSH bucket, so a 6-clone
+    // corpus yields full candidate sets and ground truth of size 5
+    val one = emb.filter(col("vec_id") === 0L).select("embedding").head.getSeq[Float](0)
+    import spark.implicits._
+    val clones = (0L until 6L).map(i => (i, one)).toDF("vec_id", "embedding")
+    val tinyAudit = Similarity.lshRecallAudit(clones, clones, k, dim = 64,
+        nPlanes = 6, nTables = 16)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(tinyAudit.forall { case (h, t, r) => t === 5L && h === 5L && r === 1.0 },
+      s"clone corpus must audit at perfect recall over 5-truth: ${tinyAudit.toSeq}")
   }
 
   test("maxSimTopK ≡ driver-side replay; an exact duplicate scores the per-token maximum") {

@@ -181,14 +181,26 @@ class StatsSpec extends SparkSuite {
     assert(vs.view.mapValues(v => (v._1, v._2)).toMap === drift,
       "baseline-scored chi2 must equal the one-pass drift statistic bit-for-bit")
     assert(vs.values.forall(_._3 === 0L), "nothing is unseen against the pooled fit")
-    // a bin the baseline never saw: mass lands in n_unseen, chi2 stays finite
+    // a bin the baseline never saw: mass lands in n_unseen and does
+    // NOT perturb chi2 — unseen drift is signaled exactly once
     import spark.implicits._
     val withAlien = hist.unionByName(
       Seq(("click", 10000000L, 7L)).toDF("event_type", "bin", "cnt"))
     val vs2 = Stats.chiSquareVsBaseline(withAlien, Seq("event_type"), "bin", "cnt", model)
       .collect().map(r => r.getString(0) -> ((r.getDouble(2), r.getLong(3)))).toMap
     assert(vs2("click")._2 === 7L, s"alien mass must report as unseen: $vs2")
-    assert(!vs2("click")._1.isNaN && !vs2("click")._1.isInfinite)
+    assert(vs2("click")._1 === vs("click")._2,
+      "unseen mass must not smear into the in-model chi2")
+    // duplicate (group, bin) rows (per-micro-batch re-emission) merge
+    // before scoring — a split cell must not split its squared term
+    val aBin = hist.filter(col("event_type") === "click").select("bin").head.getLong(0)
+    val dup = hist.filter(!(col("event_type") === "click" && col("bin") === aBin))
+      .unionByName(hist.filter(col("event_type") === "click" && col("bin") === aBin)
+        .select(col("event_type"), col("bin"), (col("cnt") - 1L).as("cnt")))
+      .unionByName(Seq(("click", aBin, 1L)).toDF("event_type", "bin", "cnt"))
+    val vs3 = Stats.chiSquareVsBaseline(dup, Seq("event_type"), "bin", "cnt", model)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(vs3("click") === vs("click")._2, "duplicate bins must merge before scoring")
   }
 
   test("profileColumns: per-column null/distinct/min-max on a hand fixture; typed channels") {
