@@ -183,6 +183,47 @@ object Graph {
     degrees(cur).filter(col("deg") >= k)
   }
 
+  /** K-HOP REACHABILITY census — the BFS primitive the rest of the
+    * graph tier lacks: for every node, how many distinct nodes lie
+    * within `k` undirected hops (crawl-depth coverage, influence
+    * radius, locality of a link neighborhood). Bounded `k` keeps the
+    * op oracle-replayable: hop h unrolls to one equi-join of the
+    * hop-(h−1) pair set onto the adjacency plus a distinct — the
+    * q60/q114 bounded-recurrence pattern.
+    *
+    * Scale shape per hop: one shuffle join (pairs × adjacency on the
+    * frontier endpoint) and one distinct; the pair set is bounded by
+    * Σ|B_k(u)| (total k-ball mass), which is the honest cost of
+    * EXACT per-node reach — no sketch shortcut is taken here (an
+    * approximate variant would ride HLL registers per node, the
+    * classic Flajolet–Martin/HyperBall trade). A hub node's deg²
+    * intermediate before the distinct is AQE-skew-join territory;
+    * pair state is localCheckpoint'd per hop so the plan stays flat.
+    * Self-pairs are excluded throughout. */
+  def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("node"), col("u").as("nbr")))
+    var reach = adj
+    for (_ <- 2 to k) {
+      reach = reach
+        .union(reach.select(col("node"), col("nbr").as("__mid"))
+          .join(adj.select(col("node").as("__mid"), col("nbr")), "__mid")
+          .select(col("node"), col("nbr"))
+          .filter(col("node") =!= col("nbr")))
+        .distinct()
+        .localCheckpoint(true)
+    }
+    reach.groupBy(col("node")).agg(count(lit(1)).as("n_reach"))
+  }
+
   /** Synchronous label-propagation community detection — the graph
     * tier's grouping lens beside q47's connectivity (components join
     * everything reachable; communities stop where the link density

@@ -1248,6 +1248,37 @@ object PipelineQueries {
         .orderBy("click_id")
     },
 
+    // ---- q129: 2-hop reachability census — the BFS primitive
+    // (crawl-depth coverage / influence radius) on q114's
+    // DENSITY-STABLE synthesis, so the 2-ball neither saturates nor
+    // vanishes as the SF changes. Hop 2 unrolls in the oracle as one
+    // adjacency self-join + UNION-distinct (the bounded-recurrence
+    // pattern); the engine runs the same frontier join with per-hop
+    // localCheckpoint. Exact per-node reach — the HLL register
+    // variant is the approximate scale path, documented in the
+    // operator.
+    Q("q129_khop_reach", Some("""
+      WITH e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      n2 AS (SELECT a.node, b.nbr FROM adj a JOIN adj b ON b.node = a.nbr
+             WHERE b.nbr <> a.node),
+      r AS (SELECT node, nbr FROM adj UNION SELECT node, nbr FROM n2)
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reach
+      FROM r GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val m = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(m)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.kHopReach(edges, "src", "dst", k = 2).orderBy("node")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

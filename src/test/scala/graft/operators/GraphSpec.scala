@@ -181,6 +181,33 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("kHopReach ≡ BFS ball sizes on random graphs; k=1 is the degree census") {
+    import spark.implicits._
+    def balls(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val ue = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+        .filter(e => e._1 != e._2).distinct
+      val adj = (ue ++ ue.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      adj.keys.map { n =>
+        var ball = Set(n)
+        for (_ <- 1 to k) ball = ball ++ ball.flatMap(adj.getOrElse(_, Set.empty))
+        n -> (ball.size - 1).toLong // exclude self
+      }.toMap
+    }
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
+      for (k <- Seq(1, 2, 3)) {
+        val got = Graph.kHopReach(edges.toDF("src", "dst"), "src", "dst", k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === balls(edges, k), s"k-hop reach diverged on $edges k=$k")
+      }
+    }
+    // a path graph pins the ball growth exactly: 0-1-2-3-4 at k=2
+    val path = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L))
+    val got = Graph.kHopReach(path.toDF("src", "dst"), "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(0L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 3L, 4L -> 2L))
+  }
+
   test("labelPropagation: two disjoint cliques each converge to their minimum id") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
