@@ -224,6 +224,53 @@ object Graph {
     reach.groupBy(col("node")).agg(count(lit(1)).as("n_reach"))
   }
 
+  /** HYPERBALL — the approximate scale path [[kHopReach]] documents:
+    * per-node k-hop ball CARDINALITY ESTIMATES via HyperLogLog
+    * counters (Boldi–Rosa–Vigna's HyperBall, the algorithm behind
+    * the published web-graph distance measurements). Every node
+    * carries an HLL register set seeded with its own id; each round
+    * merges every neighbor's registers by per-register max — set
+    * union in sketch space — so after k rounds node u's counter
+    * estimates |B_k(u)|, self included.
+    *
+    * Why this is the 100-TB shape: exact reach materializes the pair
+    * set (Σ|B_k| rows — quadratic-ish on dense graphs); HyperBall
+    * state is O(nodes × 2^p) FOREVER, regardless of ball size, and
+    * each round is one equi-join + one max-aggregate (both map-side
+    * combinable). The whole pipeline is integer register arithmetic
+    * (md5-derived, [[Sketches.hllRegister]]/[[Sketches.hllRank]]), so
+    * the register evolution — and therefore the estimate — is
+    * deterministic and oracle-replayable; the finalize division is
+    * the q56 correctly-rounded shape. GraphSpec pins the register
+    * state to a driver-side BFS-ball replay EXACTLY, plus estimate
+    * monotonicity in k. */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, p: Int = 6): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("node"), col("u").as("nbr")))
+    var regs = adj.select(col("node")).distinct()
+      .select(col("node"),
+        Sketches.hllRegister(col("node"), p).as("reg"),
+        Sketches.hllRank(col("node"), p).as("maxrho"))
+      .localCheckpoint(true)
+    for (_ <- 1 to k) {
+      regs = regs
+        .union(adj.join(regs.withColumnRenamed("node", "nbr"), "nbr")
+          .select(col("node"), col("reg"), col("maxrho")))
+        .groupBy(col("node"), col("reg")).agg(max(col("maxrho")).as("maxrho"))
+        .localCheckpoint(true)
+    }
+    Sketches.hllFinalize(regs, Seq("node"), p)
+      .withColumnRenamed("nd_estimate", "ball_estimate")
+  }
+
   /** Synchronous label-propagation community detection — the graph
     * tier's grouping lens beside q47's connectivity (components join
     * everything reachable; communities stop where the link density

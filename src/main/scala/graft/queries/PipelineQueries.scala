@@ -1279,6 +1279,69 @@ object PipelineQueries {
       Graph.kHopReach(edges, "src", "dst", k = 2).orderBy("node")
     },
 
+    // ---- q130: HyperBall — q129's approximate scale path as its own
+    // gate: per-node 2-hop ball estimates via HLL register merging
+    // (Boldi–Rosa–Vigna), on the same density-stable graph. State is
+    // O(nodes × 64) regardless of ball size — the property that
+    // makes neighborhood-function measurement feasible on a web
+    // graph where exact pair sets are not. The register evolution is
+    // deterministic integer arithmetic (md5 registers, max-merge),
+    // so the oracle unrolls both merge rounds register-for-register
+    // and the finalize is q56's correctly-rounded division — the
+    // ESTIMATE hash-gates.
+    Q("q130_hyperball", Some {
+      val p = 6
+      val m = 1 << p
+      val low = 60 - p
+      val scaleExp = low + 1
+      val cNum = Sketches.hllAlpha(p) * m * m
+      val cDen = (1L << scaleExp).toDouble
+      s"""
+      WITH e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      nodes AS (SELECT DISTINCT node FROM adj),
+      h AS (SELECT node,
+              ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+            FROM nodes),
+      r0 AS (SELECT node, h >> $low AS reg,
+               CASE WHEN (h & ((1::BIGINT << $low) - 1)) = 0 THEN ${low + 1}
+                    ELSE ${low + 1} - length(bin(h & ((1::BIGINT << $low) - 1)))
+               END AS maxrho
+             FROM h),
+      r1 AS (SELECT node, reg, MAX(maxrho) AS maxrho FROM (
+               SELECT node, reg, maxrho FROM r0
+               UNION ALL
+               SELECT a.node, r0.reg, r0.maxrho
+               FROM adj a JOIN r0 ON r0.node = a.nbr)
+             GROUP BY 1, 2),
+      r2 AS (SELECT node, reg, MAX(maxrho) AS maxrho FROM (
+               SELECT node, reg, maxrho FROM r1
+               UNION ALL
+               SELECT a.node, r1.reg, r1.maxrho
+               FROM adj a JOIN r1 ON r1.node = a.nbr)
+             GROUP BY 1, 2),
+      s AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_regs,
+              CAST(SUM(1::BIGINT << ($scaleExp - maxrho)) AS BIGINT)
+                + ($m - COUNT(*)) * (1::BIGINT << $scaleExp) AS s_scaled
+            FROM r2 GROUP BY 1)
+      SELECT node, n_regs, s_scaled,
+             $cNum / (CAST(s_scaled AS DOUBLE) / $cDen) AS ball_estimate
+      FROM s ORDER BY node"""
+    }) { (s, d) =>
+      val m = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(m)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.hyperBall(edges, "src", "dst", k = 2, p = 6).orderBy("node")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

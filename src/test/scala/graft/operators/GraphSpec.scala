@@ -208,6 +208,55 @@ class GraphSpec extends SparkSuite {
     assert(got === Map(0L -> 2L, 1L -> 3L, 2L -> 4L, 3L -> 3L, 4L -> 2L))
   }
 
+  test("hyperBall ≡ HLL of the exact BFS ball, register-for-register; monotone in k") {
+    import spark.implicits._
+    def balls(edges: Seq[(Long, Long)], k: Int): Map[Long, Set[Long]] = {
+      val ue = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }
+        .filter(e => e._1 != e._2).distinct
+      val adj = (ue ++ ue.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      adj.keys.map { n =>
+        var ball = Set(n)
+        for (_ <- 1 to k) ball = ball ++ ball.flatMap(adj.getOrElse(_, Set.empty))
+        n -> ball
+      }.toMap
+    }
+    val p = 6
+    val m = 1 << p
+    val scaleExp = 60 - p + 1
+    for (edges <- PropSampling.sample(edgeGen, n = 4) if edges.nonEmpty) {
+      val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // (reg, rho) per id through the SAME kernels the operator uses
+      import org.apache.spark.sql.functions.col
+      val regOf = ids.toDF("node")
+        .select(col("node"), Sketches.hllRegister(col("node"), p).as("reg"),
+          Sketches.hllRank(col("node"), p).as("rho"))
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2).toLong))).toMap
+      for (k <- Seq(1, 2)) {
+        val expect = balls(edges, k).map { case (n, ball) =>
+          val regs = ball.toSeq.map(regOf).groupBy(_._1)
+            .view.mapValues(_.map(_._2).max).toMap
+          val s = regs.values.map(r => 1L << (scaleExp - r)).sum +
+            (m - regs.size).toLong * (1L << scaleExp)
+          val est = Sketches.hllAlpha(p) * m * m /
+            (s.toDouble / (1L << scaleExp).toDouble)
+          n -> ((regs.size.toLong, s, est))
+        }
+        val got = Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", k, p)
+          .collect().map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+        assert(got === expect, s"hyperball diverged on $edges k=$k")
+      }
+      // register maxima only grow with k, so estimates never shrink
+      val e1 = Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", 1, p)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val e2 = Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", 2, p)
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(e1.keySet === e2.keySet)
+      assert(e1.keys.forall(n => e2(n) >= e1(n)), "ball estimate shrank as k grew")
+    }
+  }
+
   test("labelPropagation: two disjoint cliques each converge to their minimum id") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
