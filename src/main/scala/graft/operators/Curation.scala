@@ -551,4 +551,44 @@ object Curation {
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs.select(col(idCol),
       GraftFunctions.cdc_chunks(TextFunctions.tokens(col(textCol)), k, divisor))
+
+  /** Sequential Poisson sampling (Ohlsson): a size-k sample whose
+    * inclusion probability is approximately PROPORTIONAL to each
+    * row's weight — rank every row by `priority = u / w` (u a
+    * per-row uniform, w the weight) and keep the k smallest. The
+    * probability-proportional-to-size design the sampling tier was
+    * missing: [[sampleStratified]]/[[bottomKSample]] are uniform
+    * within strata and [[systematicSampleByTokens]] is exhaustive
+    * every-k-th-token — this one answers "give me 1000 docs, long
+    * docs proportionally more likely", the standard
+    * inspection/eval-set draw over a weight-skewed corpus.
+    *
+    * Determinism and exactness: u is the 48-bit salted md5 prefix —
+    * 48 and not 60 because a 48-bit integer round-trips a double
+    * exactly (the [[bottomKSample]] rationale) — and the priority is
+    * ONE correctly-rounded division of two exactly-converted longs,
+    * so priorities are bit-identical cross-engine; ties break on id.
+    * No RNG (same salt → same sample under re-runs and top-ups,
+    * rows-that-stay keep their priority — Ohlsson's coordination
+    * property, which makes repeated monitoring draws comparable).
+    *
+    * Scale shape: zero-weight rows are filtered in-scan, then ONE
+    * `TakeOrdered(k)` — each partition reduces to ≤k candidates
+    * before a single bounded exchange; no global sort, no window,
+    * nothing corpus-sized leaves the scan stage (plan-pinned). */
+  def sequentialPoissonSample(docs: DataFrame, k: Int, weightCol: String,
+                              idCol: String = "doc_id",
+                              salt: String = "spps"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = conv(substring(
+        md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 12), 16, 10)
+      .cast("long")
+    docs.select(col(idCol), col(weightCol).cast("long").as("weight"),
+        u.as("__u"))
+      .filter(col("weight") > 0L)
+      .select(col(idCol), col("weight"),
+        (col("__u").cast("double") / col("weight").cast("double")).as("priority"))
+      .orderBy(col("priority"), col(idCol))
+      .limit(k)
+  }
 }

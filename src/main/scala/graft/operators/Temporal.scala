@@ -412,4 +412,60 @@ object Temporal {
       .groupBy(col("cohort"), col("week_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Fixed-width time-bucket resample with gap-fill and
+    * last-observation-carried-forward: aggregate `valCol` into
+    * `bucketNs`-wide buckets per key, generate the FULL bucket spine
+    * from each key's first to last observed bucket, and fill the
+    * empty buckets with the most recent observed value — the
+    * downsample-then-densify step every time-series feature pipeline
+    * runs before windowed models (which assume a gapless regular
+    * grid). Emits one row per (key, bucket) on the spine:
+    * `value_filled` (decimal-exact bucket sum, carried forward over
+    * gaps) and `n_obs` (0 on filled gaps). The first spine bucket is
+    * observed by construction, so `value_filled` is never null.
+    *
+    * Exactness: the per-bucket sum is [[graft.queries.Q.dsumSql]]'s
+    * decimal-cast sum (order-independent), and the carry-forward
+    * COPIES doubles rather than computing — so the frame hash-gates.
+    *
+    * Scale shape: one map-side-combinable aggregate shuffling
+    * (key, bucket) groups — never raw events; a keys-sized bounds
+    * frame; spine densification as a per-key `sequence` explode
+    * whose length is capped by `maxBucketsPerKey` via an in-plan
+    * `raise_error` guard (no driver-side job, no second scan — the
+    * systematicSample fail-fast convention, in-lineage because the
+    * bound must hold per key, not in aggregate); and one
+    * key-partitioned (never global) running window for the fill.
+    * A key whose span exceeds the cap fails fast with the offending
+    * key named, instead of materializing an unbounded spine. */
+  def resampleLocf(events: DataFrame, keyCol: String, timeCol: String,
+                   valCol: String, bucketNs: Long,
+                   maxBucketsPerKey: Long = 1L << 20): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    require(maxBucketsPerKey > 0, "maxBucketsPerKey must be positive")
+    val buckets = events
+      .select(col(keyCol), expr(s"(`$timeCol`) div ${bucketNs}L").as("bucket"),
+        col(valCol))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(sum(col(valCol).cast("decimal(28,8)")).cast("double").as("__v"),
+        count(lit(1)).as("__n"))
+    val bounds = buckets
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .withColumn("__hi",
+        when(col("__hi") - col("__lo") < maxBucketsPerKey, col("__hi"))
+          .otherwise(raise_error(concat(
+            lit(s"resampleLocf: key "), col(keyCol).cast("string"),
+            lit(s" spans >= $maxBucketsPerKey buckets - raise bucketNs")))
+            .cast("long")))
+    val spine = bounds.select(col(keyCol),
+      explode(sequence(col("__lo"), col("__hi"))).as("bucket"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(buckets, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"),
+        last(col("__v"), ignoreNulls = true).over(w).as("value_filled"),
+        coalesce(col("__n"), lit(0L)).as("n_obs"))
+  }
 }

@@ -1342,6 +1342,39 @@ object PipelineQueries {
       Graph.hyperBall(edges, "src", "dst", k = 2, p = 6).orderBy("node")
     },
 
+    // ---- q131: time-bucket resample + LOCF gap-fill — the
+    // densify-to-a-regular-grid step (6h buckets over the 30-day
+    // event window, ~46% of spine buckets observed at sf0.1, so the
+    // carry-forward does real work). Bucket sums are decimal-exact
+    // (the dsum convention) and the fill COPIES doubles, so the
+    // frame hash-gates; the oracle replays the spine with
+    // generate_series and an IGNORE NULLS running window. The spine
+    // cap is an in-plan raise_error, not a driver job.
+    Q("q131_resample_locf", Some("""
+      WITH b AS (SELECT user_id, epoch_ns(ts) // 21600000000000 AS bucket,
+                        CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS v,
+                        CAST(COUNT(*) AS BIGINT) AS n_obs
+                 FROM events GROUP BY 1, 2),
+      s AS (SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi
+            FROM b GROUP BY 1),
+      spine AS (SELECT user_id, unnest(generate_series(lo, hi)) AS bucket
+                FROM s)
+      SELECT sp.user_id, sp.bucket,
+             last_value(b.v IGNORE NULLS)
+               OVER (PARTITION BY sp.user_id ORDER BY sp.bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS value_filled,
+             COALESCE(b.n_obs, 0) AS n_obs
+      FROM spine sp LEFT JOIN b
+        ON b.user_id = sp.user_id AND b.bucket = sp.bucket
+      ORDER BY 1, 2""")) { (s, d) =>
+      Temporal.resampleLocf(
+          Tables.events(s, d).select("user_id", "ts", "value"),
+          keyCol = "user_id", timeCol = "ts", valCol = "value",
+          bucketNs = 21600000000000L)
+        .orderBy("user_id", "bucket")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

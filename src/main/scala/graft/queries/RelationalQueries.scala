@@ -492,5 +492,42 @@ object RelationalQueries {
         .unionByName(a.except(b).withColumn("tag", lit("only_ordered")))
         .select(col("tag"), col("k"))
         .orderBy("tag", "k")
+    },
+
+    // ---- q133: snapshot diff — the read side of CDC next to q08's
+    // MERGE: two deterministic versions of orders (v2 drops every
+    // key ≡ 2 mod 7 and rewrites o_orderpriority on keys ≡ 0 mod 5;
+    // v1 lacks keys ≡ 3 mod 10, so all three tags bind) reduced
+    // in-scan to (key, md5 fingerprint) and full-outer-joined once.
+    // The oracle replays the tag decision from first principles with
+    // IS DISTINCT FROM over the compare columns — the gate proves
+    // fingerprint-diff ≡ column-diff on this data.
+    Q("q133_snapshot_diff", Some("""
+      WITH v1 AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+                  FROM orders WHERE o_orderkey % 10 <> 3),
+      v2 AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+                    CASE WHEN o_orderkey % 5 = 0 THEN 'X-DIFF'
+                         ELSE o_orderpriority END AS o_orderpriority
+             FROM orders WHERE o_orderkey % 7 <> 2)
+      SELECT COALESCE(v1.o_orderkey, v2.o_orderkey) AS o_orderkey,
+             CASE WHEN v1.o_orderkey IS NULL THEN 'added'
+                  WHEN v2.o_orderkey IS NULL THEN 'removed'
+                  WHEN (v1.o_custkey IS DISTINCT FROM v2.o_custkey)
+                    OR (v1.o_orderstatus IS DISTINCT FROM v2.o_orderstatus)
+                    OR (v1.o_orderpriority IS DISTINCT FROM v2.o_orderpriority)
+                    THEN 'changed' END AS status
+      FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+      WHERE status IS NOT NULL
+      ORDER BY o_orderkey""")) { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val v1 = o.filter(pmod(col("o_orderkey"), lit(10L)) =!= 3L)
+      val v2 = o.filter(pmod(col("o_orderkey"), lit(7L)) =!= 2L)
+        .withColumn("o_orderpriority",
+          when(pmod(col("o_orderkey"), lit(5L)) === 0L, lit("X-DIFF"))
+            .otherwise(col("o_orderpriority")))
+      Upsert.snapshotDiff(v1, v2, Seq("o_orderkey"),
+          Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("o_orderkey")
     })
 }

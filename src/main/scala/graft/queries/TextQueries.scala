@@ -640,6 +640,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q132: sequential Poisson sample — the fixed-SIZE
+    // probability-proportional-to-size draw next to q122's
+    // exhaustive every-k-th-token walk: k=200 docs ranked by
+    // priority = u/w (u the 48-bit salted hash, w = n_chars), keep
+    // the smallest. One correctly-rounded division on exactly-
+    // converted longs, so priorities gate bit-for-bit; ties break on
+    // doc_id. The engine plan is a single TakeOrdered (per-partition
+    // top-k before one bounded exchange — plan-pinned); the oracle
+    // is the sequential ORDER BY + LIMIT definition.
+    Q("q132_pps_sample", Some("""
+      WITH w AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+                   ('0x' || substr(md5('spps:' || CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS u
+                 FROM documents WHERE n_chars > 0)
+      SELECT doc_id, weight,
+             CAST(u AS DOUBLE) / CAST(weight AS DOUBLE) AS priority
+      FROM w ORDER BY priority, doc_id LIMIT 200""")) { (s, d) =>
+      Curation.sequentialPoissonSample(Tables.documents(s, d), k = 200,
+        weightCol = "n_chars")
+    },
+
     // ---- q77: char-bigram familiarity — the integer-exact core of
     // perplexity quality filtering: fit a character-bigram census on
     // the corpus (bounded at charset² rows, broadcast back), then

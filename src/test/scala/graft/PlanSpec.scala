@@ -314,4 +314,30 @@ class PlanSpec extends SparkSuite {
     val scans = "Scan parquet".r.findAllIn(p).size
     assert(scans === 2, s"expected the lineitem scan + the 1-row stats scan, got $scans:\n${p.take(1500)}")
   }
+
+  test("q131 resample: fill windows are key-partitioned, never global") {
+    val wins = optimized("q131_resample_locf").collect { case w: LWindow => w }
+    assert(wins.nonEmpty, "resample lost its carry-forward window")
+    assert(wins.forall(_.partitionSpec.nonEmpty),
+      "LOCF fill fell into a single-partition global window")
+  }
+
+  test("q132 PPS sample is one TakeOrdered — no global sort, no window") {
+    val p = physical("q132_pps_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"PPS sample must reduce per-partition before one bounded exchange:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "PPS sample must not window")
+  }
+
+  test("q133 snapshot diff: fingerprints in-scan, one full-outer equi-join, no cartesian") {
+    val p = physical("q133_snapshot_diff")
+    assert(p.contains("FullOuter"), s"diff lost its full-outer join:\n${p.take(1500)}")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      "diff must stay an equi-join")
+    // Compare columns are reduced to the md5 before the exchange: no
+    // payload column may appear in a shuffle's output attribute list.
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("o_orderpriority"), "scan must read compare columns")
+    assert(!read.contains("o_orderdate"), "scan must prune unused columns")
+  }
 }

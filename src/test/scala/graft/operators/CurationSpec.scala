@@ -470,4 +470,39 @@ class CurationSpec extends SparkSuite {
       Curation.systematicSampleByTokens(df, 100L, blockSize = 1L, maxBlocks = 3))
     assert(e.getMessage.contains("blocks"))
   }
+
+  test("sequentialPoissonSample ≡ sequential u/w ranking; weights bias; zero weights drop") {
+    import spark.implicits._
+    // Independent priority replication: 48-bit md5 prefix over the
+    // same salted key string, one double division.
+    def priority(id: Long, w: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"spps:$id".getBytes("UTF-8"))
+      val hex = d.take(6).map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / w.toDouble
+    }
+    val gen = for {
+      n <- Gen.chooseNum(10, 80)
+      ws <- Gen.listOfN(n, Gen.chooseNum(0L, 500L))
+    } yield ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val k = 8
+      val got = Curation.sequentialPoissonSample(
+          rows.toDF("doc_id", "weight"), k, "weight", idCol = "doc_id")
+        .as[(Long, Long, Double)].collect().toSeq
+      val expected = rows.filter(_._2 > 0L)
+        .map { case (id, w) => (id, w, priority(id, w)) }
+        .sortBy { case (id, _, p) => (p, id) }
+        .take(k)
+      assert(got === expected, s"pps diverged on $rows")
+    }
+    // Size-proportional inclusion: with half the corpus at 100× the
+    // weight, the heavy half dominates any fixed-size draw.
+    val skewed = (0L until 400L).map(i => (i, if (i < 200L) 1000L else 10L))
+    val picked = Curation.sequentialPoissonSample(
+        skewed.toDF("doc_id", "weight"), 40, "weight")
+      .as[(Long, Long, Double)].collect()
+    assert(picked.count(_._1 < 200L) >= 30,
+      s"heavy-weight rows under-sampled: ${picked.count(_._1 < 200L)}/40")
+  }
 }

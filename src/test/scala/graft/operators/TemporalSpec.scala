@@ -383,4 +383,54 @@ class TemporalSpec extends SparkSuite {
     val got = Temporal.intervalJoin(points, broken, "t", "s", "e", bucketWidth = 4L)
     assert(got.collect().isEmpty)
   }
+
+  test("resampleLocf ≡ brute force: spine coverage, carry-forward fill, n_obs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0L, 3L)
+        t <- Gen.chooseNum(0L, 400L)
+        v <- Gen.chooseNum(-50, 50)
+      } yield (k, t, v / 4.0d))
+    } yield rows
+    val bn = 10L
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Temporal.resampleLocf(rows.toDF("k", "t", "v"),
+          "k", "t", "v", bucketNs = bn)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .toSet
+      val byBucket = rows.groupBy { case (k, t, _) => (k, t / bn) }
+        .map { case ((k, b), xs) =>
+          // Decimal-exact bucket sum, like the operator's dsum cast.
+          ((k, b), (xs.map(x => BigDecimal(x._3).setScale(8)).sum.toDouble,
+            xs.size.toLong))
+        }
+      val expected = byBucket.keys.groupBy(_._1).flatMap { case (k, bs) =>
+        val lo = bs.map(_._2).min
+        val hi = bs.map(_._2).max
+        var lastV = 0.0d
+        (lo to hi).map { b =>
+          val (v, n) = byBucket.getOrElse((k, b), (lastV, 0L))
+          lastV = v
+          (k, b, v, n)
+        }
+      }.toSet
+      assert(got === expected, s"resample diverged on $rows")
+      // First spine bucket per key is observed ⇒ fill is total.
+      assert(got.groupBy(_._1).forall { case (_, g) => g.minBy(_._2)._4 > 0 })
+    }
+  }
+
+  test("resampleLocf fails fast when a key's span exceeds the bucket cap") {
+    import spark.implicits._
+    val wide = Seq((1L, 0L, 1.0d), (1L, 10_000L, 2.0d)).toDF("k", "t", "v")
+    val e = intercept[Exception] {
+      Temporal.resampleLocf(wide, "k", "t", "v",
+        bucketNs = 1L, maxBucketsPerKey = 100L).collect()
+    }
+    assert(e.getMessage.contains("resampleLocf") ||
+      Option(e.getCause).exists(_.getMessage.contains("resampleLocf")))
+  }
 }
