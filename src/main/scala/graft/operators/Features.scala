@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
 /** Feature preprocessing for the vector tier: per-dimension corpus
@@ -68,6 +70,95 @@ object Features {
     require(rows.forall(!_.isNullAt(3)),
       "degenerate (zero-variance) dimension — drop it before standardizing")
     StandardizerModel(rows.map(_.getDouble(2)), rows.map(_.getDouble(3)))
+  }
+
+  /** Gram-census buffer: element count, per-dimension sums, and the
+    * FULL d×d pair-product matrix in row-major layout (upper
+    * triangle populated; full layout so the explode's index→(i,j)
+    * inversion is one div + one mod). Arrays size lazily on the
+    * first row so the aggregator needs no dimensionality up front. */
+  final case class CovBuf(n: Long, dims: Array[Long], pairs: Array[Long])
+
+  private val covAggregator: Aggregator[Array[Long], CovBuf, CovBuf] =
+    new Aggregator[Array[Long], CovBuf, CovBuf] {
+      override def zero: CovBuf = CovBuf(0L, Array.emptyLongArray, Array.emptyLongArray)
+      override def reduce(b: CovBuf, q: Array[Long]): CovBuf = {
+        val d = q.length
+        val out = if (b.n == 0L) CovBuf(0L, new Array[Long](d), new Array[Long](d * d))
+                  else b
+        require(out.dims.length == d,
+          s"covarianceMatrix: inconsistent dimensionality ${out.dims.length} vs $d")
+        var i = 0
+        while (i < d) {
+          val qi = q(i)
+          out.dims(i) += qi
+          var j = i
+          while (j < d) { out.pairs(i * d + j) += qi * q(j); j += 1 }
+          i += 1
+        }
+        CovBuf(out.n + 1L, out.dims, out.pairs)
+      }
+      override def merge(a: CovBuf, b: CovBuf): CovBuf =
+        if (a.n == 0L) b
+        else if (b.n == 0L) a
+        else {
+          require(a.dims.length == b.dims.length,
+            "covarianceMatrix: inconsistent dimensionality across partitions")
+          var i = 0
+          while (i < a.dims.length) { a.dims(i) += b.dims(i); i += 1 }
+          var k = 0
+          while (k < a.pairs.length) { a.pairs(k) += b.pairs(k); k += 1 }
+          CovBuf(a.n + b.n, a.dims, a.pairs)
+        }
+      override def finish(b: CovBuf): CovBuf = b
+      override def bufferEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+      override def outputEncoder: Encoder[CovBuf] = Encoders.product[CovBuf]
+    }
+
+  /** Sample covariance matrix of an `array<float>` column — the
+    * feature-geometry census behind whitening/PCA decisions, beside
+    * [[dimensionStats]]' per-dimension marginals. ONE scan: each row
+    * is quantized to longs (the q82 fixed-point recipe) and a typed
+    * Aggregator accumulates count, dimension sums, and the
+    * upper-triangle pair-product sums — map-side combined, so the
+    * exchange moves one O(d²) buffer per partition and nothing
+    * corpus-sized (the naive pair-explode shuffles d(d+1)/2 rows PER
+    * VECTOR). The d² buffer bounds the design: fine to ~4k dims
+    * (128 MB buffers); beyond that, block the dimension range
+    * upstream. Emits the upper triangle as (dim_i, dim_j, n, cov),
+    * 1-based dims matching [[dimensionStats]].
+    *
+    * Exactness: quantized products and their sums are exact longs
+    * (|x| ≤ 1, scale 1e6 ⇒ ~1e12 per element-pair; the long sum
+    * nears 2^63 at ~9e6 rows — same documented fixed-point trade as
+    * [[dimensionStats]]); the covariance derivation
+    * `(n·p_ij − s_i·s_j) / (n·(n−1)) / scale²` is correctly-rounded
+    * double ops only (s_i·s_j in DOUBLE — the long product would
+    * overflow first), so the frame hash-gates. Null vectors are
+    * dropped in-scan; rows must share one dimensionality
+    * (fail-fast). */
+  def covarianceMatrix(embeddings: DataFrame, vecCol: String = "embedding",
+                       scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, "scale must be positive")
+    val f = udaf(covAggregator, ExpressionEncoder[Array[Long]]())
+    val quantized = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * scale + 0.5d).cast("long"))
+    val one = embeddings.filter(col(vecCol).isNotNull)
+      .select(quantized.as("__q"))
+      .agg(f(col("__q")).as("c"))
+    val nd = col("c.n").cast("double")
+    val si = element_at(col("c.dims"), (col("__i") + 1).cast("int")).cast("double")
+    val sj = element_at(col("c.dims"), (col("__j") + 1).cast("int")).cast("double")
+    val cov = (nd * col("__pij").cast("double") - si * sj) /
+      (nd * (nd - 1.0d)) / (scale.toDouble * scale.toDouble)
+    one.select(col("c"), posexplode(col("c.pairs")).as(Seq("__idx", "__pij")))
+      .withColumn("__d", size(col("c.dims")).cast("long"))
+      .withColumn("__i", expr("__idx div __d"))
+      .withColumn("__j", pmod(col("__idx"), col("__d")))
+      .filter(col("__j") >= col("__i"))
+      .select((col("__i") + 1L).as("dim_i"), (col("__j") + 1L).as("dim_j"),
+        col("c.n").as("n"),
+        when(col("c.n") >= 2L, cov).as("cov"))
   }
 
   /** `(x − mean) / std` per element — a stateless codegen projection

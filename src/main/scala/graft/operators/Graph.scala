@@ -318,6 +318,61 @@ object Graph {
     labels
   }
 
+  /** HITS hubs & authorities (Kleinberg) — the DIRECTED prestige
+    * lens beside [[pageRank]]'s random surfer: a node is a good
+    * authority if good hubs point AT it, a good hub if it points at
+    * good authorities. Runs the mutual recurrence for a fixed number
+    * of rounds from h₀ = 1: aᵣ = Aᵀhᵣ₋₁ then hᵣ = A·aᵣ —
+    * UNNORMALIZED, so every value is an exact integer (the
+    * per-round L2 normalization of textbook HITS is a positive
+    * scalar: it never changes the RANKING, which is the quantity
+    * consumers use, and dropping it removes the one float/sqrt step
+    * that would break cross-engine exactness). Nodes with no
+    * in-edges score auth 0; no out-edges, hub 0.
+    *
+    * Magnitudes grow ~(mean degree)^(2·rounds): with degree d and n
+    * nodes the largest entry is bounded by n·d^(2·rounds), so Long
+    * overflow needs d^(2·rounds) ≈ 9·10¹⁸/n — at web-graph degrees
+    * run 2-3 rounds (the classic choice; convergence of the RANKING
+    * is fast) or rescale between rounds upstream.
+    *
+    * Scale shape per round: one equi-join of the score table onto
+    * the edge list on the scoring endpoint + one map-side-combinable
+    * sum — same exchange profile as a PageRank round — then a
+    * node-complete left join (broadcast-eligible censuses), state
+    * localCheckpoint'd per round (the q47/q60 lineage lesson). No
+    * windows, no driver-side state. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint(true)
+    def complete(scores: DataFrame, c: String): DataFrame =
+      nodes.join(scores, Seq("node"), "left")
+        .select(col("node"), coalesce(col(c), lit(0L)).as(c))
+        .localCheckpoint(true)
+    var hub = nodes.withColumn("h", lit(1L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (_ <- 1 to rounds) {
+      auth = complete(
+        e.join(hub.select(col("node").as("src"), col("h")), "src")
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .select(col("dst").as("node"), col("a")), "a")
+      hub = complete(
+        e.join(auth.select(col("node").as("dst"), col("a")), "dst")
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .select(col("src").as("node"), col("h")), "h")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("auth"))
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
                scale: Long = 1000000000000L): DataFrame = {

@@ -1375,6 +1375,46 @@ object PipelineQueries {
         .orderBy("user_id", "bucket")
     },
 
+    // ---- q134: HITS hubs/authorities — the directed prestige pair
+    // beside q60's PageRank, on the q129 density-stable synthesis
+    // WITHOUT symmetrization (direction is the whole point). Two
+    // unnormalized rounds from h0=1: every score is an exact integer
+    // (normalization is a positive scalar — rank-invariant — and
+    // dropping it removes the only float step), so the frame
+    // hash-gates; the oracle unrolls a1→h1→a2→h2 with node-complete
+    // zeros, the q129/q130 bounded-recurrence pattern.
+    Q("q134_hits", Some("""
+      WITH e AS (
+        SELECT DISTINCT a AS src, b AS dst FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst AS node FROM e),
+      a1 AS (SELECT n.node, COALESCE(x.a, 0) AS a FROM nodes n LEFT JOIN
+               (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS a
+                FROM e GROUP BY 1) x USING (node)),
+      h1 AS (SELECT n.node, COALESCE(x.h, 0) AS h FROM nodes n LEFT JOIN
+               (SELECT e.src AS node, CAST(SUM(a1.a) AS BIGINT) AS h
+                FROM e JOIN a1 ON a1.node = e.dst GROUP BY 1) x USING (node)),
+      a2 AS (SELECT n.node, COALESCE(x.a, 0) AS a FROM nodes n LEFT JOIN
+               (SELECT e.dst AS node, CAST(SUM(h1.h) AS BIGINT) AS a
+                FROM e JOIN h1 ON h1.node = e.src GROUP BY 1) x USING (node)),
+      h2 AS (SELECT n.node, COALESCE(x.h, 0) AS h FROM nodes n LEFT JOIN
+               (SELECT e.src AS node, CAST(SUM(a2.a) AS BIGINT) AS h
+                FROM e JOIN a2 ON a2.node = e.dst GROUP BY 1) x USING (node))
+      SELECT h2.node, h2.h AS hub, a2.a AS auth
+      FROM h2 JOIN a2 USING (node)
+      ORDER BY node""")) { (s, d) =>
+      val m = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(m)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.hits(edges, "src", "dst", rounds = 2).orderBy("node")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

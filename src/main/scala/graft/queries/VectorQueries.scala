@@ -990,5 +990,41 @@ object VectorQueries {
       FROM s ORDER BY dim""")) { (s, d) =>
       graft.operators.Features.dimensionStats(Tables.embeddings(s, d))
         .orderBy("dim")
+    },
+
+    // ---- q135: covariance matrix — the cross-dimension census next
+    // to q125's marginals, needed before any whitening/PCA call. The
+    // engine runs ONE scan through a typed Aggregator (count + dim
+    // sums + upper-triangle pair-product sums as exact longs,
+    // map-side combined — the exchange moves one O(d²) buffer per
+    // partition); the oracle is the naive pair-explode self-join the
+    // engine plan must never contain (d(d+1)/2 rows per vector).
+    // Derivation is q125's correctly-rounded double spelling with
+    // s_i·s_j formed in DOUBLE (the long product would overflow
+    // first), so all 2080 entries hash-gate.
+    Q("q135_covariance", Some("""
+      WITH q AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+                 FROM embeddings, generate_series(1, 64) t(i)
+                 WHERE embedding IS NOT NULL),
+      p AS (SELECT a.dim AS dim_i, b.dim AS dim_j,
+                   CAST(SUM(a.qv * b.qv) AS BIGINT) AS pij
+            FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+            GROUP BY 1, 2),
+      s AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS sv FROM q GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings
+             WHERE embedding IS NOT NULL)
+      SELECT p.dim_i, p.dim_j, nn.n,
+             CASE WHEN nn.n >= 2 THEN
+               (CAST(nn.n AS DOUBLE) * CAST(p.pij AS DOUBLE)
+                  - CAST(si.sv AS DOUBLE) * CAST(sj.sv AS DOUBLE))
+               / (CAST(nn.n AS DOUBLE) * (CAST(nn.n AS DOUBLE) - 1.0))
+               / 1000000000000.0 END AS cov
+      FROM p CROSS JOIN nn
+      JOIN s si ON si.dim = p.dim_i
+      JOIN s sj ON sj.dim = p.dim_j
+      ORDER BY dim_i, dim_j""")) { (s, d) =>
+      graft.operators.Features.covarianceMatrix(Tables.embeddings(s, d))
+        .orderBy("dim_i", "dim_j")
     })
 }

@@ -329,6 +329,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "PPS sample must not window")
   }
 
+  test("q135 covariance: one aggregator scan — no pair join, no explode before the agg") {
+    val p = physical("q135_covariance")
+    assert(!p.contains("Join"),
+      s"covariance must never pair-join the corpus (that is the oracle's naive plan):\n${p.take(1500)}")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one embeddings scan, got $scans")
+  }
+
   test("q133 snapshot diff: fingerprints in-scan, one full-outer equi-join, no cartesian") {
     val p = physical("q133_snapshot_diff")
     assert(p.contains("FullOuter"), s"diff lost its full-outer join:\n${p.take(1500)}")

@@ -53,4 +53,43 @@ class FeaturesSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Features.fitStandardizer(bad))
     assert(e.getMessage.contains("degenerate"))
   }
+
+  test("covarianceMatrix ≡ exact driver replay; diagonal ≡ dimensionStats variance") {
+    val vecs = emb.select("embedding").as[Seq[Float]].collect()
+      .map(_.map(_.toDouble).toArray)
+    val d = vecs.head.length
+    val qs = vecs.map(v => v.map(x => math.floor(x * 1000000L + 0.5d).toLong))
+    val n = qs.length
+    val got = Features.covarianceMatrix(emb).orderBy("dim_i", "dim_j").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.size === d * (d + 1) / 2)
+    for (i <- 0 until d; j <- i until d) {
+      val pij = qs.map(q => q(i) * q(j)).sum
+      val si = qs.map(_(i)).sum
+      val sj = qs.map(_(j)).sum
+      val cov = (n.toDouble * pij.toDouble - si.toDouble * sj.toDouble) /
+        (n.toDouble * (n.toDouble - 1.0d)) / 1.0e12
+      val (gn, gc) = got((i + 1L, j + 1L))
+      assert(gn === n.toLong)
+      assert(gc === cov, s"cov($i,$j)")
+    }
+    // Cross-check against the marginal census: Var(i) = Cov(i, i).
+    val stds = Features.dimensionStats(emb).orderBy("dim").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    for (i <- 1L to d.toLong) {
+      val v = got((i, i))._2
+      assert(math.abs(math.sqrt(v) - stds(i) * 1.0) < 1e-12, s"diag dim $i")
+    }
+  }
+
+  test("covarianceMatrix fails fast on mixed dimensionality; plan has no join") {
+    val mixed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception](Features.covarianceMatrix(mixed).collect())
+    assert(e.getMessage.contains("dimensionality") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimensionality")))
+    val p = Features.covarianceMatrix(emb).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"covariance census must be one aggregator scan, not a pair join:\n${p.take(1200)}")
+  }
 }

@@ -257,6 +257,33 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("hits ≡ sequential integer recurrence on random digraphs; star fixture") {
+    import spark.implicits._
+    def reference(edges: Seq[(Long, Long)], rounds: Int): Map[Long, (Long, Long)] = {
+      val nodes = edges.flatMap { case (s, t) => Seq(s, t) }.distinct
+      var h = nodes.map(_ -> 1L).toMap
+      var a = nodes.map(_ -> 0L).toMap
+      for (_ <- 1 to rounds) {
+        a = nodes.map(v => v -> edges.filter(_._2 == v).map(e => h(e._1)).sum).toMap
+        h = nodes.map(u => u -> edges.filter(_._1 == u).map(e => a(e._2)).sum).toMap
+      }
+      nodes.map(v => v -> (h(v), a(v))).toMap
+    }
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty;
+         rounds <- Seq(1, 2)) {
+      val got = Graph.hits(edges.toDF("src", "dst"), "src", "dst", rounds)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      assert(got === reference(edges, rounds), s"hits diverged on $edges rounds=$rounds")
+    }
+    // Star u->{1,2,3}: u is the only hub, leaves the only authorities.
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+    val got = Graph.hits(star.toDF("src", "dst"), "src", "dst", rounds = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a1(leaf)=1, h1(0)=3, a2(leaf)=3, h2(0)=9; leaves hub 0, center auth 0.
+    assert(got(0L) === ((9L, 0L)), got.toString)
+    assert(Seq(1L, 2L, 3L).forall(got(_) == ((0L, 3L))), got.toString)
+  }
+
   test("labelPropagation: two disjoint cliques each converge to their minimum id") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
