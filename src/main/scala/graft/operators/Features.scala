@@ -161,6 +161,50 @@ object Features {
         when(col("c.n") >= 2L, cov).as("cov"))
   }
 
+  /** Johnson–Lindenstrauss signed random projection: reduce each
+    * vector to `axes` coordinates, coordinate a = Σⱼ ±xⱼ with the
+    * sign drawn deterministically per (axis, dimension) — Achlioptas'
+    * database-friendly ±1 sketch, the standard dimensionality cut
+    * BEFORE an ANN build (pairwise distances survive to within
+    * 1 ± ε at axes = O(log n / ε²), and a ±1 matrix needs no float
+    * RNG at all). No RNG here either: the sign is bit 0 of the
+    * portable 60-bit md5 of `salt:axis:dim`, so the projection —
+    * like every model in this engine — is reproducible from the salt
+    * alone and replayable in SQL.
+    *
+    * Exactness: elements are quantized to longs first (the q82
+    * recipe), so each coordinate is an exact ±-signed INTEGER sum —
+    * order-free, no float fold anywhere, gates bit-for-bit (the
+    * float-dot-product queries need a round-6 hedge; this one does
+    * not). Scale shape: the sign matrix is model-sized (axes × d
+    * literal array, zero joins), the projection is one scan emitting
+    * `axes` longs per row — at 100 TB it runs at parquet-scan speed
+    * like [[standardize]]. Dimensionality probes one row (bounded
+    * driver action, the collectModel convention). */
+  def jlProject(embeddings: DataFrame, axes: Int, vecCol: String = "embedding",
+                idCol: String = "vec_id", scale: Long = 1000000L,
+                salt: String = "jl"): DataFrame = {
+    require(axes > 0, "axes must be positive")
+    require(scale > 0, "scale must be positive")
+    val nonNull = embeddings.filter(col(vecCol).isNotNull)
+    val head = nonNull.select(size(col(vecCol))).limit(1).collect()
+    require(head.nonEmpty, "empty corpus")
+    val d = head(0).getInt(0)
+    def sign(a: Int, j: Int): Long =
+      if (graft.functions.HashOps.h60(s"$salt:$a:$j".getBytes("UTF-8")) % 2L == 0L) 1L
+      else -1L
+    val quantized = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * scale + 0.5d).cast("long"))
+    val projections = array((1 to axes).map { a =>
+      val signs = array((1 to d).map(j => lit(sign(a, j))): _*)
+      aggregate(zip_with(col("__q"), signs, (x, s) => x * s),
+        lit(0L), (acc, x) => acc + x)
+    }: _*)
+    nonNull.select(col(idCol), quantized.as("__q"))
+      .select(col(idCol), posexplode(projections).as(Seq("__pos", "proj")))
+      .select(col(idCol), (col("__pos") + 1L).as("axis"), col("proj"))
+  }
+
   /** `(x − mean) / std` per element — a stateless codegen projection
     * over literal arrays (no join, no shuffle, no state), so the
     * same expression deploys on a batch frame or an ingest stream,

@@ -1415,6 +1415,45 @@ object PipelineQueries {
       Graph.hits(edges, "src", "dst", rounds = 2).orderBy("node")
     },
 
+    // ---- q136: link prediction — common-neighbor + Jaccard scores
+    // for every non-adjacent 2-hop pair on the q129 density-stable
+    // graph: the "predict the missing edge" census that turns the
+    // graph tier's descriptive statistics into a recommendation
+    // surface. Counts are exact integers from the wedge census;
+    // Jaccard is one correctly-rounded division, so the frame
+    // hash-gates. The oracle replays wedges → counts → anti-join →
+    // degree attach from first principles.
+    Q("q136_link_predict", Some("""
+      WITH e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      cn AS (SELECT x.nbr AS a, y.nbr AS b, CAST(COUNT(*) AS BIGINT) AS cn
+             FROM adj x JOIN adj y ON y.node = x.node AND x.nbr < y.nbr
+             GROUP BY 1, 2),
+      na AS (SELECT cn.* FROM cn LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+             WHERE e.u IS NULL)
+      SELECT na.a AS u, na.b AS v, na.cn,
+             CAST(na.cn AS DOUBLE)
+               / (CAST(da.deg AS DOUBLE) + CAST(db.deg AS DOUBLE)
+                  - CAST(na.cn AS DOUBLE)) AS jaccard
+      FROM na
+      JOIN deg da ON da.node = na.a
+      JOIN deg db ON db.node = na.b
+      ORDER BY u, v""")) { (s, d) =>
+      val m = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(m)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.linkPrediction(edges, "src", "dst").orderBy("u", "v")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

@@ -1026,5 +1026,31 @@ object VectorQueries {
       ORDER BY dim_i, dim_j""")) { (s, d) =>
       graft.operators.Features.covarianceMatrix(Tables.embeddings(s, d))
         .orderBy("dim_i", "dim_j")
+    },
+
+    // ---- q137: JL signed projection — the dimensionality cut before
+    // an ANN build, as Achlioptas ±1 axes with hash-derived signs.
+    // Elements quantize to longs first, so every coordinate is an
+    // exact signed-integer sum: the one projection family that
+    // hash-gates with NO float hedge (q30's cosines need round-6).
+    // Engine: model-sized literal sign matrix, one scan, no joins
+    // (plan-pinned); oracle rebuilds the sign matrix from the same
+    // md5 bit and replays the sum over an unnest join.
+    Q("q137_jl_project", Some("""
+      WITH q AS (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                   CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS qv
+                 FROM embeddings, generate_series(1, 64) t(i)
+                 WHERE embedding IS NOT NULL),
+      s AS (SELECT CAST(a.axis AS BIGINT) AS axis, d.dim,
+              CASE WHEN ('0x' || substr(md5('jl:' || a.axis || ':' || d.dim), 1, 15))::BIGINT % 2 = 0
+                   THEN 1 ELSE -1 END AS sgn
+            FROM generate_series(1, 8) a(axis)
+            CROSS JOIN (SELECT DISTINCT dim FROM q) d)
+      SELECT q.vec_id, s.axis, CAST(SUM(q.qv * s.sgn) AS BIGINT) AS proj
+      FROM q JOIN s ON s.dim = q.dim
+      GROUP BY 1, 2
+      ORDER BY 1, 2""")) { (s, d) =>
+      graft.operators.Features.jlProject(Tables.embeddings(s, d), axes = 8)
+        .orderBy("vec_id", "axis")
     })
 }

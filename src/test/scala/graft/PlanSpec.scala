@@ -329,6 +329,14 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "PPS sample must not window")
   }
 
+  test("q136 link prediction: equi-joins only — no cartesian, no window") {
+    val p = physical("q136_link_predict")
+    assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
+      s"wedge census must stay an equi-join:\n${p.take(1500)}")
+    assert(!p.contains("Window"), "link prediction must not window")
+    assert(p.contains("LeftAnti"), "existing edges must leave via an anti join")
+  }
+
   test("q135 covariance: one aggregator scan — no pair join, no explode before the agg") {
     val p = physical("q135_covariance")
     assert(!p.contains("Join"),

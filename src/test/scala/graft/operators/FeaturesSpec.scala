@@ -82,6 +82,28 @@ class FeaturesSpec extends SparkSuite {
     }
   }
 
+  test("jlProject ≡ driver replay of the signed integer sums; plan is one scan, no join") {
+    val vecs = emb.select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+    val d = vecs.head._2.length
+    def sign(a: Int, j: Int): Long =
+      if (graft.functions.HashOps.h60(s"jl:$a:$j".getBytes("UTF-8")) % 2L == 0L) 1L else -1L
+    val axes = 4
+    val expected = (for {
+      (id, v) <- vecs
+      q = v.map(x => math.floor(x.toDouble * 1000000L + 0.5d).toLong)
+      a <- 1 to axes
+    } yield (id, a.toLong, (0 until d).map(j => q(j) * sign(a, j + 1)).sum)).toSet
+    val got = Features.jlProject(emb, axes)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === expected)
+    // Signs differ across axes and dims (the matrix is not constant).
+    assert((1 to axes).flatMap(a => (1 to d).map(j => sign(a, j))).toSet.size === 2)
+    val p = Features.jlProject(emb, axes).queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"JL projection must be join-free:\n${p.take(1200)}")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one embeddings scan, got $scans")
+  }
+
   test("covarianceMatrix fails fast on mixed dimensionality; plan has no join") {
     val mixed = Seq((1L, Seq(1.0f, 2.0f)), (2L, Seq(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")

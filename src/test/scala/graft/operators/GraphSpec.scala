@@ -284,6 +284,39 @@ class GraphSpec extends SparkSuite {
     assert(Seq(1L, 2L, 3L).forall(got(_) == ((0L, 3L))), got.toString)
   }
 
+  test("linkPrediction ≡ brute force; adjacent pairs excluded; degree cap drops hub wedges") {
+    import spark.implicits._
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
+      val ue = edges.map { case (s, t) => (math.min(s, t), math.max(s, t)) }.distinct
+      val nbrs = (ue.map(e => e._1 -> e._2) ++ ue.map(e => e._2 -> e._1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val nodes = nbrs.keySet.toSeq.sorted
+      val expected = (for {
+        a <- nodes; b <- nodes if a < b && !nbrs(a).contains(b)
+        cn = (nbrs(a) & nbrs(b)).size.toLong if cn > 0
+      } yield (a, b, cn,
+        cn.toDouble / (nbrs(a).size.toDouble + nbrs(b).size.toDouble - cn.toDouble))).toSet
+      val got = Graph.linkPrediction(edges.toDF("src", "dst"), "src", "dst")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(got === expected, s"link prediction diverged on $edges")
+    }
+    // Hub cap: star 0->{1..5} plus 1-2; with maxDegree below the
+    // hub's degree only wedges through low-degree midpoints survive.
+    val star = (1L to 5L).map(l => (0L, l)) :+ (1L, 2L)
+    val capped = Graph.linkPrediction(star.toDF("src", "dst"), "src", "dst",
+        maxDegree = 2L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // midpoints 1 and 2 (degree 2) give only the (0,2)/(0,1) wedges —
+    // both adjacent — so nothing is emitted; the uncapped run emits
+    // every leaf pair through the hub.
+    assert(capped.isEmpty, capped.toString)
+    val uncapped = Graph.linkPrediction(star.toDF("src", "dst"), "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === (for (a <- 1L to 5L; b <- a + 1 to 5L
+      if !(a == 1L && b == 2L)) yield (a, b)).toSet)
+  }
+
   test("labelPropagation: two disjoint cliques each converge to their minimum id") {
     import spark.implicits._
     def clique(ids: Seq[Long]) = for (a <- ids; b <- ids if a < b) yield (a, b)
