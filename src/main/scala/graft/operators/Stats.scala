@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Distributed statistics via sufficient-statistic aggregation —
@@ -278,5 +279,92 @@ object Stats {
       .withColumn("z", (col("v") - col("__mean")) / col("__sd"))
       .filter(col("__sd").isNotNull && abs(col("z")) > threshold)
       .select(col(idCol) +: (gcols :+ col("v") :+ col("z")): _*)
+  }
+
+  /** ROBUST per-group outliers by median absolute deviation — the
+    * heavy-tail-safe twin of [[zscoreOutliers]] (one extreme value
+    * drags a mean/std fit toward itself and masks its own outliers;
+    * the median/MAD pair has a 50% breakdown point). Flags
+    * `|x − median| > threshold · MAD`. The median is the EXACT
+    * lower-middle element (`rank = (n+1) div 2` ordered by value) —
+    * an element PICK, not an interpolation, so every emitted number
+    * is either a copied input double or one correctly-rounded
+    * subtract/multiply/compare and the frame hash-gates bit-for-bit.
+    * Values normalize through the same `decimal(prec,scale)` cast as
+    * [[zscoreOutliers]].
+    *
+    * Scale shape: two key-partitioned sort windows (value pass, then
+    * deviation pass) — the per-key external sort, no global window —
+    * with the two keys-sized median censuses re-attached by
+    * broadcast. A single giant group serializes into one partition's
+    * sort, the standard per-key-window caveat; at that shape trade
+    * exactness for [[graft.operators.Sketches]]' binned percentiles
+    * (the documented approximate path). */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
+                  valueCol: Column, threshold: Double = 5.0,
+                  prec: Int = 18, scale: Int = 2): DataFrame = {
+    require(threshold > 0.0, "threshold must be positive")
+    val gcols = groupCols.map(col)
+    val v = valueCol.try_cast(s"decimal($prec,$scale)").cast("double")
+    val rows = df.filter(v.isNotNull)
+      .select(col(idCol) +: (gcols :+ v.as("v")): _*)
+    def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+      val wOrd = Window.partitionBy(gcols: _*).orderBy(col(c))
+      val wAll = Window.partitionBy(gcols: _*)
+      in.withColumn("__rn", row_number().over(wOrd))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(expr("__rn = ((__n + 1) div 2)"))
+        .select(gcols :+ col(c).as(out): _*)
+    }
+    val withMed = rows
+      .join(broadcast(medianOf(rows, "v", "med")), groupCols)
+      .withColumn("__dev", abs(col("v") - col("med")))
+    withMed
+      .join(broadcast(medianOf(withMed, "__dev", "mad")), groupCols)
+      .select(col(idCol) +: (gcols :+ col("v") :+ col("med") :+ col("mad") :+
+        (col("__dev") > lit(threshold) * col("mad")).cast("long").as("is_outlier")): _*)
+  }
+
+  /** EXACT equi-depth bucketing (NTILE without the global sort):
+    * every row's exact global rank in `(value, id)` order and its
+    * k-quantile bucket `((rank−1)·k) div n` — the feature-binning /
+    * balanced-range-split primitive. The rank is the q122 two-phase
+    * prefix scheme transposed to VALUE order: rows bucket into
+    * coarse histogram bins (`floor(v·binsPerUnit)`, monotone in v,
+    * so bin order extends value order and equal values can never
+    * straddle bins), one bounded census turns per-bin counts into
+    * driver-side offsets (fail-fast at `maxBins`), and a PER-BIN
+    * sort window adds the in-bin row number — every stage
+    * partition-parallel where the naive plan (the oracle) funnels
+    * the corpus through one global ROW_NUMBER. Values normalize
+    * through the [[zscoreOutliers]] decimal cast; rank arithmetic is
+    * nonnegative integer only, so the frame hash-gates. */
+  def equiDepthBuckets(df: DataFrame, idCol: String, valueCol: Column,
+                       k: Int, binsPerUnit: Int = 4,
+                       maxBins: Int = 1 << 20,
+                       prec: Int = 18, scale: Int = 2): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(binsPerUnit > 0, "binsPerUnit must be positive")
+    val v = valueCol.try_cast(s"decimal($prec,$scale)").cast("double")
+    val rows = df.filter(v.isNotNull)
+      .select(col(idCol), v.as("v"),
+        floor(v * binsPerUnit).cast("long").as("__bin"))
+    val binRows = rows.groupBy(col("__bin")).agg(count(lit(1)).as("__c"))
+      .limit(maxBins + 1).collect()
+    require(binRows.length <= maxBins,
+      s"more than $maxBins value bins at binsPerUnit=$binsPerUnit — lower binsPerUnit")
+    require(binRows.nonEmpty, "empty input")
+    val sorted = binRows.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = sorted.map(_._2).sum
+    val offsets = sorted.map(_._1)
+      .zip(sorted.map(_._2).scanLeft(0L)(_ + _).dropRight(1)).toSeq
+    val sp = df.sparkSession
+    import sp.implicits._
+    val offDf = offsets.toDF("__bin", "__off")
+    val w = Window.partitionBy(col("__bin")).orderBy(col("v"), col(idCol))
+    rows.join(broadcast(offDf), "__bin")
+      .withColumn("rank", row_number().over(w).cast("long") + col("__off"))
+      .select(col(idCol), col("v"), col("rank"),
+        expr(s"((rank - 1) * $k) div ${n}L").as("bucket"))
   }
 }

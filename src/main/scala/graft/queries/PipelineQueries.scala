@@ -1454,6 +1454,62 @@ object PipelineQueries {
       Graph.linkPrediction(edges, "src", "dst").orderBy("u", "v")
     },
 
+    // ---- q138: MAD outliers — the ROBUST anomaly flag beside
+    // q109's z-scores (one extreme value drags a mean/std fit and
+    // masks its own outliers; median/MAD has a 50% breakdown point).
+    // Medians are exact lower-middle element PICKS, so every output
+    // is a copied double or one correctly-rounded op — hash-gates
+    // bit-for-bit with no float hedge. Engine: two key-partitioned
+    // sort windows + broadcast census re-attach; the oracle replays
+    // the same picks with SQL windows.
+    Q("q138_mad_outliers", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+                 FROM events WHERE TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+      m AS (SELECT event_type, v AS med FROM (
+              SELECT event_type, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM e) WHERE rn = (n + 1) // 2),
+      d AS (SELECT e.event_id, e.event_type, e.v, m.med,
+                   abs(e.v - m.med) AS dev
+            FROM e JOIN m USING (event_type)),
+      md AS (SELECT event_type, dev AS mad FROM (
+               SELECT event_type, dev,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM d) WHERE rn = (n + 1) // 2)
+      SELECT d.event_id, d.event_type, d.v, d.med, md.mad,
+             CAST(d.dev > 5.0 * md.mad AS BIGINT) AS is_outlier
+      FROM d JOIN md USING (event_type)
+      ORDER BY event_id""")) { (s, d) =>
+      Stats.madOutliers(Tables.events(s, d), Seq("event_type"), "event_id",
+          col("value"))
+        .orderBy("event_id")
+    },
+
+    // ---- q139: exact equi-depth buckets — NTILE semantics at scale:
+    // the q122 two-phase prefix scheme transposed to VALUE order
+    // (coarse monotone bins → bounded offset census → per-bin sort
+    // windows), so no corpus-wide global ROW_NUMBER anywhere in the
+    // engine plan (pinned); the oracle IS that naive global window,
+    // proving the blocked rank equals the sequential definition
+    // row-for-row. Decimal-normalized values make heavy ties, which
+    // is exactly what stresses the (value, id) order contract.
+    Q("q139_equidepth_buckets", Some("""
+      WITH e AS (SELECT event_id,
+                        CAST(TRY_CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS v
+                 FROM events WHERE TRY_CAST(value AS DECIMAL(18,2)) IS NOT NULL),
+      r AS (SELECT event_id, v,
+                   CAST(ROW_NUMBER() OVER (ORDER BY v, event_id) AS BIGINT) AS rank
+            FROM e)
+      SELECT event_id, v, rank,
+             ((rank - 1) * 8) // (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS bucket
+      FROM r ORDER BY event_id""")) { (s, d) =>
+      Stats.equiDepthBuckets(Tables.events(s, d), "event_id", col("value"), k = 8)
+        .orderBy("event_id")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

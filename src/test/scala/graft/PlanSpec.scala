@@ -329,6 +329,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("Window"), "PPS sample must not window")
   }
 
+  test("q138/q139 rank statistics: windows partitioned, never a global ROW_NUMBER") {
+    for (name <- Seq("q138_mad_outliers", "q139_equidepth_buckets")) {
+      val wins = optimized(name).collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name lost its rank windows")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        s"$name fell into a single-partition global window")
+    }
+    assert(physical("q139_equidepth_buckets").contains("BroadcastHashJoin"),
+      "bin offsets must attach by broadcast")
+  }
+
   test("q136 link prediction: equi-joins only — no cartesian, no window") {
     val p = physical("q136_link_predict")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),

@@ -228,4 +228,69 @@ class StatsSpec extends SparkSuite {
     val arr = Seq((1L, Seq(1, 2))).toDF("k", "a")
     intercept[IllegalArgumentException](Stats.profileColumns(arr, Seq("a")))
   }
+
+  test("madOutliers ≡ driver replay: exact median picks, ties, constant groups flag nothing") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(3, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c")
+        // Quarter-grain values force heavy ties; a wide outlier tail
+        // makes the MAD flag bind.
+        v <- Gen.oneOf(Gen.chooseNum(-40, 40), Gen.chooseNum(-4000, 4000))
+      } yield (g, v / 4.0d))
+    } yield rows.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.madOutliers(rows.toDF("id", "g", "x"), Seq("g"), "id", col("x"))
+        .collect()
+        .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4), r.getLong(5))))
+        .toMap
+      val expected = rows.groupBy(_._2).flatMap { case (g, rs) =>
+        def pick(xs: Seq[Double]): Double = xs.sorted.apply((xs.size + 1) / 2 - 1)
+        val med = pick(rs.map(_._3))
+        val mad = pick(rs.map(r => math.abs(r._3 - med)))
+        rs.map(r => r._1 ->
+          ((g, r._3, med, mad, if (math.abs(r._3 - med) > 5.0d * mad) 1L else 0L)))
+      }
+      assert(got === expected, s"MAD diverged on $rows")
+    }
+    // A constant group has MAD 0 and dev 0 — 0 > 0 is false, nothing flags.
+    val const = Seq((1L, "k", 7.0d), (2L, "k", 7.0d), (3L, "k", 7.0d))
+    val flags = Stats.madOutliers(const.toDF("id", "g", "x"), Seq("g"), "id", col("x"))
+      .collect().map(_.getLong(5))
+    assert(flags.forall(_ == 0L))
+  }
+
+  test("equiDepthBuckets ≡ global sequential rank; bin granularity never changes the result") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(5, 80)
+      vs <- Gen.listOfN(n, Gen.chooseNum(-60, 60))
+    } yield vs.zipWithIndex.map { case (v, i) => (i.toLong, v / 4.0d) }
+    for (rows <- PropSampling.sample(gen, n = 6); k <- Seq(3, 8)) {
+      val expected = rows.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, v), i) =>
+          (id, v, i.toLong + 1L, (i.toLong * k) / rows.size.toLong) }
+        .toSet
+      for (bpu <- Seq(1, 4, 64)) {
+        val got = Stats.equiDepthBuckets(rows.toDF("id", "x"), "id", col("x"),
+            k = k, binsPerUnit = bpu)
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
+          .toSet
+        assert(got === expected, s"rank diverged at k=$k bpu=$bpu on $rows")
+      }
+    }
+    // Bucket sizes are balanced: never differ by more than one row.
+    val rows = (0L until 100L).map(i => (i, ((i * 37) % 100).toDouble))
+    val sizes = Stats.equiDepthBuckets(rows.toDF("id", "x"), "id", col("x"), k = 8)
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    assert(sizes.max - sizes.min <= 1, sizes.mkString(","))
+    // The bin-count guard fails fast instead of collecting unbounded censuses.
+    val e = intercept[IllegalArgumentException](
+      Stats.equiDepthBuckets(rows.toDF("id", "x"), "id", col("x"),
+        k = 4, binsPerUnit = 64, maxBins = 3))
+    assert(e.getMessage.contains("bins"))
+  }
 }
