@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics on DataFrames. Companion to the
@@ -460,6 +460,65 @@ object Graph {
       // depth at two join/agg layers while halving the eager
       // materialization barriers — which, not data volume, dominate
       // wall time between checkpoints.
+      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
+
+  /** Personalized PageRank / TrustRank (Gyöngyi et al.): the
+    * [[pageRank]] recurrence with teleport restricted to a SEED set —
+    * rank mass flows out from trusted nodes only, so the score reads
+    * "how reachable from the whitelist", the standard spam/quality
+    * signal over a crawl host graph (seed a few hand-vetted hosts,
+    * damp trust along links, threshold the tail). Same integer
+    * fixed-point arithmetic as [[pageRank]] (every step is exact
+    * `div`/`sum` on scaled longs — deterministic, hash-gateable);
+    * only the base term changes: `(1−d)·scale/|S|` on seeds, 0
+    * elsewhere, initial mass `scale/|S|` on seeds. Seeds not present
+    * in the graph are ignored (they can neither receive nor emit
+    * mass); at least one must survive.
+    *
+    * Scale shape: identical to [[pageRank]] — edges carry their
+    * out-degree once, each round is one equi-join + one
+    * map-side-combinable sum, lineage cut every other round; the
+    * seed flag is one keys-sized broadcast-eligible join, paid once
+    * outside the loop. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String, iters: Int,
+                           dampNum: Long = 85L, dampDen: Long = 100L,
+                           scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 0, "iters must be nonnegative")
+    require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
+    require(scale > 0, "scale must be positive")
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val flagged = nodes.join(
+        seeds.select(col(seedCol).cast("long").as("node")).distinct()
+          .withColumn("__s", lit(1L)),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("__s"), lit(0L)).as("__s"))
+      .localCheckpoint(true)
+    val ns = flagged.filter(col("__s") === 1L).count()
+    require(ns > 0, "personalizedPageRank: no seed node exists in the graph")
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val edgesDeg = e.join(deg, "src").localCheckpoint(true)
+    val base = ((dampDen - dampNum) * scale) / (dampDen * ns)
+    def seedTerm(perSeed: Long): Column =
+      when(col("__s") === 1L, lit(perSeed)).otherwise(lit(0L))
+    var ranks = flagged.select(col("node"),
+      seedTerm(scale / ns).as("trust_scaled"))
+    for (i <- 1 to iters) {
+      val contribs = edgesDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst"),
+          expr(s"($dampNum * trust_scaled) div ($dampDen * outdeg)").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = flagged
+        .join(contribs.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select(col("node"),
+          (seedTerm(base) + coalesce(col("s"), lit(0L))).as("trust_scaled"))
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     ranks

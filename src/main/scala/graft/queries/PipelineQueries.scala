@@ -1510,6 +1510,56 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // ---- q140: TrustRank — q60's integer PageRank recurrence with
+    // teleport restricted to a seed whitelist (every 16th node):
+    // the crawl-quality signal that separates "reachable from vetted
+    // hosts" from "merely well-linked". Same exact div/sum
+    // arithmetic on scaled longs, so three unrolled rounds hash-gate;
+    // non-seed nodes start and teleport at zero, which is the whole
+    // semantic difference the gate exercises.
+    Q("q140_trustrank", Some {
+      val iters = 3
+      val scale = 1000000000000L
+      val iterCtes = (1 to iters).map { i =>
+        s"""tr$i AS (
+        SELECT n.node,
+               CASE WHEN n.sf = 1
+                    THEN (SELECT (15 * $scale) // (100 * k) FROM ns)
+                    ELSE 0 END + COALESCE(c.s, 0) AS r
+        FROM nodesf n
+        LEFT JOIN (SELECT e.dst, CAST(SUM((85 * p.r) // (100 * d.outdeg)) AS BIGINT) AS s
+                   FROM e JOIN tr${i - 1} p ON p.node = e.src
+                   JOIN deg d ON d.src = e.src
+                   GROUP BY e.dst) c ON c.dst = n.node)"""
+      }.mkString(",\n      ")
+      s"""
+      WITH e AS (
+        SELECT DISTINCT o_custkey % 512 AS src,
+                        (o_custkey * 7 + o_orderkey * 13) % 512 AS dst
+        FROM orders
+        WHERE o_custkey % 512 <> (o_custkey * 7 + o_orderkey * 13) % 512),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      nodesf AS (SELECT node, CASE WHEN node % 16 = 0 THEN 1 ELSE 0 END AS sf
+                 FROM nodes),
+      ns AS (SELECT COUNT(*) AS k FROM nodesf WHERE sf = 1),
+      deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+      tr0 AS (SELECT node,
+                CASE WHEN sf = 1 THEN (SELECT $scale // k FROM ns) ELSE 0 END AS r
+              FROM nodesf),
+      $iterCtes
+      SELECT node, r AS trust_scaled FROM tr$iters ORDER BY node"""
+    }) { (s, d) =>
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(512)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(512)).as("dst"))
+        .filter(col("src") =!= col("dst")).distinct()
+      val seeds = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+        .filter(pmod(col("node"), lit(16)) === 0)
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "node", iters = 3)
+        .orderBy("node")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

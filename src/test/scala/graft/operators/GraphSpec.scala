@@ -284,6 +284,52 @@ class GraphSpec extends SparkSuite {
     assert(Seq(1L, 2L, 3L).forall(got(_) == ((0L, 3L))), got.toString)
   }
 
+  test("personalizedPageRank ≡ seeded sequential recurrence; all-seeds ≡ pageRank; guards") {
+    import spark.implicits._
+    val scale = 1000000000000L
+    def reference(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+      val nodes = edges.flatMap { case (s, t) => Seq(s, t) }.distinct.sorted
+      val inGraph = seeds.intersect(nodes.toSet)
+      val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val base = (15L * scale) / (100L * inGraph.size)
+      var r = nodes.map(v => v -> (if (inGraph(v)) scale / inGraph.size else 0L)).toMap
+      for (_ <- 0 until iters) {
+        val contribs = edges.groupBy(_._2).view.mapValues(_.map {
+          case (s, _) => (85L * r(s)) / (100L * outdeg(s))
+        }.sum).toMap
+        r = nodes.map(v => v ->
+          ((if (inGraph(v)) base else 0L) + contribs.getOrElse(v, 0L))).toMap
+      }
+      r
+    }
+    for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
+      val nodes = edges.flatMap { case (s, t) => Seq(s, t) }.distinct
+      // Seed every third node, plus one id guaranteed outside the
+      // graph — the op must ignore it.
+      val seeds = nodes.filter(_ % 3 == 0).toSet + 999L
+      if (seeds.exists(nodes.contains)) {
+        val got = Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+            seeds.toSeq.toDF("node"), "node", iters = 3)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got === reference(edges, seeds, iters = 3), s"ppr diverged on $edges")
+      }
+    }
+    // Seeding EVERY node degenerates to plain PageRank exactly.
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 0L))
+    val all = edges.flatMap { case (s, t) => Seq(s, t) }.distinct
+    val ppr = Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        all.toDF("node"), "node", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pr = Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr === pr)
+    // No seed in the graph fails fast.
+    val e = intercept[IllegalArgumentException](
+      Graph.personalizedPageRank(edges.toDF("src", "dst"), "src", "dst",
+        Seq(777L).toDF("node"), "node", iters = 2))
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("linkPrediction ≡ brute force; adjacent pairs excluded; degree cap drops hub wedges") {
     import spark.implicits._
     for (edges <- PropSampling.sample(edgeGen, n = 6) if edges.nonEmpty) {
