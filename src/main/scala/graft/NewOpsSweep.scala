@@ -99,6 +99,49 @@ object NewOpsSweep {
       val (t22, rows22) = time3(SparkEntry.queries("q122_systematic_sample")(spark, dir))
       println(f"NEWOPS q122 m=$m picks=$rows22 median=$t22%.2f")
     }
+
+    // q136 family: link prediction on disjoint graph replicas — the
+    // wedge census (the op's dominant term) and the emitted pair set
+    // both grow exactly m×, so measured time must track linearly or
+    // the wedge join is doing superlinear work.
+    val lpEdges = Tables.orders(spark, sf).select(
+        pmod(col("o_custkey"), lit(2048L)).as("src"),
+        pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(2048L)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    for (m <- Seq(1, 2, 4)) {
+      val edges = (0 until m).map(c =>
+          lpEdges.select((col("src") + lit(c * 1000000L)).as("src"),
+            (col("dst") + lit(c * 1000000L)).as("dst")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(
+        graft.operators.Graph.linkPrediction(edges, "src", "dst"))
+      println(f"NEWOPS q136 m=$m pairs=$rows median=$t%.2f")
+    }
+
+    // q131/q138/q139 family: m disjoint event replicas — ids offset,
+    // keys (user / event_type) prefixed per copy, so per-key state
+    // stays constant while key count grows m×: the shape a
+    // key-partitioned window plan must track linearly.
+    val ev = Tables.events(spark, sf)
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    for (m <- Seq(1, 2, 4)) {
+      val evM = (0 until m).map(c =>
+          ev.select((col("event_id") + lit(c * 1000000000L)).as("event_id"),
+            (col("user_id") + lit(c * 1000000L)).as("user_id"),
+            concat(lit(s"c$c:"), col("event_type")).as("event_type"),
+            col("ts"), col("value")))
+        .reduce(_ unionByName _)
+      val (t31, rows31) = time3(graft.operators.Temporal.resampleLocf(
+        evM.select("user_id", "ts", "value"), "user_id", "ts", "value",
+        bucketNs = 21600000000000L))
+      println(f"NEWOPS q131 m=$m rows=$rows31 median=$t31%.2f")
+      val (t38, rows38) = time3(graft.operators.Stats.madOutliers(
+        evM, Seq("event_type"), "event_id", col("value")))
+      println(f"NEWOPS q138 m=$m rows=$rows38 median=$t38%.2f")
+      val (t39, rows39) = time3(graft.operators.Stats.equiDepthBuckets(
+        evM, "event_id", col("value"), k = 8))
+      println(f"NEWOPS q139 m=$m rows=$rows39 median=$t39%.2f")
+    }
     spark.stop()
   }
 }
