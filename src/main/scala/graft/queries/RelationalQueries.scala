@@ -529,5 +529,72 @@ object RelationalQueries {
       Upsert.snapshotDiff(v1, v2, Seq("o_orderkey"),
           Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("o_orderkey")
+    },
+
+    // ---- q141: declarative validation report — the Deequ-shape
+    // data-quality gate an ingest runs before publishing a snapshot:
+    // completeness, uniqueness, range, set-membership and
+    // referential integrity, the scan checks compiled into ONE
+    // aggregate pass (adding a check adds a COLUMN, never a scan)
+    // plus one keys-projected anti-join for the FK. Status 'P' rows
+    // violate the set check and top-tail prices the range check, so
+    // failing AND passing branches both bind; every metric is a
+    // count ratio (exact longs + one correctly-rounded division).
+    Q("q141_validation_report", Some("""
+      WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
+                        CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_prio,
+                        CAST(COUNT(o_orderkey) AS BIGINT) AS nn_key,
+                        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_key,
+                        CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                                       AND (o_totalprice < 0 OR o_totalprice > 300000)
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+                        CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                                       AND o_orderstatus NOT IN ('O', 'F')
+                                      THEN 1 ELSE 0 END) AS BIGINT) AS v_set
+                 FROM orders),
+      fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphans FROM (
+               SELECT o.o_custkey FROM orders o
+               LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                 ON c.c_custkey = o.o_custkey
+               WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)),
+      fkn AS (SELECT CAST(COUNT(o_custkey) AS BIGINT) AS nn FROM orders)
+      SELECT * FROM (
+        SELECT 'orderpriority_complete' AS "check", 'o_orderpriority' AS "column",
+               CAST(nn_prio AS DOUBLE) / CAST(total AS DOUBLE) AS metric,
+               total - nn_prio AS violations,
+               CAST(CAST(nn_prio AS DOUBLE) / CAST(total AS DOUBLE) >= 1.0 AS BIGINT) AS passed
+        FROM t
+        UNION ALL
+        SELECT 'orderkey_unique', 'o_orderkey',
+               CAST(nd_key AS DOUBLE) / CAST(nn_key AS DOUBLE),
+               nn_key - nd_key,
+               CAST(CAST(nd_key AS DOUBLE) / CAST(nn_key AS DOUBLE) >= 1.0 AS BIGINT)
+        FROM t
+        UNION ALL
+        SELECT 'totalprice_range', 'o_totalprice',
+               CAST(v_range AS DOUBLE) / CAST(total AS DOUBLE), v_range,
+               CAST(v_range = 0 AS BIGINT)
+        FROM t
+        UNION ALL
+        SELECT 'status_domain', 'o_orderstatus',
+               CAST(v_set AS DOUBLE) / CAST(total AS DOUBLE), v_set,
+               CAST(v_set = 0 AS BIGINT)
+        FROM t
+        UNION ALL
+        SELECT 'custkey_fk', 'o_custkey',
+               CAST(fk.orphans AS DOUBLE) / CAST(fkn.nn AS DOUBLE), fk.orphans,
+               CAST(fk.orphans = 0 AS BIGINT)
+        FROM fk CROSS JOIN fkn)
+      ORDER BY "check"""")) { (s, d) =>
+      import graft.operators.Validation
+      import graft.operators.Validation._
+      Validation.report(Tables.orders(s, d), Seq(
+          Complete("orderpriority_complete", "o_orderpriority"),
+          Unique("orderkey_unique", "o_orderkey"),
+          InRange("totalprice_range", "o_totalprice", 0.0, 300000.0),
+          InSet("status_domain", "o_orderstatus", Seq("O", "F")),
+          RefIntegrity("custkey_fk", "o_custkey",
+            Tables.customer(s, d), "c_custkey")))
+        .orderBy("check")
     })
 }
