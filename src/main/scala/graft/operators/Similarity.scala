@@ -54,6 +54,34 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Mutual k-NN graph: the undirected pairs where EACH endpoint
+    * ranks the other inside its own top-k — the reciprocity filter
+    * that turns a directed kNN list into the edge set density
+    * clustering (DBSCAN-family), SemDeDup-style grouping and
+    * hubness-robust retrieval all start from (an asymmetric "b is
+    * near a" alone is exactly how hub vectors pollute neighbor
+    * graphs: the hub ranks nobody back). Input is ANY direction-
+    * ranked kNN frame `(query_id, neighbor_id, rank)` — exact
+    * [[bruteForceTopK]] output at audit scale, [[lshTopK]]/IVF
+    * output as the 100-TB path — so mutuality composes with every
+    * ANN tier instead of hard-wiring one.
+    *
+    * Scale shape: ONE self-equi-join of the kNN edge list on the
+    * reversed pair key — n·k rows a side, never the corpus — with
+    * the `u < v` orientation cut deduplicating each undirected edge.
+    * Output is integer-only (both ranks), so the gate needs no
+    * float hedge. */
+  def mutualKnn(knn: DataFrame): DataFrame = {
+    val fwd = knn.filter(col("query_id") < col("neighbor_id"))
+      .select(col("query_id").as("u"), col("neighbor_id").as("v"),
+        col("rank").cast("long").as("rank_uv"))
+    val rev = knn.filter(col("query_id") > col("neighbor_id"))
+      .select(col("neighbor_id").as("u"), col("query_id").as("v"),
+        col("rank").cast("long").as("rank_vu"))
+    fwd.join(rev, Seq("u", "v"))
+      .select(col("u"), col("v"), col("rank_uv"), col("rank_vu"))
+  }
+
   /** Sampled RECALL AUDIT of the LSH ANN path against exact ground
     * truth — the evaluation loop a production ANN deployment runs
     * continuously: approximate indexes silently lose recall as the

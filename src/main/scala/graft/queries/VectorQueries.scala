@@ -1052,5 +1052,36 @@ object VectorQueries {
       ORDER BY 1, 2""")) { (s, d) =>
       graft.operators.Features.jlProject(Tables.embeddings(s, d), axes = 8)
         .orderBy("vec_id", "axis")
+    },
+
+    // ---- q142: mutual k-NN graph — reciprocal top-5 pairs over the
+    // whole corpus: the hubness-robust edge set density clustering
+    // and SemDeDup grouping start from. Mutuality is a pure
+    // self-equi-join over the kNN edge list (n·k rows, never the
+    // corpus), composable with any ANN tier; the gate feeds it the
+    // exact brute-force ranking and emits integer ranks only, so no
+    // float hedge is needed. Oracle replays both directions' rank
+    // cut and the reciprocity join.
+    Q("q142_mutual_knn", Some(oracleProlog + """,
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_inner_product(c.v, q.v) / (c.nrm * q.nrm) AS sim_raw
+        FROM p c JOIN p q ON c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank
+        FROM scored),
+      kk AS (SELECT * FROM ranked WHERE rank <= 5)
+      SELECT a.query_id AS u, a.neighbor_id AS v,
+             a.rank AS rank_uv, b.rank AS rank_vu
+      FROM kk a JOIN kk b
+        ON b.query_id = a.neighbor_id AND b.neighbor_id = a.query_id
+      WHERE a.query_id < a.neighbor_id
+      ORDER BY u, v""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      graft.operators.Similarity.mutualKnn(
+          graft.operators.Similarity.bruteForceTopK(emb, emb, k = 5))
+        .orderBy("u", "v")
     })
 }

@@ -320,4 +320,36 @@ class SimilaritySpec extends SparkSuite {
       Similarity.mmrSelect(short, q, k = 2, lambda = 0.5, maxShortlist = 3))
     assert(e.getMessage.contains("maxShortlist") || e.getMessage.contains("shortlist"))
   }
+
+  test("mutualKnn ≡ brute-force reciprocity; a one-way hub edge never survives") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sfDir).limit(60)
+    val k = 4
+    val knn = Similarity.bruteForceTopK(emb, emb, k)
+    val directed = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.mutualKnn(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val ranks = knn.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Number](2).longValue).toMap
+    val expected = directed.filter { case (a, b) =>
+      a < b && directed.contains((b, a))
+    }.map { case (a, b) => (a, b, ranks((a, b)), ranks((b, a))) }
+    assert(got.toSet === expected, "mutual pairs diverged from directed reciprocity")
+    assert(got.nonEmpty, "fixture produced no mutual pairs — weaken k")
+    // Every surviving pair is reciprocal by construction; a directed
+    // edge whose reverse is missing must not appear.
+    val oneWay = directed.collectFirst {
+      case (a, b) if a < b && !directed.contains((b, a)) => (a, b)
+    }
+    for ((a, b) <- oneWay)
+      assert(!got.exists(p => p._1 == a && p._2 == b), s"one-way edge ($a,$b) survived")
+    // Composability: any (query_id, neighbor_id, rank) frame works —
+    // a hand-built asymmetric list keeps only its reciprocal pair.
+    val hand = Seq((1L, 2L, 1L), (2L, 1L, 2L), (1L, 3L, 2L), (3L, 4L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val handGot = Similarity.mutualKnn(hand).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(handGot.toSeq === Seq((1L, 2L, 1L, 2L)))
+  }
 }
