@@ -325,6 +325,54 @@ object Stats {
         (col("__dev") > lit(threshold) * col("mad")).cast("long").as("is_outlier")): _*)
   }
 
+  /** EXACT one-vs-rest ROC-AUC per class, computed as the
+    * Mann-Whitney U statistic with tie MID-ranks — the model-eval
+    * primitive ("does this score separate class c from the rest?")
+    * that normally gets approximated by sampling at scale, here
+    * exact: AUC is a pure rank statistic, global ranks come from the
+    * [[equiDepthBuckets]] blocked prefix machinery (no global
+    * ROW_NUMBER), and ties contribute their doubled mid-rank
+    * `2·minrank + cnt − 1` so every intermediate is an exact LONG;
+    * the only float op is the final `U/2 / (n₊·n₋)` division, hence
+    * the frame hash-gates. Scores must already be LONGs (quantize
+    * floats with the q82 recipe upstream — keeping the op
+    * integer-pure is what keeps it exact). Classes with an empty
+    * complement yield null AUC.
+    *
+    * Scale shape: the blocked rank pass, one id-keyed join to
+    * re-attach labels, one score-partitioned window for tie
+    * statistics, and a labels-sized census — nothing corpus-wide
+    * beyond the rank machinery itself. */
+  def classAuc(df: DataFrame, idCol: String, scoreCol: Column,
+               labelCol: String, binsPerUnit: Int = 4,
+               maxBins: Int = 1 << 20): DataFrame = {
+    val scored = df.select(col(idCol), scoreCol.cast("long").as("__score"),
+      col(labelCol).cast("long").as("__label"))
+      .filter(col("__score").isNotNull && col("__label").isNotNull)
+    val ranks = equiDepthBuckets(scored, idCol, col("__score"), k = 1,
+        binsPerUnit = binsPerUnit, maxBins = maxBins)
+      .select(col(idCol), col("v"), col("rank"))
+    val wTies = Window.partitionBy(col("v"))
+    val avg2 = ranks
+      .withColumn("__avg2",
+        lit(2L) * min(col("rank")).over(wTies)
+          + count(lit(1)).over(wTies) - 1L)
+      .join(scored.select(col(idCol), col("__label")), idCol)
+    // Labels-sized; materialized once so the grand-total branch does
+    // not replay the rank lineage.
+    val census = avg2.groupBy(col("__label").as("label"))
+      .agg(sum(col("__avg2")).as("__sum2"), count(lit(1)).as("n_pos"))
+      .localCheckpoint(true)
+    val total = census.agg(sum(col("n_pos")).as("__n"))
+    census.crossJoin(broadcast(total))
+      .select(col("label"), col("n_pos"), (col("__n") - col("n_pos")).as("n_neg"),
+        (col("__sum2") - col("n_pos") * (col("n_pos") + 1L)).as("u2"))
+      .withColumn("auc",
+        when(col("n_neg") > 0L,
+          col("u2").cast("double") /
+            (lit(2.0d) * col("n_pos").cast("double") * col("n_neg").cast("double"))))
+  }
+
   /** EXACT equi-depth bucketing (NTILE without the global sort):
     * every row's exact global rank in `(value, id)` order and its
     * k-quantile bucket `((rank−1)·k) div n` — the feature-binning /

@@ -224,6 +224,40 @@ object Temporal {
         col("best.i").as("imp_id"), (-col("best.nt")).as("imp_ts"))
   }
 
+  /** LINEAR multi-touch attribution — [[lastTouchAttribution]]'s
+    * winner-takes-all credit spread evenly instead: every same-key
+    * impression inside `[click − horizon, click]` receives
+    * `1 / n_candidates` of the click (the position-based variants are
+    * the same plan with a different weight projection). One row per
+    * (click, impression) pair, so the output carries the full
+    * assist graph budget reallocation needs, not just the winner.
+    *
+    * Scale shape: the SAME bucketized per-key [[intervalJoin]]
+    * candidate match as last-touch, then one clicks-keyed count
+    * aggregate re-attached by equi-join (candidates-sized, never
+    * corpus-sized; AQE broadcasts the census when clicks are few).
+    * Credit is ONE correctly-rounded division, so the frame
+    * hash-gates. */
+  def linearAttribution(impressions: DataFrame, clicks: DataFrame,
+                        keyCol: String, idCol: String, tsCol: String,
+                        horizon: Long, bucketWidth: Long): DataFrame = {
+    require(horizon > 0, "horizon must be positive")
+    val iv = impressions.select(col(keyCol), col(idCol).as("imp_id"),
+      col(tsCol).as("imp_ts"), col(tsCol).as("__start"),
+      (col(tsCol) + horizon + 1L).as("__end"))
+    val p = clicks.select(col(keyCol), col(idCol).as("click_id"),
+      col(tsCol).as("click_ts"))
+    val cand = intervalJoin(p, iv, "click_ts", "__start", "__end", bucketWidth,
+        equiKeys = Seq(keyCol))
+      .select(col("click_id"), col(keyCol), col("click_ts"),
+        col("imp_id"), col("imp_ts"))
+    val counts = cand.groupBy(col("click_id")).agg(count(lit(1)).as("__n"))
+    cand.join(counts, "click_id")
+      .select(col("click_id"), col(keyCol), col("click_ts"),
+        col("imp_id"), col("imp_ts"),
+        (lit(1.0d) / col("__n").cast("double")).as("credit"))
+  }
+
   /** Per-entity event-TRANSITION matrix — the path-analysis census
     * behind "what do users do next": for every consecutive pair of
     * events of the same key (ordered by time, ties by `tieCol`),

@@ -1560,6 +1560,37 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // ---- q143: linear multi-touch attribution — q123's
+    // winner-takes-all credit spread evenly over every in-horizon
+    // impression (credit = 1/n): the assist graph budget
+    // reallocation actually consumes, one row per (click,
+    // impression). Same bucketized per-user intervalJoin candidates;
+    // the census re-attach is candidates-keyed; one
+    // correctly-rounded division so the frame hash-gates. At sf0.01+
+    // multi-impression clicks make the split fractional.
+    Q("q143_linear_attribution", Some("""
+      WITH i AS (SELECT event_id AS imp_id, user_id, epoch_ns(ts) AS imp_ts
+                 FROM events WHERE event_type = 'view'),
+      c AS (SELECT event_id AS click_id, user_id, epoch_ns(ts) AS click_ts
+            FROM events WHERE event_type = 'click'),
+      p AS (SELECT c.click_id, c.user_id, c.click_ts, i.imp_id, i.imp_ts
+            FROM c JOIN i ON i.user_id = c.user_id
+             AND c.click_ts >= i.imp_ts
+             AND c.click_ts <= i.imp_ts + 7200000000000)
+      SELECT click_id, user_id, click_ts, imp_id, imp_ts,
+             1.0 / CAST(COUNT(*) OVER (PARTITION BY click_id) AS DOUBLE) AS credit
+      FROM p ORDER BY click_id, imp_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Temporal.linearAttribution(
+          ev.filter(col("event_type") === "view")
+            .select("user_id", "event_id", "ts"),
+          ev.filter(col("event_type") === "click")
+            .select("user_id", "event_id", "ts"),
+          keyCol = "user_id", idCol = "event_id", tsCol = "ts",
+          horizon = 7200000000000L, bucketWidth = 3600000000000L)
+        .orderBy("click_id", "imp_id")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

@@ -1083,5 +1083,40 @@ object VectorQueries {
       graft.operators.Similarity.mutualKnn(
           graft.operators.Similarity.bruteForceTopK(emb, emb, k = 5))
         .orderBy("u", "v")
+    },
+
+    // ---- q144: exact per-class ROC-AUC — the model-eval rank
+    // statistic ("does dimension 1 separate class c?") computed
+    // EXACTLY at scale: Mann-Whitney U with doubled tie mid-ranks on
+    // the q139 blocked-rank machinery, every intermediate an exact
+    // long, one final division. The oracle's RANK() min-tie-rank +
+    // per-score COUNT replays the mid-rank identity from first
+    // principles over a global window the engine plan never
+    // contains.
+    Q("q144_class_auc", Some("""
+      WITH s AS (SELECT vec_id,
+                   CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS score,
+                   CAST(label AS BIGINT) AS label
+                 FROM embeddings),
+      r AS (SELECT vec_id, score, label,
+                   CAST(RANK() OVER (ORDER BY score) AS BIGINT) AS minrank,
+                   CAST(COUNT(*) OVER (PARTITION BY score) AS BIGINT) AS cnt
+            FROM s),
+      a AS (SELECT label, CAST(SUM(2 * minrank + cnt - 1) AS BIGINT) AS sum2,
+                   CAST(COUNT(*) AS BIGINT) AS n_pos
+            FROM r GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM s)
+      SELECT a.label, a.n_pos, nn.n - a.n_pos AS n_neg,
+             a.sum2 - a.n_pos * (a.n_pos + 1) AS u2,
+             CASE WHEN nn.n - a.n_pos > 0 THEN
+               CAST(a.sum2 - a.n_pos * (a.n_pos + 1) AS DOUBLE)
+                 / (2.0 * CAST(a.n_pos AS DOUBLE)
+                    * CAST(nn.n - a.n_pos AS DOUBLE)) END AS auc
+      FROM a CROSS JOIN nn ORDER BY label""")) { (s, d) =>
+      graft.operators.Stats.classAuc(Tables.embeddings(s, d), "vec_id",
+          floor(element_at(col("embedding").cast("array<double>"), 1)
+            * 1000000L + 0.5d),
+          "label")
+        .orderBy("label")
     })
 }

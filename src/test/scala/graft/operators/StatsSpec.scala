@@ -262,6 +262,51 @@ class StatsSpec extends SparkSuite {
     assert(flags.forall(_ == 0L))
   }
 
+  test("classAuc ≡ Mann-Whitney replay with ties; perfect/reversed/degenerate fixtures") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(4, 60)
+      rows <- Gen.listOfN(n, for {
+        s <- Gen.chooseNum(-5L, 5L)  // heavy score ties
+        l <- Gen.chooseNum(0L, 2L)
+      } yield (s, l))
+    } yield rows.zipWithIndex.map { case ((s, l), i) => (i.toLong, s, l) }
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.classAuc(rows.toDF("id", "s", "l"), "id", col("s"), "l")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getDouble(4)))))
+        .toMap
+      val n = rows.size
+      // Doubled mid-rank per row: 2*minrank + cnt - 1 over the
+      // ascending score order.
+      val sorted = rows.map(_._2).sorted
+      def avg2(s: Long): Long = {
+        val first = sorted.indexOf(s) + 1L
+        val cnt = sorted.count(_ == s).toLong
+        2L * first + cnt - 1L
+      }
+      for (c <- rows.map(_._3).distinct) {
+        val pos = rows.filter(_._3 == c)
+        val npos = pos.size.toLong
+        val nneg = n.toLong - npos
+        val u2 = pos.map(r => avg2(r._2)).sum - npos * (npos + 1L)
+        val auc = if (nneg > 0) Some(u2.toDouble / (2.0d * npos.toDouble * nneg.toDouble))
+                  else None
+        assert(got(c) === ((npos, nneg, u2, auc)), s"AUC diverged for class $c on $rows")
+      }
+    }
+    // Perfect separation: class-1 scores all above class-0 → AUC 1;
+    // class 0 (one-vs-rest, scores all below) → AUC 0.
+    val perfect = Seq((1L, 10L, 1L), (2L, 11L, 1L), (3L, 1L, 0L), (4L, 2L, 0L))
+    val p = Stats.classAuc(perfect.toDF("id", "s", "l"), "id", col("s"), "l")
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(p(1L) === 1.0d && p(0L) === 0.0d, p.toString)
+    // Single class: empty complement → null AUC.
+    val mono = Seq((1L, 3L, 7L), (2L, 4L, 7L)).toDF("id", "s", "l")
+    assert(Stats.classAuc(mono, "id", col("s"), "l").collect().head.isNullAt(4))
+  }
+
   test("equiDepthBuckets ≡ global sequential rank; bin granularity never changes the result") {
     import spark.implicits._
     val gen = for {

@@ -384,6 +384,40 @@ class TemporalSpec extends SparkSuite {
     assert(got.collect().isEmpty)
   }
 
+  test("linearAttribution ≡ brute force: equal split, credits sum to 1, inclusive horizon") {
+    import spark.implicits._
+    val gen = for {
+      ni <- Gen.chooseNum(0, 20)
+      nc <- Gen.chooseNum(1, 15)
+      is <- Gen.listOfN(ni, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 50L)
+      } yield (k, t))
+      cs <- Gen.listOfN(nc, for {
+        k <- Gen.chooseNum(0L, 3L); t <- Gen.chooseNum(0L, 50L)
+      } yield (k, t))
+    } yield (is.zipWithIndex.map { case ((k, t), i) => (k, i.toLong, t) },
+             cs.zipWithIndex.map { case ((k, t), i) => (k, i.toLong + 500L, t) })
+    val horizon = 10L
+    for ((is, cs) <- PropSampling.sample(gen, n = 8)) {
+      val got = Temporal.linearAttribution(
+          is.toDF("k", "id", "t"), cs.toDF("k", "id", "t"),
+          "k", "id", "t", horizon = horizon, bucketWidth = 4L)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(3), r.getDouble(5)))
+        .toSet
+      val expected = cs.flatMap { case (k, cid, ct) =>
+        val cands = is.filter(i => i._1 == k && i._3 <= ct && ct <= i._3 + horizon)
+        cands.map(i => (cid, i._2, 1.0d / cands.size.toDouble))
+      }.toSet
+      assert(got === expected, s"attribution diverged on imps=$is clicks=$cs")
+      // Per-click credit mass is exactly 1 (n * (1/n) summed in any
+      // order of equal terms).
+      got.groupBy(_._1).foreach { case (c, rs) =>
+        assert(math.abs(rs.toSeq.map(_._3).sum - 1.0d) < 1e-12, s"click $c mass")
+      }
+    }
+  }
+
   test("resampleLocf ≡ brute force: spine coverage, carry-forward fill, n_obs") {
     import spark.implicits._
     val gen = for {
