@@ -35,34 +35,31 @@ object Validation {
   final case class RefIntegrity(name: String, column: String,
                                 dim: DataFrame, dimCol: String) extends Check
 
-  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "validation needs at least one check")
-    require(checks.map(_.name).distinct.size == checks.size, "check names must be unique")
-    val scanChecks = checks.collect {
-      case c: Complete => c: Check
-      case c: Unique => c: Check
-      case c: InRange => c: Check
-      case c: InSet => c: Check
-    }
-    // One aggregate: total rows + per-check sufficient counts.
-    val aggs: Seq[Column] = count(lit(1)).as("__total") +: scanChecks.map {
-      case Complete(n, c, _) => count(col(c)).as(s"__c_$n")
-      case Unique(n, c, _) => count_distinct(col(c)).as(s"__c_$n")
+  /** The scan checks' sufficient counts as aggregate columns — the
+    * compiled kernel [[report]] and the streaming twin
+    * ([[graft.streaming.EventStreams.validationWindowed]]) share, so
+    * a closed stream window's report is definitionally the batch
+    * report of the same rows. */
+  def scanAggs(checks: Seq[Check]): Seq[Column] = {
+    val perCheck = checks.collect {
+      case Complete(n, c, _) => Seq(count(col(c)).as(s"__c_$n"))
+      case Unique(n, c, _) =>
+        Seq(count_distinct(col(c)).as(s"__c_$n"), count(col(c)).as(s"__nn_$n"))
       case InRange(n, c, lo, hi) =>
-        sum(when(col(c).isNotNull &&
+        Seq(sum(when(col(c).isNotNull &&
           (col(c).cast("double") < lo || col(c).cast("double") > hi), 1L)
-          .otherwise(0L)).as(s"__c_$n")
+          .otherwise(0L)).as(s"__c_$n"))
       case InSet(n, c, allowed) =>
-        sum(when(col(c).isNotNull && !col(c).cast("string").isin(allowed: _*), 1L)
-          .otherwise(0L)).as(s"__c_$n")
-      case other => throw new IllegalStateException(other.toString)
-    }
-    val nonNullAggs: Seq[Column] = scanChecks.collect {
-      case Unique(n, c, _) => count(col(c)).as(s"__nn_$n")
-    }
-    val one = df.agg((aggs ++ nonNullAggs).head, (aggs ++ nonNullAggs).tail: _*)
+        Seq(sum(when(col(c).isNotNull && !col(c).cast("string").isin(allowed: _*), 1L)
+          .otherwise(0L)).as(s"__c_$n"))
+    }.flatten
+    count(lit(1)).as("__total") +: perCheck
+  }
+
+  /** One report struct per scan check, over [[scanAggs]]' aliases. */
+  def scanRows(checks: Seq[Check]): Seq[Column] = {
     val total = col("__total").cast("double")
-    val scanRows: Seq[Column] = scanChecks.map {
+    checks.collect {
       case Complete(n, c, minR) =>
         val metric = col(s"__c_$n").cast("double") / total
         struct(lit(n).as("check"), lit(c).as("column"), metric.as("metric"),
@@ -83,12 +80,22 @@ object Validation {
           (col(s"__c_$n").cast("double") / total).as("metric"),
           col(s"__c_$n").as("violations"),
           (col(s"__c_$n") === 0L).cast("long").as("passed"))
-      case other => throw new IllegalStateException(other.toString)
     }
-    val scanReport = one
-      .select(explode(array(scanRows: _*)).as("r"))
-      .select(col("r.check"), col("r.column"), col("r.metric"),
-        col("r.violations"), col("r.passed"))
+  }
+
+  def report(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(checks.nonEmpty, "validation needs at least one check")
+    require(checks.map(_.name).distinct.size == checks.size, "check names must be unique")
+    val scanChecks = checks.filterNot(_.isInstanceOf[RefIntegrity])
+    val scanReports =
+      if (scanChecks.isEmpty) Nil
+      else {
+        val aggs = scanAggs(scanChecks)
+        Seq(df.agg(aggs.head, aggs.tail: _*)
+          .select(explode(array(scanRows(scanChecks): _*)).as("r"))
+          .select(col("r.check"), col("r.column"), col("r.metric"),
+            col("r.violations"), col("r.passed")))
+      }
     // Referential checks: keys-projected anti-join each; orphan rows
     // are violations, metric is the orphan share.
     val refReports = checks.collect { case RefIntegrity(n, c, dim, dc) =>
@@ -102,6 +109,6 @@ object Validation {
         col("__orph").as("violations"),
         (col("__orph") === 0L).cast("long").as("passed"))
     }
-    refReports.foldLeft(scanReport)(_ unionByName _)
+    (scanReports ++ refReports).reduce(_ unionByName _)
   }
 }

@@ -412,6 +412,45 @@ object EventStreams {
         (-col("col.sim")).cast("long").as("sample_hash"))
   }
 
+  /** Streaming data-quality monitoring: the q141 validation report
+    * per tumbling event-time window — completeness, range, and
+    * set-membership checks over the ingest stream, one report row
+    * per (closed window, check). The production deployment of
+    * [[graft.operators.Validation]]: the batch report gates a
+    * snapshot, this one PAGES when a window's metric degrades.
+    * Shares the batch op's compiled aggregate kernel
+    * ([[graft.operators.Validation.scanAggs]]/`scanRows`), so a
+    * closed window's row is DEFINITIONALLY the batch report of that
+    * window's events (spec-pinned). State per open window is one
+    * counter per check — bounded by the check list, never by event
+    * volume.
+    *
+    * Uniqueness and referential checks are deliberately absent:
+    * a distinct count over an unbounded stream is the HLL window's
+    * job, and FK orphan detection is the stream-static anti-join's —
+    * both already in this tier; fail-fast if asked. */
+  def validationWindowed(events: DataFrame,
+                         checks: Seq[graft.operators.Validation.Check],
+                         watermark: String = "2 hours"): DataFrame = {
+    import graft.operators.Validation
+    require(checks.nonEmpty, "validation needs at least one check")
+    require(checks.forall {
+      case _: Validation.Complete | _: Validation.InRange | _: Validation.InSet => true
+      case _ => false
+    }, "streaming validation supports Complete/InRange/InSet — use the HLL window " +
+       "for distinctness and a stream-static anti-join for referential integrity")
+    val aggs = Validation.scanAggs(checks)
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("window.start").as("window_start"),
+        explode(array(Validation.scanRows(checks): _*)).as("r"))
+      .select(col("window_start"), col("r.check"), col("r.column"),
+        col("r.metric"), col("r.violations"), col("r.passed"))
+  }
+
   /** Streaming quality scoring with a batch-fit char-bigram model —
     * the fit-once/score-forever deployment every ingestion pipeline
     * runs: [[graft.operators.CharLm.collectModel]] fits on the

@@ -651,4 +651,51 @@ class EventStreamsSpec extends SparkSuite {
       (2L, 101L, Some(204L)), (9L, 104L, None)),
       s"left-outer attribution diverged: $streamed")
   }
+
+  test("streaming windowed validation ≡ batch report on closed windows; bad checks fail fast") {
+    import graft.operators.Validation
+    import Validation.{Complete, InRange, InSet, Unique}
+    // Hour-1 traffic: a null value (completeness), an out-of-range
+    // value, an off-domain type — every check kind violates at least
+    // once AND passes at least once; the sentinel closes hour 1.
+    def raw(id: Long, ts: Long, typ: String, value: String): String =
+      s"""{"event_id":$id,"ts":$ts,"user_id":1,"event_type":"$typ","value":$value,"props":"{}"}"""
+    val rows = Seq(
+      raw(1, 1 * H + 10, "click", "1.5"), raw(2, 1 * H + 20, "click", "null"),
+      raw(3, 1 * H + 30, "zzz", "99.0"), raw(4, 1 * H + 40, "buy", "-3.0"),
+      raw(5, 1 * H + 50, "click", "2.5"),
+      raw(6, 10 * H, "sentinel", "0.0"))
+    val checks = Seq(
+      Complete("v_complete", "value", minRatio = 0.9),
+      InRange("v_range", "value", 0.0, 10.0),
+      InSet("t_domain", "event_type", Seq("click", "buy", "sentinel")))
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "valout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.validationWindowed(EventStreams.readEventsJson(spark, dir), checks),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val got = spark.read.parquet(s"$out/data").collect()
+      .map(r => r.getString(1) -> ((r.getString(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5))))
+    assert(got.length === 3, s"expected one closed window x 3 checks: ${got.toSeq}")
+    // The shared compiled kernel makes this definitional, but pin it:
+    // the closed window's report equals the batch report of its rows.
+    val batchInput = Seq(
+      (Option(1.5d), "click"), (None: Option[Double], "click"),
+      (Option(99.0d), "zzz"), (Option(-3.0d), "buy"), (Option(2.5d), "click"))
+      .toDF("value", "event_type")
+    val batch = Validation.report(batchInput, checks).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))))
+    assert(got.toMap === batch.toMap, "streamed window diverged from batch report")
+    // 4/5 complete fails the 0.9 floor; both violation checks flag.
+    val byName = got.toMap
+    assert(byName("v_complete")._4 === 0L && byName("v_complete")._3 === 1L)
+    assert(byName("v_range")._3 === 2L && byName("t_domain")._3 === 1L)
+    // Distinct counts need the HLL window, not this op.
+    intercept[IllegalArgumentException](
+      EventStreams.validationWindowed(
+        EventStreams.readEventsJson(spark, dir), Seq(Unique("u", "event_id"))))
+  }
 }
