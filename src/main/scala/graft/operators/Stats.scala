@@ -325,6 +325,42 @@ object Stats {
         (col("__dev") > lit(threshold) * col("mad")).cast("long").as("is_outlier")): _*)
   }
 
+  /** EXACT Spearman rank correlation — the robust (monotone,
+    * outlier-immune) correlation beside [[linearFit]]'s Pearson-
+    * family moments: Pearson over TIE-MID-RANKS of both variables.
+    * Composes the engine's own exact primitives — doubled mid-ranks
+    * `2·minrank + cnt − 1` from the [[equiDepthBuckets]] blocked
+    * machinery (the [[classAuc]] identity, so every rank is an exact
+    * LONG with no 0.5 fractions) and [[linearFit]]'s decimal-exact
+    * sufficient sums — so ρ = sign(slope)·√r² gates bit-for-bit (the
+    * q115 assortativity spelling). Inputs must be LONGs (quantize
+    * floats upstream); null pairs drop.
+    *
+    * Scale shape: two blocked rank passes (no global ROW_NUMBER —
+    * pinned at the q139 gate), one id-keyed join aligning the rank
+    * columns, one global OLS aggregate. Output is a single row:
+    * `(n, slope, intercept, r2, spearman)`. */
+  def spearman(df: DataFrame, idCol: String, xCol: Column, yCol: Column,
+               binsPerUnit: Int = 4, maxBins: Int = 1 << 20): DataFrame = {
+    val scored = df.select(col(idCol), xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .localCheckpoint(true)
+    def avg2Ranks(c: String, out: String): DataFrame = {
+      val ranks = equiDepthBuckets(scored.select(col(idCol), col(c)), idCol,
+          col(c), k = 1, binsPerUnit = binsPerUnit, maxBins = maxBins)
+        .select(col(idCol), col("v"), col("rank"))
+      val w = Window.partitionBy(col("v"))
+      ranks.withColumn(out,
+          lit(2L) * min(col("rank")).over(w) + count(lit(1)).over(w) - 1L)
+        .select(col(idCol), col(out))
+    }
+    linearFit(avg2Ranks("__x", "rx2").join(avg2Ranks("__y", "ry2"), idCol),
+        Seq(), col("rx2"), col("ry2"))
+      .withColumn("spearman",
+        when(col("slope") < 0, -sqrt(col("r2"))).otherwise(sqrt(col("r2"))))
+  }
+
   /** EXACT one-vs-rest ROC-AUC per class, computed as the
     * Mann-Whitney U statistic with tie MID-ranks — the model-eval
     * primitive ("does this score separate class c from the rest?")

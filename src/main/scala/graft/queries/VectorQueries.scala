@@ -1118,5 +1118,54 @@ object VectorQueries {
             * 1000000L + 0.5d),
           "label")
         .orderBy("label")
+    },
+
+    // ---- q145: exact Spearman rank correlation — "are dimensions 1
+    // and 2 monotonically related?" computed exactly at scale:
+    // tie-mid-ranks (doubled, so every rank is a long — the q144
+    // identity) from the q139 blocked machinery for BOTH variables,
+    // then q71's decimal-exact OLS sums and the q115 sign·sqrt(r²)
+    // spelling. Coarse eighth-grain quantization makes ties heavy on
+    // purpose — the mid-rank path is the whole point. The oracle
+    // replays ranks via global RANK() windows the engine plan never
+    // contains.
+    Q("q145_spearman", Some("""
+      WITH s AS (SELECT vec_id,
+                   CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 8 + 0.5) AS BIGINT) AS x,
+                   CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 8 + 0.5) AS BIGINT) AS y
+                 FROM embeddings),
+      rx AS (SELECT vec_id,
+               CAST(2 * RANK() OVER (ORDER BY x)
+                    + COUNT(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2
+             FROM s),
+      ry AS (SELECT vec_id,
+               CAST(2 * RANK() OVER (ORDER BY y)
+                    + COUNT(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+             FROM s),
+      p AS (SELECT CAST(rx.rx2 AS DECIMAL(12,0)) AS x,
+                   CAST(ry.ry2 AS DECIMAL(18,2)) AS y
+            FROM rx JOIN ry USING (vec_id)),
+      s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               CAST(SUM(y * y) AS DOUBLE) AS syy
+             FROM p WHERE x IS NOT NULL AND y IS NOT NULL),
+      f AS (SELECT n,
+              CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                   THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+              CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                   THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
+              CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 AND CAST(n AS DOUBLE) * syy - sy * sy <> 0
+                   THEN (CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+            FROM s2)
+      SELECT n, slope, intercept, r2,
+             CASE WHEN slope < 0 THEN -sqrt(r2) ELSE sqrt(r2) END AS spearman
+      FROM f""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      graft.operators.Stats.spearman(emb, "vec_id",
+        floor(element_at(col("e"), 1) * 8 + 0.5d),
+        floor(element_at(col("e"), 2) * 8 + 0.5d))
     })
 }

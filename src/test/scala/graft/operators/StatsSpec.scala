@@ -307,6 +307,55 @@ class StatsSpec extends SparkSuite {
     assert(Stats.classAuc(mono, "id", col("s"), "l").collect().head.isNullAt(4))
   }
 
+  test("spearman ≡ driver mid-rank Pearson replay; monotone fixtures hit ±1 exactly") {
+    import spark.implicits._
+    def reference(rows: Seq[(Long, Long, Long)]): Double = {
+      def avg2(vs: Seq[Long]): Map[Long, Long] = {
+        val sorted = vs.sorted
+        vs.distinct.map { v =>
+          v -> (2L * (sorted.indexOf(v) + 1L) + sorted.count(_ == v).toLong - 1L)
+        }.toMap
+      }
+      val ax = avg2(rows.map(_._2)); val ay = avg2(rows.map(_._3))
+      val xs = rows.map(r => ax(r._2)); val ys = rows.map(r => ay(r._3))
+      val n = rows.size.toDouble
+      val sx = xs.sum.toDouble; val sy = ys.sum.toDouble
+      val sxx = xs.map(x => x * x).sum.toDouble
+      val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum.toDouble
+      val syy = ys.map(y => y * y).sum.toDouble
+      val cov = n * sxy - sx * sy
+      val slope = cov / (n * sxx - sx * sx)
+      val r2 = cov * cov / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      if (slope < 0) -math.sqrt(r2) else math.sqrt(r2)
+    }
+    val gen = for {
+      n <- Gen.chooseNum(5, 50)
+      rows <- Gen.listOfN(n, for {
+        x <- Gen.chooseNum(-4L, 4L)  // heavy ties on both variables
+        y <- Gen.chooseNum(-4L, 4L)
+      } yield (x, y))
+    } yield rows.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    for (rows <- PropSampling.sample(gen, n = 8)
+         if rows.map(_._2).distinct.size > 1 && rows.map(_._3).distinct.size > 1) {
+      val got = Stats.spearman(rows.toDF("id", "x", "y"), "id", col("x"), col("y"))
+        .collect().head.getDouble(4)
+      assert(got === reference(rows), s"spearman diverged on $rows")
+    }
+    // Strictly monotone (any monotone transform): rho = 1 exactly;
+    // reversed: -1 exactly. Ranks make this exact where Pearson on
+    // raw values would not be.
+    val mono = (1L to 20L).map(i => (i, i, i * i))
+    assert(Stats.spearman(mono.toDF("id", "x", "y"), "id", col("x"), col("y"))
+      .collect().head.getDouble(4) === 1.0d)
+    val rev = (1L to 20L).map(i => (i, i, -(i * i)))
+    assert(Stats.spearman(rev.toDF("id", "x", "y"), "id", col("x"), col("y"))
+      .collect().head.getDouble(4) === -1.0d)
+    // A constant variable has zero rank variance: null rho, never NaN.
+    val const = (1L to 5L).map(i => (i, 3L, i))
+    assert(Stats.spearman(const.toDF("id", "x", "y"), "id", col("x"), col("y"))
+      .collect().head.isNullAt(4))
+  }
+
   test("equiDepthBuckets ≡ global sequential rank; bin granularity never changes the result") {
     import spark.implicits._
     val gen = for {
