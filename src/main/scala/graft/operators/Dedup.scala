@@ -27,6 +27,57 @@ import graft.functions.{GraftFunctions, TextFunctions}
   */
 object Dedup {
 
+  /** EDIT-DISTANCE near-dup join with prefix blocking — the fuzzy
+    * tier below the set-similarity family: Jaccard/MinHash see BAGS
+    * of tokens (reordering is free), Levenshtein sees the exact
+    * character sequence, which is what catches OCR noise, typo'd
+    * re-posts and template fills the set view calls identical-or-
+    * unrelated. Candidates come from record-linkage PREFIX BLOCKING
+    * (equal first-`blockTokens`-words key — a deterministic,
+    * SQL-replayable block), verification is both engines' native
+    * `levenshtein` capped at `maxEdits`. Emits `(doc_a, doc_b,
+    * edits)` per surviving pair.
+    *
+    * Scale shape: one equi-self-join on the block key — candidates
+    * are quadratic PER BLOCK only, the standard record-linkage
+    * trade, and a boilerplate prefix (every doc opening with the
+    * same 8 words) would silently run n²: the in-plan census guard
+    * fails fast past `maxBlockSize` instead. Recall is the blocking
+    * trade, also standard: an edit INSIDE the prefix moves the pair
+    * out of the block — callers needing edit-anywhere recall union a
+    * second pass blocked on a suffix or length key. */
+  def editDistanceNearDup(docs: DataFrame, maxEdits: Int,
+                          blockTokens: Int = 8, maxBlockSize: Long = 4096L,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(maxEdits >= 0, "maxEdits must be nonnegative")
+    require(blockTokens >= 1, "blockTokens must be >= 1")
+    require(maxBlockSize >= 2, "maxBlockSize must be >= 2")
+    val keyed = docs.select(col(idCol), col(textCol),
+      array_join(slice(TextFunctions.tokens(col(textCol)), 1, blockTokens), " ")
+        .as("__blk"))
+    val guard = keyed.groupBy(col("__blk")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__bn",
+        when(col("__bn") <= maxBlockSize, col("__bn"))
+          .otherwise(raise_error(concat(
+            lit(s"editDistanceNearDup: a prefix block exceeds $maxBlockSize docs"),
+            lit(" - raise blockTokens or pre-collapse exact duplicates")))
+            .cast("long")))
+    // The filter keeps `__bn` REFERENCED: an unused guard column
+    // would be pruned by Catalyst and the raise_error silently
+    // optimized away (counts are >= 1, so the predicate never drops
+    // a row — it exists to force the guard's evaluation).
+    val blocked = keyed.join(guard, "__blk").filter(col("__bn") >= 1L)
+    val a = blocked.select(col("__blk"), col(idCol).as("doc_a"),
+      col(textCol).as("__ta"))
+    val b = blocked.select(col("__blk"), col(idCol).as("doc_b"),
+      col(textCol).as("__tb"))
+    a.join(b, Seq("__blk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("__ta"), col("__tb")).cast("long").as("edits"))
+      .filter(col("edits") <= maxEdits)
+  }
+
   /** Exact dedup by order-invariant content fingerprint: survivors =
     * min doc id per canonical token-set fingerprint. */
   def exactByFingerprint(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

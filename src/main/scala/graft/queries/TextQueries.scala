@@ -138,6 +138,36 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q146: edit-distance near-dup join — the FUZZY tier below
+    // the set-similarity family: Jaccard sees token bags, Levenshtein
+    // sees the character sequence (OCR noise, typo'd re-posts).
+    // Prefix blocking (equal first-8-words key) is the
+    // record-linkage candidate cut — deterministic and replayed
+    // verbatim by the oracle — and verification is both engines'
+    // native levenshtein. Twins append ' zz' (3 edits, prefix
+    // intact) so every planted pair blocks together and verifies at
+    // maxEdits=4; the corpus's exact duplicates surface at 0 edits.
+    Q("q146_editdist_neardup", Some("""
+      WITH k AS (
+        SELECT doc_id, text,
+               array_to_string(string_split(text, ' ')[1:8], ' ') AS blk
+        FROM (SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 10000000, text || ' zz'
+              FROM documents WHERE doc_id % 10 = 0))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(levenshtein(a.text, b.text) AS BIGINT) AS edits
+      FROM k a JOIN k b ON b.blk = a.blk AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.text, b.text) <= 4
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val twins = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      Dedup.editDistanceNearDup(docs.unionByName(twins), maxEdits = 4)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q22: exact set-similarity self-join with prefix filtering
     // (PPJoin-style) at 0.9 — exact algorithm, so it matches the
     // brute-force oracle with zero recall caveats.

@@ -187,4 +187,51 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Seq[Long])].collect().toMap
     assert(viaKernel == viaColumns)
   }
+
+  test("editDistanceNearDup ≡ within-block brute force; blocking recall caveat; block guard") {
+    import spark.implicits._
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // Three prefix families with in-family char noise; block key is
+    // the first 2 words.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma deltX"),
+      (3L, "alpha beta totally different tail"), (4L, "omega psi one two"),
+      (5L, "omega psi one twoo"), (6L, "lone prefix here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistanceNearDup(docs, maxEdits = 2, blockTokens = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val rows = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma deltX"),
+      (3L, "alpha beta totally different tail"), (4L, "omega psi one two"),
+      (5L, "omega psi one twoo"), (6L, "lone prefix here"))
+    def blk(t: String) = t.split(" ").take(2).mkString(" ")
+    val expected = (for {
+      a <- rows; b <- rows
+      if a._1 < b._1 && blk(a._2) == blk(b._2)
+      e = lev(a._2, b._2) if e <= 2
+    } yield (a._1, b._1, e.toLong)).toSet
+    assert(got === expected && got === Set((1L, 2L, 1L), (4L, 5L, 1L)))
+    // Blocking recall caveat, pinned: one edit INSIDE the prefix
+    // moves the pair out of the block even at distance 1.
+    val prefixEdit = Seq((1L, "alpha beta tail"), (2L, "alphaX beta tail"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistanceNearDup(prefixEdit, maxEdits = 2, blockTokens = 2)
+      .collect().isEmpty)
+    // A boilerplate block past the cap fails fast instead of running n².
+    val boiler = (1L to 10L).map(i => (i, s"same same tail$i")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.editDistanceNearDup(boiler, maxEdits = 2, blockTokens = 2,
+        maxBlockSize = 4L).collect()
+    }
+    assert(e.getMessage.contains("editDistanceNearDup") ||
+      Option(e.getCause).exists(_.getMessage.contains("editDistanceNearDup")))
+  }
 }
