@@ -72,6 +72,35 @@ object Temporal {
     matched.select(out: _*)
   }
 
+  /** Forward as-of join — [[asofJoinBackward]] mirrored in time: for
+    * every left row, the single right row with the SMALLEST `timeCol`
+    * at or after it, per key — "the next reading / the next
+    * scheduled event from here", the lookahead every
+    * time-to-next-event feature needs. Implemented BY the backward
+    * operator on negated times (the order-reversal is exact on
+    * longs), so the union + carry-forward scale shape — one key
+    * shuffle, partitioned window, each right row touched once — and
+    * the null-key / same-instant-inclusive semantics are inherited,
+    * not re-implemented. Ties among right rows sharing (key, time)
+    * resolve to the LARGEST `tieCols` tuple (the backward
+    * operator's last-wins under negation); pass a unique id for
+    * determinism. If `payloadCols` carries the time column itself,
+    * it is negated back on the way out. */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keyCol: String, timeCol: String,
+                      payloadCols: Seq[String],
+                      prefix: String = "asof_",
+                      tieCols: Seq[String] = Nil): DataFrame = {
+    val out = asofJoinBackward(
+        left.withColumn(timeCol, -col(timeCol)),
+        right.withColumn(timeCol, -col(timeCol)),
+        keyCol, timeCol, payloadCols, prefix, tieCols)
+      .withColumn(timeCol, -col(timeCol))
+    if (payloadCols.contains(timeCol))
+      out.withColumn(s"$prefix$timeCol", -col(s"$prefix$timeCol"))
+    else out
+  }
+
   /** SCD2 (slowly-changing-dimension type 2) history build: each
     * input row becomes a version row carrying `version` (1-based per
     * key), `valid_from` (its own time) and `valid_to` (the NEXT

@@ -1560,6 +1560,40 @@ object PipelineQueries {
         .orderBy("node")
     },
 
+    // ---- q147: forward as-of join — the lookahead twin of q51's
+    // backward snapshot join, run as its own gate: for every click,
+    // the same user's NEXT buy at-or-after it (time-to-conversion
+    // features). The engine is asofJoinBackward on negated times —
+    // order reversal is exact on longs, so the union+carry shape and
+    // null/tie semantics are inherited, not re-implemented; ties
+    // resolve to the largest event id and unmatched clicks keep null
+    // payloads. The oracle replays "smallest buy time >= click time,
+    // max id on ties" from first principles with a left join.
+    Q("q147_asof_forward", Some("""
+      WITH c AS (SELECT event_id, user_id, epoch_ns(ts) AS ts
+                 FROM events WHERE event_type = 'click'),
+      b AS (SELECT event_id AS next_event_id, user_id, epoch_ns(ts) AS bt
+            FROM events WHERE event_type = 'buy'),
+      j AS (SELECT c.event_id, c.user_id, c.ts, b.next_event_id, b.bt,
+              ROW_NUMBER() OVER (PARTITION BY c.event_id
+                                 ORDER BY b.bt ASC, b.next_event_id DESC) AS rn
+            FROM c LEFT JOIN b ON b.user_id = c.user_id AND b.bt >= c.ts)
+      SELECT event_id, user_id, ts, next_event_id, bt AS next_ts
+      FROM j WHERE rn = 1 ORDER BY event_id""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      Temporal.asofJoinForward(
+          ev.filter(col("event_type") === "click")
+            .select("user_id", "event_id", "ts"),
+          ev.filter(col("event_type") === "buy")
+            .select("user_id", "event_id", "ts"),
+          keyCol = "user_id", timeCol = "ts",
+          payloadCols = Seq("event_id", "ts"), prefix = "next_",
+          tieCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("next_event_id"), col("next_ts"))
+        .orderBy("event_id")
+    },
+
     // ---- q143: linear multi-touch attribution — q123's
     // winner-takes-all credit spread evenly over every in-horizon
     // impression (credit = 1/n): the assist graph budget

@@ -47,6 +47,44 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("asofJoinForward ≡ brute force: next-at-or-after, max-id ties, payload time restored") {
+    import spark.implicits._
+    val gen = for {
+      nl <- Gen.chooseNum(10, 40)
+      nr <- Gen.chooseNum(0, 25)
+      ls <- Gen.listOfN(nl, for {
+        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 30L)
+      } yield (k, t))
+      rs <- Gen.listOfN(nr, for {
+        k <- Gen.chooseNum(0L, 4L); t <- Gen.chooseNum(0L, 30L); v <- Gen.chooseNum(0, 999)
+      } yield (k, t, v.toDouble))
+    } yield (ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) },
+             rs.zipWithIndex.map { case ((k, t, v), i) => (i.toLong + 1000L, k, t, v) })
+    for ((ls, rs) <- PropSampling.sample(gen, n = 6)) {
+      val left = ls.toDF("event_id", "k", "t")
+      val right = rs.toDF("rid", "k", "t", "v")
+      // Payload includes the time column itself — the negation
+      // round-trip must restore it.
+      val got = Temporal.asofJoinForward(left, right, "k", "t",
+          payloadCols = Seq("rid", "t", "v"), prefix = "next_",
+          tieCols = Seq("rid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(3)) None else Some((r.getLong(3), r.getLong(4), r.getDouble(5)))))
+        .toSet
+      val expected = ls.map { case (id, k, t) =>
+        val cand = rs.filter(r => r._2 == k && r._3 >= t)
+        (id, t, if (cand.isEmpty) None else {
+          // smallest time wins; at equal times the LARGEST id (the
+          // backward op's last-in-tie-order under negation).
+          val best = cand.minBy(r => (r._3, -r._1))
+          Some((best._1, best._3, best._4))
+        })
+      }.toSet
+      assert(got === expected, s"forward asof diverged on left=$ls right=$rs")
+    }
+  }
+
   test("intervalJoin ≡ brute force: boundaries, degenerate and multi-bucket intervals, negative times") {
     import spark.implicits._
     val gen = for {
