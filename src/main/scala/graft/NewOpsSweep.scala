@@ -142,6 +142,46 @@ object NewOpsSweep {
         evM, "event_id", col("value"), k = 8))
       println(f"NEWOPS q139 m=$m rows=$rows39 median=$t39%.2f")
     }
+
+    // q146 family: edit-distance near-dup on m REPLICA-TAGGED
+    // document copies — each copy's texts get a distinct first
+    // token, so prefix blocks never span copies: blocks (and their
+    // quadratic-per-block pair work) grow exactly m×, and
+    // superlinear time would mean the block join leaks across
+    // blocks. blockTokens=9 keeps the gate's 8 original words
+    // under the added tag.
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    for (m <- Seq(1, 2, 4)) {
+      val dM = (0 until m).map(c =>
+          docs.select((col("doc_id") + lit(c * 100000000L)).as("doc_id"),
+            concat(lit(s"r$c "), col("text")).as("text")))
+        .reduce(_ unionByName _)
+      val twins = dM.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+        .select((col("doc_id") + 1000000000L).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"))
+      val (t, rows) = time3(graft.operators.Dedup.editDistanceNearDup(
+        dM.unionByName(twins), maxEdits = 4, blockTokens = 9))
+      println(f"NEWOPS q146 m=$m pairs=$rows median=$t%.2f")
+    }
+
+    // q142 family: mutualKnn on m id-OFFSET replicas of the exact
+    // kNN edge list (computed once, checkpointed, so the sweep times
+    // the reciprocity join alone): edges grow exactly m×, mutual
+    // pairs never span replicas, and the single self-equi-join must
+    // track linearly.
+    val knnBase = graft.operators.Similarity.bruteForceTopK(
+        Tables.embeddings(spark, sf), Tables.embeddings(spark, sf), k = 5)
+      .select("query_id", "neighbor_id", "rank")
+      .localCheckpoint(true)
+    for (m <- Seq(1, 2, 4)) {
+      val kM = (0 until m).map(c =>
+          knnBase.select((col("query_id") + lit(c * 100000000L)).as("query_id"),
+            (col("neighbor_id") + lit(c * 100000000L)).as("neighbor_id"),
+            col("rank")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(graft.operators.Similarity.mutualKnn(kM))
+      println(f"NEWOPS q142 m=$m pairs=$rows median=$t%.2f")
+    }
     spark.stop()
   }
 }

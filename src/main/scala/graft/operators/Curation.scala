@@ -591,4 +591,72 @@ object Curation {
       .orderBy(col("priority"), col(idCol))
       .limit(k)
   }
+
+  /** GLOBAL paragraph-level dedup with document reconstruction — the
+    * sub-document dedup granularity production pipelines (Dolma,
+    * RefinedWeb) run between exact-doc and near-dup passes: a
+    * boilerplate paragraph (nav bar, license header, cookie banner)
+    * repeated across millions of documents survives doc-level
+    * fingerprinting (every HOST document is unique) yet dominates
+    * the trained model's samples. Every distinct paragraph keeps its
+    * FIRST occurrence in `(doc, position)` order; later copies —
+    * including repeats inside one document — drop, and each document
+    * is re-assembled from its surviving paragraphs in original
+    * order. Emits `(id, n_paras, n_kept, text)` with `text` null
+    * when nothing survived (the "drop empty docs" filter is then a
+    * trivial predicate downstream).
+    *
+    * The caller supplies the paragraph split as an array column
+    * (`split(text, '\n\n')` in production; fixed token windows on
+    * corpora without layout) — the dedup semantics are independent
+    * of what a "paragraph" is.
+    *
+    * Scale shape: one explode scan → a map-side-combinable
+    * `min(first-occurrence key)` census per distinct paragraph → one
+    * equi-join of the paragraphs back to their census row → one
+    * per-document ordered re-concat (the q38 sorted-struct
+    * aggregate). Nothing is ever quadratic: a paragraph repeated n×
+    * contributes n census inputs but ONE census row, and the re-join
+    * fans each copy to exactly one winner key. The first-occurrence
+    * key packs `(id, idx)` into one long (`id · maxParasPerDoc +
+    * idx`) so the census min is a primitive-long aggregate, not a
+    * struct compare; an in-plan `raise_error` fails fast if a
+    * document exceeds `maxParasPerDoc` instead of silently
+    * mis-ordering. */
+  def paragraphDedup(docs: DataFrame, paragraphs: Column,
+                     idCol: String = "doc_id", sep: String = " ",
+                     maxParasPerDoc: Long = 100000L): DataFrame = {
+    require(maxParasPerDoc >= 1, "maxParasPerDoc must be positive")
+    val p = docs.select(col(idCol), posexplode(paragraphs).as(Seq("idx", "para")))
+    val keyed = p.withColumn("__k",
+      when(col("idx") >= maxParasPerDoc,
+        raise_error(lit(s"paragraphDedup: a document exceeds $maxParasPerDoc paragraphs"))
+          .cast("long"))
+        .otherwise(col(idCol).cast("long") * maxParasPerDoc + col("idx")))
+    val winners = keyed.groupBy(col("para")).agg(min(col("__k")).as("__w"))
+    keyed.join(winners, "para")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("__k") === col("__w"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+            array_sort(collect_list(when(col("__k") === col("__w"),
+              struct(col("idx"), col("para"))))),
+            x => x.getField("para")), sep).as("__text"))
+      .select(col(idCol), col("n_paras"), col("n_kept"),
+        when(col("n_kept") > 0L, col("__text")).as("text"))
+  }
+
+  /** Fixed-size non-overlapping token windows as a paragraph split
+    * for corpora without layout structure — the [[paragraphDedup]]
+    * companion when there is no `\n\n` to split on. The final window
+    * may be shorter. */
+  def tokenWindows(textCol: Column, windowTokens: Int): Column = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    val toks = TextFunctions.tokens(textCol)
+    when(size(toks) <= 0, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0),
+          ceil(size(toks).cast("double") / windowTokens).cast("int") - 1),
+        i => array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
+  }
 }

@@ -451,4 +451,48 @@ object Stats {
       .select(col(idCol), col("v"), col("rank"),
         expr(s"((rank - 1) * $k) div ${n}L").as("bucket"))
   }
+
+  /** Kaplan-Meier LIFE TABLE over right-censored durations — the
+    * survival-analysis sufficient statistics ("how long until a
+    * user converts / a job fails / a document is re-crawled", with
+    * subjects that never convert CENSORED at observation end, not
+    * dropped — dropping them is the classic bias). Input is one row
+    * per subject: `(duration, event)` with `event = 1` if the
+    * terminal event was observed and `0` if censored. Durations
+    * bucket to `bucketWidth` (life tables are interval-grouped by
+    * definition — and the bucket census is what bounds the global
+    * pass), and each interval reports `(t, n_events, n_censored,
+    * at_risk)` with `at_risk` = subjects whose duration reaches the
+    * interval's start. Every column is an exact long, so the frame
+    * hash-gates; the survival product `Π (1 − d/n)` is one fold the
+    * consumer applies (float products are not cross-engine-portable
+    * — the q77 no-transcendentals discipline).
+    *
+    * Scale shape: ONE map-side-combinable census over duration
+    * buckets (corpus-sized scan, buckets-sized output, fail-fast at
+    * `maxBuckets`), then the at-risk suffix sum runs as a single
+    * unpartitioned window over the CENSUS ONLY — bounded rows, never
+    * the corpus, the same bounded-global-window trade the q52/q72
+    * sketches make. */
+  def kmLifeTable(subjects: DataFrame, durationCol: Column, eventCol: Column,
+                  bucketWidth: Long, maxBuckets: Long = 1L << 20): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(maxBuckets >= 1, "maxBuckets must be positive")
+    val census = subjects
+      .select(durationCol.cast("long").as("__dur"), eventCol.cast("long").as("__e"))
+      .filter(col("__dur").isNotNull && col("__dur") >= 0L && col("__e").isNotNull)
+      .select(expr(s"__dur div ${bucketWidth}L").as("t"), col("__e"))
+      .groupBy(col("t"))
+      .agg(sum(col("__e")).as("n_events"),
+        sum(lit(1L) - col("__e")).as("n_censored"))
+    val nBuckets = census.limit((maxBuckets + 1).min(Int.MaxValue.toLong).toInt).count()
+    require(nBuckets <= maxBuckets,
+      s"more than $maxBuckets duration buckets at bucketWidth=$bucketWidth — widen the bucket")
+    val w = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    census
+      .withColumn("at_risk",
+        sum(col("n_events") + col("n_censored")).over(w))
+      .select(col("t"), col("n_events"), col("n_censored"), col("at_risk"))
+  }
 }

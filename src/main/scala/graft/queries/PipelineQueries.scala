@@ -1625,6 +1625,58 @@ object PipelineQueries {
         .orderBy("click_id", "imp_id")
     },
 
+    // ---- q149: Kaplan-Meier life table — time-to-conversion with
+    // right censoring: per user, duration from first view to first
+    // at-or-after buy, users who never buy CENSORED at the corpus's
+    // last event (dropping them is the classic conversion-time
+    // bias). Durations bucket to 6h intervals; each interval reports
+    // exact (n_events, n_censored, at_risk) longs — the survival
+    // product is one consumer-side fold (the no-transcendentals
+    // rule). The at-risk suffix sum runs over the bounded bucket
+    // census only, never the corpus.
+    Q("q149_km_lifetable", Some("""
+      WITH e AS (SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events),
+      st AS (SELECT user_id, MIN(ts) AS start FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      b AS (SELECT user_id, ts AS bt FROM e WHERE event_type = 'buy'),
+      fb AS (SELECT st.user_id, MIN(st.start) AS start,
+               MIN(CASE WHEN b.bt >= st.start THEN b.bt END) AS fbt
+             FROM st LEFT JOIN b ON b.user_id = st.user_id
+             GROUP BY st.user_id),
+      mx AS (SELECT MAX(ts) AS endts FROM e),
+      subj AS (SELECT CASE WHEN fbt IS NOT NULL THEN fbt - start
+                           ELSE endts - start END AS dur,
+                      CASE WHEN fbt IS NOT NULL THEN 1 ELSE 0 END AS ev
+               FROM fb, mx),
+      c AS (SELECT dur // 21600000000000 AS t,
+              CAST(SUM(ev) AS BIGINT) AS n_events,
+              CAST(SUM(1 - ev) AS BIGINT) AS n_censored
+            FROM subj GROUP BY 1)
+      SELECT t, n_events, n_censored,
+             CAST(SUM(n_events + n_censored) OVER (
+               ORDER BY t DESC ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS at_risk
+      FROM c ORDER BY t""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val st = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("start"))
+      val b = ev.filter(col("event_type") === "buy")
+        .select(col("user_id"), col("ts").as("bt"))
+      val fb = st.join(b, Seq("user_id"), "left")
+        .groupBy("user_id")
+        .agg(min(col("start")).as("start"),
+          min(when(col("bt") >= col("start"), col("bt"))).as("fbt"))
+      val endTs = ev.agg(max(col("ts")).as("endts"))
+      val subjects = fb.crossJoin(broadcast(endTs))
+        .select(
+          when(col("fbt").isNotNull, col("fbt") - col("start"))
+            .otherwise(col("endts") - col("start")).as("dur"),
+          col("fbt").isNotNull.cast("long").as("ev"))
+      Stats.kmLifeTable(subjects, col("dur"), col("ev"),
+          bucketWidth = 21600000000000L)
+        .orderBy("t")
+    },
+
     // ---- q126: distribution drift — per-group chi-square of the
     // value histogram against the pooled distribution, the "did this
     // source change shape?" production gate. Bins ride q72's shared

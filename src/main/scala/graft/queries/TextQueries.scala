@@ -168,6 +168,47 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q148: global paragraph-level dedup + document
+    // reconstruction — the Dolma/RefinedWeb sub-document pass:
+    // paragraphs (fixed 8-token windows on this layout-free corpus)
+    // keep their first (doc, idx) occurrence only, documents
+    // re-assemble from survivors in order. Every fifth document gets
+    // a planted 8-token boilerplate banner prepended (the repeated
+    // nav-bar shape the op exists for), so exactly one banner copy
+    // survives. First-occurrence keys pack (doc, idx) into one long;
+    // the oracle replays windows, census min and ordered re-concat
+    // from first principles.
+    Q("q148_paragraph_dedup", Some("""
+      WITH src AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0
+                    THEN 'b0 b1 b2 b3 b4 b5 b6 b7 ' || text
+                    ELSE text END AS text
+        FROM documents),
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM src),
+      p0 AS (SELECT doc_id, toks,
+               CAST(unnest(range(0, CAST(ceil(len(toks)/8.0) AS BIGINT))) AS BIGINT) AS idx
+             FROM t),
+      p AS (SELECT doc_id, idx,
+              array_to_string(toks[(idx*8+1):(idx*8+8)], ' ') AS para
+            FROM p0),
+      w AS (SELECT para, MIN(doc_id*100000 + idx) AS wk FROM p GROUP BY 1),
+      s AS (SELECT p.doc_id, p.idx, p.para,
+                   (p.doc_id*100000 + p.idx = w.wk) AS keep
+            FROM p JOIN w USING (para))
+      SELECT doc_id,
+             COUNT(*) AS n_paras,
+             CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             string_agg(CASE WHEN keep THEN para END, ' ' ORDER BY idx) AS text
+      FROM s GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val banner = "b0 b1 b2 b3 b4 b5 b6 b7 "
+      val src = Tables.documents(s, d).select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5L)) === 0L,
+          concat(lit(banner), col("text"))).otherwise(col("text")).as("text"))
+      Curation.paragraphDedup(src, Curation.tokenWindows(col("text"), 8))
+        .orderBy("doc_id")
+    },
+
     // ---- q22: exact set-similarity self-join with prefix filtering
     // (PPJoin-style) at 0.9 — exact algorithm, so it matches the
     // brute-force oracle with zero recall caveats.

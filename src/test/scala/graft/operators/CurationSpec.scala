@@ -505,4 +505,63 @@ class CurationSpec extends SparkSuite {
     assert(picked.count(_._1 < 200L) >= 30,
       s"heavy-weight rows under-sampled: ${picked.count(_._1 < 200L)}/40")
   }
+
+  test("paragraphDedup keeps first (doc, idx) occurrence only and reconstructs in order") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b|c d|a b"), // within-doc repeat: idx 2 drops
+      (2L, "c d|x y"),     // "c d" first seen in doc 1 → drops
+      (3L, "a b")          // everything already seen → null text
+    ).toDF("doc_id", "text")
+    val out = Curation.paragraphDedup(docs, split(col("text"), "\\|"), sep = "|")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(out === Seq(
+      (1L, 3L, 2L, Some("a b|c d")),
+      (2L, 2L, 1L, Some("x y")),
+      (3L, 1L, 0L, None)))
+  }
+
+  test("paragraphDedup ≡ sequential first-occurrence replay on random corpora") {
+    import spark.implicits._
+    val vocab = IndexedSeq("p", "q", "r")
+    val gen = for {
+      n <- Gen.chooseNum(3, 12)
+      texts <- Gen.listOfN(n, Gen.nonEmptyListOf(
+        Gen.oneOf(vocab.map(w => s"$w $w"))).map(_.take(6).mkString("|")))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Curation.paragraphDedup(
+          rows.toDF("doc_id", "text"), split(col("text"), "\\|"), sep = "|")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Option[String])].collect().toSeq
+      val seen = scala.collection.mutable.Set.empty[String]
+      val expected = rows.sortBy(_._1).map { case (id, t) =>
+        val paras = t.split("\\|", -1).toSeq
+        val kept = paras.filter(p => seen.add(p))
+        (id, paras.size.toLong, kept.size.toLong,
+          if (kept.isEmpty) None else Some(kept.mkString("|")))
+      }
+      assert(got === expected, s"paragraphDedup diverged on $rows")
+    }
+  }
+
+  test("paragraphDedup fails fast past maxParasPerDoc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a|b|c")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Curation.paragraphDedup(docs, split(col("text"), "\\|"),
+        maxParasPerDoc = 2L).collect()
+    }
+    assert(e.getMessage.contains("paragraphs"), e.getMessage)
+  }
+
+  test("tokenWindows: fixed windows, short tail, single window under size") {
+    import spark.implicits._
+    val got = Seq("a b c d e", "a").toDF("text")
+      .select(Curation.tokenWindows(col("text"), 2).as("p"))
+      .as[Seq[String]].collect().toSeq
+    assert(got.head === Seq("a b", "c d", "e"))
+    assert(got(1) === Seq("a"))
+  }
 }

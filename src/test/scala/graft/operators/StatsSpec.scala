@@ -387,4 +387,29 @@ class StatsSpec extends SparkSuite {
         k = 4, binsPerUnit = 64, maxBins = 3))
     assert(e.getMessage.contains("bins"))
   }
+
+  test("kmLifeTable: hand life table, censoring counted, at-risk suffix sums; guard trips") {
+    // durations [0,1,5,5,12], events [1,0,1,1,0], bucket 5:
+    //   t=0: 1 event + 1 censored; t=1: 2 events; t=2: 1 censored
+    //   at_risk (suffix): t=0 → 5, t=1 → 3, t=2 → 1
+    val subj = Seq((0L, 1L), (1L, 0L), (5L, 1L), (5L, 1L), (12L, 0L))
+      .toDF("dur", "ev")
+    val got = Stats.kmLifeTable(subj, col("dur"), col("ev"), bucketWidth = 5L)
+      .orderBy("t").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq((0L, 1L, 1L, 5L), (1L, 2L, 0L, 3L), (2L, 0L, 1L, 1L)))
+    // The KM survival fold a consumer applies over the table:
+    // S = Π (1 − d/n) over intervals with events.
+    val s = got.foldLeft(1.0) { case (acc, (_, d, _, n)) =>
+      acc * (1.0 - d.toDouble / n.toDouble) }
+    assert(math.abs(s - (1.0 - 1.0 / 5) * (1.0 - 2.0 / 3)) < 1e-12)
+    // Negative durations drop (malformed rows, not silently bucketed).
+    val withNeg = Seq((-3L, 1L), (0L, 1L)).toDF("dur", "ev")
+    val clean = Stats.kmLifeTable(withNeg, col("dur"), col("ev"), bucketWidth = 5L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(clean === Seq((0L, 1L, 0L, 1L)))
+    val e2 = intercept[IllegalArgumentException](
+      Stats.kmLifeTable(subj, col("dur"), col("ev"), bucketWidth = 1L,
+        maxBuckets = 2L))
+    assert(e2.getMessage.contains("buckets"))
+  }
 }
