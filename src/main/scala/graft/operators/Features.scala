@@ -219,4 +219,98 @@ object Features {
       stds, (c, s) => c / s)
     df.withColumn(outCol, z)
   }
+
+  /** Top principal direction, integer-exact: per-dimension means
+    * (truncated-toward-zero longs) and the power-iterated axis over
+    * the CENTERED scatter census. Every number is reproducible from
+    * the corpus alone — no RNG, no float fold — so the projection
+    * built from it hash-gates cross-engine. */
+  final case class PcaTopModel(means: Array[Long], axis: Array[Long],
+                               scale: Long)
+
+  /** Fit [[PcaTopModel]] — the embedding-hygiene direction ("all but
+    * the top": mean-center, find the dominant component, hand it to
+    * whitening/removal): two corpus passes plus a BOUNDED driver
+    * fit, the k-means/collectModel convention.
+    *
+    * Pass 1 aggregates exact per-dimension long sums (d rows);
+    * means truncate toward zero — the one integer division both
+    * engines share exactly. Pass 2 runs the [[covarianceMatrix]]
+    * Gram aggregator over the SHIFTED quantized vectors, so the one
+    * O(d²) buffer per partition IS the centered scatter matrix —
+    * map-side combined, nothing corpus-sized shuffles. The driver
+    * then (a) pre-scales the matrix to ≤2^30 by a power-of-two
+    * shift of the magnitudes (`sign·(|s| >> shift)` — an arithmetic
+    * shift of the raw negative would FLOOR where SQL's `//`-on-abs
+    * truncates, so the abs-first spelling is load-bearing), and
+    * (b) runs `rounds` fixed power-iteration steps in pure longs:
+    * w = C·v, then v' = sign(w)·(|w| div max(1, max|w| div 2^20)) —
+    * a deterministic integer renormalization to ~2^20 that replays
+    * verbatim in SQL. Fixed rounds, fixed all-ones start: the gate
+    * pins the exact iterate, not a convergence claim — consumers
+    * wanting tighter convergence raise `rounds`.
+    *
+    * Magnitude ledger (why nothing overflows): |q| ≤ 2·scale after
+    * centering, pair products ≤ 4e12, scatter sums near 2^63 only
+    * past ~2e6 rows (the documented [[covarianceMatrix]] trade);
+    * |C'| ≤ 2^30 and |v| ≤ 2^21 keep the matmul ≤ d·2^51. */
+  def fitPcaTop(embeddings: DataFrame, vecCol: String = "embedding",
+                scale: Long = 1000000L, rounds: Int = 8,
+                maxDims: Int = 256): PcaTopModel = {
+    require(scale > 0, "scale must be positive")
+    require(rounds >= 1, "rounds must be positive")
+    val quantized = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * scale + 0.5d).cast("long"))
+    val nonNull = embeddings.filter(col(vecCol).isNotNull)
+    val sums = nonNull
+      .select(posexplode(quantized).as(Seq("__d", "__v")))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"))
+      .orderBy("__d").limit(maxDims + 1).collect()
+    require(sums.nonEmpty, "empty corpus")
+    require(sums.length <= maxDims, s"more than $maxDims dimensions")
+    val n = sums.head.getLong(1)
+    val means = sums.map(r => r.getLong(2) / n) // trunc toward zero
+    val d = means.length
+    val mLit = array(means.map(lit): _*)
+    val shifted = zip_with(quantized, mLit, (x, m) => x - m)
+    val f = udaf(covAggregator, ExpressionEncoder[Array[Long]]())
+    val buf = nonNull.select(shifted.as("__q")).agg(f(col("__q")).as("c"))
+      .select(col("c.pairs")).head().getSeq[Long](0).toArray
+    // Mirror the upper triangle; pre-scale magnitudes to ≤ 2^30.
+    val scatter = Array.tabulate(d, d)((i, j) =>
+      if (i <= j) buf(i * d + j) else buf(j * d + i))
+    val maxAbs = scatter.flatten.foldLeft(0L)((a, x) => math.max(a, math.abs(x)))
+    val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(maxAbs) - 30)
+    val c = scatter.map(_.map(x =>
+      (if (x < 0) -1L else 1L) * (math.abs(x) >> shift)))
+    var v = Array.fill(d)(1L)
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0L)((acc, j) => acc + c(i)(j) * v(j)))
+      val m = w.foldLeft(0L)((a, x) => math.max(a, math.abs(x)))
+      val div = math.max(1L, m / 1048576L)
+      v = w.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / div))
+    }
+    PcaTopModel(means, v, scale)
+  }
+
+  /** Project every vector onto the fitted top direction:
+    * `proj = Σ_d (q_d − mean_d) · axis_d`, exact longs over LITERAL
+    * model arrays — a join-free one-scan codegen projection (the
+    * [[standardize]]/[[jlProject]] deployment shape), so it runs at
+    * parquet-scan speed on a batch frame or an ingest stream. */
+  def pcaProject(embeddings: DataFrame, model: PcaTopModel,
+                 idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val quantized = transform(col(vecCol).cast("array<double>"),
+      x => floor(x * model.scale + 0.5d).cast("long"))
+    val mLit = array(model.means.map(lit): _*)
+    val aLit = array(model.axis.map(lit): _*)
+    val centered = zip_with(quantized, mLit, (x, m) => x - m)
+    val terms = zip_with(centered, aLit, (x, a) => x * a)
+    embeddings.filter(col(vecCol).isNotNull)
+      .select(col(idCol),
+        aggregate(terms, lit(0L), (acc, x) => acc + x).as("proj"))
+  }
 }

@@ -22,6 +22,23 @@ object VectorQueries {
                       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                FROM embeddings)"""
 
+  /** The q150 oracle's unrolled power-iteration rounds: each round is
+    * one matmul CTE plus one integer-renormalization CTE, mirroring
+    * `Features.fitPcaTop`'s driver loop verbatim. MATERIALIZED is
+    * load-bearing: each round references its predecessor twice, so
+    * DuckDB's default CTE inlining re-expands the whole upstream
+    * pipeline 2^rounds times. */
+  private def pcaOracleRounds(n: Int): String =
+    (1 to n).map { k =>
+      val pv = s"v${k - 1}"
+      s""",
+      w$k AS MATERIALIZED (SELECT c.i AS dim, CAST(SUM(c.c * $pv.v) AS BIGINT) AS w
+              FROM cp c JOIN $pv ON $pv.dim = c.j GROUP BY 1),
+      v$k AS MATERIALIZED (SELECT dim, CAST((CASE WHEN w < 0 THEN -1 ELSE 1 END) *
+                (ABS(w) // GREATEST(1, (SELECT MAX(ABS(w)) FROM w$k) // 1048576))
+                AS BIGINT) AS v FROM w$k)"""
+    }.mkString
+
   val qs: Seq[Q] = Seq(
 
     // ---- q30: exact top-5 cosine neighbors for queries vec_id < 10.
@@ -1052,6 +1069,41 @@ object VectorQueries {
       ORDER BY 1, 2""")) { (s, d) =>
       graft.operators.Features.jlProject(Tables.embeddings(s, d), axes = 8)
         .orderBy("vec_id", "axis")
+    },
+
+    // ---- q150: top-principal-direction projection ("all but the
+    // top" embedding hygiene) — two-pass exact centered scatter
+    // census, FIXED 8-round integer power iteration on the bounded
+    // driver model, then a join-free literal-array projection scan.
+    // Every step is integer arithmetic both engines share exactly
+    // (trunc-toward-zero means, abs-then-shift pre-scale, div-based
+    // renormalization), so the oracle replays fit AND projection
+    // from first principles and the frame hash-gates bit-for-bit.
+    Q("q150_pca_project", Some("""
+      WITH qv AS MATERIALIZED (SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                    CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS q
+                  FROM embeddings, generate_series(1, 64) t(i)
+                  WHERE embedding IS NOT NULL),
+      sums AS (SELECT dim, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+               FROM qv GROUP BY 1),
+      m AS (SELECT dim, CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                             * (ABS(s) // n) AS BIGINT) AS m FROM sums),
+      qc AS MATERIALIZED (SELECT vec_id, qv.dim, qv.q - m.m AS qc
+             FROM qv JOIN m ON m.dim = qv.dim),
+      sc AS MATERIALIZED (SELECT a.dim AS i, b.dim AS j,
+               CAST(SUM(a.qc * b.qc) AS BIGINT) AS s
+             FROM qc a JOIN qc b ON b.vec_id = a.vec_id GROUP BY 1, 2),
+      sh AS (SELECT GREATEST(0, LENGTH(BIN(MAX(ABS(s)))) - 30) AS sh FROM sc),
+      cp AS MATERIALIZED (SELECT i, j, CAST((CASE WHEN s < 0 THEN -1 ELSE 1 END)
+                               * (ABS(s) >> sh) AS BIGINT) AS c FROM sc, sh),
+      v0 AS (SELECT DISTINCT i AS dim, CAST(1 AS BIGINT) AS v FROM sc)"""
+      + pcaOracleRounds(8) + """
+      SELECT qc.vec_id, CAST(SUM(qc.qc * v8.v) AS BIGINT) AS proj
+      FROM qc JOIN v8 ON v8.dim = qc.dim
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Features.fitPcaTop(emb)
+      graft.operators.Features.pcaProject(emb, model).orderBy("vec_id")
     },
 
     // ---- q142: mutual k-NN graph — reciprocal top-5 pairs over the

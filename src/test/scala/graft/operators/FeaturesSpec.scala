@@ -114,4 +114,51 @@ class FeaturesSpec extends SparkSuite {
     assert(!p.contains("Join"),
       s"covariance census must be one aggregator scan, not a pair join:\n${p.take(1200)}")
   }
+
+  test("fitPcaTop/pcaProject ≡ exact integer driver replay; dominant axis found; join-free") {
+    // Independent sequential replay of the whole integer pipeline
+    // from the raw vectors: quantize → trunc-mean center → scatter →
+    // shift pre-scale → 8 power rounds → project.
+    val vecs = emb.filter(col("embedding").isNotNull)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect()
+      .map { case (id, v) => (id, v.toArray.map(x =>
+        math.floor(x.toDouble * 1000000L + 0.5d).toLong)) }
+    val d = vecs.head._2.length
+    val n = vecs.length.toLong
+    val means = Array.tabulate(d)(j => vecs.map(_._2(j)).sum / n)
+    val qc = vecs.map { case (id, q) =>
+      (id, Array.tabulate(d)(j => q(j) - means(j))) }
+    val scatter = Array.tabulate(d, d)((i, j) =>
+      qc.map { case (_, v) => v(i) * v(j) }.sum)
+    val maxAbs = scatter.flatten.map(math.abs).max
+    val shift = math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(maxAbs) - 30)
+    val c = scatter.map(_.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) >> shift)))
+    var v = Array.fill(d)(1L)
+    for (_ <- 1 to 8) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      val m = w.map(math.abs).max
+      val div = math.max(1L, m / 1048576L)
+      v = w.map(x => (if (x < 0) -1L else 1L) * (math.abs(x) / div))
+    }
+    val expected = qc.map { case (id, q) =>
+      (id, (0 until d).map(j => q(j) * v(j)).sum) }.toMap
+    val model = Features.fitPcaTop(emb)
+    assert(model.means.toSeq === means.toSeq)
+    assert(model.axis.toSeq === v.toSeq)
+    val proj = Features.pcaProject(emb, model)
+    val got = proj.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === expected)
+    // The projection scan is join-free over literal model arrays.
+    val p = proj.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"pcaProject must be join-free:\n${p.take(1200)}")
+    // Planted dominant direction: variance concentrated on one axis
+    // pulls the fitted axis onto it.
+    val planted = (0L until 40L).map { i =>
+      (i, Seq.tabulate(4)(j =>
+        if (j == 2) (if (i % 2 == 0) 0.9f else -0.9f) else 0.001f * i))
+    }.toDF("vec_id", "embedding")
+    val pm = Features.fitPcaTop(planted)
+    assert(pm.axis.zipWithIndex.maxBy { case (a, _) => math.abs(a) }._2 === 2,
+      pm.axis.mkString(","))
+  }
 }
