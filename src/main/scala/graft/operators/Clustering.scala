@@ -199,4 +199,102 @@ object Clustering {
     * `v` and `vv`. */
   private def prepAssign(prepped: DataFrame, cs: Array[Centroid]): DataFrame =
     prepped.withColumn("a", best(cs))
+
+  /** GRID-BLOCKED DBSCAN over integer 2-D coordinates — the
+    * density-based complement to [[fit]]'s centroid clustering:
+    * k-means forces every point into a sphere; DBSCAN finds
+    * arbitrary-shape dense regions and calls the sparse remainder
+    * NOISE (the outlier semantics embedding-space curation actually
+    * wants: "drop what belongs to no dense region"). Exact DBSCAN
+    * semantics, sklearn conventions: the eps-neighborhood count
+    * INCLUDES the point itself, `core` ⇔ count ≥ minPts; border
+    * points (non-core with a core within eps) attach to the MIN
+    * component label among their core neighbors (deterministic where
+    * sklearn is order-dependent); everything else is noise with a
+    * null cluster. Cluster labels are the min core id per
+    * core-connectivity component.
+    *
+    * Scale shape — the classic spatial-join blocking: points bucket
+    * into eps-width grid cells (exact positive-mod floor division,
+    * portable to SQL's `//`), each point probes its 3×3 cell
+    * neighborhood via ONE equi-join on the cell key (every true
+    * ≤eps pair lands in exactly one neighbor-cell combination, so
+    * pairs emerge deduplicated), and candidate work is quadratic
+    * only PER CELL — an in-plan `raise_error` census guard fails
+    * fast past `maxCellSize` (the q146 convention) instead of
+    * silently running a dense-cell n². Core-core connectivity runs
+    * on the [[Dedup.connectedComponents]] hash-min/pointer-jumping
+    * machinery — logarithmic rounds, nothing corpus-quadratic.
+    * Coordinate magnitudes must stay under 2^26 (documented: dist²
+    * and cell arithmetic then fit longs exactly — quantized unit
+    * embeddings and their blob offsets are ~2^25). */
+  def dbscanGrid(points: DataFrame, idCol: String, xCol: Column, yCol: Column,
+                 eps: Long, minPts: Int,
+                 maxCellSize: Long = 4096L): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    require(minPts >= 1, "minPts must be positive")
+    require(maxCellSize >= 1, "maxCellSize must be positive")
+    // Exact floor division via the positive modulus — Spark longs
+    // truncate while SQL `//` floors, and grid cells must FLOOR so
+    // negative coordinates bucket left, not toward zero.
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(eps))) / lit(eps)).cast("long")
+    val pts = points.select(col(idCol).as("id"),
+        xCol.cast("long").as("x"), yCol.cast("long").as("y"))
+      .withColumn("cx", fdiv(col("x")))
+      .withColumn("cy", fdiv(col("y")))
+    val guard = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("__cn"))
+      .withColumn("__cn",
+        when(col("__cn") <= maxCellSize, col("__cn"))
+          .otherwise(raise_error(
+            lit(s"dbscanGrid: a grid cell exceeds $maxCellSize points — raise eps granularity or pre-aggregate"))
+            .cast("long")))
+    // The filter keeps the guard column referenced so Catalyst
+    // cannot prune the raise_error away (counts are always >= 1).
+    val g = pts.join(guard, Seq("cx", "cy")).filter(col("__cn") >= 1L)
+    val offsets = array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+      struct(lit(dx.toLong).as("dx"), lit(dy.toLong).as("dy"))): _*)
+    val lhs = g.select(col("id").as("a"), col("x").as("ax"),
+        col("y").as("ay"), col("cx").as("__bx"), col("cy").as("__by"))
+      .withColumn("o", explode(offsets))
+      .select(col("a"), col("ax"), col("ay"),
+        (col("__bx") + col("o.dx")).as("cx"),
+        (col("__by") + col("o.dy")).as("cy"))
+    val rhs = g.select(col("id").as("b"), col("x").as("bx"),
+      col("y").as("by"), col("cx"), col("cy"))
+    val dx = col("ax") - col("bx")
+    val dy = col("ay") - col("by")
+    val pairs = lhs.join(rhs, Seq("cx", "cy"))
+      .filter(col("a") =!= col("b") &&
+        dx * dx + dy * dy <= lit(eps) * lit(eps))
+      .select(col("a"), col("b"))
+      .localCheckpoint(true)
+    val ncount = pairs.groupBy(col("a")).agg(count(lit(1)).as("__nb"))
+    val flagged = pts.select(col("id"))
+      .join(ncount.select(col("a").as("id"), col("__nb")), Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("__nb"), lit(0L)) + 1L >= minPts).as("is_core"))
+      .localCheckpoint(true)
+    val coreIds = flagged.filter(col("is_core")).select(col("id"))
+    val coreEdges = pairs
+      .join(coreIds.select(col("id").as("a")), Seq("a"), "semi")
+      .join(coreIds.select(col("id").as("b")), Seq("b"), "semi")
+    val comp = Dedup.connectedComponents(coreEdges, "a", "b")
+    val coreLabel = coreIds
+      .join(comp.select(col("id"), col("comp")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("cl"))
+    val borderLabel = pairs
+      .join(coreLabel.select(col("id").as("b"), col("cl")), Seq("b"))
+      .groupBy(col("a")).agg(min(col("cl")).as("bl"))
+    flagged
+      .join(coreLabel.select(col("id"), col("cl")), Seq("id"), "left")
+      .join(borderLabel.select(col("a").as("id"), col("bl")), Seq("id"), "left")
+      .select(col("id"),
+        when(col("is_core"), lit("core"))
+          .when(col("bl").isNotNull, lit("border"))
+          .otherwise(lit("noise")).as("role"),
+        when(col("is_core"), col("cl"))
+          .otherwise(col("bl")).as("cluster"))
+  }
 }

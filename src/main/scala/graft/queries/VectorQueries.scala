@@ -1106,6 +1106,64 @@ object VectorQueries {
       graft.operators.Features.pcaProject(emb, model).orderBy("vec_id")
     },
 
+    // ---- q151: grid-blocked DBSCAN — density clustering with
+    // arbitrary-shape clusters and NOISE semantics, eps-grid 3×3
+    // spatial-join blocking (quadratic per cell only, cell census
+    // guarded), core-core components on the q47 hash-min machinery.
+    // The gate plants four separated blobs (id-parity offsets ≫ the
+    // data range) plus every-37th-point exiles, so core, border,
+    // noise and multiple cluster labels all appear; the oracle
+    // replays neighborhoods brute-force and the connectivity as a
+    // recursive closure. sklearn conventions: neighborhood counts
+    // include the point; border ties resolve to the MIN core label.
+    Q("q151_dbscan", Some("""
+      WITH RECURSIVE q AS MATERIALIZED (
+        SELECT vec_id AS id,
+          CAST(FLOOR(CAST(embedding[1] AS DOUBLE)*1000000+0.5) AS BIGINT)
+            + (vec_id % 2) * 3000000
+            + CASE WHEN vec_id % 37 = 0 THEN 20000000 ELSE 0 END AS x,
+          CAST(FLOOR(CAST(embedding[2] AS DOUBLE)*1000000+0.5) AS BIGINT)
+            + CASE WHEN vec_id % 4 >= 2 THEN 3000000 ELSE 0 END AS y
+        FROM embeddings WHERE embedding IS NOT NULL),
+      pr AS MATERIALIZED (
+        SELECT a.id AS a, b.id AS b FROM q a JOIN q b
+        ON b.id <> a.id
+         AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) <= 10000000000),
+      nc AS (SELECT q.id, COALESCE(c.cnt, 0) + 1 AS n
+             FROM q LEFT JOIN (SELECT a, COUNT(*) AS cnt FROM pr GROUP BY 1) c
+               ON c.a = q.id),
+      core AS MATERIALIZED (SELECT id FROM nc WHERE n >= 5),
+      ce AS MATERIALIZED (SELECT a, b FROM pr
+            WHERE a IN (SELECT id FROM core) AND b IN (SELECT id FROM core)),
+      e AS (SELECT a, b FROM ce UNION SELECT b, a FROM ce),
+      reach(src, dst) AS (SELECT a, b FROM e
+        UNION SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+      comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS cl
+               FROM reach GROUP BY 1),
+      clab AS MATERIALIZED (SELECT core.id, COALESCE(comp.cl, core.id) AS cl
+              FROM core LEFT JOIN comp ON comp.id = core.id),
+      bl AS (SELECT pr.a AS id, MIN(clab.cl) AS bl
+             FROM pr JOIN clab ON clab.id = pr.b
+             WHERE pr.a NOT IN (SELECT id FROM core) GROUP BY 1)
+      SELECT q.id AS vec_id,
+        CASE WHEN clab.id IS NOT NULL THEN 'core'
+             WHEN bl.id IS NOT NULL THEN 'border' ELSE 'noise' END AS role,
+        CASE WHEN clab.id IS NOT NULL THEN clab.cl ELSE bl.bl END AS cluster
+      FROM q LEFT JOIN clab ON clab.id = q.id LEFT JOIN bl ON bl.id = q.id
+      ORDER BY vec_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("embedding").isNotNull)
+      val qx = floor(element_at(col("embedding"), 1).cast("double") * 1000000d + 0.5d).cast("long") +
+        pmod(col("vec_id"), lit(2L)) * lit(3000000L) +
+        when(pmod(col("vec_id"), lit(37L)) === 0L, 20000000L).otherwise(0L)
+      val qy = floor(element_at(col("embedding"), 2).cast("double") * 1000000d + 0.5d).cast("long") +
+        when(pmod(col("vec_id"), lit(4L)) >= 2L, 3000000L).otherwise(0L)
+      graft.operators.Clustering.dbscanGrid(
+          emb.select(col("vec_id"), qx.as("x"), qy.as("y")),
+          "vec_id", col("x"), col("y"), eps = 100000L, minPts = 5)
+        .withColumnRenamed("id", "vec_id")
+        .orderBy("vec_id")
+    },
+
     // ---- q142: mutual k-NN graph — reciprocal top-5 pairs over the
     // whole corpus: the hubness-robust edge set density clustering
     // and SemDeDup grouping start from. Mutuality is a pure

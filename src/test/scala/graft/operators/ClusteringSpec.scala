@@ -99,4 +99,62 @@ class ClusteringSpec extends SparkSuite {
     for (bad <- Seq("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct", "Window"))
       assert(!plan.contains(bad), s"assignment must not plan a $bad:\n${plan.take(1200)}")
   }
+
+  test("dbscanGrid ≡ sequential DBSCAN replay on random point sets; guard trips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // Sequential reference: brute-force neighborhoods, BFS over
+    // core-core edges, min-id labels, min-label border attachment.
+    def reference(pts: Seq[(Long, Long, Long)], eps: Long, minPts: Int)
+        : Map[Long, (String, Option[Long])] = {
+      def near(p: (Long, Long, Long), q: (Long, Long, Long)): Boolean = {
+        val dx = p._2 - q._2; val dy = p._3 - q._3
+        dx * dx + dy * dy <= eps * eps
+      }
+      val nbrs = pts.map(p =>
+        p._1 -> pts.filter(q => q._1 != p._1 && near(p, q)).map(_._1)).toMap
+      val core = pts.filter(p => nbrs(p._1).size + 1 >= minPts).map(_._1).toSet
+      // components over core-core adjacency
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      for (c <- core.toSeq.sorted if !label.contains(c)) {
+        val queue = scala.collection.mutable.Queue(c)
+        val seen = scala.collection.mutable.Set(c)
+        while (queue.nonEmpty) {
+          val u = queue.dequeue()
+          for (v <- nbrs(u) if core(v) && seen.add(v)) queue.enqueue(v)
+        }
+        val lbl = seen.min
+        seen.foreach(v => label(v) = lbl)
+      }
+      pts.map { p =>
+        if (core(p._1)) p._1 -> (("core", Some(label(p._1))))
+        else {
+          val coreNb = nbrs(p._1).filter(core).map(label)
+          if (coreNb.nonEmpty) p._1 -> (("border", Some(coreNb.min)))
+          else p._1 -> (("noise", None))
+        }
+      }.toMap
+    }
+    val gen = for {
+      n <- Gen.chooseNum(6, 60)
+      xs <- Gen.listOfN(n, Gen.chooseNum(-40L, 40L))
+      ys <- Gen.listOfN(n, Gen.chooseNum(-40L, 40L))
+    } yield xs.zip(ys).zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    for (pts <- PropSampling.sample(gen, n = 6)) {
+      val got = Clustering.dbscanGrid(
+          pts.toDF("id", "x", "y"), "id", col("x"), col("y"),
+          eps = 10L, minPts = 3)
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+      assert(got === reference(pts, 10L, 3), s"dbscan diverged on $pts")
+    }
+    // Cell-occupancy guard fails fast on a dense cell.
+    val dense = (0L until 10L).map(i => (i, 1L, 1L))
+    val e = intercept[Exception] {
+      Clustering.dbscanGrid(dense.toDF("id", "x", "y"), "id",
+        col("x"), col("y"), eps = 100L, minPts = 3, maxCellSize = 4L).collect()
+    }
+    assert(e.getMessage.contains("grid cell"), e.getMessage)
+  }
 }
