@@ -650,6 +650,70 @@ object Curation {
     * for corpora without layout structure — the [[paragraphDedup]]
     * companion when there is no `\n\n` to split on. The final window
     * may be shorter. */
+  /** Fixed-point log2 in 1/16-bit steps of a POSITIVE integer SQL
+    * expression — `16·(bitlen−1)` plus the 4 bits after the MSB as a
+    * linear fraction: monotone, exact integer arithmetic only
+    * (`length(bin(x))` and a shift are portable), so scores built
+    * from it hash-gate where `ln()` never could. The resolution
+    * trade is honest: within a factor-2 octave the fraction is
+    * linear and truncated to 1/16 (max error ~0.15 bits), which
+    * ranks near-identically to true log2 everywhere it matters for
+    * importance WEIGHTING. */
+  private[graft] def flog2qSql(x: String): String =
+    s"((($x) * 16) >> (length(bin($x)) - 1)) + 16 * length(bin($x)) - 32"
+
+  /** DSIR-style hashed-n-gram importance weights (Xie et al., "Data
+    * Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every raw document by how much more likely
+    * its n-grams are under the TARGET distribution than under the
+    * raw corpus — the principled "make my crawl look like Wikipedia"
+    * selector. Features are hashed n-gram BUCKETS (the paper's
+    * hashed generative model); per document,
+    * `score_q = Σ_g [ f(c_t(g)+1) − f(c_r(g)+1) + f(T_r+1) − f(T_t+1) ]`
+    * with `f` the 1/16-bit integer log2 [[flog2qSql]] — the +1s are
+    * add-one smoothing, the totals term normalizes the two census
+    * masses, and every term is an exact long so the frame
+    * hash-gates (resample downstream ∝ score, e.g. via
+    * [[sequentialPoissonSample]]). n-gram MULTIPLICITY counts, per
+    * the generative model.
+    *
+    * Scale shape: both censuses are `buckets`-bounded aggregates
+    * (map-side combined — that boundedness is WHY DSIR hashes), the
+    * score join is corpus-ngrams × BROADCAST census, and the totals
+    * ride the same broadcast. Three scans of the corpus text total
+    * (raw census, score; target census scans its own subset) — the
+    * price of keeping everything one-pass-aggregate shaped. */
+  def dsirImportance(docs: DataFrame, target: DataFrame, n: Int = 2,
+                     buckets: Int = 8192, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(buckets >= 2, "buckets must be >= 2")
+    def grams(df: DataFrame, keep: Column*): DataFrame =
+      df.select((keep :+ explode(GraftFunctions.shingle_hex_tokens(
+          TextFunctions.tokens(col(textCol)), n)).as("__sh")): _*)
+        .withColumn("__b",
+          pmod(conv(col("__sh"), 16, 10).cast("long"), lit(buckets.toLong)))
+    val tcen = grams(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rcen = grams(docs).groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val model = rcen.join(tcen, Seq("__b"), "left")
+      .select(col("__b"), col("__cr"), coalesce(col("__ct"), lit(0L)).as("__ct"))
+    val totals = rcen.agg(sum(col("__cr")).as("__tr"))
+      .crossJoin(tcen.agg(coalesce(sum(col("__ct")), lit(0L)).as("__tt")))
+    val delta = expr(
+      s"${flog2qSql("__ct + 1")} - ${flog2qSql("__cr + 1")} + " +
+        s"${flog2qSql("__tr + 1")} - ${flog2qSql("__tt + 1")}")
+    val scored = grams(docs, col(idCol))
+      .join(broadcast(model), "__b")
+      .crossJoin(broadcast(totals))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_ngrams"), sum(delta).as("score_q"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("score_q"), lit(0L)).as("score_q"))
+  }
+
   def tokenWindows(textCol: Column, windowTokens: Int): Column = {
     require(windowTokens >= 1, "windowTokens must be positive")
     val toks = TextFunctions.tokens(textCol)

@@ -209,6 +209,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q152: DSIR hashed-n-gram importance weights — "make the
+    // crawl look like the target": per-doc Σ over bigram instances of
+    // the smoothed target-vs-raw bucket log-ratio plus the totals
+    // normalizer, in 1/16-bit integer log2 (length(bin())+shift —
+    // portable where ln() is not), target = the English slice.
+    // Censuses are 8192-bucket bounded aggregates broadcast onto the
+    // corpus scan. The oracle replays buckets, censuses and the
+    // fixed-point log from first principles.
+    Q("q152_dsir_importance", Some(s"""
+      WITH tok AS MATERIALIZED (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 8192 AS b
+        FROM (SELECT doc_id,
+                unnest([array_to_string(string_split(text,' ')[i:i+1], ' ')
+                        FOR i IN range(1, len(string_split(text,' ')))]) AS g
+              FROM documents)),
+      ttok AS MATERIALIZED (
+        SELECT doc_id, ('0x' || substr(md5(g), 1, 15))::BIGINT % 8192 AS b
+        FROM (SELECT doc_id,
+                unnest([array_to_string(string_split(text,' ')[i:i+1], ' ')
+                        FOR i IN range(1, len(string_split(text,' ')))]) AS g
+              FROM documents WHERE lang = 'en')),
+      rcen AS (SELECT b, COUNT(*) AS cr FROM tok GROUP BY 1),
+      tcen AS (SELECT b, COUNT(*) AS ct FROM ttok GROUP BY 1),
+      tot AS (SELECT (SELECT COUNT(*) FROM tok) AS tr,
+                     (SELECT COUNT(*) FROM ttok) AS tt),
+      sc AS (SELECT tok.doc_id, COUNT(*) AS n_ngrams,
+               CAST(SUM(${Curation.flog2qSql("COALESCE(tcen.ct, 0) + 1")}
+                      - ${Curation.flog2qSql("rcen.cr + 1")}
+                      + ${Curation.flog2qSql("tot.tr + 1")}
+                      - ${Curation.flog2qSql("tot.tt + 1")}) AS BIGINT) AS score_q
+             FROM tok JOIN rcen USING (b) LEFT JOIN tcen USING (b), tot
+             GROUP BY 1)
+      SELECT d.doc_id, COALESCE(sc.n_ngrams, 0) AS n_ngrams,
+             COALESCE(sc.score_q, 0) AS score_q
+      FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.dsirImportance(docs, docs.filter(col("lang") === "en"), n = 2)
+        .orderBy("doc_id")
+    },
+
     // ---- q22: exact set-similarity self-join with prefix filtering
     // (PPJoin-style) at 0.9 — exact algorithm, so it matches the
     // brute-force oracle with zero recall caveats.

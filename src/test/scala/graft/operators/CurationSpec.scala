@@ -556,6 +556,33 @@ class CurationSpec extends SparkSuite {
     assert(e.getMessage.contains("paragraphs"), e.getMessage)
   }
 
+  test("dsirImportance: target-like docs outscore off-target; fixed-point log2 tracks log2") {
+    import spark.implicits._
+    // flog2q: monotone, within 0.1 bits of true log2 across 3 octaves.
+    val f = (1L to 1000L).toDF("c")
+      .selectExpr("c", Curation.flog2qSql("c") + " AS f")
+      .as[(Long, Long)].collect().sortBy(_._1)
+    for ((c, v) <- f)
+      assert(math.abs(v / 16.0 - math.log(c.toDouble) / math.log(2.0)) <= 0.15,
+        s"flog2q($c) = $v")
+    assert(f.map(_._2).sliding(2).forall(p => p(0) <= p(1)), "not monotone")
+    // Constructed corpus: half the docs speak the target vocabulary.
+    // DSIR must rank them above the off-target half per-gram.
+    val docs = ((0L until 10L).map(i => (i, "alpha beta gamma alpha beta")) ++
+      (10L until 20L).map(i => (i, "delta epsilon zeta delta epsilon")) ++
+      Seq((20L, "solo"))).toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") < 10L)
+    val out = Curation.dsirImportance(docs, target, n = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val onTarget = out.filter(_._1 < 10L).map(r => r._3.toDouble / r._2)
+    val offTarget = out.filter(r => r._1 >= 10L && r._1 < 20L)
+      .map(r => r._3.toDouble / r._2)
+    assert(onTarget.min > offTarget.max,
+      s"on-target ${onTarget.min} !> off-target ${offTarget.max}")
+    // A doc below n tokens has no n-grams and scores (0, 0).
+    assert(out.find(_._1 == 20L).get === ((20L, 0L, 0L)))
+  }
+
   test("tokenWindows: fixed windows, short tail, single window under size") {
     import spark.implicits._
     val got = Seq("a b c d e", "a").toDF("text")
