@@ -540,6 +540,49 @@ object RelationalQueries {
     // violate the set check and top-tail prices the range check, so
     // failing AND passing branches both bind; every metric is a
     // count ratio (exact longs + one correctly-rounded division).
+    // ---- q153: Fellegi-Sunter record linkage — the field-level
+    // entity-resolution sibling of the text dedup tier: same-block
+    // (nation, segment) customer pairs score Σ integer agreement
+    // weights (name +40/−15, balance-within-1.00 +20/−10), split
+    // match/possible at 50/25. Planted dirty twins: every 5th
+    // customer re-keyed with balance +0.50 (full agreement → match);
+    // every 10th instead +50.00 (name-only agreement → possible);
+    // unrelated in-block pairs score ≤ 5 and drop. Blocking bounds
+    // candidates quadratic-per-block with the census guard.
+    Q("q153_record_linkage", Some("""
+      WITH base AS (SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+            FROM customer),
+      tw AS (SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+               c_mktsegment,
+               cents + CASE WHEN c_custkey % 10 = 0 THEN 5000 ELSE 50 END AS cents
+             FROM base WHERE c_custkey % 5 = 0),
+      r AS (SELECT * FROM base UNION ALL SELECT * FROM tw),
+      p AS (SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+              (CASE WHEN a.c_name = b.c_name THEN 40 ELSE -15 END +
+               CASE WHEN ABS(a.cents - b.cents) <= 100 THEN 20 ELSE -10 END) AS score
+            FROM r a JOIN r b ON b.c_nationkey = a.c_nationkey
+              AND b.c_mktsegment = a.c_mktsegment
+              AND a.c_custkey < b.c_custkey)
+      SELECT id_a, id_b, CAST(score AS BIGINT) AS score,
+             CASE WHEN score >= 50 THEN 'match' ELSE 'possible' END AS cls
+      FROM p WHERE score >= 25 ORDER BY id_a, id_b""")) { (s, d) =>
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") * 100d + 0.5d).cast("long").as("cents"))
+      val twins = base.filter(pmod(col("c_custkey"), lit(5L)) === 0L)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment"),
+          (col("cents") + when(pmod(col("c_custkey"), lit(10L)) === 0L, 5000L)
+            .otherwise(50L)).as("cents"))
+      graft.operators.Linkage.blockedFieldMatch(
+          base.unionByName(twins), Seq("c_nationkey", "c_mktsegment"),
+          Seq(graft.operators.Linkage.exact("c_name", 40L, -15L),
+            graft.operators.Linkage.withinLong("cents", 100L, 20L, -10L)),
+          "c_custkey", minScore = 25L, matchScore = 50L)
+        .orderBy("id_a", "id_b")
+    },
+
     Q("q141_validation_report", Some("""
       WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
                         CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_prio,
