@@ -531,4 +531,46 @@ object Temporal {
         last(col("__v"), ignoreNulls = true).over(w).as("value_filled"),
         coalesce(col("__n"), lit(0L)).as("n_obs"))
   }
+
+  /** EXACT half-life-decayed popularity — the recency-weighted count
+    * behind trending detection and crawl re-visit priority, made
+    * hash-gateable by doing the decay in POWERS OF TWO at bucket
+    * granularity: an event in a bucket `age` buckets before the
+    * corpus's newest bucket weighs `2^(maxAge − age)` (so one bucket
+    * of aging exactly halves the weight, the half-life = bucketNs
+    * contract), buckets older than `maxAge` contribute zero (the
+    * cut tail is < 2^-maxAge of a fresh event anyway). Every weight
+    * is an integer shift of an exact count — no `exp()`, no float
+    * fold — so scores compare bit-for-bit cross-engine; consumers
+    * wanting the conventional scale divide by `2^maxAge` once.
+    *
+    * Scale shape: ONE map-side-combinable (key, bucket) census, a
+    * one-row global max-bucket broadcast, and a keys-sized weighted
+    * re-aggregate — nothing corpus-sized after the first shuffle.
+    * Overflow ledger: counts·2^maxAge·buckets must stay < 2^63 —
+    * the default maxAge 32 leaves 2^31 headroom over per-bucket
+    * counts, fail-fast guarded. */
+  def decayedCounts(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                    bucketNs: Long, maxAge: Int = 32): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    require(maxAge >= 0 && maxAge <= 40, "maxAge must be in [0, 40]")
+    val census = events
+      .select((keyCols.map(col) :+
+        expr(s"(`$tsCol`) div ${bucketNs}L").as("__b")): _*)
+      .groupBy((keyCols :+ "__b").map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+    val top = census.agg(max(col("__b")).as("__top"))
+    census.crossJoin(broadcast(top))
+      .withColumn("__age", (col("__top") - col("__b")).cast("int"))
+      .filter(col("__age") <= maxAge)
+      .withColumn("__cg",
+        when(col("__c") < (Long.MaxValue >> (maxAge + 8)), col("__c"))
+          .otherwise(raise_error(
+            lit(s"decayedCounts: a bucket count is too large for maxAge=$maxAge weights"))
+            .cast("long")))
+      .withColumn("__w",
+        expr(s"__cg * shiftleft(cast(1 as bigint), $maxAge - __age)"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__w")).as("decayed_q"), count(lit(1)).as("n_buckets"))
+  }
 }

@@ -1625,6 +1625,27 @@ object PipelineQueries {
         .orderBy("click_id", "imp_id")
     },
 
+    // ---- q154: half-life-decayed popularity — recency-weighted
+    // event counts with the decay done in exact powers of two at
+    // bucket granularity (one 6h bucket of age halves the weight;
+    // tails past 32 buckets cut). Integer shifts of exact counts, so
+    // the trending scores hash-gate where exp() never could. One
+    // census + broadcast top-bucket + keys-sized re-agg.
+    Q("q154_decayed_counts", Some("""
+      WITH e AS (SELECT event_type, epoch_ns(ts) // 21600000000000 AS b
+                 FROM events),
+      c AS (SELECT event_type, b, COUNT(*) AS c FROM e GROUP BY 1, 2),
+      t AS (SELECT MAX(b) AS top FROM c)
+      SELECT event_type,
+             CAST(SUM(c * (1::BIGINT << CAST(32 - (t.top - b) AS INT))) AS BIGINT) AS decayed_q,
+             COUNT(*) AS n_buckets
+      FROM c, t WHERE t.top - b <= 32
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      Temporal.decayedCounts(Tables.events(s, d), Seq("event_type"), "ts",
+          bucketNs = 21600000000000L, maxAge = 32)
+        .orderBy("event_type")
+    },
+
     // ---- q149: Kaplan-Meier life table — time-to-conversion with
     // right censoring: per user, duration from first view to first
     // at-or-after buy, users who never buy CENSORED at the corpus's

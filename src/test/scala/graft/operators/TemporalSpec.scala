@@ -505,4 +505,38 @@ class TemporalSpec extends SparkSuite {
     assert(e.getMessage.contains("resampleLocf") ||
       Option(e.getCause).exists(_.getMessage.contains("resampleLocf")))
   }
+
+  test("decayedCounts ≡ sequential shift replay; one bucket of age exactly halves") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.chooseNum(3, 50)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        t <- Gen.chooseNum(0L, 400L)
+      } yield (k, t))
+    } yield rows
+    val maxAge = 8
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Temporal.decayedCounts(rows.toDF("k", "t"), Seq("k"), "t",
+          bucketNs = 10L, maxAge = maxAge)
+        .as[(String, Long, Long)].collect().toSet
+      val top = rows.map(_._2 / 10L).max
+      val expected = rows.groupBy(_._1).map { case (k, es) =>
+        val buckets = es.map(_._2 / 10L).groupBy(identity)
+          .map { case (b, bs) => (b, bs.size.toLong) }
+          .filter { case (b, _) => top - b <= maxAge }
+        (k, buckets.map { case (b, c) =>
+          c << (maxAge - (top - b)).toInt }.sum, buckets.size.toLong)
+      }.filter(_._3 > 0).toSet
+      assert(got === expected, s"decayedCounts diverged on $rows")
+    }
+    // Halving: the same count one bucket older scores exactly half.
+    val pair = Seq(("x", 100L), ("y", 90L), ("z", 100L))
+    val out = Temporal.decayedCounts(pair.toDF("k", "t"), Seq("k"), "t",
+        bucketNs = 10L, maxAge = 4)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(out("y") * 2 === out("x"))
+    assert(out("z") === out("x"))
+  }
 }
