@@ -505,4 +505,52 @@ object HashOps {
     }
     out.toSeq
   }
+
+  /** Fixed-point log2 in 1/16-bit steps of a positive long — the JVM
+    * twin of `Curation.flog2qSql` (same shift spelling, same ~0.15
+    * bit truncation), so model-scored streams and census-joined
+    * batches agree bit-for-bit. */
+  def flog2q(x: Long): Long = {
+    val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    ((x * 16L) >> (bl - 1)) + 16L * bl - 32L
+  }
+
+  /** DSIR importance score of one document under collected bucket
+    * censuses — the scoring half of `Curation.dsirImportance` as a
+    * single-pass JVM kernel over the raw token array: per n-gram,
+    * the md5 bucket (identical bytes-and-separator scheme to
+    * [[shingleHexTokens]], so batch and model paths land in the SAME
+    * buckets) indexes two dense count arrays, and the four
+    * [[flog2q]] terms accumulate in exact longs. Returns
+    * `(n_ngrams, score_q)`. */
+  def dsirScore(tokens: ArrayData, n: Int, buckets: Int,
+                ct: Array[Long], cr: Array[Long],
+                tr: Long, tt: Long): org.apache.spark.sql.catalyst.InternalRow = {
+    val cnt = tokens.numElements()
+    val constTerm = flog2q(tr + 1L) - flog2q(tt + 1L)
+    var count = 0L
+    var score = 0L
+    if (cnt >= n) {
+      val toks = new Array[Array[Byte]](cnt)
+      var i = 0
+      while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+      val buf = new java.io.ByteArrayOutputStream(64)
+      i = 0
+      while (i <= cnt - n) {
+        buf.reset()
+        var j = 0
+        while (j < n) {
+          if (j > 0) buf.write(' ')
+          buf.write(toks(i + j))
+          j += 1
+        }
+        val b = (h60(buf.toByteArray) % buckets).toInt
+        score += flog2q(ct(b) + 1L) - flog2q(cr(b) + 1L) + constTerm
+        count += 1L
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](count, score))
+  }
 }

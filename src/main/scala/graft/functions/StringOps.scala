@@ -42,6 +42,21 @@ case class WordLmModel(counts: Map[String, (Long, Long)], posTotal: Long, negTot
   }
 }
 
+/** Collected DSIR bucket censuses ([[graft.operators.Curation
+  * .collectDsirModel]] brought to the driver — DENSE long arrays
+  * indexed by bucket, bounded by construction at `buckets` entries):
+  * the serializable model a [[DsirScore]] expression closes over,
+  * completing the fit-batch/score-stream family for importance
+  * weighting. `ct`/`cr` are target/raw n-gram instance counts per
+  * hash bucket; `tt`/`tr` the two census masses. */
+case class DsirModel(n: Int, buckets: Int, ct: Array[Long], cr: Array[Long],
+                     tr: Long, tt: Long) {
+  require(n >= 1, "n must be positive")
+  require(buckets >= 2, "buckets must be >= 2")
+  require(ct.length == buckets && cr.length == buckets,
+    "census arrays must be buckets-sized")
+}
+
 /** JVM implementations backing the custom Catalyst expressions.
   *
   * Kept as a top-level object so Scala emits static forwarders —

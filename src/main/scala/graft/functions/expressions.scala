@@ -120,6 +120,32 @@ case class WordNgramScore(child: Expression, model: WordLmModel) extends UnaryEx
   override protected def withNewChildInternal(c: Expression): WordNgramScore = copy(child = c)
 }
 
+/** DSIR importance score of a token array under a collected
+  * [[DsirModel]] (array<string> → struct<n_ngrams, score_q>) — the
+  * stateless scoring twin of `Curation.dsirImportance`'s census-join
+  * batch plan: same md5 bucket scheme, same fixed-point-log2 terms
+  * ([[graft.functions.HashOps.dsirScore]]), so model-scored streams
+  * and census-joined batches agree bit-for-bit on the fit corpus. */
+case class DsirScore(child: Expression, model: DsirModel) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("score_q", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.dsirScore(v.asInstanceOf[ArrayData], model.n, model.buckets,
+      model.ct, model.cr, model.tr, model.tt)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dsirModel", model, classOf[DsirModel].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.dsirScore($c, $ref.n(), $ref.buckets(), " +
+        s"$ref.ct(), $ref.cr(), $ref.tr(), $ref.tt())")
+  }
+
+  override protected def withNewChildInternal(c: Expression): DsirScore = copy(child = c)
+}
+
 /** Unicode NFC normalization (string → string) — the first scrub of
   * any crawl pipeline: combining-mark sequences (e.g. decomposed
   * Vietnamese "a" + U+0302 + U+0301) collapse to their canonical
@@ -706,6 +732,8 @@ object GraftFunctions {
     col(CharBigramScore(expr(c), model))
   def word_ngram_score(c: Column, model: WordLmModel): Column =
     col(WordNgramScore(expr(c), model))
+  def dsir_score(c: Column, model: DsirModel): Column =
+    col(DsirScore(expr(c), model))
   def windowed_pairs(c: Column, window: Int): Column =
     col(WindowedPairs(expr(c), window))
   def cdc_chunks(c: Column, k: Int, divisor: Int): Column =

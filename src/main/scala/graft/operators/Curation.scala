@@ -660,7 +660,7 @@ object Curation {
     * ranks near-identically to true log2 everywhere it matters for
     * importance WEIGHTING. */
   private[graft] def flog2qSql(x: String): String =
-    s"((($x) * 16) >> (length(bin($x)) - 1)) + 16 * length(bin($x)) - 32"
+    s"(((($x) * 16) >> (length(bin($x)) - 1)) + 16 * length(bin($x)) - 32)"
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al., "Data
     * Selection for Language Models via Importance Resampling",
@@ -713,6 +713,45 @@ object Curation {
         coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
         coalesce(col("score_q"), lit(0L)).as("score_q"))
   }
+
+  /** Fit a [[graft.functions.DsirModel]]: the two
+    * [[dsirImportance]] bucket censuses brought to the driver as
+    * DENSE arrays (bounded at `buckets` entries by construction —
+    * the collectModel convention), so scoring becomes a stateless
+    * codegen'd projection deployable on a stream. */
+  def collectDsirModel(docs: DataFrame, target: DataFrame, n: Int = 2,
+                       buckets: Int = 8192,
+                       textCol: String = "text"): graft.functions.DsirModel = {
+    require(n >= 1, "n must be positive")
+    require(buckets >= 2, "buckets must be >= 2")
+    def census(df: DataFrame): Array[Long] = {
+      val out = new Array[Long](buckets)
+      df.select(explode(GraftFunctions.shingle_hex_tokens(
+          TextFunctions.tokens(col(textCol)), n)).as("__sh"))
+        .select(pmod(conv(col("__sh"), 16, 10).cast("long"),
+          lit(buckets.toLong)).as("__b"))
+        .groupBy(col("__b")).agg(count(lit(1)).as("__c"))
+        .collect().foreach(r => out(r.getLong(0).toInt) = r.getLong(1))
+      out
+    }
+    val cr = census(docs)
+    val ct = census(target)
+    graft.functions.DsirModel(n, buckets, ct, cr, cr.sum, ct.sum)
+  }
+
+  /** Score any frame — batch or STREAMING — under a batch-fit
+    * [[graft.functions.DsirModel]]: a join-free one-scan codegen
+    * projection (the CharLm/QualityClassifier deployment shape),
+    * bit-identical to [[dsirImportance]]'s census-join plan on the
+    * fit corpus (spec-pinned). */
+  def dsirScoredWithModel(docs: DataFrame, model: graft.functions.DsirModel,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.GraftFunctions.dsir_score(
+          TextFunctions.tokens(col(textCol)), model).as("__s"))
+      .select(col(idCol), col("__s.n_ngrams").as("n_ngrams"),
+        col("__s.score_q").as("score_q"))
 
   def tokenWindows(textCol: Column, windowTokens: Int): Column = {
     require(windowTokens >= 1, "windowTokens must be positive")

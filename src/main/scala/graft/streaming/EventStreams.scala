@@ -463,6 +463,20 @@ object EventStreams {
     * (spec-pinned); unseen bigrams score familiarity 0 and count
     * rare, which is precisely the "this text looks nothing like the
     * corpus" signal the gate exists to raise. */
+  /** Streaming DSIR importance weighting with batch-fit censuses —
+    * the data-SELECTION member of the fit-once/score-forever family:
+    * [[graft.operators.Curation.collectDsirModel]] fits the
+    * target/raw bucket censuses on the standing corpus (batch), and
+    * each arriving document is scored by a stateless codegen'd
+    * projection closing over the dense census arrays — no
+    * stream-static join, no state store, appends at ingest rate
+    * forever. Batch parity on the fit corpus is exact and
+    * spec-pinned; n-grams unseen at fit time smooth to the +1 floor
+    * exactly as the batch plan does. */
+  def dsirScored(docs: DataFrame, model: graft.functions.DsirModel,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Curation.dsirScoredWithModel(docs, model, idCol, textCol)
+
   def familiarityScored(docs: DataFrame, model: graft.functions.CharLmModel,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.CharLm.scoreWithModel(docs, model, idCol, textCol)

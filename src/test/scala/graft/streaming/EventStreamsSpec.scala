@@ -150,6 +150,38 @@ class EventStreamsSpec extends SparkSuite {
     assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
   }
 
+  test("streaming DSIR scoring ≡ the batch census-join plan on the fit corpus; no state") {
+    // Fit the censuses in BATCH (target = the alpha-speaking half),
+    // then score the same docs as a stream through the collected
+    // model — parity with the census-JOIN batch plan must be exact,
+    // which pins the kernel's bucket scheme and fixed-point log to
+    // the SQL spelling.
+    val corpus = Seq((1L, "alpha beta gamma alpha"), (2L, "alpha beta beta"),
+      (3L, "delta epsilon zeta"), (4L, "delta delta epsilon"), (5L, "solo"))
+    val docs = corpus.toDF("doc_id", "text")
+    val target = docs.filter(col("doc_id") <= 2L)
+    val model = graft.operators.Curation.collectDsirModel(docs, target, n = 2,
+      buckets = 512)
+    val dir = Files.createTempDirectory(Paths.get("target"), "dsir-landing")
+    corpus.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val scored = EventStreams.dsirScored(stream, model)
+    val out = Files.createTempDirectory(Paths.get("target"), "dsirout")
+    val q = EventStreams.writeParquetSink(scored, s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, Long, Long)].collect().toSet
+    val batch = graft.operators.Curation.dsirImportance(docs, target, n = 2,
+        buckets = 512)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(streamed === batch, "streaming DSIR diverged from the census-join batch plan")
+    assert(streamed.size === corpus.size)
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
+  }
+
   test("watermarked hourly window aggregate over file arrivals") {
     // The sentinel advances the watermark past the earlier windows;
     // its own window stays open and must NOT be emitted — that
