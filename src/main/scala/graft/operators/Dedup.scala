@@ -73,9 +73,17 @@ object Dedup {
       col(textCol).as("__tb"))
     a.join(b, Seq("__blk"))
       .filter(col("doc_a") < col("doc_b"))
+      // Length prune: |len(a) − len(b)| > maxEdits already implies
+      // edit distance > maxEdits, and the O(1) length check skips
+      // the O(n·m) levenshtein on most candidate pairs — a pure
+      // optimization (never changes the result set), which is why
+      // the oracle replays the semantics without it.
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxEdits)
+      // Threshold overload: banded O(len·maxEdits) DP that bails to
+      // -1 past the cap, instead of the full O(len²) distance.
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("__ta"), col("__tb")).cast("long").as("edits"))
-      .filter(col("edits") <= maxEdits)
+        levenshtein(col("__ta"), col("__tb"), maxEdits).cast("long").as("edits"))
+      .filter(col("edits") >= 0L)
   }
 
   /** Exact dedup by order-invariant content fingerprint: survivors =

@@ -550,6 +550,36 @@ object Temporal {
     * Overflow ledger: counts·2^maxAge·buckets must stay < 2^63 —
     * the default maxAge 32 leaves 2^31 headroom over per-bucket
     * counts, fail-fast guarded. */
+  /** One-sided CUSUM change-point detection per key — the classic
+    * sequential drift monitor ("did this source's quality metric
+    * shift up?") made DISTRIBUTED and exact through the prefix-sum
+    * identity: the textbook recurrence `S_k = max(0, S_{k-1} + x_k −
+    * drift)` is not associative, but it equals `P_k − min_{j≤k} P_j`
+    * where `P` is the running prefix sum of `(x − drift)` — two
+    * stacked key-partitioned window functions, no sequential state.
+    * Values quantize to longs upstream (`drift` in the same units),
+    * so the statistic is integer-exact and hash-gates; rows where
+    * `cusum > threshold` flag an upward shift.
+    *
+    * Scale shape: ONE shuffle — both windows share the same
+    * key-partitioned (time, tie) order, so Catalyst plans a single
+    * exchange + sort with bounded per-key running state (the q54/q61
+    * sessionize/rolling shape). */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+            valueCol: Column, drift: Long, threshold: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(keyCol), col(tsCol), col(tieCol),
+        (valueCol.cast("long") - drift).as("__d"))
+      .filter(col("__d").isNotNull)
+      .withColumn("__p", sum(col("__d")).over(w))
+      .withColumn("cusum",
+        col("__p") - least(min(col("__p")).over(w), lit(0L)))
+      .select(col(keyCol), col(tsCol), col(tieCol), col("cusum"),
+        (col("cusum") > threshold).as("alarm"))
+  }
+
   def decayedCounts(events: DataFrame, keyCols: Seq[String], tsCol: String,
                     bucketNs: Long, maxAge: Int = 32): DataFrame = {
     require(bucketNs > 0, "bucketNs must be positive")

@@ -1625,6 +1625,35 @@ object PipelineQueries {
         .orderBy("click_id", "imp_id")
     },
 
+    // ---- q155: per-user CUSUM change-point monitor — the textbook
+    // sequential recurrence max(0, S+x−drift) distributed exactly via
+    // the prefix-sum identity S_k = P_k − min(0, min_j≤k P_j): two
+    // stacked windows sharing one key-partitioned exchange, values
+    // quantized to longs so the statistic hash-gates. Alarms flag
+    // users whose value series shifts above the drift line.
+    Q("q155_cusum", Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) AS ts, event_id,
+                   CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) - 70000000 AS d
+                 FROM events WHERE value IS NOT NULL),
+      p AS (SELECT user_id, ts, event_id,
+              CAST(SUM(d) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+            FROM e),
+      c AS (SELECT user_id, ts, event_id,
+              p - LEAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS cusum
+            FROM p)
+      SELECT user_id, ts, event_id, CAST(cusum AS BIGINT) AS cusum,
+             cusum > 200000000 AS alarm
+      FROM c ORDER BY user_id, ts, event_id""")) { (s, d) =>
+      Temporal.cusum(
+          Tables.events(s, d).filter(col("value").isNotNull),
+          keyCol = "user_id", tsCol = "ts", tieCol = "event_id",
+          valueCol = floor(col("value") * 1000000d + 0.5d),
+          drift = 70000000L, threshold = 200000000L)
+        .orderBy("user_id", "ts", "event_id")
+    },
+
     // ---- q154: half-life-decayed popularity — recency-weighted
     // event counts with the decay done in exact powers of two at
     // bucket granularity (one 6h bucket of age halves the weight;

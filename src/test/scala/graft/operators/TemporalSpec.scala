@@ -506,6 +506,41 @@ class TemporalSpec extends SparkSuite {
       Option(e.getCause).exists(_.getMessage.contains("resampleLocf")))
   }
 
+  test("cusum ≡ the textbook max(0, S + x − drift) recurrence; one exchange in the plan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val gen = for {
+      n <- Gen.chooseNum(3, 60)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        v <- Gen.chooseNum(-20L, 30L)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, i.toLong, v) }
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val out = Temporal.cusum(rows.toDF("k", "t", "id", "v"),
+        keyCol = "k", tsCol = "t", tieCol = "id", valueCol = col("v"),
+        drift = 5L, threshold = 20L)
+      val got = out.collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getBoolean(4)))
+        .toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        var s = 0L
+        es.sortBy(_._2).map { case (_, t, _, v) =>
+          s = math.max(0L, s + v - 5L)
+          (k, t, s, s > 20L)
+        }
+      }.toSet
+      assert(got === expected, s"cusum diverged on $rows")
+    }
+    // Both windows share one key-partitioned order: exactly one
+    // exchange (plus the ordering sort) in the physical plan.
+    val plan = Temporal.cusum((1L to 100L).map(i => ("k", i, i, i % 7))
+        .toDF("k", "t", "id", "v"), "k", "t", "id", col("v"), 3L, 10L)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"cusum must shuffle once, saw $exchanges:\n${plan.take(1200)}")
+  }
+
   test("decayedCounts ≡ sequential shift replay; one bucket of age exactly halves") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
