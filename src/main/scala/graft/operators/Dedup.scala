@@ -356,6 +356,40 @@ object Dedup {
     *    depends on banding probability at all (and is expanded
     *    directly with Jaccard 1.0, skipping verification).
     */
+  /** SAMPLED recall audit of the MinHash-LSH candidate stage against
+    * exact Jaccard ground truth — the text-dedup sibling of
+    * [[Similarity.lshRecallAudit]], and the evaluation loop a
+    * production dedup deployment runs continuously: banding recall
+    * is a FUNCTION OF THE CORPUS's similarity distribution (the
+    * S-curve only promises asymptotics), so the honest number comes
+    * from replaying both stages on a sample and counting. Per
+    * 0.1-wide Jaccard bucket at or above `threshold`: how many true
+    * pairs exist, how many the banding surfaced, and their ratio —
+    * the curve that tells you whether (bands, rowsPerBand) still fit
+    * the corpus. Both stages are deterministic md5 machinery, so the
+    * audit frame itself hash-gates (the q127 property).
+    *
+    * Scale shape: run it on a SAMPLE (the caller filters) — the
+    * exact side is the audit's cost, and sampling is what makes a
+    * recall estimate affordable, exactly as q127's ANN audit probes
+    * sampled queries. Both stages then join on the pair key and
+    * reduce to at most 10 bucket rows. */
+  def minhashRecallAudit(docs: DataFrame, threshold: Double,
+                         bands: Int, rowsPerBand: Int,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    val exact = jaccardSimilarityJoin(docs, threshold, idCol, textCol)
+    val sigs = minhashSignatures(docs, bands * rowsPerBand, idCol, textCol)
+    val cands = lshCandidates(sigs, bands, rowsPerBand, idCol)
+      .withColumn("__f", lit(1L))
+    exact.join(cands, Seq("doc_a", "doc_b"), "left")
+      .groupBy(floor(col("jaccard") * 10d).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_true"),
+        coalesce(sum(col("__f")), lit(0L)).as("n_found"))
+      .withColumn("recall",
+        col("n_found").cast("double") / col("n_true").cast("double"))
+  }
+
   def minhashNearDupPairs(docs: DataFrame, threshold: Double,
                           bands: Int = 2, rowsPerBand: Int = 32,
                           idCol: String = "doc_id", textCol: String = "text",

@@ -209,6 +209,56 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q156: MinHash-LSH recall audit — per-Jaccard-bucket recall
+    // of the banding stage against exact ground truth on an
+    // every-25th-doc sample (the q127 sampled-audit convention: the
+    // exact side IS the cost, sampling is what makes it affordable).
+    // bands=16 × rows=4 gives a real S-curve on this corpus —
+    // partial recall at low similarity rising toward 1. The oracle
+    // replays the exact inverted-index join AND the full
+    // minhash/banding pipeline (0-based permutations, 4-row band
+    // keys) from first principles; band equality via the raw slice
+    // tuple, which equals the engine's hashed band key modulo
+    // xxhash collisions (the md5-fingerprint class of assumption).
+    Q("q156_dedup_recall_audit", Some("""
+      WITH s AS MATERIALIZED (
+        SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+      d AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM s),
+      t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      l AS (SELECT doc_id, len(toks) AS n FROM d),
+      ov AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS ov
+             FROM t a JOIN t b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             GROUP BY 1, 2),
+      ex AS MATERIALIZED (
+        SELECT doc_a, doc_b,
+               floor((ov/(la.n+lb.n-ov))*10000 + 0.5)/10000 AS j
+        FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
+        WHERE ov/(la.n+lb.n-ov) >= 0.3),
+      h AS (SELECT doc_id, ('0x'||substr(md5(tok),1,7))::BIGINT AS h FROM t),
+      perm AS (SELECT i, ((i*2654435761) % 2147483647) | 1 AS a,
+                      (i*40503*65537 + 17) % 2147483647 AS b
+               FROM generate_series(0, 63) g(i)),
+      sig AS (SELECT doc_id, i, MIN((a*h + b) % 2147483647) AS v
+              FROM h CROSS JOIN perm GROUP BY 1, 2),
+      band AS MATERIALIZED (
+        SELECT doc_id, i//4 AS bnd, string_agg(v, ',' ORDER BY i) AS key
+        FROM sig GROUP BY 1, 2),
+      cand AS MATERIALIZED (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM band a JOIN band b ON b.bnd = a.bnd AND b.key = a.key
+          AND a.doc_id < b.doc_id)
+      SELECT CAST(FLOOR(ex.j*10) AS BIGINT) AS bucket,
+             COUNT(*) AS n_true,
+             CAST(COUNT(cand.doc_a) AS BIGINT) AS n_found,
+             CAST(COUNT(cand.doc_a) AS DOUBLE) / COUNT(*) AS recall
+      FROM ex LEFT JOIN cand USING (doc_a, doc_b)
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      Dedup.minhashRecallAudit(
+          Tables.documents(s, d).filter(pmod(col("doc_id"), lit(25L)) === 0L),
+          threshold = 0.3, bands = 16, rowsPerBand = 4)
+        .orderBy("bucket")
+    },
+
     // ---- q152: DSIR hashed-n-gram importance weights — "make the
     // crawl look like the target": per-doc Σ over bigram instances of
     // the smoothed target-vs-raw bucket log-ratio plus the totals
