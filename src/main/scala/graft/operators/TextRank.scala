@@ -21,6 +21,52 @@ import graft.functions.GraftFunctions
   * `TextFunctions.tokens` and every text-family oracle). */
 object TextRank {
 
+  /** Market-basket co-occurrence with LIFT — the association-mining
+    * census ("what is bought/clicked/read together beyond chance")
+    * over any (basket, item) relation: per item pair appearing in at
+    * least `minSupport` shared baskets, the exact support counts and
+    * `lift = N·n_ab / (n_a·n_b)` as ONE correctly-rounded division
+    * of exact longs, so the frame hash-gates (confidence and other
+    * rule stats are projections over the same four integers).
+    *
+    * Scale shape: one distinct pass to (basket, item), a self
+    * equi-join ON THE BASKET KEY — quadratic per basket only, the
+    * natural bound being basket width, not corpus size — then a
+    * map-side-combinable pair census, item marginals re-attached by
+    * two item-keyed joins (AQE broadcasts them when items are few).
+    * A pathological mega-basket would blow the per-basket square; an
+    * in-plan census guard fails fast past `maxBasketSize` (the q146
+    * convention). */
+  def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
+                   minSupport: Long, maxBasketSize: Long = 4096L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be positive")
+    require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
+    val b = baskets.select(col(basketCol).as("__o"), col(itemCol).as("__p"))
+      .distinct()
+    val guard = b.groupBy(col("__o")).agg(count(lit(1)).as("__bn"))
+      .withColumn("__bn",
+        when(col("__bn") <= maxBasketSize, col("__bn"))
+          .otherwise(raise_error(
+            lit(s"marketBasket: a basket exceeds $maxBasketSize items"))
+            .cast("long")))
+    val g = b.join(guard, Seq("__o")).filter(col("__bn") >= 1L)
+    val tot = g.select(col("__o")).distinct().agg(count(lit(1)).as("__n"))
+    val marg = g.groupBy(col("__p")).agg(count(lit(1)).as("__c"))
+    val pairs = g.select(col("__o"), col("__p").as("part_a"))
+      .join(g.select(col("__o"), col("__p").as("part_b")), Seq("__o"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minSupport)
+    pairs
+      .join(marg.select(col("__p").as("part_a"), col("__c").as("n_a")), "part_a")
+      .join(marg.select(col("__p").as("part_b"), col("__c").as("n_b")), "part_b")
+      .crossJoin(broadcast(tot))
+      .select(col("part_a"), col("part_b"), col("n_ab"), col("n_a"), col("n_b"),
+        ((col("__n") * col("n_ab")).cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("lift"))
+  }
+
   private def toks(textCol: Column): Column =
     graft.functions.TextFunctions.tokens(textCol)
 

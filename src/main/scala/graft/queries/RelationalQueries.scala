@@ -540,6 +540,29 @@ object RelationalQueries {
     // violate the set check and top-tail prices the range check, so
     // failing AND passing branches both bind; every metric is a
     // count ratio (exact longs + one correctly-rounded division).
+    // ---- q157: market-basket lift — association mining over the
+    // order→part relation: per co-purchased part pair at support ≥ 2,
+    // exact counts and lift = N·n_ab/(n_a·n_b) as one
+    // correctly-rounded division. Pair work is quadratic per BASKET
+    // only (guarded), the census map-side combines, marginals
+    // re-attach by item-keyed joins.
+    Q("q157_market_basket", Some("""
+      WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+      n AS (SELECT COUNT(DISTINCT o) AS n FROM b),
+      c AS (SELECT p, COUNT(*) AS c FROM b GROUP BY 1),
+      pr AS (SELECT a.p AS part_a, b2.p AS part_b, COUNT(*) AS n_ab
+             FROM b a JOIN b b2 ON b2.o = a.o AND a.p < b2.p GROUP BY 1, 2),
+      f AS (SELECT part_a, part_b, n_ab FROM pr WHERE n_ab >= 2)
+      SELECT part_a, part_b, n_ab, ca.c AS n_a, cb.c AS n_b,
+             CAST(n.n * n_ab AS DOUBLE) / (ca.c * cb.c) AS lift
+      FROM f JOIN c ca ON ca.p = part_a JOIN c cb ON cb.p = part_b, n
+      ORDER BY part_a, part_b""")) { (s, d) =>
+      graft.operators.TextRank.marketBasket(
+          Tables.lineitem(s, d).select("l_orderkey", "l_partkey"),
+          basketCol = "l_orderkey", itemCol = "l_partkey", minSupport = 2L)
+        .orderBy("part_a", "part_b")
+    },
+
     // ---- q153: Fellegi-Sunter record linkage — the field-level
     // entity-resolution sibling of the text dedup tier: same-block
     // (nation, segment) customer pairs score Σ integer agreement
