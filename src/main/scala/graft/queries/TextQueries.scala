@@ -114,7 +114,83 @@ object TextQueries {
       .filter(col("text").isNotNull)
   }
 
+  /** Shared oracle CTE chain for BPE merge training: word-frequency
+    * census → per-round MATERIALIZED (pair census, argmax with the
+    * (count DESC, lhs, rhs) tiebreak, greedy left-to-right replace)
+    * — the exact replay of [[graft.operators.Bpe.learnMerges]].
+    * MATERIALIZED is load-bearing: without it DuckDB re-inlines the
+    * round chain and evaluation goes superlinear in rounds. */
+  private def bpeChainSql(k: Int): String = {
+    val head = Seq(
+      """w AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+         FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+         WHERE word <> '' GROUP BY 1)""",
+      """s0 AS MATERIALIZED (SELECT word, freq,
+           array_to_string(regexp_extract_all(word, '.'), chr(1)) AS seq FROM w)""")
+    val rounds = (1 to k).flatMap { i =>
+      Seq(
+        s"""t$i AS (SELECT freq, string_split(seq, chr(1)) AS toks,
+              unnest(generate_series(1, len(string_split(seq, chr(1))) - 1)) AS i
+            FROM s${i - 1})""",
+        s"""p$i AS (SELECT toks[i] AS lhs, toks[i+1] AS rhs,
+              CAST(SUM(freq) AS BIGINT) AS pair_count FROM t$i GROUP BY 1, 2)""",
+        s"""b$i AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p$i
+            ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)""",
+        s"""s$i AS MATERIALIZED (SELECT word, freq,
+              replace(seq, lhs || chr(1) || rhs, lhs || rhs) AS seq
+            FROM s${i - 1} CROSS JOIN b$i)""")
+    }
+    "WITH " + (head ++ rounds).mkString(",\n")
+  }
+
   val qs: Seq[Q] = Seq(
+
+    // ---- q158: BPE merge training — the tokenizer-fit step. The
+    // corpus is scanned once for the word census; each of the 10
+    // merge rounds is a pair census + TakeOrdered(1) argmax over the
+    // DICTIONARY only (never the corpus), so the loop cost is
+    // independent of corpus size. Census counts overlapping
+    // positions; application is greedy left-to-right (`replace` has
+    // identical semantics in Spark and DuckDB — BpeSpec pins the
+    // "aaa" overlap case).
+    Q("q158_bpe_merges", Some(bpeChainSql(10) + "\n" +
+      (1 to 10).map(i =>
+          s"SELECT CAST($i AS BIGINT) AS merge_rank, lhs, rhs, lhs || rhs AS merged, pair_count FROM b$i")
+        .mkString("SELECT * FROM (", " UNION ALL ", ") ORDER BY merge_rank"))) { (s, d) =>
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (merges, _) = graft.operators.Bpe.learnMerges(words, "word", "freq", 10)
+      merges.orderBy("merge_rank")
+    },
+
+    // ---- q159: BPE segmentation stats — apply the trained merges
+    // to every document. Segmentation of a word depends only on the
+    // word, so the corpus joins the SEGMENTED DICTIONARY once (AQE
+    // broadcasts it here; at real vocabulary scale it is a plain
+    // shuffle join) instead of re-running merges per document.
+    // cpt_e4 = chars-per-token ×10⁴, exact integer division.
+    Q("q159_bpe_segment", Some(bpeChainSql(10) + """,
+      dict AS (SELECT word, CAST(len(string_split(seq, chr(1))) AS BIGINT) AS ntok FROM s10),
+      dw AS (SELECT doc_id, word
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> '')
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+             CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+             CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+             CAST(SUM(length(word)) * 10000 // SUM(ntok) AS BIGINT) AS cpt_e4
+      FROM dw JOIN dict USING (word)
+      GROUP BY doc_id ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (_, dict) = graft.operators.Bpe.learnMerges(words, "word", "freq", 10)
+      graft.operators.Bpe.segmentStats(docs, "doc_id", "text", dict)
+        .orderBy("doc_id")
+    },
 
     // ---- q20: exact dedup by order-invariant fingerprint.
     // One narrow projection + one group-by shuffle on the 128-bit

@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Pins the BPE kernel's semantic contract:
+  * - the census counts overlapping adjacent POSITIONS;
+  * - application is greedy left-to-right non-overlapping, so "aaa"
+  *   under merge (a,a) → [aa, a] (Spark `replace` ≡ DuckDB `replace`,
+  *   the parity q158 relies on);
+  * - tiebreak is (count DESC, lhs ASC, rhs ASC);
+  * - training stops early when no adjacent pairs remain;
+  * - segmentation falls back to character count for unseen words.
+  */
+class BpeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def dictOf(rows: (String, Long)*) =
+    rows.toSeq.toDF("word", "freq")
+
+  test("census counts overlapping positions; apply is greedy left-to-right") {
+    // "aaa" ×5: census sees (a,a) at two positions → count 10.
+    val (merges, dict) = Bpe.learnMerges(dictOf("aaa" -> 5L), "word", "freq", 1)
+    assert(merges.collect().toSeq === Seq(Row(1L, "a", "a", "aa", 10L)))
+    // Greedy application leaves [aa, a], never [a, aa] or [aaa].
+    val seqs = dict.select("seq").as[String].collect()
+    assert(seqs.toSeq === Seq("aaa"))
+  }
+
+  test("argmax tiebreak is (count DESC, lhs ASC, rhs ASC)") {
+    // "ba" and "ab" both have count 3 — (a,b) wins on lhs order.
+    val (merges, _) = Bpe.learnMerges(
+      dictOf("ba" -> 3L, "ab" -> 3L), "word", "freq", 1)
+    assert(merges.collect().toSeq === Seq(Row(1L, "a", "b", "ab", 3L)))
+  }
+
+  test("frequency weighting drives the argmax, not word count") {
+    // One word of freq 10 beats three words of freq 1 each.
+    val (merges, _) = Bpe.learnMerges(
+      dictOf("xy" -> 10L, "pq" -> 1L, "pr" -> 1L, "ps" -> 1L),
+      "word", "freq", 1)
+    assert(merges.collect().toSeq === Seq(Row(1L, "x", "y", "xy", 10L)))
+  }
+
+  test("training stops when the dictionary runs out of pairs") {
+    // "ab" collapses after one merge; round 2 finds no pairs.
+    val (merges, dict) = Bpe.learnMerges(dictOf("ab" -> 2L), "word", "freq", 5)
+    assert(merges.collect().toSeq === Seq(Row(1L, "a", "b", "ab", 2L)))
+    assert(dict.select("seq").as[String].collect().toSeq === Seq("ab"))
+  }
+
+  test("merge chain: learned subword reused as lhs/rhs of later merges") {
+    // "abab" ×4: round 1 merges (a,b) → [ab, ab]; round 2 (ab, ab).
+    val (merges, dict) = Bpe.learnMerges(dictOf("abab" -> 4L), "word", "freq", 3)
+    assert(merges.collect().toSeq === Seq(
+      Row(1L, "a", "b", "ab", 8L),
+      Row(2L, "ab", "ab", "abab", 4L)))
+    assert(dict.select("seq").as[String].collect().toSeq === Seq("abab"))
+  }
+
+  test("segmentStats: dictionary lookup + unseen-word char fallback") {
+    val (_, dict) = Bpe.learnMerges(dictOf("abab" -> 4L), "word", "freq", 2)
+    val docs = Seq((1L, "abab abab zzz"), (2L, "abab")).toDF("doc_id", "text")
+    val out = Bpe.segmentStats(docs, "doc_id", "text", dict)
+      .orderBy("doc_id").collect().toSeq
+    // doc 1: abab→1 tok ×2, zzz unseen → 3 toks; 11 chars; 5 tokens.
+    assert(out === Seq(
+      Row(1L, 3L, 5L, 11L, 22000L),
+      Row(2L, 1L, 1L, 4L, 40000L)))
+  }
+}
