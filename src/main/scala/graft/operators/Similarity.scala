@@ -82,6 +82,58 @@ object Similarity {
       .select(col("u"), col("v"), col("rank_uv"), col("rank_vu"))
   }
 
+  /** Margin-based candidate pair mining — the bitext/semantic-pair
+    * criterion of Artetxe & Schwenk 2019 ("Margin-based Parallel
+    * Corpus Mining with Multilingual Sentence Embeddings"): a raw
+    * cosine is meaningless in hubby embedding spaces, so each
+    * candidate similarity is RATIO-NORMALIZED by the average of both
+    * endpoints' own k-NN neighborhoods —
+    * `margin(a,b) = 2k·cos(a,b) / (Σ topk_B(a) + Σ topk_A(b))` —
+    * and each left-side vector keeps only its best-margin partner
+    * above `minMargin`.
+    *
+    * Input is ANY scored cross-side frame `(a_id, b_id, sim_raw)` —
+    * an exact broadcast cross-score at audit scale, an LSH/IVF
+    * candidate set at 100 TB — so the miner composes with every ANN
+    * tier (same design as [[mutualKnn]]). Scale shape: two bounded
+    * [[TopK.perGroup]] cuts (O(n·k) rows out of the scorer, never a
+    * window over all scores), two fixed-point neighborhood sums, and
+    * two id-keyed joins of O(n·k) frames. The sums quantize each sim
+    * with `FLOOR(sim·10⁸)` into exact longs: floor of a double is
+    * rounding-rule-free (a decimal CAST is not — Spark HALF_UP vs
+    * DuckDB's banker's rounding flipped 6-dp margins on
+    * half-boundary sims), so the order-insensitive integer sum and
+    * the margin doubles derived from it are bit-identical across
+    * engines. Requires ≥ k vectors per side so every neighborhood
+    * has exactly k members (the ratio denominator).
+    */
+  def marginMine(scored: DataFrame, k: Int, minMargin: Double): DataFrame = {
+    val fwd = TopK.perGroup(scored, "a_id", "b_id", "sim_raw", k)
+      .select(col("a_id"), col("neighbor_id").as("b_id"), col("sim_raw"))
+    val bwd = TopK.perGroup(
+        scored.select(col("b_id"), col("a_id"), col("sim_raw")),
+        "b_id", "a_id", "sim_raw", k)
+      .select(col("b_id"), col("sim_raw"))
+    val sumA = fwd.groupBy("a_id")
+      .agg(sum(floor(col("sim_raw") * lit(1e8d)).cast("long")).as("nbr_a"))
+    val sumB = bwd.groupBy("b_id")
+      .agg(sum(floor(col("sim_raw") * lit(1e8d)).cast("long")).as("nbr_b"))
+    val margins = fwd
+      .join(sumA, "a_id").join(sumB, "b_id")
+      .select(col("a_id"), col("b_id"), col("sim_raw"),
+        (lit(2.0d * k) * col("sim_raw") * lit(1e8d) /
+          (col("nbr_a") + col("nbr_b")).cast("double")).as("margin_raw"))
+    val best = TopK.perGroup(margins, "a_id", "b_id", "margin_raw", 1)
+      .select(col("a_id"), col("neighbor_id").as("b_id"),
+        col("sim_raw").as("margin_raw"))
+    best
+      .join(margins.select("a_id", "b_id", "sim_raw"), Seq("a_id", "b_id"))
+      .filter(col("margin_raw") >= minMargin)
+      .select(col("a_id"), col("b_id"),
+        round(col("sim_raw"), 6).as("sim"),
+        round(col("margin_raw"), 6).as("margin"))
+  }
+
   /** Sampled RECALL AUDIT of the LSH ANN path against exact ground
     * truth — the evaluation loop a production ANN deployment runs
     * continuously: approximate indexes silently lose recall as the

@@ -1195,6 +1195,60 @@ object VectorQueries {
         .orderBy("u", "v")
     },
 
+    // ---- q160: margin-based pair mining (Artetxe & Schwenk ratio
+    // margin) — the bitext/semantic-alignment criterion: cosine
+    // normalized by BOTH endpoints' own top-4 neighborhood averages,
+    // best-margin partner per left vector, mined at margin ≥ 1.15.
+    // Sides = vec_id parity (stand-in for two languages). The
+    // neighborhood sums are FLOOR(sim·1e8) longs — floor is
+    // rounding-rule-free where a decimal cast is not — so margins
+    // are bit-identical across engines; top-k cuts are bounded TopK
+    // aggregates, never a corpus-wide window. At 100 TB the exact
+    // cross-score feeding
+    // the miner is replaced by LSH/IVF candidates — the miner takes
+    // any scored frame (same composability as q142's mutualKnn).
+    Q("q160_margin_pairs", Some(oracleProlog + """,
+      a AS (SELECT * FROM p WHERE vec_id % 2 = 0),
+      b AS (SELECT * FROM p WHERE vec_id % 2 = 1),
+      scored AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                        list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS sim_raw
+                 FROM a CROSS JOIN b),
+      fwd AS (SELECT a_id, b_id, sim_raw,
+                     row_number() OVER (PARTITION BY a_id
+                                        ORDER BY sim_raw DESC, b_id) AS r
+              FROM scored),
+      fk AS (SELECT * FROM fwd WHERE r <= 4),
+      bwd AS (SELECT a_id, b_id, sim_raw,
+                     row_number() OVER (PARTITION BY b_id
+                                        ORDER BY sim_raw DESC, a_id) AS r
+              FROM scored),
+      bk AS (SELECT * FROM bwd WHERE r <= 4),
+      sa AS (SELECT a_id, SUM(CAST(FLOOR(sim_raw * 1e8) AS BIGINT)) AS nbr_a FROM fk GROUP BY 1),
+      sb AS (SELECT b_id, SUM(CAST(FLOOR(sim_raw * 1e8) AS BIGINT)) AS nbr_b FROM bk GROUP BY 1),
+      m AS (SELECT fk.a_id, fk.b_id, fk.sim_raw,
+                   8.0 * fk.sim_raw * 1e8 / CAST(sa.nbr_a + sb.nbr_b AS DOUBLE) AS margin_raw
+            FROM fk JOIN sa ON sa.a_id = fk.a_id JOIN sb ON sb.b_id = fk.b_id),
+      best AS (SELECT a_id, b_id, sim_raw, margin_raw,
+                      row_number() OVER (PARTITION BY a_id
+                                         ORDER BY margin_raw DESC, b_id) AS br
+               FROM m)
+      SELECT a_id, b_id, round(sim_raw, 6) AS sim, round(margin_raw, 6) AS margin
+      FROM best WHERE br = 1 AND margin_raw >= 1.15
+      ORDER BY a_id""")) { (s, d) =>
+      val p = Similarity.prepared(Tables.embeddings(s, d))
+      val a = p.filter(pmod(col("vec_id"), lit(2)) === 0)
+        .select(col("vec_id").as("a_id"), col("vec").as("av"), col("norm").as("an"))
+      val b = p.filter(pmod(col("vec_id"), lit(2)) === 1)
+        .select(col("vec_id").as("b_id"), col("vec").as("bv"), col("norm").as("bn"))
+      val scored = a.crossJoin(broadcast(b))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.VectorFunctions.cosinePrenormed(
+            graft.functions.VectorFunctions.dot(col("av"), col("bv")),
+            col("an"), col("bn")).as("sim_raw"))
+      Similarity.marginMine(scored, k = 4, minMargin = 1.15)
+        .orderBy("a_id")
+    },
+
     // ---- q144: exact per-class ROC-AUC — the model-eval rank
     // statistic ("does dimension 1 separate class c?") computed
     // EXACTLY at scale: Mann-Whitney U with doubled tie mid-ranks on

@@ -352,4 +352,54 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(handGot.toSeq === Seq((1L, 2L, 1L, 2L)))
   }
+
+  test("marginMine ≡ driver-side replay of the ratio-margin pipeline") {
+    // Deterministic 12-vector fixture, sides by parity.
+    val vecs = (0L until 12L).map(id =>
+      (id, Array.tabulate(4)(j => (((id * 7 + j * 13) % 10) - 4.5).toFloat)))
+    val k = 2
+    val minMargin = 0.8
+    // Replay with the engine's own arithmetic: sequential dot,
+    // FLOOR(sim·1e8) longs, (2k·sim·1e8)/Σ doubles.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.iterator.zip(y.iterator).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val aSide = vecs.filter(_._1 % 2 == 0)
+    val bSide = vecs.filter(_._1 % 2 == 1)
+    val scoredR = for ((ai, av) <- aSide; (bi, bv) <- bSide)
+      yield (ai, bi, cos(av, bv))
+    def topk(rows: Seq[(Long, Long, Double)]) =
+      rows.groupBy(_._1).view.mapValues(
+        _.sortBy { case (_, id, s) => (-s, id) }.take(k)).toMap
+    val fwd = topk(scoredR)
+    val bwd = topk(scoredR.map { case (a, b, s) => (b, a, s) })
+    def floorSum(rows: Seq[(Long, Long, Double)]): Long =
+      rows.map { case (_, _, s) => math.floor(s * 1e8).toLong }.sum
+    val expected = fwd.toSeq.flatMap { case (a, cands) =>
+      val withMargin = cands.map { case (_, b, s) =>
+        val den = (floorSum(fwd(a)) + floorSum(bwd(b))).toDouble
+        (b, s, 2.0 * k * s * 1e8 / den)
+      }
+      val (b, s, m) = withMargin.minBy { case (bid, _, mm) => (-mm, bid) }
+      if (m >= minMargin) Some((a, b,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(m).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      else None
+    }.sortBy(_._1)
+    val df = vecs.toDF("vec_id", "embedding")
+    val p = Similarity.prepared(df)
+    val a = p.filter(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("a_id"), col("vec").as("av"), col("norm").as("an"))
+    val b = p.filter(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("b_id"), col("vec").as("bv"), col("norm").as("bn"))
+    val scored = a.crossJoin(b).select(col("a_id"), col("b_id"),
+      graft.functions.VectorFunctions.cosinePrenormed(
+        graft.functions.VectorFunctions.dot(col("av"), col("bv")),
+        col("an"), col("bn")).as("sim_raw"))
+    val got = Similarity.marginMine(scored, k, minMargin).orderBy("a_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq === expected)
+  }
 }
