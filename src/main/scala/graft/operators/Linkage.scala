@@ -80,4 +80,46 @@ object Linkage {
       .withColumn("cls",
         when(col("score") >= matchScore, lit("match")).otherwise(lit("possible")))
   }
+
+  /** Golden-record SURVIVORSHIP — the fusion step after linkage has
+    * clustered duplicate records: per cluster, elect the golden
+    * record by (attribute completeness DESC, recency DESC — id order
+    * stands in for ingest time) and fuse each attribute as
+    * latest-non-null. The classic MDM rule cascade, expressed as ONE
+    * `groupBy(cluster).agg(...)` pass: every rule is a `max_by`
+    * column, so adding a rule adds a column, never a scan or a
+    * window (no per-cluster row_number — the same
+    * one-aggregate-pass shape as the q141 validation report).
+    *
+    * NULL discipline: `max_by`'s null handling DIVERGES across
+    * engines (DuckDB's arg_max skips rows whose ARG is null; Spark
+    * keeps them and can return null), so every fusion score is
+    * null'd when its attribute is null — a row then skips in both
+    * engines identically, and the fused value is the latest NON-NULL
+    * in both.
+    *
+    * Election score = completeness·10⁹ + id: requires distinct ids
+    * below 10⁹ (guarded), which makes the argmax unique — no
+    * tiebreak ambiguity for either engine.
+    */
+  def survivorship(records: DataFrame, clusterCols: Seq[String],
+                   idCol: String, attrCols: Seq[String]): DataFrame = {
+    val completeness = attrCols.map(c =>
+      when(col(c).isNotNull, 1L).otherwise(0L)).reduce(_ + _)
+    val idGuard = when(col(idCol) >= 0L && col(idCol) < 1000000000L, col(idCol))
+      .otherwise(raise_error(
+        lit(s"survivorship: $idCol outside [0, 1e9) — election score would collide"))
+        .cast("long"))
+    val score = completeness * lit(1000000000L) + idGuard
+    val fusions = attrCols.map(c =>
+      max_by(col(c), when(col(c).isNotNull, col(idCol))).as(s"${c}_fused"))
+    val aggs = Seq(
+      max_by(col(idCol), score).as(s"golden_$idCol"),
+      count(lit(1)).as("n_members"),
+      sum(when(completeness === attrCols.size, 1L).otherwise(0L)).as("n_complete")
+    ) ++ fusions
+    records
+      .groupBy(clusterCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

@@ -606,6 +606,57 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- q161: golden-record survivorship — the fusion step after
+    // q153's linkage: per c_name cluster elect the golden record by
+    // (completeness DESC, recency DESC) and fuse each attribute
+    // latest-non-null, all as ONE groupBy aggregate (each rule is a
+    // max_by column — no window, no extra scan). Planted twins make
+    // every branch bind: +10M twins null their segment (lose the
+    // election on completeness but still donate the freshest cents),
+    // +20M twins are complete and newest (win the election outright).
+    // Every max_by score is null'd with its attribute because
+    // DuckDB's arg_max skips null-ARG rows while Spark's max_by
+    // keeps them — the one cross-engine null divergence here.
+    Q("q161_survivorship", Some("""
+      WITH base AS (SELECT c_custkey, c_name, c_nationkey,
+              CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents, c_mktsegment
+            FROM customer),
+      ta AS (SELECT c_custkey + 10000000 AS c_custkey, c_name, c_nationkey,
+               cents + 50 AS cents, CAST(NULL AS VARCHAR) AS c_mktsegment
+             FROM base WHERE c_custkey % 5 = 0),
+      tb AS (SELECT c_custkey + 20000000 AS c_custkey, c_name, c_nationkey,
+               cents + 5000 AS cents, c_mktsegment
+             FROM base WHERE c_custkey % 10 = 0),
+      r AS (SELECT * FROM base UNION ALL SELECT * FROM ta UNION ALL SELECT * FROM tb),
+      c AS (SELECT *, (CASE WHEN c_nationkey IS NULL THEN 0 ELSE 1 END +
+                       CASE WHEN cents IS NULL THEN 0 ELSE 1 END +
+                       CASE WHEN c_mktsegment IS NULL THEN 0 ELSE 1 END) AS comp FROM r)
+      SELECT c_name,
+             arg_max(c_custkey, CAST(comp AS BIGINT) * 1000000000 + c_custkey) AS golden_c_custkey,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(SUM(CASE WHEN comp = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_complete,
+             arg_max(c_nationkey, CASE WHEN c_nationkey IS NOT NULL THEN c_custkey END) AS c_nationkey_fused,
+             arg_max(cents, CASE WHEN cents IS NOT NULL THEN c_custkey END) AS cents_fused,
+             arg_max(c_mktsegment, CASE WHEN c_mktsegment IS NOT NULL THEN c_custkey END) AS c_mktsegment_fused
+      FROM c GROUP BY c_name ORDER BY c_name""")) { (s, d) =>
+      val base = Tables.customer(s, d).select(col("c_custkey"), col("c_name"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") * 100d + 0.5d).cast("long").as("cents"),
+        col("c_mktsegment"))
+      val ta = base.filter(pmod(col("c_custkey"), lit(5L)) === 0L)
+        .select((col("c_custkey") + 10000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), (col("cents") + 50L).as("cents"),
+          lit(null).cast("string").as("c_mktsegment"))
+      val tb = base.filter(pmod(col("c_custkey"), lit(10L)) === 0L)
+        .select((col("c_custkey") + 20000000L).as("c_custkey"), col("c_name"),
+          col("c_nationkey"), (col("cents") + 5000L).as("cents"),
+          col("c_mktsegment"))
+      graft.operators.Linkage.survivorship(
+          base.unionByName(ta).unionByName(tb),
+          Seq("c_name"), "c_custkey", Seq("c_nationkey", "cents", "c_mktsegment"))
+        .orderBy("c_name")
+    },
+
     Q("q141_validation_report", Some("""
       WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total,
                         CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_prio,

@@ -52,4 +52,35 @@ class LinkageSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("block"), e.getMessage)
   }
+
+  test("survivorship: completeness beats recency; fusion is latest NON-NULL per attribute") {
+    // Cluster "x": id 1 complete, id 11 newest but seg null →
+    // golden = 1 (completeness wins), seg_fused = 1's, bal_fused = 11's.
+    // Cluster "y": id 2 complete, id 22 complete + newer → golden 22.
+    // Cluster "z": single member with all-null seg → fused null.
+    val rows = Seq(
+      (1L, "x", Option(10L), Option("A")),
+      (11L, "x", Option(20L), None),
+      (2L, "y", Option(30L), Option("B")),
+      (22L, "y", Option(40L), Option("C")),
+      (3L, "z", Option(50L), None))
+    val got = Linkage.survivorship(
+        rows.toDF("id", "name", "bal", "seg"), Seq("name"), "id", Seq("bal", "seg"))
+      .orderBy("name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), Option(r.getString(5))))
+    assert(got.toSeq === Seq(
+      ("x", 1L, 2L, 1L, 20L, Some("A")),
+      ("y", 22L, 2L, 2L, 40L, Some("C")),
+      ("z", 3L, 1L, 0L, 50L, None)))
+  }
+
+  test("survivorship: id guard trips outside [0, 1e9)") {
+    val e = intercept[Exception] {
+      Linkage.survivorship(Seq((1000000000L, "x", Option(1L)))
+          .toDF("id", "name", "bal"), Seq("name"), "id", Seq("bal"))
+        .collect()
+    }
+    assert(e.getMessage.contains("survivorship"), e.getMessage)
+  }
 }
