@@ -48,6 +48,45 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Per-eval-document MEMORIZATION-RISK report — the reverse
+    * direction of [[flagContaminated]]: instead of dropping train
+    * docs that leak eval content, it grades each EVAL doc by how
+    * much of it the training corpus already contains (the fraction
+    * of its distinct word n-grams present anywhere in train) — the
+    * overlap statistic an eval-integrity audit publishes before
+    * trusting a benchmark score.
+    *
+    * Scale shape: eval shingles are benchmark-sized and broadcast;
+    * the training corpus is scanned ONCE and semi-joined against
+    * them (only eval-matching shingles survive the probe, so the
+    * distinct that follows is O(eval), not O(train)); the per-doc
+    * membership join is then broadcast-small on both sides. No
+    * train-side shuffle anywhere. `overlap_e4` is exact integer
+    * division ×10⁴; tiers: high ≥ 0.5, medium ≥ 0.1. */
+  def memorizationRisk(trainDocs: DataFrame, evalDocs: DataFrame, n: Int = 3,
+                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shingles: Column =
+      explode(array_distinct(
+        GraftFunctions.shingle_hex_tokens(TextFunctions.tokens(col(textCol)), n)))
+    val evalSh = evalDocs.select(col(idCol), shingles.as("sh"))
+    val evalShAll = evalSh.select("sh").distinct()
+    val present = trainDocs.select(shingles.as("sh"))
+      .join(broadcast(evalShAll), Seq("sh"), "leftsemi")
+      .distinct()
+      .withColumn("hit", lit(1L))
+    evalSh
+      .join(broadcast(present), Seq("sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .withColumn("overlap_e4",
+        expr("CAST(n_overlap * 10000 DIV n_shingles AS BIGINT)"))
+      .withColumn("risk",
+        when(col("overlap_e4") >= 5000L, lit("high"))
+          .when(col("overlap_e4") >= 1000L, lit("medium"))
+          .otherwise(lit("low")))
+  }
+
   /** Fit half of the stream-deployable decontamination split:
     * collect the eval set's distinct shingle hexes into a bounded
     * [[graft.functions.ShingleSetModel]] (eval sets are

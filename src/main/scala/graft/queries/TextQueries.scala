@@ -734,6 +734,38 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q162: per-eval-doc memorization-risk — the reverse of
+    // q48: grade each EVAL doc by the fraction of its distinct word
+    // 3-grams the TRAINING corpus already contains. Train is scanned
+    // once and semi-joined against the broadcast eval shingle set
+    // (the distinct after the probe is O(eval), never O(train));
+    // same 15-hex md5 shingles as q48 so both engines agree bitwise.
+    Q("q162_memorization_risk", Some("""
+      WITH ds AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                 [array_to_string(string_split(text,' ')[i:i+2], ' ')
+                  FOR i IN range(1, len(string_split(text,' ')) - 1)],
+                 x -> substr(md5(x), 1, 15))) AS shs
+        FROM documents),
+      es AS (SELECT doc_id, unnest(shs) AS sh FROM ds WHERE doc_id % 97 = 0),
+      ts AS (SELECT DISTINCT unnest(shs) AS sh FROM ds WHERE doc_id % 97 <> 0),
+      j AS (SELECT es.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN ts.sh IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_overlap
+            FROM es LEFT JOIN ts ON ts.sh = es.sh GROUP BY 1)
+      SELECT doc_id, n_shingles, n_overlap,
+             CAST(n_overlap * 10000 // n_shingles AS BIGINT) AS overlap_e4,
+             CASE WHEN n_overlap * 10000 // n_shingles >= 5000 THEN 'high'
+                  WHEN n_overlap * 10000 // n_shingles >= 1000 THEN 'medium'
+                  ELSE 'low' END AS risk
+      FROM j ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      Curation.memorizationRisk(
+          docs.filter(pmod(col("doc_id"), lit(97)) =!= 0),
+          docs.filter(pmod(col("doc_id"), lit(97)) === 0), n = 3)
+        .orderBy("doc_id")
+    },
+
     // ---- q49: token-budget sequence packing — greedy next-fit into
     // 512-token sequences across 32 id-modulo shards. The oracle
     // replays the sequential walk per shard with a recursive CTE

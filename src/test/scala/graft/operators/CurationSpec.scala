@@ -591,4 +591,22 @@ class CurationSpec extends SparkSuite {
     assert(got.head === Seq("a b", "c d", "e"))
     assert(got(1) === Seq("a"))
   }
+
+  test("memorizationRisk: exact overlap fractions; all three tiers bind") {
+    import spark.implicits._
+    // Train contains "a b c d" (3-grams: abc, bcd). Eval docs:
+    //  1: "a b c d"      → 2/2 overlap  → 10000 high
+    //  2: "a b c x y z"  → shingles {abc, bcx, cxy, xyz}, 1/4 → 2500 medium
+    //  3: "p q r s"      → 0/2          → 0 low
+    val train = Seq((100L, "a b c d")).toDF("doc_id", "text")
+    val eval_ = Seq(
+      (1L, "a b c d"), (2L, "a b c x y z"), (3L, "p q r s")).toDF("doc_id", "text")
+    val got = Curation.memorizationRisk(train, eval_, n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq === Seq(
+      (1L, 2L, 2L, 10000L, "high"),
+      (2L, 4L, 1L, 2500L, "medium"),
+      (3L, 2L, 0L, 0L, "low")))
+  }
 }
