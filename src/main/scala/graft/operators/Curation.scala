@@ -48,6 +48,44 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Temperature-based mixture APPORTIONMENT — the "sample source i
+    * proportional to size^α" recipe every LLM data mix uses (α < 1
+    * upweights small/rare sources; GPT-3 / multilingual-corpus
+    * style), made EXACTLY reproducible: weights are
+    * `FLOOR(sqrt(size)·10⁶)` longs (α fixed at 0.5 because IEEE-754
+    * `sqrt` is correctly rounded in both engines where a generic
+    * `pow` is not), and the integer budget is apportioned by
+    * largest-remainder (Hare): `base = B·w DIV ΣW`, the `B - Σbase`
+    * leftover going to the largest `B·w MOD ΣW` (source-name
+    * tiebreak). Every step is exact long arithmetic — allocations
+    * sum to B by construction on any input.
+    *
+    * Scale shape: one map-side-combined census shuffle over the
+    * corpus; everything after runs on the strata table (sources /
+    * domains — thousands at most), where the one-row totals frame is
+    * broadcast and the remainder ranking windows over strata, never
+    * corpus rows. */
+  def temperatureAllocate(docs: DataFrame, groupCol: String, sizeCol: Column,
+                          budget: Long): DataFrame = {
+    val census = docs.groupBy(groupCol)
+      .agg(sum(sizeCol).cast("long").as("n_tokens"))
+      .withColumn("w_fp", floor(sqrt(col("n_tokens").cast("double")) * lit(1e6d)).cast("long"))
+    val totals = census.agg(sum("w_fp").as("__tw")).withColumn("__budget", lit(budget))
+    val based = census.crossJoin(broadcast(totals))
+      .select(col(groupCol), col("n_tokens"), col("w_fp"),
+        (col("__budget") * col("w_fp")).as("__num"), col("__tw"), col("__budget"))
+      .withColumn("base", expr("__num DIV __tw"))
+      .withColumn("rem", expr("__num % __tw"))
+    val leftover = based.agg((first("__budget") - sum("base")).as("__left"))
+    based.crossJoin(broadcast(leftover))
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col(groupCol).asc)))
+      .select(col(groupCol), col("n_tokens"), col("w_fp"),
+        (col("base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   /** Per-eval-document MEMORIZATION-RISK report — the reverse
     * direction of [[flagContaminated]]: instead of dropping train
     * docs that leak eval content, it grades each EVAL doc by how

@@ -863,6 +863,34 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q163: temperature mixture apportionment — per-source
+    // sampling weights ∝ size^0.5 (α fixed at 0.5: IEEE sqrt is
+    // correctly rounded in both engines, generic pow is not) with
+    // the 100k-unit budget split by exact largest-remainder (Hare)
+    // apportionment in long arithmetic — allocations sum to the
+    // budget on any input. One corpus census shuffle; the ranking
+    // windows over the strata table only.
+    Q("q163_temperature_mix", Some("""
+      WITH c AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+                 FROM documents GROUP BY 1),
+      w AS (SELECT source, n_tokens,
+                   CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp
+            FROM c),
+      t AS (SELECT SUM(w_fp) AS tw FROM w),
+      b AS (SELECT source, n_tokens, w_fp,
+                   (100000 * w_fp) // t.tw AS base,
+                   (100000 * w_fp) % t.tw AS rem
+            FROM w, t),
+      l AS (SELECT 100000 - SUM(base) AS lft FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+      SELECT source, n_tokens, w_fp,
+             CAST(base + CASE WHEN rk <= l.lft THEN 1 ELSE 0 END AS BIGINT) AS alloc
+      FROM r, l ORDER BY source""")) { (s, d) =>
+      Curation.temperatureAllocate(Tables.documents(s, d), "source",
+          size(split(col("text"), " ")).cast("long"), budget = 100000L)
+        .orderBy("source")
+    },
+
     // ---- q128: leakage-safe train/val/test split — docs assigned by
     // hashing their exact-duplicate-group REPRESENTATIVE (q20's
     // canonical fingerprint, min-id rep), so duplicates can never

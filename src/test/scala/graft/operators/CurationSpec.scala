@@ -592,6 +592,23 @@ class CurationSpec extends SparkSuite {
     assert(got(1) === Seq("a"))
   }
 
+  test("temperatureAllocate: sums to budget exactly; sqrt upweights small strata; remainder tiebreak") {
+    import spark.implicits._
+    // Sizes 90000 vs 10000: proportional share would be 90/10, but
+    // sqrt temperature gives 300:100 → 75/25.
+    val docs = Seq(("big", 90000L), ("small", 10000L)).toDF("src", "n")
+    val got = Curation.temperatureAllocate(docs, "src", col("n"), budget = 100L)
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(got.toSeq === Seq(("big", 75L), ("small", 25L)))
+    // Three equal strata, budget 100 → bases 33 each, leftover 1
+    // goes to the lexicographically first source (equal remainders).
+    val eq = Seq(("a", 4L), ("b", 4L), ("c", 4L)).toDF("src", "n")
+    val got2 = Curation.temperatureAllocate(eq, "src", col("n"), budget = 100L)
+      .orderBy("src").collect().map(r => (r.getString(0), r.getLong(3)))
+    assert(got2.map(_._2).sum === 100L)
+    assert(got2.toSeq === Seq(("a", 34L), ("b", 33L), ("c", 33L)))
+  }
+
   test("memorizationRisk: exact overlap fractions; all three tiers bind") {
     import spark.implicits._
     // Train contains "a b c d" (3-grams: abc, bcd). Eval docs:
