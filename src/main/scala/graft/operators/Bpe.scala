@@ -99,6 +99,43 @@ object Bpe {
     (mergeDf, dict)
   }
 
+  /** Stateless BPE segmentation under a COLLECTED merge table — the
+    * score-stream half of the fit-batch/score-stream split (the
+    * [[graft.streaming.EventStreams]] deployment family): the ranked
+    * merge list (driver-bounded, `numMerges` rows) folds into one
+    * codegen'd projection — per word, the K merges apply in rank
+    * order as chained greedy `replace`s, exactly the training-time
+    * application — so arriving documents segment with no dictionary
+    * join, no state store, and UNSEEN words segment correctly (BPE
+    * application is defined on any word, not just the fit corpus;
+    * [[segmentStats]]' dict-join falls back to char counts there).
+    * Batch parity on fit-corpus words is exact: applying merges in
+    * rank order reproduces the training evolution of every dict
+    * word (spec-pinned). */
+  def segmentStatsWithMerges(docs: DataFrame, merges: Seq[(String, String)],
+                             idCol: String = "doc_id",
+                             textCol: String = "text"): DataFrame = {
+    def applyMerges(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      merges.foldLeft(regexp_replace(word, "(?<=.)(?=.)", Sep)) {
+        case (seq, (l, r)) => replace(seq, lit(l + Sep + r), lit(l + r))
+      }
+    val words = filter(split(col(textCol), " "), w => w =!= "")
+    docs.select(col(idCol),
+        size(words).cast("long").as("n_words"),
+        aggregate(transform(words, w => size(split(applyMerges(w), Sep)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_tokens"),
+        aggregate(transform(words, w => length(w).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("n_chars"))
+      .withColumn("cpt_e4",
+        expr("CAST(n_chars * 10000 DIV n_tokens AS BIGINT)"))
+  }
+
+  /** Collect a trained merge table into the driver-side ranked list
+    * [[segmentStatsWithMerges]] closes over (bounded by numMerges). */
+  def collectMerges(mergeDf: DataFrame): Seq[(String, String)] =
+    mergeDf.orderBy("merge_rank").select("lhs", "rhs").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Segment per-document token statistics under a trained dictionary:
     * every document word is looked up in the segmented dictionary
     * (words absent from the fit corpus fall back to character count).

@@ -509,6 +509,20 @@ object EventStreams {
                   idCol: String = "doc_id", keyCol: String = "text"): DataFrame =
     graft.operators.Sketches.bloomScored(docs, model, idCol, keyCol)
 
+  /** Streaming BPE segmentation with batch-fit merges — the
+    * tokenizer-tier deployment of the fit-once/score-forever shape:
+    * [[graft.operators.Bpe.learnMerges]] trains on the standing
+    * corpus (batch), and each arriving document segments via the
+    * ranked merge list folded into one stateless projection
+    * ([[graft.operators.Bpe.segmentStatsWithMerges]]) — no
+    * dictionary join, no state store, appends at ingest rate
+    * forever, and unseen words segment correctly because BPE
+    * application is defined on any word. Fit-corpus parity with the
+    * batch dict-join path is exact (spec-pinned). */
+  def bpeSegmented(docs: DataFrame, merges: Seq[(String, String)],
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Bpe.segmentStatsWithMerges(docs, merges, idCol, textCol)
+
   /** Streaming content-defined chunking at ingest — the storage-side
     * twin of the batch operator ([[graft.operators.Curation
     * .cdcChunks]]): every arriving document splits into

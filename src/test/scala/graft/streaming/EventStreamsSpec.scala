@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, explode, lit, split}
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSuite
 
@@ -354,7 +354,7 @@ class EventStreamsSpec extends SparkSuite {
   }
 
   test("streaming dedup drops same-fingerprint arrivals within the watermark") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, count, explode, lit, split}
     // events 1 and 2 carry the same token SET ("hello world" vs
     // "world hello") — the canonical fingerprint matches, so the
     // second arrival is dropped; distinct content passes through.
@@ -729,5 +729,45 @@ class EventStreamsSpec extends SparkSuite {
     intercept[IllegalArgumentException](
       EventStreams.validationWindowed(
         EventStreams.readEventsJson(spark, dir), Seq(Unique("u", "event_id"))))
+  }
+
+  test("streaming BPE segmentation ≡ batch dict-join on fit corpus; stateless; unseen words segment") {
+    import graft.operators.Bpe
+    val corpus = Seq((1L, "abab abab"), (2L, "abab ab"), (3L, "ba ba abab"))
+    val docs = corpus.toDF("doc_id", "text")
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    val (mergeDf, dict) = Bpe.learnMerges(words, "word", "freq", 4)
+    val merges = Bpe.collectMerges(mergeDf)
+    // Batch parity: applying merges in rank order reproduces the
+    // trained dictionary segmentation for every fit-corpus word.
+    val stateless = Bpe.segmentStatsWithMerges(docs, merges)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val dictJoin = Bpe.segmentStats(docs, "doc_id", "text", dict)
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(stateless === dictJoin, "merge-replay segmentation diverged from the trained dict")
+    // Unseen word: the stateless path SEGMENTS it (dict-join only
+    // falls back to char count). Fit learned (a,b) then more: "ab"
+    // never appeared as a word, yet segments to one token.
+    val unseen = Bpe.segmentStatsWithMerges(
+        Seq((9L, "ab")).toDF("doc_id", "text"), merges)
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(unseen === ((9L, 1L, 1L, 2L, 20000L)))
+    // Streaming: same stateless projection over a file stream.
+    val dir = Files.createTempDirectory(Paths.get("target"), "bpe-landing")
+    corpus.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val out = Files.createTempDirectory(Paths.get("target"), "bpeout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.bpeSegmented(stream, merges), s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(streamed === stateless, "streaming BPE diverged from batch")
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"segmentation must hold no streaming state: ${st.mkString(",")}")
   }
 }
