@@ -48,6 +48,30 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** K-ANONYMITY / l-DIVERSITY census — the privacy gate a dataset
+    * release runs over its quasi-identifier columns: every
+    * equivalence class (unique QI combination) reports its size
+    * (k-anonymity: re-identification hides among n records, so
+    * n < k means the class must be suppressed or generalized before
+    * release) and its count of distinct sensitive values
+    * (l-diversity: a k-anonymous class whose members all share one
+    * sensitive value still leaks it — the homogeneity attack).
+    * `risk_e4` = 10⁴/n exact integer division, the worst-case
+    * re-identification probability of the class.
+    *
+    * Scale shape: ONE groupBy shuffle on the QI key with exact
+    * count-distinct inside each class (classes are the grouping
+    * unit, so the distinct is per-group bounded, never global). */
+  def kAnonymityReport(df: DataFrame, qiCols: Seq[String],
+                       sensitiveCol: Column, k: Long, l: Long): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(sensitiveCol).as("n_sensitive"))
+      .select(qiCols.map(col) ++ Seq(col("n"), col("n_sensitive"),
+        (col("n") >= k).as("k_anonymous"),
+        (col("n_sensitive") >= l).as("l_diverse"),
+        expr("CAST(10000 DIV n AS BIGINT)").as("risk_e4")): _*)
+
   /** Temperature-based mixture APPORTIONMENT — the "sample source i
     * proportional to size^α" recipe every LLM data mix uses (α < 1
     * upweights small/rare sources; GPT-3 / multilingual-corpus

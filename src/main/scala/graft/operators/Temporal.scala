@@ -603,4 +603,40 @@ object Temporal {
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("__w")).as("decayed_q"), count(lit(1)).as("n_buckets"))
   }
+
+  /** SEASONAL-BASELINE anomaly report over a bucketed count series —
+    * seasonality-aware where [[graft.operators.Stats.madOutliers]]
+    * is global and [[cusum]] is drift-directional: each bucket's
+    * count compares against the mean of ITS OWN season slot (hour
+    * of day, day of week — any `period`-cyclic position), so a
+    * nightly lull is not an anomaly and a nightly spike is.
+    *
+    * Exactness: the slot mean is the rational `num/den` kept as two
+    * longs; residual and profile publish as ×10⁴ integer divisions,
+    * and the anomaly test `|x·den − num| · 10 > num · thresholdE1`
+    * multiplies through by `den` so NO division ever rounds a
+    * comparison — exact on any input.
+    *
+    * Scale shape: one bucket census shuffle over the events, one
+    * slot-profile aggregation over BUCKETS (thousands of rows), and
+    * a broadcast join of the profile back to buckets. Only observed
+    * buckets participate (an entirely empty hour contributes no
+    * row, and does not drag its slot mean). */
+  def seasonalBaseline(events: DataFrame, tsCol: String, bucketNs: Long,
+                       period: Int, thresholdE1: Long = 5L): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    require(period > 0, "period must be positive")
+    val buckets = events
+      .select(expr(s"(`$tsCol`) div ${bucketNs}L").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .withColumn("slot", pmod(col("bucket"), lit(period.toLong)))
+    val profile = buckets.groupBy("slot")
+      .agg(sum("n").as("num"), count(lit(1)).as("den"))
+    buckets.join(broadcast(profile), "slot")
+      .select(col("bucket"), col("slot"), col("n"),
+        expr("CAST(num * 10000 DIV den AS BIGINT)").as("profile_e4"),
+        expr("CAST((n * den - num) * 10000 DIV den AS BIGINT)").as("resid_e4"),
+        (abs(col("n") * col("den") - col("num")) * lit(10L) >
+          col("num") * lit(thresholdE1)).as("anomalous"))
+  }
 }

@@ -242,6 +242,30 @@ object PipelineQueries {
         .orderBy("hour_bucket", "event_type")
     },
 
+    // ---- q165: seasonal-baseline anomaly report — seasonality-aware
+    // where q138's MAD is global and q155's CUSUM is directional:
+    // each hour bucket compares against the mean of its own
+    // hour-of-day slot, kept as the exact rational num/den pair; the
+    // anomaly test multiplies through by den so no division ever
+    // rounds a comparison. One bucket census shuffle + one
+    // slot-profile agg over buckets + a broadcast join back.
+    Q("q165_seasonal_baseline", Some("""
+      WITH b AS (SELECT epoch_ns(ts) // 3600000000000 AS bucket,
+                        CAST(COUNT(*) AS BIGINT) AS n
+                 FROM events GROUP BY 1),
+      s AS (SELECT *, bucket % 24 AS slot FROM b),
+      p AS (SELECT slot, CAST(SUM(n) AS BIGINT) AS num,
+                   CAST(COUNT(*) AS BIGINT) AS den FROM s GROUP BY 1)
+      SELECT s.bucket, s.slot, s.n,
+             CAST(num * 10000 // den AS BIGINT) AS profile_e4,
+             CAST((n * den - num) * 10000 // den AS BIGINT) AS resid_e4,
+             ABS(n * den - num) * 10 > num * 5 AS anomalous
+      FROM s JOIN p USING (slot) ORDER BY bucket""")) { (s, d) =>
+      graft.operators.Temporal.seasonalBaseline(
+          Tables.events(s, d), "ts", bucketNs = 3600000000000L, period = 24)
+        .orderBy("bucket")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

@@ -606,6 +606,28 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- q164: k-anonymity / l-diversity census — the privacy gate
+    // before a dataset release: per quasi-identifier class (nation,
+    // segment), size n (k=16 anonymity), distinct sensitive
+    // acctbal-thousand buckets (l=3 diversity), and the exact 10⁴/n
+    // worst-case re-identification risk. One groupBy shuffle;
+    // per-class exact distinct. At the sf0.01 gate both k branches
+    // bind (mean class size ≈ 12).
+    Q("q164_k_anonymity", Some("""
+      SELECT c_nationkey, c_mktsegment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) // 100000) AS BIGINT) AS n_sensitive,
+             COUNT(*) >= 16 AS k_anonymous,
+             COUNT(DISTINCT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) // 100000) >= 3 AS l_diverse,
+             CAST(10000 // COUNT(*) AS BIGINT) AS risk_e4
+      FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")) { (s, d) =>
+      graft.operators.Curation.kAnonymityReport(
+          Tables.customer(s, d), Seq("c_nationkey", "c_mktsegment"),
+          expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) DIV 100000"),
+          k = 16L, l = 3L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+
     // ---- q161: golden-record survivorship — the fusion step after
     // q153's linkage: per c_name cluster elect the golden record by
     // (completeness DESC, recency DESC) and fuse each attribute

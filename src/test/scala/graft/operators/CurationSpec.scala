@@ -592,6 +592,25 @@ class CurationSpec extends SparkSuite {
     assert(got(1) === Seq("a"))
   }
 
+  test("kAnonymityReport: class sizes, homogeneity attack flagged, exact risk") {
+    import spark.implicits._
+    // Class (1,"A"): 3 members but ONE sensitive value → k-anonymous
+    // at k=3 yet NOT l-diverse (homogeneity attack). Class (2,"B"):
+    // 2 members, 2 values → diverse but too small.
+    val rows = Seq(
+      (1L, "A", 10L), (1L, "A", 10L), (1L, "A", 10L),
+      (2L, "B", 10L), (2L, "B", 20L))
+    val got = Curation.kAnonymityReport(
+        rows.toDF("region", "seg", "salary"), Seq("region", "seg"),
+        col("salary"), k = 3L, l = 2L)
+      .orderBy("region").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getBoolean(5), r.getLong(6)))
+    assert(got.toSeq === Seq(
+      (1L, "A", 3L, 1L, true, false, 3333L),
+      (2L, "B", 2L, 2L, false, true, 5000L)))
+  }
+
   test("temperatureAllocate: sums to budget exactly; sqrt upweights small strata; remainder tiebreak") {
     import spark.implicits._
     // Sizes 90000 vs 10000: proportional share would be 90/10, but

@@ -574,4 +574,28 @@ class TemporalSpec extends SparkSuite {
     assert(out("y") * 2 === out("x"))
     assert(out("z") === out("x"))
   }
+
+  test("seasonalBaseline: exact slot means, multiply-through anomaly test, signed residuals") {
+    import spark.implicits._
+    // period=2 buckets, bucketNs=10. Slot 0 buckets: counts 3 and 9
+    // (mean 6) → both deviate by exactly 50% — NOT anomalous at the
+    // strict > threshold. Slot 1 bucket: count 2, mean 2, resid 0.
+    val events = (
+      (1 to 3).map(i => (0L * 10 + i % 10).toString.toLong) ++   // bucket 0: 3
+      (1 to 2).map(i => (1L * 10 + i).toLong) ++                  // bucket 1: 2
+      (1 to 9).map(i => (2L * 10 + i % 10).toLong)                // bucket 2: 9
+    ).map(Tuple1(_)).toDF("ts")
+    val got = Temporal.seasonalBaseline(events, "ts", bucketNs = 10L, period = 2)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(1), r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq === Seq(
+      (0L, 0L, 3L, 60000L, -30000L, false),   // |3*2-12|*10 = 60 = 12*5 → not >
+      (1L, 1L, 2L, 20000L, 0L, false),
+      (0L, 2L, 9L, 60000L, 30000L, false)))
+    // Lowering the threshold to 40% flips both slot-0 buckets.
+    val strict = Temporal.seasonalBaseline(events, "ts", 10L, 2, thresholdE1 = 4L)
+      .orderBy("bucket").collect().map(_.getBoolean(5))
+    assert(strict.toSeq === Seq(true, false, true))
+  }
 }
