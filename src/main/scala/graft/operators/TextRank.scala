@@ -101,6 +101,76 @@ object TextRank {
       .limit(k)
   }
 
+  /** INTEGER-EXACT BM25-ranked retrieval (Robertson/Spärck Jones) —
+    * the hash-gateable sibling of the float [[bm25TopK]]: same
+    * relevance semantics (rare terms count more via idf, repeated
+    * terms saturate via k1 = 1.2, long documents length-normalize
+    * via b = 0.75), but every term of the score is an exact long, so
+    * a DuckDB oracle can replay the ranking bit-for-bit — float BM25
+    * can only be spec-checked against a tolerance, never
+    * hash-gated. Use [[bm25TopK]] when true-float scores matter;
+    * this when reproducibility across engines/runs does
+    * (TextRankSpec pins that the two rankings agree on separated
+    * fixtures).
+    *
+    * Integer-exact everywhere so the ranking hash-gates:
+    *  - idf(t) = log2((N−df+½)/(df+½)) becomes
+    *    `flog2q(2(N−df)+1) − flog2q(2df+1)` in 1/16-bit units
+    *    (the [[Curation.flog2qSql]] kernel q152 built — `ln` would
+    *    diverge between libm implementations);
+    *  - avgdl is quantized to MILLITOKENS (`1000·ΣDL DIV N`), after
+    *    which the tf-saturation ratio multiplies through to the
+    *    exact long `(idf · 2200 · tf · avgdl_fp) DIV
+    *    (10·tf·avgdl_fp + 3·avgdl_fp + 9000·dl)` — no float
+    *    anywhere. A raise_error guard fails fast if `tf·avgdl_fp`
+    *    approaches the long product bound instead of wrapping
+    *    (ANSI-off Spark wraps silently; DuckDB errors — the engines
+    *    would otherwise diverge exactly at the overflow).
+    *
+    * Scale shape: one narrow projection computes per-term tfs as
+    * array expressions (no explode), ONE one-row corpus-stats
+    * aggregate broadcasts back (N, ΣDL, per-term df), and the
+    * ranking is a bounded TakeOrdered(k) — two corpus scans total,
+    * no shuffle wider than the stats row. */
+  def bm25Search(docs: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "bm25Search needs at least one term")
+    require(terms.toSet.size == terms.size, "duplicate query terms")
+    val base = docs.select(
+      col(idCol) +: size(toks(col(textCol))).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          tf(col(textCol), t).cast("long").as(s"__tf$i") }: _*)
+    val statAggs = sum(col("dl")).as("__dl_total") +:
+      count(lit(1)).as("__n_docs") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val joined = base.crossJoin(broadcast(stats))
+      .withColumn("__avgdl_fp", expr("(1000 * __dl_total) DIV __n_docs"))
+      .withColumn("__avgdl_fp",
+        when(col("__avgdl_fp") <= 2000000L, col("__avgdl_fp"))
+          .otherwise(raise_error(
+            lit("bm25Search: avgdl above 2000 tokens — rescale the " +
+              "millitoken quantization before the long product bound"))
+            .cast("long")))
+    def idf(i: Int): String =
+      s"(${Curation.flog2qSql(s"2 * (__n_docs - __df$i) + 1")} - " +
+        s"${Curation.flog2qSql(s"2 * __df$i + 1")})"
+    val contribs = terms.indices.map(i => expr(
+      s"""CASE WHEN __tf$i > 0
+            THEN (${idf(i)} * 2200 * __tf$i * __avgdl_fp)
+                 DIV (10 * __tf$i * __avgdl_fp + 3 * __avgdl_fp + 9000 * dl)
+            ELSE 0 END"""))
+    val nMatched = terms.indices.map(i =>
+      when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    joined
+      .select(col(idCol), nMatched.as("n_matched"),
+        contribs.reduce(_ + _).as("score_q"), col("dl"))
+      .filter(col("n_matched") > 0)
+      .orderBy(col("score_q").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Inverted-index build — the other half of the retrieval tier
     * ([[keywordSearch]] queries it, this constructs it): one row per
     * term with document frequency, corpus term frequency, and the

@@ -1561,6 +1561,49 @@ object TextQueries {
         terms = Seq("spark", "window", "dup"), k = 20)
     },
 
+    // ---- q166: BM25-ranked retrieval — q55's flat (n_matched, tf)
+    // ranking upgraded with the real relevance weighting: flog2q
+    // integer idf (rare terms count more), k1=1.2 tf saturation,
+    // b=0.75 length normalization via millitoken-quantized avgdl —
+    // every term an exact long, so a SCORE ranking hash-gates where
+    // a float BM25 never could. Two corpus scans (tf projection +
+    // one-row stats broadcast), bounded TakeOrdered(20).
+    Q("q166_bm25", Some(s"""
+      WITH base AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS BIGINT) AS tf0,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'window')) AS BIGINT) AS tf1,
+               CAST(len(list_filter(string_split(text, ' '), x -> x = 'dup')) AS BIGINT) AS tf2
+        FROM documents),
+      st AS (SELECT CAST(SUM(dl) AS BIGINT) AS dl_total,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+                    CAST(SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+                    CAST(SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+             FROM base),
+      j AS (SELECT base.*, st.*, (1000 * dl_total) // n_docs AS avgdl_fp FROM base, st)
+      SELECT doc_id,
+             CAST((CASE WHEN tf0 > 0 THEN 1 ELSE 0 END +
+                   CASE WHEN tf1 > 0 THEN 1 ELSE 0 END +
+                   CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+             CAST(${Seq(("tf0", "df0"), ("tf1", "df1"), ("tf2", "df2")).map { case (tf, df) =>
+               val idf = s"(${graft.operators.Curation.flog2qSql(s"2 * (n_docs - $df) + 1")} - " +
+                 s"${graft.operators.Curation.flog2qSql(s"2 * $df + 1")})"
+               s"""CASE WHEN $tf > 0
+                     THEN ($idf * 2200 * $tf * avgdl_fp)
+                          // (10 * $tf * avgdl_fp + 3 * avgdl_fp + 9000 * dl)
+                     ELSE 0 END"""
+             }.mkString(" + ")} AS BIGINT) AS score_q,
+             dl
+      FROM j
+      WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+      ORDER BY score_q DESC, doc_id
+      LIMIT 20""")) { (s, d) =>
+      TextRank.bm25Search(Tables.documents(s, d), "doc_id", "text",
+        terms = Seq("spark", "window", "dup"), k = 20)
+    },
+
     // ---- q116: hybrid retrieval via reciprocal-rank fusion — the
     // RAG-stack default combiner: q55's integer-exact lexical top-50
     // and q30's dense cosine top-50 (query = vector 0) merge by

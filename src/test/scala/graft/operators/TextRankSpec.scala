@@ -68,6 +68,29 @@ class TextRankSpec extends SparkSuite {
     }
   }
 
+  test("bm25Search (integer) ≡ bm25TopK (float) ranking on separated fixtures; BM25 properties hold") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "rare x x x"),                          // rare term, df=1
+      (2L, "alpha alpha alpha x"),                 // tf=3, dl=4
+      (3L, "alpha x y z"),                         // tf=1, dl=4
+      (9L, "alpha x x x x y y z"),                 // tf=1, dl=8 (longer)
+      (5L, "x y z"), (6L, "x y z"), (7L, "x y z")) // df dilution
+      .toDF("doc_id", "text")
+    val terms = Seq("alpha", "rare")
+    val ints = TextRank.bm25Search(docs, "doc_id", "text", terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val floats = TextRank.bm25TopK(docs, "doc_id", "text", terms, k = 10,
+        k1 = 1.2, b = 0.75)
+      .collect().map(_.getLong(0))
+    assert(ints.map(_._1).toSeq === floats.toSeq,
+      "integer quantization must not reorder a separated fixture")
+    val score = ints.toMap
+    assert(score(1L) > score(3L), "rare-term idf must outrank a common term at equal tf")
+    assert(score(2L) < 3L * score(3L), "tf=3 must score under 3x tf=1 (saturation)")
+    assert(score(3L) > score(9L), "longer doc with same tf must score lower (length norm)")
+  }
+
   test("invertedIndex ≡ brute-force postings on random corpora") {
     import spark.implicits._
     for (docs <- PropSampling.sample(docGen, n = 5)) {
