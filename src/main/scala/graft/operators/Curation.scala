@@ -48,6 +48,31 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** RENDEZVOUS (highest-random-weight) shard assignment — the
+    * topology-stable alternative to [[shuffleShard]]'s `hash MOD n`:
+    * each row goes to `argmax over shards of h(shard, id)`, so when
+    * a shard leaves, ONLY the rows that lived on it move (their
+    * runner-up wins; every other row's argmax is untouched) — where
+    * MOD n reassigns ~(n−1)/n of the corpus on any resize. The
+    * property every incremental ingest / distributed cache placement
+    * needs; Thaler & Ravishankar 1998.
+    *
+    * Pure stateless projection (the shard score array is
+    * `shards`-bounded per row, md5-derived, no shuffle at all);
+    * argmax tiebreak = smallest shard id via struct max over
+    * `(h, −shard)`. */
+  def rendezvousShard(docs: DataFrame, shards: Int,
+                      idCol: String = "doc_id"): DataFrame = {
+    require(shards >= 1, "rendezvousShard needs at least one shard")
+    val scored = array((0 until shards).map(s =>
+      struct(
+        graft.functions.HashFunctions.h60(
+          concat(lit(s"hrw:$s:"), col(idCol).cast("string"))).as("h"),
+        lit(-s).as("sneg"))): _*)
+    docs.select(col(idCol),
+      (-array_max(scored).getField("sneg")).cast("long").as("shard"))
+  }
+
   /** K-ANONYMITY / l-DIVERSITY census — the privacy gate a dataset
     * release runs over its quasi-identifier columns: every
     * equivalence class (unique QI combination) reports its size

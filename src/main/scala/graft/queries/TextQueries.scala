@@ -1007,6 +1007,85 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q167: per-source Jensen-Shannon divergence vs the rest of
+    // the corpus — the governance metric behind mixture rebalancing
+    // ("which source's word distribution is the odd one out").
+    // Integer-exact: each KL term is a log of INTEGER ratios through
+    // the q152 flog2q kernel, count-weighted and summed as longs;
+    // jsd_e4 = the halves ÷ (32·mass) as exact integer division. A
+    // 3e9-token guard trips before count·mass can wrap a long.
+    // Census joins are vocab-bounded broadcasts — never corpus-row
+    // shaped.
+    Q("q167_source_divergence", Some(s"""
+      WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                   FROM documents),
+      sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             FROM tok WHERE w <> '' GROUP BY 1, 2),
+      wall AS (SELECT w, CAST(SUM(c) AS BIGINT) AS g FROM sw GROUP BY 1),
+      masses AS (SELECT source, CAST(SUM(c) AS BIGINT) AS cp FROM sw GROUP BY 1),
+      t AS (SELECT CAST(SUM(g) AS BIGINT) AS tt FROM wall),
+      grid AS (SELECT m.source, m.cp, t.tt - m.cp AS cq, wall.w, wall.g,
+                      COALESCE(sw.c, 0) AS c, wall.g - COALESCE(sw.c, 0) AS d
+               FROM masses m CROSS JOIN t CROSS JOIN wall
+               LEFT JOIN sw ON sw.source = m.source AND sw.w = wall.w)
+      SELECT source, MIN(cp) AS mass,
+             CAST(SUM(CASE WHEN c > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vocab,
+             CAST(SUM(CASE WHEN c > 0 THEN c * (
+                    ${graft.operators.Curation.flog2qSql("2 * c * cq")} -
+                    ${graft.operators.Curation.flog2qSql("c * cq + d * cp")})
+                  ELSE 0 END) AS BIGINT) AS klp_fp,
+             CAST(SUM(CASE WHEN d > 0 THEN d * (
+                    ${graft.operators.Curation.flog2qSql("2 * d * cp")} -
+                    ${graft.operators.Curation.flog2qSql("d * cp + c * cq")})
+                  ELSE 0 END) AS BIGINT) AS klq_fp,
+             CAST(SUM(CASE WHEN c > 0 THEN c * (
+                    ${graft.operators.Curation.flog2qSql("2 * c * cq")} -
+                    ${graft.operators.Curation.flog2qSql("c * cq + d * cp")})
+                  ELSE 0 END) * 10000 // (32 * MIN(cp))
+                + SUM(CASE WHEN d > 0 THEN d * (
+                    ${graft.operators.Curation.flog2qSql("2 * d * cp")} -
+                    ${graft.operators.Curation.flog2qSql("d * cp + c * cq")})
+                  ELSE 0 END) * 10000 // (32 * MIN(cq)) AS BIGINT) AS jsd_e4
+      FROM grid GROUP BY source
+      ORDER BY source""")) { (s, d) =>
+      graft.operators.Stats.jsDivergence(Tables.documents(s, d), "source",
+          filter(split(col("text"), " "), w => w =!= ""))
+        .orderBy("source")
+    },
+
+    // ---- q168: rendezvous (HRW) shard assignment — the
+    // topology-stable alternative to q78's hash-MOD sharding: under
+    // a shard-count change ONLY the leaving shard's rows move. The
+    // gate assigns under 8 and under 7 shards side by side; the
+    // moved flag equals (shard8 = 7) by construction — the minimal-
+    // movement property, hash-pinned. Stateless projection, no
+    // shuffle.
+    Q("q168_rendezvous_shard", Some("""
+      WITH sh AS (SELECT unnest(range(8)) AS s),
+      sc AS (SELECT doc_id, sh.s AS s,
+                    ('0x' || substr(md5('hrw:' || CAST(sh.s AS VARCHAR) || ':' ||
+                                        CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+             FROM documents CROSS JOIN sh),
+      m8 AS (SELECT doc_id, MAX(h) AS mh FROM sc GROUP BY 1),
+      a8 AS (SELECT sc.doc_id, CAST(MIN(sc.s) AS BIGINT) AS shard8
+             FROM sc JOIN m8 ON m8.doc_id = sc.doc_id AND sc.h = m8.mh GROUP BY 1),
+      m7 AS (SELECT doc_id, MAX(h) AS mh FROM sc WHERE s < 7 GROUP BY 1),
+      a7 AS (SELECT sc.doc_id, CAST(MIN(sc.s) AS BIGINT) AS shard7
+             FROM sc JOIN m7 ON m7.doc_id = sc.doc_id AND sc.h = m7.mh
+             WHERE sc.s < 7 GROUP BY 1)
+      SELECT doc_id, shard8, shard7, shard8 <> shard7 AS moved
+      FROM a8 JOIN a7 USING (doc_id)
+      ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val s8 = Curation.rendezvousShard(docs, shards = 8)
+        .withColumnRenamed("shard", "shard8")
+      val s7 = Curation.rendezvousShard(docs, shards = 7)
+        .withColumnRenamed("shard", "shard7")
+      s8.join(s7, "doc_id")
+        .withColumn("moved", col("shard8") =!= col("shard7"))
+        .orderBy("doc_id")
+    },
+
     // ---- q80: cross-source duplication matrix — per source pair,
     // the count of distinct content fingerprints both carry: the
     // "which crawls duplicate each other" diagnostic a curation run

@@ -592,6 +592,20 @@ class CurationSpec extends SparkSuite {
     assert(got(1) === Seq("a"))
   }
 
+  test("rendezvousShard: removing a shard moves ONLY that shard's rows") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(Tuple1(_)).toDF("doc_id")
+    val s8 = Curation.rendezvousShard(docs, 8).withColumnRenamed("shard", "s8")
+    val s7 = Curation.rendezvousShard(docs, 7).withColumnRenamed("shard", "s7")
+    val rows = s8.join(s7, "doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    // The minimal-movement property: a row changes shard iff its
+    // 8-shard winner was the removed shard 7.
+    assert(rows.forall { case (a, b) => (a != b) == (a == 7L) })
+    val moved = rows.count { case (a, b) => a != b }
+    assert(moved > 20 && moved < 80, s"~1/8 of 400 should move, got $moved")
+  }
+
   test("kAnonymityReport: class sizes, homogeneity attack flagged, exact risk") {
     import spark.implicits._
     // Class (1,"A"): 3 members but ONE sensitive value → k-anonymous

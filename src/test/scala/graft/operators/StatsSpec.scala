@@ -412,4 +412,23 @@ class StatsSpec extends SparkSuite {
         maxBuckets = 2L))
     assert(e2.getMessage.contains("buckets"))
   }
+
+  test("jsDivergence: identical ≈ 0 within the flog2q floor; disjoint ≈ 1 bit; monotone between") {
+    import spark.implicits._
+    def jsd(rows: Seq[(String, String)]): Map[String, Long] =
+      Stats.jsDivergence(rows.toDF("src", "text"), "src",
+          split(col("text"), " "))
+        .collect().map(r => (r.getString(0), r.getAs[Long]("jsd_e4"))).toMap
+    // Identical distributions: |jsd| within the ±0.03-bit
+    // quantization floor (small negatives are the documented noise).
+    val same = jsd(Seq(("a", "x y z x y"), ("b", "x y z x y")))
+    assert(same.values.forall(v => math.abs(v) <= 400), same.toString)
+    // Disjoint vocabularies: JSD = 1 bit exactly; flog2q is exact on
+    // the powers-of-two this case produces → 10000 ± floor.
+    val disj = jsd(Seq(("a", "x x x x"), ("b", "y y y y")))
+    assert(disj.values.forall(v => math.abs(v - 10000) <= 400), disj.toString)
+    // Half overlap sits strictly between.
+    val half = jsd(Seq(("a", "x x y y"), ("b", "y y z z")))
+    assert(half.values.forall(v => v > 1000 && v < 9000), half.toString)
+  }
 }
