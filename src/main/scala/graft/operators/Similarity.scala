@@ -177,6 +177,46 @@ object Similarity {
             col("n_truth").cast("double")).as("recall"))
   }
 
+  /** MATRYOSHKA truncation-quality audit — "how much retrieval do I
+    * lose if I keep only the first `dims` dimensions": the storage/
+    * speed decision every MRL-style embedding deployment makes
+    * (half the dims = half the index bytes and FLOPs), graded as
+    * overlap@k between full-dimension exact top-k and
+    * truncated-then-renormalized exact top-k. The sibling of
+    * [[lshRecallAudit]] on the OTHER approximation axis: that one
+    * audits indexing loss, this audits representation loss — the
+    * combined budget is what production tunes.
+    *
+    * Deterministic inputs make the audit frame hash-gate; recall@k
+    * denominates by ground-truth size (the lshRecallAudit rule) and
+    * `recall_e4` is exact integer division. Scale shape: two
+    * broadcast-probe corpus scans with bounded TopK cuts + one
+    * O(probes·k) join. */
+  def truncationAudit(corpus: DataFrame, queries: DataFrame, k: Int,
+                      dims: Int, idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    require(dims >= 1, "dims must be positive")
+    def sliced(df: DataFrame): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), 1, dims).as(vecCol))
+    val exact = bruteForceTopK(corpus, queries, k, idCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val trunc = bruteForceTopK(sliced(corpus), sliced(queries), k, idCol)
+      .select(col("query_id").as("__tq"), col("neighbor_id").as("__tn"))
+    val hits = exact.join(trunc,
+        col("query_id") === col("__tq") && col("neighbor_id") === col("__tn"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    val truth = exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_truth"))
+    queries.select(col(idCol).as("query_id"))
+      .join(truth, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(col("n_truth"), lit(0L)).as("n_truth"))
+      .withColumn("recall_e4",
+        when(col("n_truth") > 0L,
+          expr("CAST(n_hit * 10000 DIV n_truth AS BIGINT)")).otherwise(lit(0L)))
+  }
+
   /** LATE-INTERACTION scoring (the ColBERT / MaxSim family): query
     * and document are BAGS of token vectors, and the pair score is
     * `Σ over query tokens of max over doc tokens of cos(qt, dt)` —

@@ -604,6 +604,53 @@ object Temporal {
       .agg(sum(col("__w")).as("decayed_q"), count(lit(1)).as("n_buckets"))
   }
 
+  /** FREQUENT SESSION-PATH mining — "what are the common first-N
+    * event journeys": the sequence-discovery step above
+    * [[transitionMatrix]]'s one-step Markov view (a funnel you
+    * DISCOVER rather than declare, q86/q110 check funnels you
+    * already know). Each session's first `pathLen` events (by time,
+    * id tiebreak) join into a path string; the path census ranks by
+    * (sessions DESC, path).
+    *
+    * Scale shape: sessionization is the q54 partitioned window; the
+    * first-N cut goes through the bounded [[TopK]] typed aggregator
+    * — each partition reduces to ≤ pathLen events per session
+    * BEFORE the shuffle, so a hot session never builds an unbounded
+    * `collect_list` (the posting-list hazard) — and the path
+    * assembly collects exactly pathLen structs per group. The final
+    * census is map-side combinable with a TakeOrdered(k) cut.
+    *
+    * Ordering rides TopK's double score: a raise_error guard trips
+    * if `timeCol` exceeds 2⁵² (micros fit for ~142 millennia; epoch
+    * NANOS would silently lose ordering precision — pass micros). */
+  def frequentSessionPaths(events: DataFrame, keyCol: String, timeCol: String,
+                           idCol: String, typeCol: String, gap: Long,
+                           pathLen: Int = 5, k: Int = 20): DataFrame = {
+    require(pathLen >= 1 && pathLen <= 64, "pathLen must be in [1, 64]")
+    val guarded = events.withColumn("__t",
+      when(abs(col(timeCol)) < (1L << 52), col(timeCol))
+        .otherwise(raise_error(
+          lit(s"frequentSessionPaths: $timeCol exceeds 2^52 — pass epoch " +
+            "MICROS, nanos would lose ordering precision in the TopK score"))
+          .cast("long")))
+    val sess = sessionize(guarded, keyCol, "__t", gap)
+    val scored = sess.select(
+      concat(col(keyCol).cast("string"), lit(":"), col("session_idx").cast("string"))
+        .as("__sk"),
+      col(idCol), (-col("__t").cast("double")).as("__ord"))
+    val top = TopK.perGroup(scored, "__sk", idCol, "__ord", pathLen)
+    val typed = top.join(
+      events.select(col(idCol).as("neighbor_id"), col(typeCol)), "neighbor_id")
+    typed
+      .groupBy("__sk")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("rank"), col(typeCol)))),
+          s => s.getField(typeCol)), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** SEASONAL-BASELINE anomaly report over a bucketed count series —
     * seasonality-aware where [[graft.operators.Stats.madOutliers]]
     * is global and [[cusum]] is drift-directional: each bucket's

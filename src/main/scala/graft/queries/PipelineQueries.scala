@@ -369,6 +369,41 @@ object PipelineQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ---- q169: frequent session-path mining — discover the common
+    // first-5 event journeys (q86/q110 CHECK funnels you declare;
+    // this finds them). Sessions are q54's 8h-gap windows; the
+    // first-N cut is the bounded TopK aggregator (≤5 events per
+    // session cross the shuffle — never a hot session's unbounded
+    // collect_list); same-instant events order by event_id on both
+    // sides. Census + TakeOrdered(20).
+    Q("q169_session_paths", Some("""
+      WITH e AS (SELECT user_id, epoch_us(ts) AS t, event_id, event_type FROM events),
+      m AS (SELECT user_id, t, event_id, event_type,
+              CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t)
+                        <= 28800000000 THEN 0 ELSE 1 END AS is_new
+            FROM e),
+      s AS (SELECT user_id, t, event_id, event_type,
+              SUM(is_new) OVER (PARTITION BY user_id ORDER BY t
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+            FROM m),
+      r AS (SELECT user_id, session_idx, event_type,
+              row_number() OVER (PARTITION BY user_id, session_idx
+                                 ORDER BY t, event_id) AS rn
+            FROM s),
+      p AS (SELECT user_id, session_idx,
+              string_agg(event_type, '>' ORDER BY rn) AS path
+            FROM r WHERE rn <= 5 GROUP BY 1, 2)
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+      FROM p GROUP BY 1
+      ORDER BY n_sessions DESC, path
+      LIMIT 20""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr("ts div 1000").as("t"),
+          col("event_id"), col("event_type"))
+      Temporal.frequentSessionPaths(ev, "user_id", "t", "event_id",
+        "event_type", gap = 28800000000L, pathLen = 5, k = 20)
+    },
+
     // ---- q86: ordered event funnel view → click → purchase per
     // user, over the sparse high-value event subset. Spark runs the
     // greedy sorted-scan fold (one shuffle, step events only); the

@@ -1195,6 +1195,51 @@ object VectorQueries {
         .orderBy("u", "v")
     },
 
+    // ---- q170: matryoshka truncation audit — overlap@5 between
+    // full-64-dim exact top-5 and first-16-dims-renormalized top-5
+    // for probes vec_id < 32: the representation-loss axis q127's
+    // LSH audit doesn't see (indexing loss vs truncation loss — the
+    // combined budget is what production tunes). Deterministic both
+    // sides, so the audit frame hash-gates; recall denominates by
+    // ground-truth size; exact integer recall_e4.
+    Q("q170_truncation_audit", Some(oracleProlog + """,
+      q AS (SELECT vec_id, v, nrm FROM p WHERE vec_id < 32),
+      fx AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY q.vec_id
+                      ORDER BY list_inner_product(c.v, q.v) / (c.nrm * q.nrm) DESC,
+                               c.vec_id) AS r
+             FROM p c JOIN q ON c.vec_id <> q.vec_id),
+      ex AS (SELECT query_id, neighbor_id FROM fx WHERE r <= 5),
+      pt AS (SELECT vec_id, v[1:16] AS v,
+                    sqrt(list_inner_product(v[1:16], v[1:16])) AS nrm FROM p),
+      qt AS (SELECT vec_id, v, nrm FROM pt WHERE vec_id < 32),
+      tx AS (SELECT qt.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    row_number() OVER (PARTITION BY qt.vec_id
+                      ORDER BY list_inner_product(c.v, qt.v) / (c.nrm * qt.nrm) DESC,
+                               c.vec_id) AS r
+             FROM pt c JOIN qt ON c.vec_id <> qt.vec_id),
+      tr AS (SELECT query_id, neighbor_id FROM tx WHERE r <= 5),
+      h AS (SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_hit
+            FROM ex JOIN tr ON tr.query_id = ex.query_id
+                           AND tr.neighbor_id = ex.neighbor_id
+            GROUP BY 1),
+      t AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth
+            FROM ex GROUP BY 1)
+      SELECT q.vec_id AS query_id,
+             COALESCE(h.n_hit, 0) AS n_hit,
+             COALESCE(t.n_truth, 0) AS n_truth,
+             CASE WHEN COALESCE(t.n_truth, 0) > 0
+                  THEN COALESCE(h.n_hit, 0) * 10000 // t.n_truth
+                  ELSE 0 END AS recall_e4
+      FROM q LEFT JOIN t ON t.query_id = q.vec_id
+             LEFT JOIN h ON h.query_id = q.vec_id
+      ORDER BY query_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.truncationAudit(emb, emb.filter(col("vec_id") < 32),
+          k = 5, dims = 16)
+        .orderBy("query_id")
+    },
+
     // ---- q160: margin-based pair mining (Artetxe & Schwenk ratio
     // margin) — the bitext/semantic-alignment criterion: cosine
     // normalized by BOTH endpoints' own top-4 neighborhood averages,

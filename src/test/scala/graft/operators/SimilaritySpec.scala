@@ -353,6 +353,18 @@ class SimilaritySpec extends SparkSuite {
     assert(handGot.toSeq === Seq((1L, 2L, 1L, 2L)))
   }
 
+  test("truncationAudit: full dims ≡ perfect recall; truncation to 16 dims loses some") {
+    val probes = emb.filter(col("vec_id") < 10)
+    val full = Similarity.truncationAudit(emb, probes, k = 5, dims = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(full.forall(_._2 == 10000L),
+      s"dims=64 is the identity transform — recall must be exactly 1: ${full.toSeq}")
+    val cut = Similarity.truncationAudit(emb, probes, k = 5, dims = 16)
+      .collect().map(_.getLong(3))
+    assert(cut.exists(_ < 10000L),
+      "random 64-dim embeddings truncated to 16 must lose some neighbors")
+  }
+
   test("marginMine ≡ driver-side replay of the ratio-margin pipeline") {
     // Deterministic 12-vector fixture, sides by parity.
     val vecs = (0L until 12L).map(id =>
