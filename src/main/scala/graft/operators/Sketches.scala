@@ -54,6 +54,45 @@ object Sketches {
       .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** CMS JOIN-SIZE estimation audit — the query-optimizer
+    * cardinality problem solved with the classic sketch identity:
+    * `|A ⋈_k B| = Σ_k a_k·b_k`, and the inner product of two
+    * count-min sketches built with the SAME hashes overestimates it
+    * (Cormode & Muthukrishnan 2005, "summing the d rows' dot
+    * products, taking the min"). The audit computes BOTH sides —
+    * sketch estimate and exact join size — plus the signed
+    * overestimate ×10⁴; never-negative by the CMS guarantee
+    * (spec-pinned). This is how an optimizer decides
+    * broadcast-vs-shuffle before paying for the join.
+    *
+    * Scale shape: two depth×width-bounded sketch aggregates (the
+    * estimate side never shuffles key-shaped data at all) next to
+    * two key censuses + one equi-join for the exact side — the
+    * audit costs what the exact answer costs; a production
+    * estimator runs ONLY the sketch side. */
+  def cmsJoinSizeAudit(a: DataFrame, aCol: String, b: DataFrame, bCol: String,
+                       depth: Int = 4, width: Int = 512): DataFrame = {
+    val sa = countMinSketch(a.select(col(aCol).cast("string").as("__t")), "__t", depth, width)
+    val sb = countMinSketch(b.select(col(bCol).cast("string").as("__t")), "__t", depth, width)
+      .withColumnRenamed("cnt", "__cntb")
+    // A depth row with ZERO overlapping cells contributes an inner
+    // product of 0 — it must participate in the min (it IS the best
+    // estimate), so the per-d sums join a depth spine instead of
+    // letting absent rows vanish from the aggregate.
+    val spine = a.sparkSession.range(depth).select(col("id").cast("int").as("d"))
+    val perD = sa.join(sb, Seq("d", "bucket"))
+      .groupBy("d").agg(sum(col("cnt") * col("__cntb")).as("__est_d"))
+    val est = spine.join(perD, Seq("d"), "left")
+      .agg(min(coalesce(col("__est_d"), lit(0L))).as("est_size"))
+    val ca = a.groupBy(col(aCol).cast("string").as("__k")).agg(count(lit(1)).as("__ca"))
+    val cb = b.groupBy(col(bCol).cast("string").as("__k")).agg(count(lit(1)).as("__cb"))
+    val exact = ca.join(cb, "__k")
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L)).as("exact_size"))
+    exact.crossJoin(est)
+      .withColumn("over_e4",
+        expr("CAST((est_size - exact_size) * 10000 DIV GREATEST(exact_size, 1) AS BIGINT)"))
+  }
+
   /** Point estimates for `probes` (one term per row) against a
     * sketch built with the SAME depth/width: `min` over the term's
     * `depth` cells, absent cells reading 0. The sketch side is

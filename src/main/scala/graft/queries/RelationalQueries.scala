@@ -606,6 +606,32 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- q171: CMS join-size estimation audit — the optimizer
+    // cardinality question ("how big is the lineitem self-join on
+    // partkey") answered two ways: the count-min inner-product
+    // estimate (depth×width-bounded state, never key-shaped
+    // shuffle) against the exact Σ c², with the signed overestimate
+    // — never negative by the CMS guarantee. How a planner decides
+    // broadcast-vs-shuffle before paying for the join.
+    Q("q171_join_size_estimate", Some("""
+      WITH t AS (SELECT CAST(l_partkey AS VARCHAR) AS term FROM lineitem),
+      cells AS (SELECT d, ('0x' || substr(md5(term), 1 + 8 * d, 8))::BIGINT % 512 AS bucket,
+                       CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM t CROSS JOIN generate_series(0, 3) g(d)
+                GROUP BY 1, 2),
+      est AS (SELECT MIN(COALESCE(s, 0)) AS est_size
+              FROM generate_series(0, 3) g(d)
+              LEFT JOIN (SELECT d, SUM(cnt * cnt) AS s FROM cells GROUP BY d) x
+                USING (d)),
+      ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_size
+             FROM (SELECT COUNT(*) AS c FROM t GROUP BY term))
+      SELECT exact_size, CAST(est_size AS BIGINT) AS est_size,
+             CAST((est_size - exact_size) * 10000 // GREATEST(exact_size, 1) AS BIGINT) AS over_e4
+      FROM ex CROSS JOIN est""")) { (s, d) =>
+      val li = Tables.lineitem(s, d).select("l_partkey")
+      graft.operators.Sketches.cmsJoinSizeAudit(li, "l_partkey", li, "l_partkey")
+    },
+
     // ---- q164: k-anonymity / l-diversity census — the privacy gate
     // before a dataset release: per quasi-identifier class (nation,
     // segment), size n (k=16 anonymity), distinct sensitive

@@ -164,4 +164,21 @@ class SketchesSpec extends SparkSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(est("zzz-unseen") === 0L)
   }
+
+  test("cmsJoinSizeAudit: exact on a single key, never underestimates, zero on disjoint keys") {
+    import spark.implicits._
+    def audit(a: Seq[String], b: Seq[String]) =
+      Sketches.cmsJoinSizeAudit(a.toDF("k"), "k", b.toDF("k"), "k")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+    // One key both sides: no collision possible → estimate is exact.
+    assert(audit(Seq("x", "x", "x"), Seq("x", "x")) === ((6L, 6L, 0L)))
+    // Multi-key: the CMS inner product NEVER underestimates.
+    val (exact, estv, over) = audit(
+      Seq.tabulate(60)(i => s"k${i % 12}"), Seq.tabulate(40)(i => s"k${i % 8}"))
+    assert(estv >= exact && over >= 0L, s"CMS underestimated: $estv < $exact")
+    assert(exact === 60L / 12L * (40L / 8L) * 8L)
+    // Disjoint key sets: exact join size 0.
+    val (e0, est0, _) = audit(Seq("a", "b"), Seq("c", "d"))
+    assert(e0 === 0L && est0 >= 0L)
+  }
 }
