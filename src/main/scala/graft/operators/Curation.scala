@@ -48,6 +48,48 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** Quality SELECTION CURVE — "if I keep only documents scoring at
+    * least this bucket, how much data survives": the
+    * threshold-choice dashboard behind every quality-filtered
+    * pretraining mix (plotting kept-token fraction against the
+    * cutoff is how the keep-rate is actually picked). Scores are
+    * integer ×10⁴ bucketed into `bins` fixed-width bands (empty
+    * bands emit zero rows — a gap in the histogram is information);
+    * each band reports its own mass and the SURVIVAL mass at that
+    * threshold (suffix-cumulative docs/tokens and the exact ×10⁴
+    * surviving-token fraction).
+    *
+    * Scale shape: one corpus census shuffle into ≤ `bins` rows;
+    * the suffix-cumulative windows over the BAND spine (tens of
+    * rows), and totals broadcast — nothing after the census is
+    * corpus-shaped. */
+  def selectionCurve(docs: DataFrame, scoreE4: Column, sizeCol: Column,
+                     bins: Int = 10, widthE4: Long = 1000L): DataFrame = {
+    require(bins >= 1 && bins <= 1000, "bins must be in [1, 1000]")
+    require(widthE4 >= 1, "widthE4 must be positive")
+    val census = docs
+      .select(scoreE4.cast("long").as("__s"), sizeCol.cast("long").as("__n"))
+      .withColumn("bin", least(expr(s"__s DIV ${widthE4}L"), lit(bins - 1L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
+    val spine = docs.sparkSession.range(bins).select(col("id").as("bin"))
+    val banded = spine.join(census, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bin").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = banded.agg(sum("n_tokens").as("__tt"))
+    banded
+      .withColumn("surv_docs", sum("n_docs").over(w))
+      .withColumn("surv_tokens", sum("n_tokens").over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("surv_frac_e4",
+        expr("CAST(surv_tokens * 10000 DIV GREATEST(__tt, 1) AS BIGINT)"))
+      .drop("__tt")
+  }
+
   /** RENDEZVOUS (highest-random-weight) shard assignment — the
     * topology-stable alternative to [[shuffleShard]]'s `hash MOD n`:
     * each row goes to `argmax over shards of h(shard, id)`, so when

@@ -449,6 +449,45 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q172: quality selection curve — per q26-score band (×10⁴
+    // in 10 bands), own mass and SURVIVAL mass at that threshold
+    // (suffix-cumulative docs/tokens + exact ×10⁴ surviving-token
+    // fraction): the dashboard that picks a quality cutoff. One
+    // census shuffle into ≤10 rows; the cumulative windows over the
+    // band spine, empty bands emitting zeros.
+    Q("q172_selection_curve", Some(s"""
+      WITH q AS (
+        SELECT CAST(floor((0.4 * LEAST(1.0, len(string_split(text, ' ')) / 100.0)
+                  + 0.3 * (len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')))
+                  + 0.3 * (len(list_filter(string_split(text, ' '),
+                        x -> list_contains(${TextQueries.stopwordSqlList}, x))) / len(string_split(text, ' '))))
+                   * 10000 + 0.5) AS BIGINT) AS s,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      c AS (SELECT LEAST(s // 1000, 9) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n) AS BIGINT) AS n_tokens
+            FROM q GROUP BY 1),
+      b AS (SELECT g.bin, COALESCE(c.n_docs, 0) AS n_docs,
+                   COALESCE(c.n_tokens, 0) AS n_tokens
+            FROM (SELECT unnest(range(10)) AS bin) g LEFT JOIN c USING (bin)),
+      t AS (SELECT SUM(n_tokens) AS tt FROM b)
+      SELECT bin, n_docs, n_tokens,
+             CAST(SUM(n_docs) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surv_docs,
+             CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS surv_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY bin DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000
+               // GREATEST(t.tt, 1) AS BIGINT) AS surv_frac_e4
+      FROM b CROSS JOIN t
+      ORDER BY bin""")) { (s, d) =>
+      Curation.selectionCurve(Tables.documents(s, d),
+          floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d)),
+          size(split(col("text"), " ")), bins = 10, widthE4 = 1000L)
+        .orderBy("bin")
+    },
+
     // ---- q27: stopword-profile language id — argmax over profile
     // hit counts with deterministic tie-break.
     Q("q27_langid", Some(LangId.oracleSql)) { (s, d) =>

@@ -592,6 +592,26 @@ class CurationSpec extends SparkSuite {
     assert(got(1) === Seq("a"))
   }
 
+  test("selectionCurve: exact suffix cumulatives, empty-band zeros, top-bin clamp") {
+    import spark.implicits._
+    // Scores 500 (bin 0), 2500 (bin 2), 9999+10000 (both clamp/land in bin 9).
+    val docs = Seq((500L, 10L), (2500L, 20L), (9999L, 30L), (10000L, 40L))
+      .toDF("s", "n")
+    val got = Curation.selectionCurve(docs, col("s"), col("n"), bins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.length === 10)
+    val byBin = got.map(t => t._1 -> t).toMap
+    assert(byBin(9L) === ((9L, 2L, 70L, 2L, 70L, 7000L)),
+      "score 10000 must clamp into the top bin")
+    assert(byBin(2L) === ((2L, 1L, 20L, 3L, 90L, 9000L)))
+    assert(byBin(0L) === ((0L, 1L, 10L, 4L, 100L, 10000L)),
+      "bin 0 survival is the whole corpus")
+    assert(byBin(5L) === ((5L, 0L, 0L, 2L, 70L, 7000L)),
+      "empty bands emit zeros but carry the survival suffix")
+  }
+
   test("rendezvousShard: removing a shard moves ONLY that shard's rows") {
     import spark.implicits._
     val docs = (0L until 400L).map(Tuple1(_)).toDF("doc_id")
