@@ -48,6 +48,57 @@ object Curation {
         (coalesce(col("n_eval_shingles"), lit(0L)) > 0).as("contaminated"))
   }
 
+  /** VOCABULARY GROWTH curve (Heaps' law diagnostic) — cumulative
+    * distinct vocabulary vs corpus position at `checkpoints` evenly
+    * spaced cuts of the id order: the corpus-health curve that says
+    * whether new data still brings new language (a flattening curve
+    * means diminishing coverage returns; a superlinear one means
+    * noise/boilerplate influx). Exact, not sketched — and WITHOUT
+    * running `checkpoints` distinct-counts: each word's FIRST
+    * occurrence position is one census (`min(id)` per word), first
+    * occurrences bucket into checkpoint bands, and the cumulative
+    * over the band spine IS the distinct count at every cut
+    * simultaneously. Token mass accumulates on the same spine.
+    *
+    * Scale shape: one word census shuffle (map-side combinable
+    * min/count) + one doc census, both collapsing into ≤
+    * `checkpoints` rows before the spine windows. ids must be
+    * non-negative; cuts are `(maxId+1)·k/checkpoints` so the last
+    * band always closes the corpus. */
+  def vocabGrowth(docs: DataFrame, idCol: String, tokensCol: Column,
+                  checkpoints: Int = 10): DataFrame = {
+    require(checkpoints >= 1 && checkpoints <= 1000, "checkpoints in [1, 1000]")
+    val spark = docs.sparkSession
+    val tok = docs.select(col(idCol).cast("long").as("__id"),
+      explode(tokensCol).as("__w"))
+    val bounds = docs.agg((max(col(idCol)).cast("long") + 1L).as("__n"))
+    def band(idExpr: String): Column =
+      least(expr(s"$idExpr * ${checkpoints}L DIV __n"), lit(checkpoints - 1L))
+        .cast("long")
+    val firstSeen = tok.groupBy("__w").agg(min("__id").as("__first"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(band("__first").as("band"))
+      .agg(count(lit(1)).as("new_words"))
+    val tokensPer = tok.groupBy("__id").agg(count(lit(1)).as("__t"))
+      .crossJoin(broadcast(bounds))
+      .groupBy(band("__id").as("band"))
+      .agg(sum("__t").as("n_tokens"), count(lit(1)).as("n_docs"))
+    val spine = spark.range(checkpoints).select(col("id").as("band"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("band").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    spine
+      .join(firstSeen, Seq("band"), "left")
+      .join(tokensPer, Seq("band"), "left")
+      .select(col("band"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("new_words"), lit(0L)).as("new_words"))
+      .withColumn("cum_docs", sum("n_docs").over(w))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .withColumn("vocab", sum("new_words").over(w))
+  }
+
   /** Quality SELECTION CURVE — "if I keep only documents scoring at
     * least this bucket, how much data survives": the
     * threshold-choice dashboard behind every quality-filtered

@@ -449,6 +449,43 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q173: vocabulary growth curve (Heaps' law) — cumulative
+    // distinct vocabulary at 10 id-order cuts, EXACT without 10
+    // distinct-counts: each word's first-occurrence census buckets
+    // into bands, the band-spine cumulative IS the distinct count at
+    // every cut simultaneously. One word census + one doc census,
+    // both ≤10 rows before the spine windows.
+    Q("q173_vocab_growth", Some("""
+      WITH n AS (SELECT MAX(doc_id) + 1 AS nn FROM documents),
+      tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      fs AS (SELECT LEAST(f * 10 // n.nn, 9) AS band,
+                    CAST(COUNT(*) AS BIGINT) AS new_words
+             FROM (SELECT w, MIN(doc_id) AS f FROM tok WHERE w <> '' GROUP BY 1)
+             CROSS JOIN n GROUP BY 1),
+      tp AS (SELECT LEAST(doc_id * 10 // n.nn, 9) AS band,
+                    CAST(SUM(t) AS BIGINT) AS n_tokens,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs
+             FROM (SELECT doc_id, COUNT(*) AS t FROM tok WHERE w <> '' GROUP BY 1)
+             CROSS JOIN n GROUP BY 1),
+      b AS (SELECT g.band,
+                   COALESCE(tp.n_docs, 0) AS n_docs,
+                   COALESCE(tp.n_tokens, 0) AS n_tokens,
+                   COALESCE(fs.new_words, 0) AS new_words
+            FROM (SELECT unnest(range(10)) AS band) g
+            LEFT JOIN fs USING (band) LEFT JOIN tp USING (band))
+      SELECT band, n_docs, n_tokens, new_words,
+             CAST(SUM(n_docs) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_docs,
+             CAST(SUM(n_tokens) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+             CAST(SUM(new_words) OVER (ORDER BY band
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+      FROM b ORDER BY band""")) { (s, d) =>
+      Curation.vocabGrowth(Tables.documents(s, d), "doc_id",
+          filter(split(col("text"), " "), w => w =!= ""), checkpoints = 10)
+        .orderBy("band")
+    },
+
     // ---- q172: quality selection curve — per q26-score band (×10⁴
     // in 10 bands), own mass and SURVIVAL mass at that threshold
     // (suffix-cumulative docs/tokens + exact ×10⁴ surviving-token

@@ -592,6 +592,25 @@ class CurationSpec extends SparkSuite {
     assert(got(1) === Seq("a"))
   }
 
+  test("vocabGrowth ≡ brute-force distinct at every cut; first occurrence counted once") {
+    import spark.implicits._
+    val corpus = (0L until 20L).map(i =>
+      (i, s"common w${i / 3} w${i % 7} extra${i}"))
+    val got = Curation.vocabGrowth(corpus.toDF("doc_id", "text"), "doc_id",
+        split(col("text"), " "), checkpoints = 5)
+      .orderBy("band").collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // Brute force: distinct words among docs with band(id) <= b.
+    val n = 20L
+    val expected = (0L until 5L).map { b =>
+      val docs = corpus.filter { case (id, _) => math.min(id * 5 / n, 4L) <= b }
+      val vocab = docs.flatMap(_._2.split(" ")).distinct.size.toLong
+      val toks = docs.map(_._2.split(" ").length.toLong).sum
+      (b, docs.size.toLong, toks, vocab)
+    }
+    assert(got.toSeq === expected)
+  }
+
   test("selectionCurve: exact suffix cumulatives, empty-band zeros, top-bin clamp") {
     import spark.implicits._
     // Scores 500 (bin 0), 2500 (bin 2), 9999+10000 (both clamp/land in bin 9).
