@@ -496,6 +496,53 @@ object Stats {
       .select(col("t"), col("n_events"), col("n_censored"), col("at_risk"))
   }
 
+  /** CORPUS-BALANCE INEQUALITY metrics over a stratum-size
+    * distribution — the one-row summary behind "is this mix
+    * dominated by a few sources": exact GINI coefficient (sorted
+    * cumulative form `G = (2·Σ i·x₍ᵢ₎ − (n+1)·ΣX) / (n·ΣX)`, every
+    * term a long, ×10⁴ integer division) and THEIL index
+    * (`T = Σ (xᵢ/X)·log₂(xᵢ·n/X)` — each log a difference of
+    * [[graft.operators.Curation.flog2qSql]] integer log2s,
+    * count-weighted, so it hash-gates where `ln` could not; in
+    * BITS ×10⁴, max log₂ n). Both 0 on perfectly uniform strata —
+    * Theil within the ±~300 flog2q quantization floor (small
+    * negatives = "indistinguishable from uniform", the jsDivergence
+    * convention).
+    *
+    * Scale shape: one census shuffle into a strata-sized frame; the
+    * Gini rank windows over STRATA (sources/domains — thousands),
+    * totals broadcast. Guard: stratum·n products stay inside longs
+    * for any census below ~3e9 total — the jsDivergence guard
+    * applies upstream of that scale. */
+  def inequality(df: DataFrame, groupCol: String, sizeCol: Column): DataFrame = {
+    val census = df.groupBy(groupCol).agg(sum(sizeCol).cast("long").as("__x"))
+    val totals = census.agg(count(lit(1)).as("__n"), sum("__x").as("__t"))
+      .withColumn("__t",
+        when(col("__t") > 0L && col("__t") <= 3000000000L, col("__t"))
+          .otherwise(raise_error(
+            lit("inequality: total mass outside (0, 3e9] — rescale before " +
+              "the long product bound")).cast("long")))
+    val ranked = census
+      .withColumn("__i", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__x").asc, col(groupCol).asc)).cast("long"))
+      .crossJoin(broadcast(totals))
+    val theilTerm = expr(
+      s"""CASE WHEN __x > 0 THEN __x * (
+            ${graft.operators.Curation.flog2qSql("__x * __n")} -
+            ${graft.operators.Curation.flog2qSql("__t")})
+          ELSE 0 END""")
+    ranked.agg(
+        first("__n").as("n_groups"),
+        first("__t").as("total"),
+        sum(col("__i") * col("__x")).as("__ix"),
+        sum(theilTerm).as("__th"))
+      .select(col("n_groups"), col("total"),
+        expr("CAST((2 * __ix - (n_groups + 1) * total) * 10000 DIV (n_groups * total) AS BIGINT)")
+          .as("gini_e4"),
+        expr("CAST(__th * 10000 DIV (16 * total) AS BIGINT)").as("theil_e4"))
+  }
+
   /** Per-stratum JENSEN-SHANNON DIVERGENCE against the rest of the
     * corpus — "how different is this source's word distribution from
     * everything else": the corpus-governance metric behind mixture

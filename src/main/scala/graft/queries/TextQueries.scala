@@ -143,6 +143,30 @@ object TextQueries {
     "WITH " + (head ++ rounds).mkString(",\n")
   }
 
+  /** q174 oracle: the same Gini+Theil CTE block instantiated per
+    * grouping dimension (source, lang), flog2q terms generated from
+    * the shared kernel so engine and oracle can never drift. */
+  private def inequalityOracleSql: String = {
+    val tpl = """tok__DIM__ AS (
+        SELECT __DIM__ AS grp, CAST(len(string_split(text, ' ')) AS BIGINT) AS sz
+        FROM documents),
+      c__DIM__ AS (SELECT grp, CAST(SUM(sz) AS BIGINT) AS x FROM tok__DIM__ GROUP BY 1),
+      t__DIM__ AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(x) AS BIGINT) AS t FROM c__DIM__),
+      r__DIM__ AS (SELECT x, CAST(row_number() OVER (ORDER BY x ASC, grp ASC) AS BIGINT) AS i
+                   FROM c__DIM__),
+      a__DIM__ AS (SELECT '__DIM__' AS dim, t.n AS n_groups, t.t AS total,
+                          CAST((2 * SUM(i * x) - (t.n + 1) * t.t) * 10000 // (t.n * t.t) AS BIGINT) AS gini_e4,
+                          CAST(SUM(CASE WHEN x > 0 THEN x * (
+                                 __FLOG_XN__ - __FLOG_T__)
+                               ELSE 0 END) * 10000 // (16 * t.t) AS BIGINT) AS theil_e4
+                   FROM r__DIM__ CROSS JOIN t__DIM__ t GROUP BY t.n, t.t)"""
+      .replace("__FLOG_XN__", graft.operators.Curation.flog2qSql("x * t.n"))
+      .replace("__FLOG_T__", graft.operators.Curation.flog2qSql("t.t"))
+    "WITH " + tpl.replace("__DIM__", "source") + ",\n" +
+      tpl.replace("__DIM__", "lang") +
+      "\nSELECT * FROM asource UNION ALL SELECT * FROM alang ORDER BY dim"
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- q158: BPE merge training — the tokenizer-fit step. The
@@ -447,6 +471,22 @@ object TextQueries {
           (floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d))
             / lit(10000.0d)).as("quality"))
         .orderBy("doc_id")
+    },
+
+    // ---- q174: corpus-balance inequality — exact Gini + flog2q
+    // Theil of token mass per source AND per lang (one row each):
+    // the "is the mix dominated by a few strata" one-liner next to
+    // q167's which-stratum-diverges and q163's how-to-rebalance.
+    // Gini rank windows over strata only; both metrics exact longs.
+    Q("q174_source_inequality", Some(inequalityOracleSql)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def one(dim: String) = graft.operators.Stats.inequality(
+          docs.select(col(dim).as("grp"),
+            size(split(col("text"), " ")).cast("long").as("sz")),
+          "grp", col("sz"))
+        .select(lit(dim).as("dim"), col("n_groups"), col("total"),
+          col("gini_e4"), col("theil_e4"))
+      one("source").unionByName(one("lang")).orderBy("dim")
     },
 
     // ---- q173: vocabulary growth curve (Heaps' law) — cumulative

@@ -413,6 +413,25 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("inequality: uniform ≈ 0; total concentration → Gini (n-1)/n and Theil log2(n)") {
+    import spark.implicits._
+    def ineq(rows: Seq[(String, Long)]): (Long, Long) = {
+      val r = Stats.inequality(rows.toDF("g", "x"), "g", col("x")).collect().head
+      (r.getLong(2), r.getLong(3))
+    }
+    // Four equal strata: both metrics ≈ 0 (Theil within the flog2q floor).
+    val (g0, t0) = ineq(Seq(("a", 100L), ("b", 100L), ("c", 100L), ("d", 100L)))
+    assert(g0 === 0L && math.abs(t0) <= 300, s"uniform: $g0 $t0")
+    // One stratum holds (almost) everything: Gini → (n-1)/n = 0.75,
+    // Theil → log2(4) = 2 bits.
+    val (g1, t1) = ineq(Seq(("a", 1000000L), ("b", 1L), ("c", 1L), ("d", 1L)))
+    assert(g1 > 7300 && g1 <= 7500, s"concentrated gini: $g1")
+    assert(t1 > 19000 && t1 <= 20300, s"concentrated theil: $t1")
+    // Monotone: mild skew sits between.
+    val (g2, t2) = ineq(Seq(("a", 400L), ("b", 300L), ("c", 200L), ("d", 100L)))
+    assert(g2 > 0 && g2 < g1 && t2 > t0 && t2 < t1)
+  }
+
   test("jsDivergence: identical ≈ 0 within the flog2q floor; disjoint ≈ 1 bit; monotone between") {
     import spark.implicits._
     def jsd(rows: Seq[(String, String)]): Map[String, Long] =
