@@ -672,18 +672,44 @@ object Temporal {
   def seasonalBaseline(events: DataFrame, tsCol: String, bucketNs: Long,
                        period: Int, thresholdE1: Long = 5L): DataFrame = {
     require(bucketNs > 0, "bucketNs must be positive")
-    require(period > 0, "period must be positive")
-    val buckets = events
+    val buckets = bucketCounts(events, tsCol, bucketNs)
+    scoreSeasonal(buckets, seasonalProfile(buckets, period), period, thresholdE1)
+  }
+
+  /** Bucketed count series `(bucket, n)` — the batch twin of
+    * [[graft.streaming.EventStreams.bucketCountsWindowed]]. */
+  def bucketCounts(events: DataFrame, tsCol: String, bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    events
       .select(expr(s"(`$tsCol`) div ${bucketNs}L").as("bucket"))
       .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Per-slot rational mean profile `(slot, num, den)` of a bucketed
+    * count series — the FIT half of the seasonal split (fit on the
+    * standing corpus in batch, score live windows forever). */
+  def seasonalProfile(buckets: DataFrame, period: Int): DataFrame = {
+    require(period > 0, "period must be positive")
+    buckets
       .withColumn("slot", pmod(col("bucket"), lit(period.toLong)))
-    val profile = buckets.groupBy("slot")
+      .groupBy("slot")
       .agg(sum("n").as("num"), count(lit(1)).as("den"))
-    buckets.join(broadcast(profile), "slot")
+  }
+
+  /** The SCORE half: bucket counts against a (possibly
+    * independently fit) slot profile — shared verbatim by the batch
+    * report and the streaming deployment, so parity is definitional.
+    * Buckets whose slot is absent from the profile drop (nothing to
+    * compare against — a fit period mismatch, surfaced by row
+    * count, not a silent 0 residual). */
+  def scoreSeasonal(buckets: DataFrame, profile: DataFrame, period: Int,
+                    thresholdE1: Long = 5L): DataFrame =
+    buckets
+      .withColumn("slot", pmod(col("bucket"), lit(period.toLong)))
+      .join(broadcast(profile), "slot")
       .select(col("bucket"), col("slot"), col("n"),
         expr("CAST(num * 10000 DIV den AS BIGINT)").as("profile_e4"),
         expr("CAST((n * den - num) * 10000 DIV den AS BIGINT)").as("resid_e4"),
         (abs(col("n") * col("den") - col("num")) * lit(10L) >
           col("num") * lit(thresholdE1)).as("anomalous"))
-  }
 }

@@ -379,6 +379,26 @@ object EventStreams {
         col("event_type"), col("bin"), col("cnt"))
   }
 
+  /** Streaming hourly bucket counts — the windowed census the
+    * seasonal-anomaly deployment scores: closed (bucket, n) rows
+    * stream out under the watermark, and
+    * [[graft.operators.Temporal.scoreSeasonal]] grades them against
+    * a batch-fit [[graft.operators.Temporal.seasonalProfile]]
+    * (last month's hour-of-day shape) — live "tonight is not like
+    * other nights" paging with one counter of state per open
+    * window. A closed bucket's row is definitionally the batch
+    * [[graft.operators.Temporal.bucketCounts]] row of the same
+    * events (spec-pinned parity through the shared scoring kernel). */
+  def bucketCountsWindowed(events: DataFrame,
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .groupBy(window(col("event_time"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("__ws"), col("n"))
+      .select(expr("unix_timestamp(__ws) DIV 3600").as("bucket"), col("n"))
+
   /** Streaming deterministic bottom-k (KMV) sample: per tumbling
     * window and event type, the k events with the smallest salted
     * 48-bit md5 hash of their id — the streaming twin of

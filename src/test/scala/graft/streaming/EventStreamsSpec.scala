@@ -731,6 +731,41 @@ class EventStreamsSpec extends SparkSuite {
         EventStreams.readEventsJson(spark, dir), Seq(Unique("u", "event_id"))))
   }
 
+  test("streaming seasonal: closed hourly buckets + batch profile ≡ batch seasonalBaseline; spike pages") {
+    import graft.operators.Temporal
+    // Hours 1,25,49 share slot 1 (period 24): counts 2,2,8 — the
+    // hour-49 spike must page. Sentinel closes the watermark.
+    val rows = Seq(
+      ev(1, 1 * H + 10, 1, "click", 1.0), ev(2, 1 * H + 20, 2, "click", 1.0),
+      ev(3, 25 * H + 10, 3, "click", 1.0), ev(4, 25 * H + 20, 4, "click", 1.0)) ++
+      (10 to 17).map(i => ev(i, 49 * H + i, i, "click", 1.0)) :+
+      ev(99, 200 * H, 9, "sentinel", 0.0)
+    val dir = writeLanding(rows)
+    val out = Files.createTempDirectory(Paths.get("target"), "seasout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.bucketCountsWindowed(EventStreams.readEventsJson(spark, dir)),
+      s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamedBuckets = spark.read.parquet(s"$out/data")
+    val closed = streamedBuckets.select("bucket").as[Long].collect().toSet
+    assert(closed === Set(1L, 25L, 49L), s"closed buckets: $closed")
+    val batchDf = spark.read
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .json(dir)
+    val batchBuckets = Temporal.bucketCounts(batchDf, "ts", 3600000000000L)
+    val profile = Temporal.seasonalProfile(batchBuckets, 24)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSet
+    val streamedScored = key(Temporal.scoreSeasonal(streamedBuckets, profile, 24))
+    val batchScored = key(Temporal.scoreSeasonal(
+      batchBuckets.filter(col("bucket").isin(closed.toSeq: _*)), profile, 24))
+    assert(streamedScored === batchScored,
+      "streamed seasonal scoring diverged from the batch kernel")
+    assert(streamedScored.exists(_._6), "the hour-49 spike must page")
+    assert(streamedScored.count(!_._6) >= 2, "normal hours must not page")
+  }
+
   test("streaming BPE segmentation ≡ batch dict-join on fit corpus; stateless; unseen words segment") {
     import graft.operators.Bpe
     val corpus = Seq((1L, "abab abab"), (2L, "abab ab"), (3L, "ba ba abab"))
