@@ -496,6 +496,49 @@ object Stats {
       .select(col("t"), col("n_events"), col("n_censored"), col("at_risk"))
   }
 
+  /** EXACT two-proportion A/B test — the 2×2 chi-squared statistic
+    * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` (equal to z² for
+    * two proportions) computed in exact decimal arithmetic: the
+    * cross-product square reaches ~10³⁶ for 10⁹-unit cohorts, so
+    * the numerator chain rides DECIMAL(38,0) (Spark) / HUGEINT
+    * (the DuckDB oracle) and lands as an exact ×10⁴ integer — a
+    * SIGNIFICANCE DECISION that hash-gates, where a float χ² near
+    * the 3.8415 critical value could flip between engines. Any zero
+    * marginal → χ² = 0 (no evidence, not an error). A raise_error
+    * guard trips beyond 3·10⁷ units — past it the ×10⁴ numerator
+    * would exceed DECIMAL(38).
+    *
+    * Scale shape: ONE total aggregate over the unit frame (four
+    * conditional sums, map-side combined) — the statistic itself is
+    * driver-free arithmetic on one row. */
+  def abTestChi2(units: DataFrame, inCohortA: Column, converted: Column): DataFrame =
+    units
+      .select(inCohortA.cast("boolean").as("__g"), converted.cast("boolean").as("__c"))
+      .agg(
+        sum(when(col("__g") && col("__c"), 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("__g") && !col("__c"), 1L).otherwise(0L)).as("fail_a"),
+        sum(when(!col("__g") && col("__c"), 1L).otherwise(0L)).as("conv_b"),
+        sum(when(!col("__g") && !col("__c"), 1L).otherwise(0L)).as("fail_b"))
+      .withColumn("__n",
+        when(col("conv_a") + col("fail_a") + col("conv_b") + col("fail_b") <= 30000000L,
+          col("conv_a") + col("fail_a") + col("conv_b") + col("fail_b"))
+          .otherwise(raise_error(
+            lit("abTestChi2: more than 3e7 units — the exact x1e4 chi2 " +
+              "numerator would exceed DECIMAL(38)")).cast("long")))
+      .withColumn("chi2_e4", expr(
+        """CAST(CASE WHEN (conv_a + fail_a) = 0 OR (conv_b + fail_b) = 0
+                       OR (conv_a + conv_b) = 0 OR (fail_a + fail_b) = 0 THEN 0
+                ELSE CAST(__n AS DECIMAL(38,0))
+                     * CAST(conv_a * fail_b - fail_a * conv_b AS DECIMAL(19,0))
+                     * CAST(conv_a * fail_b - fail_a * conv_b AS DECIMAL(19,0))
+                     * 10000
+                     DIV (CAST(conv_a + fail_a AS DECIMAL(38,0))
+                          * (conv_b + fail_b) * (conv_a + conv_b) * (fail_a + fail_b))
+                END AS BIGINT)"""))
+      .withColumn("significant_05", col("chi2_e4") >= 38415L)
+      .select(col("conv_a"), col("fail_a"), col("conv_b"), col("fail_b"),
+        col("chi2_e4"), col("significant_05"))
+
   /** CORPUS-BALANCE INEQUALITY metrics over a stratum-size
     * distribution — the one-row summary behind "is this mix
     * dominated by a few sources": exact GINI coefficient (sorted

@@ -369,6 +369,50 @@ object PipelineQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ---- q175: exact A/B conversion test — per-user heavy-buyer
+    // conversion (>= 13 purchases) between user_id-parity cohorts,
+    // graded with the
+    // 2×2 chi-squared in exact DECIMAL(38)/HUGEINT arithmetic: the
+    // significance DECISION hash-gates (a float chi2 near the
+    // 3.8415 cutoff could flip engines). One per-user census + one
+    // four-way conditional total.
+    Q("q175_ab_test", Some("""
+      WITH u AS (SELECT user_id, user_id % 2 = 0 AS g,
+                        COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) >= 13 AS c
+                 FROM events GROUP BY user_id),
+      t AS (SELECT
+              CAST(SUM(CASE WHEN g AND c THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+              CAST(SUM(CASE WHEN g AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS fail_a,
+              CAST(SUM(CASE WHEN NOT g AND c THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+              CAST(SUM(CASE WHEN NOT g AND NOT c THEN 1 ELSE 0 END) AS BIGINT) AS fail_b
+            FROM u)
+      SELECT conv_a, fail_a, conv_b, fail_b,
+             CAST(CASE WHEN (conv_a + fail_a) = 0 OR (conv_b + fail_b) = 0
+                         OR (conv_a + conv_b) = 0 OR (fail_a + fail_b) = 0 THEN 0
+                  ELSE CAST(conv_a + fail_a + conv_b + fail_b AS HUGEINT)
+                       * CAST(conv_a * fail_b - fail_a * conv_b AS HUGEINT)
+                       * CAST(conv_a * fail_b - fail_a * conv_b AS HUGEINT)
+                       * 10000
+                       // (CAST(conv_a + fail_a AS HUGEINT)
+                          * (conv_b + fail_b) * (conv_a + conv_b) * (fail_a + fail_b))
+                  END AS BIGINT) AS chi2_e4,
+             CASE WHEN (conv_a + fail_a) = 0 OR (conv_b + fail_b) = 0
+                    OR (conv_a + conv_b) = 0 OR (fail_a + fail_b) = 0 THEN FALSE
+                  ELSE CAST(conv_a + fail_a + conv_b + fail_b AS HUGEINT)
+                       * CAST(conv_a * fail_b - fail_a * conv_b AS HUGEINT)
+                       * CAST(conv_a * fail_b - fail_a * conv_b AS HUGEINT)
+                       * 10000
+                       // (CAST(conv_a + fail_a AS HUGEINT)
+                          * (conv_b + fail_b) * (conv_a + conv_b) * (fail_a + fail_b))
+                       >= 38415 END AS significant_05
+      FROM t""")) { (s, d) =>
+      val users = Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("__conv"))
+      graft.operators.Stats.abTestChi2(users,
+        pmod(col("user_id"), lit(2L)) === 0L, col("__conv") >= 13L)
+    },
+
     // ---- q169: frequent session-path mining — discover the common
     // first-5 event journeys (q86/q110 CHECK funnels you declare;
     // this finds them). Sessions are q54's 8h-gap windows; the

@@ -413,6 +413,24 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("abTestChi2: hand-computed statistic, zero marginals, unit guard") {
+    import spark.implicits._
+    def units(a: Int, b: Int, c: Int, d: Int) =
+      (Seq.fill(a)((true, true)) ++ Seq.fill(b)((true, false)) ++
+        Seq.fill(c)((false, true)) ++ Seq.fill(d)((false, false)))
+        .toDF("g", "c")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Stats.abTestChi2(df, col("g"), col("c")).collect().head
+    // a=10 b=10 c=20 d=5: chi2 = 45*150^2/(20*25*30*15) = 4.5 exactly.
+    val r = run(units(10, 10, 20, 5))
+    assert((r.getLong(4), r.getBoolean(5)) === ((45000L, true)))
+    // Equal proportions: chi2 = 0.
+    assert(run(units(10, 10, 10, 10)).getLong(4) === 0L)
+    // A zero marginal (nobody fails) is no evidence, not an error.
+    val z = run(units(5, 0, 5, 0))
+    assert((z.getLong(4), z.getBoolean(5)) === ((0L, false)))
+  }
+
   test("inequality: uniform ≈ 0; total concentration → Gini (n-1)/n and Theil log2(n)") {
     import spark.implicits._
     def ineq(rows: Seq[(String, Long)]): (Long, Long) = {
