@@ -67,22 +67,32 @@ object Dedup {
     // optimized away (counts are >= 1, so the predicate never drops
     // a row — it exists to force the guard's evaluation).
     val blocked = keyed.join(guard, "__blk").filter(col("__bn") >= 1L)
-    val a = blocked.select(col("__blk"), col(idCol).as("doc_a"),
+    val a = blocked.select(col("__blk").as("__blk_a"), col(idCol).as("doc_a"),
       col(textCol).as("__ta"))
-    val b = blocked.select(col("__blk"), col(idCol).as("doc_b"),
+    val b = blocked.select(col("__blk").as("__blk_b"), col(idCol).as("doc_b"),
       col(textCol).as("__tb"))
-    a.join(b, Seq("__blk"))
-      .filter(col("doc_a") < col("doc_b"))
-      // Length prune: |len(a) − len(b)| > maxEdits already implies
-      // edit distance > maxEdits, and the O(1) length check skips
-      // the O(n·m) levenshtein on most candidate pairs — a pure
-      // optimization (never changes the result set), which is why
-      // the oracle replays the semantics without it.
-      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxEdits)
-      // Threshold overload: banded O(len·maxEdits) DP that bails to
-      // -1 past the cap, instead of the full O(len²) distance.
+    // Predicate ORDER is load-bearing: the id orientation and the
+    // O(1) length prune (|len(a) − len(b)| > maxEdits already
+    // implies distance > maxEdits) sit IN the join condition, so the
+    // hash join emits each unordered pair once and pre-pruned —
+    // stacked .filter()s used to merge with the orientation check
+    // LAST, running the ~0.4 ms/call levenshtein on BOTH
+    // orientations of every candidate (measured 4× the total time).
+    val joined = a.join(b,
+      col("__blk_a") === col("__blk_b") &&
+        col("doc_a") < col("doc_b") &&
+        abs(length(col("__ta")) - length(col("__tb"))) <= maxEdits)
+    // Threshold overload: banded DP that bails to -1 past the cap.
+    // The explode(array(..)) generator is a deliberate PUSHDOWN
+    // BARRIER: a plain filter on a projected `edits` alias gets
+    // substituted back into the join condition, evaluating the
+    // levenshtein twice per pair (condition + projection); a
+    // predicate on generator output cannot push below its Generate,
+    // so the distance runs exactly once per emitted pair.
+    joined
       .select(col("doc_a"), col("doc_b"),
-        levenshtein(col("__ta"), col("__tb"), maxEdits).cast("long").as("edits"))
+        explode(array(levenshtein(col("__ta"), col("__tb"), maxEdits)
+          .cast("long"))).as("edits"))
       .filter(col("edits") >= 0L)
   }
 
