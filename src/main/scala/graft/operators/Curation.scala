@@ -166,6 +166,42 @@ object Curation {
       (-array_max(scored).getField("sneg")).cast("long").as("shard"))
   }
 
+  /** PER-USER CONTRIBUTION (sensitivity) census — the clipping-bound
+    * question a differential-privacy release asks first: "how many
+    * rows can one user move an aggregate by". Per partition key:
+    * user count, the MAX per-user contribution (the worst-case
+    * sensitivity Δf of a count release), and the exact p95
+    * contribution — the clip bound that caps outlier users while
+    * keeping 95% of users uncensored (contribution bounding, the
+    * standard pre-DP step). All exact longs; p95 position is
+    * `ceil(0.95·n) = (19n+19) DIV 20`.
+    *
+    * Scale shape: one (key, user) census shuffle, collapsed to a
+    * (key, contribution) HISTOGRAM before any window — the
+    * cumulative runs over distinct contribution VALUES per key
+    * (bounded by max contribution, not by user count), never a
+    * per-user global window. */
+  def contributionCensus(events: DataFrame, keyCol: String,
+                         userCol: String): DataFrame = {
+    val uc = events.groupBy(col(keyCol), col(userCol))
+      .agg(count(lit(1)).as("__c"))
+    val hist = uc.groupBy(col(keyCol), col("__c"))
+      .agg(count(lit(1)).as("__nu"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("__c").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("__cum", sum("__nu").over(w))
+    val tot = hist.groupBy(col(keyCol))
+      .agg(sum("__nu").as("n_users"), max("__c").as("max_contrib"))
+    // p95 = smallest contribution whose cumulative user count reaches
+    // 95%: for integer cum, `cum >= ceil(19n/20)` ⟺ `20·cum >= 19·n`.
+    val p95 = cum.join(tot, keyCol)
+      .filter(col("__cum") * 20L >= col("n_users") * 19L)
+      .groupBy(col(keyCol)).agg(min("__c").as("p95_contrib"))
+    tot.join(p95, keyCol)
+      .select(col(keyCol), col("n_users"), col("max_contrib"), col("p95_contrib"))
+  }
+
   /** K-ANONYMITY / l-DIVERSITY census — the privacy gate a dataset
     * release runs over its quasi-identifier columns: every
     * equivalence class (unique QI combination) reports its size

@@ -177,6 +177,36 @@ object Similarity {
             col("n_truth").cast("double")).as("recall"))
   }
 
+  /** k-NN LABEL-CONSISTENCY audit — the mislabel detector of the
+    * confident-learning family: a point whose nearest neighbors
+    * overwhelmingly carry a DIFFERENT label is either mislabeled or
+    * sits on a class boundary, and both deserve review before
+    * training. Per vector: its label, how many of its top-k cosine
+    * neighbors agree, the exact ×10⁴ agreement fraction, and a
+    * suspect flag below `suspectBelowE4`.
+    *
+    * Composable like [[mutualKnn]]: input is any ranked kNN frame —
+    * exact [[bruteForceTopK]] at audit scale, LSH/IVF candidates at
+    * 100 TB — joined twice against the id→label relation (both
+    * joins O(n·k) row-sided). Deterministic inputs → the audit
+    * hash-gates. */
+  def labelConsistency(knn: DataFrame, labels: DataFrame, k: Int,
+                       idCol: String = "vec_id", labelCol: String = "label",
+                       suspectBelowE4: Long = 4000L): DataFrame = {
+    val ql = labels.select(col(idCol).as("query_id"), col(labelCol).as("__ql"))
+    val nl = labels.select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl"))
+    knn.select(col("query_id"), col("neighbor_id"))
+      .join(ql, "query_id").join(nl, "neighbor_id")
+      .groupBy(col("query_id"), col("__ql"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(col("__ql") === col("__nl"), 1L).otherwise(0L)).as("n_same"))
+      .withColumn("agree_e4",
+        expr("CAST(n_same * 10000 DIV n_neighbors AS BIGINT)"))
+      .select(col("query_id").as(idCol), col("__ql").as(labelCol),
+        col("n_same"), col("n_neighbors"), col("agree_e4"),
+        (col("agree_e4") < suspectBelowE4).as("suspect"))
+  }
+
   /** MATRYOSHKA truncation-quality audit — "how much retrieval do I
     * lose if I keep only the first `dims` dimensions": the storage/
     * speed decision every MRL-style embedding deployment makes

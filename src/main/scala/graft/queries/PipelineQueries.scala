@@ -369,6 +369,39 @@ object PipelineQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ---- q176: per-user contribution (sensitivity) census — the
+    // clipping-bound question a differential-privacy release asks
+    // first: per event type, user count, the MAX per-user
+    // contribution (worst-case count sensitivity) and the exact p95
+    // contribution (the standard clip bound). Scale-clean p95: the
+    // per-user census collapses to a contribution HISTOGRAM before
+    // any window, so the cumulative runs over distinct values per
+    // key, never a per-user global window (for integer cum,
+    // cum >= ceil(19n/20) ⟺ 20cum >= 19n).
+    Q("q176_contribution_census", Some("""
+      WITH uc AS (SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS c
+                  FROM events GROUP BY 1, 2),
+      h AS (SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS nu
+            FROM uc GROUP BY 1, 2),
+      cm AS (SELECT event_type, c, nu,
+                    SUM(nu) OVER (PARTITION BY event_type ORDER BY c
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+             FROM h),
+      t AS (SELECT event_type, CAST(SUM(nu) AS BIGINT) AS n_users,
+                   MAX(c) AS max_contrib
+            FROM h GROUP BY 1),
+      p AS (SELECT cm.event_type, MIN(cm.c) AS p95_contrib
+            FROM cm JOIN t ON t.event_type = cm.event_type
+            WHERE cm.cum * 20 >= t.n_users * 19
+            GROUP BY 1)
+      SELECT t.event_type, t.n_users, t.max_contrib, p.p95_contrib
+      FROM t JOIN p ON p.event_type = t.event_type
+      ORDER BY t.event_type""")) { (s, d) =>
+      graft.operators.Curation.contributionCensus(
+          Tables.events(s, d), "event_type", "user_id")
+        .orderBy("event_type")
+    },
+
     // ---- q175: exact A/B conversion test — per-user heavy-buyer
     // conversion (>= 13 purchases) between user_id-parity cohorts,
     // graded with the

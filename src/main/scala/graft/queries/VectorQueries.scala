@@ -1195,6 +1195,43 @@ object VectorQueries {
         .orderBy("u", "v")
     },
 
+    // ---- q177: k-NN label-consistency audit — the mislabel
+    // detector (confident-learning family): per vector, how many of
+    // its exact top-5 cosine neighbors share its label, exact ×10⁴
+    // agreement, suspect below 0.4. Composable over any kNN frame
+    // (here the exact q142 kNN; LSH/IVF at scale); the synthetic
+    // labels are near-random vs geometry, so low agreement dominates
+    // — semantics pinned on planted clusters in SimilaritySpec.
+    Q("q177_label_consistency", Some(oracleProlog + """,
+      lbl AS (SELECT vec_id, label FROM embeddings),
+      scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_inner_product(c.v, q.v) / (c.nrm * q.nrm) AS sim_raw
+        FROM p c JOIN p q ON c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim_raw DESC, neighbor_id) AS r
+        FROM scored),
+      kk AS (SELECT query_id, neighbor_id FROM ranked WHERE r <= 5),
+      ag AS (SELECT kk.query_id,
+                    CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+                    CAST(SUM(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same
+             FROM kk JOIN lbl ql ON ql.vec_id = kk.query_id
+                     JOIN lbl nl ON nl.vec_id = kk.neighbor_id
+             GROUP BY 1)
+      SELECT ag.query_id AS vec_id, ql.label AS label, ag.n_same, ag.n_neighbors,
+             CAST(ag.n_same * 10000 // ag.n_neighbors AS BIGINT) AS agree_e4,
+             ag.n_same * 10000 // ag.n_neighbors < 4000 AS suspect
+      FROM ag JOIN lbl ql ON ql.vec_id = ag.query_id
+      ORDER BY vec_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.labelConsistency(
+          Similarity.bruteForceTopK(emb, emb, k = 5),
+          emb.select("vec_id", "label"), k = 5)
+        .orderBy("vec_id")
+    },
+
     // ---- q170: matryoshka truncation audit — overlap@5 between
     // full-64-dim exact top-5 and first-16-dims-renormalized top-5
     // for probes vec_id < 32: the representation-loss axis q127's

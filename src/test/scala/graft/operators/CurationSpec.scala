@@ -592,6 +592,22 @@ class CurationSpec extends SparkSuite {
     assert(got(1) === Seq("a"))
   }
 
+  test("contributionCensus: exact max and p95 clip bound on a skewed hand fixture") {
+    import spark.implicits._
+    // 19 users contribute 1 row each, one whale contributes 100:
+    // p95 position = ceil(0.95*20) = 19 → still in the c=1 band;
+    // max = 100 (the whale IS the sensitivity).
+    val rows = (1 to 19).map(u => ("click", u.toLong)) ++
+      (1 to 100).map(_ => ("click", 99L)) ++
+      Seq(("buy", 1L), ("buy", 1L), ("buy", 2L))
+    val got = Curation.contributionCensus(rows.toDF("t", "u"), "t", "u")
+      .orderBy("t").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("buy", 2L, 2L, 2L),      // ceil(0.95*2)=2 → the c=2 user
+      ("click", 20L, 100L, 1L)))
+  }
+
   test("vocabGrowth ≡ brute-force distinct at every cut; first occurrence counted once") {
     import spark.implicits._
     val corpus = (0L until 20L).map(i =>

@@ -353,6 +353,27 @@ class SimilaritySpec extends SparkSuite {
     assert(handGot.toSeq === Seq((1L, 2L, 1L, 2L)))
   }
 
+  test("labelConsistency: clean clusters agree fully; a planted mislabel is the suspect") {
+    import spark.implicits._
+    // Two tight, well-separated clusters of 4; vec 7 sits in cluster
+    // B geometrically but carries cluster A's label.
+    def v(base: Array[Float], j: Int): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + (if (i == j % 4) 0.01f else 0f) }
+    val cA = Array(10f, 0f, 0f, 0f); val cB = Array(0f, 10f, 0f, 0f)
+    val rows = (0 until 4).map(j => (j.toLong, v(cA, j), "A")) ++
+      (4 until 7).map(j => (j.toLong, v(cB, j), "B")) :+
+      ((7L, v(cB, 3), "A"))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.labelConsistency(
+        Similarity.bruteForceTopK(emb, emb, k = 3),
+        emb.select("vec_id", "label"), k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    (0L until 4L).foreach(i => assert(got(i) === ((10000L, false)), s"clean A $i"))
+    (4L until 7L).foreach(i =>
+      assert(got(i)._1 <= 6666L, s"B members see the intruder: $i ${got(i)}"))
+    assert(got(7L) === ((0L, true)), "the planted mislabel must be the suspect")
+  }
+
   test("truncationAudit: full dims ≡ perfect recall; truncation to 16 dims loses some") {
     val probes = emb.filter(col("vec_id") < 10)
     val full = Similarity.truncationAudit(emb, probes, k = 5, dims = 64)
