@@ -496,6 +496,59 @@ object Stats {
       .select(col("t"), col("n_events"), col("n_censored"), col("at_risk"))
   }
 
+  /** EXACT 1-D WASSERSTEIN (earth-mover) distance of each stratum's
+    * value distribution against a baseline stratum — the transport
+    * metric next to [[jsDivergence]] (which only sees mass overlap:
+    * two disjoint spikes 1¢ apart and 10 $ apart look identical to
+    * JSD, while W₁ = the distance the mass must MOVE — the right
+    * lens for "did the price distribution shift, and by how much").
+    * Values quantize to integer cents (`floor(v·100+½)` — exact and
+    * shared with the oracle), and the closed form
+    * `W₁ = Σ_support |cdf_g − cdf_b| · gap` becomes exact integer
+    * arithmetic: `Σ |cum_g·n_b − cum_b·n_g| · gap` summed in
+    * DECIMAL(38,0) (HUGEINT in the oracle — the q175 convention),
+    * published as cents ×10⁴ per the exact final division.
+    *
+    * Scale shape: one (stratum, cents) census shuffle; everything
+    * after runs on the support×strata grid (distinct cent values —
+    * census-bounded, the jsDivergence shape), with cumulative and
+    * gap windows partitioned per stratum over support VALUES. */
+  def wasserstein1(df: DataFrame, groupCol: String, valueCol: Column,
+                   baseline: String): DataFrame = {
+    val cents = floor(valueCol * 100d + 0.5d).cast("long")
+    val census = df
+      .filter(valueCol.isNotNull && !isnan(valueCol))
+      .groupBy(col(groupCol), cents.as("__x"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = census.select("__x").distinct()
+    val groups = census.select(groupCol).distinct()
+    val grid = groups.crossJoin(spine)
+      .join(census, Seq(groupCol, "__x"), "left")
+      .withColumn("__c", coalesce(col("__c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__x").asc)
+    val cum = grid
+      .withColumn("__cum", sum("__c").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("__gap", coalesce(lead(col("__x"), 1).over(w) - col("__x"), lit(0L)))
+    val masses = census.groupBy(groupCol).agg(sum("__c").as("__n"))
+    val base = cum.filter(col(groupCol) === baseline)
+      .select(col("__x"), col("__cum").as("__cumb"))
+    val nb = masses.filter(col(groupCol) === baseline)
+      .select(col("__n").as("__nb"))
+    cum.filter(col(groupCol) =!= baseline)
+      .join(base, "__x")
+      .join(masses, groupCol).crossJoin(broadcast(nb))
+      .groupBy(col(groupCol))
+      .agg(first("__n").as("n_rows"), first("__nb").as("n_baseline"),
+        sum(abs(col("__cum").cast("decimal(38,0)") * col("__nb") -
+          col("__cumb").cast("decimal(38,0)") * col("__n")) * col("__gap"))
+          .as("__num"))
+      .withColumn("w1_cents_e4",
+        expr("CAST(__num * 10000 DIV (CAST(n_rows AS DECIMAL(38,0)) * n_baseline) AS BIGINT)"))
+      .select(col(groupCol), col("n_rows"), col("n_baseline"), col("w1_cents_e4"))
+  }
+
   /** EXACT two-proportion A/B test — the 2×2 chi-squared statistic
     * `χ² = N·(ad−bc)² / ((a+b)(c+d)(a+c)(b+d))` (equal to z² for
     * two proportions) computed in exact decimal arithmetic: the

@@ -369,6 +369,45 @@ object PipelineQueries {
         .orderBy("user_id", "session_idx")
     },
 
+    // ---- q178: exact 1-D Wasserstein distance — each event type's
+    // value distribution vs the 'click' baseline, in integer cents:
+    // the transport metric JSD can't see (disjoint spikes 1 cent vs
+    // 10 dollars apart are identical to JSD; W1 measures how far the
+    // mass moves). Closed form sum |cdf diff| * gap over the cents
+    // support, exact in DECIMAL(38)/HUGEINT (the q175 convention).
+    // One census shuffle; windows run over the support grid only.
+    Q("q178_wasserstein", Some("""
+      WITH c AS (SELECT event_type AS g,
+                        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS x,
+                        CAST(COUNT(*) AS BIGINT) AS cnt
+                 FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+                 GROUP BY 1, 2),
+      spine AS (SELECT DISTINCT x FROM c),
+      grid AS (SELECT g.g, s.x, COALESCE(c.cnt, 0) AS cnt
+               FROM (SELECT DISTINCT g FROM c) g CROSS JOIN spine s
+               LEFT JOIN c ON c.g = g.g AND c.x = s.x),
+      cum AS (SELECT g, x, SUM(cnt) OVER (PARTITION BY g ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                COALESCE(LEAD(x) OVER (PARTITION BY g ORDER BY x) - x, 0) AS gap
+              FROM grid),
+      m AS (SELECT g, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY 1),
+      b AS (SELECT x, cum AS cumb FROM cum WHERE g = 'click'),
+      nb AS (SELECT n AS nbv FROM m WHERE g = 'click')
+      SELECT cum.g AS event_type, m.n AS n_rows, nb.nbv AS n_baseline,
+             CAST(SUM(ABS(CAST(cum.cum AS HUGEINT) * nb.nbv
+                          - CAST(b.cumb AS HUGEINT) * m.n) * cum.gap) * 10000
+                  // (CAST(m.n AS HUGEINT) * nb.nbv) AS BIGINT) AS w1_cents_e4
+      FROM cum JOIN b ON b.x = cum.x
+               JOIN m ON m.g = cum.g
+               CROSS JOIN nb
+      WHERE cum.g <> 'click'
+      GROUP BY cum.g, m.n, nb.nbv
+      ORDER BY event_type""")) { (s, d) =>
+      graft.operators.Stats.wasserstein1(
+          Tables.events(s, d), "event_type", col("value"), baseline = "click")
+        .orderBy("event_type")
+    },
+
     // ---- q176: per-user contribution (sensitivity) census — the
     // clipping-bound question a differential-privacy release asks
     // first: per event type, user count, the MAX per-user

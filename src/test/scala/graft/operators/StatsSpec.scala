@@ -413,6 +413,23 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("wasserstein1: analytic transport distances on hand fixtures") {
+    import spark.implicits._
+    def w1(rows: Seq[(String, Double)]): Map[String, Long] =
+      Stats.wasserstein1(rows.toDF("g", "v"), "g", col("v"), baseline = "base")
+        .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    // All mass moves 1.00: W1 = 100 cents = 1_000_000 e4-units.
+    val shift = w1(Seq(("base", 0.0), ("base", 0.0), ("x", 1.0), ("x", 1.0)))
+    assert(shift("x") === 1000000L)
+    // Unequal masses: base {0, 100¢}, x {100¢} → half the baseline
+    // mass moves 100¢ → 50¢.
+    val half = w1(Seq(("base", 0.0), ("base", 1.0), ("x", 1.0)))
+    assert(half("x") === 500000L)
+    // Identical distributions → 0.
+    val same = w1(Seq(("base", 0.5), ("base", 1.5), ("x", 0.5), ("x", 1.5)))
+    assert(same("x") === 0L)
+  }
+
   test("abTestChi2: hand-computed statistic, zero marginals, unit guard") {
     import spark.implicits._
     def units(a: Int, b: Int, c: Int, d: Int) =
