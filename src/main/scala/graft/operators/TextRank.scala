@@ -171,6 +171,53 @@ object TextRank {
       .limit(k)
   }
 
+  /** Posting-list VARINT-COMPRESSION estimator — the index-storage
+    * planner next to [[invertedIndex]]: per term, the byte cost of
+    * the standard delta-gap + varint posting encoding
+    * (`Σ ceil(bitlen(gap)/7)`, first gap = id+1) against the raw
+    * 8-byte-per-posting baseline — how an index budget is sized and
+    * how doc-id REASSIGNMENT wins are measured (clustered ids →
+    * smaller gaps → fewer bytes) before paying for either.
+    *
+    * Scale shape: one distinct-(term, doc) shuffle, then gaps
+    * accumulate in a hash-partitioned sorted mapPartitions stream —
+    * running sums only, so a stopword whose posting list IS the
+    * corpus costs bounded MEMORY (it is still one partition's work:
+    * the honest skew note, same as the SentenceGrouping convention —
+    * a window-per-term would hold the same skew with worse
+    * spilling). Output is the top-`k` terms by document frequency. */
+  def postingCompressionStats(docs: DataFrame, k: Int = 20,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val postings = docs
+      .select(col(idCol).cast("long").as("__id"), explode(toks(col(textCol))).as("term"))
+      .select(col("term"), col("__id")).distinct()
+    val sums = postings.as[(String, Long)]
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("__id"))
+      .mapPartitions { it =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        var curTerm: String = null; var prev = 0L; var df = 0L; var bytes = 0L
+        def flush(): Unit = if (curTerm != null) out += ((curTerm, df, bytes))
+        it.foreach { case (t, id) =>
+          if (t != curTerm) { flush(); curTerm = t; prev = -1L; df = 0L; bytes = 0L }
+          val gap = if (prev < 0L) id + 1L else id - prev
+          val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(gap, 1L))
+          bytes += (bitlen + 6) / 7
+          df += 1L; prev = id
+        }
+        flush(); out.iterator
+      }
+      .toDF("term", "df", "varint_bytes")
+    sums
+      .select(col("term"), col("df"), (col("df") * 8L).as("raw_bytes"),
+        col("varint_bytes"),
+        expr("CAST(varint_bytes * 10000 DIV (df * 8) AS BIGINT)").as("ratio_e4"))
+      .orderBy(col("df").desc, col("term").asc)
+      .limit(k)
+  }
+
   /** Inverted-index build — the other half of the retrieval tier
     * ([[keywordSearch]] queries it, this constructs it): one row per
     * term with document frequency, corpus term frequency, and the

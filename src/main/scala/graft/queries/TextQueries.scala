@@ -1961,6 +1961,28 @@ object TextQueries {
         .orderBy("term")
     },
 
+    // ---- q179: posting-list varint compression estimate — the
+    // index-storage planner beside q63: per term, delta-gap varint
+    // bytes (first gap = id+1, ceil(bitlen/7) per gap) vs the raw
+    // 8-byte baseline, top-20 terms by df. Gaps accumulate in a
+    // hash-partitioned sorted mapPartitions stream (running sums —
+    // a stopword's corpus-sized posting list costs bounded memory).
+    Q("q179_posting_compression", Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+      p AS (SELECT DISTINCT term, doc_id FROM tok),
+      g AS (SELECT term, doc_id,
+                   doc_id - LAG(doc_id) OVER (PARTITION BY term ORDER BY doc_id) AS gap
+            FROM p),
+      b AS (SELECT term, COALESCE(gap, doc_id + 1) AS gap FROM g),
+      s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM((length(bin(gap)) + 6) // 7) AS BIGINT) AS varint_bytes
+            FROM b GROUP BY 1)
+      SELECT term, df, CAST(df * 8 AS BIGINT) AS raw_bytes, varint_bytes,
+             CAST(varint_bytes * 10000 // (df * 8) AS BIGINT) AS ratio_e4
+      FROM s ORDER BY df DESC, term LIMIT 20""")) { (s, d) =>
+      TextRank.postingCompressionStats(Tables.documents(s, d), k = 20)
+    },
+
     // ---- q94: word-n-gram quality classifier (fastText-shape) —
     // the seed-vs-rest gate of CCNet/GPT-3-style curation, with
     // integer sufficient statistics instead of trained float

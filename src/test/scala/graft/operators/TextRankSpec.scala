@@ -91,6 +91,21 @@ class TextRankSpec extends SparkSuite {
     assert(score(3L) > score(9L), "longer doc with same tf must score lower (length norm)")
   }
 
+  test("postingCompressionStats: exact varint bytes across the 7-bit boundaries") {
+    import spark.implicits._
+    // "t" in docs {0,1,200}: gaps 1,1,199 → 1+1+2 bytes.
+    // "u" in docs {127, 255}: gaps 128 (2 bytes), 128 (2 bytes).
+    // "v" in doc {0}: gap 1 → 1 byte.
+    val docs = Seq((0L, "t v"), (1L, "t"), (200L, "t"), (127L, "u"), (255L, "u"))
+      .toDF("doc_id", "text")
+    val rows = TextRank.postingCompressionStats(docs, k = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rows("t") === ((3L, 24L, 4L, 1666L)))
+    assert(rows("u") === ((2L, 16L, 4L, 2500L)))
+    assert(rows("v") === ((1L, 8L, 1L, 1250L)))
+  }
+
   test("invertedIndex ≡ brute-force postings on random corpora") {
     import spark.implicits._
     for (docs <- PropSampling.sample(docGen, n = 5)) {
