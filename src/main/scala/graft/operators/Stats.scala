@@ -496,6 +496,42 @@ object Stats {
       .select(col("t"), col("n_events"), col("n_censored"), col("at_risk"))
   }
 
+  /** MUTUAL INFORMATION between two categorical columns — the
+    * column-dependency statistic a data profiler publishes next to
+    * [[profileColumns]]: MI = 0 ⟺ independent; high MI flags
+    * redundant/derived columns and leaky features. Computed in the
+    * flog2q integer-log pattern ([[inequality]]/[[jsDivergence]]):
+    * `MI = Σ_xy p(xy)·log₂(N·c_xy / (r_x·c_y))`, each log a
+    * difference of 1/16-bit integer log2s of EXACT products,
+    * count-weighted and summed as longs; published in bits ×10⁴
+    * with the same ±~300 quantization floor near independence
+    * (small negatives = "indistinguishable from independent").
+    * A 3e9 guard trips before `c_xy·N` can wrap.
+    *
+    * Scale shape: one (x, y) cell census + two marginal censuses,
+    * all map-side combinable and category-bounded; the joint frame
+    * joins marginals by key — never row-shaped after the census. */
+  def mutualInformation(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.groupBy(col(xCol), col(yCol)).agg(count(lit(1)).as("__cxy"))
+    val rx = cells.groupBy(xCol).agg(sum("__cxy").as("__rx"))
+    val cy = cells.groupBy(yCol).agg(sum("__cxy").as("__cy"))
+    val n = cells.agg(sum("__cxy").as("__n"))
+      .withColumn("__n",
+        when(col("__n") > 0L && col("__n") <= 3000000000L, col("__n"))
+          .otherwise(raise_error(
+            lit("mutualInformation: row count outside (0, 3e9] — the integer " +
+              "log products would wrap")).cast("long")))
+    val term = expr(
+      s"""__cxy * (${graft.operators.Curation.flog2qSql("__cxy * __n")} -
+                   ${graft.operators.Curation.flog2qSql("__rx * __cy")})""")
+    cells.join(rx, xCol).join(cy, yCol).crossJoin(broadcast(n))
+      .agg(count(lit(1)).as("n_cells"), first("__n").as("n_rows"),
+        sum(term).as("__mi"))
+      .withColumn("mi_e4",
+        expr("CAST(__mi * 10000 DIV (16 * n_rows) AS BIGINT)"))
+      .select(col("n_cells"), col("n_rows"), col("mi_e4"))
+  }
+
   /** EXACT 1-D WASSERSTEIN (earth-mover) distance of each stratum's
     * value distribution against a baseline stratum — the transport
     * metric next to [[jsDivergence]] (which only sees mass overlap:

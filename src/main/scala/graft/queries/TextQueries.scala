@@ -143,6 +143,32 @@ object TextQueries {
     "WITH " + (head ++ rounds).mkString(",\n")
   }
 
+  /** q180 oracle: the MI CTE block instantiated per column pair
+    * (lang×source, plus lang×lang as the full-dependency
+    * calibration), flog2q terms from the shared kernel. */
+  private def mutualInfoOracleSql: String = {
+    val tpl = """cells__P__ AS (SELECT __X__ AS x, __Y__ AS y,
+                                 CAST(COUNT(*) AS BIGINT) AS cxy
+                          FROM documents GROUP BY 1, 2),
+      rx__P__ AS (SELECT x, CAST(SUM(cxy) AS BIGINT) AS rx FROM cells__P__ GROUP BY 1),
+      cy__P__ AS (SELECT y, CAST(SUM(cxy) AS BIGINT) AS cy FROM cells__P__ GROUP BY 1),
+      t__P__ AS (SELECT CAST(SUM(cxy) AS BIGINT) AS n FROM cells__P__),
+      a__P__ AS (SELECT '__P__' AS pair,
+                        CAST(COUNT(*) AS BIGINT) AS n_cells,
+                        t.n AS n_rows,
+                        CAST(SUM(cxy * (__FLOG_J__ - __FLOG_M__)) * 10000
+                             // (16 * t.n) AS BIGINT) AS mi_e4
+                 FROM cells__P__ JOIN rx__P__ USING (x) JOIN cy__P__ USING (y)
+                 CROSS JOIN t__P__ t GROUP BY t.n)"""
+      .replace("__FLOG_J__", graft.operators.Curation.flog2qSql("cxy * t.n"))
+      .replace("__FLOG_M__", graft.operators.Curation.flog2qSql("rx * cy"))
+    "WITH " +
+      tpl.replace("__P__", "lang_source").replace("__X__", "lang").replace("__Y__", "source") +
+      ",\n" +
+      tpl.replace("__P__", "lang_lang").replace("__X__", "lang").replace("__Y__", "lang") +
+      "\nSELECT * FROM alang_source UNION ALL SELECT * FROM alang_lang ORDER BY pair"
+  }
+
   /** q174 oracle: the same Gini+Theil CTE block instantiated per
     * grouping dimension (source, lang), flog2q terms generated from
     * the shared kernel so engine and oracle can never drift. */
@@ -471,6 +497,23 @@ object TextQueries {
           (floor(TextFunctions.qualityScore(col("text")) * lit(10000.0d) + lit(0.5d))
             / lit(10000.0d)).as("quality"))
         .orderBy("doc_id")
+    },
+
+    // ---- q180: mutual information between categorical columns —
+    // the column-dependency statistic of a data profiler (lang ×
+    // source here, plus the lang × lang self-pair as the
+    // full-dependency calibration row): flog2q integer logs of
+    // exact count products, count-weighted, ±0.03-bit floor near
+    // independence. Cell + marginal censuses only.
+    Q("q180_mutual_information", Some(mutualInfoOracleSql)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      def one(p: String, x: String, y: String) =
+        graft.operators.Stats.mutualInformation(
+            docs.select(col(x).as("x"), col(y).as("y")), "x", "y")
+          .select(lit(p).as("pair"), col("n_cells"), col("n_rows"), col("mi_e4"))
+      one("lang_source", "lang", "source")
+        .unionByName(one("lang_lang", "lang", "lang"))
+        .orderBy("pair")
     },
 
     // ---- q174: corpus-balance inequality — exact Gini + flog2q

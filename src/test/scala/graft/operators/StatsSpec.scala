@@ -413,6 +413,22 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("mutualInformation: independence ≈ 0; MI(x,x) = H(x); derived column flagged") {
+    import spark.implicits._
+    def mi(rows: Seq[(String, String)]): Long =
+      Stats.mutualInformation(rows.toDF("x", "y"), "x", "y")
+        .collect().head.getLong(2)
+    // Independent uniform 2×2: MI ≈ 0 within the flog2q floor.
+    val ind = mi(for (x <- Seq("a", "b"); y <- Seq("p", "q")) yield (x, y))
+    assert(math.abs(ind) <= 300, s"independent: $ind")
+    // x paired with itself: MI = H(x) = 1 bit for a fair coin.
+    val self = mi(Seq(("a", "a"), ("b", "b")))
+    assert(math.abs(self - 10000) <= 300, s"self: $self")
+    // y a deterministic function of x (derived column): MI = H(y).
+    val derived = mi(Seq(("a", "lo"), ("b", "lo"), ("c", "hi"), ("d", "hi")))
+    assert(math.abs(derived - 10000) <= 300, s"derived: $derived")
+  }
+
   test("wasserstein1: analytic transport distances on hand fixtures") {
     import spark.implicits._
     def w1(rows: Seq[(String, Double)]): Map[String, Long] =
