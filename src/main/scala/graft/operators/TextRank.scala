@@ -171,6 +171,62 @@ object TextRank {
       .limit(k)
   }
 
+  /** Collected BM25 corpus statistics — the fit half of the
+    * fit-batch/score-stream split: N, millitoken avgdl, and one df
+    * per query term (driver state bounded by the term list). */
+  final case class Bm25Model(nDocs: Long, avgdlFp: Long, dfs: Seq[Long])
+
+  /** Fit [[Bm25Model]] on the standing corpus (batch). */
+  def collectBm25Model(docs: DataFrame, terms: Seq[String],
+                       textCol: String = "text"): Bm25Model = {
+    val base = docs.select(
+      size(toks(col(textCol))).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          tf(col(textCol), t).cast("long").as(s"__tf$i") }: _*)
+    val aggs = sum(col("dl")).as("__dl_total") +:
+      count(lit(1)).as("__n_docs") +:
+      terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val r = base.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = r.getLong(1)
+    Bm25Model(n, 1000L * r.getLong(0) / math.max(n, 1L),
+      terms.indices.map(i => r.getLong(2 + i)))
+  }
+
+  /** Stateless BM25 scoring under a batch-fit model — the
+    * score-stream half: every statistic is a LITERAL folded into one
+    * codegen projection (the [[graft.streaming.EventStreams]]
+    * deployment family — no corpus join, no state store), with
+    * arithmetic identical to [[bm25Search]] term for term, so
+    * fit-corpus parity is exact (spec-pinned). No global top-k: a
+    * stream cannot rank globally — route scores to a windowed TopK
+    * downstream if ranking is needed. */
+  def bm25ScoreWithModel(docs: DataFrame, model: Bm25Model, terms: Seq[String],
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(terms.size == model.dfs.size, "model/term list mismatch")
+    require(model.avgdlFp <= 2000000L,
+      "bm25ScoreWithModel: avgdl above 2000 tokens — rescale the quantization")
+    val dl = size(toks(col(textCol))).cast("long")
+    val withTf = docs.select(
+      col(idCol) +: dl.as("__dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          tf(col(textCol), t).cast("long").as(s"__tf$i") }: _*)
+    def idf(df: Long): String =
+      s"(${Curation.flog2qSql(s"${2L * (model.nDocs - df) + 1L}L")} - " +
+        s"${Curation.flog2qSql(s"${2L * df + 1L}L")})"
+    val contribs = terms.indices.map(i => expr(
+      s"""CASE WHEN __tf$i > 0
+            THEN (${idf(model.dfs(i))} * 2200 * __tf$i * ${model.avgdlFp}L)
+                 DIV (10 * __tf$i * ${model.avgdlFp}L + 3 * ${model.avgdlFp}L + 9000 * __dl)
+            ELSE 0 END"""))
+    val nMatched = terms.indices.map(i =>
+      when(col(s"__tf$i") > 0, 1L).otherwise(0L)).reduce(_ + _)
+    withTf.select(col(idCol), nMatched.as("n_matched"),
+        contribs.reduce(_ + _).as("score_q"), col("__dl").as("dl"))
+      .filter(col("n_matched") > 0)
+  }
+
   /** Posting-list VARINT-COMPRESSION estimator — the index-storage
     * planner next to [[invertedIndex]]: per term, the byte cost of
     * the standard delta-gap + varint posting encoding

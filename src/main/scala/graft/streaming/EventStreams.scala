@@ -529,6 +529,20 @@ object EventStreams {
                   idCol: String = "doc_id", keyCol: String = "text"): DataFrame =
     graft.operators.Sketches.bloomScored(docs, model, idCol, keyCol)
 
+  /** Streaming BM25 relevance scoring with batch-fit corpus stats —
+    * the retrieval-tier deployment of the fit-once/score-forever
+    * shape: [[graft.operators.TextRank.collectBm25Model]] fits
+    * (N, avgdl, per-term df) on the standing index (batch), and
+    * every arriving document scores against the query terms in one
+    * stateless codegen projection with literals folded in —
+    * arithmetic identical to the batch q166 ranker term for term,
+    * so fit-corpus parity is exact (spec-pinned). Route scores to a
+    * windowed TopK downstream when per-window ranking is needed. */
+  def bm25Scored(docs: DataFrame, model: graft.operators.TextRank.Bm25Model,
+                 terms: Seq[String], idCol: String = "doc_id",
+                 textCol: String = "text"): DataFrame =
+    graft.operators.TextRank.bm25ScoreWithModel(docs, model, terms, idCol, textCol)
+
   /** Streaming BPE segmentation with batch-fit merges — the
     * tokenizer-tier deployment of the fit-once/score-forever shape:
     * [[graft.operators.Bpe.learnMerges]] trains on the standing

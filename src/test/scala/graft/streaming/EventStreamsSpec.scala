@@ -766,6 +766,34 @@ class EventStreamsSpec extends SparkSuite {
     assert(streamedScored.count(!_._6) >= 2, "normal hours must not page")
   }
 
+  test("streaming BM25 scoring ≡ batch ranker arithmetic on fit corpus; stateless") {
+    import graft.operators.TextRank
+    val corpus = Seq(
+      (1L, "spark window dup x"), (2L, "spark spark y z"),
+      (3L, "window a b c d e f g"), (4L, "x y z"), (5L, "dup"))
+    val docs = corpus.toDF("doc_id", "text")
+    val terms = Seq("spark", "window", "dup")
+    val model = TextRank.collectBm25Model(docs, terms)
+    val batch = TextRank.bm25Search(docs, "doc_id", "text", terms, k = 10)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val dir = Files.createTempDirectory(Paths.get("target"), "bm25-landing")
+    corpus.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val out = Files.createTempDirectory(Paths.get("target"), "bm25out")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.bm25Scored(stream, model, terms), s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed === batch,
+      "streaming BM25 scores diverged from the batch ranker arithmetic")
+    assert(streamed.size === 4, "doc 4 matches no term and must not emit")
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
+  }
+
   test("streaming BPE segmentation ≡ batch dict-join on fit corpus; stateless; unseen words segment") {
     import graft.operators.Bpe
     val corpus = Seq((1L, "abab abab"), (2L, "abab ab"), (3L, "ba ba abab"))
