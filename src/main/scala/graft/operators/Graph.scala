@@ -367,6 +367,52 @@ object Graph {
             - col("cn").cast("double"))).as("jaccard"))
   }
 
+  /** ADAMIC-ADAR link prediction — [[linkPrediction]]'s
+    * common-neighbor count with the weighting that made the metric
+    * famous: a shared HUB says little (everyone passes through it),
+    * a shared RARE neighbor says a lot, so each common neighbor w
+    * contributes `1/log(deg w)` instead of 1 (Adamic & Adar 2003).
+    * The reciprocal log is exact fixed-point: `2²⁴ DIV flog2q(deg)`
+    * with the 1/16-bit integer log2 kernel — a common neighbor has
+    * degree ≥ 2 by construction, so the divisor is always ≥ 16 —
+    * and the pair score is an exact long sum, so the frame
+    * hash-gates where a float 1/ln could not.
+    *
+    * Same scale shape as [[linkPrediction]]: wedge enumeration
+    * through mid-nodes with the optional degree cap (a hub's wedge
+    * set is quadratic in its degree — the cap is the guard), one
+    * census aggregate, anti-join against existing edges. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxDegree: Long = Long.MaxValue): DataFrame = {
+    require(maxDegree > 0, "maxDegree must be positive")
+    val ue = edges
+      .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
+      .union(ue.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = adj.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val mids =
+      (if (maxDegree == Long.MaxValue) adj.join(deg, "node")
+       else adj.join(deg.filter(col("deg") <= maxDegree), "node"))
+        // Degree-1 leaves never form a wedge (no pair of distinct
+        // neighbors), but the projection is evaluated eagerly on
+        // every adjacency row — flog2q(1) = 0 would divide by zero,
+        // so the guard zeroes the never-used weight.
+        .withColumn("__w", expr(
+          s"CAST(CASE WHEN deg >= 2 THEN 16777216 DIV ${
+            graft.operators.Curation.flog2qSql("deg")} ELSE 0 END AS BIGINT)"))
+    val aa = mids.select(col("node"), col("nbr").as("a"), col("__w"))
+      .join(mids.select(col("node"), col("nbr").as("b")), "node")
+      .filter(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"), sum("__w").as("aa_fp"))
+    aa.join(ue, aa("a") === ue("u") && aa("b") === ue("v"), "left_anti")
+      .select(col("a").as("u"), col("b").as("v"), col("cn"), col("aa_fp"))
+  }
+
   /** HITS hubs & authorities (Kleinberg) — the DIRECTED prestige
     * lens beside [[pageRank]]'s random surfer: a node is a good
     * authority if good hubs point AT it, a good hub if it points at

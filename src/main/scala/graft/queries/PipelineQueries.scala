@@ -1629,6 +1629,45 @@ object PipelineQueries {
       Graph.linkPrediction(edges, "src", "dst").orderBy("u", "v")
     },
 
+    // ---- q181: Adamic-Adar link prediction — q136's common
+    // neighbors weighted 1/log(deg): a shared hub says little, a
+    // shared rare neighbor says a lot. The reciprocal log is exact
+    // fixed-point (2^24 DIV flog2q(deg), divisor >= 16 since a
+    // common neighbor has degree >= 2), so the score hash-gates
+    // where a float 1/ln could not. Same wedge/census/anti-join
+    // shape and the same synthetic orders graph as q136.
+    Q("q181_adamic_adar", Some(s"""
+      WITH e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+      w AS (SELECT adj.node, adj.nbr,
+                   CAST(CASE WHEN deg.deg >= 2
+                        THEN 16777216 // ${graft.operators.Curation.flog2qSql("deg.deg")}
+                        ELSE 0 END AS BIGINT) AS wt
+            FROM adj JOIN deg ON deg.node = adj.node),
+      cn AS (SELECT x.nbr AS a, y.nbr AS b,
+                    CAST(COUNT(*) AS BIGINT) AS cn,
+                    CAST(SUM(x.wt) AS BIGINT) AS aa_fp
+             FROM w x JOIN w y ON y.node = x.node AND x.nbr < y.nbr
+             GROUP BY 1, 2),
+      na AS (SELECT cn.* FROM cn LEFT JOIN e ON e.u = cn.a AND e.v = cn.b
+             WHERE e.u IS NULL)
+      SELECT a AS u, b AS v, cn, aa_fp
+      FROM na ORDER BY u, v""")) { (s, d) =>
+      val m = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(m)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.adamicAdar(edges, "src", "dst").orderBy("u", "v")
+    },
+
     // ---- q138: MAD outliers — the ROBUST anomaly flag beside
     // q109's z-scores (one extreme value drags a mean/std fit and
     // masks its own outliers; median/MAD has a 50% breakdown point).

@@ -372,4 +372,22 @@ class GraphSpec extends SparkSuite {
     assert(Seq(0L, 1L, 2L, 3L).forall(got(_) == 0L), s"first clique: $got")
     assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), s"second clique: $got")
   }
+
+  test("adamicAdar: rare shared neighbor outweighs a hub; exact fixed-point values") {
+    import spark.implicits._
+    // Hub h=100 links a,b,c,d (deg 4 → flog2q 32); rare r=200 links
+    // a,b (deg 2 → flog2q 16). Pair (a,b) shares BOTH; (c,d) only h.
+    val edges = Seq((100L, 1L), (100L, 2L), (100L, 3L), (100L, 4L),
+      (200L, 1L), (200L, 2L)).toDF("src", "dst")
+    val got = Graph.adamicAdar(edges, "src", "dst")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got((1L, 2L)) === ((2L, (1 << 24) / 32 + (1 << 24) / 16)),
+      s"a-b via hub+rare: ${got((1L, 2L))}")
+    assert(got((3L, 4L)) === ((1L, (1 << 24) / 32)), s"c-d via hub only")
+    assert(got((1L, 2L))._2 > 2L * got((3L, 4L))._2,
+      "the rare neighbor must dominate the hub")
+    // Existing edges never predicted.
+    assert(!got.contains((1L, 100L)) && !got.contains((1L, 200L)))
+  }
 }
