@@ -9,6 +9,11 @@ import org.apache.spark.sql.functions._
   * is the fitted article). Classic BPE (Sennrich et al. 2016,
   * arXiv:1508.07909): start from characters, repeatedly merge the
   * most frequent adjacent symbol pair over the word-frequency table.
+  * Sibling tier: [[graft.operators.Bpe]] trains the SAME algorithm
+  * with the dictionary kept distributed and greedy-replace
+  * application a DuckDB oracle replays verbatim — the hash-gated
+  * path (q158/q159) where this object is the vocab-capped
+  * codegen-apply path; see the cross-reference there.
   *
   * Scale shape: the FIT aggregates the corpus once into a word
   * -frequency table (hash groupBy, map-side combinable), takes the

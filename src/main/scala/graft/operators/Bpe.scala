@@ -8,6 +8,18 @@ import org.apache.spark.sql.types._
   * step of a training-data pipeline (Sennrich et al. 2016, "Neural
   * Machine Translation of Rare Words with Subword Units").
   *
+  * Relationship to [[graft.functions.Bpe]] (the earlier, spec-gated
+  * tier): that one caps the dictionary at `maxVocab` and trains
+  * DRIVER-side with the HF-style lowest-rank-pair-first apply — the
+  * right tool for token ACCOUNTING via its codegen'd [[graft
+  * .functions.BpeEncode]] expression. THIS one keeps the full
+  * dictionary DISTRIBUTED through every merge round and uses
+  * greedy-replace application whose semantics a DuckDB oracle can
+  * replay verbatim — which is what makes q158/q159 hash-gateable
+  * (the driver-side trainer's vocab cap and tie-walk order have no
+  * tractable SQL replay). Same algorithm, two deployment points:
+  * exact-gated distributed fit here, bounded codegen apply there.
+  *
   * Scale shape: the corpus is scanned ONCE to build the
   * word-frequency dictionary; every merge round iterates over the
   * dictionary only (a few million rows at 100 TB corpus scale, never
