@@ -496,6 +496,46 @@ object Stats {
       .select(col("t"), col("n_events"), col("n_censored"), col("at_risk"))
   }
 
+  /** HILL TAIL-INDEX estimator — "how heavy is the tail" of a
+    * positive size distribution (document lengths, posting sizes,
+    * degree sequences): α̂ = k / Σᵢ ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k
+    * order statistics (Hill 1975). α ≤ 2 means infinite variance —
+    * the regime where mean-based capacity planning (packing budgets,
+    * partition sizing) silently lies and percentile-based planning
+    * is mandatory; that's the decision this op feeds. In flog2q
+    * integer logs: `inv16 = Σ (flog2q(xᵢ) − flog2q(x_{k+1}))`
+    * (1/16-bit units, base-2 — the base cancels in the ratio), so
+    * `alpha_e4 = k·16·10⁴ DIV inv16` is exact.
+    *
+    * Scale shape: the top-(k+1) cut is one bounded TakeOrdered —
+    * never a global sort — and the estimator is driver-free
+    * arithmetic over k+1 rows. Ties at the threshold resolve by the
+    * deterministic (value DESC, id) order both engines share. */
+  def hillTailIndex(df: DataFrame, idCol: Column, sizeCol: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val top = df
+      .select(idCol.cast("long").as("__id"), sizeCol.cast("long").as("__x"))
+      .filter(col("__x") >= 1L)
+      .orderBy(col("__x").desc, col("__id").asc)
+      .limit(k + 1)
+      .withColumn("__rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("__x").desc, col("__id").asc)))
+    val thresh = top.filter(col("__rk") === k + 1)
+      .select(col("__x").as("__xk"))
+    top.filter(col("__rk") <= k)
+      .crossJoin(broadcast(thresh))
+      .agg(count(lit(1)).as("__n"), min("__xk").as("x_threshold"),
+        sum(expr(
+          s"${graft.operators.Curation.flog2qSql("__x")} - " +
+            s"${graft.operators.Curation.flog2qSql("__xk")}")).as("inv16"))
+      .select(col("__n").as("k_top"), col("x_threshold"), col("inv16"),
+        when(col("inv16") > 0L,
+          expr("CAST(__n * 160000 DIV inv16 AS BIGINT)"))
+          .otherwise(lit(null).cast("long")).as("alpha_e4"))
+  }
+
   /** MUTUAL INFORMATION between two categorical columns — the
     * column-dependency statistic a data profiler publishes next to
     * [[profileColumns]]: MI = 0 ⟺ independent; high MI flags

@@ -606,6 +606,35 @@ object RelationalQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- q182: Hill tail-index of the partkey posting-size
+    // distribution — "is this degree sequence heavy-tailed": alpha
+    // over the top-64 order statistics in flog2q integer logs (the
+    // base cancels in the ratio, so 1/16-bit log2 units serve
+    // directly); alpha <= 2 is the infinite-variance regime where
+    // mean-based capacity planning lies. One census + one bounded
+    // TakeOrdered(65); ties at the cut resolve by (size DESC, key).
+    Q("q182_tail_index", Some(s"""
+      WITH s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS x
+                 FROM lineitem GROUP BY 1),
+      t AS (SELECT l_partkey, x,
+                   row_number() OVER (ORDER BY x DESC, l_partkey) AS rk
+            FROM s),
+      th AS (SELECT x AS xk FROM t WHERE rk = 65)
+      SELECT CAST(COUNT(*) AS BIGINT) AS k_top,
+             MIN(th.xk) AS x_threshold,
+             CAST(SUM(${graft.operators.Curation.flog2qSql("t.x")} -
+                      ${graft.operators.Curation.flog2qSql("th.xk")}) AS BIGINT) AS inv16,
+             CASE WHEN SUM(${graft.operators.Curation.flog2qSql("t.x")} -
+                          ${graft.operators.Curation.flog2qSql("th.xk")}) > 0
+                  THEN CAST(COUNT(*) * 160000 // SUM(${graft.operators.Curation.flog2qSql("t.x")} -
+                           ${graft.operators.Curation.flog2qSql("th.xk")}) AS BIGINT)
+             END AS alpha_e4
+      FROM t CROSS JOIN th WHERE t.rk <= 64""")) { (s, d) =>
+      val sizes = Tables.lineitem(s, d)
+        .groupBy("l_partkey").agg(count(lit(1)).as("x"))
+      graft.operators.Stats.hillTailIndex(sizes, col("l_partkey"), col("x"), k = 64)
+    },
+
     // ---- q171: CMS join-size estimation audit — the optimizer
     // cardinality question ("how big is the lineitem self-join on
     // partkey") answered two ways: the count-min inner-product

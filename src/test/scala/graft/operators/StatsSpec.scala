@@ -413,6 +413,29 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("hillTailIndex: recovers known Pareto exponents; heavier tail → smaller alpha") {
+    import spark.implicits._
+    // Exact Pareto order statistics: x_(i) = floor(1000·(n/i)^(1/α)).
+    def sample(alpha: Double, n: Int) =
+      (1 to n).map(i => (i.toLong, math.floor(1000.0 * math.pow(n.toDouble / i, 1.0 / alpha)).toLong))
+        .toDF("id", "x")
+    def est(alpha: Double): Long =
+      Stats.hillTailIndex(sample(alpha, 512), col("id"), col("x"), k = 64)
+        .collect().head.getAs[Long]("alpha_e4")
+    val a1 = est(1.0); val a2 = est(2.0)
+    // Deterministic-quantile samples + flog2q truncation bias the
+    // point estimate below the true exponent; the CALIBRATION claim
+    // is the right order of magnitude, the sharp claim is ordering.
+    assert(a1 > 6000 && a1 < 13000, s"alpha=1 sample estimated $a1")
+    assert(a2 > 13000 && a2 < 26000, s"alpha=2 sample estimated $a2")
+    assert(a2 > a1 * 3 / 2, s"the heavier tail must estimate clearly smaller: $a1 vs $a2")
+    // Degenerate: all-equal sizes → inv16 = 0 → null alpha, not a crash.
+    val flat = Stats.hillTailIndex(
+      (1L to 100L).map((_, 7L)).toDF("id", "x"), col("id"), col("x"), k = 10)
+      .collect().head
+    assert(flat.isNullAt(3), "flat distribution has no tail index")
+  }
+
   test("mutualInformation: independence ≈ 0; MI(x,x) = H(x); derived column flagged") {
     import spark.implicits._
     def mi(rows: Seq[(String, String)]): Long =
