@@ -34,20 +34,44 @@ import org.apache.spark.sql.types._
   * Determinism: the census counts every adjacent token POSITION
   * (overlapping pairs included, the classic BPE census), ties break
   * on (count DESC, lhs ASC, rhs ASC), and the merge application is
-  * greedy left-to-right non-overlapping — `replace` on the
-  * separator-joined token string has exactly those semantics in both
-  * Spark (`UTF8String.replace`) and the DuckDB oracle, so "aaa"
+  * greedy left-to-right non-overlapping over WHOLE tokens — "aaa"
   * under merge (a,a) becomes [aa, a] in both engines (BpeSpec pins
-  * this overlap case).
+  * this overlap case), and a merge (e,s) never fires across a token
+  * boundary such as [the, se] (BpeSpec pins that too).
+  *
+  * Token alignment is guaranteed by the flat representation: a
+  * sequence of tokens t1..tn is stored as
+  * `Sep t1 Sep Sep t2 Sep Sep ... Sep Sep tn Sep` — every token is
+  * wrapped in its own pair of [[Sep]] (U+0001) chars, so interior
+  * boundaries carry TWO separators and the string ends carry one.
+  * A merge (l,r) is then the single literal replace
+  * `Sep l Sep Sep r Sep -> Sep l r Sep`: the pattern consumes one
+  * separator from each side of the pair, so (a) it can only match
+  * whole tokens (token interiors never contain Sep), (b) back-to-
+  * back occurrences like [a,b,a,b] each keep a separator to match
+  * on, and (c) the replacement restores the invariant — which makes
+  * one `replace` per merge round EXACTLY the greedy left-to-right
+  * non-overlapping application of Sennrich's algorithm, with
+  * identical semantics in Spark (`UTF8String.replace`) and DuckDB
+  * (`replace`), which is what the q158/q159 oracles replay.
   *
   * Tokens are character runs of the input words and never contain
-  * [[Sep]] (U+0001), so the flat-string representation is unambiguous.
+  * [[Sep]], so the flat-string representation is unambiguous.
   */
 object Bpe {
 
   /** Token separator inside the flat sequence string. Input words
     * must not contain it (enforced with a filter in [[initDict]]). */
   val Sep = "\u0001"
+
+  /** Interior token boundary: two separators, one owned by the token
+    * on each side — see the representation note above. */
+  val Bnd: String = Sep + Sep
+
+  /** Strip the single outer [[Sep]] wrap (exactly one char per side;
+    * tokens are never empty, so this is exact). */
+  private def unwrap(seq: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    seq.substr(lit(2), length(seq) - 2)
 
   private val mergeSchema = StructType(Seq(
     StructField("merge_rank", LongType, nullable = false),
@@ -56,19 +80,22 @@ object Bpe {
     StructField("merged", StringType, nullable = false),
     StructField("pair_count", LongType, nullable = false)))
 
-  /** Word-frequency dictionary → (word, freq, seq) with seq = the
-    * word's characters joined by [[Sep]] (a zero-width-boundary
-    * regexp_replace, codegen'd — no array materialization). */
+  /** Word-frequency dictionary → (word, freq, seq) with seq in the
+    * wrapped form `Sep c1 Bnd c2 Bnd ... Bnd cn Sep` (a zero-width-
+    * boundary regexp_replace plus the outer wrap, codegen'd — no
+    * array materialization). */
   def initDict(words: DataFrame, wordCol: String, freqCol: String): DataFrame =
     words
       .filter(!col(wordCol).contains(Sep) && length(col(wordCol)) > 0)
       .select(col(wordCol).as("word"), col(freqCol).cast("long").as("freq"),
-        regexp_replace(col(wordCol), "(?<=.)(?=.)", Sep).as("seq"))
+        concat(lit(Sep),
+          regexp_replace(col(wordCol), "(?<=.)(?=.)", Bnd),
+          lit(Sep)).as("seq"))
 
   /** Adjacent-position pair census of a dictionary of flat token
     * sequences, weighted by word frequency. Exposed for sweeps. */
   def pairCensus(dict: DataFrame): DataFrame = {
-    val toks = split(col("seq"), Sep)
+    val toks = split(unwrap(col("seq")), Bnd)
     dict
       .select(col("freq"), toks.as("toks"))
       .filter(size(col("toks")) >= 2)
@@ -101,7 +128,8 @@ object Bpe {
         val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Row(rank, l, r, l + r, c)
         dict = dict
-          .withColumn("seq", replace(col("seq"), lit(l + Sep + r), lit(l + r)))
+          .withColumn("seq",
+            replace(col("seq"), lit(Sep + l + Bnd + r + Sep), lit(Sep + l + r + Sep)))
           .localCheckpoint(true)
         rank += 1L
       }
@@ -128,13 +156,16 @@ object Bpe {
                              idCol: String = "doc_id",
                              textCol: String = "text"): DataFrame = {
     def applyMerges(word: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-      merges.foldLeft(regexp_replace(word, "(?<=.)(?=.)", Sep)) {
-        case (seq, (l, r)) => replace(seq, lit(l + Sep + r), lit(l + r))
+      merges.foldLeft(
+        concat(lit(Sep), regexp_replace(word, "(?<=.)(?=.)", Bnd), lit(Sep))) {
+        case (seq, (l, r)) =>
+          replace(seq, lit(Sep + l + Bnd + r + Sep), lit(Sep + l + r + Sep))
       }
     val words = filter(split(col(textCol), " "), w => w =!= "")
     docs.select(col(idCol),
         size(words).cast("long").as("n_words"),
-        aggregate(transform(words, w => size(split(applyMerges(w), Sep)).cast("long")),
+        aggregate(transform(words,
+            w => size(split(unwrap(applyMerges(w)), Bnd)).cast("long")),
           lit(0L), (acc, x) => acc + x).as("n_tokens"),
         aggregate(transform(words, w => length(w).cast("long")),
           lit(0L), (acc, x) => acc + x).as("n_chars"))
@@ -159,7 +190,8 @@ object Bpe {
       docs: DataFrame, idCol: String, textCol: String,
       segmentedDict: DataFrame): DataFrame = {
     val perWord = segmentedDict
-      .select(col("word"), size(split(col("seq"), Sep)).cast("long").as("ntok"))
+      .select(col("word"),
+        size(split(unwrap(col("seq")), Bnd)).cast("long").as("ntok"))
     docs
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")

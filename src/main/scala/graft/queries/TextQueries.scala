@@ -117,7 +117,9 @@ object TextQueries {
   /** Shared oracle CTE chain for BPE merge training: word-frequency
     * census → per-round MATERIALIZED (pair census, argmax with the
     * (count DESC, lhs, rhs) tiebreak, greedy left-to-right replace)
-    * — the exact replay of [[graft.operators.Bpe.learnMerges]].
+    * on the wrapped doubled-separator representation (token-aligned;
+    * see [[graft.operators.Bpe]]'s representation note) — the exact
+    * replay of [[graft.operators.Bpe.learnMerges]].
     * MATERIALIZED is load-bearing: without it DuckDB re-inlines the
     * round chain and evaluation goes superlinear in rounds. */
   private def bpeChainSql(k: Int): String = {
@@ -126,18 +128,20 @@ object TextQueries {
          FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
          WHERE word <> '' GROUP BY 1)""",
       """s0 AS MATERIALIZED (SELECT word, freq,
-           array_to_string(regexp_extract_all(word, '.'), chr(1)) AS seq FROM w)""")
+           chr(1) || array_to_string(regexp_extract_all(word, '.'), chr(1) || chr(1)) || chr(1) AS seq
+         FROM w)""")
     val rounds = (1 to k).flatMap { i =>
       Seq(
-        s"""t$i AS (SELECT freq, string_split(seq, chr(1)) AS toks,
-              unnest(generate_series(1, len(string_split(seq, chr(1))) - 1)) AS i
+        s"""t$i AS (SELECT freq, string_split(seq[2:-2], chr(1) || chr(1)) AS toks,
+              unnest(generate_series(1, len(string_split(seq[2:-2], chr(1) || chr(1))) - 1)) AS i
             FROM s${i - 1})""",
         s"""p$i AS (SELECT toks[i] AS lhs, toks[i+1] AS rhs,
               CAST(SUM(freq) AS BIGINT) AS pair_count FROM t$i GROUP BY 1, 2)""",
         s"""b$i AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p$i
             ORDER BY pair_count DESC, lhs ASC, rhs ASC LIMIT 1)""",
         s"""s$i AS MATERIALIZED (SELECT word, freq,
-              replace(seq, lhs || chr(1) || rhs, lhs || rhs) AS seq
+              replace(seq, chr(1) || lhs || chr(1) || chr(1) || rhs || chr(1),
+                      chr(1) || lhs || rhs || chr(1)) AS seq
             FROM s${i - 1} CROSS JOIN b$i)""")
     }
     "WITH " + (head ++ rounds).mkString(",\n")
@@ -222,7 +226,9 @@ object TextQueries {
     // shuffle join) instead of re-running merges per document.
     // cpt_e4 = chars-per-token ×10⁴, exact integer division.
     Q("q159_bpe_segment", Some(bpeChainSql(10) + """,
-      dict AS (SELECT word, CAST(len(string_split(seq, chr(1))) AS BIGINT) AS ntok FROM s10),
+      dict AS (SELECT word,
+               CAST(len(string_split(seq[2:-2], chr(1) || chr(1))) AS BIGINT) AS ntok
+               FROM s10),
       dw AS (SELECT doc_id, word
              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
              WHERE word <> '')

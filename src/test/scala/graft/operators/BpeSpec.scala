@@ -6,15 +6,25 @@ import org.apache.spark.sql.functions._
 
 /** Pins the BPE kernel's semantic contract:
   * - the census counts overlapping adjacent POSITIONS;
-  * - application is greedy left-to-right non-overlapping, so "aaa"
-  *   under merge (a,a) → [aa, a] (Spark `replace` ≡ DuckDB `replace`,
-  *   the parity q158 relies on);
+  * - application is greedy left-to-right non-overlapping over WHOLE
+  *   tokens, so "aaa" under merge (a,a) → [aa, a] and a run of six
+  *   identical tokens merges into three (exact Sennrich greedy);
+  * - a merge NEVER fires across a token boundary: merge (e,s) must
+  *   not rewrite [th, e, se] (the token e merely precedes a token
+  *   STARTING with s) — the wrapped doubled-separator representation
+  *   guarantees this (see [[Bpe]]'s representation note);
   * - tiebreak is (count DESC, lhs ASC, rhs ASC);
   * - training stops early when no adjacent pairs remain;
   * - segmentation falls back to character count for unseen words.
   */
 class BpeSpec extends SparkSuite {
   import spark.implicits._
+
+  private val S = Bpe.Sep
+  private val B = Bpe.Bnd
+
+  /** Wrapped doubled-separator flat form of a token sequence. */
+  private def seqOf(toks: String*): String = S + toks.mkString(B) + S
 
   private def dictOf(rows: (String, Long)*) =
     rows.toSeq.toDF("word", "freq")
@@ -25,7 +35,7 @@ class BpeSpec extends SparkSuite {
     assert(merges.collect().toSeq === Seq(Row(1L, "a", "a", "aa", 10L)))
     // Greedy application leaves [aa, a], never [a, aa] or [aaa].
     val seqs = dict.select("seq").as[String].collect()
-    assert(seqs.toSeq === Seq("aaa"))
+    assert(seqs.toSeq === Seq(seqOf("aa", "a")))
   }
 
   test("argmax tiebreak is (count DESC, lhs ASC, rhs ASC)") {
@@ -47,7 +57,7 @@ class BpeSpec extends SparkSuite {
     // "ab" collapses after one merge; round 2 finds no pairs.
     val (merges, dict) = Bpe.learnMerges(dictOf("ab" -> 2L), "word", "freq", 5)
     assert(merges.collect().toSeq === Seq(Row(1L, "a", "b", "ab", 2L)))
-    assert(dict.select("seq").as[String].collect().toSeq === Seq("ab"))
+    assert(dict.select("seq").as[String].collect().toSeq === Seq(seqOf("ab")))
   }
 
   test("merge chain: learned subword reused as lhs/rhs of later merges") {
@@ -56,7 +66,33 @@ class BpeSpec extends SparkSuite {
     assert(merges.collect().toSeq === Seq(
       Row(1L, "a", "b", "ab", 8L),
       Row(2L, "ab", "ab", "abab", 4L)))
-    assert(dict.select("seq").as[String].collect().toSeq === Seq("abab"))
+    assert(dict.select("seq").as[String].collect().toSeq === Seq(seqOf("abab")))
+  }
+
+  test("a merge never fires across a token boundary (token alignment)") {
+    // "esese": round 1 merges (e,s) (tiebreak over (s,e)) → [es,es,e].
+    // Round 2 census over WHOLE tokens is {(es,es):1, (es,e):1} —
+    // (es,e) wins on rhs ASC and must rewrite ONLY the (es,e) pair:
+    // [es, ese]. A character-boundary replace would instead corrupt
+    // the seq to [eses, e] by matching "es␟e" inside "es␟es".
+    val (merges, dict) = Bpe.learnMerges(dictOf("esese" -> 1L), "word", "freq", 2)
+    assert(merges.collect().toSeq === Seq(
+      Row(1L, "e", "s", "es", 2L),
+      Row(2L, "es", "e", "ese", 1L)))
+    assert(dict.select("seq").as[String].collect().toSeq === Seq(seqOf("es", "ese")))
+  }
+
+  test("segmentStatsWithMerges is token-aligned and exactly greedy") {
+    val docs = Seq(
+      (1L, "these"),    // (t,h) → [th,e,s,e]; (s,e) → [th,e,se]; (e,s) must NOT fire → 3 toks
+      (2L, "abab"),     // back-to-back (a,b) pairs share a boundary → both merge → 2 toks
+      (3L, "aaaaaa"),   // run of six: exact greedy (a,a) → [aa,aa,aa] → 3 toks
+      (4L, "aaaaa")     // run of five → [aa,aa,a] → 3 toks
+    ).toDF("doc_id", "text")
+    val merges = Seq(("t", "h"), ("s", "e"), ("e", "s"), ("a", "b"), ("a", "a"))
+    val out = Bpe.segmentStatsWithMerges(docs, merges)
+      .orderBy("doc_id").select("doc_id", "n_tokens").as[(Long, Long)].collect()
+    assert(out.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 3L), (4L, 3L)))
   }
 
   test("segmentStats: dictionary lookup + unseen-word char fallback") {
