@@ -512,7 +512,8 @@ object HashOps {
     * batches agree bit-for-bit. */
   def flog2q(x: Long): Long = {
     val bl = 64 - java.lang.Long.numberOfLeadingZeros(x)
-    ((x * 16L) >> (bl - 1)) + 16L * bl - 32L
+    val mant = if (bl >= 5) x >> (bl - 5) else (x * 16L) >> (bl - 1)
+    mant + 16L * bl - 32L
   }
 
   /** DSIR importance score of one document under collected bucket

@@ -104,8 +104,11 @@ object Curation {
     * threshold-choice dashboard behind every quality-filtered
     * pretraining mix (plotting kept-token fraction against the
     * cutoff is how the keep-rate is actually picked). Scores are
-    * integer ×10⁴ bucketed into `bins` fixed-width bands (empty
-    * bands emit zero rows — a gap in the histogram is information);
+    * integer ×10⁴ bucketed into `bins` fixed-width bands, CLAMPED at
+    * both ends (a negative score lands in bin 0 and an over-range
+    * score in the top bin, so no document ever silently drops from
+    * the survival mass; empty interior bands emit zero rows — a gap
+    * in the histogram is information);
     * each band reports its own mass and the SURVIVAL mass at that
     * threshold (suffix-cumulative docs/tokens and the exact ×10⁴
     * surviving-token fraction).
@@ -120,7 +123,8 @@ object Curation {
     require(widthE4 >= 1, "widthE4 must be positive")
     val census = docs
       .select(scoreE4.cast("long").as("__s"), sizeCol.cast("long").as("__n"))
-      .withColumn("bin", least(expr(s"__s DIV ${widthE4}L"), lit(bins - 1L)))
+      .withColumn("bin",
+        greatest(lit(0L), least(expr(s"__s DIV ${widthE4}L"), lit(bins - 1L))))
       .groupBy("bin")
       .agg(count(lit(1)).as("n_docs"), sum("__n").as("n_tokens"))
     val spine = docs.sparkSession.range(bins).select(col("id").as("bin"))
@@ -913,9 +917,15 @@ object Curation {
     * trade is honest: within a factor-2 octave the fraction is
     * linear and truncated to 1/16 (max error ~0.15 bits), which
     * ranks near-identically to true log2 everywhere it matters for
-    * importance WEIGHTING. */
+    * importance WEIGHTING. For arguments of 5+ bits the mantissa is
+    * taken as `x >> (bitlen-5)` — identical to `(x*16) >> (bitlen-1)`
+    * but free of the `x*16` overflow above 2^59, so the full positive
+    * long range is exact (callers' guards cap PRODUCTS like cxy*n
+    * well below 2^63, and this form never silently wraps inside that
+    * envelope). */
   private[graft] def flog2qSql(x: String): String =
-    s"(((($x) * 16) >> (length(bin($x)) - 1)) + 16 * length(bin($x)) - 32)"
+    s"((CASE WHEN length(bin($x)) >= 5 THEN ($x) >> (length(bin($x)) - 5) " +
+      s"ELSE (($x) * 16) >> (length(bin($x)) - 1) END) + 16 * length(bin($x)) - 32)"
 
   /** DSIR-style hashed-n-gram importance weights (Xie et al., "Data
     * Selection for Language Models via Importance Resampling",

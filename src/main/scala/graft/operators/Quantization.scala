@@ -143,24 +143,44 @@ object Quantization {
   def adcTopK(corpus: DataFrame, queries: DataFrame, model: PqModel, k: Int,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1, "k must be >= 1")
-    val cbs = model.cbArrays
-    val dsub = model.dsub
     val enc = encodePq(corpus, idCol = idCol, vecCol = vecCol, model = model)
       .select(col(idCol).as("cand_id"), col("codes"))
     val q = queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
-    val pairs = enc.crossJoin(broadcast(q))
-    // Per-subspace quantized term: the codebook entry is selected by
-    // the row's code through a nested plan literal; every float op
-    // (two dots + the a−b+c chain) matches the oracle's
-    // list_inner_product spelling left-to-right.
+    adcTopKEncoded(enc, q, model, k)
+  }
+
+  /** Per-query ADC lookup table (`array<array<long>>`, m × ksub): the
+    * quantized term for every (subspace, code) cell, computed ONCE on
+    * the broadcast query side — the classic FAISS ADC-table trick.
+    * Each cell is the SAME expression the per-pair form evaluated
+    * (two dots + the a−b+c chain, then floor(t·1e6+0.5)), just
+    * hoisted from per-(pair, subspace) to per-(query, subspace,
+    * code), so every distance is bit-identical to the oracle's
+    * per-pair replay while the corpus-side scan does m array lookups
+    * per pair instead of m sub-vector dot products. */
+  private def adcLut(qv: Column, model: PqModel): Column = {
+    val dsub = model.dsub
     val cbLit = typedLit(model.codebooks)
-    val terms = (0 until model.m).map { j =>
-      val qsub = slice(col("qv"), j * dsub + 1, dsub)
-      val cent = element_at(element_at(cbLit, j + 1), element_at(col("codes"), j + 1))
-      val t = dot(qsub, qsub) - lit(2.0d) * dot(qsub, cent) + dot(cent, cent)
-      floor(t * lit(AdcScale) + lit(0.5d)).cast("long")
-    }
-    val dist = terms.reduce(_ + _)
+    array((0 until model.m).map { j =>
+      val qsub = slice(qv, j * dsub + 1, dsub)
+      transform(element_at(cbLit, j + 1), cent => {
+        val t = dot(qsub, qsub) - lit(2.0d) * dot(qsub, cent) + dot(cent, cent)
+        floor(t * lit(AdcScale) + lit(0.5d)).cast("long")
+      })
+    }: _*)
+  }
+
+  /** ADC top-k over an ALREADY-ENCODED corpus `(cand_id, codes)` —
+    * the shared search core: queries fold their ADC tables via
+    * [[adcLut]], broadcast, and the encoded scan sums m table
+    * lookups per pair into [[TopK.perGroup]]'s bounded aggregate. */
+  private def adcTopKEncoded(enc: DataFrame, q: DataFrame,
+                             model: PqModel, k: Int): DataFrame = {
+    val qLut = q.select(col("query_id"), adcLut(col("qv"), model).as("lut"))
+    val pairs = enc.crossJoin(broadcast(qLut))
+    val dist = (0 until model.m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
     TopK.perGroup(
         pairs.select(col("query_id"), col("cand_id"),
           (-dist).cast("double").as("nsim")),
@@ -231,26 +251,42 @@ object Quantization {
     * exact pass decides — recall costs one small join instead of a
     * corpus-wide exact scan.
     *
-    * Plan shape: stage 1 is [[adcTopK]] (corpus scanned once against
-    * broadcast queries, bounded top-kShort aggregate); stage 2 joins
-    * the (queries × kShort)-row shortlist BACK onto the corpus
-    * scan with the shortlist broadcast — the corpus is never
-    * shuffled, and the exact cosine (same left-to-right double dot
-    * as q30's ground truth) runs on shortlist rows only. Output
-    * matches [[Similarity.bruteForceTopK]]'s presentation:
+    * Plan shape: ONE prepared corpus frame `(cand_id, vec, norm,
+    * codes)` is `localCheckpoint`ed and feeds BOTH stages — the
+    * encode projection and the norm never recompute across the stage
+    * boundary (they otherwise re-run per action: shortlist, re-rank,
+    * and the caller's fit all re-scanning the source). Stage 1 is
+    * the [[adcTopKEncoded]] core (codes column scanned against the
+    * broadcast query ADC tables, bounded top-kShort aggregate);
+    * stage 2 joins the (queries × kShort)-row shortlist BACK onto
+    * the same checkpointed frame with the shortlist broadcast — the
+    * corpus is never shuffled, and the exact cosine (same
+    * left-to-right double dot as q30's ground truth) runs on
+    * shortlist rows only. At a 100 TB corpus the checkpoint trades
+    * differently: drop it and let stage 2's broadcast-semi-join
+    * re-scan the columnar source, which prunes to the shortlist ids.
+    * Output matches [[Similarity.bruteForceTopK]]'s presentation:
     * `(query_id, neighbor_id, rank, sim)` with raw-sim ranking,
     * id tiebreak, 6 dp display rounding. */
   def adcRerankTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
                     kShort: Int, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(k >= 1 && kShort >= k, "need kShort >= k >= 1")
-    val short = adcTopK(corpus, queries, model, kShort, idCol, vecCol)
-      .select(col("query_id"), col("neighbor_id").as("cand_id"))
-    val c = Similarity.prepared(corpus, idCol, vecCol)
-      .select(col(idCol).as("cand_id"), col("vec"), col("norm"))
+    val base = corpus.select(
+        col(idCol).as("cand_id"),
+        asDouble(col(vecCol)).as("vec"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .withColumn("codes", codesExpr(col("vec"), model.cbArrays, model.dsub))
+      .localCheckpoint(true)
     val q = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-    val scored = c.join(broadcast(short), Seq("cand_id"))
+      .localCheckpoint(true) // small; read by stage 1 (ADC tables) and stage 2 (exact)
+    val short = adcTopKEncoded(
+        base.select(col("cand_id"), col("codes")),
+        q.select(col("query_id"), col("qvec").as("qv")), model, kShort)
+      .select(col("query_id"), col("neighbor_id").as("cand_id"))
+    val scored = base.select(col("cand_id"), col("vec"), col("norm"))
+      .join(broadcast(short), Seq("cand_id"))
       .join(broadcast(q), Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
         graft.functions.VectorFunctions.cosinePrenormed(

@@ -503,9 +503,13 @@ object Stats {
     * the regime where mean-based capacity planning (packing budgets,
     * partition sizing) silently lies and percentile-based planning
     * is mandatory; that's the decision this op feeds. In flog2q
-    * integer logs: `inv16 = Σ (flog2q(xᵢ) − flog2q(x_{k+1}))`
-    * (1/16-bit units, base-2 — the base cancels in the ratio), so
-    * `alpha_e4 = k·16·10⁴ DIV inv16` is exact.
+    * integer logs: `inv16 = Σ (flog2q(xᵢ) − flog2q(x_{k+1}))` is in
+    * 1/16-bit BASE-2 units (the base cancels inside each ratio but
+    * NOT in the estimator's scale), so the natural-log conversion is
+    * applied explicitly in exact fixed point:
+    * `alpha_e4 = k·16·10⁴·14427 DIV (inv16·10⁴)` with
+    * 14427/10⁴ = 1/ln2 to 4 decimals — alpha_e4 is natural-log
+    * calibrated, and the α ≤ 2 ⇔ alpha_e4 ≤ 20000 reading is right.
     *
     * Scale shape: the top-(k+1) cut is one bounded TakeOrdered —
     * never a global sort — and the estimator is driver-free
@@ -532,7 +536,7 @@ object Stats {
             s"${graft.operators.Curation.flog2qSql("__xk")}")).as("inv16"))
       .select(col("__n").as("k_top"), col("x_threshold"), col("inv16"),
         when(col("inv16") > 0L,
-          expr("CAST(__n * 160000 DIV inv16 AS BIGINT)"))
+          expr("CAST(__n * 160000 * 14427 DIV (inv16 * 10000) AS BIGINT)"))
           .otherwise(lit(null).cast("long")).as("alpha_e4"))
   }
 

@@ -122,10 +122,12 @@ object TextRank {
     *    which the tf-saturation ratio multiplies through to the
     *    exact long `(idf · 2200 · tf · avgdl_fp) DIV
     *    (10·tf·avgdl_fp + 3·avgdl_fp + 9000·dl)` — no float
-    *    anywhere. A raise_error guard fails fast if `tf·avgdl_fp`
-    *    approaches the long product bound instead of wrapping
-    *    (ANSI-off Spark wraps silently; DuckDB errors — the engines
-    *    would otherwise diverge exactly at the overflow).
+    *    anywhere. raise_error guards fail fast on BOTH factors of
+    *    `tf·avgdl_fp` (avgdl_fp ≤ 2e6 millitokens AND dl ≤ 1e6
+    *    tokens, which bounds every tf), so the idf·2200·tf·avgdl_fp
+    *    numerator stays below 2^63 instead of wrapping (ANSI-off
+    *    Spark wraps silently; DuckDB errors — the engines would
+    *    otherwise diverge exactly at the overflow).
     *
     * Scale shape: one narrow projection computes per-term tfs as
     * array expressions (no explode), ONE one-row corpus-stats
@@ -136,8 +138,14 @@ object TextRank {
                  terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty, "bm25Search needs at least one term")
     require(terms.toSet.size == terms.size, "duplicate query terms")
+    val dlGuarded = when(size(toks(col(textCol))).cast("long") <= 1000000L,
+        size(toks(col(textCol))).cast("long"))
+      .otherwise(raise_error(
+        lit("bm25Search: document longer than 1e6 tokens — tf*avgdl_fp " +
+          "would overflow the long product; chunk the document first"))
+        .cast("long"))
     val base = docs.select(
-      col(idCol) +: size(toks(col(textCol))).cast("long").as("dl") +:
+      col(idCol) +: dlGuarded.as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           tf(col(textCol), t).cast("long").as(s"__tf$i") }: _*)
     val statAggs = sum(col("dl")).as("__dl_total") +:
@@ -207,7 +215,12 @@ object TextRank {
     require(terms.size == model.dfs.size, "model/term list mismatch")
     require(model.avgdlFp <= 2000000L,
       "bm25ScoreWithModel: avgdl above 2000 tokens — rescale the quantization")
-    val dl = size(toks(col(textCol))).cast("long")
+    val dl = when(size(toks(col(textCol))).cast("long") <= 1000000L,
+        size(toks(col(textCol))).cast("long"))
+      .otherwise(raise_error(
+        lit("bm25ScoreWithModel: document longer than 1e6 tokens — " +
+          "tf*avgdl_fp would overflow the long product; chunk first"))
+        .cast("long"))
     val withTf = docs.select(
       col(idCol) +: dl.as("__dl") +:
         terms.zipWithIndex.map { case (t, i) =>

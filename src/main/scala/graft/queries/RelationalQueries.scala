@@ -608,11 +608,13 @@ object RelationalQueries {
 
     // ---- q182: Hill tail-index of the partkey posting-size
     // distribution — "is this degree sequence heavy-tailed": alpha
-    // over the top-64 order statistics in flog2q integer logs (the
-    // base cancels in the ratio, so 1/16-bit log2 units serve
-    // directly); alpha <= 2 is the infinite-variance regime where
-    // mean-based capacity planning lies. One census + one bounded
-    // TakeOrdered(65); ties at the cut resolve by (size DESC, key).
+    // over the top-64 order statistics in flog2q integer logs, with
+    // the explicit 1/ln2 fixed-point conversion to natural-log
+    // units (the log base cancels inside each ratio but not in the
+    // estimator scale); alpha <= 2 (alpha_e4 <= 20000) is the
+    // infinite-variance regime where mean-based capacity planning
+    // lies. One census + one bounded TakeOrdered(65); ties at the
+    // cut resolve by (size DESC, key).
     Q("q182_tail_index", Some(s"""
       WITH s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS x
                  FROM lineitem GROUP BY 1),
@@ -626,8 +628,8 @@ object RelationalQueries {
                       ${graft.operators.Curation.flog2qSql("th.xk")}) AS BIGINT) AS inv16,
              CASE WHEN SUM(${graft.operators.Curation.flog2qSql("t.x")} -
                           ${graft.operators.Curation.flog2qSql("th.xk")}) > 0
-                  THEN CAST(COUNT(*) * 160000 // SUM(${graft.operators.Curation.flog2qSql("t.x")} -
-                           ${graft.operators.Curation.flog2qSql("th.xk")}) AS BIGINT)
+                  THEN CAST(COUNT(*) * 160000 * 14427 // (SUM(${graft.operators.Curation.flog2qSql("t.x")} -
+                           ${graft.operators.Curation.flog2qSql("th.xk")}) * 10000) AS BIGINT)
              END AS alpha_e4
       FROM t CROSS JOIN th WHERE t.rk <= 64""")) { (s, d) =>
       val sizes = Tables.lineitem(s, d)

@@ -590,7 +590,7 @@ object TextQueries {
                    * 10000 + 0.5) AS BIGINT) AS s,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n
         FROM documents),
-      c AS (SELECT LEAST(s // 1000, 9) AS bin,
+      c AS (SELECT GREATEST(0, LEAST(s // 1000, 9)) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS n_docs,
                    CAST(SUM(n) AS BIGINT) AS n_tokens
             FROM q GROUP BY 1),

@@ -556,6 +556,29 @@ class CurationSpec extends SparkSuite {
     assert(e.getMessage.contains("paragraphs"), e.getMessage)
   }
 
+  test("flog2q is exact across the full positive long range (no x*16 overflow)") {
+    import spark.implicits._
+    // 2^59 is where the old (x*16) >> (bitlen-1) spelling wrapped;
+    // the x >> (bitlen-5) form must keep tracking log2 through
+    // Long.MaxValue and agree bit-for-bit with the JVM twin.
+    val xs = Seq(1L, 15L, 16L, 17L, (1L << 58) - 1L, 1L << 58, 1L << 59,
+      (1L << 59) + 12345L, 1L << 62, Long.MaxValue)
+    val got = xs.toDF("c").selectExpr("c", Curation.flog2qSql("c") + " AS f")
+      .as[(Long, Long)].collect().toMap
+    for (x <- xs) {
+      assert(got(x) === graft.functions.HashOps.flog2q(x),
+        s"SQL/JVM divergence at $x")
+      val bits = got(x) / 16.0
+      val truth = math.log(x.toDouble) / math.log(2.0)
+      assert(x == 1L || math.abs(bits - truth) <= 0.15,
+        s"flog2q($x) = ${got(x)} vs true $truth")
+    }
+    // Monotone across the boundary region.
+    val ys = ((1L << 59) - 3L to (1L << 59) + 3L).toSeq
+    val fy = ys.map(graft.functions.HashOps.flog2q)
+    assert(fy.sliding(2).forall(p => p(0) <= p(1)))
+  }
+
   test("dsirImportance: target-like docs outscore off-target; fixed-point log2 tracks log2") {
     import spark.implicits._
     // flog2q: monotone, within 0.1 bits of true log2 across 3 octaves.
@@ -627,10 +650,11 @@ class CurationSpec extends SparkSuite {
     assert(got.toSeq === expected)
   }
 
-  test("selectionCurve: exact suffix cumulatives, empty-band zeros, top-bin clamp") {
+  test("selectionCurve: exact suffix cumulatives, empty-band zeros, two-sided clamp") {
     import spark.implicits._
-    // Scores 500 (bin 0), 2500 (bin 2), 9999+10000 (both clamp/land in bin 9).
-    val docs = Seq((500L, 10L), (2500L, 20L), (9999L, 30L), (10000L, 40L))
+    // Scores -300 (clamps into bin 0 — never silently dropped),
+    // 500 (bin 0), 2500 (bin 2), 9999+10000 (both clamp/land in bin 9).
+    val docs = Seq((-300L, 3L), (500L, 7L), (2500L, 20L), (9999L, 30L), (10000L, 40L))
       .toDF("s", "n")
     val got = Curation.selectionCurve(docs, col("s"), col("n"), bins = 10)
       .orderBy("bin").collect()
@@ -641,8 +665,8 @@ class CurationSpec extends SparkSuite {
     assert(byBin(9L) === ((9L, 2L, 70L, 2L, 70L, 7000L)),
       "score 10000 must clamp into the top bin")
     assert(byBin(2L) === ((2L, 1L, 20L, 3L, 90L, 9000L)))
-    assert(byBin(0L) === ((0L, 1L, 10L, 4L, 100L, 10000L)),
-      "bin 0 survival is the whole corpus")
+    assert(byBin(0L) === ((0L, 2L, 10L, 5L, 100L, 10000L)),
+      "bin 0 holds the negative-score doc too; survival is the whole corpus")
     assert(byBin(5L) === ((5L, 0L, 0L, 2L, 70L, 7000L)),
       "empty bands emit zeros but carry the survival suffix")
   }

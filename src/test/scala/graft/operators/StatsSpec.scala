@@ -423,11 +423,12 @@ class StatsSpec extends SparkSuite {
       Stats.hillTailIndex(sample(alpha, 512), col("id"), col("x"), k = 64)
         .collect().head.getAs[Long]("alpha_e4")
     val a1 = est(1.0); val a2 = est(2.0)
-    // Deterministic-quantile samples + flog2q truncation bias the
-    // point estimate below the true exponent; the CALIBRATION claim
-    // is the right order of magnitude, the sharp claim is ordering.
-    assert(a1 > 6000 && a1 < 13000, s"alpha=1 sample estimated $a1")
-    assert(a2 > 13000 && a2 < 26000, s"alpha=2 sample estimated $a2")
+    // alpha_e4 is natural-log calibrated (explicit 1/ln2 fixed-point
+    // conversion), so alpha=1 must read near 10000 and alpha=2 near
+    // 20000; the residual band covers deterministic-quantile sampling
+    // and flog2q truncation, not a log-base offset.
+    assert(a1 > 8500 && a1 < 11500, s"alpha=1 sample estimated $a1")
+    assert(a2 > 17000 && a2 < 23000, s"alpha=2 sample estimated $a2")
     assert(a2 > a1 * 3 / 2, s"the heavier tail must estimate clearly smaller: $a1 vs $a2")
     // Degenerate: all-equal sizes → inv16 = 0 → null alpha, not a crash.
     val flat = Stats.hillTailIndex(
