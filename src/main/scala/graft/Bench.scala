@@ -61,7 +61,8 @@ object Bench {
     // warm-up that covers the timed work is the full set. Work at
     // sf0.001 is seconds; the sfDir-specific AQE plans then warm on
     // the first of the median-of-N timed runs below.
-    for (w <- SparkEntry.queries.keys.toSeq.sorted) {
+    for (w <- SparkEntry.queries.keys.toSeq.sorted
+           if sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").map(_.trim).toSet.contains(w))) {
       try SparkEntry.queries(w)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -75,29 +76,49 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Dev subset: SPARK_GRAFT_BENCH_ONLY=q107_pq_rerank,... times a
+    // few queries while iterating; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Noise gate: machine contention only ever ADDS time, so when the
+    // spread between the fastest run and the median is over 2x the
+    // measurement is contention, not the query — re-run (up to
+    // `maxRuns` total attempts) until the median of the 3 fastest
+    // runs sits within 2x of the min, and publish THAT median. Round
+    // 10's artifact had rows spanning 5.5-28.3s across runs, which
+    // made every regression question unanswerable from the artifact.
+    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_MAX_RUNS", "7").toInt.max(runs)
+    val results = benched.map { case (name, fn) =>
       var err: Option[String] = None
       // Only runs that actually executed count toward the median —
       // after a failure the remaining runs are skipped, and a
       // skipped run's ~0s elapsed must not masquerade as a timing.
-      val times = (1 to runs).flatMap { _ =>
-        if (err.isDefined) None
-        else {
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          catch {
-            case e: Throwable =>
-              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
-          }
-          Some((System.nanoTime() - t0) / 1e9)
+      def runOnce(): Double = {
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch {
+          case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(200))
         }
-      }.sorted
-      // Median of the executed runs (lower-middle for even N):
-      // robust to the one cold first-run outlier without hiding a
-      // query that is consistently slow. A query that failed on run
-      // k reports the median of its k observed durations (the
-      // failing attempt included) alongside its `err` entry.
-      val median = times((times.length - 1) / 2)
+        (System.nanoTime() - t0) / 1e9
+      }
+      var raw = (1 to runs).flatMap(_ => if (err.isDefined) None else Some(runOnce()))
+      def best3Median(ts: Seq[Double]): Double = {
+        val b = ts.sorted.take(3)
+        b((b.length - 1) / 2)
+      }
+      while (err.isEmpty && raw.length < maxRuns &&
+             best3Median(raw) > 2.0 * raw.min) {
+        raw = raw :+ runOnce()
+      }
+      val times = raw.sorted
+      // Median of the 3 fastest executed runs (lower-middle for even
+      // N): robust to contention outliers — which only inflate —
+      // without hiding a query that is consistently slow. A query
+      // that failed on run k reports the median of its k observed
+      // durations (the failing attempt included) alongside `err`.
+      val median = best3Median(times)
       // One standalone JSON line per query, flushed as it finishes:
       // a truncated capture (round 7 lost q01-q32 off the front of
       // the one giant summary line) still carries every completed

@@ -431,6 +431,42 @@ object HashOps {
     acc
   }
 
+  /** PQ encode kernel: per subspace j, the 1-based argmin code over
+    * `ksub` centroids by d = |sub|^2 - 2*sub.c + |c|^2, every dot
+    * summed left-to-right and ties keeping the LOWEST code — the
+    * exact arithmetic and (d, cid) tie rule of the expression-tree
+    * spelling it replaces (and of the oracle's `ORDER BY dist, cid`
+    * replay). `cb` is the flat codebook: cb[((j*ksub)+c)*dsub + t],
+    * with `cnorms` the precomputed |c|^2 per (j, c) — both ride into
+    * generated code as one reference object each, so the projection
+    * is a tight loop instead of a 100-node literal tree per row. */
+  def pqEncode(v: ArrayData, m: Int, dsub: Int, ksub: Int,
+               cb: Array[Double], cnorms: Array[Double]): ArrayData = {
+    val codes = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var svv = 0.0d
+      var t = 0
+      while (t < dsub) { val x = v.getDouble(base + t); svv += x * x; t += 1 }
+      var best = Double.PositiveInfinity
+      var bestC = 0
+      var c = 0
+      while (c < ksub) {
+        val off = (j * ksub + c) * dsub
+        var sc = 0.0d
+        var t2 = 0
+        while (t2 < dsub) { sc += v.getDouble(base + t2) * cb(off + t2); t2 += 1 }
+        val d = svv - 2.0d * sc + cnorms(j * ksub + c)
+        if (d < best) { best = d; bestC = c }
+        c += 1
+      }
+      codes(j) = bestC + 1
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
   /** 15-hex md5 form of a UTF-8 byte payload — the one hash spelling
     * every cross-engine gate here shares (`substr(md5(x),1,15)`). */
   private def hex15(payload: Array[Byte]): Array[Byte] = {

@@ -516,6 +516,34 @@ case class DotProduct(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** PQ encoding of a double vector against plan-time codebooks
+  * (array<double> → array<int>, 1-based codes): the flat codebook
+  * and precomputed centroid norms ride into the generated code via
+  * `addReferenceObj` (the [[CharBigramScore]] deployment pattern),
+  * so the m-subspace argmin is ONE tight-loop kernel call
+  * ([[HashOps.pqEncode]]) instead of an m x ksub literal expression
+  * tree — same arithmetic, same (d, cid) tie rule, hundreds of
+  * milliseconds less driver planning/codegen per action. */
+case class PqEncode(child: Expression, m: Int, dsub: Int, ksub: Int,
+                    cb: Array[Double], cnorms: Array[Double])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.pqEncode(v.asInstanceOf[ArrayData], m, dsub, ksub, cb, cnorms)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", cb, "double[]")
+    val nmRef = ctx.addReferenceObj("pqCentNorms", cnorms, "double[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.pqEncode($c, $m, $dsub, $ksub, $cbRef, $nmRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncode =
+    copy(child = c)
+}
+
 /** Python-literal → canonical JSON text (reference F12/F13); compose
   * with `from_json` to recover typed arrays/structs from the
   * reference's repr()-in-CSV columns. */
@@ -750,6 +778,9 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def pq_encode(c: Column, m: Int, dsub: Int, ksub: Int,
+                cb: Array[Double], cnorms: Array[Double]): Column =
+    col(PqEncode(expr(c), m, dsub, ksub, cb, cnorms))
   def hyperplane_buckets(c: Column, dim: Int, nPlanes: Int, nTables: Int): Column =
     col(HyperplaneBuckets(expr(c), dim, nPlanes, nTables))
   def pyliteral_to_json(c: Column): Column = col(PyLiteralToJson(expr(c)))

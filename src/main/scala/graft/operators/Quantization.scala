@@ -54,21 +54,25 @@ object Quantization {
     s
   }
 
-  /** Per-subspace argmin codes as ONE plan-literal projection column
-    * (`array<int>`, codes 1-based): for subspace j, the (d, cid)
+  /** Per-subspace argmin codes as ONE codegen'd kernel projection
+    * column (`array<int>`, codes 1-based — [[graft.functions
+    * .PqEncode]] with the codebook as a plan reference object; the
+    * previous m x ksub literal expression tree cost ~0.5s of driver
+    * planning/Janino per ACTION): for subspace j, the (d, cid)
     * struct-min over ksub literal centroids with
     * d = |sub|² - 2·sub·c + |c|² — identical metric and tie rule to
     * [[Clustering.distStructs]]. */
-  private def codesExpr(v: Column, cbs: Array[Array[Array[Double]]], dsub: Int): Column =
-    array(cbs.toSeq.zipWithIndex.map { case (cents, j) =>
-      val sub = slice(v, j * dsub + 1, dsub)
-      val svv = dot(sub, sub)
-      array_min(array(cents.toSeq.zipWithIndex.map { case (c, i) =>
-        struct(
-          (svv - lit(2.0d) * dot(sub, lit(c)) + lit(normSq(c))).as("d"),
-          lit(i + 1).as("cid"))
-      }: _*)).getField("cid")
-    }: _*)
+  private def codesExpr(v: Column, cbs: Array[Array[Array[Double]]], dsub: Int): Column = {
+    val m = cbs.length
+    val ksub = cbs.head.length
+    val flat = new Array[Double](m * ksub * dsub)
+    val cnorms = new Array[Double](m * ksub)
+    for (j <- 0 until m; c <- 0 until ksub) {
+      System.arraycopy(cbs(j)(c), 0, flat, (j * ksub + c) * dsub, dsub)
+      cnorms(j * ksub + c) = normSq(cbs(j)(c))
+    }
+    graft.functions.GraftFunctions.pq_encode(v, m, dsub, ksub, flat, cnorms)
+  }
 
   /** Train per-subspace codebooks: `ksub` shared seed vectors picked
     * by the engine-wide deterministic hash rule (h = id·2654435761
@@ -270,17 +274,21 @@ object Quantization {
     * id tiebreak, 6 dp display rounding. */
   def adcRerankTopK(corpus: DataFrame, queries: DataFrame, model: PqModel,
                     kShort: Int, k: Int,
-                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    materialize: Boolean = true): DataFrame = {
     require(k >= 1 && kShort >= k, "need kShort >= k >= 1")
-    val base = corpus.select(
+    val built = corpus.select(
         col(idCol).as("cand_id"),
         asDouble(col(vecCol)).as("vec"))
       .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("codes", codesExpr(col("vec"), model.cbArrays, model.dsub))
-      .localCheckpoint(true)
+    // materialize=false when the CALLER already holds the corpus in
+    // a checkpoint (recomputing the kernel-encoded codes from memory
+    // is cheaper than an extra materialization action) or when the
+    // corpus is too large to copy (the 100 TB note above).
+    val base = if (materialize) built.localCheckpoint(true) else built
     val q = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
-      .localCheckpoint(true) // small; read by stage 1 (ADC tables) and stage 2 (exact)
     val short = adcTopKEncoded(
         base.select(col("cand_id"), col("codes")),
         q.select(col("query_id"), col("qvec").as("qv")), model, kShort)
@@ -327,11 +335,17 @@ object Quantization {
 
     val c = corpus.select(col(idCol).as("cand_id"), asDouble(col(vecCol)).as("v"))
       .withColumn("vv", dot(col("v"), col("v")))
+    // One corpus materialization: the assigned+residual frame feeds
+    // the PQ fit (two actions), the encode, and the candidate join —
+    // without it every action re-runs coarse assignment + residual
+    // from the source.
     val assigned = c
       .select(col("cand_id"), col("v"),
         array_min(array(dists: _*)).getField("cid").as("list_id"))
       .withColumn("rvec",
         zip_with(col("v"), element_at(centVecs, col("list_id")), (a, b) => a - b))
+      .select(col("cand_id"), col("list_id"), col("rvec"))
+      .localCheckpoint(true)
     val pq = fitPq(assigned.select(col("cand_id"), col("rvec")),
       m = m, ksub = ksub, iters = iters, idCol = "cand_id", vecCol = "rvec")
     val enc = assigned.select(col("cand_id"), col("list_id"),
@@ -347,16 +361,15 @@ object Quantization {
         zip_with(col("v"), element_at(centVecs, col("list_id")), (a, b) => a - b))
       .select(col("query_id"), col("list_id"), col("rq"))
 
-    val pairs = enc.join(broadcast(probes), Seq("list_id"))
-    val cbLit = typedLit(pq.codebooks)
-    val dsub = pq.dsub
-    val terms = (0 until pq.m).map { j =>
-      val qsub = slice(col("rq"), j * dsub + 1, dsub)
-      val cent = element_at(element_at(cbLit, j + 1), element_at(col("codes"), j + 1))
-      val t = dot(qsub, qsub) - lit(2.0d) * dot(qsub, cent) + dot(cent, cent)
-      floor(t * lit(AdcScale) + lit(0.5d)).cast("long")
-    }
-    val dist = terms.reduce(_ + _)
+    // Per-(query, probed-list) ADC tables on the broadcast side (the
+    // [[adcLut]] hoist — identical term arithmetic), so the encoded
+    // scan sums m table lookups per candidate pair.
+    val pairs = enc.join(
+      broadcast(probes.select(col("query_id"), col("list_id"),
+        adcLut(col("rq"), pq).as("lut"))), Seq("list_id"))
+    val dist = (0 until pq.m).map(j =>
+        element_at(element_at(col("lut"), j + 1), element_at(col("codes"), j + 1)))
+      .reduce(_ + _)
     TopK.perGroup(
         pairs.select(col("query_id"), col("cand_id"),
           (-dist).cast("double").as("nsim")),

@@ -736,11 +736,14 @@ object VectorQueries {
       SELECT query_id, cand_id AS neighbor_id, rank, sim
       FROM rr WHERE rank <= 5
       ORDER BY query_id, rank""")) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
+      // One source materialization: fit (seeds + Lloyd), the encode,
+      // and the re-rank all read the same localCheckpoint instead of
+      // re-scanning parquet per action.
+      val emb = Tables.embeddings(s, d).localCheckpoint(true)
       val model = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
       Quantization.adcRerankTopK(emb,
           emb.filter(pmod(col("vec_id"), lit(97)) === 0),
-          model = model, kShort = 25, k = 5)
+          model = model, kShort = 25, k = 5, materialize = false)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },
