@@ -7,13 +7,18 @@ package graft
   * entry instead of a swallowed exception, so a failing query is
   * visible in BENCH output rather than recorded as a fast "timing".
   *
-  * Timing is the MEDIAN of `SPARK_GRAFT_RUNS` (default 3) runs at
-  * `sfDir`. Round 6 proved single-run timing lies: AQE picks
-  * different physical plans at sf0.001 vs sf0.1, so the sf0.1
-  * codegen/JIT is still cold on the first sfDir run and one noisy
-  * run landed directly in the artifact (q18 recorded 8.95 s;
-  * median-of-3 = 0.60 s). The first timed run doubles as the sfDir
-  * warm-up; the median is robust to that one cold outlier.
+  * Timing starts from `SPARK_GRAFT_RUNS` (default 3) runs at `sfDir`,
+  * re-running under contention (see the noise gate below) up to
+  * `SPARK_GRAFT_MAX_RUNS`. The headline `sec` per query is the median
+  * of the 3 fastest runs (`median_best3`); the plain median over ALL
+  * executed runs is published alongside as `median_full`, and every
+  * raw run time is in `runs` — so the contention-robust statistic and
+  * the tail-inclusive one are both in the artifact, explicitly named.
+  * Round 6 proved single-run timing lies: AQE picks different
+  * physical plans at sf0.001 vs sf0.1, so the sf0.1 codegen/JIT is
+  * still cold on the first sfDir run and one noisy run landed
+  * directly in the artifact (q18 recorded 8.95 s; median-of-3 =
+  * 0.60 s). The first timed run doubles as the sfDir warm-up.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -67,7 +72,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt.max(1)
+    // Malformed env values fall back to the default instead of killing
+    // the whole bench with a NumberFormatException mid-artifact.
+    def envInt(name: String, default: Int): Int =
+      sys.env.get(name).flatMap(_.trim.toIntOption).getOrElse(default)
+    val runs = envInt("SPARK_GRAFT_RUNS", 3).max(1)
     // Contention stamp: /proc/loadavg + wall timestamp, emitted with
     // every per-query line and the summary. Round 7's BENCH artifact
     // was taken on a contended machine and its phantom 3-10x
@@ -88,7 +97,7 @@ object Bench {
     // runs sits within 2x of the min, and publish THAT median. Round
     // 10's artifact had rows spanning 5.5-28.3s across runs, which
     // made every regression question unanswerable from the artifact.
-    val maxRuns = sys.env.getOrElse("SPARK_GRAFT_MAX_RUNS", "7").toInt.max(runs)
+    val maxRuns = envInt("SPARK_GRAFT_MAX_RUNS", 7).max(runs)
     val results = benched.map { case (name, fn) =>
       var err: Option[String] = None
       // Only runs that actually executed count toward the median —
@@ -113,12 +122,19 @@ object Bench {
         raw = raw :+ runOnce()
       }
       val times = raw.sorted
-      // Median of the 3 fastest executed runs (lower-middle for even
-      // N): robust to contention outliers — which only inflate —
-      // without hiding a query that is consistently slow. A query
-      // that failed on run k reports the median of its k observed
-      // durations (the failing attempt included) alongside `err`.
+      // The published `sec` is the median of the 3 fastest executed
+      // runs (lower-middle for even N): robust to contention outliers
+      // — which only inflate — without hiding a query that is
+      // consistently slow. Because the re-run loop above can add runs
+      // until the best-3 spread closes, this statistic is NOT the same
+      // as the plain median of all runs; both are published under
+      // explicit names (`median_best3`, `median_full`) plus the full
+      // raw run list, so cross-round comparisons and tail-cost reads
+      // stay honest. A query that failed on run k reports statistics
+      // over its k observed durations (the failing attempt included)
+      // alongside `err`.
       val median = best3Median(times)
+      val medianFull = times((times.length - 1) / 2)
       // One standalone JSON line per query, flushed as it finishes:
       // a truncated capture (round 7 lost q01-q32 off the front of
       // the one giant summary line) still carries every completed
@@ -126,24 +142,30 @@ object Bench {
       // was measured plus all raw run times (not just the median).
       val runsJson = times.map(t => f"$t%.4f").mkString("[", ",", "]")
       val errJson = err.map(e => s",${jstr("err")}:${jstr(e)}").getOrElse("")
-      val line = s"""{"q":${jstr(name)},"sec":$median,"runs":$runsJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}$errJson}"""
+      val line = s"""{"q":${jstr(name)},"sec":$median,"median_best3":$median,"median_full":$medianFull,"runs":$runsJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}$errJson}"""
       println(line)
       Console.out.flush()
       appendLine(linesPath, line)
-      (name, median, times.head, err)
+      (name, median, times.head, medianFull, err)
     }
-    val qs = results.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // Min-of-N alongside the median: on a contended machine the median
     // absorbs noise runs (round 9's q16 spread was 13x) while the min
     // is the closest observable to the uncontended cost; publishing
     // both in the same artifact lets a reader separate machine noise
     // from real drift without a re-run.
-    val qsMin = results.map { case (k, _, m, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, m, _, _) => s"${jstr(k)}:$m" }.mkString("{", ",", "}")
+    val qsMedianFull = results.map { case (k, _, _, mf, _) => s"${jstr(k)}:$mf" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
-    val nErr = results.count(_._4.isDefined)
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$qsMin,"total_min":$totalMin,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+    val totalMedianFull = results.map(_._4).sum
+    val nErr = results.count(_._5.isDefined)
+    // The active dev filter and run-count config are recorded in-band:
+    // a partial artifact produced with SPARK_GRAFT_BENCH_ONLY set is
+    // self-identifying rather than silently masquerading as a full run.
+    val onlyJson = only.map(s => s.toSeq.sorted.map(jstr).mkString("[", ",", "]")).getOrElse("null")
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","median_kind":"best3","queries":$qs,"queries_min":$qsMin,"queries_median_full":$qsMedianFull,"total_min":$totalMin,"total_median_full":$totalMedianFull,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","runs_config":$runs,"max_runs_config":$maxRuns,"bench_only":$onlyJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
     println(summary)
     Console.out.flush()
     try java.nio.file.Files.writeString(summaryPath, summary + "\n") catch { case _: Throwable => () }
