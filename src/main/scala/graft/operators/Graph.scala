@@ -191,14 +191,24 @@ object Graph {
     * hop-(h−1) pair set onto the adjacency plus a distinct — the
     * q60/q114 bounded-recurrence pattern.
     *
-    * Scale shape per hop: one shuffle join (pairs × adjacency on the
-    * frontier endpoint) and one distinct; the pair set is bounded by
-    * Σ|B_k(u)| (total k-ball mass), which is the honest cost of
-    * EXACT per-node reach — no sketch shortcut is taken here (an
-    * approximate variant would ride HLL registers per node, the
-    * classic Flajolet–Martin/HyperBall trade). A hub node's deg²
-    * intermediate before the distinct is AQE-skew-join territory;
-    * pair state is localCheckpoint'd per hop so the plan stays flat.
+    * Scale shape per hop — SEMI-NAIVE (Datalog's delta evaluation,
+    * the GraphX/Pregel frontier discipline): only the FRONTIER (pairs
+    * first discovered on the previous hop) joins the adjacency, never
+    * the full accumulated reach set, and the candidates are
+    * anti-joined against the accumulated set so each pair is
+    * materialized exactly once. Per hop that is one shuffle join
+    * (|frontier| × adjacency, not |reach| × adjacency), one distinct
+    * over the candidates, and one anti-join — on graphs where balls
+    * saturate within k hops the frontier shrinks toward zero while
+    * the naive re-join keeps paying Σ|B_h| every hop. The loop
+    * early-exits when the frontier drains (diameter < k), so k only
+    * bounds the rounds. Total pair state is still Σ|B_k(u)| rows —
+    * the honest cost of EXACT per-node reach; the sketch shortcut is
+    * [[hyperBall]], and [[kHopReachAuto]] routes between the two. A
+    * hub node's deg² candidate burst before the distinct is
+    * AQE-skew-join territory; frontier state is localCheckpoint'd per
+    * hop so the plan stays flat (the accumulated set is a union of
+    * already-materialized checkpoints and needs no re-materialize).
     * Self-pairs are excluded throughout. */
   def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
                 k: Int): DataFrame = {
@@ -211,17 +221,80 @@ object Graph {
       .localCheckpoint(true)
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
+    // Pre-spread the frontier side of the hop join: a small adjacency
+    // gets BROADCAST, so the join and the expensive dedup that
+    // follows would otherwise inherit the checkpoint's few
+    // AQE-coalesced partitions and run the deg²-expanded candidate
+    // stream on a handful of cores (measured 2.8× slower at sf0.1).
+    // An explicit-width repartition is exempt from AQE coalescing;
+    // the shuffled rows are the narrow PRE-expansion frontier, so the
+    // exchange is cheap relative to the expansion it parallelizes.
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
+    def expand(frontier: DataFrame): DataFrame =
+      frontier.select(col("node"), col("nbr").as("__mid"))
+        .repartition(width, col("__mid"))
+        .join(adj.select(col("node").as("__mid"), col("nbr")), "__mid")
+        .select(col("node"), col("nbr"))
+        .filter(col("node") =!= col("nbr"))
     var reach = adj
-    for (_ <- 2 to k) {
-      reach = reach
-        .union(reach.select(col("node"), col("nbr").as("__mid"))
-          .join(adj.select(col("node").as("__mid"), col("nbr")), "__mid")
-          .select(col("node"), col("nbr"))
-          .filter(col("node") =!= col("nbr")))
+    var frontier = adj
+    var h = 2
+    var drained = false
+    // Intermediate hops (h < k) must materialize the exact distinct
+    // frontier — the next hop joins it. The LAST hop never does: its
+    // candidates flow straight into the census, where
+    // `count_distinct` dedups map-side inside one aggregation
+    // exchange instead of paying a distinct shuffle + anti-join +
+    // checkpoint for a pair set nobody reads again. At k=2 (the
+    // common census depth) the whole op is one join + one aggregate.
+    while (h < k && !drained) {
+      val fresh = expand(frontier)
         .distinct()
+        .join(reach, Seq("node", "nbr"), "left_anti")
         .localCheckpoint(true)
+      if (fresh.isEmpty) drained = true
+      else {
+        reach = reach.union(fresh)
+        frontier = fresh
+      }
+      h += 1
     }
-    reach.groupBy(col("node")).agg(count(lit(1)).as("n_reach"))
+    val lastCands = if (k >= 2 && !drained) expand(frontier) else reach.limit(0)
+    reach.union(lastCands)
+      .groupBy(col("node")).agg(count_distinct(col("nbr")).as("n_reach"))
+  }
+
+  /** Size-guarded k-hop reach: exact [[kHopReach]] for graphs up to
+    * `maxExactEdges` input edges, [[hyperBall]] above it — the
+    * [[Similarity.nearDupPairsAuto]] probe-and-route convention
+    * applied to the one graph op whose exact path materializes
+    * Σ|B_k(u)| pair rows (quadratic-ish on dense graphs). The probe
+    * is a bounded `limit(n+1).count()` scan, never a full count, so
+    * a 100 TB edge list pays one cheap partial scan and routes to the
+    * O(nodes × 2^p)-state sketch path; only a graph that could
+    * actually afford the exact pair set runs it.
+    *
+    * Both branches emit the same (node, n_reach) schema. On the
+    * routed path n_reach is the HyperBall ball-cardinality ESTIMATE
+    * minus one (HyperBall seeds each node's counter with itself;
+    * exact reach excludes self-pairs), rounded half-up — within
+    * HLL's ~1.04/√m relative error of the exact census, never a
+    * silent semantic swap: callers that need the exact pair census
+    * above the bound must call [[kHopReach]] explicitly.
+    *
+    * Default bound 2^20 edges: the exact path's per-hop frontier
+    * join then stays within a single executor wave at 2-3 hops on
+    * typical link-graph density, and the pair set stays well under
+    * memory even if balls saturate. */
+  def kHopReachAuto(edges: DataFrame, srcCol: String, dstCol: String,
+                    k: Int, p: Int = 6,
+                    maxExactEdges: Long = 1L << 20): DataFrame = {
+    val probe = math.min(maxExactEdges + 1, Int.MaxValue.toLong).toInt
+    val small = edges.limit(probe).count() <= maxExactEdges
+    if (small) kHopReach(edges, srcCol, dstCol, k)
+    else hyperBall(edges, srcCol, dstCol, k, p)
+      .select(col("node"),
+        floor(col("ball_estimate") - lit(0.5)).cast("long").as("n_reach"))
   }
 
   /** HYPERBALL — the approximate scale path [[kHopReach]] documents:
@@ -247,6 +320,7 @@ object Graph {
   def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
                 k: Int, p: Int = 6): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    val m = 1 << p
     val ue = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
@@ -255,20 +329,68 @@ object Graph {
       .localCheckpoint(true)
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
+    // The m registers ride as ONE m-byte binary per node, not m rows:
+    // a ball's register set used to multiply every adjacency row by
+    // its register count in the per-round join (~m× row blowup once
+    // balls saturate — the dominant cost at sf0.1 was an ~18M-row
+    // join feeding the max-merge). Packed, each round joins |adj|
+    // binary rows and the union-in-sketch-space is an element-wise
+    // byte max (rho ≤ 61−p < 127 always fits a signed byte; 0 marks
+    // an empty register, distinct from any real rank since rank ≥ 1)
+    // — commutative and associative, so aggregation order cannot
+    // change the result and the evolution stays oracle-replayable.
+    // (A 64-tinyint-COLUMN variant with m built-in `max` aggregates
+    // was measured 1.9× SLOWER than this typed Aggregator at sf0.1 —
+    // 64 agg buffer slots per group cost more than one in-place
+    // byte-array merge, codegen notwithstanding.)
+    val pack = udf((reg: Long, rho: Int) => {
+      val a = new Array[Byte](m); a(reg.toInt) = rho.toByte; a
+    })
+    val regMax = udaf(new ByteMaxAgg(m))
     var regs = adj.select(col("node")).distinct()
       .select(col("node"),
-        Sketches.hllRegister(col("node"), p).as("reg"),
-        Sketches.hllRank(col("node"), p).as("maxrho"))
+        pack(Sketches.hllRegister(col("node"), p),
+          Sketches.hllRank(col("node"), p)).as("ball"))
       .localCheckpoint(true)
     for (_ <- 1 to k) {
       regs = regs
         .union(adj.join(regs.withColumnRenamed("node", "nbr"), "nbr")
-          .select(col("node"), col("reg"), col("maxrho")))
-        .groupBy(col("node"), col("reg")).agg(max(col("maxrho")).as("maxrho"))
+          .select(col("node"), col("ball")))
+        .groupBy(col("node")).agg(regMax(col("ball")).as("ball"))
         .localCheckpoint(true)
     }
-    Sketches.hllFinalize(regs, Seq("node"), p)
+    // Unpack ONCE (nodes rows, not per round) to the sparse
+    // (node, reg, maxrho) rows hllFinalize consumes — identical to
+    // the rows the row-per-register evolution produced.
+    val unpack = udf((b: Array[Byte]) =>
+      b.iterator.zipWithIndex
+        .collect { case (v, i) if v > 0 => (i.toLong, v.toInt) }.toSeq)
+    val sparse = regs
+      .select(col("node"), explode(unpack(col("ball"))).as("rr"))
+      .select(col("node"), col("rr._1").as("reg"), col("rr._2").as("maxrho"))
+    Sketches.hllFinalize(sparse, Seq("node"), p)
       .withColumnRenamed("nd_estimate", "ball_estimate")
+  }
+
+  /** Element-wise byte max over fixed-width register blocks —
+    * HyperBall's sketch-space set union ([[hyperBall]]). Ranks are
+    * small positives, so signed comparison IS the register max; the
+    * buffer mutates in place (one array per group, no per-row
+    * allocation). */
+  private final class ByteMaxAgg(m: Int)
+      extends org.apache.spark.sql.expressions.Aggregator[Array[Byte], Array[Byte], Array[Byte]] {
+    def zero: Array[Byte] = new Array[Byte](m)
+    def reduce(b: Array[Byte], a: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < m) { if (a(i) > b(i)) b(i) = a(i); i += 1 }
+      b
+    }
+    def merge(x: Array[Byte], y: Array[Byte]): Array[Byte] = reduce(x, y)
+    def finish(r: Array[Byte]): Array[Byte] = r
+    def bufferEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
+    def outputEncoder: org.apache.spark.sql.Encoder[Array[Byte]] =
+      org.apache.spark.sql.Encoders.BINARY
   }
 
   /** Synchronous label-propagation community detection — the graph

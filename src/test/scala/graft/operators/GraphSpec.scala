@@ -257,6 +257,30 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("kHopReachAuto routes: exact census under the bound, HyperBall-derived above it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L), (1L, 3L))
+    val df = edges.toDF("src", "dst")
+    // under the bound: bit-identical to the exact operator
+    val exact = Graph.kHopReach(df, "src", "dst", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val autoSmall = Graph.kHopReachAuto(df, "src", "dst", 2, maxExactEdges = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(autoSmall === exact)
+    // above the bound: same (node, n_reach) schema, values are the
+    // HyperBall estimate minus self, rounded half-up
+    val routed = Graph.kHopReachAuto(df, "src", "dst", 2, p = 6, maxExactEdges = 2L)
+    assert(routed.columns.toSeq === Seq("node", "n_reach"))
+    val est = Graph.hyperBall(df, "src", "dst", 2, 6)
+      .select(col("node"), col("ball_estimate"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = routed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet === est.keySet)
+    for ((n, v) <- got)
+      assert(v === math.floor(est(n) - 0.5).toLong, s"routed estimate diverged at node $n")
+  }
+
   test("hits ≡ sequential integer recurrence on random digraphs; star fixture") {
     import spark.implicits._
     def reference(edges: Seq[(Long, Long)], rounds: Int): Map[Long, (Long, Long)] = {
