@@ -42,16 +42,37 @@ object Similarity {
         round(col("sim_raw"), 6).as("sim"))
 
   /** Exact top-k cosine neighbors for each query vector (brute
-    * force). Queries are broadcast; the corpus is scanned once. */
+    * force). Queries are broadcast; the corpus is scanned once.
+    *
+    * The n×|q| scoring expansion and the map-side top-k partial both
+    * run INSIDE the corpus partitions, so an audit-scale corpus that
+    * arrives as one small file (one scan partition) would serialize
+    * the whole quadratic stage on one core. [[spreadSmall]] probes
+    * the partition count — no job, just physical planning — and
+    * pre-spreads only when the scan is narrower than the session
+    * parallelism; a 100 TB corpus already has thousands of scan
+    * partitions and keeps its no-corpus-shuffle plan. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id"): DataFrame = {
-    val c = prepared(corpus, idCol)
+    val c = spreadSmall(prepared(corpus, idCol))
     val q = prepared(queries, idCol)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
     val scored = c.join(broadcast(q), col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
         cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
     rankTopK(scored, k)
+  }
+
+  /** Round-robin the frame across the configured shuffle width IF its
+    * plan has fewer partitions — parallelism insurance for per-row
+    * expensive downstream work (a broadcast cross-score, a per-row
+    * decode) when the input is a single small file. The probe is
+    * plan-only (`rdd.getNumPartitions` runs no job); wide inputs
+    * pass through untouched, so the 100 TB path never pays a shuffle
+    * for this. */
+  private[graft] def spreadSmall(df: DataFrame): DataFrame = {
+    val width = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
   }
 
   /** Mutual k-NN graph: the undirected pairs where EACH endpoint
@@ -70,12 +91,25 @@ object Similarity {
     * reversed pair key — n·k rows a side, never the corpus — with
     * the `u < v` orientation cut deduplicating each undirected edge.
     * Output is integer-only (both ranks), so the gate needs no
-    * float hedge. */
-  def mutualKnn(knn: DataFrame): DataFrame = {
-    val fwd = knn.filter(col("query_id") < col("neighbor_id"))
+    * float hedge.
+    *
+    * `materializeInput` (default true) localCheckpoints the kNN
+    * frame before the self-join: both join sides read the SAME
+    * lineage, so without the cut an expensive producer (the n²
+    * brute-force scorer at audit scale) is recomputed once per side
+    * — measured ~2× on q142. The checkpoint is EAGER (a full
+    * materialization job runs at DataFrame-construction time, and a
+    * local checkpoint is non-reliable under executor loss): a lazy
+    * checkpoint would let the self-join's two independent shuffle
+    * stages race-compute the producer concurrently and lose the
+    * saving. Pass false when the input is already materialized
+    * (cached/checkpointed/a table) to keep construction lazy. */
+  def mutualKnn(knn: DataFrame, materializeInput: Boolean = true): DataFrame = {
+    val edgeList = if (materializeInput) knn.localCheckpoint(true) else knn
+    val fwd = edgeList.filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("u"), col("neighbor_id").as("v"),
         col("rank").cast("long").as("rank_uv"))
-    val rev = knn.filter(col("query_id") > col("neighbor_id"))
+    val rev = edgeList.filter(col("query_id") > col("neighbor_id"))
       .select(col("neighbor_id").as("u"), col("query_id").as("v"),
         col("rank").cast("long").as("rank_vu"))
     fwd.join(rev, Seq("u", "v"))
@@ -354,7 +388,11 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, threshold: Double,
                    idCol: String = "vec_id"): DataFrame = {
     val p = prepared(embeddings, idCol)
-    val a = p.select(col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    // Streamed side pre-spread: the n²/2 scoring expansion runs inside
+    // the streamed partitions (see [[bruteForceTopK]]), and this exact
+    // path only ever runs on audit-scale corpora that may be one file.
+    val a = spreadSmall(
+      p.select(col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na")))
     val b = p.select(col(idCol).as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("sim_raw", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
