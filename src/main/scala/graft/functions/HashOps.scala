@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels behind the hash expressions ([[MinHashSig]]).
   *
@@ -69,6 +70,39 @@ object HashOps {
       t += 1
     }
     if (n == 0) null else new GenericArrayData(out)
+  }
+
+  /** Count-min bucket row for every depth in one pass: ONE md5 of the
+    * term covers the first four rows (row d reads digest bytes
+    * [4d, 4d+4) big-endian unsigned — bit-identical to DuckDB's
+    * `('0x' || substr(md5(term), 1 + 8*d, 8))::BIGINT`), deeper rows
+    * fall back to the salted 60-bit digest `h60("cms<d>:" || term)`
+    * exactly as the former column-composed form did. The kernel
+    * replaces a per-row md5→hex→4×substring→4×conv(16,10) string
+    * pipeline that dominated the CMS build (measured ~2× the whole
+    * sketch aggregate at sf0.1). */
+  def cmsBuckets(term: UTF8String, depth: Int, width: Int): ArrayData = {
+    val out = new Array[Long](depth)
+    val md = md5Local.get()
+    md.reset()
+    val dig = md.digest(term.getBytes)
+    var d = 0
+    while (d < depth && d < 4) {
+      val h = ((dig(4 * d) & 0xffL) << 24) | ((dig(4 * d + 1) & 0xffL) << 16) |
+        ((dig(4 * d + 2) & 0xffL) << 8) | (dig(4 * d + 3) & 0xffL)
+      out(d) = h % width
+      d += 1
+    }
+    while (d < depth) {
+      val salt = s"cms$d:".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val bytes = term.getBytes
+      val buf = new Array[Byte](salt.length + bytes.length)
+      System.arraycopy(salt, 0, buf, 0, salt.length)
+      System.arraycopy(bytes, 0, buf, salt.length, bytes.length)
+      out(d) = h60(buf) % width
+      d += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** Top 60 bits of md5(bytes) — equals parsing the first 15 hex chars. */

@@ -247,6 +247,25 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** Count-min bucket per depth row (string → array<long>, one md5 for
+  * the first four rows, salted digests beyond — see
+  * [[HashOps.cmsBuckets]]); index = depth row, value = bucket. */
+case class CmsBucketArray(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.cmsBuckets(v.asInstanceOf[UTF8String], depth, width)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.cmsBuckets($c, $depth, $width)")
+
+  override protected def withNewChildInternal(c: Expression): CmsBucketArray =
+    copy(child = c)
+}
+
 /** SimHash60 of a distinct-token array (array<string> → long) in one
   * codegen'd pass ([[HashOps.simhash60Tokens]]). */
 case class SimHashTokens60(child: Expression) extends UnaryExpression {
@@ -769,6 +788,8 @@ object GraftFunctions {
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))
   def simhash60(c: Column): Column = col(SimHash60(expr(c)))
   def minhash_sig(c: Column, k: Int): Column = col(MinHashSig(expr(c), k))
+  def cms_buckets(c: Column, depth: Int, width: Int): Column =
+    col(CmsBucketArray(expr(c), depth, width))
   def min_shingle_hash(c: Column, n: Int): Column = col(MinShingleHash(expr(c), n))
   def top_shingle_run(c: Column, n: Int): Column = col(TopShingleRun(expr(c), n))
   def canonical_url(c: Column): Column = col(CanonicalUrl(expr(c)))

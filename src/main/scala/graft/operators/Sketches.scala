@@ -25,24 +25,26 @@ object Sketches {
     * One digest per term instance instead of `depth` salted digests
     * (the salted form measured 3.5x DuckDB on the token stream; the
     * digest IS the scan's hot loop). md5's 128 bits cap the sliced
-    * rows at 4; deeper rows fall back to salted digests. */
-  private def bucketOf(termCol: Column, d: Int, width: Int): Column = {
-    val h =
-      if (d < 4) conv(substring(md5(termCol), 1 + 8 * d, 8), 16, 10).cast("long")
-      else HashFunctions.h60(concat(lit(s"cms$d:"), termCol))
-    pmod(h, lit(width.toLong))
+    * rows at 4; deeper rows fall back to salted digests. All depth
+    * buckets come out of ONE codegen'd kernel call
+    * ([[graft.functions.HashOps.cmsBuckets]], index = depth row) —
+    * the previous md5→hex→substring→conv(16,10) column pipeline
+    * re-materialized hex strings per depth row and alone cost ~2×
+    * the whole sketch aggregate at sf0.1. Values are bit-identical
+    * (DuckDB replays `('0x' || substr(md5(t), 1+8d, 8))::BIGINT %
+    * width`). */
+  def cmsBucketArray(termCol: Column, depth: Int, width: Int): Column = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    GraftFunctions.cms_buckets(termCol, depth, width)
   }
 
   /** The depth cells one term touches, as an array of (d, bucket)
     * structs — shared by the batch sketch below and the streaming
     * windowed sketch (`EventStreams.cmsRegistersWindowed`), so their
     * cell states merge/compare exactly. */
-  def cmsCells(termCol: Column, depth: Int, width: Int): Column = {
-    require(depth > 0 && width > 0, "depth and width must be positive")
-    array((0 until depth).map { d =>
-      struct(lit(d).as("d"), bucketOf(termCol, d, width).as("bucket"))
-    }: _*)
-  }
+  def cmsCells(termCol: Column, depth: Int, width: Int): Column =
+    transform(cmsBucketArray(termCol, depth, width),
+      (b, i) => struct(i.as("d"), b.as("bucket")))
 
   /** Build a depth x width count-min sketch over one term per input
     * row: returns `(d, bucket, cnt)` rows — at most depth*width of
@@ -50,8 +52,9 @@ object Sketches {
   def countMinSketch(terms: DataFrame, termCol: String,
                      depth: Int = 4, width: Int = 512): DataFrame =
     terms
-      .select(explode(cmsCells(col(termCol), depth, width)).as("db"))
-      .groupBy(col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .select(posexplode(cmsBucketArray(col(termCol), depth, width))
+        .as(Seq("d", "bucket")))
+      .groupBy(col("d"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
   /** CMS JOIN-SIZE estimation audit — the query-optimizer
@@ -99,18 +102,14 @@ object Sketches {
     * depth*width rows, so it broadcasts; the probe side never
     * shuffles more than (probes x depth) rows. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String,
-                  depth: Int = 4, width: Int = 512): DataFrame = {
-    require(depth > 0 && width > 0, "depth and width must be positive")
-    val rows = (0 until depth).map { d =>
-      struct(lit(d).as("d"), bucketOf(col(termCol), d, width).as("bucket"))
-    }
+                  depth: Int = 4, width: Int = 512): DataFrame =
     probes
-      .select(col(termCol), explode(array(rows: _*)).as("db"))
-      .select(col(termCol), col("db.d").as("d"), col("db.bucket").as("bucket"))
+      .select(col(termCol),
+        posexplode(cmsBucketArray(col(termCol), depth, width))
+          .as(Seq("d", "bucket")))
       .join(broadcast(sketch), Seq("d", "bucket"), "left")
       .groupBy(col(termCol))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
-  }
 
   /** Exponent scale of the harmonic sum for precision `p`: rho is at
     * most `lowBits + 1`, so `2^(scaleExp - rho)` is a nonnegative

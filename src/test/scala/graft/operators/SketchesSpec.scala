@@ -13,6 +13,28 @@ class SketchesSpec extends SparkSuite {
     ts <- Gen.listOfN(n, Gen.chooseNum(1, 25).map(i => s"term$i"))
   } yield ts
 
+  test("cmsBuckets kernel ≡ the md5-hex column pipeline, sliced and salted rows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // depth 6 exercises both regimes: rows 0-3 slice ONE md5 (DuckDB's
+    // ('0x' || substr(md5(t), 1+8d, 8))::BIGINT % width), rows 4-5 the
+    // salted h60 fallback.
+    val depth = 6; val width = 512
+    val terms = (1 to 40).map(i => s"term$i") :+ "" :+ "✓ unicode ñ"
+    val legacy = terms.toDF("t").select(col("t"),
+      array((0 until depth).map { d =>
+        val h =
+          if (d < 4) conv(substring(md5(col("t")), 1 + 8 * d, 8), 16, 10).cast("long")
+          else graft.functions.HashFunctions.h60(concat(lit(s"cms$d:"), col("t")))
+        pmod(h, lit(width.toLong))
+      }: _*).as("b"))
+    val kernel = terms.toDF("t").select(col("t"),
+      Sketches.cmsBucketArray(col("t"), depth, width).as("b"))
+    val l = legacy.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val k = kernel.collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(k === l)
+  }
+
   test("CMS estimates are never below true counts; wide sketches are exact") {
     import spark.implicits._
     for (terms <- PropSampling.sample(termGen, n = 5)) {
