@@ -72,24 +72,40 @@ object Assets {
         count(lit(1)).as("n_parts"))
   }
 
-  /** S9 boundary: per-document text extraction from binary content.
-    * The reference uses PyMuPDF (`process_all.py:265-279`); the
-    * container has no PDF library, so the default extractor is the
-    * documented plain-text stand-in — the Spark-side plumbing
-    * (binary scan, projection shape, downstream text pipeline) is
-    * the real thing and is what the tests exercise. */
+  /** S9: per-document text extraction from binary content. The
+    * reference uses PyMuPDF (`process_all.py:265-279`); here PDF
+    * payloads go through the pure-JVM [[graft.functions.PdfOps]]
+    * extractor (object scan, FlateDecode + PNG predictors, PDF 1.5
+    * object streams, page-tree walk, content-stream text operators,
+    * ToUnicode CMaps — see its scaladoc for the declared
+    * approximations), and anything else decodes as UTF-8. Still
+    * pluggable for other binary formats. */
   trait TextExtractor extends Serializable {
     def extract(content: Array[Byte]): String
   }
 
-  /** Plain-UTF8 stand-in extractor (fixture documents are text). */
+  /** Plain-UTF8 extractor (for known-text corpora). */
   object PlainTextExtractor extends TextExtractor {
     def extract(content: Array[Byte]): String =
       new String(content, java.nio.charset.StandardCharsets.UTF_8)
   }
 
+  /** Real PDF text extraction ([[graft.functions.PdfOps]]). */
+  object PdfTextExtractor extends TextExtractor {
+    def extract(content: Array[Byte]): String =
+      graft.functions.PdfOps.extractText(content)
+  }
+
+  /** Magic-sniffing default: `%PDF-` payloads through the PDF
+    * extractor, everything else as UTF-8 text. */
+  object AutoTextExtractor extends TextExtractor {
+    def extract(content: Array[Byte]): String =
+      if (graft.functions.PdfOps.isPdf(content)) graft.functions.PdfOps.extractText(content)
+      else new String(content, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
   /** S9: binary docs → (path, text) through a pluggable extractor. */
-  def extractText(docs: DataFrame, extractor: TextExtractor = PlainTextExtractor): DataFrame = {
+  def extractText(docs: DataFrame, extractor: TextExtractor = AutoTextExtractor): DataFrame = {
     val ex = udf((b: Array[Byte]) => Option(b).map(extractor.extract))
     docs.select(col("path"), ex(col("content")).as("text"))
   }

@@ -1,0 +1,159 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[PdfOps]] text extraction on hand-built PDFs (every byte of
+  * the fixture is in this file, so the expected text is exact) plus
+  * golden checks on the two real TeX-produced PDF 1.5 files shipped
+  * with the base system (ObjStm + FlateDecode + xref-stream layout —
+  * the modern producer shape).
+  */
+class PdfSpec extends AnyFunSuite {
+
+  private def bytes(s: String): Array[Byte] = s.getBytes(StandardCharsets.ISO_8859_1)
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Assemble a PDF from (objNum, dictSource, streamPayload) parts. */
+  private def pdf(objs: (Int, String, Array[Byte])*): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.4\n"))
+    for ((num, dict, payload) <- objs) {
+      out.write(bytes(s"$num 0 obj\n$dict\n"))
+      if (payload != null) {
+        out.write(bytes("stream\n"))
+        out.write(payload)
+        out.write(bytes("\nendstream\n"))
+      }
+      out.write(bytes("endobj\n"))
+    }
+    out.write(bytes("trailer\n<< /Root 1 0 R >>\n%%EOF\n"))
+    out.toByteArray
+  }
+
+  private def contentObj(num: Int, content: String,
+                         compress: Boolean = false): (Int, String, Array[Byte]) = {
+    val raw = bytes(content)
+    val payload = if (compress) deflate(raw) else raw
+    val filter = if (compress) " /Filter /FlateDecode" else ""
+    (num, s"<< /Length ${payload.length}$filter >>", payload)
+  }
+
+  test("uncompressed fixture: Tj, TJ kerns, escapes, hex strings, Td newline, page join") {
+    val doc = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 6 0 R >> >> /Contents 4 0 R >>", null),
+      contentObj(4,
+        "BT /F1 12 Tf 72 720 Td (Hello) Tj [(, ) (world) -250 (again)] TJ " +
+          "0 -14 Td (Line2 \\050paren\\051) Tj <48495A> Tj ET"),
+      (5, "<< /Type /Page /Parent 2 0 R /Contents 7 0 R >>", null),
+      (6, "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>", null),
+      contentObj(7, "BT (Page two) Tj ET"))
+    val got = PdfOps.extractText(doc)
+    assert(got === "Hello, world again\nLine2 (paren)HIZ Page two")
+  }
+
+  test("FlateDecode content stream with an indirect /Length") {
+    val payload = deflate(bytes("BT (compressed text stream) Tj ET"))
+    val doc = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      (4, s"<< /Length 5 0 R /Filter /FlateDecode >>", payload),
+      (5, s"${payload.length}", null))
+    assert(PdfOps.extractText(doc) === "compressed text stream")
+  }
+
+  test("ToUnicode CMap: bfchar + bfrange over 2-byte codes decode to Unicode") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <0056>
+        |<0002> <1EC7>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0061>
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    val doc = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F9 5 0 R >> >> /Contents 4 0 R >>", null),
+      contentObj(4, "BT /F9 10 Tf <000100020010 00110012> Tj ET"),
+      (5, "<< /Type /Font /Subtype /Type0 /ToUnicode 6 0 R >>", null),
+      (6, s"<< /Length ${cmap.length} >>", bytes(cmap)))
+    // 0001→V, 0002→U+1EC7 (ệ), 0010..0012→a,b,c
+    assert(PdfOps.extractText(doc) === "Vệabc")
+  }
+
+  test("PDF 1.5 object stream: page tree inside a compressed ObjStm is found") {
+    val embedded =
+      "<< /Type /Catalog /Pages 2 0 R >> " +
+        "<< /Type /Pages /Kids [3 0 R] /Count 1 >> " +
+        "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val off2 = embedded.indexOf("<< /Type /Pages")
+    val off3 = embedded.indexOf("<< /Type /Page /Parent")
+    val header = s"1 0 2 $off2 3 $off3 "
+    val stmData = bytes(header + embedded)
+    val packed = deflate(stmData)
+    val doc = pdf(
+      (9, s"<< /Type /ObjStm /N 3 /First ${header.length} /Length ${packed.length} /Filter /FlateDecode >>", packed),
+      contentObj(4, "BT (from an object stream) Tj ET"))
+    assert(PdfOps.extractText(doc) === "from an object stream")
+  }
+
+  test("golden: real TeX-produced PDF 1.5 manuals extract readable text") {
+    val files = Seq(
+      ("/usr/share/doc/libtasn1-doc/libtasn1.pdf",
+        Seq("Abstract Syntax Notation One", "Libtasn1", "DER")),
+      ("/usr/share/doc/shared-mime-info/shared-mime-info-spec.pdf",
+        Seq("Shared MIME-info Database", "freedesktop", "MIME")))
+    for ((path, expect) <- files) {
+      val f = new java.io.File(path)
+      assume(f.exists(), s"golden file $path not present on this system")
+      val txt = PdfOps.extractText(java.nio.file.Files.readAllBytes(f.toPath))
+      assert(txt.length > 10000, s"$path extracted only ${txt.length} chars")
+      for (s <- expect) assert(txt.contains(s), s"$path text lacks '$s'")
+      // Mostly printable: a broken decode shows up as replacement/control soup.
+      val printable = txt.count(c => c >= ' ' || c == '\n' || c == '\t')
+      assert(printable.toDouble / txt.length > 0.99)
+    }
+  }
+
+  test("malformed inputs never throw: garbage, truncation, empty, non-PDF") {
+    assert(PdfOps.extractText(Array.emptyByteArray) === "")
+    assert(PdfOps.extractText(bytes("not a pdf at all")) === "")
+    assert(PdfOps.extractText(bytes("%PDF-1.4\ngarbage")) === "")
+    val ok = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      contentObj(4, "BT (x) Tj ET"))
+    for (cut <- Seq(10, ok.length / 2, ok.length - 5)) {
+      val t = PdfOps.extractText(java.util.Arrays.copyOf(ok, cut))
+      assert(t != null) // partial text or "" — must not throw
+    }
+  }
+
+  test("isPdf detects the magic only") {
+    assert(PdfOps.isPdf(bytes("%PDF-1.7 rest")))
+    assert(!PdfOps.isPdf(bytes("PDF-1.7")))
+    assert(!PdfOps.isPdf(null))
+    assert(!PdfOps.isPdf(bytes("%PD")))
+  }
+}

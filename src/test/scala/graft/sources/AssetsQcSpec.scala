@@ -68,6 +68,25 @@ class AssetsQcSpec extends SparkSuite {
     assert(out.toSeq == Seq("nội dung tài liệu"))
   }
 
+  test("S9 end-to-end: a real PDF payload decodes through the distributed scan") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "pdfs")
+    val content = "BT (page one of the scanned book) Tj ET"
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n" +
+      "2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n" +
+      "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n" +
+      s"4 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n" +
+      "trailer\n<< /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    Files.write(dir.resolve("doc.pdf"), pdf)
+    Files.writeString(dir.resolve("plain.txt"), "chữ thường")
+    val out = Assets.extractText(Assets.binaryDir(spark, s"$dir/*"))
+      .select("text").as[String].collect().toSet
+    // the magic-sniffing default routes the PDF through PdfOps and the
+    // text file through UTF-8 in the same scan
+    assert(out == Set("page one of the scanned book", "chữ thường"))
+  }
+
   test("E5 QC rejects the book the transcriber butchers") {
     val tree = Assets.datasetTree(spark, root)
       .withColumn("samples", Audio.decode(col("wav")))
