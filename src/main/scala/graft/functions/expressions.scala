@@ -559,6 +559,20 @@ case class PqEncode(child: Expression, m: Int, dsub: Int, ksub: Int,
       s"graft.functions.HashOps.pqEncode($c, $m, $dsub, $ksub, $cbRef, $nmRef)")
   }
 
+  // Array fields make the synthesized case-class equality
+  // reference-based, which would defeat subexpression elimination and
+  // plan-level dedup for two encode expressions built separately from
+  // the same fitted codebook: key equality on CONTENT instead.
+  override def equals(o: Any): Boolean = o match {
+    case p: PqEncode =>
+      p.child == child && p.m == m && p.dsub == dsub && p.ksub == ksub &&
+        java.util.Arrays.equals(p.cb, cb) && java.util.Arrays.equals(p.cnorms, cnorms)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(m), Int.box(dsub), Int.box(ksub),
+      Int.box(java.util.Arrays.hashCode(cb)), Int.box(java.util.Arrays.hashCode(cnorms)))
+
   override protected def withNewChildInternal(c: Expression): PqEncode =
     copy(child = c)
 }

@@ -67,8 +67,13 @@ object Dedup {
     // optimized away (counts are >= 1, so the predicate never drops
     // a row — it exists to force the guard's evaluation).
     val blocked = keyed.join(guard, "__blk").filter(col("__bn") >= 1L)
-    val a = blocked.select(col("__blk").as("__blk_a"), col(idCol).as("doc_a"),
-      col(textCol).as("__ta"))
+    // Streamed side pre-spread (see [[Similarity.spreadSmall]]): the
+    // per-pair levenshtein runs inside the streamed partitions of the
+    // broadcast block-join, and an audit-scale corpus that arrives as
+    // one parquet file would run every verification on one core.
+    val a = Similarity.spreadSmall(
+      blocked.select(col("__blk").as("__blk_a"), col(idCol).as("doc_a"),
+        col(textCol).as("__ta")))
     val b = blocked.select(col("__blk").as("__blk_b"), col(idCol).as("doc_b"),
       col(textCol).as("__tb"))
     // Predicate ORDER is load-bearing: the id orientation and the

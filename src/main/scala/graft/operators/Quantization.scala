@@ -282,10 +282,19 @@ object Quantization {
         asDouble(col(vecCol)).as("vec"))
       .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("codes", codesExpr(col("vec"), model.cbArrays, model.dsub))
-    // materialize=false when the CALLER already holds the corpus in
-    // a checkpoint (recomputing the kernel-encoded codes from memory
-    // is cheaper than an extra materialization action) or when the
-    // corpus is too large to copy (the 100 TB note above).
+    // materialize=true (default) is EAGER: localCheckpoint(true)
+    // runs a full corpus encode+materialize job at
+    // DataFrame-CONSTRUCTION time, even if the caller never executes
+    // the returned frame — the deliberate trade so the two dependent
+    // stages (ADC shortlist, exact re-rank) read one materialization
+    // instead of racing to recompute it; and local checkpoints are
+    // NON-RELIABLE — an executor lost after lineage truncation fails
+    // the job rather than recomputing. Pass materialize=false when
+    // the CALLER already holds the corpus in a checkpoint
+    // (recomputing the kernel-encoded codes from memory is cheaper
+    // than an extra materialization action), when construction must
+    // stay lazy, or when the corpus is too large to copy (the 100 TB
+    // note above).
     val base = if (materialize) built.localCheckpoint(true) else built
     val q = Similarity.prepared(queries, idCol, vecCol)
       .select(col(idCol).as("query_id"), col("vec").as("qvec"), col("norm").as("qnorm"))
