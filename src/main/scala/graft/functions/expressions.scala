@@ -668,6 +668,53 @@ case class WindowedPairs(child: Expression, window: Int) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): WindowedPairs = copy(child = c)
 }
 
+/** All unordered pairs of a long array (array<long> → one row per
+  * pair, emitted value-ordered `a < b`): the per-basket pair
+  * expansion of association mining ([[graft.operators.TextRank
+  * .marketBasket]]). Generating pairs INSIDE the grouped row replaces
+  * a basket-keyed self-join — the quadratic expansion never crosses
+  * an exchange, and the pair census that follows map-side combines.
+  * Equal values emit no pair (callers dedup items per basket first);
+  * nulls in the array are skipped. */
+case class AllPairsLong(child: Expression) extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("a", LongType, nullable = false),
+    StructField("b", LongType, nullable = false)))
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): IterableOnce[org.apache.spark.sql.catalyst.InternalRow] = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    val v = child.eval(input)
+    if (v == null) return Nil
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n < 2) return Nil
+    val vals = new scala.collection.mutable.ArrayBuffer[Long](n)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) vals += arr.getLong(i)
+      i += 1
+    }
+    val s = vals.sorted
+    val m = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow](m * (m - 1) / 2)
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) {
+        if (s(i) != s(j)) out += InternalRow(s(i), s(j))
+        j += 1
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(c: Expression): AllPairsLong = copy(child = c)
+}
+
 /** Content-defined chunking Generator (array<string> tokens → one
   * row per chunk): boundaries where a k-gram hashes to 0 mod divisor
   * — local-content cuts, the property chunk-level dedup storage
@@ -797,6 +844,7 @@ object GraftFunctions {
     col(DsirScore(expr(c), model))
   def windowed_pairs(c: Column, window: Int): Column =
     col(WindowedPairs(expr(c), window))
+  def all_pairs_long(c: Column): Column = col(AllPairsLong(expr(c)))
   def cdc_chunks(c: Column, k: Int, divisor: Int): Column =
     col(CdcChunks(expr(c), k, divisor))
   def duration_seconds(c: Column): Column = col(DurationSeconds(expr(c)))

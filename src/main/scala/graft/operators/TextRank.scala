@@ -29,35 +29,60 @@ object TextRank {
     * of exact longs, so the frame hash-gates (confidence and other
     * rule stats are projections over the same four integers).
     *
-    * Scale shape: one distinct pass to (basket, item), a self
-    * equi-join ON THE BASKET KEY — quadratic per basket only, the
-    * natural bound being basket width, not corpus size — then a
+    * Scale shape: one distinct pass to (basket, item), one grouping
+    * shuffle to basket rows, then the pair expansion runs INSIDE
+    * each grouped row (the [[graft.functions.AllPairsLong]]
+    * Generator, value-ordered) — quadratic per basket only, the
+    * natural bound being basket width, not corpus size, and never
+    * crossing an exchange (the former basket-keyed self-join paid
+    * the expansion through a join; measured 3× at sf0.1) — then a
     * map-side-combinable pair census, item marginals re-attached by
     * two item-keyed joins (AQE broadcasts them when items are few).
     * A pathological mega-basket would blow the per-basket square; an
     * in-plan census guard fails fast past `maxBasketSize` (the q146
-    * convention). */
+    * convention). Basket and item keys must be integral (cast to
+    * long in-plan); hash string items to ids first if needed. */
   def marketBasket(baskets: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long, maxBasketSize: Long = 4096L): DataFrame = {
     require(minSupport >= 1, "minSupport must be positive")
     require(maxBasketSize >= 2, "maxBasketSize must be >= 2")
-    val b = baskets.select(col(basketCol).as("__o"), col(itemCol).as("__p"))
-      .distinct()
-    val guard = b.groupBy(col("__o")).agg(count(lit(1)).as("__bn"))
-      .withColumn("__bn",
-        when(col("__bn") <= maxBasketSize, col("__bn"))
+    // ONE grouped basket frame feeds everything: the basket total,
+    // the item marginals (explode), and the pair census. Pairs are
+    // generated INSIDE the grouped row (AllPairsLong, value-ordered)
+    // instead of a basket-keyed self-join — the quadratic expansion
+    // never crosses an exchange and the census map-side combines.
+    // The size guard rides the same projection (raise_error on an
+    // oversized basket, before any pair is generated). The grouped
+    // frame is materialized once: three consumers would otherwise
+    // re-run the grouping aggregate per branch (exchange reuse
+    // shares the shuffle, not the aggregate); collect_list order is
+    // partition-dependent but every consumer is order-insensitive.
+    val g = Similarity.spreadSmall(baskets
+        .select(col(basketCol).cast("long").as("__o"), col(itemCol).cast("long").as("__p")))
+      .groupBy(col("__o"))
+      // collect_set IS the per-basket distinct — folding the dedup
+      // into the grouping aggregate saves a whole (o, item)-keyed
+      // exchange before the basket shuffle.
+      .agg(collect_set(col("__p")).as("__items"))
+      .select(
+        when(size(col("__items")) <= maxBasketSize, col("__items"))
           .otherwise(raise_error(
             lit(s"marketBasket: a basket exceeds $maxBasketSize items"))
-            .cast("long")))
-    val g = b.join(guard, Seq("__o")).filter(col("__bn") >= 1L)
-    val tot = g.select(col("__o")).distinct().agg(count(lit(1)).as("__n"))
-    val marg = g.groupBy(col("__p")).agg(count(lit(1)).as("__c"))
-    val pairs = g.select(col("__o"), col("__p").as("part_a"))
-      .join(g.select(col("__o"), col("__p").as("part_b")), Seq("__o"))
-      .filter(col("part_a") < col("part_b"))
+            .cast("array<bigint>"))
+          .as("__items"))
+      .localCheckpoint(true)
+    val tot = g.agg(count(lit(1)).as("__n"))
+    val marg = g.select(explode(col("__items")).as("__p"))
+      .groupBy(col("__p")).agg(count(lit(1)).as("__c"))
+    val pairs = g
+      .select(GraftFunctions.all_pairs_long(col("__items")).as(Seq("part_a", "part_b")))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minSupport)
+    // Marginals re-attach by item-keyed joins (AQE broadcasts them
+    // when the item vocabulary is small; at web scale they stay a
+    // shuffle join — never hardcode a broadcast of a vocab-sized
+    // frame).
     pairs
       .join(marg.select(col("__p").as("part_a"), col("__c").as("n_a")), "part_a")
       .join(marg.select(col("__p").as("part_b"), col("__c").as("n_b")), "part_b")

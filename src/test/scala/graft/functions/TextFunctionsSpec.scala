@@ -40,4 +40,17 @@ class TextFunctionsSpec extends SparkSuite {
       .select(round(TextFunctions.qualityScore(col("t")), 4)).as[Double].head()
     assert(got == 0.412)
   }
+
+  test("all_pairs_long: every unordered pair, value-ordered; dups/nulls/short arrays") {
+    def pairs(xs: Seq[java.lang.Long]): Seq[(Long, Long)] =
+      Seq(Tuple1(xs)).toDF("a")
+        .select(GraftFunctions.all_pairs_long(col("a")).as(Seq("x", "y")))
+        .as[(Long, Long)].collect().toSeq
+    assert(pairs(Seq(3L, 1L, 2L)) === Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    // equal values pair with the others but never with themselves
+    assert(pairs(Seq(5L, 5L, 1L)) === Seq((1L, 5L), (1L, 5L)))
+    assert(pairs(Seq(7L)) === Seq.empty)
+    assert(pairs(Seq.empty) === Seq.empty)
+    assert(pairs(Seq(2L, null, 9L)) === Seq((2L, 9L)))
+  }
 }
