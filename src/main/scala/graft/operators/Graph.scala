@@ -87,8 +87,13 @@ object Graph {
     // Wedges at the apex: unordered out-neighbor pairs, ordered by
     // the SAME (deg, node) total order so the closing edge — if it
     // exists — is oriented y→z by construction.
+    // Pre-spread the streamed wedge side (the q129/kHopReach lesson):
+    // a broadcast apex join otherwise expands wedges on however few
+    // partitions the oriented edge list happens to have.
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val e1 = o.select(col("src").as("x"), col("dst").as("y"),
       col("ddeg").as("dy"))
+      .repartition(width, col("x"))
     val e2 = o.select(col("src").as("x"), col("dst").as("z"),
       col("ddeg").as("dz"))
     val wedges = e1.join(e2,
@@ -476,7 +481,13 @@ object Graph {
     val mids =
       if (maxDegree == Long.MaxValue) adj
       else adj.join(deg.filter(col("deg") <= maxDegree).select("node"), "node")
+    // Pre-spread the streamed wedge side (the q129/kHopReach lesson):
+    // a broadcast wedge join otherwise runs the deg²-expanded pair
+    // stream and its census partials on the checkpoint's few
+    // AQE-coalesced partitions.
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val cn = mids.select(col("node"), col("nbr").as("a"))
+      .repartition(width, col("node"))
       .join(mids.select(col("node"), col("nbr").as("b")), "node")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("cn"))
@@ -526,7 +537,10 @@ object Graph {
         .withColumn("__w", expr(
           s"CAST(CASE WHEN deg >= 2 THEN 16777216 DIV ${
             graft.operators.Curation.flog2qSql("deg")} ELSE 0 END AS BIGINT)"))
+    // Pre-spread the streamed wedge side (the q129/kHopReach lesson).
+    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
     val aa = mids.select(col("node"), col("nbr").as("a"), col("__w"))
+      .repartition(width, col("node"))
       .join(mids.select(col("node"), col("nbr").as("b")), "node")
       .filter(col("a") < col("b"))
       .groupBy(col("a"), col("b"))
