@@ -139,6 +139,145 @@ object Bpe {
     (mergeDf, dict)
   }
 
+  /** UTF-8-byte lexicographic order — Spark's StringType ordering.
+    * Java's String.compareTo sorts by UTF-16 code unit, which
+    * disagrees with UTF-8 bytes for supplementary characters; the
+    * local trainer must break ties exactly like the distributed
+    * `orderBy(lhs.asc, rhs.asc)` does. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Driver-side twin of [[learnMerges]] for dictionary-bounded
+    * vocabularies: ONE bounded collect of the word-frequency
+    * dictionary (fail-fast past `maxDictRows` — the bounded-model-
+    * collect convention), then the merge loop runs in-JVM with
+    * bit-identical semantics — positional pair census (overlaps
+    * included), ties on (count DESC, lhs UTF-8 ASC, rhs UTF-8 ASC),
+    * greedy left-to-right non-overlapping application — so the
+    * returned merge table and segmented dictionary equal the
+    * distributed trainer's row-for-row (BpeSpec pins the
+    * differential). The win is removing numMerges driver-barrier
+    * Spark jobs: a 50-merge fit is one collect + microseconds of
+    * array work. */
+  def learnMergesLocal(
+      words: DataFrame, wordCol: String, freqCol: String,
+      numMerges: Int, maxDictRows: Int = 1 << 20): (DataFrame, DataFrame) = {
+    val probe = initDict(words, wordCol, freqCol)
+      .select(col("word"), col("freq"))
+      .limit(maxDictRows + 1).collect()
+    require(probe.length <= maxDictRows,
+      s"learnMergesLocal: dictionary exceeds $maxDictRows rows - use learnMerges (distributed)")
+    fitLocal(words.sparkSession, probe, numMerges)
+  }
+
+  private def fitLocal(spark: SparkSession, probe: Array[Row],
+                       numMerges: Int): (DataFrame, DataFrame) = {
+    val vocabWords = probe.map(_.getString(0))
+    val freqs = probe.map(_.getLong(1))
+    // Token sequences: one array of code-point strings per word.
+    val seqs: Array[Array[String]] = vocabWords.map { w =>
+      val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+      var i = 0
+      while (i < w.length) {
+        val cp = w.codePointAt(i)
+        val n = Character.charCount(cp)
+        out += w.substring(i, i + n)
+        i += n
+      }
+      out.toArray
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
+    var rank = 1L
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val census = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      var w = 0
+      while (w < seqs.length) {
+        val s = seqs(w); val f = freqs(w)
+        var i = 0
+        while (i + 1 < s.length) {
+          val k = (s(i), s(i + 1))
+          census.update(k, census.getOrElse(k, 0L) + f)
+          i += 1
+        }
+        w += 1
+      }
+      if (census.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- census) {
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (utf8Lt(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && utf8Lt(e._1._2, best._1._2))))) best = e
+        }
+        val ((l, r), c) = best
+        merges += Row(rank, l, r, l + r, c)
+        var w2 = 0
+        while (w2 < seqs.length) {
+          val s = seqs(w2)
+          var touches = false
+          var i = 0
+          while (!touches && i + 1 < s.length) {
+            if (s(i) == l && s(i + 1) == r) touches = true
+            i += 1
+          }
+          if (touches) {
+            val out = new scala.collection.mutable.ArrayBuffer[String](s.length)
+            i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+                out += l + r; i += 2 // greedy left-to-right, non-overlapping
+              } else { out += s(i); i += 1 }
+            }
+            seqs(w2) = out.toArray
+          }
+          w2 += 1
+        }
+        rank += 1L
+      }
+    }
+    val mergeDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(merges.toSeq, 1), mergeSchema)
+    val dictRows = vocabWords.indices.map { i =>
+      Row(vocabWords(i), freqs(i), Sep + seqs(i).mkString(Bnd) + Sep)
+    }
+    val dictDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(dictRows, math.max(1, spark.sparkContext.defaultParallelism / 2)),
+      StructType(Seq(
+        StructField("word", StringType, nullable = false),
+        StructField("freq", LongType, nullable = false),
+        StructField("seq", StringType, nullable = false))))
+    (mergeDf, dictDf)
+  }
+
+  /** Size-guarded trainer: [[learnMergesLocal]] when the dictionary
+    * fits the bounded collect, [[learnMerges]] (distributed rounds)
+    * above it — the `nearDupPairsAuto` probe-and-route convention.
+    * The probe is a bounded `limit(n+1).count()`, so a web-scale
+    * vocabulary pays one cheap partial scan and keeps every merge
+    * round distributed. */
+  def learnMergesAuto(
+      words: DataFrame, wordCol: String, freqCol: String,
+      numMerges: Int, maxLocalDict: Int = 1 << 20): (DataFrame, DataFrame) = {
+    // The probe IS the local fit's input when it fits — one scan,
+    // never two.
+    val probe = initDict(words, wordCol, freqCol)
+      .select(col("word"), col("freq"))
+      .limit(maxLocalDict + 1).collect()
+    if (probe.length <= maxLocalDict) fitLocal(words.sparkSession, probe, numMerges)
+    else learnMerges(words, wordCol, freqCol, numMerges)
+  }
+
   /** Stateless BPE segmentation under a COLLECTED merge table — the
     * score-stream half of the fit-batch/score-stream split (the
     * [[graft.streaming.EventStreams]] deployment family): the ranked

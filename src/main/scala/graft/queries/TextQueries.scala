@@ -215,7 +215,7 @@ object TextQueries {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("freq"))
-      val (merges, _) = graft.operators.Bpe.learnMerges(words, "word", "freq", 10)
+      val (merges, _) = graft.operators.Bpe.learnMergesAuto(words, "word", "freq", 10)
       merges.orderBy("merge_rank")
     },
 
@@ -243,7 +243,7 @@ object TextQueries {
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("freq"))
-      val (_, dict) = graft.operators.Bpe.learnMerges(words, "word", "freq", 10)
+      val (_, dict) = graft.operators.Bpe.learnMergesAuto(words, "word", "freq", 10)
       graft.operators.Bpe.segmentStats(docs, "doc_id", "text", dict)
         .orderBy("doc_id")
     },

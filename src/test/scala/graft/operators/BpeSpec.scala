@@ -105,4 +105,38 @@ class BpeSpec extends SparkSuite {
       Row(1L, 3L, 5L, 11L, 22000L),
       Row(2L, 1L, 1L, 4L, 40000L)))
   }
+
+  test("learnMergesLocal ≡ learnMerges: merge table and segmented dict row-for-row") {
+    // Exercises every edge the distributed trainer pins: overlap runs,
+    // exact tie-breaks, chained merges, multi-word frequency
+    // weighting, early exhaustion, and unicode (code-point tokens).
+    val corpora = Seq(
+      dictOf("aaa" -> 5L),
+      dictOf("ba" -> 3L, "ab" -> 3L),
+      dictOf("abab" -> 4L, "these" -> 2L, "aaaaa" -> 1L),
+      dictOf("xy" -> 1L),
+      dictOf("độộ" -> 7L, "ộb" -> 7L, "ab" -> 2L))
+    for (corpus <- corpora; k <- Seq(1, 3, 8)) {
+      val (dm, dd) = Bpe.learnMerges(corpus, "word", "freq", k)
+      val (lm, ld) = Bpe.learnMergesLocal(corpus, "word", "freq", k)
+      assert(lm.collect().toSeq === dm.collect().toSeq,
+        s"merge tables diverged (k=$k)")
+      assert(ld.orderBy("word").collect().toSeq === dd.orderBy("word").collect().toSeq,
+        s"segmented dictionaries diverged (k=$k)")
+    }
+    // the router takes the local branch under the bound and the
+    // distributed one above it, with identical results either way
+    val c = dictOf("abab" -> 4L, "cd" -> 9L)
+    val (am, ad) = Bpe.learnMergesAuto(c, "word", "freq", 2, maxLocalDict = 1)
+    val (bm, bd) = Bpe.learnMergesAuto(c, "word", "freq", 2)
+    assert(am.collect().toSeq === bm.collect().toSeq)
+    assert(ad.orderBy("word").collect().toSeq === bd.orderBy("word").collect().toSeq)
+  }
+
+  test("learnMergesLocal fails fast past the dictionary bound") {
+    intercept[IllegalArgumentException] {
+      Bpe.learnMergesLocal(dictOf("ab" -> 1L, "cd" -> 1L, "ef" -> 1L),
+        "word", "freq", 1, maxDictRows = 2)
+    }
+  }
 }
