@@ -22,14 +22,24 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def apply(appName: String, cpus: String): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Dev knob: SPARK_GRAFT_EXTRA_CONF="k=v;k=v" overlays session
+    // conf for A/B experiments (e.g. AQE on/off sweeps). The driver
+    // never sets it; semantics-relevant settings above are defaults,
+    // not law, under an explicit experiment.
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k.trim, v.trim)
+      }
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SQL surface parity: spark.sql callers get the same custom
     // expressions as the Column API.
