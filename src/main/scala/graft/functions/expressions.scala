@@ -247,6 +247,44 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): MinHashSig = copy(child = c)
 }
 
+/** 60-bit md5 hash (string → long): top 60 bits of the digest, equal
+  * to parsing the first 15 hex chars — ONE MessageDigest call
+  * ([[HashOps.h60]]) replacing the md5→hex→conv(16,10) column
+  * pipeline (the CMS-kernel lesson applied to the house hash
+  * itself; values bit-identical, DuckDB replays
+  * `('0x' || substr(md5(x), 1, 15))::BIGINT`). Foldable on literal
+  * input so plan-time constants (hyperplane seeds, salts) still
+  * constant-fold. */
+case class H60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashOps.h60(v.asInstanceOf[UTF8String].getBytes))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.h60($c.getBytes())")
+
+  override protected def withNewChildInternal(c: Expression): H60 = copy(child = c)
+}
+
+/** 28-bit md5 hash (string → long): top 28 bits of the digest —
+  * kernel twin of [[H60]] ([[HashOps.h28]]). */
+case class H28(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def foldable: Boolean = child.foldable
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(HashOps.h28(v.asInstanceOf[UTF8String].getBytes))
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashOps.h28($c.getBytes())")
+
+  override protected def withNewChildInternal(c: Expression): H28 = copy(child = c)
+}
+
 /** Count-min bucket per depth row (string → array<long>, one md5 for
   * the first four rows, salted digests beyond — see
   * [[HashOps.cmsBuckets]]); index = depth row, value = bucket. */

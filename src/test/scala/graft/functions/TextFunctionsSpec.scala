@@ -53,4 +53,27 @@ class TextFunctionsSpec extends SparkSuite {
     assert(pairs(Seq.empty) === Seq.empty)
     assert(pairs(Seq(2L, null, 9L)) === Seq((2L, 9L)))
   }
+
+  test("h60/h28 kernel ≡ the md5-hex conv pipeline; nulls pass through; literals fold") {
+    val terms = Seq("", "a", "token42", "✓ unicode ñ độ", "plane:3:17", "x" * 500)
+    val df = terms.toDF("t")
+    val legacy = df.select(
+      conv(substring(md5(col("t")), 1, 15), 16, 10).cast("long"),
+      conv(substring(md5(col("t")), 1, 7), 16, 10).cast("long"))
+      .as[(Long, Long)].collect()
+    val kernel = df.select(
+        HashFunctions.h60(col("t")), HashFunctions.h28(col("t")))
+      .as[(Long, Long)].collect()
+    assert(kernel.toSeq === legacy.toSeq)
+    // null intolerance matches md5's
+    val n = Seq[Option[String]](None).toDF("t")
+      .select(HashFunctions.h60(col("t"))).collect()(0)
+    assert(n.isNullAt(0))
+    // a literal argument constant-folds at plan time (hyperplane
+    // seeds and salts rely on this)
+    val opt = spark.range(1).select(HashFunctions.h60(lit("seed:1")))
+      .queryExecution.optimizedPlan
+    val unfolded = opt.expressions.exists(_.exists(_.isInstanceOf[H60]))
+    assert(!unfolded, s"literal h60 did not fold:\n$opt")
+  }
 }
