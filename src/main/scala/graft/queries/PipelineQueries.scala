@@ -1517,6 +1517,70 @@ object PipelineQueries {
       Graph.hyperBall(edges, "src", "dst", k = 2, p = 6).orderBy("node")
     },
 
+    // ---- q183: the ROUTED k-hop path as its own gate — q129's
+    // size-guarded wrapper forced over the bound (maxExactEdges =
+    // 1024 < every SF's edge count), so the query hash-gates the
+    // HyperBall branch's (node, n_reach) presentation: the register-
+    // exact ball estimate minus self, rounded half-up (FLOOR(est −
+    // 0.5), rounding-rule-free on the cross-engine-identical
+    // double). GraphLinearitySpec + GraphSpec pin the exact branch
+    // and the branch equivalence; this pins the routed surface a
+    // 100 TB caller actually gets.
+    Q("q183_khop_auto_routed", Some {
+      val p = 6
+      val m = 1 << p
+      val low = 60 - p
+      val scaleExp = low + 1
+      val cNum = Sketches.hllAlpha(p) * m * m
+      val cDen = (1L << scaleExp).toDouble
+      s"""
+      WITH e AS (
+        SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v FROM (
+          SELECT o_custkey % ((SELECT COUNT(*) FROM orders) // 8) AS a,
+                 (o_custkey * 7 + o_orderkey * 13)
+                   % ((SELECT COUNT(*) FROM orders) // 8) AS b
+          FROM orders)
+        WHERE a <> b),
+      adj AS (SELECT u AS node, v AS nbr FROM e UNION ALL SELECT v, u FROM e),
+      nodes AS (SELECT DISTINCT node FROM adj),
+      h AS (SELECT node,
+              ('0x' || substr(md5(node::VARCHAR), 1, 15))::BIGINT AS h
+            FROM nodes),
+      r0 AS (SELECT node, h >> $low AS reg,
+               CASE WHEN (h & ((1::BIGINT << $low) - 1)) = 0 THEN ${low + 1}
+                    ELSE ${low + 1} - length(bin(h & ((1::BIGINT << $low) - 1)))
+               END AS maxrho
+             FROM h),
+      r1 AS (SELECT node, reg, MAX(maxrho) AS maxrho FROM (
+               SELECT node, reg, maxrho FROM r0
+               UNION ALL
+               SELECT a.node, r0.reg, r0.maxrho
+               FROM adj a JOIN r0 ON r0.node = a.nbr)
+             GROUP BY 1, 2),
+      r2 AS (SELECT node, reg, MAX(maxrho) AS maxrho FROM (
+               SELECT node, reg, maxrho FROM r1
+               UNION ALL
+               SELECT a.node, r1.reg, r1.maxrho
+               FROM adj a JOIN r1 ON r1.node = a.nbr)
+             GROUP BY 1, 2),
+      s AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS n_regs,
+              CAST(SUM(1::BIGINT << ($scaleExp - maxrho)) AS BIGINT)
+                + ($m - COUNT(*)) * (1::BIGINT << $scaleExp) AS s_scaled
+            FROM r2 GROUP BY 1)
+      SELECT node,
+             CAST(FLOOR($cNum / (CAST(s_scaled AS DOUBLE) / $cDen) - 0.5) AS BIGINT) AS n_reach
+      FROM s ORDER BY node"""
+    }) { (s, d) =>
+      val m = Tables.orders(s, d).count() / 8L
+      val edges = Tables.orders(s, d).select(
+          pmod(col("o_custkey"), lit(m)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+      Graph.kHopReachAuto(edges, "src", "dst", k = 2, p = 6,
+          maxExactEdges = 1024L)
+        .orderBy("node")
+    },
+
     // ---- q131: time-bucket resample + LOCF gap-fill — the
     // densify-to-a-regular-grid step (6h buckets over the 30-day
     // event window, ~46% of spine buckets observed at sf0.1, so the
