@@ -785,7 +785,10 @@ object TextQueries {
       FROM ov JOIN l la ON la.doc_id = doc_a JOIN l lb ON lb.doc_id = doc_b
       WHERE ov / (la.n + lb.n - ov) >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
-      Dedup.jaccardSimilarityJoin(q46Corpus(s, d), threshold = 0.9)
+      // The synthetic corpus is EXPENSIVE (one md5 per token); the
+      // join's bounded guard probes would re-synthesize it per probe
+      // without the checkpoint (measured ~1s of the query).
+      Dedup.jaccardSimilarityJoin(q46Corpus(s, d).localCheckpoint(true), threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
 
@@ -1511,7 +1514,7 @@ object TextQueries {
       FROM ov JOIN l la ON la.doc_id = doc_a
       WHERE ov / la.n >= 0.9
       ORDER BY doc_a, doc_b""")) { (s, d) =>
-      Dedup.containmentJoin(q90Corpus(s, d), threshold = 0.9)
+      Dedup.containmentJoin(q90Corpus(s, d).localCheckpoint(true), threshold = 0.9)
         .orderBy("doc_a", "doc_b")
     },
 
