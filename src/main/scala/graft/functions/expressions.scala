@@ -972,5 +972,10 @@ object GraftFunctions {
               "paramType" -> "\"STRING\""))
         CssSelect(es.head, sel.eval(null).asInstanceOf[UTF8String].toString)
       }, "scala_udf")
+    reg.createOrReplaceTempFunction("h60", es => H60(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("h28", es => H28(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("cms_buckets",
+      es => CmsBucketArray(es.head, intArg(es(1)), intArg(es(2))), "scala_udf")
+    reg.createOrReplaceTempFunction("all_pairs_long", es => AllPairsLong(es.head), "scala_udf")
   }
 }

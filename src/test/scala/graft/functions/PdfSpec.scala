@@ -150,6 +150,45 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: mutated/truncated/spliced PDFs never throw and never hang") {
+    // Deterministic corpus: a valid multi-object PDF (with a Flate
+    // stream and an ObjStm) mutated by byte flips, truncations, block
+    // splices, and duplications — the lax-parse law is "best-effort
+    // text or empty, never an exception" (the ParserFuzzSpec
+    // convention applied to the container format).
+    val packed = deflate(bytes("1 0 2 34 << /Type /Catalog /Pages 2 0 R >> << /Type /Pages /Kids [3 0 R] /Count 1 >>"))
+    val base = pdf(
+      (9, s"<< /Type /ObjStm /N 2 /First 7 /Length ${packed.length} /Filter /FlateDecode >>", packed),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      contentObj(4, "BT (fuzz seed text) Tj [(a) -300 (b)] TJ ET", compress = true))
+    val rnd = new scala.util.Random(42)
+    var nonEmpty = 0
+    for (i <- 0 until 300) {
+      val b = base.clone()
+      rnd.nextInt(4) match {
+        case 0 => // flip 1-8 bytes
+          for (_ <- 0 to rnd.nextInt(8)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        case 1 => // truncate
+          val cut = 1 + rnd.nextInt(b.length - 1)
+          val t = java.util.Arrays.copyOf(b, cut)
+          val txt = PdfOps.extractText(t)
+          assert(txt != null)
+        case 2 => // splice a random block elsewhere
+          val from = rnd.nextInt(b.length); val len = math.min(rnd.nextInt(64), b.length - from)
+          val to = rnd.nextInt(b.length - math.max(len, 1) + 1)
+          System.arraycopy(base, from, b, to, len)
+        case 3 => // duplicate the whole document (two bodies, one magic)
+          val t = base ++ base
+          assert(PdfOps.extractText(t) != null)
+      }
+      val txt = PdfOps.extractText(b)
+      assert(txt != null, s"fuzz case $i threw/returned null")
+      if (txt.nonEmpty) nonEmpty += 1
+    }
+    // sanity: the fuzzer isn't vacuous — plenty of mutants still parse
+    assert(nonEmpty > 50, s"only $nonEmpty mutants produced text — fuzz corpus degenerate")
+  }
+
   test("isPdf detects the magic only") {
     assert(PdfOps.isPdf(bytes("%PDF-1.7 rest")))
     assert(!PdfOps.isPdf(bytes("PDF-1.7")))

@@ -42,4 +42,23 @@ class SqlRegistrySpec extends SparkSuite {
     // bigrams: ab, ba, ab, bc -> 'a b' twice
     assert(r == ((2L, "https://h.example/p?a=1&b=2")))
   }
+
+  test("round-12 kernels are SQL-callable and match their column twins") {
+    val r = spark.sql("""
+      SELECT h60('token42') AS h,
+             h28('token42') AS h2,
+             size(cms_buckets('token42', 4, 512)) AS nb,
+             cms_buckets('token42', 4, 512)[0] AS b0
+    """).as[(Long, Long, Int, Long)].head()
+    import org.apache.spark.sql.functions._
+    val twin = spark.range(1).select(
+        HashFunctions.h60(lit("token42")), HashFunctions.h28(lit("token42")),
+        GraftFunctions.cms_buckets(lit("token42"), 4, 512)(0))
+      .as[(Long, Long, Long)].head()
+    assert((r._1, r._2, r._4) == twin && r._3 == 4)
+    val pairs = spark.sql(
+      "SELECT a, b FROM (SELECT explode(array(array(3L,1L,2L))) xs) LATERAL VIEW all_pairs_long(xs) t AS a, b")
+      .as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
