@@ -22,7 +22,13 @@ package graft
   */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Dev overrides ride ARGS (an sbt-client server keeps its launch
+    // env, so env vars set in the caller's shell are invisible):
+    // args(0) = subset "q01_...,q02_..." (or "-" for all), args(1) =
+    // sfDir, args(2) = artifact dir. The driver passes no args.
+    val argOnly = args.lift(0).filter(s => s.nonEmpty && s != "-")
+    val sfDir = args.lift(1)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession("graft-bench", cpus)
     // Durable artifact: every per-query line plus the summary also
@@ -30,7 +36,8 @@ object Bench {
     // only a truncated stdout tail swamped by error spam and the
     // round published no timings at all — stdout is a transport, not
     // a store.
-    val outDir = new java.io.File(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "target/bench"))
+    val outDir = new java.io.File(args.lift(2)
+      .getOrElse(sys.env.getOrElse("SPARK_GRAFT_BENCH_DIR", "target/bench")))
     outDir.mkdirs()
     val linesPath = new java.io.File(outDir, "bench_lines.jsonl").toPath
     val summaryPath = new java.io.File(outDir, "bench_summary.json").toPath
@@ -66,8 +73,10 @@ object Bench {
     // warm-up that covers the timed work is the full set. Work at
     // sf0.001 is seconds; the sfDir-specific AQE plans then warm on
     // the first of the median-of-N timed runs below.
+    val onlySet = argOnly.orElse(sys.env.get("SPARK_GRAFT_BENCH_ONLY"))
+      .map(_.split(",").map(_.trim).toSet)
     for (w <- SparkEntry.queries.keys.toSeq.sorted
-           if sys.env.get("SPARK_GRAFT_BENCH_ONLY").forall(_.split(",").map(_.trim).toSet.contains(w))) {
+           if onlySet.forall(_.contains(w))) {
       try SparkEntry.queries(w)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
@@ -85,9 +94,9 @@ object Bench {
     def loadavg(): String =
       try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split(" ").take(3).mkString(" ")
       catch { case _: Throwable => "" }
-    // Dev subset: SPARK_GRAFT_BENCH_ONLY=q107_pq_rerank,... times a
-    // few queries while iterating; the driver never sets it.
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Dev subset: args(0) or SPARK_GRAFT_BENCH_ONLY=q107_pq_rerank,...
+    // times a few queries while iterating; the driver never sets it.
+    val only = onlySet
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Noise gate: machine contention only ever ADDS time, so when the

@@ -5,13 +5,17 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession("graft-verify", cpus)
     new java.io.File(outDir).mkdirs()
-    // Dev filter: SPARK_GRAFT_ONLY=q46_simjoin_words,... dumps a subset.
-    // The driver never sets it, so driver runs always dump everything.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    // Dev filter: a 3rd arg "q46_simjoin_words,..." (or the
+    // SPARK_GRAFT_ONLY env — invisible through an sbt-client server,
+    // hence the arg) dumps a subset. The driver always passes exactly
+    // two args and never sets the env, so driver runs dump everything.
+    val only = args.lift(2).orElse(sys.env.get("SPARK_GRAFT_ONLY"))
+      .map(_.split(",").map(_.trim).toSet)
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

@@ -328,35 +328,79 @@ object Stats {
   /** EXACT Spearman rank correlation — the robust (monotone,
     * outlier-immune) correlation beside [[linearFit]]'s Pearson-
     * family moments: Pearson over TIE-MID-RANKS of both variables.
-    * Composes the engine's own exact primitives — doubled mid-ranks
-    * `2·minrank + cnt − 1` from the [[equiDepthBuckets]] blocked
-    * machinery (the [[classAuc]] identity, so every rank is an exact
-    * LONG with no 0.5 fractions) and [[linearFit]]'s decimal-exact
-    * sufficient sums — so ρ = sign(slope)·√r² gates bit-for-bit (the
-    * q115 assortativity spelling). Inputs must be LONGs (quantize
-    * floats upstream); null pairs drop.
+    * Ranks are doubled mid-ranks `2·minrank + cnt − 1` (the
+    * [[classAuc]] identity, so every rank is an exact LONG with no
+    * 0.5 fractions) and the OLS sums are [[linearFit]]'s
+    * decimal-exact shapes, so ρ = sign(slope)·√r² gates bit-for-bit
+    * (the q115 assortativity spelling). Inputs must be LONGs
+    * (quantize floats upstream); null pairs drop.
     *
-    * Scale shape: two blocked rank passes (no global ROW_NUMBER —
-    * pinned at the q139 gate), one id-keyed join aligning the rank
-    * columns, one global OLS aggregate. Output is a single row:
-    * `(n, slope, intercept, r2, spearman)`. */
+    * Scale shape: a rank statistic only needs the VALUE DISTRIBUTION,
+    * never per-row ranks — so the corpus is scanned ONCE into the
+    * joint `(x, y) → count` census (map-side combinable, bounded by
+    * distinct quantized pairs, fail-fast at `maxBins`), and
+    * everything after runs in census space: per-variable mid-ranks
+    * are a prefix sum over the per-value marginals (`minrank(v) =
+    * 1 + Σ_{v'<v} n_{v'}`, an unpartitioned window over CENSUS rows
+    * only — the kmLifeTable bounded-global-window trade), attached
+    * back by broadcast, and the OLS sums are count-weighted. No
+    * window ever partitions by a score value (the r12 verdict's
+    * skew risk: one hot value used to serialize a corpus fraction
+    * into a single task's sort — pinned at the q144/q145 gates).
+    * Output is a single row: `(n, slope, intercept, r2, spearman)`.
+    *
+    * `binsPerUnit` is retained for signature compatibility with the
+    * r11/r12 blocked-rank formulation; the census path no longer
+    * bins. `idCol` likewise only names a column to exclude. */
   def spearman(df: DataFrame, idCol: String, xCol: Column, yCol: Column,
                binsPerUnit: Int = 4, maxBins: Int = 1 << 20): DataFrame = {
-    val scored = df.select(col(idCol), xCol.cast("long").as("__x"),
+    val scored = df.select(xCol.cast("long").as("__x"),
         yCol.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+    val joint = scored.groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
-    def avg2Ranks(c: String, out: String): DataFrame = {
-      val ranks = equiDepthBuckets(scored.select(col(idCol), col(c)), idCol,
-          col(c), k = 1, binsPerUnit = binsPerUnit, maxBins = maxBins)
-        .select(col(idCol), col("v"), col("rank"))
-      val w = Window.partitionBy(col("v"))
-      ranks.withColumn(out,
-          lit(2L) * min(col("rank")).over(w) + count(lit(1)).over(w) - 1L)
-        .select(col(idCol), col(out))
+    val cells = joint.count()
+    require(cells <= maxBins.toLong,
+      s"spearman: more than $maxBins distinct (x, y) cells — quantize coarser upstream")
+    def rankMap(c: String, out: String): DataFrame = {
+      val perV = joint.groupBy(col(c)).agg(sum(col("__c")).as("__nv"))
+      val w = Window.orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // 2·minrank + nv − 1 with minrank = cum − nv + 1  ⇒  2·cum − nv + 1
+      perV.withColumn("__cum", sum(col("__nv")).over(w))
+        .select(col(c), (lit(2L) * col("__cum") - col("__nv") + 1L).as(out))
     }
-    linearFit(avg2Ranks("__x", "rx2").join(avg2Ranks("__y", "ry2"), idCol),
-        Seq(), col("rx2"), col("ry2"))
+    val weighted = joint
+      .join(broadcast(rankMap("__x", "rx2")), "__x")
+      .join(broadcast(rankMap("__y", "ry2")), "__y")
+    // linearFit's exact decimal sums, count-weighted: Σ over census
+    // cells of c·f(x, y) equals Σ over rows of f(x, y) exactly
+    // (integer arithmetic, order-free), so the final doubles are
+    // bit-identical to the per-row oracle replay.
+    val x = col("rx2").try_cast("decimal(12,0)")
+    val y = col("ry2").try_cast("decimal(18,2)")
+    val c = col("__c")
+    val agg = weighted.filter(x.isNotNull && y.isNotNull).agg(
+      sum(c).as("n"),
+      sum(x * c).as("__sx"), sum(y * c).as("__sy"),
+      sum(x * x * c).as("__sxx"), sum(x * y * c).as("__sxy"),
+      sum(y * y * c).as("__syy"))
+    val nD = col("n").cast("double")
+    val sx = col("__sx").cast("double")
+    val sy = col("__sy").cast("double")
+    val sxx = col("__sxx").cast("double")
+    val sxy = col("__sxy").cast("double")
+    val syy = col("__syy").cast("double")
+    val dx = nD * sxx - sx * sx
+    val dy = nD * syy - sy * sy
+    val cov = nD * sxy - sx * sy
+    val slope = when(dx =!= 0.0, cov / dx)
+    agg
+      .withColumn("slope", slope)
+      .withColumn("intercept", when(dx =!= 0.0, (sy - slope * sx) / nD))
+      .withColumn("r2", when(dx =!= 0.0 && dy =!= 0.0, cov * cov / (dx * dy)))
+      .drop("__sx", "__sy", "__sxx", "__sxy", "__syy")
       .withColumn("spearman",
         when(col("slope") < 0, -sqrt(col("r2"))).otherwise(sqrt(col("r2"))))
   }
@@ -375,30 +419,46 @@ object Stats {
     * integer-pure is what keeps it exact). Classes with an empty
     * complement yield null AUC.
     *
-    * Scale shape: the blocked rank pass, one id-keyed join to
-    * re-attach labels, one score-partitioned window for tie
-    * statistics, and a labels-sized census — nothing corpus-wide
-    * beyond the rank machinery itself. */
+    * Scale shape: a rank statistic only needs the SCORE DISTRIBUTION
+    * — so the corpus is scanned ONCE into the `(score, label) →
+    * count` census (map-side combinable, bounded by distinct
+    * quantized scores × classes, fail-fast at `maxBins`), and the
+    * rest runs in census space: tie mid-ranks are a prefix sum over
+    * the per-score marginals (an unpartitioned window over CENSUS
+    * rows only — the kmLifeTable bounded-global-window trade), and
+    * the per-label U sums are count-weighted. No per-row rank is
+    * ever materialized and no window partitions by the score value
+    * (the r12 verdict's skew risk: one hot score used to serialize
+    * a corpus fraction into a single task — pinned at the q144
+    * gate).
+    *
+    * `idCol`/`binsPerUnit` are retained for signature compatibility
+    * with the r11/r12 blocked-rank formulation; the census path
+    * uses neither. */
   def classAuc(df: DataFrame, idCol: String, scoreCol: Column,
                labelCol: String, binsPerUnit: Int = 4,
                maxBins: Int = 1 << 20): DataFrame = {
-    val scored = df.select(col(idCol), scoreCol.cast("long").as("__score"),
-      col(labelCol).cast("long").as("__label"))
-      .filter(col("__score").isNotNull && col("__label").isNotNull)
-    val ranks = equiDepthBuckets(scored, idCol, col("__score"), k = 1,
-        binsPerUnit = binsPerUnit, maxBins = maxBins)
-      .select(col(idCol), col("v"), col("rank"))
-    val wTies = Window.partitionBy(col("v"))
-    val avg2 = ranks
-      .withColumn("__avg2",
-        lit(2L) * min(col("rank")).over(wTies)
-          + count(lit(1)).over(wTies) - 1L)
-      .join(scored.select(col(idCol), col("__label")), idCol)
-    // Labels-sized; materialized once so the grand-total branch does
-    // not replay the rank lineage.
-    val census = avg2.groupBy(col("__label").as("label"))
-      .agg(sum(col("__avg2")).as("__sum2"), count(lit(1)).as("n_pos"))
+    val scored = df.select(scoreCol.cast("long").as("__v"),
+        col(labelCol).cast("long").as("__label"))
+      .filter(col("__v").isNotNull && col("__label").isNotNull)
+    val joint = scored.groupBy(col("__v"), col("__label"))
+      .agg(count(lit(1)).as("__c"))
       .localCheckpoint(true)
+    val cells = joint.count()
+    require(cells <= maxBins.toLong,
+      s"classAuc: more than $maxBins distinct (score, label) cells — quantize coarser upstream")
+    val perV = joint.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // 2·minrank + nv − 1 with minrank = cum − nv + 1  ⇒  2·cum − nv + 1
+    val avg2 = perV.withColumn("__cum", sum(col("__nv")).over(w))
+      .select(col("__v"), (lit(2L) * col("__cum") - col("__nv") + 1L).as("__avg2"))
+    // Count-weighted per-label sums: Σ_rows avg2(score) =
+    // Σ_cells c·avg2(v) exactly (longs, order-free).
+    val census = joint.join(broadcast(avg2), "__v")
+      .groupBy(col("__label").as("label"))
+      .agg(sum(col("__avg2") * col("__c")).as("__sum2"),
+        sum(col("__c")).as("n_pos"))
     val total = census.agg(sum(col("n_pos")).as("__n"))
     census.crossJoin(broadcast(total))
       .select(col("label"), col("n_pos"), (col("__n") - col("n_pos")).as("n_neg"),

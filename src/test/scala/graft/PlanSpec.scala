@@ -340,6 +340,27 @@ class PlanSpec extends SparkSuite {
       "bin offsets must attach by broadcast")
   }
 
+  test("q144/q145 rank statistics run in census space — no window partitioned by a score value") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    // The r12 formulation computed tie mid-ranks with
+    // Window.partitionBy(score-value): one hot score = a corpus
+    // fraction serialized into a single task's sort buffer (the r8
+    // exact-substring hot-anchor shape). The census formulation may
+    // only window over the bounded per-value census — unpartitioned
+    // BY DESIGN (census rows, never the corpus) and sitting directly
+    // above the census aggregate.
+    for (name <- Seq("q144_class_auc", "q145_spearman")) {
+      val wins = optimized(name).collect { case w: LWindow => w }
+      assert(wins.nonEmpty, s"$name lost its census prefix-sum window")
+      for (w <- wins) {
+        assert(w.partitionSpec.isEmpty,
+          s"$name windows partitioned by a value column again — hot-value single-task buffering:\n$w")
+        assert(w.child.collectFirst { case a: Aggregate => a }.nonEmpty,
+          s"$name window no longer sits above the bounded census aggregate:\n$w")
+      }
+    }
+  }
+
   test("q136 link prediction: equi-joins only — no cartesian, no window") {
     val p = physical("q136_link_predict")
     assert(!p.contains("Cartesian") && !p.contains("NestedLoop"),
