@@ -557,6 +557,27 @@ case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int, nTables:
   override protected def withNewChildInternal(c: Expression): HyperplaneBuckets = copy(child = c)
 }
 
+/** Bounded Levenshtein distance (exact when ≤ maxEdits, −1 past it)
+  * with common-prefix/suffix trimming and a Ukkonen banded DP —
+  * bit-compatible with the `levenshtein(a, b, k)` builtin but ~10×
+  * cheaper on near-identical inputs ([[StringOps.boundedLevenshtein]]). */
+case class BoundedLevenshtein(left: Expression, right: Expression, maxEdits: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringOps.boundedLevenshtein(a.asInstanceOf[UTF8String],
+      b.asInstanceOf[UTF8String], maxEdits)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StringOps.boundedLevenshtein($a, $b, $maxEdits)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BoundedLevenshtein =
+    copy(left = l, right = r)
+}
+
 /** Dot product of two equal-length array<double> columns,
   * left-to-right accumulation ([[HashOps.dot]]). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -899,6 +920,8 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def bounded_levenshtein(a: Column, b: Column, maxEdits: Int): Column =
+    col(BoundedLevenshtein(expr(a), expr(b), maxEdits))
   def pq_encode(c: Column, m: Int, dsub: Int, ksub: Int,
                 cb: Array[Double], cnorms: Array[Double]): Column =
     col(PqEncode(expr(c), m, dsub, ksub, cb, cnorms))
@@ -949,6 +972,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("nfc_normalize", es => NfcNormalize(es.head), "scala_udf")
     reg.createOrReplaceTempFunction("sorted_intersect_count", es => SortedIntersectCount(es.head, es(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("bounded_levenshtein",
+      es => BoundedLevenshtein(es.head, es(1), intArg(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("hyperplane_buckets",
       es => HyperplaneBuckets(es.head, intArg(es(1)), intArg(es(2)), intArg(es(3))), "scala_udf")
     reg.createOrReplaceTempFunction("vi_normalize_text", es => ViNormalizeText(es.head), "scala_udf")

@@ -87,7 +87,13 @@ object Dedup {
       col("__blk_a") === col("__blk_b") &&
         col("doc_a") < col("doc_b") &&
         abs(length(col("__ta")) - length(col("__tb"))) <= maxEdits)
-    // Threshold overload: banded DP that bails to -1 past the cap.
+    // Trimmed banded kernel ([[GraftFunctions.bounded_levenshtein]]):
+    // candidates out of a blocking join are near-IDENTICAL strings,
+    // and the builtin's band walks both FULL strings even when they
+    // differ only in a short suffix — the kernel trims the shared
+    // prefix/suffix first so the DP runs over the edit region only
+    // (bit-compatible with the builtin, differential-pinned; bails
+    // to -1 past the cap like the builtin's threshold overload).
     // The explode(array(..)) generator is a deliberate PUSHDOWN
     // BARRIER: a plain filter on a projected `edits` alias gets
     // substituted back into the join condition, evaluating the
@@ -96,8 +102,8 @@ object Dedup {
     // so the distance runs exactly once per emitted pair.
     joined
       .select(col("doc_a"), col("doc_b"),
-        explode(array(levenshtein(col("__ta"), col("__tb"), maxEdits)
-          .cast("long"))).as("edits"))
+        explode(array(GraftFunctions.bounded_levenshtein(
+          col("__ta"), col("__tb"), maxEdits).cast("long"))).as("edits"))
       .filter(col("edits") >= 0L)
   }
 

@@ -152,4 +152,65 @@ class StringOpsSpec extends AnyFunSuite {
     assert(StringOps.sentenceSplit("nước ts. chảy").toSeq ==
       Seq("nước ts.", "chảy"))
   }
+
+  // ---- boundedLevenshtein (q146 verification kernel)
+
+  test("boundedLevenshtein ≡ full Levenshtein with a −1 cap, random pairs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def full(a: String, b: String): Int = {
+      // code-point unit reference DP (the builtin's semantics)
+      val ca = a.codePoints.toArray; val cb = b.codePoints.toArray
+      var prev = Array.tabulate(cb.length + 1)(identity)
+      var curr = new Array[Int](cb.length + 1)
+      for (i <- 1 to ca.length) {
+        curr(0) = i
+        for (j <- 1 to cb.length)
+          curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1),
+            prev(j - 1) + (if (ca(i - 1) == cb(j - 1)) 0 else 1))
+        val t = prev; prev = curr; curr = t
+      }
+      prev(cb.length)
+    }
+    def bl(a: String, b: String, k: Int): Int =
+      StringOps.boundedLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b), k)
+    // Alphabet mixes ASCII, 2-byte (é/τ), and an astral-plane char
+    // (a full surrogate pair) so code-point units are exercised.
+    val atomGen = Gen.oneOf(Gen.alphaNumChar.map(_.toString),
+      Gen.oneOf("τ", "é", " ", "😀"))
+    val strGen = for {
+      n <- Gen.chooseNum(0, 24)
+      cs <- Gen.listOfN(n, atomGen)
+    } yield cs.mkString
+    val pairGen = for { a <- strGen; b <- strGen; k <- Gen.chooseNum(0, 6) } yield (a, b, k)
+    for (t <- sample(pairGen, n = 400)) {
+      val (a, b, k) = t
+      val want = { val d = full(a, b); if (d <= k) d else -1 }
+      assert(bl(a, b, k) == want, s"diverged on ('$a', '$b', $k)")
+    }
+  }
+
+  test("boundedLevenshtein: trimming respects surrogate pairs and code-point units") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def bl(a: String, b: String, k: Int): Int =
+      StringOps.boundedLevenshtein(UTF8String.fromString(a), UTF8String.fromString(b), k)
+    // Astral plane chars (surrogate pairs in UTF-16) count as ONE edit.
+    val grin = "😀" // 😀
+    val party = "🥳" // 🥳
+    assert(bl("x" + grin + "y", "x" + party + "y", 4) == 1)
+    // Shared prefix/suffix around the edit region trims away fully.
+    val core = "the quick brown fox jumps over the lazy dog " * 20
+    assert(bl(core + "zz", core, 4) == 2)
+    assert(bl(core, core, 0) == 0)
+    assert(bl(core + "abcde", core, 4) == -1)
+    // Edits inside a long shared context, both orientations.
+    assert(bl(core + "X" + core, core + "Y" + core, 4) == 1)
+    assert(bl(core + core, core + "Q" + core, 4) == 1)
+    // maxEdits = 0 degenerates to equality.
+    assert(bl("same", "same", 0) == 0)
+    assert(bl("same", "sane", 0) == -1)
+    // Empty sides.
+    assert(bl("", "abc", 4) == 3)
+    assert(bl("", "abcde", 4) == -1)
+    assert(bl("", "", 0) == 0)
+  }
 }
