@@ -33,13 +33,23 @@ object GraftSession {
     // conf for A/B experiments (e.g. AQE on/off sweeps). The driver
     // never sets it; semantics-relevant settings above are defaults,
     // not law, under an explicit experiment.
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
-      s.split(";").map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2)
-        builder.config(k.trim, v.trim)
-      }
-    }
+    val extra = sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+      .flatMap(_.split(";")).map(_.trim).filter(_.contains("="))
+      .map { kv => val Array(k, v) = kv.split("=", 2); (k.trim, v.trim) }
+    extra.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder.getOrCreate()
+    // getOrCreate silently IGNORES builder configs when a session
+    // already exists in the JVM (tests, notebook reuse) — an A/B
+    // experiment would then record results under the wrong config.
+    // Verify the overlay actually took and shout if it did not.
+    extra.foreach { case (k, v) =>
+      val actual = spark.conf.getOption(k)
+      if (!actual.contains(v))
+        System.err.println(
+          s"[GraftSession] WARNING: SPARK_GRAFT_EXTRA_CONF '$k=$v' did NOT take " +
+            s"(session already exists; effective value: ${actual.getOrElse("<unset>")}) — " +
+            "results from this session must not be attributed to the overlay")
+    }
     spark.sparkContext.setLogLevel("WARN")
     // SQL surface parity: spark.sql callers get the same custom
     // expressions as the Column API.

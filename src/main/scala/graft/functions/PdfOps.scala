@@ -170,6 +170,13 @@ object PdfOps {
     /** One value. Integers followed by `int R` collapse to [[PRef]]. */
     def next(): PVal = {
       skipWs()
+      // Stray closers skip ITERATIVELY: recursing once per byte made
+      // a damaged stream with a long run of ']'/')' bytes throw
+      // StackOverflowError and degrade the whole document to "".
+      while (!atEnd && {
+        val c = peek
+        c == ']' || c == '>' || c == ')' || c == '}' || c == '{'
+      }) { pos += 1; skipWs() }
       if (atEnd) return PNull
       val c = peek
       if (c == '/') name()
@@ -177,7 +184,6 @@ object PdfOps {
       else if (c == '<' && peek2 == '<') { pos += 2; dict() }
       else if (c == '<') hexString()
       else if (c == '[') { pos += 1; array() }
-      else if (c == ']' || c == '>' || c == ')' || c == '}' || c == '{') { pos += 1; next() }
       else if (c >= '0' && c <= '9' || c == '+' || c == '-' || c == '.') {
         val n = number()
         if (n.v >= 0 && n.v == math.floor(n.v)) {
@@ -644,10 +650,16 @@ object PdfOps {
         case POp("BT") => operands.clear()
         case POp("ET") => operands.clear()
         case POp("BI") =>
-          // inline image: scan raw bytes for the EI terminator
-          val s = new String(lx.b, lx.pos, lx.end - lx.pos, StandardCharsets.ISO_8859_1)
-          val at = s.indexOf("EI")
-          lx.pos = if (at < 0) lx.end else lx.pos + at + 2
+          // inline image: byte-level scan for the EI terminator —
+          // copying the whole remaining stream into a String per BI
+          // occurrence was O(n²) on image-heavy pages.
+          var i = lx.pos
+          var found = -1
+          while (found < 0 && i + 1 < lx.end) {
+            if (lx.b(i) == 'E' && lx.b(i + 1) == 'I') found = i
+            i += 1
+          }
+          lx.pos = if (found < 0) lx.end else found + 2
           operands.clear()
         case POp(_) => operands.clear()
         case v => operands += v

@@ -64,15 +64,43 @@ object Similarity {
   }
 
   /** Round-robin the frame across the configured shuffle width IF its
-    * plan has fewer partitions — parallelism insurance for per-row
-    * expensive downstream work (a broadcast cross-score, a per-row
-    * decode) when the input is a single small file. The probe is
-    * plan-only (`rdd.getNumPartitions` runs no job); wide inputs
-    * pass through untouched, so the 100 TB path never pays a shuffle
-    * for this. */
+    * plan would execute with fewer partitions — parallelism insurance
+    * for per-row expensive downstream work (a broadcast cross-score,
+    * a per-row decode) when the input is a single small file. Wide
+    * inputs pass through untouched, so the 100 TB path never pays a
+    * shuffle for this.
+    *
+    * The probe is STRICTLY plan-only: it walks the non-adaptive
+    * physical plan and never touches `df.rdd` — under AQE (default
+    * on), building the RDD finalizes the adaptive plan, which
+    * SUBMITS AND AWAITS every upstream shuffle stage, and that work
+    * is not reused by the later real execution (the r12 q46/q90
+    * double-synthesis cost, generalized). Stream-side parallelism is
+    * the min over leaves outside broadcast subtrees: a shuffle makes
+    * the downstream conf-wide (skip), a file scan counts its files,
+    * a checkpointed/RDD leaf reads its partition count off the
+    * existing RDD (no job), unknown leaves conservatively pass
+    * through. */
   private[graft] def spreadSmall(df: DataFrame): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
-    if (df.rdd.getNumPartitions < width) df.repartition(width) else df
+    if (streamParts(df.queryExecution.sparkPlan) < width) df.repartition(width) else df
+  }
+
+  private def streamParts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    p match {
+      case _: BroadcastExchangeLike => Int.MaxValue // never drives stream parallelism
+      case _: ShuffleExchangeLike => Int.MaxValue // downstream of a shuffle: conf-wide
+      case s: FileSourceScanExec =>
+        math.max(s.relation.location.inputFiles.length, 1) // metadata only, no job
+      case r: RDDScanExec => r.rdd.getNumPartitions // checkpoint leaf: RDD already exists
+      case r: ExternalRDDScanExec[_] => r.rdd.getNumPartitions
+      case _: LocalTableScanExec => 1
+      case l: LeafExecNode => Int.MaxValue // unknown leaf: pass through untouched
+      case o if o.children.isEmpty => Int.MaxValue
+      case o => o.children.map(streamParts).min // broadcast sides drop out via MaxValue
+    }
   }
 
   /** Mutual k-NN graph: the undirected pairs where EACH endpoint
@@ -93,18 +121,20 @@ object Similarity {
     * Output is integer-only (both ranks), so the gate needs no
     * float hedge.
     *
-    * `materializeInput` (default true) localCheckpoints the kNN
-    * frame before the self-join: both join sides read the SAME
-    * lineage, so without the cut an expensive producer (the n²
-    * brute-force scorer at audit scale) is recomputed once per side
-    * — measured ~2× on q142. The checkpoint is EAGER (a full
-    * materialization job runs at DataFrame-construction time, and a
-    * local checkpoint is non-reliable under executor loss): a lazy
-    * checkpoint would let the self-join's two independent shuffle
-    * stages race-compute the producer concurrently and lose the
-    * saving. Pass false when the input is already materialized
-    * (cached/checkpointed/a table) to keep construction lazy. */
-  def mutualKnn(knn: DataFrame, materializeInput: Boolean = true): DataFrame = {
+    * `materializeInput` (default FALSE — construction stays lazy)
+    * localCheckpoints the kNN frame before the self-join: both join
+    * sides read the SAME lineage, so without the cut an expensive
+    * producer (the n² brute-force scorer at audit scale) is
+    * recomputed once per side — measured ~2× on q142, which opts in.
+    * Opt-in because the checkpoint is EAGER (a full materialization
+    * job runs at DataFrame-CONSTRUCTION time — surprising for
+    * callers that build frames speculatively) and a local checkpoint
+    * is non-reliable under executor loss; when you do opt in, the
+    * eagerness is the point: a lazy checkpoint would let the
+    * self-join's two independent shuffle stages race-compute the
+    * producer concurrently and lose the saving. Leave false when the
+    * input is already materialized (cached/checkpointed/a table). */
+  def mutualKnn(knn: DataFrame, materializeInput: Boolean = false): DataFrame = {
     val edgeList = if (materializeInput) knn.localCheckpoint(true) else knn
     val fwd = edgeList.filter(col("query_id") < col("neighbor_id"))
       .select(col("query_id").as("u"), col("neighbor_id").as("v"),

@@ -57,8 +57,20 @@ object TextRank {
     // re-run the grouping aggregate per branch (exchange reuse
     // shares the shuffle, not the aggregate); collect_list order is
     // partition-dependent but every consumer is order-insensitive.
+    // Cast guard (r13): a non-integral key (e.g. a string basket id)
+    // casts to NULL, collect_set silently drops it, and the query
+    // returns empty/partial rule sets with no error. raise_error on
+    // a null-from-non-null cast fails fast instead; genuinely-null
+    // input keys still drop like any SQL key.
+    def intKey(c: String, as: String) = {
+      val cast = col(c).cast("long")
+      when(col(c).isNotNull && cast.isNull,
+        raise_error(lit(s"marketBasket: column '$c' is not integral — hash string keys to ids first"))
+          .cast("long"))
+        .otherwise(cast).as(as)
+    }
     val g = Similarity.spreadSmall(baskets
-        .select(col(basketCol).cast("long").as("__o"), col(itemCol).cast("long").as("__p")))
+        .select(intKey(basketCol, "__o"), intKey(itemCol, "__p")))
       .groupBy(col("__o"))
       // collect_set IS the per-basket distinct — folding the dedup
       // into the grouping aggregate saves a whole (o, item)-keyed

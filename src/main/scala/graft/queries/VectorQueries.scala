@@ -1193,8 +1193,11 @@ object VectorQueries {
       WHERE a.query_id < a.neighbor_id
       ORDER BY u, v""")) { (s, d) =>
       val emb = Tables.embeddings(s, d)
+      // materializeInput: the n² brute-force scorer would otherwise
+      // run once per self-join side (~2× measured here at sf0.1).
       graft.operators.Similarity.mutualKnn(
-          graft.operators.Similarity.bruteForceTopK(emb, emb, k = 5))
+          graft.operators.Similarity.bruteForceTopK(emb, emb, k = 5),
+          materializeInput = true)
         .orderBy("u", "v")
     },
 

@@ -150,6 +150,30 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("damaged streams: long stray-closer runs and image-heavy pages stay linear, no overflow") {
+    // A ~200k run of ']' bytes used to recurse once per byte in
+    // Lexer.next() — StackOverflowError degraded the document to "".
+    val closers = "]".repeat(200000)
+    val doc = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      contentObj(4, s"BT (before) Tj $closers (after) Tj ET"))
+    val t = PdfOps.extractText(doc)
+    assert(t.contains("before") && t.contains("after"), t.take(200))
+    // Many BI..EI inline images in one stream: the skip must be a
+    // byte-level scan (the String-copy version was O(n²) here) and
+    // text between images survives.
+    val imgs = (1 to 2000).map(i => s"BI /W 1 /H 1 ID  EI (t$i) Tj").mkString(" ")
+    val doc2 = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      contentObj(4, s"BT $imgs ET"))
+    val t2 = PdfOps.extractText(doc2)
+    assert(t2.contains("t1") && t2.contains("t2000"), t2.take(200))
+  }
+
   test("fuzz: mutated/truncated/spliced PDFs never throw and never hang") {
     // Deterministic corpus: a valid multi-object PDF (with a Flate
     // stream and an ObjStm) mutated by byte flips, truncations, block

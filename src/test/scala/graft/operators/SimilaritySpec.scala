@@ -435,4 +435,36 @@ class SimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
     assert(got.toSeq === expected)
   }
+
+  test("spreadSmall: widens narrow leaves, passes shuffled frames through, submits NO job") {
+    val width = spark.sessionState.conf.numShufflePartitions
+    // A single-file parquet scan (documents is one file at test SFs)
+    // behind a broadcast join must still be detected as narrow even
+    // though the broadcast side contains a shuffle.
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val dim = docs.groupBy(length(col("text")).as("len")).count()
+    val joined = docs.join(broadcast(dim), length(col("text")) === dim("len"))
+    // A post-shuffle frame is conf-wide: pass through untouched (eq).
+    val shuffled = docs.repartition(width, col("doc_id"))
+    // Job-count listener: the probe must be strictly plan-only — the
+    // r12 formulation (df.rdd under AQE) submitted and awaited every
+    // upstream shuffle stage at probe time.
+    @volatile var jobs = 0
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      val sDocs = Similarity.spreadSmall(docs)
+      val sJoin = Similarity.spreadSmall(joined)
+      val sWide = Similarity.spreadSmall(shuffled)
+      Thread.sleep(500) // listener events are async; let the bus drain
+      assert(jobs === 0, "spreadSmall probe submitted a Spark job")
+      assert(sWide eq shuffled, "post-shuffle frame must pass through untouched")
+      assert(sDocs ne docs, "single-file scan must be spread")
+      assert(sJoin ne joined, "broadcast join over a single-file scan must be spread")
+      assert(sDocs.rdd.getNumPartitions === width)
+    } finally spark.sparkContext.removeSparkListener(l)
+  }
 }

@@ -159,4 +159,18 @@ class TextRankSpec extends SparkSuite {
     assert(got.map(_._4).toSeq === got.map(_._4).toSeq.sorted.reverse,
       "fused scores must be non-increasing in output order")
   }
+
+  test("marketBasket fails fast on non-integral keys instead of silently dropping rows") {
+    import spark.implicits._
+    // A string basket id used to cast to NULL in-plan; collect_set
+    // dropped it and the query returned empty rule sets silently.
+    val bad = Seq(("order-1", 1L), ("order-1", 2L)).toDF("o", "p")
+    val e = intercept[Exception](
+      TextRank.marketBasket(bad, "o", "p", minSupport = 1).collect())
+    assert(e.getMessage != null)
+    // Numeric strings still cast cleanly — only NON-integral content trips.
+    val ok = Seq(("1", 10L), ("1", 20L)).toDF("o", "p")
+    val rows = TextRank.marketBasket(ok, "o", "p", minSupport = 1).collect()
+    assert(rows.length === 1)
+  }
 }
