@@ -344,6 +344,44 @@ object HashOps {
     new GenericArrayData(out)
   }
 
+  /** Hashed-n-gram BUCKET ids in one kernel call: h60 of each
+    * n-token shingle mod `buckets` — bit-identical to
+    * `conv(shingleHexTokens(...), 16, 10) % buckets` (the 15-hex
+    * parse IS the top-60-bit value, nonnegative so `%` ≡ `pmod`)
+    * but without materializing hex strings or running the
+    * interpreted conv/pmod chain per gram (the r12 md5-hex-pipeline
+    * lesson: one MessageDigest + integer arithmetic beats the
+    * hex-string detour ~4×). */
+  def shingleBucketTokens(tokens: ArrayData, n: Int, buckets: Int): ArrayData = {
+    val cnt = tokens.numElements()
+    if (cnt < n) return new GenericArrayData(Array.empty[Any])
+    val toks = new Array[Array[Byte]](cnt)
+    var i = 0
+    while (i < cnt) { toks(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val out = new Array[Any](cnt - n + 1)
+    val buf = new java.io.ByteArrayOutputStream(64)
+    val d = md5Local.get()
+    i = 0
+    while (i <= cnt - n) {
+      buf.reset()
+      var j = 0
+      while (j < n) {
+        if (j > 0) buf.write(' ')
+        buf.write(toks(i + j))
+        j += 1
+      }
+      d.reset()
+      val dig = d.digest(buf.toByteArray)
+      val h = ((dig(0) & 0xffL) << 52) | ((dig(1) & 0xffL) << 44) |
+        ((dig(2) & 0xffL) << 36) | ((dig(3) & 0xffL) << 28) |
+        ((dig(4) & 0xffL) << 20) | ((dig(5) & 0xffL) << 12) |
+        ((dig(6) & 0xffL) << 4) | ((dig(7) & 0xffL) >>> 4)
+      out(i) = java.lang.Long.valueOf(h % buckets)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Count of DISTINCT word n-gram shingles of `tokens` whose 15-hex
     * md5 form is in `evalSet` — [[shingleHexTokens]]' hashing loop
     * inlined against the membership probe, so contamination scoring

@@ -388,6 +388,24 @@ case class ShingleHexTokens(child: Expression, n: Int) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): ShingleHexTokens = copy(child = c)
 }
 
+/** Hashed-n-gram bucket ids (h60 mod buckets) in one kernel call —
+  * the [[ShingleHexTokens]]→conv→pmod chain fused
+  * ([[HashOps.shingleBucketTokens]]). */
+case class ShingleBucketTokens(child: Expression, n: Int, buckets: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.shingleBucketTokens(v.asInstanceOf[ArrayData], n, buckets)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.shingleBucketTokens($c, $n, $buckets)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleBucketTokens = copy(child = c)
+}
+
 /** A collected evaluation-set shingle table (15-hex md5 forms) — the
   * deployable artifact of [[graft.operators.Curation
   * .collectEvalShingles]], carried into generated code the way
@@ -917,6 +935,8 @@ object GraftFunctions {
   def simhash60_tokens(c: Column): Column = col(SimHashTokens60(expr(c)))
   def lang_id(c: Column): Column = col(LangIdPredict(expr(c)))
   def shingle_hex_tokens(c: Column, n: Int): Column = col(ShingleHexTokens(expr(c), n))
+  def shingle_bucket_tokens(c: Column, n: Int, buckets: Int): Column =
+    col(ShingleBucketTokens(expr(c), n, buckets))
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
@@ -1002,5 +1022,7 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("cms_buckets",
       es => CmsBucketArray(es.head, intArg(es(1)), intArg(es(2))), "scala_udf")
     reg.createOrReplaceTempFunction("all_pairs_long", es => AllPairsLong(es.head), "scala_udf")
+    reg.createOrReplaceTempFunction("shingle_bucket_tokens",
+      es => ShingleBucketTokens(es.head, intArg(es(1)), intArg(es(2))), "scala_udf")
   }
 }

@@ -871,38 +871,53 @@ object Curation {
     * of what a "paragraph" is.
     *
     * Scale shape: one explode scan → a map-side-combinable
-    * `min(first-occurrence key)` census per distinct paragraph → one
-    * equi-join of the paragraphs back to their census row → one
-    * per-document ordered re-concat (the q38 sorted-struct
-    * aggregate). Nothing is ever quadratic: a paragraph repeated n×
-    * contributes n census inputs but ONE census row, and the re-join
-    * fans each copy to exactly one winner key. The first-occurrence
-    * key packs `(id, idx)` into one long (`id · maxParasPerDoc +
-    * idx`) so the census min is a primitive-long aggregate, not a
-    * struct compare; an in-plan `raise_error` fails fast if a
-    * document exceeds `maxParasPerDoc` instead of silently
-    * mis-ordering. */
+    * `min(first-occurrence key)` census per distinct paragraph —
+    * and NOTHING joins back onto the exploded corpus: the winner's
+    * `(doc, idx)` UNPACKS from the packed key itself, so the kept
+    * set, the per-document ordered re-concat (the q38 sorted-struct
+    * aggregate) and the kept counts all derive from the census
+    * output (one row per distinct paragraph), while `n_paras` is a
+    * string-free `size(paragraphs)` projection. The r12 formulation
+    * re-joined every exploded instance to its census row for the
+    * keep flag — a second para-keyed shuffle of the whole instance
+    * set that carried the strings both ways (21× the oracle's
+    * constant at sf0.1). Nothing is ever quadratic: a paragraph
+    * repeated n× contributes n census inputs but ONE census row.
+    * The first-occurrence key packs `(id, idx)` into one long
+    * (`id · maxParasPerDoc + idx`) so the census min is a
+    * primitive-long aggregate, not a struct compare; an in-plan
+    * `raise_error` fails fast if a document exceeds
+    * `maxParasPerDoc` paragraphs or has a negative id (the packing
+    * needs `id ≥ 0` for order and unpack correctness) instead of
+    * silently mis-ordering. */
   def paragraphDedup(docs: DataFrame, paragraphs: Column,
                      idCol: String = "doc_id", sep: String = " ",
                      maxParasPerDoc: Long = 100000L): DataFrame = {
     require(maxParasPerDoc >= 1, "maxParasPerDoc must be positive")
     val p = docs.select(col(idCol), posexplode(paragraphs).as(Seq("idx", "para")))
     val keyed = p.withColumn("__k",
-      when(col("idx") >= maxParasPerDoc,
-        raise_error(lit(s"paragraphDedup: a document exceeds $maxParasPerDoc paragraphs"))
+      when(col("idx") >= maxParasPerDoc || col(idCol).cast("long") < 0L,
+        raise_error(lit(s"paragraphDedup: a document exceeds $maxParasPerDoc paragraphs or has a negative id"))
           .cast("long"))
         .otherwise(col(idCol).cast("long") * maxParasPerDoc + col("idx")))
+    // One row per DISTINCT paragraph; (doc, idx) of the first
+    // occurrence unpack from the key.
     val winners = keyed.groupBy(col("para")).agg(min(col("__k")).as("__w"))
-    keyed.join(winners, "para")
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("__k") === col("__w"), 1L).otherwise(0L)).as("n_kept"),
+      .select(col("para"), expr(s"__w div ${maxParasPerDoc}L").as("__id"),
+        expr(s"__w % ${maxParasPerDoc}L").as("idx"))
+    val kept = winners.groupBy(col("__id"))
+      .agg(count(lit(1)).as("__nk"),
         array_join(transform(
-            array_sort(collect_list(when(col("__k") === col("__w"),
-              struct(col("idx"), col("para"))))),
-            x => x.getField("para")), sep).as("__text"))
-      .select(col(idCol), col("n_paras"), col("n_kept"),
-        when(col("n_kept") > 0L, col("__text")).as("text"))
+            array_sort(collect_list(struct(col("idx"), col("para")))),
+            x => x.getField("para")), sep).as("text"))
+    // Instance counts never need the explode or the strings.
+    val census = docs
+      .select(col(idCol), size(paragraphs).as("n_paras"))
+      .filter(col("n_paras") > 0) // posexplode semantics: empty docs drop
+      .withColumn("n_paras", col("n_paras").cast("long"))
+    census.join(kept, census(idCol).cast("long") === kept("__id"), "left")
+      .select(census(idCol), col("n_paras"),
+        coalesce(col("__nk"), lit(0L)).as("n_kept"), col("text"))
   }
 
   /** Fixed-size non-overlapping token windows as a paragraph split
@@ -953,11 +968,12 @@ object Curation {
                      textCol: String = "text"): DataFrame = {
     require(n >= 1, "n must be positive")
     require(buckets >= 2, "buckets must be >= 2")
+    // Fused bucket kernel: one MessageDigest + integer mod per gram
+    // (bit-identical to the hex→conv→pmod chain the oracle replays;
+    // differential-pinned in FeaturesSpec).
     def grams(df: DataFrame, keep: Column*): DataFrame =
-      df.select((keep :+ explode(GraftFunctions.shingle_hex_tokens(
-          TextFunctions.tokens(col(textCol)), n)).as("__sh")): _*)
-        .withColumn("__b",
-          pmod(conv(col("__sh"), 16, 10).cast("long"), lit(buckets.toLong)))
+      df.select((keep :+ explode(GraftFunctions.shingle_bucket_tokens(
+          TextFunctions.tokens(col(textCol)), n, buckets)).as("__b")): _*)
     val tcen = grams(target).groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
     val rcen = grams(docs).groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
     val model = rcen.join(tcen, Seq("__b"), "left")

@@ -538,6 +538,10 @@ object Stats {
                   bucketWidth: Long, maxBuckets: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxBuckets >= 1, "maxBuckets must be positive")
+    // Materialized ONCE: the guard count and the suffix-sum window
+    // both consume the checkpointed census — the r12 shape ran the
+    // whole upstream subjects pipeline twice (once for the
+    // limit-count guard, once for the window pass).
     val census = subjects
       .select(durationCol.cast("long").as("__dur"), eventCol.cast("long").as("__e"))
       .filter(col("__dur").isNotNull && col("__dur") >= 0L && col("__e").isNotNull)
@@ -545,7 +549,8 @@ object Stats {
       .groupBy(col("t"))
       .agg(sum(col("__e")).as("n_events"),
         sum(lit(1L) - col("__e")).as("n_censored"))
-    val nBuckets = census.limit((maxBuckets + 1).min(Int.MaxValue.toLong).toInt).count()
+      .localCheckpoint(true)
+    val nBuckets = census.count()
     require(nBuckets <= maxBuckets,
       s"more than $maxBuckets duration buckets at bucketWidth=$bucketWidth — widen the bucket")
     val w = Window.orderBy(col("t").desc)

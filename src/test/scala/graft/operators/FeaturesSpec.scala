@@ -161,4 +161,22 @@ class FeaturesSpec extends SparkSuite {
     assert(pm.axis.zipWithIndex.maxBy { case (a, _) => math.abs(a) }._2 === 2,
       pm.axis.mkString(","))
   }
+
+  test("shingle_bucket_tokens ≡ conv(shingle_hex_tokens, 16, 10) % buckets") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.GraftFunctions
+    // The fused kernel must reproduce the hex-string chain bit-for-bit
+    // (it IS what the DuckDB oracle replays for q152).
+    val docs = Tables.documents(spark, sfDir).limit(200)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    for ((n, b) <- Seq((2, 8192), (3, 97), (1, 2))) {
+      val diff = docs.select(
+          GraftFunctions.shingle_bucket_tokens(col("toks"), n, b).as("fused"),
+          transform(GraftFunctions.shingle_hex_tokens(col("toks"), n),
+            h => pmod(conv(h, 16, 10).cast("long"), lit(b.toLong))).as("chain"))
+        .filter(not(col("fused") === col("chain")))
+        .count()
+      assert(diff === 0L, s"fused bucket kernel diverged at n=$n buckets=$b")
+    }
+  }
 }
