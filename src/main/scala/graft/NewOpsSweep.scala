@@ -164,6 +164,48 @@ object NewOpsSweep {
       println(f"NEWOPS q146 m=$m pairs=$rows median=$t%.2f")
     }
 
+    // q38 family: ordered-concat assembly on m id-OFFSET lineitem
+    // replicas — groups never span replicas, so groups and rows grow
+    // exactly m× and the single grouping shuffle + object aggregate
+    // must track linearly (the r13 floor note's evidence: the shape
+    // is scan → one exchange → sorted-struct agg → global sort, and
+    // its constant is stage overhead, not a scaling term).
+    val liBase = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
+    for (m <- Seq(1, 2, 4)) {
+      val liM = (0 until m).map(c =>
+          liBase.select((col("l_orderkey") + lit(c * 100000000L)).as("l_orderkey"),
+            col("l_linenumber")))
+        .reduce(_ unionByName _)
+      val fname = concat(lit("part_"), col("l_linenumber"), lit(".mp3"))
+      val seq = coalesce(
+        substring_index(substring_index(col("fname"), ".", 1), "_", -1)
+          .cast("int"), lit(0))
+      val (t, rows) = time3(liM
+        .select(col("l_orderkey"), fname.as("fname"))
+        .withColumn("seq", seq)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_parts"),
+          array_join(transform(
+              array_sort(collect_list(struct(col("seq"), col("fname")))),
+              x => x.getField("fname")), ",").as("assembled")))
+      println(f"NEWOPS q38 m=$m groups=$rows median=$t%.2f")
+    }
+
+    // q148 family: paragraph dedup on m replica-TAGGED document
+    // copies — every paragraph window carries the copy tag, so
+    // distinct paragraphs, winners and doc groups all grow exactly
+    // m× and both census aggregates must track linearly.
+    val pdocs = Tables.documents(spark, sf).select("doc_id", "text")
+    for (m <- Seq(1, 2, 4)) {
+      val dM = (0 until m).map(c =>
+          pdocs.select((col("doc_id") + lit(c * 100000000L)).as("doc_id"),
+            concat(lit(s"r$c "), col("text")).as("text")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(graft.operators.Curation.paragraphDedup(
+        dM, graft.operators.Curation.tokenWindows(col("text"), 8)))
+      println(f"NEWOPS q148 m=$m docs=$rows median=$t%.2f")
+    }
+
     // q142 family: mutualKnn on m id-OFFSET replicas of the exact
     // kNN edge list (computed once, checkpointed, so the sweep times
     // the reciprocity join alone): edges grow exactly m×, mutual

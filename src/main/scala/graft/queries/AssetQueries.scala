@@ -353,7 +353,93 @@ object AssetQueries {
           maxHamming = 2)
         .select(col("vid_a"), col("vid_b"), col("n_frame_pairs"), col("min_hamming"))
         .orderBy("vid_a", "vid_b")
+    },
+
+    // ---- q184: S9 PDF text extraction as a DuckDB hash gate — the
+    // q45/q95 fixture trick applied to the PDF container: per
+    // document a REAL PDF is synthesized in-plan (four rotating
+    // shapes: garbage bytes, an uncompressed Tj stream with octal
+    // escapes, a FlateDecode stream with a kerned TJ array, and a
+    // two-page document with a Td line break and a hex string), the
+    // distributed extractor (`Assets.extractText` over
+    // [[graft.functions.PdfOps]]) runs the full container walk —
+    // page tree, Flate inflate, content-stream lex, string decode —
+    // and the oracle states the extracted text LITERALLY, so any
+    // slip in any of those layers flips the hash (reference
+    // pre_processing/process_all.py:265-279).
+    Q("q184_pdf_extract", Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 4 AS INTEGER)
+               WHEN 0 THEN ''
+               WHEN 1 THEN 'doc ' || doc_id || ' alpha (x)'
+               WHEN 2 THEN 'doc ' || doc_id || ' flate beta gamma'
+               ELSE 'page one of ' || doc_id || chr(10) || 'indent ABC page two'
+             END AS text
+      FROM documents ORDER BY doc_id""")) { (s, d) =>
+      graft.sources.Assets.extractText(
+          Tables.documents(s, d).select(
+            concat(lit("doc_"), col("doc_id"), lit(".pdf")).as("path"),
+            synthPdf(col("doc_id")).as("content")),
+          graft.sources.Assets.PdfTextExtractor)
+        .select(regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1)
+          .cast("long").as("doc_id"), col("text"))
+        .orderBy("doc_id")
     })
+
+  /** Fixture synthesis for q184: a real PDF per document id in four
+    * rotating container shapes (garbage / uncompressed Tj / Flate'd
+    * kerned TJ / two pages with Td + hex string), each with
+    * analytically-known extracted text so the DuckDB oracle can
+    * state it literally. */
+  private val synthPdf = udf { (id: Long) =>
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def b(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
+    def deflate(data: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end()
+      out.toByteArray
+    }
+    def pdf(objs: (Int, String, Array[Byte])*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(b("%PDF-1.4\n"))
+      for ((num, dict, payload) <- objs) {
+        out.write(b(s"$num 0 obj\n$dict\n"))
+        if (payload != null) {
+          out.write(b("stream\n")); out.write(payload); out.write(b("\nendstream\n"))
+        }
+        out.write(b("endobj\n"))
+      }
+      out.write(b("trailer\n<< /Root 1 0 R >>\n%%EOF\n"))
+      out.toByteArray
+    }
+    def content(num: Int, src: String, compress: Boolean): (Int, String, Array[Byte]) = {
+      val payload = if (compress) deflate(b(src)) else b(src)
+      val filter = if (compress) " /Filter /FlateDecode" else ""
+      (num, s"<< /Length ${payload.length}$filter >>", payload)
+    }
+    val cat = (1, "<< /Type /Catalog /Pages 2 0 R >>", null: Array[Byte])
+    (id % 4) match {
+      case 0 => b(s"GARBAGE $id is not a pdf")
+      case 1 => pdf(cat,
+        (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+        content(4, s"BT (doc $id alpha \\050x\\051) Tj ET", compress = false))
+      case 2 => pdf(cat,
+        (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+        content(4, s"BT (doc $id flate) Tj [( beta) -250 (gamma)] TJ ET", compress = true))
+      case _ => pdf(cat,
+        (2, "<< /Type /Pages /Kids [3 0 R 5 0 R] /Count 2 >>", null),
+        (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+        content(4, s"BT (page one of $id) Tj 0 -14 Td (indent) Tj ET", compress = true),
+        (5, "<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>", null),
+        content(6, "BT <414243> Tj ( page two) Tj ET", compress = false))
+    }
+  }
 
   /** Fixture synthesis for q95: a 60-bit pattern realized as a 9×8
     * gray PNG whose dHash equals the pattern — row walks start at
