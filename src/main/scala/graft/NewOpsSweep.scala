@@ -25,6 +25,10 @@ object NewOpsSweep {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession("graft-newops-sweep", "32")
     val sf = "/root/testdata/sf0.1"
+    // Optional family filter: sbt "runMain graft.NewOpsSweep q38,q148"
+    val famFilter = args.headOption.filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim).toSet)
+    def fam(name: String): Boolean = famFilter.forall(_.contains(name))
 
     def time3[A](body: => DataFrame): (Double, Long) = {
       var rows = 0L
@@ -36,12 +40,25 @@ object NewOpsSweep {
       (times.sorted.apply(1), rows)
     }
 
+    // Full-materialization timer (the Bench noop convention): count()
+    // lets Catalyst PRUNE expensive output columns (q38/q148's sorted
+    // re-concat would be dropped entirely), so families whose cost IS
+    // the output column time the noop write instead.
+    def time3Noop[A](body: => DataFrame): (Double, Long) = {
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        body.write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      (times.sorted.apply(1), body.count())
+    }
+
     // q105 family: m disjoint graph replicas.
     val baseEdges = Tables.orders(spark, sf).select(
         pmod(col("o_custkey"), lit(2048)).as("src"),
         pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(2048)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q105")) {
       val edges = (0 until m).map(c =>
           baseEdges.select((col("src") + lit(c * 1000000L)).as("src"),
             (col("dst") + lit(c * 1000000L)).as("dst")))
@@ -57,7 +74,7 @@ object NewOpsSweep {
         pmod(col("o_custkey"), lit(1024L)).as("src"),
         pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(1024L)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q118")) {
       val edges = (0 until m).map(c =>
           lpaBase.select((col("src") + lit(c * 1000000L)).as("src"),
             (col("dst") + lit(c * 1000000L)).as("dst")))
@@ -73,7 +90,7 @@ object NewOpsSweep {
     // range grows m×, the fill stays uniform, buckets stay 64, and
     // the single scan + census shuffle must track rows linearly.
     val li = Tables.lineitem(spark, sf).select("l_partkey", "l_suppkey")
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q117")) {
       val wide = (0 until m).map(c =>
           li.select((col("l_partkey") * m + lit(c.toLong)).as("l_partkey"),
             (col("l_suppkey") * m + lit(c.toLong)).as("l_suppkey")))
@@ -85,7 +102,7 @@ object NewOpsSweep {
 
     // q107 + q111 + session additions: ScaleCorpus replica dirs.
     val dirs = Seq(1 -> sf, 2 -> "/tmp/nsweep2x", 4 -> "/tmp/nsweep4x")
-    for ((m, dir) <- dirs) {
+    for ((m, dir) <- dirs if fam("vec")) {
       val (t7, rows7) = time3(SparkEntry.queries("q107_pq_rerank")(spark, dir))
       println(f"NEWOPS q107 m=$m rows=$rows7 median=$t7%.2f")
       val (t11, rows11) = time3(SparkEntry.queries("q111_pq_code_dedup")(spark, dir))
@@ -108,7 +125,7 @@ object NewOpsSweep {
         pmod(col("o_custkey"), lit(2048L)).as("src"),
         pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(2048L)).as("dst"))
       .filter(col("src") =!= col("dst"))
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q136")) {
       val edges = (0 until m).map(c =>
           lpEdges.select((col("src") + lit(c * 1000000L)).as("src"),
             (col("dst") + lit(c * 1000000L)).as("dst")))
@@ -124,7 +141,7 @@ object NewOpsSweep {
     // key-partitioned window plan must track linearly.
     val ev = Tables.events(spark, sf)
       .select("event_id", "user_id", "event_type", "ts", "value")
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("events")) {
       val evM = (0 until m).map(c =>
           ev.select((col("event_id") + lit(c * 1000000000L)).as("event_id"),
             (col("user_id") + lit(c * 1000000L)).as("user_id"),
@@ -151,7 +168,7 @@ object NewOpsSweep {
     // blocks. blockTokens=9 keeps the gate's 8 original words
     // under the added tag.
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q146")) {
       val dM = (0 until m).map(c =>
           docs.select((col("doc_id") + lit(c * 100000000L)).as("doc_id"),
             concat(lit(s"r$c "), col("text")).as("text")))
@@ -171,7 +188,7 @@ object NewOpsSweep {
     // is scan → one exchange → sorted-struct agg → global sort, and
     // its constant is stage overhead, not a scaling term).
     val liBase = Tables.lineitem(spark, sf).select("l_orderkey", "l_linenumber")
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q38")) {
       val liM = (0 until m).map(c =>
           liBase.select((col("l_orderkey") + lit(c * 100000000L)).as("l_orderkey"),
             col("l_linenumber")))
@@ -180,7 +197,7 @@ object NewOpsSweep {
       val seq = coalesce(
         substring_index(substring_index(col("fname"), ".", 1), "_", -1)
           .cast("int"), lit(0))
-      val (t, rows) = time3(liM
+      val (t, rows) = time3Noop(liM
         .select(col("l_orderkey"), fname.as("fname"))
         .withColumn("seq", seq)
         .groupBy("l_orderkey")
@@ -196,12 +213,12 @@ object NewOpsSweep {
     // distinct paragraphs, winners and doc groups all grow exactly
     // m× and both census aggregates must track linearly.
     val pdocs = Tables.documents(spark, sf).select("doc_id", "text")
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q148")) {
       val dM = (0 until m).map(c =>
           pdocs.select((col("doc_id") + lit(c * 100000000L)).as("doc_id"),
             concat(lit(s"r$c "), col("text")).as("text")))
         .reduce(_ unionByName _)
-      val (t, rows) = time3(graft.operators.Curation.paragraphDedup(
+      val (t, rows) = time3Noop(graft.operators.Curation.paragraphDedup(
         dM, graft.operators.Curation.tokenWindows(col("text"), 8)))
       println(f"NEWOPS q148 m=$m docs=$rows median=$t%.2f")
     }
@@ -215,7 +232,7 @@ object NewOpsSweep {
         Tables.embeddings(spark, sf), Tables.embeddings(spark, sf), k = 5)
       .select("query_id", "neighbor_id", "rank")
       .localCheckpoint(true)
-    for (m <- Seq(1, 2, 4)) {
+    for (m <- Seq(1, 2, 4) if fam("q142")) {
       val kM = (0 until m).map(c =>
           knnBase.select((col("query_id") + lit(c * 100000000L)).as("query_id"),
             (col("neighbor_id") + lit(c * 100000000L)).as("neighbor_id"),
