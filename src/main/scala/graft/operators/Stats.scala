@@ -293,13 +293,17 @@ object Stats {
     * Values normalize through the same `decimal(prec,scale)` cast as
     * [[zscoreOutliers]].
     *
-    * Scale shape: two key-partitioned sort windows (value pass, then
-    * deviation pass) — the per-key external sort, no global window —
-    * with the two keys-sized median censuses re-attached by
-    * broadcast. A single giant group serializes into one partition's
-    * sort, the standard per-key-window caveat; at that shape trade
-    * exactness for [[graft.operators.Sketches]]' binned percentiles
-    * (the documented approximate path). */
+    * Scale shape (r13, the q144/q145 census move): a median is a
+    * rank statistic, so each median pass needs only the per-group
+    * VALUE DISTRIBUTION — one map-side-combinable `(group, value) →
+    * count` census, a prefix sum over the census ordered by value,
+    * and the element pick where the cumulative count crosses
+    * `(n+1) div 2`. No window ever sorts corpus rows: the r12 shape
+    * buffered a whole group in one task's sort (a hot group = the
+    * q144 skew cliff), while the census windows hold at most
+    * `distinct quantized values` rows per group — bounded by the
+    * `decimal(prec,scale)` grid, not the corpus. Median censuses
+    * re-attach by broadcast. */
   def madOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
                   valueCol: Column, threshold: Double = 5.0,
                   prec: Int = 18, scale: Int = 2): DataFrame = {
@@ -309,11 +313,16 @@ object Stats {
     val rows = df.filter(v.isNotNull)
       .select(col(idCol) +: (gcols :+ v.as("v")): _*)
     def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
+      val census = in.groupBy((gcols :+ col(c)): _*)
+        .agg(count(lit(1)).as("__c"))
       val wOrd = Window.partitionBy(gcols: _*).orderBy(col(c))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(gcols: _*)
-      in.withColumn("__rn", row_number().over(wOrd))
-        .withColumn("__n", count(lit(1)).over(wAll))
-        .filter(expr("__rn = ((__n + 1) div 2)"))
+      census
+        .withColumn("__cum", sum(col("__c")).over(wOrd))
+        .withColumn("__n", sum(col("__c")).over(wAll))
+        // the census row holding global rank (n+1) div 2
+        .filter(expr("__cum >= ((__n + 1) div 2) and __cum - __c < ((__n + 1) div 2)"))
         .select(gcols :+ col(c).as(out): _*)
     }
     val withMed = rows
