@@ -280,12 +280,43 @@ object HashOps {
     * the same sign-of-sum per bit as [[StringOps.simhash60]].
     * Duplicate tokens must be removed by the caller (they would bias
     * the bit sums — semantics are distinct-set SimHash). */
+  /** Bounded per-thread memo for [[h60]] over short byte keys
+    * (tokens): a 2^16-slot direct-mapped cache — natural-language
+    * vocabularies repeat the same tokens millions of times across a
+    * corpus, so an md5 per token INSTANCE wastes most of its work.
+    * Deterministic by construction (a hit returns exactly what the
+    * miss would compute); keys are defensively copied on insert
+    * because UTF8String.getBytes may expose a scanner-reused buffer.
+    * ~64k slots × (key + 8 B) per thread bounds the footprint. */
+  private val h60MemoKeys = new ThreadLocal[Array[Array[Byte]]] {
+    override def initialValue(): Array[Array[Byte]] = new Array[Array[Byte]](1 << 16)
+  }
+  private val h60MemoVals = new ThreadLocal[Array[Long]] {
+    override def initialValue(): Array[Long] = new Array[Long](1 << 16)
+  }
+  def h60Memo(bytes: Array[Byte]): Long = {
+    if (bytes.length > 48) return h60(bytes) // long keys: compare ≈ md5 cost
+    val keys = h60MemoKeys.get()
+    var hc = 1
+    var i = 0
+    while (i < bytes.length) { hc = hc * 31 + bytes(i); i += 1 }
+    val slot = hc & 0xffff
+    val k = keys(slot)
+    if (k != null && java.util.Arrays.equals(k, bytes)) h60MemoVals.get()(slot)
+    else {
+      val v = h60(bytes)
+      keys(slot) = java.util.Arrays.copyOf(bytes, bytes.length)
+      h60MemoVals.get()(slot) = v
+      v
+    }
+  }
+
   def simhash60Tokens(tokens: ArrayData): Long = {
     val counts = new Array[Int](60)
     val n = tokens.numElements()
     var t = 0
     while (t < n) {
-      val h = h60(tokens.getUTF8String(t).getBytes)
+      val h = h60Memo(tokens.getUTF8String(t).getBytes)
       var j = 0
       while (j < 60) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
