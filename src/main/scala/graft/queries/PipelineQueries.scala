@@ -770,17 +770,31 @@ object PipelineQueries {
       FROM r GROUP BY event_type
       ORDER BY event_type""")) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val byVal = Window.partitionBy(col("event_type"))
-        .orderBy(col("value"), col("event_id"))
-      val all = Window.partitionBy(col("event_type"))
-      Tables.events(s, d)
-        .select(col("event_type"), col("value"), col("event_id"))
-        .withColumn("rn", row_number().over(byVal).cast("long"))
-        .withColumn("n", count(lit(1)).over(all))
+      // Census-space pick (the q138/q144 r13 move): a percentile is
+      // a rank statistic, so the element at a group rank is decided
+      // by the (group, value) → count census alone — the oracle's
+      // ROW_NUMBER tiebreak on event_id never changes the VALUE at
+      // a rank. No corpus rows ever enter a window sort: the r12
+      // shape buffered a whole event_type group (low cardinality —
+      // a hot group is the q144 skew cliff) in one task.
+      val census = Tables.events(s, d)
+        .groupBy(col("event_type"), col("value"))
+        .agg(count(lit(1)).as("__c"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("event_type"))
+      def pickAt(target: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        // 0-based rank `target` lives in this census row iff
+        // cum − c ≤ target < cum
+        max(when(col("__cum") - col("__c") <= target && target < col("__cum"),
+          col("value")))
+      census
+        .withColumn("__cum", sum(col("__c")).over(wOrd))
+        .withColumn("n", sum(col("__c")).over(wAll))
         .groupBy(col("event_type"))
         .agg(
-          max(when(col("rn") - 1 === expr("((n - 1) * 50) div 100"), col("value"))).as("p50"),
-          max(when(col("rn") - 1 === expr("((n - 1) * 90) div 100"), col("value"))).as("p90"),
+          pickAt(expr("((n - 1) * 50) div 100")).as("p50"),
+          pickAt(expr("((n - 1) * 90) div 100")).as("p90"),
           max(col("n")).as("n"))
         .orderBy("event_type")
     },
