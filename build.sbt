@@ -26,7 +26,12 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default on the 128 GiB bench machine: the 184-query fleet
+  // accumulates localCheckpoint blocks faster than the async
+  // ContextCleaner drops them, and an 8g heap spent the difference
+  // in GC + block eviction/recompute — the ±30% single-run noise
+  // band on the heavy queries.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // 70+ codegen'd queries in one JVM overflow the default 240 MB
   // code cache; once full the JIT stops compiling and mid-run
   // queries silently deoptimize to interpreter speed.
