@@ -130,6 +130,14 @@ object Bench {
              best3Median(raw) > 2.0 * raw.min) {
         raw = raw :+ runOnce()
       }
+      // Checkpoint hygiene (r13): every run builds fresh frames, so
+      // the previous runs' localCheckpoint RDDs are unreachable —
+      // but the async ContextCleaner drops them slower than 184
+      // queries × runs create them, and the accumulated blocks used
+      // to turn into GC + eviction/recompute noise (~30% swings on
+      // heavy queries at the old 8g heap). Unpersist them eagerly
+      // between queries; this runs OUTSIDE any timed window.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
       val times = raw.sorted
       // The published `sec` is the median of the 3 fastest executed
       // runs (lower-middle for even N): robust to contention outliers
