@@ -76,4 +76,27 @@ class TextFunctionsSpec extends SparkSuite {
     val unfolded = opt.expressions.exists(_.exists(_.isInstanceOf[H60]))
     assert(!unfolded, s"literal h60 did not fold:\n$opt")
   }
+
+  test("h60Memo ≡ h60 under heavy slot reuse, collisions, and long keys") {
+    import org.scalacheck.Gen
+    // Repeats, slot collisions (the direct-mapped cache has 2^16
+    // slots keyed on a 31-multiplier hashCode — colliding keys must
+    // EVICT and recompute, never return the other key's value), and
+    // keys past the 48-byte memo cutoff.
+    val keyGen = Gen.oneOf(
+      Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString)),
+      Gen.oneOf("tok", "tok", "tok", "a", "b"), // hot repeats
+      Gen.chooseNum(49, 120).flatMap(n => Gen.listOfN(n, Gen.alphaChar).map(_.mkString)))
+    for (s <- graft.PropSampling.sample(keyGen, n = 500)) {
+      val b = s.getBytes("UTF-8")
+      assert(HashOps.h60Memo(b) == HashOps.h60(b), s"memo diverged on '$s'")
+    }
+    // Deliberate hashCode collision pair: 31-multiplier collisions
+    // ("Aa" vs "BB") map to the same slot; alternating lookups must
+    // stay correct through evictions.
+    for (_ <- 1 to 4; s <- Seq("Aa", "BB", "AaAa", "BBBB", "AaBB")) {
+      val b = s.getBytes("UTF-8")
+      assert(HashOps.h60Memo(b) == HashOps.h60(b), s"collision eviction broke '$s'")
+    }
+  }
 }
