@@ -80,7 +80,28 @@ object Bench {
       try SparkEntry.queries(w)(spark, warmDir)
         .write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
+      // Cap block growth inside the warm-up pass itself: each warmed
+      // query's localCheckpoint RDDs are unreachable the moment it
+      // finishes; dropping them here (async is fine — nothing is
+      // being timed yet) keeps the pass from stacking 184 queries'
+      // worth of storage blocks.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
+    // Drain the warm-up backlog BEFORE the first timed run. The r13
+    // artifact recorded q01 (TPC-H Q1, 6 output rows, DuckDB 0.105 s)
+    // at 7.7-14.1 s: the warm-up pass's remaining checkpoint blocks
+    // and broadcast refs were still being evicted/GC'd under q01's
+    // timed window, and because ALL of q01's runs were inflated the
+    // 2x spread gate could not fire. Blocking unpersist removes every
+    // tracked block synchronously; the System.gc() hands unreachable
+    // RDD/broadcast/shuffle refs to the ContextCleaner; the short
+    // sleep plus a sacrificial untimed job give the cleaner's async
+    // queue a window to finish outside any timed region.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    System.gc()
+    try Thread.sleep(2000) catch { case _: InterruptedException => () }
+    try spark.range(1000000L).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // Malformed env values fall back to the default instead of killing
     // the whole bench with a NumberFormatException mid-artifact.
     def envInt(name: String, default: Int): Int =
@@ -136,8 +157,11 @@ object Bench {
       // queries × runs create them, and the accumulated blocks used
       // to turn into GC + eviction/recompute noise (~30% swings on
       // heavy queries at the old 8g heap). Unpersist them eagerly
-      // between queries; this runs OUTSIDE any timed window.
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      // between queries; this runs OUTSIDE any timed window, and it
+      // BLOCKS — an async removal kicked off here would overlap the
+      // NEXT query's timed runs (the r13 q83-q89/q129 inflation band
+      // had exactly that adjacent-cleanup fingerprint).
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val times = raw.sorted
       // The published `sec` is the median of the 3 fastest executed
       // runs (lower-middle for even N): robust to contention outliers

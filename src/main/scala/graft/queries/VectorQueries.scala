@@ -462,7 +462,14 @@ object VectorQueries {
           concat(
             array(element_at(col("embedding"), 1) * lit(1.2)),
             slice(col("embedding"), 2, 63)).as("embedding"))
-      val corpus = base.unionByName(twins)
+      // Materialize the synthesized corpus ONCE: fit's three bounded
+      // collects (seed pick + 2 Lloyd rounds) and the blocked-pairs
+      // frame would each re-run the union+cast+twin synthesis from
+      // the scan — four replays of the same lineage (measured −26%
+      // here at sf0.1). The checkpoint is the q46 convention: eager
+      // materialization of a DERIVED corpus feeding a multi-job
+      // consumer.
+      val corpus = base.unionByName(twins).localCheckpoint(true)
       val model = Clustering.fit(corpus, k = 8, iters = 2)
       Similarity.semanticBlockedPairsWithModel(corpus, threshold = 0.99,
           model = model, nAssign = 2)
