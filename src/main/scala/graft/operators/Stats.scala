@@ -12,6 +12,34 @@ import org.apache.spark.sql.functions._
   */
 object Stats {
 
+  /** Materialize a census frame under a HARD cardinality bound, in
+    * one pass. Census-space operators (rank statistics, life tables,
+    * percentile picks) window over a `(keys…) → count` census whose
+    * size is bounded by distinct quantized values — a bound that
+    * holds by CONSTRUCTION only if the operator enforces it: on a
+    * near-continuous value column the census approaches corpus
+    * cardinality and the downstream census window becomes exactly
+    * the corpus-in-one-task shape the census move exists to kill.
+    *
+    * The `limit(maxRows + 1)` caps what can enter block storage —
+    * on adversarial input the checkpoint holds maxRows + 1 rows,
+    * never the oversized census (the r13 ADVICE ordering: the guard
+    * must fire BEFORE a full materialization, not after). The
+    * localCheckpoint materializes the capped frame for the
+    * operator's multi-consumer tail, and the count runs on the
+    * already-materialized RDD, so the guard costs no extra upstream
+    * pass: when the census fits, the limit is a no-op and the
+    * returned frame IS the full census. */
+  private[graft] def boundedCensus(census: DataFrame, maxRows: Long,
+                                   what: String): DataFrame = {
+    require(maxRows >= 1, "maxRows must be positive")
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    val capped = census.limit(probe).localCheckpoint(true)
+    require(capped.count() <= maxRows,
+      s"$what: more than $maxRows distinct census rows — quantize/bucket coarser upstream")
+    capped
+  }
+
   /** Per-group simple linear regression (ordinary least squares) of
     * `yCol` on `xCol`, plus Pearson r²: returns one row per group
     * with `n`, `slope`, `intercept`, `r2`.
@@ -302,19 +330,29 @@ object Stats {
     * buffered a whole group in one task's sort (a hot group = the
     * q144 skew cliff), while the census windows hold at most
     * `distinct quantized values` rows per group — bounded by the
-    * `decimal(prec,scale)` grid, not the corpus. Median censuses
-    * re-attach by broadcast. */
+    * `decimal(prec,scale)` grid AND fail-fast at `maxBins` (the grid
+    * alone bounds by value RANGE, which a fine-grained column can
+    * blow past; the [[boundedCensus]] guard makes the bound hold by
+    * construction). Median censuses re-attach by broadcast. */
   def madOutliers(df: DataFrame, groupCols: Seq[String], idCol: String,
                   valueCol: Column, threshold: Double = 5.0,
-                  prec: Int = 18, scale: Int = 2): DataFrame = {
+                  prec: Int = 18, scale: Int = 2,
+                  maxBins: Int = 1 << 20): DataFrame = {
     require(threshold > 0.0, "threshold must be positive")
     val gcols = groupCols.map(col)
     val v = valueCol.try_cast(s"decimal($prec,$scale)").cast("double")
     val rows = df.filter(v.isNotNull)
       .select(col(idCol) +: (gcols :+ v.as("v")): _*)
     def medianOf(in: DataFrame, c: String, out: String): DataFrame = {
-      val census = in.groupBy((gcols :+ col(c)): _*)
-        .agg(count(lit(1)).as("__c"))
+      // Bounded by CONSTRUCTION, not just by the decimal grid: the
+      // decimal(prec,scale) cast bounds census size by value RANGE —
+      // a fine-grained value column (deviations especially) can
+      // still push distinct cells toward corpus cardinality, and the
+      // group-partitioned prefix-sum window would buffer them in one
+      // task. Fail fast at maxBins instead (r13 verdict item 5).
+      val census = boundedCensus(
+        in.groupBy((gcols :+ col(c)): _*).agg(count(lit(1)).as("__c")),
+        maxBins.toLong, "madOutliers (group, value) census")
       val wOrd = Window.partitionBy(gcols: _*).orderBy(col(c))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(gcols: _*)
@@ -366,12 +404,9 @@ object Stats {
     val scored = df.select(xCol.cast("long").as("__x"),
         yCol.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
-    val joint = scored.groupBy(col("__x"), col("__y"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    val cells = joint.count()
-    require(cells <= maxBins.toLong,
-      s"spearman: more than $maxBins distinct (x, y) cells — quantize coarser upstream")
+    val joint = boundedCensus(
+      scored.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "spearman (x, y) census")
     def rankMap(c: String, out: String): DataFrame = {
       val perV = joint.groupBy(col(c)).agg(sum(col("__c")).as("__nv"))
       val w = Window.orderBy(col(c))
@@ -450,12 +485,9 @@ object Stats {
     val scored = df.select(scoreCol.cast("long").as("__v"),
         col(labelCol).cast("long").as("__label"))
       .filter(col("__v").isNotNull && col("__label").isNotNull)
-    val joint = scored.groupBy(col("__v"), col("__label"))
-      .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(true)
-    val cells = joint.count()
-    require(cells <= maxBins.toLong,
-      s"classAuc: more than $maxBins distinct (score, label) cells — quantize coarser upstream")
+    val joint = boundedCensus(
+      scored.groupBy(col("__v"), col("__label")).agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "classAuc (score, label) census")
     val perV = joint.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
     val w = Window.orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -547,21 +579,20 @@ object Stats {
                   bucketWidth: Long, maxBuckets: Long = 1L << 20): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(maxBuckets >= 1, "maxBuckets must be positive")
-    // Materialized ONCE: the guard count and the suffix-sum window
-    // both consume the checkpointed census — the r12 shape ran the
-    // whole upstream subjects pipeline twice (once for the
-    // limit-count guard, once for the window pass).
-    val census = subjects
-      .select(durationCol.cast("long").as("__dur"), eventCol.cast("long").as("__e"))
-      .filter(col("__dur").isNotNull && col("__dur") >= 0L && col("__e").isNotNull)
-      .select(expr(s"__dur div ${bucketWidth}L").as("t"), col("__e"))
-      .groupBy(col("t"))
-      .agg(sum(col("__e")).as("n_events"),
-        sum(lit(1L) - col("__e")).as("n_censored"))
-      .localCheckpoint(true)
-    val nBuckets = census.count()
-    require(nBuckets <= maxBuckets,
-      s"more than $maxBuckets duration buckets at bucketWidth=$bucketWidth — widen the bucket")
+    // Materialized ONCE via [[boundedCensus]]: the limit caps what
+    // can enter block storage (the guard fires BEFORE an oversized
+    // census materializes — r13 ADVICE), the guard count and the
+    // suffix-sum window both consume the checkpointed frame, and the
+    // upstream subjects pipeline runs exactly once.
+    val census = boundedCensus(
+      subjects
+        .select(durationCol.cast("long").as("__dur"), eventCol.cast("long").as("__e"))
+        .filter(col("__dur").isNotNull && col("__dur") >= 0L && col("__e").isNotNull)
+        .select(expr(s"__dur div ${bucketWidth}L").as("t"), col("__e"))
+        .groupBy(col("t"))
+        .agg(sum(col("__e")).as("n_events"),
+          sum(lit(1L) - col("__e")).as("n_censored")),
+      maxBuckets, s"kmLifeTable duration buckets at bucketWidth=$bucketWidth")
     val w = Window.orderBy(col("t").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     census

@@ -776,10 +776,16 @@ object PipelineQueries {
       // ROW_NUMBER tiebreak on event_id never changes the VALUE at
       // a rank. No corpus rows ever enter a window sort: the r12
       // shape buffered a whole event_type group (low cardinality —
-      // a hot group is the q144 skew cliff) in one task.
-      val census = Tables.events(s, d)
-        .groupBy(col("event_type"), col("value"))
-        .agg(count(lit(1)).as("__c"))
+      // a hot group is the q144 skew cliff) in one task. The census
+      // is bounded by CONSTRUCTION (Stats.boundedCensus fail-fast,
+      // r13 verdict item 5): on a near-continuous value column the
+      // census would approach corpus cardinality and re-open the
+      // same one-task window this shape exists to kill.
+      val census = Stats.boundedCensus(
+        Tables.events(s, d)
+          .groupBy(col("event_type"), col("value"))
+          .agg(count(lit(1)).as("__c")),
+        1L << 20, "q62 (event_type, value) census")
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("value"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy(col("event_type"))

