@@ -20,6 +20,28 @@ object PipelineQueries {
   private val narratorSchema = ArrayType(StructType(Seq(
     StructField("name", StringType), StructField("url", StringType))))
 
+  /** The graph tier's shared synthetic edge frame: density-stable
+    * modulus m = |orders| div 8, derived IN-FRAME — the one-row
+    * count aggregate attaches by a constant-key broadcast equi-join
+    * (BroadcastHashJoin, never a nested loop) instead of a separate
+    * driver-side `orders.count()` job per execution. One fewer
+    * scheduled job, and the 100 TB path never collects the modulus
+    * to the driver. `dropSelfLoops` = false keeps the kCore shape
+    * (its oracle counts self-loops in the degree census). */
+  private def syntheticEdges(s: org.apache.spark.sql.SparkSession, d: String,
+                             dropSelfLoops: Boolean = true)
+      : org.apache.spark.sql.DataFrame = {
+    val orders = Tables.orders(s, d)
+    val m = orders.agg(expr("count(1) div 8").as("__m"))
+      .withColumn("__k", lit(1))
+    val edges = orders.withColumn("__k", lit(1))
+      .join(broadcast(m), "__k")
+      .select(
+        pmod(col("o_custkey"), col("__m")).as("src"),
+        pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, col("__m")).as("dst"))
+    if (dropSelfLoops) edges.filter(col("src") =!= col("dst")) else edges
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- q18: python-literal url list -> typed array -> posexplode
@@ -1163,10 +1185,7 @@ object PipelineQueries {
           SELECT u AS node FROM c3 UNION ALL SELECT v FROM c3) GROUP BY 1)
       SELECT node, CAST(d AS BIGINT) AS deg FROM d4 WHERE d >= 8
       ORDER BY node""")) { (s, d) =>
-      val mod = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(mod)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(mod)).as("dst"))
+      val edges = syntheticEdges(s, d, dropSelfLoops = false)
       Graph.kCore(edges, "src", "dst", k = 8, rounds = 3)
         .orderBy("node")
     },
@@ -1466,11 +1485,7 @@ object PipelineQueries {
       r AS (SELECT node, nbr FROM adj UNION SELECT node, nbr FROM n2)
       SELECT node, CAST(COUNT(*) AS BIGINT) AS n_reach
       FROM r GROUP BY 1 ORDER BY 1""")) { (s, d) =>
-      val m = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(m)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val edges = syntheticEdges(s, d)
       Graph.kHopReach(edges, "src", "dst", k = 2).orderBy("node")
     },
 
@@ -1529,11 +1544,7 @@ object PipelineQueries {
              $cNum / (CAST(s_scaled AS DOUBLE) / $cDen) AS ball_estimate
       FROM s ORDER BY node"""
     }) { (s, d) =>
-      val m = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(m)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val edges = syntheticEdges(s, d)
       Graph.hyperBall(edges, "src", "dst", k = 2, p = 6).orderBy("node")
     },
 
@@ -1591,11 +1602,7 @@ object PipelineQueries {
              CAST(FLOOR($cNum / (CAST(s_scaled AS DOUBLE) / $cDen) - 0.5) AS BIGINT) AS n_reach
       FROM s ORDER BY node"""
     }) { (s, d) =>
-      val m = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(m)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val edges = syntheticEdges(s, d)
       Graph.kHopReachAuto(edges, "src", "dst", k = 2, p = 6,
           maxExactEdges = 1024L)
         .orderBy("node")
@@ -1666,11 +1673,7 @@ object PipelineQueries {
       SELECT h2.node, h2.h AS hub, a2.a AS auth
       FROM h2 JOIN a2 USING (node)
       ORDER BY node""")) { (s, d) =>
-      val m = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(m)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val edges = syntheticEdges(s, d)
       Graph.hits(edges, "src", "dst", rounds = 2).orderBy("node")
     },
 
@@ -1705,11 +1708,7 @@ object PipelineQueries {
       JOIN deg da ON da.node = na.a
       JOIN deg db ON db.node = na.b
       ORDER BY u, v""")) { (s, d) =>
-      val m = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(m)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val edges = syntheticEdges(s, d)
       Graph.linkPrediction(edges, "src", "dst").orderBy("u", "v")
     },
 
@@ -1744,11 +1743,7 @@ object PipelineQueries {
              WHERE e.u IS NULL)
       SELECT a AS u, b AS v, cn, aa_fp
       FROM na ORDER BY u, v""")) { (s, d) =>
-      val m = Tables.orders(s, d).count() / 8L
-      val edges = Tables.orders(s, d).select(
-          pmod(col("o_custkey"), lit(m)).as("src"),
-          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(m)).as("dst"))
-        .filter(col("src") =!= col("dst"))
+      val edges = syntheticEdges(s, d)
       Graph.adamicAdar(edges, "src", "dst").orderBy("u", "v")
     },
 
