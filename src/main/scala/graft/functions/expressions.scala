@@ -393,6 +393,12 @@ case class ShingleHexTokens(child: Expression, n: Int) extends UnaryExpression {
   * ([[HashOps.shingleBucketTokens]]). */
 case class ShingleBucketTokens(child: Expression, n: Int, buckets: Int)
     extends UnaryExpression {
+  // buckets >= 1 is what makes the kernel's `h % buckets` equal the
+  // documented conv/pmod chain (h60 is nonnegative): b = 0 divides by
+  // zero per row, b < 0 diverges. The SQL surface reaches this
+  // constructor too, so the guard covers both call paths.
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+  require(buckets >= 1, s"buckets must be >= 1, got $buckets")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true
 

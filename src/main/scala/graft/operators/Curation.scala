@@ -894,7 +894,15 @@ object Curation {
                      idCol: String = "doc_id", sep: String = " ",
                      maxParasPerDoc: Long = 100000L): DataFrame = {
     require(maxParasPerDoc >= 1, "maxParasPerDoc must be positive")
+    // Doc ids are assumed DISTINCT (one row per document — the
+    // operator's contract): a duplicated id would join its census row
+    // onto the same kept group once per occurrence. Null ARRAY
+    // ELEMENTS are not paragraphs: they neither win a census group
+    // nor count toward n_paras (the join-on-para formulation this
+    // key-unpack replaced dropped them implicitly; the explicit
+    // filter keeps that semantics).
     val p = docs.select(col(idCol), posexplode(paragraphs).as(Seq("idx", "para")))
+      .filter(col("para").isNotNull)
     val keyed = p.withColumn("__k",
       when(col("idx") >= maxParasPerDoc || col(idCol).cast("long") < 0L,
         raise_error(lit(s"paragraphDedup: a document exceeds $maxParasPerDoc paragraphs or has a negative id"))
@@ -910,10 +918,12 @@ object Curation {
         array_join(transform(
             array_sort(collect_list(struct(col("idx"), col("para")))),
             x => x.getField("para")), sep).as("text"))
-    // Instance counts never need the explode or the strings.
+    // Instance counts never need the explode or the strings. Count
+    // only non-null elements (mirrors the winner side's filter).
     val census = docs
-      .select(col(idCol), size(paragraphs).as("n_paras"))
-      .filter(col("n_paras") > 0) // posexplode semantics: empty docs drop
+      .select(col(idCol),
+        size(filter(paragraphs, x => x.isNotNull)).as("n_paras"))
+      .filter(col("n_paras") > 0) // all-null/empty docs drop (join-on-para semantics)
       .withColumn("n_paras", col("n_paras").cast("long"))
     census.join(kept, census(idCol).cast("long") === kept("__id"), "left")
       .select(census(idCol), col("n_paras"),

@@ -76,11 +76,21 @@ object Similarity {
     * SUBMITS AND AWAITS every upstream shuffle stage, and that work
     * is not reused by the later real execution (the r12 q46/q90
     * double-synthesis cost, generalized). Stream-side parallelism is
-    * the min over leaves outside broadcast subtrees: a shuffle makes
-    * the downstream conf-wide (skip), a file scan counts its files,
-    * a checkpointed/RDD leaf reads its partition count off the
-    * existing RDD (no job), unknown leaves conservatively pass
-    * through. */
+    * the min over leaves outside broadcast/shuffled slots: a file
+    * scan counts its files, a checkpointed/RDD leaf reads its
+    * partition count off the existing RDD (no job), unknown leaves
+    * conservatively pass through.
+    *
+    * The probed `sparkPlan` is PRE-EnsureRequirements: implicit
+    * exchanges (the shuffle an aggregate or sort-merge join will
+    * receive, the broadcast exchange under a broadcast join) are not
+    * in the tree yet. So the walk reasons from each node's
+    * requiredChildDistribution instead of from exchange nodes: a
+    * child slot demanding a real (non-broadcast) distribution gets a
+    * conf-wide shuffle at preparation time — width-resetting — and a
+    * broadcast slot never drives stream parallelism. (Explicit
+    * repartitions DO appear as ShuffleExchangeLike even pre-prep and
+    * keep their arm.) */
   private[graft] def spreadSmall(df: DataFrame): DataFrame = {
     val width = df.sparkSession.sessionState.conf.numShufflePartitions
     if (streamParts(df.queryExecution.sparkPlan) < width) df.repartition(width) else df
@@ -88,18 +98,23 @@ object Similarity {
 
   private def streamParts(p: org.apache.spark.sql.execution.SparkPlan): Int = {
     import org.apache.spark.sql.execution._
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ShuffleExchangeLike}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.{BroadcastDistribution, UnspecifiedDistribution}
     p match {
-      case _: BroadcastExchangeLike => Int.MaxValue // never drives stream parallelism
-      case _: ShuffleExchangeLike => Int.MaxValue // downstream of a shuffle: conf-wide
+      case _: ShuffleExchangeLike => Int.MaxValue // explicit repartition: conf-wide
       case s: FileSourceScanExec =>
         math.max(s.relation.location.inputFiles.length, 1) // metadata only, no job
       case r: RDDScanExec => r.rdd.getNumPartitions // checkpoint leaf: RDD already exists
       case r: ExternalRDDScanExec[_] => r.rdd.getNumPartitions
       case _: LocalTableScanExec => 1
-      case l: LeafExecNode => Int.MaxValue // unknown leaf: pass through untouched
+      case _: LeafExecNode => Int.MaxValue // unknown leaf: pass through untouched
       case o if o.children.isEmpty => Int.MaxValue
-      case o => o.children.map(streamParts).min // broadcast sides drop out via MaxValue
+      case o =>
+        o.children.zip(o.requiredChildDistribution).map {
+          case (_, _: BroadcastDistribution) => Int.MaxValue // build side drops out
+          case (c, UnspecifiedDistribution) => streamParts(c)
+          case _ => Int.MaxValue // EnsureRequirements will shuffle this slot conf-wide
+        }.min
     }
   }
 

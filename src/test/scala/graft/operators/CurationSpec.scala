@@ -522,6 +522,21 @@ class CurationSpec extends SparkSuite {
       (3L, 1L, 0L, None)))
   }
 
+  test("paragraphDedup: null array elements are not paragraphs") {
+    import spark.implicits._
+    // A null element can neither win a census group nor count toward
+    // n_paras, and an all-null doc drops entirely — the semantics of
+    // the join-on-para formulation the key-unpack replaced.
+    val docs = Seq(
+      (1L, Seq[String]("a b", null, "c d")),
+      (2L, Seq[String](null, null))
+    ).toDF("doc_id", "paras")
+    val out = Curation.paragraphDedup(docs, col("paras"), sep = "|")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Option[String])].collect().toSeq
+    assert(out === Seq((1L, 2L, 2L, Some("a b|c d"))))
+  }
+
   test("paragraphDedup ≡ sequential first-occurrence replay on random corpora") {
     import spark.implicits._
     val vocab = IndexedSeq("p", "q", "r")

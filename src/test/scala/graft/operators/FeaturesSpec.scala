@@ -178,5 +178,17 @@ class FeaturesSpec extends SparkSuite {
         .count()
       assert(diff === 0L, s"fused bucket kernel diverged at n=$n buckets=$b")
     }
+    // Degenerate parameters fail at construction on BOTH surfaces
+    // (the SQL registration reaches the same expression constructor):
+    // buckets = 0 would divide by zero per row, negative buckets
+    // diverge from the conv/pmod chain.
+    for (b <- Seq(0, -3)) {
+      intercept[IllegalArgumentException](
+        GraftFunctions.shingle_bucket_tokens(col("toks"), 2, b))
+      intercept[Exception](
+        spark.sql(s"SELECT shingle_bucket_tokens(array('a','b','c'), 2, $b)").collect())
+    }
+    intercept[IllegalArgumentException](
+      GraftFunctions.shingle_bucket_tokens(col("toks"), 0, 8))
   }
 }
