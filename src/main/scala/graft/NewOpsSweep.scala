@@ -160,6 +160,66 @@ object NewOpsSweep {
       println(f"NEWOPS q139 m=$m rows=$rows39 median=$t39%.2f")
     }
 
+    // q112 family: the crawl-ingest planner on m custkey-OFFSET order
+    // replicas — urls embed the custkey, so frontiers are disjoint
+    // and the dedup census grows m×; the 5-host politeness set stays
+    // FIXED (offsets are multiples of 5 — the query's own design:
+    // per-host sequence windows see m× rows over a constant host
+    // count, which is exactly the shape the floor note must defend).
+    val ordQ = Tables.orders(spark, sf).select("o_custkey", "o_orderkey")
+    for (m <- Seq(1, 2, 4) if fam("q112")) {
+      val oM = (0 until m).map(c =>
+          ordQ.select((col("o_custkey") + lit(c * 100000000L)).as("o_custkey"),
+            (col("o_orderkey") + lit(c * 1000000000L)).as("o_orderkey")))
+        .reduce(_ unionByName _)
+      val k = col("o_custkey").cast("string")
+      val mm = pmod(col("o_custkey"), lit(7)).cast("string")
+      val h = pmod(col("o_custkey"), lit(5)).cast("string")
+      val raw = concat(lit("https://shop"), h, lit(".example.com/item/"), k,
+        lit("?a=1&b="), mm)
+      val frontier = oM
+        .select(graft.functions.GraftFunctions.canonical_url(raw).as("url"),
+          raw.as("raw"), col("o_orderkey"))
+        .groupBy(col("url"))
+        .agg(min(col("o_orderkey")).as("first_seen"),
+          count(lit(1)).as("n_hits"),
+          count_distinct(col("raw")).as("n_variants"))
+        .withColumn("host", expr("parse_url(url, 'HOST')"))
+      val (t, rows) = time3(graft.operators.Curation.crawlSchedule(frontier,
+        hostCol = "host", orderCol = "first_seen",
+        maxPerHost = 8, waveCapacity = 32))
+      println(f"NEWOPS q112 m=$m rows=$rows median=$t%.2f")
+    }
+
+    // q160 family: marginMine on m id-OFFSET replicas of the SCORED
+    // pair frame (cross-score computed once at sf0.1 and
+    // checkpointed, so the sweep isolates the miner): pairs and
+    // per-endpoint neighborhoods grow exactly m× and never span
+    // replicas. The n²/4 exact cross-score feeding the miner at
+    // audit scale is the known-quadratic scorer — swapped for
+    // LSH/IVF candidates at 100 TB per the q160 doc note — so it is
+    // deliberately OUTSIDE the timed body.
+    val p160 = graft.operators.Similarity.prepared(Tables.embeddings(spark, sf))
+    val a160 = p160.filter(pmod(col("vec_id"), lit(2)) === 0)
+      .select(col("vec_id").as("a_id"), col("vec").as("av"), col("norm").as("an"))
+    val b160 = p160.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .select(col("vec_id").as("b_id"), col("vec").as("bv"), col("norm").as("bn"))
+    lazy val scored160 = a160.crossJoin(broadcast(b160))
+      .select(col("a_id"), col("b_id"),
+        graft.functions.VectorFunctions.cosinePrenormed(
+          graft.functions.VectorFunctions.dot(col("av"), col("bv")),
+          col("an"), col("bn")).as("sim_raw"))
+      .localCheckpoint(true)
+    for (m <- Seq(1, 2, 4) if fam("q160")) {
+      val sM = (0 until m).map(c =>
+          scored160.select((col("a_id") + lit(c * 100000000L)).as("a_id"),
+            (col("b_id") + lit(c * 100000000L)).as("b_id"), col("sim_raw")))
+        .reduce(_ unionByName _)
+      val (t, rows) = time3(
+        graft.operators.Similarity.marginMine(sM, k = 4, minMargin = 1.15))
+      println(f"NEWOPS q160 m=$m pairs=$rows median=$t%.2f")
+    }
+
     // q146 family: edit-distance near-dup on m REPLICA-TAGGED
     // document copies — each copy's texts get a distinct first
     // token, so prefix blocks never span copies: blocks (and their
