@@ -712,4 +712,130 @@ object Temporal {
         expr("CAST((n * den - num) * 10000 DIV den AS BIGINT)").as("resid_e4"),
         (abs(col("n") * col("den") - col("num")) * lit(10L) >
           col("num") * lit(thresholdE1)).as("anomalous"))
+
+  /** Per-key bucketed fixed-point value series `(keys…, bucket,
+    * v_e4)` — the shared census the decomposition/changepoint pair
+    * reduces the corpus to in one aggregate. `v_e4` is the exact sum
+    * of FLOOR(value·1e4 + 0.5) longs (half-up at the 4th decimal —
+    * floor-of-shifted is rounding-rule-free across engines where a
+    * decimal cast is not), so every downstream statistic is integer
+    * arithmetic and hash-gates bit-for-bit. Census size is bounded
+    * by keys × calendar range / bucket width — never the corpus. */
+  private def valueCensus(events: DataFrame, keyCols: Seq[String],
+                          tsCol: String, valueCol: Column,
+                          bucketNs: Long): DataFrame = {
+    require(bucketNs > 0, "bucketNs must be positive")
+    val gcols = keyCols.map(col)
+    events
+      .filter(valueCol.isNotNull)
+      .select((gcols :+ expr(s"(`$tsCol`) div ${bucketNs}L").as("bucket")
+        :+ floor(valueCol * lit(10000d) + lit(0.5d)).cast("long").as("__v")): _*)
+      .groupBy((gcols :+ col("bucket")): _*)
+      .agg(sum(col("__v")).as("v_e4"))
+  }
+
+  /** Classical additive seasonal decomposition over a per-key
+    * bucketed series: `value = trend + seasonal(phase) + residual`,
+    * entirely in exact fixed-point longs.
+    *
+    *  - trend: centered moving average over `period` CONSECUTIVE
+    *    observed buckets (integer DIV — both engines truncate toward
+    *    zero); null at series edges and across gaps (the window must
+    *    hold exactly `period` rows spanning exactly `period − 1`
+    *    buckets), never silently computed over a hole.
+    *  - seasonal: per (key, bucket % period) integer mean of the
+    *    detrended values — the classical per-phase average, without
+    *    the optional re-centering step (documented variant; the
+    *    oracle replays the same definition).
+    *  - residual: `v − trend − seasonal`, null wherever trend is.
+    *
+    * `period` must be ODD (a centered window needs a middle row; the
+    * even-period classical form needs half-weight ends, which is a
+    * different estimator). Scale shape: one census aggregate, then a
+    * per-key window over CENSUS rows (bounded by keys × calendar,
+    * never the corpus — the q62/q138 posture) and one broadcast
+    * phase-profile re-attach. */
+  def seasonalDecompose(events: DataFrame, keyCols: Seq[String],
+                        tsCol: String, valueCol: Column, bucketNs: Long,
+                        period: Int, maxBins: Int = 1 << 20): DataFrame = {
+    require(period >= 3 && period % 2 == 1, "period must be odd and >= 3")
+    val half = period / 2
+    val gcols = keyCols.map(col)
+    // Bounded by CONSTRUCTION (the q62/q138 convention): the census
+    // is calendar-bounded for sane bucket widths, but a degenerate
+    // bucketNs makes it corpus-sized — fail fast, and the checkpoint
+    // also serves the trend window + phase profile double-consume.
+    val census = Stats.boundedCensus(
+      valueCensus(events, keyCols, tsCol, valueCol, bucketNs),
+      maxBins.toLong, "seasonalDecompose (keys, bucket) census")
+    val win = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+      .rowsBetween(-half, half)
+    val t = census
+      .withColumn("__cnt", count(lit(1)).over(win))
+      .withColumn("__span", max(col("bucket")).over(win) - min(col("bucket")).over(win))
+      .withColumn("__wsum", sum(col("v_e4")).over(win))
+      .withColumn("trend_e4",
+        when(col("__cnt") === period && col("__span") === (period - 1),
+          expr(s"__wsum div ${period}L")))
+      .drop("__cnt", "__span", "__wsum")
+      .withColumn("phase", pmod(col("bucket"), lit(period.toLong)))
+    val profile = t.filter(col("trend_e4").isNotNull)
+      .groupBy((gcols :+ col("phase")): _*)
+      .agg(sum(col("v_e4") - col("trend_e4")).as("__dsum"),
+        count(lit(1)).as("__dcnt"))
+      .withColumn("seasonal_e4", expr("__dsum div __dcnt"))
+      .select((gcols :+ col("phase") :+ col("seasonal_e4")): _*)
+    t.join(broadcast(profile), keyCols :+ "phase", "left")
+      .select((gcols :+ col("bucket") :+ col("phase") :+ col("v_e4")
+        :+ col("trend_e4")
+        :+ col("seasonal_e4")
+        :+ (col("v_e4") - col("trend_e4") - col("seasonal_e4")).as("resid_e4")): _*)
+  }
+
+  /** Single changepoint per key on the bucketed series, by the CUSUM
+    * max-deviation statistic: split after prefix index k maximizing
+    * `|n·S_k − k·S_n|` — the maximum deviation of the prefix sum
+    * from its linear interpolant, the classical CUSUM/KS-style
+    * location estimator ([[cusum]]'s offline argmax twin; q155 is
+    * the online alarm). The score is exact DECIMAL(38,0) arithmetic
+    * (the HUGEINT convention — a long product would wrap silently in
+    * Spark where DuckDB errors), the argmax is one max-of-struct
+    * aggregate with the smallest-k tiebreak encoded as `−k`, and the
+    * reported segment means are integer DIV. Keys with a single
+    * bucket have no interior split and drop.
+    *
+    * Scale shape: census aggregate → per-key prefix-sum window over
+    * CENSUS rows (bounded by calendar) → one aggregate; the corpus
+    * is touched once. */
+  def changepoint(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                  valueCol: Column, bucketNs: Long,
+                  maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = keyCols.map(col)
+    val census = Stats.boundedCensus(
+      valueCensus(events, keyCols, tsCol, valueCol, bucketNs),
+      maxBins.toLong, "changepoint (keys, bucket) census")
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(gcols: _*)
+    val scored = census
+      .withColumn("s_k", sum(col("v_e4")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k", row_number().over(wOrd).cast("long"))
+      .withColumn("s_n", sum(col("v_e4")).over(wAll))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .filter(col("k") < col("n"))
+      .withColumn("score",
+        abs(col("n").cast("decimal(38,0)") * col("s_k") -
+          col("k").cast("decimal(38,0)") * col("s_n")))
+    scored
+      .groupBy(gcols: _*)
+      .agg(max(struct(col("score"), (-col("k")).as("negk"), col("bucket"),
+        col("k"), col("n"), col("s_k"), col("s_n"))).as("__b"))
+      .select((gcols :+ col("__b.bucket").as("split_bucket")
+        :+ col("__b.k").as("n_left")
+        :+ (col("__b.n") - col("__b.k")).as("n_right")
+        :+ expr("__b.s_k div __b.k").as("left_mean_e4")
+        :+ expr("(__b.s_n - __b.s_k) div (__b.n - __b.k)").as("right_mean_e4")
+        :+ (expr("(__b.s_n - __b.s_k) div (__b.n - __b.k)") -
+          expr("__b.s_k div __b.k")).as("delta_e4")): _*)
+  }
 }

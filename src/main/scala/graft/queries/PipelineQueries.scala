@@ -288,6 +288,83 @@ object PipelineQueries {
         .orderBy("bucket")
     },
 
+    // ---- q185: classical additive seasonal decomposition — the
+    // trend/seasonal/residual split q165's profile scoring stops
+    // short of: per event type over daily buckets, trend = centered
+    // 7-bucket moving average (null at edges and across gaps — the
+    // window must hold 7 CONSECUTIVE observed buckets), seasonal =
+    // per-weekday integer mean of the detrended series, residual =
+    // the rest. Everything is exact fixed-point (v_e4 sums, integer
+    // DIV), so all four series hash-gate bit-for-bit. Engine: one
+    // census aggregate, a per-key window over census rows (bounded
+    // by keys × calendar AND by the boundedCensus fail-fast), one
+    // broadcast phase-profile re-attach.
+    Q("q185_seasonal_decompose", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      w AS (SELECT *,
+              COUNT(*) OVER win AS cnt,
+              MAX(bucket) OVER win - MIN(bucket) OVER win AS span,
+              CAST(SUM(v_e4) OVER win AS BIGINT) AS wsum
+            FROM b
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t AS (SELECT event_type, bucket, v_e4,
+              CASE WHEN cnt = 7 AND span = 6 THEN wsum // 7 END AS trend_e4
+            FROM w),
+      p AS (SELECT event_type AS p_et, bucket % 7 AS phase,
+              CAST(SUM(v_e4 - trend_e4) AS BIGINT) AS dsum,
+              CAST(COUNT(*) AS BIGINT) AS dcnt
+            FROM t WHERE trend_e4 IS NOT NULL GROUP BY 1, 2)
+      SELECT t.event_type, t.bucket, t.bucket % 7 AS phase, t.v_e4, t.trend_e4,
+             CAST(p.dsum // p.dcnt AS BIGINT) AS seasonal_e4,
+             CAST(t.v_e4 - t.trend_e4 - p.dsum // p.dcnt AS BIGINT) AS resid_e4
+      FROM t LEFT JOIN p ON p.p_et = t.event_type AND p.phase = t.bucket % 7
+      ORDER BY event_type, bucket""")) { (s, d) =>
+      Temporal.seasonalDecompose(Tables.events(s, d), Seq("event_type"),
+          "ts", col("value"), bucketNs = 86400000000000L, period = 7)
+        .orderBy("event_type", "bucket")
+    },
+
+    // ---- q186: offline changepoint — split each event type's daily
+    // series after the prefix k maximizing |n·S_k − k·S_n| (max
+    // deviation of the prefix sum from its linear interpolant — the
+    // CUSUM location estimator; q155 is the same statistic as an
+    // online alarm). The score is exact DECIMAL(38,0)/HUGEINT
+    // arithmetic (a long product would wrap in ANSI-off Spark where
+    // DuckDB errors), the argmax one max-of-struct with smallest-k
+    // tiebreak, segment means integer DIV. The oracle replays the
+    // argmax with a rank window the engine plan never contains.
+    Q("q186_changepoint", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      p AS (SELECT *,
+              CAST(SUM(v_e4) OVER (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_k,
+              CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS k
+            FROM b),
+      tot AS (SELECT event_type AS t_et, CAST(SUM(v_e4) AS BIGINT) AS s_n,
+                     CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      sc AS (SELECT p.event_type, p.bucket, p.k, tot.n, p.s_k, tot.s_n,
+               ABS(CAST(tot.n AS HUGEINT) * p.s_k - CAST(p.k AS HUGEINT) * tot.s_n) AS score
+             FROM p JOIN tot ON tot.t_et = p.event_type
+             WHERE p.k < tot.n),
+      best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                         ORDER BY score DESC, k ASC) AS rn FROM sc)
+      SELECT event_type, bucket AS split_bucket, k AS n_left, n - k AS n_right,
+             CAST(s_k // k AS BIGINT) AS left_mean_e4,
+             CAST((s_n - s_k) // (n - k) AS BIGINT) AS right_mean_e4,
+             CAST((s_n - s_k) // (n - k) - s_k // k AS BIGINT) AS delta_e4
+      FROM best WHERE rn = 1 ORDER BY event_type""")) { (s, d) =>
+      Temporal.changepoint(Tables.events(s, d), Seq("event_type"),
+          "ts", col("value"), bucketNs = 86400000000000L)
+        .orderBy("event_type")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

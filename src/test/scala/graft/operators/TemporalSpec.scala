@@ -598,4 +598,75 @@ class TemporalSpec extends SparkSuite {
       .orderBy("bucket").collect().map(_.getBoolean(5))
     assert(strict.toSeq === Seq(true, false, true))
   }
+
+  test("seasonalDecompose: hand series recovers trend/seasonal exactly; edges and gaps null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Perfect period-3 signal 10,20,30 repeating over buckets 0..6
+    // (ts = bucket at bucketNs = 1): interior trend is the flat
+    // 200000 e4-mean, per-phase seasonal is ±100000/0, residual 0.
+    val events = (0L to 6L).map(b => ("a", b, Seq(10.0, 20.0, 30.0)((b % 3).toInt)))
+      .toDF("event_type", "ts", "value")
+    val got = Temporal.seasonalDecompose(events, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, period = 3)
+      .orderBy("bucket")
+      .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().toSeq
+    assert(got === Seq(
+      ("a", 0L, 0L, 100000L, None, Some(-100000L), None),
+      ("a", 1L, 1L, 200000L, Some(200000L), Some(0L), Some(0L)),
+      ("a", 2L, 2L, 300000L, Some(200000L), Some(100000L), Some(0L)),
+      ("a", 3L, 0L, 100000L, Some(200000L), Some(-100000L), Some(0L)),
+      ("a", 4L, 1L, 200000L, Some(200000L), Some(0L), Some(0L)),
+      ("a", 5L, 2L, 300000L, Some(200000L), Some(100000L), Some(0L)),
+      ("a", 6L, 0L, 100000L, None, Some(-100000L), None)))
+    // A GAP (bucket 3 missing) nulls the trend wherever the centered
+    // window spans a hole — the cnt/span guard, not a silent average
+    // over non-consecutive buckets.
+    val gappy = Seq(0L, 1L, 2L, 4L, 5L, 6L)
+      .map(b => ("a", b, Seq(10.0, 20.0, 30.0)((b % 3).toInt)))
+      .toDF("event_type", "ts", "value")
+    val trends = Temporal.seasonalDecompose(gappy, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, period = 3)
+      .orderBy("bucket")
+      .select("bucket", "trend_e4")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(trends(1L).isDefined && trends(5L).isDefined)
+    assert(trends(2L).isEmpty && trends(4L).isEmpty, trends.toString)
+    // Guards: even period rejected; census bound trips fail-fast.
+    intercept[IllegalArgumentException](
+      Temporal.seasonalDecompose(events, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, period = 4))
+    val census = intercept[IllegalArgumentException](
+      Temporal.seasonalDecompose(events, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, period = 3, maxBins = 3))
+    assert(census.getMessage.contains("census rows"))
+  }
+
+  test("changepoint: step series splits at the step; score ties pick the smallest k") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Step 0,0,100,100: scores |n·S_k − k·S_n| = 2e6, 4e6, 2e6 →
+    // split after k = 2 (bucket 1), exact segment means.
+    val step = Seq(("a", 0L, 0.0), ("a", 1L, 0.0), ("a", 2L, 100.0), ("a", 3L, 100.0),
+      ("b", 9L, 5.0)) // single-bucket key: no interior split, drops
+      .toDF("event_type", "ts", "value")
+    val got = Temporal.changepoint(step, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L)
+      .orderBy("event_type")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(("a", 1L, 2L, 2L, 0L, 1000000L, 1000000L)))
+    // Symmetric pulse 0,100,0: k=1 and k=2 score identically (1e6·3
+    // each side) — the −k struct tiebreak picks k = 1 (bucket 0).
+    val pulse = Seq(("a", 0L, 0.0), ("a", 1L, 100.0), ("a", 2L, 0.0))
+      .toDF("event_type", "ts", "value")
+    val tied = Temporal.changepoint(pulse, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(tied === Seq(("a", 0L, 1L, 2L, 0L, 500000L, 500000L)))
+    val census = intercept[IllegalArgumentException](
+      Temporal.changepoint(step, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, maxBins = 2))
+    assert(census.getMessage.contains("census rows"))
+  }
 }
