@@ -264,6 +264,63 @@ object PipelineQueries {
         .orderBy("hour_bucket", "event_type")
     },
 
+    // ---- q187: the STREAMING twin's bench lane — q35's hourly
+    // aggregate executed through Structured Streaming end-to-end
+    // (file source → watermarked tumbling-window aggregate → memory
+    // sink), so the state-store machinery the EventStreamsSpec
+    // parity tests exercise at fixture scale finally has a timed,
+    // hash-gated lane at bench scale. Determinism: the whole sfDir
+    // arrives as ONE micro-batch (maxFilesPerTrigger high, so the
+    // watermark — which only advances BETWEEN batches — can drop
+    // nothing and the result is the exact batch aggregate), sums run
+    // on decimal (a streamed double sum would be order-dependent),
+    // and the memory sink holds the bounded window census, never the
+    // corpus. The oracle replays the tumbling windows from epoch
+    // arithmetic.
+    Q("q187_stream_hourly", Some(s"""
+      SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS window_start_us,
+             event_type,
+             COUNT(*) AS n,
+             ${Q.dsumSql("value", 2)} AS sum_value
+      FROM events
+      GROUP BY 1, 2
+      ORDER BY window_start_us, event_type""")) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val path = s"$d/events.parquet"
+      // Probe the batch schema (footer metadata only) so the stream
+      // reader and the ts normalization track the driver data's
+      // TIMESTAMP(NANOS)/timestamp[us]/BIGINT drift exactly like
+      // Tables.events does for batch.
+      val batchSchema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1 << 20)
+        // events.parquet is a FILE at the driver's layout, but the
+        // file stream source requires a DIRECTORY source path (it
+        // re-derives basePath from the source path per batch) — so
+        // stream the sf dir and glob-filter to the events table.
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val ev = batchSchema("ts").dataType match {
+        case LongType => raw
+        case TimestampNTZType | TimestampType =>
+          raw.withColumn("ts",
+            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+      }
+      val counts = graft.streaming.EventStreams.hourlyCounts(
+        ev.withColumn("value", col("value").cast("decimal(28,2)")))
+      val sink = s"q187_mem_${System.nanoTime()}"
+      val q = counts.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sink)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own
