@@ -809,14 +809,21 @@ object Temporal {
     * is touched once. */
   def changepoint(events: DataFrame, keyCols: Seq[String], tsCol: String,
                   valueCol: Column, bucketNs: Long,
-                  maxBins: Int = 1 << 20): DataFrame = {
-    val gcols = keyCols.map(col)
-    val census = Stats.boundedCensus(
-      valueCensus(events, keyCols, tsCol, valueCol, bucketNs),
-      maxBins.toLong, "changepoint (keys, bucket) census")
-    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("bucket"))
-    val wAll = Window.partitionBy(gcols: _*)
-    val scored = census
+                  maxBins: Int = 1 << 20): DataFrame =
+    binarySegmentation(events, keyCols, tsCol, valueCol, bucketNs,
+      depth = 1, maxBins = maxBins)
+      .withColumn("delta_e4", col("right_mean_e4") - col("left_mean_e4"))
+      .drop("seg")
+
+  /** One level of CUSUM max-deviation splitting over a
+    * `(keys…, seg, bucket, v_e4)` census — shared by [[changepoint]]
+    * (depth 1) and [[binarySegmentation]]. Segments with a single
+    * bucket have no interior split and drop. */
+  private def splitOnce(census: DataFrame, gcols: Seq[Column]): DataFrame = {
+    val segKeys = gcols :+ col("seg")
+    val wOrd = Window.partitionBy(segKeys: _*).orderBy(col("bucket"))
+    val wAll = Window.partitionBy(segKeys: _*)
+    census
       .withColumn("s_k", sum(col("v_e4")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("k", row_number().over(wOrd).cast("long"))
@@ -826,16 +833,53 @@ object Temporal {
       .withColumn("score",
         abs(col("n").cast("decimal(38,0)") * col("s_k") -
           col("k").cast("decimal(38,0)") * col("s_n")))
-    scored
-      .groupBy(gcols: _*)
+      .groupBy(segKeys: _*)
       .agg(max(struct(col("score"), (-col("k")).as("negk"), col("bucket"),
         col("k"), col("n"), col("s_k"), col("s_n"))).as("__b"))
-      .select((gcols :+ col("__b.bucket").as("split_bucket")
+      .select((segKeys :+ col("__b.bucket").as("split_bucket")
         :+ col("__b.k").as("n_left")
         :+ (col("__b.n") - col("__b.k")).as("n_right")
         :+ expr("__b.s_k div __b.k").as("left_mean_e4")
-        :+ expr("(__b.s_n - __b.s_k) div (__b.n - __b.k)").as("right_mean_e4")
-        :+ (expr("(__b.s_n - __b.s_k) div (__b.n - __b.k)") -
-          expr("__b.s_k div __b.k")).as("delta_e4")): _*)
+        :+ expr("(__b.s_n - __b.s_k) div (__b.n - __b.k)").as("right_mean_e4")): _*)
+  }
+
+  /** Iterated binary segmentation: [[changepoint]]'s split applied
+    * recursively `depth` levels — split each key's series, then split
+    * each resulting segment again, the classical multi-changepoint
+    * construction. Output is one row per FOUND split, labeled by its
+    * segment path (`T` = the whole series, `TL`/`TR` = left/right of
+    * the root split, and so on); segments too small to split (fewer
+    * than two buckets) simply produce no row, so the output is the
+    * realized split TREE, not a padded grid.
+    *
+    * Scale shape: the corpus reduces to the bounded per-key bucket
+    * census ONCE (boundedCensus checkpoint — every level re-reads the
+    * materialized frame, not the corpus lineage); each level is a
+    * census-space window + argmax aggregate + a broadcast re-attach
+    * of at most keys × 2^level split rows. Depth is capped at 16 —
+    * 2^16 segments per key is far past any honest use, and the cap
+    * keeps the plan from growing unboundedly. */
+  def binarySegmentation(events: DataFrame, keyCols: Seq[String],
+                         tsCol: String, valueCol: Column, bucketNs: Long,
+                         depth: Int = 2, maxBins: Int = 1 << 20): DataFrame = {
+    require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    val gcols = keyCols.map(col)
+    var census = Stats.boundedCensus(
+      valueCensus(events, keyCols, tsCol, valueCol, bucketNs),
+      maxBins.toLong, "binarySegmentation (keys, bucket) census")
+      .withColumn("seg", lit("T"))
+    var out: DataFrame = null
+    for (_ <- 1 to depth) {
+      val splits = splitOnce(census, gcols)
+      out = if (out == null) splits else out.unionByName(splits)
+      census = census
+        .join(broadcast(splits.select(
+          (gcols :+ col("seg") :+ col("split_bucket")): _*)),
+          keyCols :+ "seg")
+        .withColumn("seg", concat(col("seg"),
+          when(col("bucket") <= col("split_bucket"), lit("L")).otherwise(lit("R"))))
+        .drop("split_bucket")
+    }
+    out
   }
 }

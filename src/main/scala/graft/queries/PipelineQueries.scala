@@ -422,6 +422,64 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- q189: iterated binary segmentation — q186's CUSUM split
+    // applied recursively (depth 2): split each event type's daily
+    // series, then split each side again, yielding the realized
+    // split tree (seg T, TL, TR; undersized segments produce no
+    // row). The oracle replays both levels with rank windows over
+    // the same HUGEINT statistic; the engine plan builds the bounded
+    // census once (checkpoint) and runs census-space windows +
+    // argmax aggregates per level with broadcast re-attaches.
+    Q("q189_binary_segmentation", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      seg0 AS (SELECT event_type, 'T' AS seg, bucket, v_e4 FROM b),
+      lvl0 AS (
+        WITH p AS (SELECT *, CAST(SUM(v_e4) OVER (PARTITION BY event_type, seg ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_k,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type, seg ORDER BY bucket) AS BIGINT) AS k
+              FROM seg0),
+        tot AS (SELECT event_type AS t_et, seg AS t_seg, CAST(SUM(v_e4) AS BIGINT) AS s_n,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM seg0 GROUP BY 1, 2),
+        sc AS (SELECT p.event_type, p.seg, p.bucket, p.k, tot.n, p.s_k, tot.s_n,
+                 ABS(CAST(tot.n AS HUGEINT) * p.s_k - CAST(p.k AS HUGEINT) * tot.s_n) AS score
+               FROM p JOIN tot ON tot.t_et = p.event_type AND tot.t_seg = p.seg
+               WHERE p.k < tot.n),
+        best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, seg
+                           ORDER BY score DESC, k ASC) AS rn FROM sc)
+        SELECT event_type, seg, bucket AS split_bucket, k, n, s_k, s_n
+        FROM best WHERE rn = 1),
+      seg1 AS (SELECT b.event_type,
+                      'T' || CASE WHEN b.bucket <= l.split_bucket THEN 'L' ELSE 'R' END AS seg,
+                      b.bucket, b.v_e4
+               FROM b JOIN lvl0 l ON l.event_type = b.event_type),
+      lvl1 AS (
+        WITH p AS (SELECT *, CAST(SUM(v_e4) OVER (PARTITION BY event_type, seg ORDER BY bucket
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_k,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type, seg ORDER BY bucket) AS BIGINT) AS k
+              FROM seg1),
+        tot AS (SELECT event_type AS t_et, seg AS t_seg, CAST(SUM(v_e4) AS BIGINT) AS s_n,
+                       CAST(COUNT(*) AS BIGINT) AS n FROM seg1 GROUP BY 1, 2),
+        sc AS (SELECT p.event_type, p.seg, p.bucket, p.k, tot.n, p.s_k, tot.s_n,
+                 ABS(CAST(tot.n AS HUGEINT) * p.s_k - CAST(p.k AS HUGEINT) * tot.s_n) AS score
+               FROM p JOIN tot ON tot.t_et = p.event_type AND tot.t_seg = p.seg
+               WHERE p.k < tot.n),
+        best AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, seg
+                           ORDER BY score DESC, k ASC) AS rn FROM sc)
+        SELECT event_type, seg, bucket AS split_bucket, k, n, s_k, s_n
+        FROM best WHERE rn = 1),
+      allv AS (SELECT * FROM lvl0 UNION ALL SELECT * FROM lvl1)
+      SELECT event_type, seg, split_bucket, k AS n_left, n - k AS n_right,
+             CAST(s_k // k AS BIGINT) AS left_mean_e4,
+             CAST((s_n - s_k) // (n - k) AS BIGINT) AS right_mean_e4
+      FROM allv ORDER BY event_type, seg""")) { (s, d) =>
+      Temporal.binarySegmentation(Tables.events(s, d), Seq("event_type"),
+          "ts", col("value"), bucketNs = 86400000000000L, depth = 2)
+        .orderBy("event_type", "seg")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

@@ -669,4 +669,32 @@ class TemporalSpec extends SparkSuite {
         col("value"), bucketNs = 1L, maxBins = 2))
     assert(census.getMessage.contains("census rows"))
   }
+
+  test("binarySegmentation: realized split tree; undersized segments produce no row") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Key a: step 0,0,100,100 — root split after bucket 1, then both
+    // sides are flat pairs (score 0) that still have an interior
+    // split. Key b: two buckets — root split only; both children are
+    // single buckets and must NOT appear at depth 2.
+    val rows = Seq(("a", 0L, 0.0), ("a", 1L, 0.0), ("a", 2L, 100.0), ("a", 3L, 100.0),
+      ("b", 0L, 5.0), ("b", 1L, 7.0)).toDF("event_type", "ts", "value")
+    val got = Temporal.binarySegmentation(rows, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, depth = 2)
+      .orderBy("event_type", "seg")
+      .as[(String, String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got === Seq(
+      ("a", "T", 1L, 2L, 2L, 0L, 1000000L),
+      ("a", "TL", 0L, 1L, 1L, 0L, 0L),
+      ("a", "TR", 2L, 1L, 1L, 1000000L, 1000000L),
+      ("b", "T", 0L, 1L, 1L, 50000L, 70000L)))
+    // depth = 1 is exactly changepoint's split set (minus delta/seg).
+    val d1 = Temporal.binarySegmentation(rows, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, depth = 1)
+      .select("event_type", "split_bucket").as[(String, Long)].collect().toSet
+    assert(d1 === Set(("a", 1L), ("b", 0L)))
+    intercept[IllegalArgumentException](
+      Temporal.binarySegmentation(rows, Seq("event_type"), "ts",
+        col("value"), bucketNs = 1L, depth = 0))
+  }
 }
