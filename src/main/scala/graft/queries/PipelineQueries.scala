@@ -321,6 +321,66 @@ object PipelineQueries {
         .orderBy("window_start_us", "event_type")
     },
 
+    // ---- q188: the APPEND-mode streaming lane — q54's gap sessions
+    // through Catalyst's native session_window aggregate with a real
+    // state store and WATERMARK EVICTION under timing: unlike q187's
+    // complete-mode window census, this lane's output is exactly the
+    // sessions the watermark has closed when the stream drains —
+    // sessions still open (ending within gap + watermark of the
+    // corpus max) stay in state and must NOT appear. The oracle
+    // replays the gap sessionization AND the eviction rule
+    // (window_end <= watermark, both in Spark's millisecond
+    // watermark domain; EventStreamsSpec pins the exact boundary on
+    // a crafted fixture). Single data micro-batch (watermarks only
+    // advance between batches) + decimal sums keep the emitted set
+    // deterministic.
+    Q("q188_stream_sessions", Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS tsu,
+                        CAST(value AS DECIMAL(28,2)) AS v FROM events),
+      mx AS (SELECT MAX(tsu) AS mts FROM e),
+      o AS (SELECT user_id, tsu, v,
+              CASE WHEN LAG(tsu) OVER w IS NULL
+                     OR tsu - LAG(tsu) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu)),
+      s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsu
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o),
+      g AS (SELECT user_id, sid, MIN(tsu) AS start_u, MAX(tsu) AS end_u,
+                   CAST(COUNT(*) AS INT) AS n_events,
+                   CAST(SUM(v) AS DOUBLE) AS total_value
+            FROM s GROUP BY 1, 2)
+      SELECT user_id, start_u * 1000 AS session_start_ts,
+             end_u * 1000 AS session_end_ts, n_events, total_value
+      FROM g, mx
+      WHERE (end_u + 1800000000) // 1000 <= mts // 1000 - 7200000
+      ORDER BY user_id, session_start_ts""")) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val path = s"$d/events.parquet"
+      val batchSchema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1 << 20)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val ev = batchSchema("ts").dataType match {
+        case LongType => raw
+        case TimestampNTZType | TimestampType =>
+          raw.withColumn("ts",
+            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+      }
+      val sessions = graft.streaming.EventStreams.sessionWindowAgg(
+        ev.withColumn("value", col("value").cast("decimal(28,2)")),
+        gapMinutes = 30, watermark = "2 hours")
+      val sink = s"q188_mem_${System.nanoTime()}"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("session_start_ts"), col("session_end_ts"),
+          col("n_events"), col("total_value").cast("double").as("total_value"))
+        .orderBy("user_id", "session_start_ts")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own

@@ -523,6 +523,34 @@ class EventStreamsSpec extends SparkSuite {
       s"session_window and flatMapGroupsWithState diverged: $windowed vs $stateful")
   }
 
+  test("session_window append emission boundary: window_end <= watermark, in milliseconds") {
+    // q188's oracle replays Spark's eviction rule, so the exact
+    // boundary comparison must be pinned: a session whose window end
+    // (last event + gap) lands EXACTLY on the watermark (max event
+    // time - delay, millisecond domain). Three sessions: one clearly
+    // closed (must emit), one exactly at the boundary (pins <= vs <),
+    // and the sentinel's own (open, must not emit).
+    val t1 = 1000000000000000L // ns, ms-aligned
+    val msNs = 1000000L
+    // sentinel at t1 + gap + delay → watermark_ms == window_end_ms(user 1)
+    val rows = Seq(
+      ev(1, t1, 1, "a", 1.0),
+      ev(2, t1 - 3600000L * msNs, 2, "a", 2.0), // 1h earlier: clearly closed
+      ev(3, t1 + 9000000L * msNs, 9, "w", 0.0))
+    val dir = writeLandingFilePerLine(rows)
+    val sink = s"sessbound_${System.nanoTime()}"
+    val q = EventStreams.sessionWindowAgg(
+        EventStreams.readEventsJson(spark, dir), gapMinutes = 30)
+      .writeStream.format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val emitted = spark.table(sink).select("user_id")
+      .as[Long].collect().toSet
+    assert(emitted.contains(2L), "clearly-closed session must emit")
+    assert(!emitted.contains(9L), "the sentinel's open session must not emit")
+    assert(emitted.contains(1L),
+      "boundary session (window_end == watermark) must emit — the q188 oracle encodes <=")
+  }
+
   test("sessionization closes sessions at the gap, keeps state bounded") {
     // user 1: two events 10 min apart (one session), then one 2h
     // later (second session, still open at end of stream).
