@@ -158,6 +158,16 @@ object NewOpsSweep {
       val (t39, rows39) = time3(graft.operators.Stats.equiDepthBuckets(
         evM, "event_id", col("value"), k = 8))
       println(f"NEWOPS q139 m=$m rows=$rows39 median=$t39%.2f")
+      // r14 additions share the same disjoint-key replica argument:
+      // per-key census size stays constant, key count grows m×.
+      val (t85, rows85) = time3(graft.operators.Temporal.seasonalDecompose(
+        evM, Seq("event_type"), "ts", col("value"),
+        bucketNs = 86400000000000L, period = 7))
+      println(f"NEWOPS q185 m=$m rows=$rows85 median=$t85%.2f")
+      val (t89, rows89) = time3(graft.operators.Temporal.binarySegmentation(
+        evM, Seq("event_type"), "ts", col("value"),
+        bucketNs = 86400000000000L, depth = 2))
+      println(f"NEWOPS q189 m=$m rows=$rows89 median=$t89%.2f")
     }
 
     // q112 family: the crawl-ingest planner on m custkey-OFFSET order
