@@ -823,19 +823,26 @@ object Temporal {
     val segKeys = gcols :+ col("seg")
     val wOrd = Window.partitionBy(segKeys: _*).orderBy(col("bucket"))
     val wAll = Window.partitionBy(segKeys: _*)
+    // Internal columns are __-prefixed: a bare name here (an early
+    // version used "k") is silently CAPTURED by the wAll window when
+    // a caller key column shares the name — the later window specs
+    // re-resolve by name against the frame with the replacement
+    // column, every (replaced-value, seg) partition collapses to one
+    // row, and the k < n filter empties the output.
     census
-      .withColumn("s_k", sum(col("v_e4")).over(
+      .withColumn("__sk", sum(col("v_e4")).over(
         wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("k", row_number().over(wOrd).cast("long"))
-      .withColumn("s_n", sum(col("v_e4")).over(wAll))
-      .withColumn("n", count(lit(1)).over(wAll))
-      .filter(col("k") < col("n"))
-      .withColumn("score",
-        abs(col("n").cast("decimal(38,0)") * col("s_k") -
-          col("k").cast("decimal(38,0)") * col("s_n")))
+      .withColumn("__k", row_number().over(wOrd).cast("long"))
+      .withColumn("__sn", sum(col("v_e4")).over(wAll))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .filter(col("__k") < col("__n"))
+      .withColumn("__score",
+        abs(col("__n").cast("decimal(38,0)") * col("__sk") -
+          col("__k").cast("decimal(38,0)") * col("__sn")))
       .groupBy(segKeys: _*)
-      .agg(max(struct(col("score"), (-col("k")).as("negk"), col("bucket"),
-        col("k"), col("n"), col("s_k"), col("s_n"))).as("__b"))
+      .agg(max(struct(col("__score"), (-col("__k")).as("negk"), col("bucket"),
+        col("__k").as("k"), col("__n").as("n"),
+        col("__sk").as("s_k"), col("__sn").as("s_n"))).as("__b"))
       .select((segKeys :+ col("__b.bucket").as("split_bucket")
         :+ col("__b.k").as("n_left")
         :+ (col("__b.n") - col("__b.k")).as("n_right")
@@ -863,6 +870,9 @@ object Temporal {
                          tsCol: String, valueCol: Column, bucketNs: Long,
                          depth: Int = 2, maxBins: Int = 1 << 20): DataFrame = {
     require(depth >= 1 && depth <= 16, "depth must be in [1, 16]")
+    val reserved = Set("seg", "bucket", "v_e4", "split_bucket",
+      "n_left", "n_right", "left_mean_e4", "right_mean_e4")
+    require(!keyCols.exists(reserved), s"key columns may not use the reserved names $reserved")
     val gcols = keyCols.map(col)
     var census = Stats.boundedCensus(
       valueCensus(events, keyCols, tsCol, valueCol, bucketNs),

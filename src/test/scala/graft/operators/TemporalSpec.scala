@@ -670,6 +670,94 @@ class TemporalSpec extends SparkSuite {
     assert(census.getMessage.contains("census rows"))
   }
 
+  test("seasonalDecompose ≡ sequential replay on random gappy corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Random (key, bucket, value) corpora with in-bucket collisions,
+    // gaps, and negative values — the replay recomputes the exact
+    // fixed-point trend/seasonal/residual definitions sequentially
+    // (Scala Long `/` truncates toward zero, same as SQL DIV).
+    val period = 3; val half = period / 2
+    val gen = for {
+      n <- Gen.chooseNum(4, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        b <- Gen.chooseNum(0L, 9L)
+        v <- Gen.chooseNum(-300, 300)
+      } yield (k, b, v / 8.0d))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Temporal.seasonalDecompose(rows.toDF("k", "ts", "value"),
+          Seq("k"), "ts", col("value"), bucketNs = 1L, period = period)
+        .as[(String, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+        .collect().toSet
+      val census = rows.groupBy(r => (r._1, r._2)).view.mapValues(
+        _.map(r => math.floor(r._3 * 10000d + 0.5d).toLong).sum).toMap
+      val byKey = census.keys.groupBy(_._1).view
+        .mapValues(_.map(_._2).toSeq.sorted).toMap
+      val trend = census.keys.map { case (k, b) =>
+        val bs = byKey(k); val i = bs.indexOf(b)
+        val w = bs.slice(math.max(0, i - half), i + half + 1)
+        (k, b) -> (if (w.size == period && w.last - w.head == period - 1)
+          Some(w.map(x => census((k, x))).sum / period) else None)
+      }.toMap
+      val seasonal = census.keys.groupBy { case (k, b) => (k, b % period) }.view
+        .mapValues { cells =>
+          val d = cells.toSeq.collect {
+            case c if trend(c).isDefined => census(c) - trend(c).get }
+          if (d.isEmpty) None else Some(d.sum / d.size)
+        }.toMap
+      val expected = census.keys.map { case (k, b) =>
+        val s = seasonal((k, b % period))
+        val r = for (t <- trend((k, b)); sv <- s) yield census((k, b)) - t - sv
+        (k, b, b % period, census((k, b)), trend((k, b)), s, r)
+      }.toSet
+      assert(got === expected, s"seasonalDecompose diverged on $rows")
+    }
+  }
+
+  test("binarySegmentation ≡ sequential recursive replay on random corpora") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val depth = 2
+    val gen = for {
+      n <- Gen.chooseNum(2, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        b <- Gen.chooseNum(0L, 7L)
+        v <- Gen.chooseNum(-400, 400)
+      } yield (k, b, v / 16.0d))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 6)) {
+      val got = Temporal.binarySegmentation(rows.toDF("k", "ts", "value"),
+          Seq("k"), "ts", col("value"), bucketNs = 1L, depth = depth)
+        .as[(String, String, Long, Long, Long, Long, Long)]
+        .collect().toSet
+      val census = rows.groupBy(r => (r._1, r._2)).view.mapValues(
+        _.map(r => math.floor(r._3 * 10000d + 0.5d).toLong).sum).toMap
+      val expected = scala.collection.mutable.Set
+        .empty[(String, String, Long, Long, Long, Long, Long)]
+      def split(key: String, seg: String, buckets: Seq[Long], lvl: Int): Unit = {
+        val n = buckets.size.toLong
+        if (lvl > depth || n < 2) return
+        val vals = buckets.map(b => census((key, b)))
+        val sn = vals.sum
+        val scored = (1 until buckets.size).map { k =>
+          val sk = vals.take(k).sum
+          ((BigInt(n) * sk - BigInt(k) * sn).abs, k.toLong, sk)
+        }
+        val (_, k, sk) = scored.maxBy { case (sc, kk, _) => (sc, -kk) }
+        expected += ((key, seg, buckets(k.toInt - 1), k, n - k,
+          sk / k, (sn - sk) / (n - k)))
+        split(key, seg + "L", buckets.take(k.toInt), lvl + 1)
+        split(key, seg + "R", buckets.drop(k.toInt), lvl + 1)
+      }
+      for ((key, cells) <- census.keys.groupBy(_._1))
+        split(key, "T", cells.map(_._2).toSeq.sorted, 1)
+      assert(got === expected.toSet, s"binarySegmentation diverged on $rows")
+    }
+  }
+
   test("binarySegmentation: realized split tree; undersized segments produce no row") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
