@@ -551,6 +551,51 @@ class EventStreamsSpec extends SparkSuite {
       "boundary session (window_end == watermark) must emit — the q188 oracle encodes <=")
   }
 
+  test("session_window append ≡ sequential gap+eviction replay on random event streams") {
+    // The q188 contract on random data: gap-sessionize sequentially,
+    // then emit exactly the sessions whose window end has passed the
+    // watermark (<= rule, millisecond domain) — open sessions stay in
+    // state. Small key/time ranges force in-gap collisions, same-ts
+    // ties (counts only — double sums are order-dependent on ties),
+    // and sessions on both sides of the watermark.
+    val gapUs = 1800000000L; val delayMs = 7200000L
+    val gen = for {
+      n <- org.scalacheck.Gen.chooseNum(3, 30)
+      rows <- org.scalacheck.Gen.listOfN(n, for {
+        u <- org.scalacheck.Gen.chooseNum(1L, 3L)
+        // minutes over a ~5h span, some beyond watermark reach
+        t <- org.scalacheck.Gen.chooseNum(0L, 300L)
+      } yield (u, 1000000000000000L + t * 60000000L))
+    } yield rows
+    for (rows <- graft.PropSampling.sample(gen, n = 4)) {
+      val lines = rows.zipWithIndex.map { case ((u, tu), i) =>
+        ev(i.toLong, tu * 1000L, u, "a", 1.0) }
+      val dir = writeLandingFilePerLine(lines)
+      val sink = s"sessrand_${System.nanoTime()}"
+      val q = EventStreams.sessionWindowAgg(
+          EventStreams.readEventsJson(spark, dir), gapMinutes = 30)
+        .writeStream.format("memory").queryName(sink).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table(sink)
+        .select("user_id", "session_start_ts", "session_end_ts", "n_events")
+        .as[(Long, Long, Long, Int)].collect().toSet
+      // sequential replay (micros), then the <= ms eviction rule
+      val wmMs = rows.map(_._2).max / 1000L - delayMs
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val ts = es.map(_._2).sorted
+        val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+          if (t - acc.head.head <= gapUs) (t :: acc.head) :: acc.tail
+          else List(t) :: acc
+        }.map(_.reverse).reverse
+        sessions.collect {
+          case s if (s.last + gapUs) / 1000L <= wmMs =>
+            (u, s.head * 1000L, s.last * 1000L, s.size)
+        }
+      }.toSet
+      assert(got === expected, s"append eviction replay diverged on $rows")
+    }
+  }
+
   test("sessionization closes sessions at the gap, keeps state bounded") {
     // user 1: two events 10 min apart (one session), then one 2h
     // later (second session, still open at end of stream).
