@@ -225,6 +225,92 @@ object Stats {
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
 
+  /** lcm(1..64) and its per-denominator quotients, precomputed as
+    * DECIMAL literals: a pairwise slope num/den with den ≤ 64 maps to
+    * the EXACT common-denominator integer num·(L/den), so ordering
+    * slopes (the Theil–Sen median) is a plain decimal sort — no
+    * float, no per-pair cross-multiplication. */
+  private val slopeLcm: BigInt =
+    (1 to 64).map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+  private lazy val slopeLcmQuotients: Column = array(
+    (1 to 64).map(d => lit(new java.math.BigDecimal((slopeLcm / d).bigInteger))): _*)
+
+  /** Theil–Sen estimator per group: the MEDIAN of all pairwise
+    * slopes (y2−y1)/(x2−x1), plus the median-residual intercept —
+    * the robust companion to [[linearFit]]'s OLS (up to ~29% of the
+    * points can be arbitrary outliers before the slope moves, where
+    * one bad point drags a least-squares fit; Sen 1968). Everything
+    * is EXACT integer/decimal arithmetic, so the output hash-gates:
+    * slopes order by their lcm-scaled integer form (never a float
+    * division), medians are lower-middle element PICKS (the
+    * madOutliers convention), and the reported `slope_e4` /
+    * `intercept_e4` are integer-DIV fixed-point — representation-
+    * independent (equal fractions report equal e4 values whatever
+    * pair the tie-ordered pick lands on).
+    *
+    * Input is one POINT per (group, x) — callers aggregate duplicate
+    * x upstream (the q190 gate feeds a bucket census), with `xCol`
+    * long and `yE4Col` an already-quantized fixed-point long.
+    * Documented domain, enforced by in-plan raise_error (loud, never
+    * silently wrong): per-group span max(x)−min(x) ≤ 64 (the lcm
+    * table's reach — rebase/rebucket wider series upstream, the q71
+    * x-rebase precedent), |y_e4| ≤ 4·10¹⁰ and |x| ≤ 10⁶ (keep every
+    * product inside long/decimal(38) range), and at most
+    * `maxPointsPerKey` points per group (the pair census is
+    * quadratic per group: its windows buffer maxPoints²/2 rows in
+    * one task — the documented per-key bound).
+    *
+    * Scale shape: one census-sized self-join per group, windows over
+    * PAIR census rows only (never a corpus), one broadcast re-attach
+    * of the per-group median slope. Groups with a single point have
+    * no pair and drop. */
+  def theilSen(df: DataFrame, groupCols: Seq[String],
+               xCol: Column, yE4Col: Column,
+               maxPointsPerKey: Int = 1024): DataFrame = {
+    require(maxPointsPerKey >= 2, "maxPointsPerKey must be >= 2")
+    val gcols = groupCols.map(col)
+    val wKey = Window.partitionBy(gcols: _*)
+    val pts = df
+      .select((gcols :+ xCol.cast("long").as("__x") :+ yE4Col.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__x", when(abs(col("__x")) <= 1000000L, col("__x"))
+        .otherwise(raise_error(lit("theilSen: |x| > 1e6 — rebase x upstream")).cast("long")))
+      .withColumn("__y", when(abs(col("__y")) <= 40000000000L, col("__y"))
+        .otherwise(raise_error(lit("theilSen: |y_e4| > 4e10 — rescale y upstream")).cast("long")))
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__n", when(col("__n") <= maxPointsPerKey, col("__n"))
+        .otherwise(raise_error(
+          lit(s"theilSen: a group exceeds $maxPointsPerKey points — aggregate coarser upstream")).cast("long")))
+    val a = pts.select((gcols :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
+    val b = pts.select((gcols :+ col("__x").as("__x2") :+ col("__y").as("__y2") :+ col("__n")): _*)
+    val pairs = a.join(b, groupCols).filter(col("__x2") > col("__x1"))
+      .withColumn("__num", col("__y2") - col("__y1"))
+      .withColumn("__den", col("__x2") - col("__x1"))
+      .withColumn("__den", when(col("__den") <= 64L, col("__den"))
+        .otherwise(raise_error(
+          lit("theilSen: a group spans more than 64 x steps — rebucket upstream")).cast("long")))
+      .withColumn("__scaled", col("__num").cast("decimal(38,0)") *
+        element_at(slopeLcmQuotients, col("__den").cast("int")))
+    val wOrd = wKey.orderBy(col("__scaled"), col("__num"), col("__den"))
+    val med = pairs
+      .withColumn("__rn", row_number().over(wOrd).cast("long"))
+      .withColumn("__np", count(lit(1)).over(wKey))
+      .filter(col("__rn") === expr("(__np + 1L) div 2L")) // Column./ is DOUBLE division
+      .select((gcols :+ col("__num") :+ col("__den") :+ col("__np") :+ col("__n")): _*)
+    val resid = pts.select((gcols :+ col("__x") :+ col("__y")): _*)
+      .join(broadcast(med), groupCols)
+      .withColumn("__rs", col("__y") * col("__den") - col("__num") * col("__x"))
+      .withColumn("__rs", when(abs(col("__rs")) <= 900000000000000L, col("__rs"))
+        .otherwise(raise_error(lit("theilSen: residual out of fixed-point range")).cast("long")))
+    val wRs = wKey.orderBy(col("__rs"), col("__x"))
+    resid
+      .withColumn("__rrn", row_number().over(wRs).cast("long"))
+      .filter(col("__rrn") === expr("(__n + 1L) div 2L"))
+      .select((gcols :+ col("__n").as("n") :+ col("__np").as("n_pairs")
+        :+ expr("__num * 10000L div __den").as("slope_e4")
+        :+ expr("__rs * 10000L div __den").as("intercept_e4")): _*)
+  }
+
   def linearFit(df: DataFrame, groupCols: Seq[String],
                 xCol: Column, yCol: Column,
                 xPrec: Int = 12, xScale: Int = 0,

@@ -540,6 +540,52 @@ object PipelineQueries {
         .orderBy("event_type", "seg")
     },
 
+    // ---- q190: Theil–Sen robust trend — the median-of-pairwise-
+    // slopes estimator beside q71's OLS (one outlier day drags a
+    // least-squares line; the pairwise median shrugs off ~29%
+    // contamination) over the same daily value census as q185/q186.
+    // Exactness: slopes order by their lcm(1..64)-scaled integer
+    // form (HUGEINT/DECIMAL(38,0) — never a float division), both
+    // medians are lower-middle element picks, and the e4 outputs are
+    // integer DIV — representation-independent under slope ties.
+    Q("q190_theil_sen", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      pr AS (SELECT a.event_type,
+                    b.v_e4 - a.v_e4 AS num, b.bucket - a.bucket AS den,
+                    CAST(b.v_e4 - a.v_e4 AS HUGEINT)
+                      * (CAST('1182266884102822267511361600' AS HUGEINT)
+                         // CAST(b.bucket - a.bucket AS HUGEINT)) AS scaled
+             FROM b a JOIN b b ON b.event_type = a.event_type AND b.bucket > a.bucket),
+      r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                      ORDER BY scaled, num, den) AS rn,
+                   COUNT(*) OVER (PARTITION BY event_type) AS np
+            FROM pr),
+      m AS (SELECT event_type AS m_et, num, den, np FROM r WHERE rn = (np + 1) // 2),
+      resid AS (SELECT b.event_type, b.bucket,
+                       b.v_e4 * m.den - m.num * b.bucket AS rs, m.den, m.num, m.np
+                FROM b JOIN m ON m.m_et = b.event_type),
+      rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                       ORDER BY rs, bucket) AS rn,
+                    COUNT(*) OVER (PARTITION BY event_type) AS n
+             FROM resid)
+      SELECT event_type, CAST(n AS BIGINT) AS n, CAST(np AS BIGINT) AS n_pairs,
+             CAST(num * 10000 // den AS BIGINT) AS slope_e4,
+             CAST(rs * 10000 // den AS BIGINT) AS intercept_e4
+      FROM rr WHERE rn = (n + 1) // 2
+      ORDER BY event_type""")) { (s, d) =>
+      val census = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v_e4")).as("v_e4"))
+      Stats.theilSen(census, Seq("event_type"), col("bucket"), col("v_e4"))
+        .orderBy("event_type")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

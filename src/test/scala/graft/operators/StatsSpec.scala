@@ -413,6 +413,55 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("buckets"))
   }
 
+  test("theilSen ≡ sequential pairwise-median replay; guards trip loud") {
+    import spark.implicits._
+    val L = (BigInt(1) to BigInt(64)).reduce((a, b) => a * b / a.gcd(b))
+    val gen = for {
+      n <- Gen.chooseNum(4, 24)
+      pts <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        x <- Gen.chooseNum(0L, 20L)
+        y <- Gen.chooseNum(-5000L, 5000L)
+      } yield (k, x, y))
+    } yield pts.groupBy(p => (p._1, p._2)).values.map(_.head).toSeq // one point per (key, x)
+    for (pts <- PropSampling.sample(gen, n = 6)) {
+      val got = Stats.theilSen(pts.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val expected = pts.groupBy(_._1).toSeq.flatMap { case (k, ps0) =>
+        val ps = ps0.map(p => (p._2, p._3)).sortBy(_._1)
+        val pairs = for {
+          i <- ps.indices; j <- ps.indices if ps(j)._1 > ps(i)._1
+        } yield (ps(j)._2 - ps(i)._2, ps(j)._1 - ps(i)._1) // (num, den)
+        if (pairs.isEmpty) None else {
+          val sorted = pairs.sortBy { case (num, den) =>
+            (BigInt(num) * (L / den), num, den) }
+          val (num, den) = sorted(((sorted.size + 1) / 2) - 1)
+          val rs = ps.map { case (x, y) => (y * den - num * x, x) }.sorted
+          val r = rs(((ps.size + 1) / 2) - 1)._1
+          Some((k, ps.size.toLong, pairs.size.toLong,
+            num * 10000L / den, r * 10000L / den))
+        }
+      }.toSet
+      assert(got === expected, s"theilSen diverged on $pts")
+    }
+    // Perfect line: slope recovered exactly whatever the noise-free n.
+    val line = (0L to 9L).map(x => ("a", x, 30000L + 7L * x))
+    val fit = Stats.theilSen(line.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(fit === (("a", 10L, 45L, 70000L, 300000000L)))
+    // Single-point groups drop; guards raise.
+    assert(Stats.theilSen(Seq(("a", 1L, 5L)).toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("y")).count() === 0L)
+    val wide = Seq(("a", 0L, 1L), ("a", 100L, 2L)).toDF("k", "x", "y")
+    val e = intercept[Exception](
+      Stats.theilSen(wide, Seq("k"), col("x"), col("y")).collect())
+    assert(e.getMessage.contains("64 x steps"))
+    val many = (0L to 3L).map(x => ("a", x, x)).toDF("k", "x", "y")
+    val e2 = intercept[Exception](
+      Stats.theilSen(many, Seq("k"), col("x"), col("y"), maxPointsPerKey = 3).collect())
+    assert(e2.getMessage.contains("3 points"))
+  }
+
   test("boundedCensus: every census-windowed operator fail-fasts over its bound") {
     import spark.implicits._
     // An ALL-DISTINCT value column — the adversarial input on which a
