@@ -311,6 +311,44 @@ object Stats {
         :+ expr("__rs * 10000L div __den").as("intercept_e4")): _*)
   }
 
+  /** Mann–Kendall trend test per group — [[theilSen]]'s classical
+    * companion (MK answers "IS there a monotone trend?", Theil–Sen
+    * answers "how steep?"): `s_stat = Σ sign(y_j − y_i)` over all
+    * x-ordered pairs, plus the tie-corrected variance SCALED BY 18
+    * (`var18 = n(n−1)(2n+5) − Σ t(t−1)(2t+5)` over tie groups of
+    * size t) so every output is an exact integer — the z-score's
+    * divide-and-sqrt is one consumer-side step, kept out of the
+    * engine per the no-transcendentals gate rule. Same input
+    * contract as theilSen (one point per (group, x), quantized y);
+    * the sign census needs no lcm scaling or span bound, so the only
+    * guard is the per-group point cap that bounds the quadratic pair
+    * stage. Groups with one point drop (no pair). */
+  def mannKendall(df: DataFrame, groupCols: Seq[String],
+                  xCol: Column, yE4Col: Column,
+                  maxPointsPerKey: Int = 1024): DataFrame = {
+    require(maxPointsPerKey >= 2, "maxPointsPerKey must be >= 2")
+    val gcols = groupCols.map(col)
+    val pts = df
+      .select((gcols :+ xCol.cast("long").as("__x") :+ yE4Col.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(gcols: _*)))
+      .withColumn("__n", when(col("__n") <= maxPointsPerKey, col("__n"))
+        .otherwise(raise_error(
+          lit(s"mannKendall: a group exceeds $maxPointsPerKey points — aggregate coarser upstream")).cast("long")))
+    val a = pts.select((gcols :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
+    val b = pts.select((gcols :+ col("__x").as("__x2") :+ col("__y").as("__y2") :+ col("__n")): _*)
+    val s = a.join(b, groupCols).filter(col("__x2") > col("__x1"))
+      .groupBy((gcols :+ col("__n")): _*)
+      .agg(sum(signum(col("__y2") - col("__y1")).cast("long")).as("s_stat"))
+    val ties = pts.groupBy((gcols :+ col("__y")): _*).agg(count(lit(1)).as("__t"))
+      .groupBy(gcols: _*)
+      .agg(sum(col("__t") * (col("__t") - 1L) * (lit(2L) * col("__t") + 5L)).as("__tie"))
+    s.join(broadcast(ties), groupCols)
+      .select((gcols :+ col("__n").as("n") :+ col("s_stat")
+        :+ (col("__n") * (col("__n") - 1L) * (lit(2L) * col("__n") + 5L) -
+          col("__tie")).as("var18")): _*)
+  }
+
   def linearFit(df: DataFrame, groupCols: Seq[String],
                 xCol: Column, yCol: Column,
                 xPrec: Int = 12, xScale: Int = 0,

@@ -586,6 +586,41 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- q191: Mann–Kendall trend test — q190's classical partner
+    // (MK: is there a monotone trend; Theil–Sen: how steep), on the
+    // same daily census. s_stat is the exact pair sign sum; var18 is
+    // 18× the tie-corrected variance, kept as an exact integer so
+    // the gate needs no sqrt (the z-score is one consumer-side
+    // step).
+    Q("q191_mann_kendall", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      s AS (SELECT a.event_type,
+                   CAST(SUM(CASE WHEN b.v_e4 > a.v_e4 THEN 1
+                                 WHEN b.v_e4 < a.v_e4 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM b a JOIN b b ON b.event_type = a.event_type AND b.bucket > a.bucket
+            GROUP BY 1),
+      n AS (SELECT event_type AS n_et, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      t AS (SELECT event_type AS t_et,
+                   CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+            FROM (SELECT event_type, v_e4, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM b GROUP BY 1, 2) GROUP BY 1)
+      SELECT s.event_type, n.n, s.s_stat,
+             CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS BIGINT) AS var18
+      FROM s JOIN n ON n.n_et = s.event_type JOIN t ON t.t_et = s.event_type
+      ORDER BY event_type""")) { (s, d) =>
+      val census = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v_e4")).as("v_e4"))
+      Stats.mannKendall(census, Seq("event_type"), col("bucket"), col("v_e4"))
+        .orderBy("event_type")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

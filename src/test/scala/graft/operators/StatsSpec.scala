@@ -462,6 +462,51 @@ class StatsSpec extends SparkSuite {
     assert(e2.getMessage.contains("3 points"))
   }
 
+  test("mannKendall ≡ sequential sign-sum replay; tie-corrected variance exact") {
+    import spark.implicits._
+    // Narrow y range FORCES ties (the gate data has none — the tie
+    // correction only gets exercised here).
+    val gen = for {
+      n <- Gen.chooseNum(4, 24)
+      pts <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        x <- Gen.chooseNum(0L, 15L)
+        y <- Gen.chooseNum(-3L, 3L)
+      } yield (k, x, y))
+    } yield pts.groupBy(p => (p._1, p._2)).values.map(_.head).toSeq
+    for (pts <- PropSampling.sample(gen, n = 6)) {
+      val got = Stats.mannKendall(pts.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expected = pts.groupBy(_._1).toSeq.flatMap { case (k, ps0) =>
+        val ps = ps0.map(p => (p._2, p._3)).sortBy(_._1)
+        val n = ps.size.toLong
+        if (n < 2) None else {
+          val s = (for {
+            i <- ps.indices; j <- ps.indices if ps(j)._1 > ps(i)._1
+          } yield java.lang.Long.signum(ps(j)._2 - ps(i)._2).toLong).sum
+          val tie = ps.groupBy(_._2).values.map(_.size.toLong)
+            .map(t => t * (t - 1L) * (2L * t + 5L)).sum
+          Some((k, n, s, n * (n - 1L) * (2L * n + 5L) - tie))
+        }
+      }.toSet
+      assert(got === expected, s"mannKendall diverged on $pts")
+    }
+    // Strictly increasing: S = n(n−1)/2, no tie correction.
+    val inc = (0L to 9L).map(x => ("a", x, x * 10L))
+    val up = Stats.mannKendall(inc.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(up === (("a", 10L, 45L, 10L * 9L * 25L)))
+    // Constant series: S = 0 and the tie term cancels var18 to zero.
+    val const = (0L to 5L).map(x => ("a", x, 7L))
+    val flat = Stats.mannKendall(const.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+      .as[(String, Long, Long, Long)].collect().head
+    assert(flat === (("a", 6L, 0L, 0L)))
+    val e = intercept[Exception](
+      Stats.mannKendall((0L to 3L).map(x => ("a", x, x)).toDF("k", "x", "y"),
+        Seq("k"), col("x"), col("y"), maxPointsPerKey = 3).collect())
+    assert(e.getMessage.contains("3 points"))
+  }
+
   test("boundedCensus: every census-windowed operator fail-fasts over its bound") {
     import spark.implicits._
     // An ALL-DISTINCT value column — the adversarial input on which a
