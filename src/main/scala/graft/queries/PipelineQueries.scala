@@ -621,6 +621,56 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- q192: Seasonal Kendall (Hirsch–Slack) — q191's Mann-
+    // Kendall run WITHIN each weekday season and summed (S' = Σ S_g,
+    // Var' = Σ Var_g, the standard independent-seasons form): the
+    // trend test that doesn't mistake weekly seasonality for trend.
+    // Pure composition: Stats.mannKendall over (event_type, phase)
+    // keys, one aggregate over the per-season rows. Single-point
+    // seasons have no pair and drop from both n and n_seasons
+    // (mirrored by the oracle's inner joins).
+    Q("q192_seasonal_kendall", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   (epoch_ns(ts) // 86400000000000) % 7 AS phase,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+      s AS (SELECT a.event_type, a.phase,
+                   CAST(SUM(CASE WHEN b.v_e4 > a.v_e4 THEN 1
+                                 WHEN b.v_e4 < a.v_e4 THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+            FROM b a JOIN b b ON b.event_type = a.event_type AND b.phase = a.phase
+                             AND b.bucket > a.bucket
+            GROUP BY 1, 2),
+      n AS (SELECT event_type AS n_et, phase AS n_ph, CAST(COUNT(*) AS BIGINT) AS n
+            FROM b GROUP BY 1, 2),
+      t AS (SELECT event_type AS t_et, phase AS t_ph,
+                   CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+            FROM (SELECT event_type, phase, v_e4, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM b GROUP BY 1, 2, 3) GROUP BY 1, 2),
+      per AS (SELECT s.event_type, s.phase, n.n, s.s_stat,
+                     CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie_term AS BIGINT) AS var18
+              FROM s JOIN n ON n.n_et = s.event_type AND n.n_ph = s.phase
+                     JOIN t ON t.t_et = s.event_type AND t.t_ph = s.phase)
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_seasons,
+             CAST(SUM(s_stat) AS BIGINT) AS s_stat,
+             CAST(SUM(var18) AS BIGINT) AS var18
+      FROM per GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val census = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          pmod(expr("ts div 86400000000000"), lit(7L)).as("phase"),
+          floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
+        .groupBy(col("event_type"), col("bucket"), col("phase"))
+        .agg(sum(col("v_e4")).as("v_e4"))
+      Stats.mannKendall(census, Seq("event_type", "phase"),
+          col("bucket"), col("v_e4"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), count(lit(1)).as("n_seasons"),
+          sum(col("s_stat")).as("s_stat"), sum(col("var18")).as("var18"))
+        .orderBy("event_type")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

@@ -507,6 +507,26 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("3 points"))
   }
 
+  test("seasonal Kendall composition: per-season S and var18 sum; 1-point seasons drop") {
+    import spark.implicits._
+    // Two seasons with opposite monotone trends cancel in S'; a
+    // third season holding one point contributes to neither n nor
+    // n_seasons (no pair — the mannKendall drop, which the q192
+    // composition inherits).
+    val pts = Seq(
+      ("a", 0L, 0L, 10L), ("a", 2L, 0L, 20L), ("a", 4L, 0L, 30L), // season 0: up, S=3
+      ("a", 1L, 1L, 30L), ("a", 3L, 1L, 20L), ("a", 5L, 1L, 10L), // season 1: down, S=-3
+      ("a", 6L, 2L, 99L)                                          // season 2: single point
+    ).toDF("k", "x", "phase", "y")
+    val per = Stats.mannKendall(pts, Seq("k", "phase"), col("x"), col("y"))
+    val agg = per.groupBy("k")
+      .agg(sum("n").as("n"), count(lit(1)).as("n_seasons"),
+        sum("s_stat").as("s_stat"), sum("var18").as("var18"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    // var18 per 3-point tie-free season: 3·2·11 = 66.
+    assert(agg === (("a", 6L, 2L, 0L, 132L)))
+  }
+
   test("boundedCensus: every census-windowed operator fail-fasts over its bound") {
     import spark.implicits._
     // An ALL-DISTINCT value column — the adversarial input on which a
