@@ -168,6 +168,21 @@ object NewOpsSweep {
         evM, Seq("event_type"), "ts", col("value"),
         bucketNs = 86400000000000L, depth = 2))
       println(f"NEWOPS q189 m=$m rows=$rows89 median=$t89%.2f")
+      // Trend pair: per-key point count stays constant (30 daily
+      // buckets), keys grow m× — the quadratic pair stage must track
+      // keys linearly, never cross keys.
+      val censusM = evM
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v_e4")).as("v_e4"))
+      val (t90, rows90) = time3(graft.operators.Stats.theilSen(
+        censusM, Seq("event_type"), col("bucket"), col("v_e4")))
+      println(f"NEWOPS q190 m=$m rows=$rows90 median=$t90%.2f")
+      val (t91, rows91) = time3(graft.operators.Stats.mannKendall(
+        censusM, Seq("event_type"), col("bucket"), col("v_e4")))
+      println(f"NEWOPS q191 m=$m rows=$rows91 median=$t91%.2f")
     }
 
     // q112 family: the crawl-ingest planner on m custkey-OFFSET order
