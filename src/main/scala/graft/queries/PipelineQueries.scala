@@ -671,6 +671,62 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- q193: seasonal-residual anomaly flags — the q73/q112
+    // composition pattern applied to the time-series tier: q185's
+    // decomposition strips trend + weekday seasonality, then q138's
+    // MAD machinery flags the days whose RESIDUAL is anomalous —
+    // "weird for a Monday", where raw-value thresholds (q109/q138
+    // alone) would flag every busy weekday. Edge/gap days (null
+    // trend → null residual) drop via madOutliers' own null filter.
+    // Everything downstream of the census is exact (fixed-point
+    // residuals, element-pick medians), so the composed frame
+    // hash-gates end-to-end.
+    Q("q193_seasonal_anomaly", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      w AS (SELECT *,
+              COUNT(*) OVER win AS cnt,
+              MAX(bucket) OVER win - MIN(bucket) OVER win AS span,
+              CAST(SUM(v_e4) OVER win AS BIGINT) AS wsum
+            FROM b
+            WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      t AS (SELECT event_type, bucket, v_e4,
+              CASE WHEN cnt = 7 AND span = 6 THEN wsum // 7 END AS trend_e4
+            FROM w),
+      p AS (SELECT event_type AS p_et, bucket % 7 AS phase,
+              CAST(SUM(v_e4 - trend_e4) AS BIGINT) AS dsum,
+              CAST(COUNT(*) AS BIGINT) AS dcnt
+            FROM t WHERE trend_e4 IS NOT NULL GROUP BY 1, 2),
+      e AS (SELECT t.event_type, t.bucket,
+                   CAST(t.v_e4 - t.trend_e4 - p.dsum // p.dcnt AS DOUBLE) AS v
+            FROM t JOIN p ON p.p_et = t.event_type AND p.phase = t.bucket % 7
+            WHERE t.trend_e4 IS NOT NULL),
+      m AS (SELECT event_type, v AS med FROM (
+              SELECT event_type, v,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM e) WHERE rn = (n + 1) // 2),
+      d AS (SELECT e.event_type, e.bucket, e.v, m.med, abs(e.v - m.med) AS dev
+            FROM e JOIN m USING (event_type)),
+      md AS (SELECT event_type, dev AS mad FROM (
+               SELECT event_type, dev,
+                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                      COUNT(*) OVER (PARTITION BY event_type) AS n
+               FROM d) WHERE rn = (n + 1) // 2)
+      SELECT d.bucket, d.event_type, d.v, d.med, md.mad,
+             CAST(d.dev > 5.0 * md.mad AS BIGINT) AS is_outlier
+      FROM d JOIN md USING (event_type)
+      ORDER BY event_type, bucket""")) { (s, d) =>
+      val dec = Temporal.seasonalDecompose(Tables.events(s, d),
+        Seq("event_type"), "ts", col("value"),
+        bucketNs = 86400000000000L, period = 7)
+      Stats.madOutliers(dec, Seq("event_type"), "bucket", col("resid_e4"))
+        .orderBy("event_type", "bucket")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

@@ -758,6 +758,27 @@ class TemporalSpec extends SparkSuite {
     }
   }
 
+  test("seasonal-residual anomaly composition: a planted spike flags; steady days don't") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // The q193 shape on a controlled fixture (the gate data never
+    // trips the 5-MAD flag, so the branch is pinned here): a perfect
+    // period-3 signal over buckets 0..8 with bucket 4 spiked 10x.
+    val events = (0L to 8L).map { b =>
+      val base = Seq(10.0, 20.0, 30.0)((b % 3).toInt)
+      ("a", b, if (b == 4L) base * 10 else base)
+    }.toDF("event_type", "ts", "value")
+    val dec = Temporal.seasonalDecompose(events, Seq("event_type"), "ts",
+      col("value"), bucketNs = 1L, period = 3)
+    val flags = Stats.madOutliers(dec, Seq("event_type"), "bucket", col("resid_e4"))
+      .select(col("bucket"), col("is_outlier"))
+      .as[(Long, Long)].collect().toMap
+    assert(flags(4L) === 1L, s"the spiked day must flag: $flags")
+    assert(flags.values.sum <= 3L, s"steady days must mostly stay unflagged: $flags")
+    assert(!flags.contains(0L) && !flags.contains(8L),
+      "edge days (null residual) must drop before the MAD pass")
+  }
+
   test("binarySegmentation: realized split tree; undersized segments produce no row") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
