@@ -1015,4 +1015,268 @@ object Stats {
         expr("CAST(klp_fp * 10000 DIV (32 * mass) + klq_fp * 10000 DIV (32 * __cq) AS BIGINT)"))
       .drop("__cq")
   }
+
+  // ----------------------------------------------------------------
+  // Nonparametric two-sample / sequence tier (r14 growth set #2).
+  // Shared design: every statistic reduces to the per-group VALUE
+  // DISTRIBUTION, so the corpus is scanned once into a map-side-
+  // combinable `(group, value) → count` census (fail-fast bounded),
+  // prefix sums run over CENSUS rows only, and every emitted number
+  // is an exact integer — no division, no sqrt, no transcendental
+  // crosses the gate (the mannKendall var18 convention).
+  // ----------------------------------------------------------------
+
+  /** Two-sample census with per-group cumulative counts in value
+    * order — the shared substrate of [[ksTwoSample]] and
+    * [[cliffsDelta]]. One corpus pass builds the
+    * `(group, value) → (count_A, count_B)` census ([[boundedCensus]]
+    * fail-fast), then the prefix sums and per-group totals run as
+    * windows over census rows only. Census values are unique per
+    * group by construction, so ROWS/RANGE framing agree and the
+    * cumulative frame is deterministic. The 3e9 per-sample guard
+    * keeps every downstream `cum·n` cross-product inside the long
+    * range (3e9² ≈ 9.0e18 < 2⁶³−1 ≈ 9.22e18). */
+  private def twoSampleCum(df: DataFrame, groupCols: Seq[String],
+                           inB: Column, valueCol: Column,
+                           maxBins: Int, what: String): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rows = df
+      .select((gcols :+ inB.cast("boolean").as("__b")
+        :+ valueCol.cast("long").as("__v")): _*)
+      .filter(col("__v").isNotNull && col("__b").isNotNull)
+    val census = boundedCensus(
+      rows.groupBy((gcols :+ col("__v")): _*)
+        .agg(sum(when(col("__b"), 0L).otherwise(1L)).as("__ca"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("__cb")),
+      maxBins.toLong, s"$what (group, value) census")
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+    census
+      .withColumn("__cuma", sum(col("__ca")).over(wOrd))
+      .withColumn("__cumb", sum(col("__cb")).over(wOrd))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__na", when(col("__na") <= 3000000000L, col("__na"))
+        .otherwise(raise_error(lit(
+          s"$what: sample A above 3e9 rows — n_a*n_b would exceed the long bound")).cast("long")))
+      .withColumn("__nb", when(col("__nb") <= 3000000000L, col("__nb"))
+        .otherwise(raise_error(lit(
+          s"$what: sample B above 3e9 rows — n_a*n_b would exceed the long bound")).cast("long")))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov distance per group, in EXACT
+    * integer form: `d_num = max over values v of
+    * |cumA(v)·n_b − cumB(v)·n_a|`, so `D = d_num / (n_a·n_b)` is one
+    * consumer-side division. The binning-free drift test beside the
+    * chi2 (binned, pooled-reference) and Wasserstein (transport)
+    * monitors: KS reads the largest CDF gap directly, is invariant
+    * to monotone value transforms, and its statistic is a pure rank
+    * functional — exactly the shape the census machinery computes
+    * without ever ranking corpus rows. `inB` selects sample B
+    * (rows with a null value or null membership drop); groups with
+    * an empty side have no defined statistic and drop. */
+  def ksTwoSample(df: DataFrame, groupCols: Seq[String],
+                  inB: Column, valueCol: Column,
+                  maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    twoSampleCum(df, groupCols, inB, valueCol, maxBins, "ksTwoSample")
+      .groupBy(gcols: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("d_num"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+  }
+
+  /** Cliff's delta per group, in EXACT integer form: `delta_num =
+    * #(a > b) − #(a < b)` over all cross pairs (a from sample A, b
+    * from sample B), so `δ = delta_num / (n_a·n_b)` — the ordinal
+    * effect-size companion to [[ksTwoSample]] (KS asks "did the
+    * distribution change shape?", δ asks "which sample stochastically
+    * dominates, and by how much?"; δ = 2·AUC − 1 against
+    * [[classAuc]] when the label is the sample membership). Computed
+    * without the quadratic pair join: for each census cell of A at
+    * value v, `#(b < v) = cumB(v) − cB(v)` and `#(b > v) =
+    * n_b − cumB(v)`, so `delta_num = Σ_v cA(v)·((cumB(v) − cB(v)) −
+    * (n_b − cumB(v)))` — one pass over census rows. Totals are
+    * bounded at 3e9 per side so every product and the signed sum
+    * stay inside the long range. */
+  def cliffsDelta(df: DataFrame, groupCols: Seq[String],
+                  inB: Column, valueCol: Column,
+                  maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    twoSampleCum(df, groupCols, inB, valueCol, maxBins, "cliffsDelta")
+      .groupBy(gcols: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__ca") * ((col("__cumb") - col("__cb")) -
+          (col("__nb") - col("__cumb")))).as("delta_num"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+  }
+
+  /** Hodges–Lehmann two-sample SHIFT estimator per group: the median
+    * of all pairwise differences `a − b` — the robust "how big is
+    * the effect" location estimate that pairs with [[cliffsDelta]]'s
+    * "how consistent is it" (one wild day moves a mean difference
+    * arbitrarily; the pairwise-difference median shrugs it off).
+    * EXACT: inputs are quantized longs, the pick is the lower-middle
+    * element of the weighted pairwise-difference multiset (the
+    * theilSen/madOutliers convention — `cumweight` crosses
+    * `(N+1) div 2`, N = n_a·n_b), and only the difference VALUE is
+    * emitted, so equal-diff ties are representation-independent.
+    *
+    * Scale shape: each side collapses to its value census first
+    * ([[boundedCensus]] at `maxBinsPerSide`), so the pair stage is
+    * |censusA|·|censusB| ≤ maxBinsPerSide² CENSUS CELLS per group
+    * (weights multiply: a pair cell covers cA·cB row pairs), never
+    * row pairs — the documented quadratic bound, default ≤ 2048² ≈
+    * 4.2M cells per group in the pick window's sort. Per-side totals
+    * are guarded at 3e9 so N and every cumweight fit in a long. */
+  def hodgesLehmannShift(df: DataFrame, groupCols: Seq[String],
+                         inB: Column, valueCol: Column,
+                         maxBinsPerSide: Int = 2048): DataFrame = {
+    val gcols = groupCols.map(col)
+    val wAll = Window.partitionBy(gcols: _*)
+    val rows = df
+      .select((gcols :+ inB.cast("boolean").as("__b")
+        :+ valueCol.cast("long").as("__v")): _*)
+      .filter(col("__v").isNotNull && col("__b").isNotNull)
+    def side(b: Boolean, vname: String, cname: String, label: String) =
+      boundedCensus(
+        rows.filter(col("__b") === b)
+          .groupBy((gcols :+ col("__v")): _*).agg(count(lit(1)).as(cname)),
+        maxBinsPerSide.toLong, s"hodgesLehmannShift sample $label census")
+        .withColumn("__tot", sum(col(cname)).over(wAll))
+        .withColumn("__tot", when(col("__tot") <= 3000000000L, col("__tot"))
+          .otherwise(raise_error(lit(
+            s"hodgesLehmannShift: sample $label above 3e9 rows — N = n_a*n_b would exceed the long bound")).cast("long")))
+        .withColumnRenamed("__v", vname)
+    val a = side(b = false, "__va", "__ca", "A")
+      .withColumnRenamed("__tot", "n_a")
+    val bb = side(b = true, "__vb", "__cb", "B")
+      .withColumnRenamed("__tot", "n_b")
+    val pairs = a.join(bb, groupCols)
+      .withColumn("__diff", col("__va") - col("__vb"))
+      .withColumn("__w", col("__ca") * col("__cb"))
+    // (diff, va) is unique per group (unique va per A cell ⇒ unique
+    // vb = va − diff), so the ROWS cumulative frame is deterministic.
+    val wOrd = wAll.orderBy(col("__diff"), col("__va"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pairs
+      .withColumn("__cumw", sum(col("__w")).over(wOrd))
+      .withColumn("__tw", sum(col("__w")).over(wAll))
+      .filter(expr("__cumw >= ((__tw + 1) div 2) and __cumw - __w < ((__tw + 1) div 2)"))
+      .select((gcols :+ col("n_a") :+ col("n_b")
+        :+ col("__diff").as("shift")): _*)
+  }
+
+  /** Wald–Wolfowitz RUNS TEST sufficient statistics per group: order
+    * the series by `xCol`, dichotomize at the per-group median
+    * (exact lower-middle census pick, the [[madOutliers]]
+    * convention), DROP values equal to the median (the standard
+    * treatment), and count `n_above`, `n_below` and the number of
+    * sign runs. Too few runs ⇒ clustering/trend, too many ⇒
+    * oscillation; the z-score against `E[R] = 2·n₁·n₂/(n₁+n₂) + 1`
+    * is one consumer-side step (kept out of the engine — sqrt). All
+    * outputs are exact integers. Input is one observation per
+    * (group, x); `maxPointsPerKey` fail-fasts the per-group order
+    * window (the mannKendall contract — aggregate coarser upstream),
+    * and `n` reports the pre-drop point count. Groups whose values
+    * all equal the median have no runs and drop. */
+  def runsTest(df: DataFrame, groupCols: Seq[String],
+               xCol: Column, valueCol: Column,
+               maxPointsPerKey: Int = 8192): DataFrame = {
+    require(maxPointsPerKey >= 2, "maxPointsPerKey must be >= 2")
+    val gcols = groupCols.map(col)
+    val wAll = Window.partitionBy(gcols: _*)
+    val pts = df
+      .select((gcols :+ xCol.cast("long").as("__x")
+        :+ valueCol.cast("long").as("__v")): _*)
+      .filter(col("__x").isNotNull && col("__v").isNotNull)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n", when(col("__n") <= maxPointsPerKey, col("__n"))
+        .otherwise(raise_error(lit(
+          s"runsTest: a group exceeds $maxPointsPerKey points — aggregate coarser upstream")).cast("long")))
+    // Median census pick — census rows ≤ points per group, so the
+    // point cap above bounds this window too.
+    val wOrd = wAll.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = pts.groupBy((gcols :+ col("__v")): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__tot", sum(col("__c")).over(wAll))
+      .filter(expr("__cum >= ((__tot + 1) div 2) and __cum - __c < ((__tot + 1) div 2)"))
+      .select((gcols :+ col("__v").as("__med")): _*)
+    val s = pts.join(broadcast(med), groupCols)
+      .filter(col("__v") =!= col("__med"))
+      .withColumn("__sgn", (col("__v") > col("__med")).cast("long"))
+    val wX = wAll.orderBy(col("__x"))
+    s.withColumn("__prev", lag(col("__sgn"), 1).over(wX))
+      .groupBy(gcols: _*)
+      .agg(max(col("__n")).as("n"),
+        sum(col("__sgn")).as("n_above"),
+        sum(lit(1L) - col("__sgn")).as("n_below"),
+        sum(when(col("__prev").isNull || col("__prev") =!= col("__sgn"), 1L)
+          .otherwise(0L)).as("runs"))
+  }
+
+  /** EXACT autocorrelation function per group at lags 1..`maxLag`,
+    * in n-scaled integer form — the seasonality/persistence
+    * diagnostic beside the trend tests ([[mannKendall]] asks "is it
+    * drifting?", the ACF asks "does it echo itself, and at what
+    * period?"). Scaling every term by n removes the mean's division:
+    * with `dev_t = n·y_t − Σy` (an exact long under the guards),
+    * `acf(k) = Σ_pairs dev_t·dev_{t+k} / Σ_t dev_t²` equals the
+    * classical estimator exactly, and the emitted `acf_e6 =
+    * (num·10⁶) div den` is one integer division — truncation toward
+    * zero on BOTH engines (Spark IntegralDivide ≡ DuckDB `//`,
+    * checked on negatives). Pairs join on `x + k`, so calendar gaps
+    * pair only true k-step-apart observations and `n_pairs` reports the
+    * effective overlap per lag.
+    *
+    * Domain (raise_error-guarded, loud): |y| ≤ 1e10 and at most
+    * `maxPointsPerKey` ≤ 4096 points per group — then |dev| ≤
+    * 2·4096·1e10 < 2⁶³ as a long, den ≤ n·dev² < 2.8e31 and
+    * num·10⁶ < 2.8e37 inside decimal(38,0)/HUGEINT. Quantize coarser
+    * upstream for wider series. Constant groups (den = 0) drop. */
+  def autocorr(df: DataFrame, groupCols: Seq[String],
+               xCol: Column, yCol: Column,
+               maxLag: Int = 7, maxPointsPerKey: Int = 4096): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 64, "maxLag must be in [1, 64]")
+    require(maxPointsPerKey >= 2 && maxPointsPerKey <= 4096,
+      "maxPointsPerKey must be in [2, 4096] — the decimal(38,0) headroom bound")
+    val gcols = groupCols.map(col)
+    val wAll = Window.partitionBy(gcols: _*)
+    val pts = df
+      .select((gcols :+ xCol.cast("long").as("__x")
+        :+ yCol.cast("long").as("__y")): _*)
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__y", when(abs(col("__y")) <= 10000000000L, col("__y"))
+        .otherwise(raise_error(lit(
+          "autocorr: |y| > 1e10 — quantize/rescale y upstream")).cast("long")))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n", when(col("__n") <= maxPointsPerKey, col("__n"))
+        .otherwise(raise_error(lit(
+          s"autocorr: a group exceeds $maxPointsPerKey points — aggregate coarser upstream")).cast("long")))
+      .withColumn("__s", sum(col("__y")).over(wAll))
+      .withColumn("__dev", col("__n") * col("__y") - col("__s"))
+    val den = pts.groupBy(gcols: _*)
+      .agg(sum(col("__dev").cast("decimal(38,0)") *
+        col("__dev").cast("decimal(38,0)")).as("__den"),
+        max(col("__n")).as("n"))
+      .filter(col("__den") > 0)
+    val a = pts
+      .select((gcols :+ col("__x") :+ col("__dev").as("__da")): _*)
+      .withColumn("lag_k", explode(sequence(lit(1L), lit(maxLag.toLong))))
+    val b = pts.select((groupCols.map(c => col(c).as(s"__b_$c"))
+      :+ col("__x").as("__xb") :+ col("__dev").as("__db")): _*)
+    val cond = groupCols.map(c => col(c) === col(s"__b_$c")).reduce(_ && _) &&
+      (col("__xb") === col("__x") + col("lag_k"))
+    a.join(b, cond)
+      .groupBy((gcols :+ col("lag_k")): _*)
+      .agg(sum(col("__da").cast("decimal(38,0)") *
+        col("__db").cast("decimal(38,0)")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+      .join(broadcast(den), groupCols)
+      .select((gcols :+ col("lag_k") :+ col("n") :+ col("n_pairs")
+        :+ expr("CAST((__num * 1000000) div __den AS BIGINT)").as("acf_e6")): _*)
+  }
 }

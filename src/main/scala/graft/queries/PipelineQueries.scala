@@ -727,6 +727,207 @@ object PipelineQueries {
         .orderBy("event_type", "bucket")
     },
 
+    // ---- q194: two-sample Kolmogorov–Smirnov distance — the
+    // binning-free distribution-drift test beside q126's chi2
+    // (binned, pooled-reference) and q178's Wasserstein (transport):
+    // weekday vs weekend per-event value distributions per
+    // event_type, statistic kept in exact integer form
+    // d_num = max_v |cumA(v)·n_b − cumB(v)·n_a| so the gate needs no
+    // division (D = d_num/(n_a·n_b) is one consumer-side step).
+    // Scale shape: one (group, value) census (e2 quantization bounds
+    // cells by value range; boundedCensus fail-fasts), prefix sums
+    // over census rows only — corpus rows never enter a window.
+    Q("q194_ks_two_sample", Some("""
+      WITH e AS (SELECT event_type,
+                   CASE WHEN (epoch_ns(ts) // 86400000000000) % 7 >= 5
+                        THEN 1 ELSE 0 END AS sb,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+      c AS (SELECT event_type, v,
+              SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type,
+                SUM(ca) OVER (PARTITION BY event_type ORDER BY v) AS cuma,
+                SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cumb,
+                SUM(ca) OVER (PARTITION BY event_type) AS na,
+                SUM(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c)
+      SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+             CAST(MAX(nb) AS BIGINT) AS n_b,
+             CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) AS d_num
+      FROM cum GROUP BY 1
+      HAVING MAX(na) > 0 AND MAX(nb) > 0
+      ORDER BY event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          (pmod(expr("ts div 86400000000000"), lit(7L)) >= 5L).as("in_b"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.ksTwoSample(ev, Seq("event_type"), col("in_b"), col("v_e2"))
+        .orderBy("event_type")
+    },
+
+    // ---- q195: Cliff's delta — q194's effect-size partner (KS:
+    // "did the shape change?"; δ: "which sample stochastically
+    // dominates, and by how much?"), split by user parity per
+    // event_type. delta_num = #(a>b) − #(a<b) over cross pairs,
+    // computed census-side without the quadratic pair join (per A
+    // cell: B-below = cumB − cB, B-above = n_b − cumB). Exact
+    // integers end to end; δ = delta_num/(n_a·n_b) consumer-side.
+    Q("q195_cliffs_delta", Some("""
+      WITH e AS (SELECT event_type, user_id % 2 AS sb,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      c AS (SELECT event_type, v,
+              SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, ca, cb,
+                SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cumb,
+                SUM(ca) OVER (PARTITION BY event_type) AS na,
+                SUM(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c)
+      SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+             CAST(MAX(nb) AS BIGINT) AS n_b,
+             CAST(SUM(ca * ((cumb - cb) - (nb - cumb))) AS BIGINT) AS delta_num
+      FROM cum GROUP BY 1
+      HAVING MAX(na) > 0 AND MAX(nb) > 0
+      ORDER BY event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .select(col("event_type"),
+          (pmod(col("user_id"), lit(2L)) === 1L).as("in_b"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.cliffsDelta(ev, Seq("event_type"), col("in_b"), col("v_e2"))
+        .orderBy("event_type")
+    },
+
+    // ---- q196: Hodges–Lehmann shift — the robust "HOW BIG is the
+    // weekend effect" location estimate beside q195's "how
+    // consistent": median of all pairwise (weekday − weekend)
+    // differences of the daily v_e4 census per event_type. The pick
+    // is the lower-middle element of the WEIGHTED pairwise-diff
+    // multiset (cumweight crosses (N+1) div 2, N = n_a·n_b — the
+    // theilSen convention), and only the diff VALUE is emitted, so
+    // the frame is representation-independent under ties.
+    Q("q196_hl_shift", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   ((epoch_ns(ts) // 86400000000000) % 7 >= 5) AS wk,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+      a AS (SELECT event_type, v_e4 AS va, CAST(COUNT(*) AS BIGINT) AS ca
+            FROM b WHERE NOT wk GROUP BY 1, 2),
+      bb AS (SELECT event_type, v_e4 AS vb, CAST(COUNT(*) AS BIGINT) AS cb
+             FROM b WHERE wk GROUP BY 1, 2),
+      t AS (SELECT event_type,
+              CAST(SUM(CASE WHEN wk THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+              CAST(SUM(CASE WHEN wk THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+            FROM b GROUP BY 1),
+      p AS (SELECT a.event_type, a.va - bb.vb AS diff, a.va, a.ca * bb.cb AS w
+            FROM a JOIN bb ON bb.event_type = a.event_type),
+      cum AS (SELECT event_type, diff, w,
+                SUM(w) OVER (PARTITION BY event_type ORDER BY diff, va) AS cumw,
+                SUM(w) OVER (PARTITION BY event_type) AS tw
+              FROM p)
+      SELECT c.event_type, t.n_a, t.n_b, CAST(c.diff AS BIGINT) AS shift
+      FROM cum c JOIN t ON t.event_type = c.event_type
+      WHERE c.cumw >= (c.tw + 1) // 2 AND c.cumw - c.w < (c.tw + 1) // 2
+      ORDER BY c.event_type""")) { (s, d) =>
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v_e4")).as("v_e4"))
+        .withColumn("in_b", pmod(col("bucket"), lit(7L)) >= 5L)
+      Stats.hodgesLehmannShift(daily, Seq("event_type"), col("in_b"), col("v_e4"))
+        .orderBy("event_type")
+    },
+
+    // ---- q197: Wald–Wolfowitz runs test — "is the daily series
+    // RANDOM around its median, or does it cluster/oscillate?" — the
+    // sequence-randomness diagnostic the trend tests (q191) can't
+    // see (a zero-slope series can still alternate or clump). Daily
+    // v_e4 census per event_type, dichotomized at the exact
+    // lower-middle median pick, median-equal days dropped (the
+    // standard treatment); n_above/n_below/runs are exact integers
+    // and the z-score vs E[R] is one consumer-side step.
+    Q("q197_runs_test", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      m AS (SELECT event_type, v_e4 AS med FROM (
+              SELECT event_type, v_e4,
+                     ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_e4) AS rn,
+                     COUNT(*) OVER (PARTITION BY event_type) AS n
+              FROM b) WHERE rn = (n + 1) // 2),
+      n0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      s AS (SELECT b.event_type, b.bucket,
+                   CASE WHEN b.v_e4 > m.med THEN 1 ELSE 0 END AS sgn
+            FROM b JOIN m USING (event_type) WHERE b.v_e4 <> m.med),
+      r AS (SELECT event_type, sgn,
+                   LAG(sgn) OVER (PARTITION BY event_type ORDER BY bucket) AS prev
+            FROM s)
+      SELECT r.event_type, n0.n,
+             CAST(SUM(sgn) AS BIGINT) AS n_above,
+             CAST(SUM(1 - sgn) AS BIGINT) AS n_below,
+             CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS runs
+      FROM r JOIN n0 ON n0.event_type = r.event_type
+      GROUP BY 1, 2 ORDER BY 1""")) { (s, d) =>
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v_e4")).as("v_e4"))
+      Stats.runsTest(daily, Seq("event_type"), col("bucket"), col("v_e4"))
+        .orderBy("event_type")
+    },
+
+    // ---- q198: autocorrelation function at lags 1..7 — the
+    // seasonality/persistence diagnostic closing the time-series
+    // tier (q191 asks "is it drifting?", the ACF asks "does it echo
+    // itself, and at what period?" — a weekly cycle reads as an
+    // acf_e6 peak at lag 7). n-scaled integer form: dev = n·y − Σy
+    // keeps the mean's division out, acf_e6 = (Σ dev·dev_lag · 10⁶)
+    // div (Σ dev²) is one integer division with identical
+    // truncation-toward-zero semantics on both engines. Daily e2
+    // census per event_type; pairs join on bucket + k so calendar
+    // gaps pair only true k-step-apart days.
+    Q("q198_autocorr", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(v) AS BIGINT) AS s FROM b GROUP BY 1),
+      d AS (SELECT b.event_type, b.bucket, st.n * b.v - st.s AS dev
+            FROM b JOIN st USING (event_type)),
+      den AS (SELECT event_type, SUM(CAST(dev AS HUGEINT) * dev) AS den
+              FROM d GROUP BY 1 HAVING SUM(CAST(dev AS HUGEINT) * dev) > 0),
+      nm AS (SELECT a.event_type, l.lag_k,
+                    SUM(CAST(a.dev AS HUGEINT) * c.dev) AS num,
+                    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM d a
+             CROSS JOIN (SELECT UNNEST([1, 2, 3, 4, 5, 6, 7]) AS lag_k) l
+             JOIN d c ON c.event_type = a.event_type
+                     AND c.bucket = a.bucket + l.lag_k
+             GROUP BY 1, 2)
+      SELECT nm.event_type, CAST(nm.lag_k AS BIGINT) AS lag_k, st.n,
+             nm.n_pairs,
+             CAST((nm.num * 1000000) // den.den AS BIGINT) AS acf_e6
+      FROM nm JOIN den USING (event_type) JOIN st USING (event_type)
+      ORDER BY event_type, lag_k""")) { (s, d) =>
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(sum(col("v_e2")).as("v"))
+      Stats.autocorr(daily, Seq("event_type"), col("bucket"), col("v"), maxLag = 7)
+        .orderBy("event_type", "lag_k")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

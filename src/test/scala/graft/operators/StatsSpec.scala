@@ -679,4 +679,208 @@ class StatsSpec extends SparkSuite {
     val half = jsd(Seq(("a", "x x y y"), ("b", "y y z z")))
     assert(half.values.forall(v => v > 1000 && v < 9000), half.toString)
   }
+
+  // ---- Nonparametric two-sample / sequence tier (r14 growth #2):
+  // each operator must reproduce a brute-force sequential replay of
+  // its textbook definition bit-for-bit, and the guards trip loud.
+
+  private val twoSampleGen = for {
+    n <- Gen.chooseNum(2, 40)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("a", "b")
+      b <- Gen.oneOf(false, true)
+      v <- Gen.chooseNum(-6L, 6L) // narrow: force ties across samples
+    } yield (k, b, v))
+  } yield rows
+
+  test("ksTwoSample ≡ brute-force max-CDF-gap replay; empty sides drop; census bound trips") {
+    import spark.implicits._
+    for (rows <- PropSampling.sample(twoSampleGen, n = 8)) {
+      val got = Stats.ksTwoSample(rows.toDF("k", "b", "v"),
+          Seq("k"), col("b"), col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val as = g.filter(!_._2).map(_._3)
+        val bs = g.filter(_._2).map(_._3)
+        if (as.isEmpty || bs.isEmpty) None else {
+          val na = as.size.toLong
+          val nb = bs.size.toLong
+          val dNum = (as ++ bs).distinct.map { v =>
+            math.abs(as.count(_ <= v) * nb - bs.count(_ <= v) * na)
+          }.max
+          Some((k, na, nb, dNum))
+        }
+      }.toSet
+      assert(got === expected, s"ksTwoSample diverged on $rows")
+    }
+    // Identical samples: D = 0. Disjoint supports: D = n_a·n_b.
+    val same = Seq(("a", false, 1L), ("a", true, 1L), ("a", false, 2L), ("a", true, 2L))
+    assert(Stats.ksTwoSample(same.toDF("k", "b", "v"), Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head._4 === 0L)
+    val disj = Seq(("a", false, 1L), ("a", false, 2L), ("a", true, 9L))
+    assert(Stats.ksTwoSample(disj.toDF("k", "b", "v"), Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head._4 === 2L)
+    // boundedCensus fail-fast.
+    val wide = (1L to 9L).map(v => ("a", v % 2 == 0, v))
+    val e = intercept[Exception](Stats.ksTwoSample(wide.toDF("k", "b", "v"),
+      Seq("k"), col("b"), col("v"), maxBins = 4).collect())
+    assert(e.getMessage.contains("census"))
+  }
+
+  test("cliffsDelta ≡ brute-force pair sign-sum replay; δ = ±1 at full dominance") {
+    import spark.implicits._
+    for (rows <- PropSampling.sample(twoSampleGen, n = 8)) {
+      val got = Stats.cliffsDelta(rows.toDF("k", "b", "v"),
+          Seq("k"), col("b"), col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val as = g.filter(!_._2).map(_._3)
+        val bs = g.filter(_._2).map(_._3)
+        if (as.isEmpty || bs.isEmpty) None else {
+          val d = (for { a <- as; b <- bs }
+            yield java.lang.Long.signum(a - b).toLong).sum
+          Some((k, as.size.toLong, bs.size.toLong, d))
+        }
+      }.toSet
+      assert(got === expected, s"cliffsDelta diverged on $rows")
+    }
+    // A entirely above B: delta_num = n_a·n_b (δ = +1).
+    val dom = Seq(("a", false, 10L), ("a", false, 11L), ("a", true, 1L))
+    assert(Stats.cliffsDelta(dom.toDF("k", "b", "v"), Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head._4 === 2L)
+  }
+
+  test("hodgesLehmannShift ≡ brute-force pairwise-diff median replay; guards trip") {
+    import spark.implicits._
+    for (rows <- PropSampling.sample(twoSampleGen, n = 8)) {
+      val got = Stats.hodgesLehmannShift(rows.toDF("k", "b", "v"),
+          Seq("k"), col("b"), col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val as = g.filter(!_._2).map(_._3)
+        val bs = g.filter(_._2).map(_._3)
+        if (as.isEmpty || bs.isEmpty) None else {
+          val diffs = (for { a <- as; b <- bs } yield a - b).sorted
+          Some((k, as.size.toLong, bs.size.toLong,
+            diffs(((diffs.size + 1) / 2) - 1)))
+        }
+      }.toSet
+      assert(got === expected, s"hodgesLehmannShift diverged on $rows")
+    }
+    // Pure shift: A = B + 5 recovers exactly 5.
+    val shifted = (1L to 4L).flatMap(v => Seq(("a", false, v + 5L), ("a", true, v)))
+    assert(Stats.hodgesLehmannShift(shifted.toDF("k", "b", "v"),
+        Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head._4 === 5L)
+    // Per-side census bound trips loud.
+    val wide = (1L to 9L).map(v => ("a", false, v)) :+ (("a", true, 1L))
+    val e = intercept[Exception](Stats.hodgesLehmannShift(wide.toDF("k", "b", "v"),
+      Seq("k"), col("b"), col("v"), maxBinsPerSide = 4).collect())
+    assert(e.getMessage.contains("census"))
+  }
+
+  test("runsTest ≡ sequential median-dichotomy runs replay; all-median groups drop; cap trips") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 30)
+      pts <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        x <- Gen.chooseNum(0L, 40L)
+        v <- Gen.chooseNum(-4L, 4L) // narrow: median ties occur
+      } yield (k, x, v))
+    } yield pts.groupBy(p => (p._1, p._2)).values.map(_.head).toSeq
+    for (pts <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.runsTest(pts.toDF("k", "x", "v"),
+          Seq("k"), col("x"), col("v"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val expected = pts.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val n = g.size.toLong
+        val med = g.map(_._3).sorted.apply(((g.size + 1) / 2) - 1)
+        val sgns = g.sortBy(_._2).map(_._3).filter(_ != med).map(_ > med)
+        if (sgns.isEmpty) None else {
+          val runs = 1L + sgns.sliding(2).count {
+            case Seq(p, c) => p != c
+            case _         => false
+          }
+          Some((k, n, sgns.count(identity).toLong,
+            sgns.count(!_).toLong, runs))
+        }
+      }.toSet
+      assert(got === expected, s"runsTest diverged on $pts")
+    }
+    // Three-level alternation 0,1,2,0,1,2,…: median level (1) drops,
+    // the surviving 0/2 sequence alternates → runs = 6 of 6 points.
+    val alt = (0L to 8L).map(x => ("a", x, (x % 3) * 10L))
+    val altGot = Stats.runsTest(alt.toDF("k", "x", "v"), Seq("k"), col("x"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(altGot === (("a", 9L, 3L, 3L, 6L)), altGot.toString)
+    val ramp = (0L to 7L).map(x => ("a", x, x * 10L))
+    assert(Stats.runsTest(ramp.toDF("k", "x", "v"), Seq("k"), col("x"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head._5 === 2L)
+    // Constant series: everything equals the median → group drops.
+    val const = (0L to 3L).map(x => ("a", x, 7L))
+    assert(Stats.runsTest(const.toDF("k", "x", "v"), Seq("k"), col("x"), col("v"))
+      .count() === 0L)
+    val e = intercept[Exception](Stats.runsTest(ramp.toDF("k", "x", "v"),
+      Seq("k"), col("x"), col("v"), maxPointsPerKey = 3).collect())
+    assert(e.getMessage.contains("3 points"))
+  }
+
+  test("autocorr ≡ BigInt n-scaled replay incl. NEGATIVE truncating division; guards trip") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(3, 24)
+      pts <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        x <- Gen.chooseNum(0L, 30L)
+        y <- Gen.chooseNum(-50L, 50L)
+      } yield (k, x, y))
+    } yield pts.groupBy(p => (p._1, p._2)).values.map(_.head).toSeq
+    def replay(pts: Seq[(String, Long, Long)], maxLag: Int)
+        : Set[(String, Long, Long, Long, Long)] =
+      pts.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val n = BigInt(g.size)
+        val s = BigInt(g.map(_._3).sum)
+        val dev = g.map(p => (p._2, n * p._3 - s)).toMap
+        val den = dev.values.map(d => d * d).sum
+        if (den == 0) Nil else (1 to maxLag).flatMap { lag =>
+          val prs = dev.keys.toSeq.filter(x => dev.contains(x + lag))
+          if (prs.isEmpty) None else {
+            val num = prs.map(x => dev(x) * dev(x + lag)).sum
+            // BigInt / truncates toward zero — the pinned cross-
+            // engine semantics (Spark div ≡ DuckDB //).
+            Some((k, lag.toLong, g.size.toLong, prs.size.toLong,
+              ((num * 1000000) / den).toLong))
+          }
+        }
+      }.toSet
+    for (pts <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.autocorr(pts.toDF("k", "x", "y"),
+          Seq("k"), col("x"), col("y"), maxLag = 3)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      assert(got === replay(pts, 3), s"autocorr diverged on $pts")
+    }
+    // Strict alternation: acf(1) < 0 (pins the signed division) and
+    // acf(2) > 0 (period-2 echo).
+    val alt = (0L to 9L).map(x => ("a", x, if (x % 2 == 0) 100L else -100L))
+    val acf = Stats.autocorr(alt.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"),
+        maxLag = 2)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r._5).toMap
+    assert(acf(1L) < -800000L && acf(2L) > 700000L, acf.toString)
+    assert(Stats.autocorr(alt.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"),
+      maxLag = 2).collect().toSet === replay(alt, 2).map(t =>
+      org.apache.spark.sql.Row(t._1, t._2, t._3, t._4, t._5)).toSet)
+    // Constant series drop (den = 0); guards trip loud.
+    val const = (0L to 5L).map(x => ("a", x, 3L))
+    assert(Stats.autocorr(const.toDF("k", "x", "y"), Seq("k"), col("x"), col("y"))
+      .count() === 0L)
+    val big = Seq(("a", 0L, 20000000000L), ("a", 1L, 1L))
+    val e = intercept[Exception](Stats.autocorr(big.toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("y")).collect())
+    assert(e.getMessage.contains("1e10"))
+    val e2 = intercept[Exception](Stats.autocorr(alt.toDF("k", "x", "y"),
+      Seq("k"), col("x"), col("y"), maxPointsPerKey = 4).collect())
+    assert(e2.getMessage.contains("4 points"))
+  }
 }
