@@ -183,6 +183,31 @@ object NewOpsSweep {
       val (t91, rows91) = time3(graft.operators.Stats.mannKendall(
         censusM, Seq("event_type"), col("bucket"), col("v_e4")))
       println(f"NEWOPS q191 m=$m rows=$rows91 median=$t91%.2f")
+      // Nonparametric two-sample tier (q194–q198): same disjoint-key
+      // replica argument — census cells per key stay constant (the
+      // e2-quantized value grid / the daily bucket count), keys grow
+      // m×, so every census window and pair stage must track m
+      // linearly.
+      val evSplit = evM.filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (pmod(expr("ts div 86400000000000"), lit(7L)) >= 5L).as("in_b"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      val (t94, rows94) = time3(graft.operators.Stats.ksTwoSample(
+        evSplit, Seq("event_type"), col("in_b"), col("v_e2")))
+      println(f"NEWOPS q194 m=$m rows=$rows94 median=$t94%.2f")
+      val (t95, rows95) = time3(graft.operators.Stats.cliffsDelta(
+        evSplit, Seq("event_type"), col("in_b"), col("v_e2")))
+      println(f"NEWOPS q195 m=$m rows=$rows95 median=$t95%.2f")
+      val dailyM = censusM.withColumn("in_b", pmod(col("bucket"), lit(7L)) >= 5L)
+      val (t96, rows96) = time3(graft.operators.Stats.hodgesLehmannShift(
+        dailyM, Seq("event_type"), col("in_b"), col("v_e4")))
+      println(f"NEWOPS q196 m=$m rows=$rows96 median=$t96%.2f")
+      val (t97, rows97) = time3(graft.operators.Stats.runsTest(
+        censusM, Seq("event_type"), col("bucket"), col("v_e4")))
+      println(f"NEWOPS q197 m=$m rows=$rows97 median=$t97%.2f")
+      val (t98, rows98) = time3(graft.operators.Stats.autocorr(
+        censusM, Seq("event_type"), col("bucket"), col("v_e4"), maxLag = 7))
+      println(f"NEWOPS q198 m=$m rows=$rows98 median=$t98%.2f")
     }
 
     // q112 family: the crawl-ingest planner on m custkey-OFFSET order
