@@ -208,6 +208,23 @@ object NewOpsSweep {
       val (t98, rows98) = time3(graft.operators.Stats.autocorr(
         censusM, Seq("event_type"), col("bucket"), col("v_e4"), maxLag = 7))
       println(f"NEWOPS q198 m=$m rows=$rows98 median=$t98%.2f")
+      val (t99, rows99) = time3(graft.operators.Stats.cvmTwoSample(
+        evSplit, Seq("event_type"), col("in_b"), col("v_e2")))
+      println(f"NEWOPS q199 m=$m rows=$rows99 median=$t99%.2f")
+      // Kruskal–Wallis pools ACROSS groups (one global census), so
+      // the replica argument is row mass: rows grow m×, distinct
+      // pooled values stay constant — the census aggregate is the
+      // only corpus-sized stage and must track rows linearly.
+      val (t00, rows00) = time3(graft.operators.Stats.kruskalWallis(
+        evSplit.select(col("event_type"), col("v_e2")), "event_type", col("v_e2")))
+      println(f"NEWOPS q200 m=$m rows=$rows00 median=$t00%.2f")
+      val dailyXY = evM.filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * lit(10000d) + lit(0.5d)).cast("long")).as("v_e4"))
+      val (t01, rows01) = time3(graft.operators.Stats.kendallTauB(
+        dailyXY, Seq("event_type"), col("bucket"), col("cnt"), col("v_e4")))
+      println(f"NEWOPS q201 m=$m rows=$rows01 median=$t01%.2f")
     }
 
     // q112 family: the crawl-ingest planner on m custkey-OFFSET order

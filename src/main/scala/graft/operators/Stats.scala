@@ -1279,4 +1279,132 @@ object Stats {
       .select((gcols :+ col("lag_k") :+ col("n") :+ col("n_pairs")
         :+ expr("CAST((__num * 1000000) div __den AS BIGINT)").as("acf_e6")): _*)
   }
+
+  /** Two-sample Cramér–von Mises criterion per group —
+    * [[ksTwoSample]]'s integral-form partner: KS reads the single
+    * LARGEST CDF gap (one bad quantile dominates), CvM sums SQUARED
+    * gaps over every pooled observation, so diffuse shape drift that
+    * never opens one big gap still registers. Quantized-by-
+    * construction integer form (the flog2q precedent — the
+    * quantization is part of the operator's definition, so the frame
+    * hash-gates): per census cell the normalized gap
+    * `g_e6 = (cumA·n_b − cumB·n_a)·10⁶ div (n_a·n_b)` (truncation
+    * toward zero — identical Spark div / DuckDB `//` semantics,
+    * checked on negatives), and
+    * `cvm_e12 = Σ (cA+cB)·g_e6² div (n_a+n_b)` — the classical
+    * T = (1/N)·Σ_pooled (F_a−F_b)² with each CDF gap carried at 1e-6
+    * resolution, so cvm_e12 ∈ [0, 10¹²] fits a BIGINT. Bounds: the
+    * [[twoSampleCum]] 3e9-per-side guard keeps `gap` in long range;
+    * gap·10⁶ and the weighted square-sum run in decimal(38,0)
+    * (≤ 9e24 and ≤ 6e21 under the guard). Empty-side groups drop. */
+  def cvmTwoSample(df: DataFrame, groupCols: Seq[String],
+                   inB: Column, valueCol: Column,
+                   maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    twoSampleCum(df, groupCols, inB, valueCol, maxBins, "cvmTwoSample")
+      .withColumn("__gap",
+        col("__cuma") * col("__nb") - col("__cumb") * col("__na"))
+      // Empty-side groups are dropped below, but the division must
+      // not evaluate for them first (ANSI divide-by-zero).
+      .withColumn("__g",
+        when(col("__na") > 0L && col("__nb") > 0L,
+          expr("(CAST(__gap AS decimal(38,0)) * 1000000) div (__na * __nb)"))
+          .otherwise(lit(0L)))
+      .groupBy(gcols: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum((col("__ca") + col("__cb")).cast("decimal(38,0)") *
+          col("__g") * col("__g")).as("__t"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+      .select((gcols :+ col("n_a") :+ col("n_b")
+        :+ expr("CAST(__t div (n_a + n_b) AS BIGINT)").as("cvm_e12")): _*)
+  }
+
+  /** Kruskal–Wallis rank-sum sufficient statistics — the k-sample
+    * generalization of the two-sample rank tests ("do ANY of the k
+    * groups' value distributions differ in location?"): per group
+    * the EXACT doubled mid-rank sum over the POOLED ranking
+    * (`r2sum = Σ 2·midrank(v)`, doubled mid-ranks are exact longs by
+    * the classAuc identity 2·cum − t + 1), plus group size `n_g`,
+    * pooled `n` and the pooled tie term `tie3 = Σ t³−t`. The H
+    * statistic — `H = [12/(N(N+1))·Σ (r2sum/2)²/n_g − 3(N+1)] /
+    * (1 − tie3/(N³−N))` — is one consumer-side step (its divisions
+    * stay out of the engine, the mannKendall var18 convention).
+    *
+    * Scale shape: one pooled `(group, value)` census (map-side
+    * combinable, [[boundedCensus]] fail-fast), per-value mid-ranks
+    * as ONE unpartitioned prefix window over census rows only (the
+    * kmLifeTable bounded-global-window trade), count-weighted sums
+    * per group. N is guarded at 2e6 so `tie3 ≤ N³` stays in long
+    * range — rescale or pre-aggregate wider corpora upstream. */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: Column,
+                    maxBins: Int = 1 << 20): DataFrame = {
+    val vals = df
+      .select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val joint = boundedCensus(
+      vals.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "kruskalWallis (group, value) census")
+    val perV = joint.groupBy(col("__v")).agg(sum(col("__c")).as("__nv"))
+    val w = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val rank2 = perV.withColumn("__cum", sum(col("__nv")).over(w))
+      .select(col("__v"),
+        (lit(2L) * col("__cum") - col("__nv") + 1L).as("__r2"))
+    val totals = perV.agg(sum(col("__nv")).as("n"),
+        sum(col("__nv") * (col("__nv") * col("__nv") - 1L)).as("tie3"))
+      .withColumn("n", when(col("n") <= 2000000L, col("n"))
+        .otherwise(raise_error(lit(
+          "kruskalWallis: pooled N above 2e6 — tie3 = Σ t³−t would exceed the long bound; pre-aggregate upstream")).cast("long")))
+    joint.join(broadcast(rank2), "__v")
+      .groupBy(col("__g").as(groupCol))
+      .agg(sum(col("__c")).as("n_g"),
+        sum(col("__c") * col("__r2")).as("r2sum"))
+      .crossJoin(broadcast(totals))
+  }
+
+  /** Kendall tau-b concordance sufficient statistics per group
+    * between two quantized variables: over all unordered observation
+    * pairs, `c_minus_d = #concordant − #discordant` (the exact
+    * sign-product sum), plus the tie pair-counts the tau-b
+    * denominator needs — `tie_x = Σ tx(tx−1)/2`, `tie_y = Σ
+    * ty(ty−1)/2` — so `τ_b = c_minus_d / √((n(n−1)/2 − tie_x)·
+    * (n(n−1)/2 − tie_y))` is one consumer-side step. [[mannKendall]]
+    * is exactly this with x = time (no x-ties); tau-b is the
+    * between-METRICS version where both variables tie freely (its
+    * raison d'être). Input is one observation per (group, idx) with
+    * `idxCol` a unique per-group index (the pair join's dedup order);
+    * `maxPointsPerKey` fail-fasts the quadratic per-group pair stage
+    * (the theilSen bound). Groups with one point drop. */
+  def kendallTauB(df: DataFrame, groupCols: Seq[String], idxCol: Column,
+                  xCol: Column, yCol: Column,
+                  maxPointsPerKey: Int = 1024): DataFrame = {
+    require(maxPointsPerKey >= 2, "maxPointsPerKey must be >= 2")
+    val gcols = groupCols.map(col)
+    val wAll = Window.partitionBy(gcols: _*)
+    val pts = df
+      .select((gcols :+ idxCol.cast("long").as("__i")
+        :+ xCol.cast("long").as("__x") :+ yCol.cast("long").as("__y")): _*)
+      .filter(col("__i").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n", when(col("__n") <= maxPointsPerKey, col("__n"))
+        .otherwise(raise_error(lit(
+          s"kendallTauB: a group exceeds $maxPointsPerKey points — aggregate coarser upstream")).cast("long")))
+    val a = pts.select((gcols :+ col("__i").as("__i1")
+      :+ col("__x").as("__x1") :+ col("__y").as("__y1")): _*)
+    val b = pts.select((gcols :+ col("__i").as("__i2") :+ col("__x").as("__x2")
+      :+ col("__y").as("__y2") :+ col("__n")): _*)
+    val s = a.join(b, groupCols).filter(col("__i2") > col("__i1"))
+      .groupBy((gcols :+ col("__n")): _*)
+      .agg(sum(signum(col("__x2") - col("__x1")).cast("long") *
+        signum(col("__y2") - col("__y1")).cast("long")).as("c_minus_d"))
+    def tiePairs(c: String, out: String): DataFrame =
+      pts.groupBy((gcols :+ col(c)): _*).agg(count(lit(1)).as("__t"))
+        .groupBy(gcols: _*)
+        .agg(sum(col("__t") * (col("__t") - 1L)).as(out))
+        .withColumn(out, expr(s"$out div 2L"))
+    s.join(broadcast(tiePairs("__x", "tie_x")), groupCols)
+      .join(broadcast(tiePairs("__y", "tie_y")), groupCols)
+      .select((gcols :+ col("__n").as("n") :+ col("c_minus_d")
+        :+ col("tie_x") :+ col("tie_y")): _*)
+  }
 }

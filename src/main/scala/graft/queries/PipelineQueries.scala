@@ -928,6 +928,119 @@ object PipelineQueries {
         .orderBy("event_type", "lag_k")
     },
 
+    // ---- q199: two-sample Cramér–von Mises — q194's integral-form
+    // partner (KS reads the one largest CDF gap; CvM sums SQUARED
+    // gaps over every pooled observation, so diffuse drift that
+    // never opens one big gap still registers), split by WEEK PARITY
+    // per event_type — alternating-week temporal drift, a third
+    // split axis beside q194's weekday/weekend and q195's user
+    // parity. Gap quantization at 1e-6 is part of the operator's
+    // definition (the flog2q precedent), so the frame hash-gates.
+    Q("q199_cvm_two_sample", Some("""
+      WITH e AS (SELECT event_type,
+                   CASE WHEN ((epoch_ns(ts) // 86400000000000) // 7) % 2 = 1
+                        THEN 1 ELSE 0 END AS sb,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT event_type, v,
+              SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, ca, cb,
+                SUM(ca) OVER (PARTITION BY event_type ORDER BY v) AS cuma,
+                SUM(cb) OVER (PARTITION BY event_type ORDER BY v) AS cumb,
+                SUM(ca) OVER (PARTITION BY event_type) AS na,
+                SUM(cb) OVER (PARTITION BY event_type) AS nb
+              FROM c),
+      g AS (SELECT event_type, ca, cb, na, nb,
+              (CAST(cuma * nb - cumb * na AS HUGEINT) * 1000000) // (na * nb) AS gq
+            FROM cum)
+      SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+             CAST(MAX(nb) AS BIGINT) AS n_b,
+             CAST(SUM((ca + cb) * gq * gq) // (MAX(na) + MAX(nb)) AS BIGINT) AS cvm_e12
+      FROM g GROUP BY 1
+      HAVING MAX(na) > 0 AND MAX(nb) > 0
+      ORDER BY event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (pmod(expr("(ts div 86400000000000) div 7"), lit(2L)) === 1L).as("in_b"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.cvmTwoSample(ev, Seq("event_type"), col("in_b"), col("v_e2"))
+        .orderBy("event_type")
+    },
+
+    // ---- q200: Kruskal–Wallis rank-sum sufficient statistics — the
+    // k-sample "do ANY event types differ in value location?" test
+    // generalizing the pairwise two-sample tier: exact doubled
+    // mid-rank sums over the POOLED e2-value ranking (the classAuc
+    // identity keeps every rank a long), group sizes, pooled N and
+    // the pooled tie term; H's divisions and the chi2 lookup are
+    // consumer-side (the mannKendall var18 convention). One pooled
+    // census + one bounded census-space prefix window — corpus rows
+    // never rank.
+    Q("q200_kruskal_wallis", Some("""
+      WITH e AS (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      j AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      pv AS (SELECT v, CAST(SUM(c) AS BIGINT) AS nv FROM j GROUP BY 1),
+      r AS (SELECT v, 2 * SUM(nv) OVER (ORDER BY v) - nv + 1 AS r2 FROM pv),
+      tot AS (SELECT CAST(SUM(nv) AS BIGINT) AS n,
+                     CAST(SUM(nv * (nv * nv - 1)) AS BIGINT) AS tie3 FROM pv)
+      SELECT j.event_type, CAST(SUM(j.c) AS BIGINT) AS n_g,
+             CAST(SUM(j.c * r.r2) AS BIGINT) AS r2sum,
+             MAX(tot.n) AS n, MAX(tot.tie3) AS tie3
+      FROM j JOIN r USING (v) CROSS JOIN tot
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("event_type").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.kruskalWallis(ev, "event_type", col("v_e2"))
+        .orderBy("event_type")
+    },
+
+    // ---- q201: Kendall tau-b concordance statistics — "does daily
+    // VOLUME move with daily VALUE?" per event_type: c_minus_d over
+    // all unordered day pairs of (count, value-sum), plus the
+    // tie-pair counts tau-b's denominator needs. q191's Mann–Kendall
+    // is exactly this with x = time; tau-b is the between-METRICS
+    // version where both variables tie freely. All outputs exact
+    // integers; τ_b's square root is one consumer-side step.
+    Q("q201_kendall_tau", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      s AS (SELECT a.event_type,
+                   CAST(SUM((CASE WHEN c.cnt > a.cnt THEN 1
+                                  WHEN c.cnt < a.cnt THEN -1 ELSE 0 END)
+                          * (CASE WHEN c.v_e4 > a.v_e4 THEN 1
+                                  WHEN c.v_e4 < a.v_e4 THEN -1 ELSE 0 END)) AS BIGINT)
+                     AS c_minus_d
+            FROM b a JOIN b c ON c.event_type = a.event_type
+                             AND c.bucket > a.bucket
+            GROUP BY 1),
+      n0 AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY 1),
+      tx AS (SELECT event_type, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS tie_x
+             FROM (SELECT event_type, cnt, CAST(COUNT(*) AS BIGINT) AS t
+                   FROM b GROUP BY 1, 2) GROUP BY 1),
+      ty AS (SELECT event_type, CAST(SUM(t * (t - 1)) // 2 AS BIGINT) AS tie_y
+             FROM (SELECT event_type, v_e4, CAST(COUNT(*) AS BIGINT) AS t
+                   FROM b GROUP BY 1, 2) GROUP BY 1)
+      SELECT s.event_type, n0.n, s.c_minus_d, tx.tie_x, ty.tie_y
+      FROM s JOIN n0 USING (event_type) JOIN tx USING (event_type)
+             JOIN ty USING (event_type)
+      ORDER BY 1""")) { (s, d) =>
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(floor(col("value") * lit(10000d) + lit(0.5d)).cast("long")).as("v_e4"))
+      Stats.kendallTauB(daily, Seq("event_type"), col("bucket"),
+          col("cnt"), col("v_e4"))
+        .orderBy("event_type")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

@@ -883,4 +883,117 @@ class StatsSpec extends SparkSuite {
       Seq("k"), col("x"), col("y"), maxPointsPerKey = 4).collect())
     assert(e2.getMessage.contains("4 points"))
   }
+
+  test("cvmTwoSample ≡ BigInt quantized-gap replay; identical → 0, disjoint large") {
+    import spark.implicits._
+    for (rows <- PropSampling.sample(twoSampleGen, n = 8)) {
+      val got = Stats.cvmTwoSample(rows.toDF("k", "b", "v"),
+          Seq("k"), col("b"), col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (k, g) =>
+        val as = g.filter(!_._2).map(_._3)
+        val bs = g.filter(_._2).map(_._3)
+        if (as.isEmpty || bs.isEmpty) None else {
+          val na = BigInt(as.size)
+          val nb = BigInt(bs.size)
+          val t = (as ++ bs).distinct.map { v =>
+            val gap = BigInt(as.count(_ <= v)) * nb - BigInt(bs.count(_ <= v)) * na
+            val gq = (gap * 1000000) / (na * nb) // BigInt /: truncates
+            BigInt(as.count(_ == v) + bs.count(_ == v)) * gq * gq
+          }.sum
+          Some((k, na.toLong, nb.toLong, (t / (na + nb)).toLong))
+        }
+      }.toSet
+      assert(got === expected, s"cvmTwoSample diverged on $rows")
+    }
+    // Identical samples: every gap is 0.
+    val same = Seq(("a", false, 1L), ("a", true, 1L), ("a", false, 2L), ("a", true, 2L))
+    assert(Stats.cvmTwoSample(same.toDF("k", "b", "v"), Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head._4 === 0L)
+    // Fully separated supports (A = {1,2}, B = {8,9}): cell gaps in
+    // g_e6 units are 5e5, 1e6, 5e5, 0 → t = 1.5e12, cvm_e12 =
+    // t/4 = 3.75e11 — hand-checked.
+    val disj = Seq(("a", false, 1L), ("a", false, 2L), ("a", true, 8L), ("a", true, 9L))
+    assert(Stats.cvmTwoSample(disj.toDF("k", "b", "v"), Seq("k"), col("b"), col("v"))
+      .as[(String, Long, Long, Long)].collect().head._4 === 375000000000L)
+  }
+
+  test("kruskalWallis ≡ pooled mid-rank replay; rank-sum identity holds; N guard trips") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b", "c")
+        v <- Gen.chooseNum(-5L, 5L) // ties across and within groups
+      } yield (k, v))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.kruskalWallis(rows.toDF("k", "v"), "k", col("v"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val n = rows.size.toLong
+      val sorted = rows.map(_._2).sorted
+      def rank2(v: Long): Long = {
+        val below = sorted.count(_ < v).toLong
+        val t = sorted.count(_ == v).toLong
+        2L * below + t + 1L // 2·minrank + t − 1 with minrank = below + 1
+      }
+      val tie3 = rows.map(_._2).groupBy(identity).values
+        .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        (k, g.size.toLong, g.map(r => rank2(r._2)).sum, n, tie3)
+      }.toSet
+      assert(got === expected, s"kruskalWallis diverged on $rows")
+      // Identity: Σ_g r2sum = 2·Σ ranks = N(N+1).
+      assert(got.toSeq.map(_._3).sum === n * (n + 1L))
+    }
+    // Census bound trips loud (the N guard needs >2e6 rows — the
+    // boundedCensus maxBins path is the testable guard).
+    val wide = (1L to 9L).map(v => ("a", v))
+    val e = intercept[Exception](Stats.kruskalWallis(wide.toDF("k", "v"),
+      "k", col("v"), maxBins = 4).collect())
+    assert(e.getMessage.contains("census"))
+  }
+
+  test("kendallTauB ≡ brute-force concordance replay; MK agreement on tie-free x") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 24)
+      pts <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        i <- Gen.chooseNum(0L, 30L)
+        x <- Gen.chooseNum(-3L, 3L)
+        y <- Gen.chooseNum(-3L, 3L)
+      } yield (k, i, x, y))
+    } yield pts.groupBy(p => (p._1, p._2)).values.map(_.head).toSeq
+    for (pts <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.kendallTauB(pts.toDF("k", "i", "x", "y"),
+          Seq("k"), col("i"), col("x"), col("y"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val expected = pts.groupBy(_._1).toSeq.flatMap { case (k, g0) =>
+        val g = g0.sortBy(_._2)
+        if (g.size < 2) None else {
+          val cd = (for {
+            i <- g.indices; j <- g.indices if j > i
+          } yield (java.lang.Long.signum(g(j)._3 - g(i)._3) *
+            java.lang.Long.signum(g(j)._4 - g(i)._4)).toLong).sum
+          def ties(f: ((String, Long, Long, Long)) => Long): Long =
+            g.groupBy(f).values.map(s => s.size.toLong * (s.size - 1L) / 2L).sum
+          Some((k, g.size.toLong, cd, ties(_._3), ties(_._4)))
+        }
+      }.toSet
+      assert(got === expected, s"kendallTauB diverged on $pts")
+    }
+    // With y = time order and tie-free x = y, c_minus_d = n(n−1)/2
+    // (all concordant) and both tie counts are 0 — the mannKendall
+    // strictly-increasing pin transposed.
+    val inc = (0L to 9L).map(i => ("a", i, i * 3L, i * 7L))
+    val up = Stats.kendallTauB(inc.toDF("k", "i", "x", "y"),
+        Seq("k"), col("i"), col("x"), col("y"))
+      .as[(String, Long, Long, Long, Long)].collect().head
+    assert(up === (("a", 10L, 45L, 0L, 0L)))
+    // Guard trips loud.
+    val e = intercept[Exception](Stats.kendallTauB(inc.toDF("k", "i", "x", "y"),
+      Seq("k"), col("i"), col("x"), col("y"), maxPointsPerKey = 4).collect())
+    assert(e.getMessage.contains("4 points"))
+  }
 }
