@@ -225,6 +225,25 @@ object NewOpsSweep {
       val (t01, rows01) = time3(graft.operators.Stats.kendallTauB(
         dailyXY, Seq("event_type"), col("bucket"), col("cnt"), col("v_e4")))
       println(f"NEWOPS q201 m=$m rows=$rows01 median=$t01%.2f")
+      // q203 moments: one power-sum aggregate — rows grow m×, output
+      // rows grow m× (disjoint keys), single map-side-combined pass.
+      val (t03, rows03) = time3(graft.operators.Stats.momentStats(
+        evM.filter(col("value").isNotNull).select(col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2")),
+        Seq("event_type"), col("v_e2")))
+      println(f"NEWOPS q203 m=$m rows=$rows03 median=$t03%.2f")
+      // q204 CCF is ALL-PAIRS by design — series count grows m×, so
+      // ordered pairs (and the lag-join output) grow ~m²: the honest
+      // claim here is that time tracks the PAIR count, i.e. the m=4
+      // read may run ~16× the m=1 pair mass over a still-tiny census
+      // (5→20 series, 10→190 pairs) and must stay in the sub-second
+      // floor band, not that it stays flat in m.
+      val dailyC = evM.filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("bucket"))
+        .agg(sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("v"))
+      val (t04, rows04) = time3(graft.operators.Stats.crossCorr(
+        dailyC, "event_type", col("bucket"), col("v"), maxLag = 7))
+      println(f"NEWOPS q204 m=$m pairs=$rows04 median=$t04%.2f")
     }
 
     // q112 family: the crawl-ingest planner on m custkey-OFFSET order

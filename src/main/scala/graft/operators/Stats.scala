@@ -1407,4 +1407,112 @@ object Stats {
       .select((gcols :+ col("__n").as("n") :+ col("c_minus_d")
         :+ col("tie_x") :+ col("tie_y")): _*)
   }
+
+  /** Distribution-SHAPE moments per group — mean, population
+    * variance, skewness g₁ and excess kurtosis g₂ — the profiling
+    * columns [[zscoreOutliers]]/q125 stop short of (mean/std say
+    * nothing about asymmetry or tail weight; a quality gate that
+    * clips at ±3σ behaves very differently on a skewed or
+    * heavy-tailed column). ONE aggregate of EXACT integer power sums
+    * (Σv, Σv², Σv³, Σv⁴ in decimal(38,0) over the quantized input —
+    * order-free, partitioning-independent), then the closed form
+    * runs in correctly-rounded double ops written in the same
+    * expression shape on both engines — including `sqrt`, which IEEE
+    * 754 requires correctly rounded (the zscoreOutliers precedent;
+    * `m2·sqrt(m2)` replaces the non-correctly-rounded `pow(m2,1.5)`).
+    * Input values must be quantized longs with |v| ≤ 10⁵ (guarded
+    * loud) so Σv⁴ stays inside decimal(38,0) at 3e9 rows; degenerate
+    * groups (m2 = 0 or n = 0 after null drop) yield nulls. */
+  def momentStats(df: DataFrame, groupCols: Seq[String],
+                  valueCol: Column): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v0 = valueCol.cast("long")
+    val rows = df.filter(v0.isNotNull)
+      .select((gcols :+ v0.as("__v")): _*)
+      .withColumn("__v", when(abs(col("__v")) <= 100000L, col("__v"))
+        .otherwise(raise_error(lit(
+          "momentStats: |v| > 1e5 — quantize coarser upstream (Σv⁴ range)")).cast("long")))
+      .withColumn("__d", col("__v").cast("decimal(38,0)"))
+    val agg = rows.groupBy(gcols: _*).agg(
+      count(lit(1)).as("n"),
+      sum(col("__d")).as("__sv"),
+      sum(col("__d") * col("__d")).as("__svv"),
+      sum(col("__d") * col("__d") * col("__d")).as("__svvv"),
+      sum(col("__d") * col("__d") * col("__d") * col("__d")).as("__svvvv"))
+    val nD = col("n").cast("double")
+    val m = col("__sv").cast("double") / nD
+    val e2 = col("__svv").cast("double") / nD
+    val e3 = col("__svvv").cast("double") / nD
+    val e4 = col("__svvvv").cast("double") / nD
+    val m2 = e2 - m * m
+    val m3 = e3 - lit(3.0d) * m * e2 + lit(2.0d) * m * m * m
+    val m4 = e4 - lit(4.0d) * m * e3 + lit(6.0d) * m * m * e2 -
+      lit(3.0d) * m * m * m * m
+    agg
+      .withColumn("mean", m)
+      .withColumn("variance", m2)
+      .withColumn("skewness", when(m2 > 0.0d, m3 / (m2 * sqrt(m2))))
+      .withColumn("kurtosis_ex", when(m2 > 0.0d, m4 / (m2 * m2) - lit(3.0d)))
+      .drop("__sv", "__svv", "__svvv", "__svvvv")
+  }
+
+  /** Cross-correlation function between every ORDERED PAIR of series
+    * at lags −maxLag..maxLag — the lead–lag diagnostic completing
+    * [[autocorr]] (ACF asks "does a series echo ITSELF?"; CCF asks
+    * "does series A lead series B, and by how many steps?" — a peak
+    * at positive lag k means A at time t co-moves with B at t+k,
+    * i.e. A LEADS B). Same n-scaled exact-integer deviation trick as
+    * autocorr (`dev = n·y − Σy` per series, guards identical); the
+    * emitted `ccf = num / sqrt(den_a·den_b)` runs in correctly-
+    * rounded doubles spelled identically on both engines (sqrt is
+    * IEEE-correctly-rounded — the momentStats/zscore precedent), and
+    * is scale-invariant, so the per-series n-scalings cancel.
+    * Pairs join on `x + lag`, so calendar gaps pair only true
+    * k-step-apart observations; constant series (den = 0) drop. */
+  def crossCorr(df: DataFrame, seriesCol: String,
+                xCol: Column, yCol: Column,
+                maxLag: Int = 7, maxPointsPerKey: Int = 4096): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 64, "maxLag must be in [0, 64]")
+    require(maxPointsPerKey >= 2 && maxPointsPerKey <= 4096,
+      "maxPointsPerKey must be in [2, 4096] — the decimal(38,0) headroom bound")
+    val wAll = Window.partitionBy(col("__s"))
+    val pts = df
+      .select(col(seriesCol).as("__s"), xCol.cast("long").as("__x"),
+        yCol.cast("long").as("__y"))
+      .filter(col("__s").isNotNull && col("__x").isNotNull && col("__y").isNotNull)
+      .withColumn("__y", when(abs(col("__y")) <= 10000000000L, col("__y"))
+        .otherwise(raise_error(lit(
+          "crossCorr: |y| > 1e10 — quantize/rescale y upstream")).cast("long")))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n", when(col("__n") <= maxPointsPerKey, col("__n"))
+        .otherwise(raise_error(lit(
+          s"crossCorr: a series exceeds $maxPointsPerKey points — aggregate coarser upstream")).cast("long")))
+      .withColumn("__sum", sum(col("__y")).over(wAll))
+      .withColumn("__dev", col("__n") * col("__y") - col("__sum"))
+    val den = pts.groupBy(col("__s"))
+      .agg(sum(col("__dev").cast("decimal(38,0)") *
+        col("__dev").cast("decimal(38,0)")).as("__den"))
+      .filter(col("__den") > 0)
+    val a = pts.select(col("__s").as("series_a"), col("__x"),
+        col("__dev").as("__da"))
+      .withColumn("lag_k", explode(sequence(lit(-maxLag.toLong), lit(maxLag.toLong))))
+    val b = pts.select(col("__s").as("series_b"), col("__x").as("__xb"),
+      col("__dev").as("__db"))
+    val num = a.join(b,
+        col("series_a") < col("series_b") &&
+          col("__xb") === col("__x") + col("lag_k"))
+      .groupBy(col("series_a"), col("series_b"), col("lag_k"))
+      .agg(sum(col("__da").cast("decimal(38,0)") *
+        col("__db").cast("decimal(38,0)")).as("__num"),
+        count(lit(1)).as("n_pairs"))
+    num
+      .join(broadcast(den.select(col("__s").as("series_a"),
+        col("__den").as("__dena"))), "series_a")
+      .join(broadcast(den.select(col("__s").as("series_b"),
+        col("__den").as("__denb"))), "series_b")
+      .select(col("series_a"), col("series_b"), col("lag_k"), col("n_pairs"),
+        (col("__num").cast("double") /
+          sqrt(col("__dena").cast("double") * col("__denb").cast("double")))
+          .as("ccf"))
+  }
 }

@@ -1041,6 +1041,88 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- q203: distribution-shape moments — skewness and excess
+    // kurtosis per event_type from ONE aggregate of exact integer
+    // power sums (Σv..Σv⁴ over e2-quantized values), the profiling
+    // columns q125's mean/std stop short of: a ±3σ quality gate
+    // behaves very differently on a skewed or heavy-tailed column.
+    // Doubles via the q71 recipe — identical closed-form spelling
+    // both engines, sqrt correctly rounded (zscore precedent),
+    // m2·sqrt(m2) instead of the non-correctly-rounded pow(·,1.5).
+    Q("q203_moments", Some("""
+      WITH e AS (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL),
+      s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   SUM(CAST(v AS HUGEINT)) AS sv,
+                   SUM(CAST(v AS HUGEINT) * v) AS svv,
+                   SUM(CAST(v AS HUGEINT) * v * v) AS svvv,
+                   SUM(CAST(v AS HUGEINT) * v * v * v) AS svvvv
+            FROM e GROUP BY 1),
+      d AS (SELECT event_type, n,
+                   CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                   CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                   CAST(svvv AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                   CAST(svvvv AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+            FROM s),
+      mm AS (SELECT event_type, n, m,
+                    e2 - m * m AS m2,
+                    e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
+                    e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
+             FROM d)
+      SELECT event_type, n, m AS mean, m2 AS variance,
+             CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+             CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_ex
+      FROM mm ORDER BY event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.momentStats(ev, Seq("event_type"), col("v_e2"))
+        .orderBy("event_type")
+    },
+
+    // ---- q204: cross-correlation lead–lag matrix — "does series A
+    // LEAD series B, and by how many days?" over every ordered pair
+    // of event types' daily e2 series at lags −7..+7 (a ccf peak at
+    // positive k means A at t co-moves with B at t+k). Completes the
+    // serial-dependence pair: q198's ACF is a series against itself,
+    // this is every series against every other. Same n-scaled exact
+    // deviations; the emitted ccf = num/√(den_a·den_b) runs in
+    // identically-spelled correctly-rounded doubles (scale-invariant,
+    // so the per-series n-scalings cancel).
+    Q("q204_crosscorr", Some("""
+      WITH b AS (SELECT event_type AS s,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+      st AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(v) AS BIGINT) AS sv FROM b GROUP BY 1),
+      d AS (SELECT b.s, b.bucket, st.n * b.v - st.sv AS dev
+            FROM b JOIN st USING (s)),
+      den AS (SELECT s, SUM(CAST(dev AS HUGEINT) * dev) AS den
+              FROM d GROUP BY 1
+              HAVING SUM(CAST(dev AS HUGEINT) * dev) > 0),
+      nm AS (SELECT a.s AS series_a, c.s AS series_b, l.lag_k,
+                    SUM(CAST(a.dev AS HUGEINT) * c.dev) AS num,
+                    CAST(COUNT(*) AS BIGINT) AS n_pairs
+             FROM d a
+             CROSS JOIN (SELECT UNNEST([-7, -6, -5, -4, -3, -2, -1, 0,
+                                        1, 2, 3, 4, 5, 6, 7]) AS lag_k) l
+             JOIN d c ON a.s < c.s AND c.bucket = a.bucket + l.lag_k
+             GROUP BY 1, 2, 3)
+      SELECT nm.series_a, nm.series_b, CAST(nm.lag_k AS BIGINT) AS lag_k,
+             nm.n_pairs,
+             CAST(nm.num AS DOUBLE) /
+               sqrt(CAST(da.den AS DOUBLE) * CAST(db.den AS DOUBLE)) AS ccf
+      FROM nm JOIN den da ON da.s = nm.series_a
+              JOIN den db ON db.s = nm.series_b
+      ORDER BY series_a, series_b, lag_k""")) { (s, d) =>
+      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+        .groupBy(col("event_type"), expr("ts div 86400000000000").as("bucket"))
+        .agg(sum(floor(col("value") * lit(100d) + lit(0.5d)).cast("long")).as("v"))
+      Stats.crossCorr(daily, "event_type", col("bucket"), col("v"), maxLag = 7)
+        .orderBy("series_a", "series_b", "lag_k")
+    },
+
     // ---- q51: backward as-of join — every non-purchase event picks
     // up the latest purchase by the same user at or before its
     // timestamp (feature-store / SCD lookup shape). The Spark side

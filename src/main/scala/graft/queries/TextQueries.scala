@@ -575,6 +575,53 @@ object TextQueries {
         .orderBy("band")
     },
 
+    // ---- q202: Zipf rank–frequency fit — the power-law diagnostic
+    // completing the corpus-statistics trio: q173 (Heaps: how fast
+    // does VOCABULARY grow), q182 (Hill: how heavy is a size TAIL),
+    // and this (Zipf: does token FREQUENCY fall as rank^-s, the
+    // natural-language fingerprint — synthetic/templated corpora
+    // read flat). OLS of flog2q(freq) on flog2q(rank) over the top
+    // 1024 ranks: the 1/16-bit integer log2 kernel keeps both
+    // coordinates exact longs (rank ties resolve by (freq DESC,
+    // word)), and linearFit's exact decimal sums make the double
+    // closed form bit-identical cross-engine (the q71 recipe).
+    // slope ≈ −s; one token census + one bounded 1024-row sort.
+    Q("q202_zipf_fit", Some(s"""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM tok WHERE w <> '' GROUP BY 1),
+      t AS (SELECT w, f, row_number() OVER (ORDER BY f DESC, w) AS rk FROM c),
+      p AS (SELECT CAST(${graft.operators.Curation.flog2qSql("rk")} AS DECIMAL(12,0)) AS x,
+                   CAST(${graft.operators.Curation.flog2qSql("f")} AS DECIMAL(18,2)) AS y
+            FROM t WHERE rk <= 1024),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+              CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(x * y) AS DOUBLE) AS sxy,
+              CAST(SUM(y * y) AS DOUBLE) AS syy
+            FROM p)
+      SELECT n,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx) END AS slope,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0
+                  THEN (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE) END AS intercept,
+             CASE WHEN CAST(n AS DOUBLE) * sxx - sx * sx <> 0 AND CAST(n AS DOUBLE) * syy - sy * sy <> 0
+                  THEN (CAST(n AS DOUBLE) * sxy - sx * sy) * (CAST(n AS DOUBLE) * sxy - sx * sy)
+                       / ((CAST(n AS DOUBLE) * sxx - sx * sx) * (CAST(n AS DOUBLE) * syy - sy * sy)) END AS r2
+      FROM s""")) { (s, d) =>
+      val census = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("f").desc, col("w"))
+      val ranked = census.orderBy(col("f").desc, col("w")).limit(1024)
+        .select(row_number().over(w).cast("long").as("rk"), col("f"))
+      graft.operators.Stats.linearFit(
+        ranked.select(
+          expr(graft.operators.Curation.flog2qSql("rk")).as("lx"),
+          expr(graft.operators.Curation.flog2qSql("f")).as("ly")),
+        Seq.empty, col("lx"), col("ly"))
+    },
+
     // ---- q172: quality selection curve — per q26-score band (×10⁴
     // in 10 bands), own mass and SURVIVAL mass at that threshold
     // (suffix-cumulative docs/tokens + exact ×10⁴ surviving-token

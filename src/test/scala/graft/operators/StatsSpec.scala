@@ -996,4 +996,114 @@ class StatsSpec extends SparkSuite {
       Seq("k"), col("i"), col("x"), col("y"), maxPointsPerKey = 4).collect())
     assert(e.getMessage.contains("4 points"))
   }
+
+  test("momentStats ≡ exact-power-sum double replay; known shapes pin; guard trips") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 30)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        v <- Gen.chooseNum(-200L, 200L)
+      } yield (k, v))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.momentStats(rows.toDF("k", "v"), Seq("k"), col("v"))
+        .select("k", "n", "mean", "variance", "skewness", "kurtosis_ex")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+          r.getDouble(3), if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      val expected = rows.groupBy(_._1).map { case (k, g) =>
+        val n = g.size.toLong
+        val nD = n.toDouble
+        // Exact BigInt power sums cast to double, then the operator's
+        // exact expression order — bit-identical by construction.
+        def p(e: Int): Double = g.map(r => BigInt(r._2).pow(e)).sum.toDouble
+        val m = p(1) / nD
+        val e2 = p(2) / nD
+        val e3 = p(3) / nD
+        val e4 = p(4) / nD
+        val m2 = e2 - m * m
+        val m3 = e3 - 3.0 * m * e2 + 2.0 * m * m * m
+        val m4 = e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m
+        (k, n, m, m2,
+          if (m2 > 0.0) Some(m3 / (m2 * math.sqrt(m2))) else None,
+          if (m2 > 0.0) Some(m4 / (m2 * m2) - 3.0) else None)
+      }.toSet
+      assert(got === expected, s"momentStats diverged on $rows")
+    }
+    // Symmetric two-point mass at ±1: skew = 0, kurtosis_ex = −2.
+    val bern = Seq(("a", -1L), ("a", 1L), ("a", -1L), ("a", 1L))
+    val bg = Stats.momentStats(bern.toDF("k", "v"), Seq("k"), col("v"))
+      .select("skewness", "kurtosis_ex").as[(Double, Double)].collect().head
+    assert(bg === ((0.0, -2.0)), bg.toString)
+    // Constant group: variance 0 → null shape stats.
+    val const = Seq(("a", 5L), ("a", 5L))
+    val cg = Stats.momentStats(const.toDF("k", "v"), Seq("k"), col("v")).collect().head
+    assert(cg.getDouble(cg.fieldIndex("variance")) === 0.0 &&
+      cg.isNullAt(cg.fieldIndex("skewness")) && cg.isNullAt(cg.fieldIndex("kurtosis_ex")))
+    val e = intercept[Exception](Stats.momentStats(
+      Seq(("a", 200000L)).toDF("k", "v"), Seq("k"), col("v")).collect())
+    assert(e.getMessage.contains("1e5"))
+  }
+
+  test("crossCorr ≡ BigInt replay; exact ±1 at pure shift/negation; ordered pairs only") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(4, 24)
+      pts <- Gen.listOfN(n, for {
+        s <- Gen.oneOf("a", "b", "c")
+        x <- Gen.chooseNum(0L, 15L)
+        y <- Gen.chooseNum(-40L, 40L)
+      } yield (s, x, y))
+    } yield pts.groupBy(p => (p._1, p._2)).values.map(_.head).toSeq
+    def replay(pts: Seq[(String, Long, Long)], maxLag: Int)
+        : Set[(String, String, Long, Long, Double)] = {
+      val bySeries = pts.groupBy(_._1)
+      val devs = bySeries.view.mapValues { g =>
+        val n = BigInt(g.size)
+        val s = BigInt(g.map(_._3).sum)
+        g.map(p => (p._2, n * p._3 - s)).toMap
+      }.toMap
+      val dens = devs.view.mapValues(d => d.values.map(x => x * x).sum).toMap
+      (for {
+        sa <- bySeries.keys.toSeq; sb <- bySeries.keys.toSeq
+        if sa < sb && dens(sa) > 0 && dens(sb) > 0
+        lag <- -maxLag to maxLag
+        prs = devs(sa).keys.toSeq.filter(x => devs(sb).contains(x + lag))
+        if prs.nonEmpty
+      } yield {
+        val num = prs.map(x => devs(sa)(x) * devs(sb)(x + lag)).sum
+        (sa, sb, lag.toLong, prs.size.toLong,
+          num.toDouble / math.sqrt(dens(sa).toDouble * dens(sb).toDouble))
+      }).toSet
+    }
+    for (pts <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.crossCorr(pts.toDF("s", "x", "y"), "s",
+          col("x"), col("y"), maxLag = 3)
+        .as[(String, String, Long, Long, Double)].collect().toSet
+      assert(got === replay(pts, 3), s"crossCorr diverged on $pts")
+    }
+    // b is a by-2-shifted copy of a: ccf = 1.0 EXACTLY at lag 2
+    // (devs identical, num = den); negated copy: −1.0 at lag 0.
+    val base = (0L to 9L).map(x => x -> ((x % 4) * 10L - 15L)).toMap
+    val shifted = (0L to 9L).map(x => ("a", x, base(x))) ++
+      (2L to 11L).map(x => ("b", x, base(x - 2L) + 100L))
+    val sc = Stats.crossCorr(shifted.toDF("s", "x", "y"), "s",
+        col("x"), col("y"), maxLag = 3)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => r._3 -> r._5).toMap
+    assert(sc(2L) === 1.0, sc.toString)
+    val neg = (0L to 9L).map(x => ("a", x, base(x))) ++
+      (0L to 9L).map(x => ("b", x, -base(x)))
+    val nc = Stats.crossCorr(neg.toDF("s", "x", "y"), "s",
+        col("x"), col("y"), maxLag = 1)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => r._3 -> r._5).toMap
+    assert(nc(0L) === -1.0, nc.toString)
+    // Guard trips loud.
+    val e = intercept[Exception](Stats.crossCorr(
+      shifted.toDF("s", "x", "y"), "s", col("x"), col("y"),
+      maxPointsPerKey = 4).collect())
+    assert(e.getMessage.contains("4 points"))
+  }
 }
