@@ -381,6 +381,67 @@ object PipelineQueries {
         .orderBy("user_id", "session_start_ts")
     },
 
+    // ---- q205: the ARBITRARY-STATE streaming lane — q54's gap
+    // sessions a third time, now through flatMapGroupsWithState with
+    // user-managed GroupState and EVENT-TIME TIMEOUTS, completing
+    // the state-machinery triptych: q187 times window-aggregate
+    // state, q188 times session_window watermark EVICTION, this
+    // times the KeyValueGroupedDataset custom-state path (the
+    // preference-order point the reference's accumulate-then-flush
+    // loops map to when semantics outgrow an aggregate). Emission =
+    // in-batch gap-closed sessions (every non-last session per user)
+    // PLUS timeout-flushed ones, where the timeout fires STRICTLY
+    // below the watermark (`end_ms + gap_ms < wm_ms` — unlike
+    // q188's `<=` eviction; the boundary is pinned by an exact
+    // fixture in EventStreamsSpec). Session boundaries and counts
+    // gate; the float value accumulation stays out of the hash (a
+    // sequential Scala double fold has no portable SQL twin).
+    Q("q205_stream_stateful_sessions", Some("""
+      WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+      mx AS (SELECT MAX(tsn) AS mts FROM e),
+      o AS (SELECT user_id, tsn,
+              CASE WHEN LAG(tsn) OVER w IS NULL
+                     OR tsn - LAG(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
+      s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o),
+      g AS (SELECT user_id, sid, MIN(tsn) AS start_n, MAX(tsn) AS end_n,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM s GROUP BY 1, 2),
+      g2 AS (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS last_sid FROM g)
+      SELECT user_id, start_n AS session_start_ts, end_n AS session_end_ts,
+             n_events
+      FROM g2, mx
+      WHERE sid < last_sid
+         OR end_n // 1000000 + 1800000 < mts // 1000000 - 7200000
+      ORDER BY user_id, session_start_ts""")) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val path = s"$d/events.parquet"
+      val batchSchema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1 << 20)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val ev = batchSchema("ts").dataType match {
+        case LongType => raw
+        case TimestampNTZType | TimestampType =>
+          raw.withColumn("ts",
+            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+      }
+      val sessions = graft.streaming.EventStreams.sessionize(
+        ev, gapMinutes = 30, watermark = "2 hours")
+      val sink = s"q205_mem_${System.nanoTime()}"
+      val q = sessions.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sink)
+        .select(col("userId").as("user_id"), col("startTs").as("session_start_ts"),
+          col("endTs").as("session_end_ts"), col("nEvents").cast("long").as("n_events"))
+        .orderBy("user_id", "session_start_ts")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own

@@ -627,6 +627,32 @@ class EventStreamsSpec extends SparkSuite {
     assert(got == Set((1L, 2, 3.0), (1L, 1, 4.0), (2L, 1, 8.0)))
   }
 
+  test("q205 contract: stateful-session timeout fires STRICTLY below the watermark") {
+    // The q205 oracle replays this rule: a session flushes on
+    // event-time timeout iff `end_ms + gap_ms < wm_ms` (STRICT —
+    // unlike q188's session_window eviction, which is `<=`; the
+    // GroupState timeout comparison is `timeoutTimestamp < watermark`
+    // in FlatMapGroupsWithStateExec). Exact-boundary fixture:
+    // sentinel at 20 H ⇒ wm_ms = 72e6 − 7.2e6; single-event sessions
+    // with timeout = wm − 1 / wm / wm + 1.
+    def evAt(id: Long, user: Long, ms: Long) = ev(id, ms * 1000000L, user, "a", 1.0)
+    val dir = writeLanding(Seq(
+      evAt(1, 10, 63000000L), // timeout == wm → must NOT flush
+      evAt(2, 11, 62999999L), // timeout = wm − 1 → flushes
+      evAt(3, 12, 63000001L), // timeout = wm + 1 → must NOT flush
+      ev(4, 20L * H, 99, "w", 0.0))) // sentinel advances the watermark
+    val out = Files.createTempDirectory(Paths.get("target"), "q205pin")
+    val q = EventStreams.sessionize(
+        EventStreams.readEventsJson(spark, dir), gapMinutes = 30)
+      .writeStream.format("parquet")
+      .option("path", s"$out/data").option("checkpointLocation", s"$out/ckpt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val users = spark.read.parquet(s"$out/data")
+      .select("userId").as[Long].collect().toSet
+    assert(users === Set(11L), s"timeout boundary drifted: flushed users = $users")
+  }
+
   test("windowed drift: streamed histogram bins scored against a batch baseline ≡ batch scoring") {
     // baseline = the corpus' pooled value histogram (fit in batch);
     // the stream's closed hourly windows are then drift-scored
