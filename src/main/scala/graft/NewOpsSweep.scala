@@ -244,6 +244,26 @@ object NewOpsSweep {
       val (t04, rows04) = time3(graft.operators.Stats.crossCorr(
         dailyC, "event_type", col("bucket"), col("v"), maxLag = 7))
       println(f"NEWOPS q204 m=$m pairs=$rows04 median=$t04%.2f")
+      // q206 isotonic pools ACROSS types (global bin census) — the
+      // replica argument is row mass over a constant ≤64-bin census.
+      val (t06, rows06) = time3(graft.operators.Stats.isotonicCalibrate(
+        evM.filter(col("value").isNotNull)
+          .select(least(floor(col("value") / lit(8d)), lit(63d)).cast("long").as("bin"),
+            (col("event_type").endsWith("purchase")).cast("long").as("l")),
+        col("bin"), col("l")))
+      println(f"NEWOPS q206 m=$m bins=$rows06 median=$t06%.2f")
+      // q207/q208 emit corpus-shaped projections: rows AND output
+      // grow m×, census cells per key stay constant — the projection
+      // + broadcast-join plan must track rows linearly.
+      val evQ = evM.filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      val (t07, rows07) = time3Noop(graft.operators.Stats.winsorize(
+        evQ, Seq("event_type"), "event_id", col("v_e2")))
+      println(f"NEWOPS q207 m=$m rows=$rows07 median=$t07%.2f")
+      val (t08, rows08) = time3Noop(graft.operators.Stats.quantileNormalize(
+        evQ, Seq("event_type"), "event_id", col("v_e2")))
+      println(f"NEWOPS q208 m=$m rows=$rows08 median=$t08%.2f")
     }
 
     // q112 family: the crawl-ingest planner on m custkey-OFFSET order

@@ -1515,4 +1515,167 @@ object Stats {
           sqrt(col("__dena").cast("double") * col("__denb").cast("double")))
           .as("ccf"))
   }
+
+  /** Isotonic (monotone non-decreasing) calibration of a binary
+    * label against a binned score — the model-calibration step
+    * ("does score 0.8 really mean 80%?") that logistic/Platt fits
+    * approximate parametrically and PAVA solves exactly. Computed by
+    * the MINIMAX identity — `iso(i) = max_{j≤i} min_{k≥i}
+    * avg(label | bin j..k)` equals the pool-adjacent-violators
+    * solution — entirely in census space: one `(bin) → (count,
+    * positives)` census ([[boundedCensus]] fail-fast), prefix sums,
+    * then interval averages over the ≤ maxBins² (j,k) pair cells, a
+    * per-j suffix-min window and a per-i max — never a corpus row
+    * and no sequential driver loop. Averages carry as
+    * `avg_e9 = (pos·10⁹) div cnt` BEFORE the min/max; truncation is
+    * monotone, so min/max commute with it and the emitted value is
+    * EXACTLY `trunc_e9(PAVA)` (the spec pins this against a
+    * sequential PAVA replay). `n` at 3e9 keeps `pos·10⁹` in long
+    * range. Output: one row per occupied bin with `(bin, n, pos,
+    * iso_e9)`, iso_e9 non-decreasing in bin. */
+  def isotonicCalibrate(df: DataFrame, scoreBinCol: Column,
+                        labelCol: Column, maxBins: Int = 1024): DataFrame = {
+    val rows = df
+      .select(scoreBinCol.cast("long").as("__b"), labelCol.cast("long").as("__l"))
+      .filter(col("__b").isNotNull && col("__l").isNotNull)
+      .withColumn("__l",
+        when(col("__l") === 0L || col("__l") === 1L, col("__l"))
+          .otherwise(raise_error(lit(
+            "isotonicCalibrate: label must be 0/1")).cast("long")))
+    val census = boundedCensus(
+      rows.groupBy(col("__b")).agg(count(lit(1)).as("__c"), sum(col("__l")).as("__p")),
+      maxBins.toLong, "isotonicCalibrate score-bin census")
+    val wOrd = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = census
+      .withColumn("__cc", sum(col("__c")).over(wOrd))
+      .withColumn("__cp", sum(col("__p")).over(wOrd))
+      .withColumn("__cc", when(col("__cc") <= 3000000000L, col("__cc"))
+        .otherwise(raise_error(lit(
+          "isotonicCalibrate: above 3e9 rows — pos*1e9 would exceed the long bound")).cast("long")))
+    // Pair cells (j ≤ k): interval average over bins j..k, e9-quantized.
+    val j = cum.select(col("__b").as("__bj"),
+      (col("__cc") - col("__c")).as("__ccjm"), (col("__cp") - col("__p")).as("__cpjm"))
+    val k = cum.select(col("__b").as("__bk"), col("__cc").as("__cck"),
+      col("__cp").as("__cpk"))
+    val pairs = j.join(k, col("__bk") >= col("__bj"))
+      .withColumn("__avg",
+        expr("((__cpk - __cpjm) * 1000000000L) div (__cck - __ccjm)"))
+    // f(j, i) = min over k ≥ i of avg(j, k): per-j suffix min in k
+    // order (pair-census window, ≤ maxBins rows per j partition).
+    val wSuffix = Window.partitionBy(col("__bj")).orderBy(col("__bk").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val f = pairs.withColumn("__f", min(col("__avg")).over(wSuffix))
+      .select(col("__bj"), col("__bk").as("__bi"), col("__f"))
+    // iso(i) = max over j ≤ i of f(j, i) — every row already has
+    // __bj ≤ __bi, so a plain per-i max.
+    val iso = f.groupBy(col("__bi").as("__b"))
+      .agg(max(col("__f")).as("iso_e9"))
+    census.join(broadcast(iso), "__b")
+      .select(col("__b").as("bin"), col("__c").as("n"), col("__p").as("pos"),
+        col("iso_e9"))
+  }
+
+  /** Winsorization — clip each value into its group's [pLo, pHi]
+    * percentile band, the outlier treatment that PRESERVES rows
+    * where [[madOutliers]]/[[zscoreOutliers]] flag-and-drop (a
+    * training pipeline usually wants the row, just not its wild
+    * tail value). Percentile picks use the q72/q62 census rank
+    * convention (`cum ≥ (n−1)·p div 100 + 1`, value = the census
+    * cell that crosses), so both bounds are exact element picks
+    * re-attached by broadcast, and the output is one corpus-shaped
+    * projection with `(value, clipped, is_clipped)` — no window
+    * ever sees a corpus row. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], idCol: String,
+                valueCol: Column, pLo: Int = 5, pHi: Int = 95,
+                maxBins: Int = 1 << 20): DataFrame = {
+    require(pLo >= 0 && pHi <= 100 && pLo < pHi, "need 0 <= pLo < pHi <= 100")
+    val gcols = groupCols.map(col)
+    val v = valueCol.cast("long")
+    val rows = df.filter(v.isNotNull)
+      .select(col(idCol) +: (gcols :+ v.as("__v")): _*)
+    val census = boundedCensus(
+      rows.groupBy((gcols :+ col("__v")): _*).agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "winsorize (group, value) census")
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+    val cum = census
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def pick(p: Int, out: String): DataFrame = cum
+      .filter(col("__cum") >= expr(s"((__n - 1) * $p) div 100 + 1") &&
+        col("__cum") - col("__c") < expr(s"((__n - 1) * $p) div 100 + 1"))
+      .select((gcols :+ col("__v").as(out)): _*)
+    rows
+      .join(broadcast(pick(pLo, "__lo")), groupCols)
+      .join(broadcast(pick(pHi, "__hi")), groupCols)
+      .withColumn("clipped", greatest(col("__lo"), least(col("__hi"), col("__v"))))
+      .select(col(idCol) +: (gcols :+ col("__v").as("value") :+ col("clipped") :+
+        (col("clipped") =!= col("__v")).cast("long").as("is_clipped")): _*)
+  }
+
+  /** Quantile normalization — map every value onto the POOLED
+    * distribution at its within-group quantile, the batch-effect
+    * correction that makes per-source score distributions comparable
+    * before mixing (two sources whose quality scorers drift still
+    * rank-agree; after normalization their thresholds mean the same
+    * thing). Per row: within-group min-rank `r` (equal values share
+    * r, so the map is deterministic), target pooled rank
+    * `t = (r−1)·N div n_g + 1` (1→1, n_g→≤N, monotone), and the
+    * pooled census cell whose [cum−cnt+1, cum] span covers t. All
+    * ranks come from censuses ([[boundedCensus]] fail-fast) joined
+    * back by broadcast — a rank statistic never ranks corpus rows
+    * (the spearman scale shape); the pooled lookup is a bounded
+    * range join against census cells. */
+  def quantileNormalize(df: DataFrame, groupCols: Seq[String], idCol: String,
+                        valueCol: Column, maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    val v = valueCol.cast("long")
+    val rows = df.filter(v.isNotNull)
+      .select(col(idCol) +: (gcols :+ v.as("__v")): _*)
+    val census = boundedCensus(
+      rows.groupBy((gcols :+ col("__v")): _*).agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "quantileNormalize (group, value) census")
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+    val ranks = census
+      .withColumn("__cum", sum(col("__c")).over(wOrd))
+      .withColumn("__ng", sum(col("__c")).over(wAll))
+      .withColumn("__minr", col("__cum") - col("__c") + 1L)
+      .select((gcols :+ col("__v") :+ col("__minr") :+ col("__ng")): _*)
+    val pooledW = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = census.groupBy(col("__v")).agg(sum(col("__c")).as("__pc"))
+      .withColumn("__pcum", sum(col("__pc")).over(pooledW))
+      .select(col("__v").as("__pv"), (col("__pcum") - col("__pc") + 1L).as("__plo"))
+    val total = census.agg(sum(col("__c")).as("__nn"))
+      .withColumn("__nn", when(col("__nn") <= 3000000000L, col("__nn"))
+        .otherwise(raise_error(lit(
+          "quantileNormalize: above 3e9 rows — (r−1)·N would exceed the long bound")).cast("long")))
+    // Pooled-rank lookup as a union + carry-forward (the q51 as-of
+    // pattern): pooled cells cover contiguous rank intervals, so the
+    // cell owning target rank t is the one with the LARGEST start
+    // ≤ t — sort probes and cell-starts together on the pooled rank
+    // axis and carry the last seen cell value forward. ONE bounded
+    // census-sized sort, where a BETWEEN range join would nested-loop
+    // |group census| × |pooled census| (measured superlinear in the
+    // replica sweep before this rewrite).
+    val probes = ranks
+      .crossJoin(broadcast(total))
+      .withColumn("__t", expr("(__minr - 1) * __nn div __ng + 1"))
+      .select((gcols :+ col("__v") :+ col("__t").as("__pos") :+
+        lit(1).as("__isProbe")): _*)
+    val cells = pooled
+      .select(col("__plo").as("__pos"), lit(0).as("__isProbe"), col("__pv"))
+    val wCarry = Window.orderBy(col("__pos"), col("__isProbe"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mapped = probes.unionByName(cells, allowMissingColumns = true)
+      .withColumn("__qn", last(col("__pv"), ignoreNulls = true).over(wCarry))
+      .filter(col("__isProbe") === 1)
+      .select((gcols :+ col("__v") :+ col("__qn").as("qnorm")): _*)
+    rows.join(broadcast(mapped), groupCols :+ "__v")
+      .select(col(idCol) +: (gcols :+ col("__v").as("value") :+ col("qnorm")): _*)
+  }
 }

@@ -442,6 +442,113 @@ object PipelineQueries {
         .orderBy("user_id", "session_start_ts")
     },
 
+    // ---- q206: isotonic calibration — "does a higher value-score
+    // really mean a higher purchase propensity, and what IS the
+    // calibrated rate per score band?" PAVA computed by the exact
+    // minimax identity entirely in census space (≤64 score bins →
+    // bounded pair cells; averages e9-quantized BEFORE min/max,
+    // which commutes with the monotone truncation, so the output is
+    // exactly trunc(PAVA) and hash-gates). iso_e9 is non-decreasing
+    // in bin by construction.
+    Q("q206_isotonic", Some("""
+      WITH e AS (SELECT LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS bin,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(l) AS BIGINT) AS pos
+            FROM e GROUP BY 1),
+      cum AS (SELECT bin, n, pos,
+                SUM(n) OVER (ORDER BY bin) AS cc,
+                SUM(pos) OVER (ORDER BY bin) AS cp
+              FROM c),
+      p AS (SELECT j.bin AS bj, k.bin AS bk,
+              CAST(((k.cp - (j.cp - j.pos)) * 1000000000)
+                   // (k.cc - (j.cc - j.n)) AS BIGINT) AS avg9
+            FROM cum j JOIN cum k ON k.bin >= j.bin),
+      f AS (SELECT bj, bk AS bi,
+              MIN(avg9) OVER (PARTITION BY bj ORDER BY bk DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fv
+            FROM p),
+      iso AS (SELECT bi AS bin, CAST(MAX(fv) AS BIGINT) AS iso_e9 FROM f GROUP BY 1)
+      SELECT c.bin, c.n, c.pos, iso.iso_e9
+      FROM c JOIN iso USING (bin) ORDER BY bin""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(least(floor(col("value") / lit(8d)), lit(63d)).cast("long").as("bin"),
+          (col("event_type") === "purchase").cast("long").as("l"))
+      Stats.isotonicCalibrate(ev, col("bin"), col("l")).orderBy("bin")
+    },
+
+    // ---- q207: winsorization — clip each value into its group's
+    // [p5, p95] band, the outlier treatment that PRESERVES rows
+    // where q138/q109 flag them (training pipelines usually want the
+    // row, not its wild tail value). Exact census percentile picks
+    // (the q72 rank convention) broadcast onto one corpus-shaped
+    // projection — 1M output rows at sf0.1, no corpus window.
+    Q("q207_winsorize", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM e GROUP BY 1, 2),
+      cum AS (SELECT event_type, v, cnt,
+                SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) AS cm,
+                SUM(cnt) OVER (PARTITION BY event_type) AS n
+              FROM c),
+      lo AS (SELECT event_type, v AS lov FROM cum
+             WHERE cm >= (n - 1) * 5 // 100 + 1
+               AND cm - cnt < (n - 1) * 5 // 100 + 1),
+      hi AS (SELECT event_type, v AS hiv FROM cum
+             WHERE cm >= (n - 1) * 95 // 100 + 1
+               AND cm - cnt < (n - 1) * 95 // 100 + 1)
+      SELECT e.event_id, e.event_type, e.v AS value,
+             GREATEST(lo.lov, LEAST(hi.hiv, e.v)) AS clipped,
+             CAST(GREATEST(lo.lov, LEAST(hi.hiv, e.v)) <> e.v AS BIGINT) AS is_clipped
+      FROM e JOIN lo USING (event_type) JOIN hi USING (event_type)
+      ORDER BY event_id""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.winsorize(ev, Seq("event_type"), "event_id", col("v_e2"))
+        .orderBy("event_id")
+    },
+
+    // ---- q208: quantile normalization — map every value onto the
+    // POOLED distribution at its within-group quantile: the
+    // batch-effect correction that makes per-source score
+    // distributions comparable before mixing (after it, a threshold
+    // means the same thing in every source). Min-rank census per
+    // group + pooled census lookup, both broadcast — a rank
+    // statistic that never ranks corpus rows (the spearman shape).
+    Q("q208_quantile_normalize", Some("""
+      WITH e AS (SELECT event_id, event_type,
+                        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT event_type, v, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM e GROUP BY 1, 2),
+      r AS (SELECT event_type, v,
+              SUM(cnt) OVER (PARTITION BY event_type ORDER BY v) - cnt + 1 AS minr,
+              SUM(cnt) OVER (PARTITION BY event_type) AS ng
+            FROM c),
+      pc AS (SELECT v, CAST(SUM(cnt) AS BIGINT) AS pcnt FROM c GROUP BY 1),
+      pr AS (SELECT v AS pv,
+               SUM(pcnt) OVER (ORDER BY v) - pcnt + 1 AS plo,
+               SUM(pcnt) OVER (ORDER BY v) AS phi
+             FROM pc),
+      nn AS (SELECT CAST(SUM(cnt) AS BIGINT) AS nn FROM c),
+      t AS (SELECT r.event_type, r.v,
+              CAST((r.minr - 1) * nn.nn // r.ng + 1 AS BIGINT) AS tr
+            FROM r CROSS JOIN nn),
+      m AS (SELECT t.event_type, t.v, pr.pv AS qnorm
+            FROM t ASOF JOIN pr ON t.tr >= pr.plo)
+      SELECT e.event_id, e.event_type, e.v AS value, m.qnorm
+      FROM e JOIN m ON m.event_type = e.event_type AND m.v = e.v
+      ORDER BY e.event_id""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_id"), col("event_type"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
+      Stats.quantileNormalize(ev, Seq("event_type"), "event_id", col("v_e2"))
+        .orderBy("event_id")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own

@@ -1106,4 +1106,109 @@ class StatsSpec extends SparkSuite {
       maxPointsPerKey = 4).collect())
     assert(e.getMessage.contains("4 points"))
   }
+
+  test("isotonicCalibrate ≡ trunc_e9(sequential PAVA); monotone; guards trip") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 60)
+      rows <- Gen.listOfN(n, for {
+        b <- Gen.chooseNum(0L, 9L)
+        l <- Gen.oneOf(0L, 1L)
+      } yield (b, l))
+    } yield rows
+    def pava(rows: Seq[(Long, Long)]): Map[Long, Long] = {
+      val bins = rows.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (b, g) => (b, BigInt(g.map(_._2).sum), BigInt(g.size)) }
+      // pool-adjacent-violators, exact fractions; merge while the
+      // previous pool's average EXCEEDS the next (non-decreasing fit)
+      val pools = scala.collection.mutable.ArrayBuffer.empty[(Seq[Long], BigInt, BigInt)]
+      for ((b, p, c) <- bins) {
+        pools += ((Seq(b), p, c))
+        while (pools.size >= 2 && {
+          val a = pools(pools.size - 2); val z = pools.last
+          a._2 * z._3 > z._2 * a._3
+        }) {
+          val z = pools.remove(pools.size - 1)
+          val a = pools.remove(pools.size - 1)
+          pools += ((a._1 ++ z._1, a._2 + z._2, a._3 + z._3))
+        }
+      }
+      pools.flatMap { case (bs, p, c) =>
+        bs.map(_ -> ((p * 1000000000) / c).toLong) }.toMap
+    }
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.isotonicCalibrate(rows.toDF("b", "l"), col("b"), col("l"))
+        .as[(Long, Long, Long, Long)].collect()
+      val exp = pava(rows)
+      assert(got.map(r => r._1 -> r._4).toMap === exp,
+        s"isotonic diverged on $rows")
+      // Monotone non-decreasing in bin order.
+      val sorted = got.sortBy(_._1).map(_._4)
+      assert(sorted.zip(sorted.drop(1)).forall { case (a, b) => a <= b })
+      // n/pos are the raw census.
+      assert(got.map(r => r._1 -> ((r._2, r._3))).toMap ===
+        rows.groupBy(_._1).view.mapValues(g =>
+          (g.size.toLong, g.map(_._2).sum)).toMap)
+    }
+    // Already-monotone input is untouched; a violator pools.
+    val mono = Seq((0L, 0L), (0L, 0L), (1L, 0L), (1L, 1L), (2L, 1L), (2L, 1L))
+    val mg = Stats.isotonicCalibrate(mono.toDF("b", "l"), col("b"), col("l"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).map(_._4).toSeq
+    assert(mg === Seq(0L, 500000000L, 1000000000L), mg.toString)
+    val viol = Seq((0L, 1L), (1L, 0L)) // avg 1 then 0 → pools to 1/2
+    val vg = Stats.isotonicCalibrate(viol.toDF("b", "l"), col("b"), col("l"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).map(_._4).toSeq
+    assert(vg === Seq(500000000L, 500000000L), vg.toString)
+    // Guards: non-binary label; census bound.
+    val e1 = intercept[Exception](Stats.isotonicCalibrate(
+      Seq((0L, 2L)).toDF("b", "l"), col("b"), col("l")).collect())
+    assert(e1.getMessage.contains("0/1"))
+    val e2 = intercept[Exception](Stats.isotonicCalibrate(
+      (0L to 9L).map(b => (b, 1L)).toDF("b", "l"), col("b"), col("l"),
+      maxBins = 4).collect())
+    assert(e2.getMessage.contains("census"))
+  }
+
+  test("winsorize ≡ sequential percentile-pick replay; quantileNormalize identity on one group") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        v <- Gen.chooseNum(-20L, 20L)
+      } yield (k, v))
+    } yield rows.zipWithIndex.map { case ((k, v), i) => (i.toLong, k, v) }
+    def pick(vs: Seq[Long], p: Int): Long = {
+      val sorted = vs.sorted
+      sorted((((vs.size - 1) * p) / 100 + 1 - 1).toInt)
+    }
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.winsorize(rows.toDF("id", "k", "v"), Seq("k"), "id", col("v"))
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._2).toSeq.flatMap { case (k, g) =>
+        val lo = pick(g.map(_._3), 5)
+        val hi = pick(g.map(_._3), 95)
+        g.map { case (id, _, v) =>
+          val c = math.max(lo, math.min(hi, v))
+          (id, k, v, c, if (c != v) 1L else 0L)
+        }
+      }.toSet
+      assert(got === expected, s"winsorize diverged on $rows")
+      // Quantile normalization against a single group is the
+      // identity: the pooled distribution IS the group distribution,
+      // and rank r maps back to the value holding rank r.
+      val one = rows.map { case (id, _, v) => (id, "z", v) }
+      val qn = Stats.quantileNormalize(one.toDF("id", "k", "v"), Seq("k"), "id", col("v"))
+        .as[(Long, String, Long, Long)].collect()
+      assert(qn.forall(r => r._3 === r._4), s"qnorm identity broke on $one")
+    }
+    // Two groups with disjoint ranges: the lower group's values map
+    // into the pooled lower half, ranks preserved.
+    val two = Seq((0L, "a", 1L), (1L, "a", 2L), (2L, "b", 101L), (3L, "b", 102L))
+    val qn2 = Stats.quantileNormalize(two.toDF("id", "k", "v"), Seq("k"), "id", col("v"))
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).map(_._4).toSeq
+    // group a: ranks 1,2 of 2 → pooled targets t = 1, 3 → values 1, 101;
+    // group b: same ranks → 1, 101.
+    assert(qn2 === Seq(1L, 101L, 1L, 101L), qn2.toString)
+  }
 }
