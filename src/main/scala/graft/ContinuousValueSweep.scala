@@ -99,6 +99,41 @@ object ContinuousValueSweep {
           col("dur"), col("e"), bucketWidth = 1L,
           maxBuckets = tripBins.toLong).count(); ()
       }
+      // r14 growth waves: every new census-space operator carries the
+      // same bound-by-construction contract — the all-distinct column
+      // must either run with memory tracking the census (under) or
+      // fail fast at the aggregate (over).
+      point("ksTwoSample", n, "under") {
+        operators.Stats.ksTwoSample(
+          corpus.select(col("g"), (pmod(col("id"), lit(2L)) === 1L).as("b"), col("v")),
+          Seq("g"), col("b"), col("v"), maxBins = Int.MaxValue >> 1).count(); ()
+      }
+      point("ksTwoSample", n, "over") {
+        operators.Stats.ksTwoSample(
+          corpus.select(col("g"), (pmod(col("id"), lit(2L)) === 1L).as("b"), col("v")),
+          Seq("g"), col("b"), col("v"), maxBins = tripBins).count(); ()
+      }
+      point("kruskalWallis", n, "over") {
+        operators.Stats.kruskalWallis(corpus.select(col("g"), col("v")),
+          "g", col("v"), maxBins = tripBins).count(); ()
+      }
+      point("winsorize", n, "over") {
+        operators.Stats.winsorize(corpus, Seq("g"), "id", col("v"),
+          maxBins = tripBins).count(); ()
+      }
+      point("quantileNormalize", n, "under") {
+        operators.Stats.quantileNormalize(corpus, Seq("g"), "id", col("v"),
+          maxBins = Int.MaxValue >> 1).count(); ()
+      }
+      point("quantileNormalize", n, "over") {
+        operators.Stats.quantileNormalize(corpus, Seq("g"), "id", col("v"),
+          maxBins = tripBins).count(); ()
+      }
+      point("isotonicCalibrate", n, "over") {
+        operators.Stats.isotonicCalibrate(
+          corpus.select(col("v").as("b"), pmod(col("id"), lit(2L)).as("l")),
+          col("b"), col("l"), maxBins = tripBins).count(); ()
+      }
     }
     spark.stop()
   }

@@ -622,6 +622,53 @@ object TextQueries {
         Seq.empty, col("lx"), col("ly"))
     },
 
+    // ---- q209: tokenizer fertility by language — the multilingual
+    // tokenizer-equity audit (a tokenizer that spends 3× the tokens
+    // per word on one language triples its effective cost and
+    // shrinks its effective context): q27's language id × q159's
+    // fitted-BPE segmentation statistics, rolled up per predicted
+    // language. fertility_e4 = tokens-per-word, cpt_e4 = chars-per-
+    // token, both exact integer fixed-point. Pure composition of two
+    // oracled machines — one langid scan + the q159 per-doc stats +
+    // one ≤|languages| rollup.
+    Q("q209_tokenizer_fertility", Some(bpeChainSql(10) + s""",
+      dict AS (SELECT word,
+               CAST(len(string_split(seq[2:-2], chr(1) || chr(1))) AS BIGINT) AS ntok
+               FROM s10),
+      dw AS (SELECT doc_id, word
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+             WHERE word <> ''),
+      seg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+                     CAST(SUM(ntok) AS BIGINT) AS n_tokens,
+                     CAST(SUM(length(word)) AS BIGINT) AS n_chars
+              FROM dw JOIN dict USING (word) GROUP BY 1),
+      lang AS (SELECT * FROM (${LangId.oracleSql}))
+      SELECT lang.pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_words) AS BIGINT) AS n_words,
+             CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+             CAST(SUM(n_tokens) * 10000 // SUM(n_words) AS BIGINT) AS fertility_e4,
+             CAST(SUM(n_chars) * 10000 // SUM(n_tokens) AS BIGINT) AS cpt_e4
+      FROM seg JOIN lang USING (doc_id)
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val words = docs
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("freq"))
+      val (_, dict) = graft.operators.Bpe.learnMergesAuto(words, "word", "freq", 10)
+      val seg = graft.operators.Bpe.segmentStats(docs, "doc_id", "text", dict)
+      val lang = docs.select(col("doc_id"),
+        LangId.predict(col("text")).as("pred_lang"))
+      seg.join(lang, "doc_id")
+        .groupBy(col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("fertility_e4", expr("n_tokens * 10000L div n_words"))
+        .withColumn("cpt_e4", expr("n_chars * 10000L div n_tokens"))
+        .orderBy("pred_lang")
+    },
+
     // ---- q172: quality selection curve — per q26-score band (×10⁴
     // in 10 bands), own mass and SURVIVAL mass at that threshold
     // (suffix-cumulative docs/tokens + exact ×10⁴ surviving-token
