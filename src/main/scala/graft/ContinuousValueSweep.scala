@@ -134,6 +134,10 @@ object ContinuousValueSweep {
           corpus.select(col("v").as("b"), pmod(col("id"), lit(2L)).as("l")),
           col("b"), col("l"), maxBins = tripBins).count(); ()
       }
+      point("ksOneVsRest", n, "over") {
+        operators.Stats.ksOneVsRest(corpus.select(col("g"), col("v")),
+          "g", col("v"), maxBins = tripBins).count(); ()
+      }
     }
     spark.stop()
   }

@@ -1678,4 +1678,60 @@ object Stats {
     rows.join(broadcast(mapped), groupCols :+ "__v")
       .select(col(idCol) +: (gcols :+ col("__v").as("value") :+ col("qnorm")): _*)
   }
+
+  /** ONE-vs-REST Kolmogorov–Smirnov distance for EVERY group in one
+    * pass — "which source's distribution drifts from the rest of the
+    * corpus?" asked for all sources at once, where [[ksTwoSample]]
+    * compares two labeled samples. Exact integer form: `d_num_g =
+    * max_v |cumA_g(v)·N − cumP(v)·n_g|` with `D = d_num /
+    * (n_g·(N−n_g))` one consumer-side division.
+    *
+    * The naive evaluation needs the gap at every POOLED value per
+    * group (a groups × pooled-values grid); this computes it on the
+    * group's OWN census cells only: between a group's cells its CDF
+    * is flat while the pooled CDF grows, so `f(v) = cumA·N − cumP·n_g`
+    * strictly decreases within each segment and |f| attains its
+    * extremes exactly at (a) each group cell AFTER its step and (b)
+    * the pooled state just BEFORE each group cell (`cumA−c`,
+    * `cumP−pc`); head and tail segments are covered by (b) of the
+    * first cell and (a) of the last (f ends at 0). So the whole
+    * statistic reads off the `(group, value)` census joined with the
+    * pooled census — census-sized work, no grid, no corpus window.
+    * N is guarded at 3e9 so every `cum·N` product stays in long
+    * range; groups covering the whole corpus (empty rest) drop. */
+  def ksOneVsRest(df: DataFrame, groupCol: String, valueCol: Column,
+                  maxBins: Int = 1 << 20): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("__g"), valueCol.cast("long").as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull)
+    val census = boundedCensus(
+      rows.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "ksOneVsRest (group, value) census")
+    val wG = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wGAll = Window.partitionBy(col("__g"))
+    val gc = census
+      .withColumn("__cumA", sum(col("__c")).over(wG))
+      .withColumn("__ng", sum(col("__c")).over(wGAll))
+    val pooledW = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val pooled = census.groupBy(col("__v")).agg(sum(col("__c")).as("__pc"))
+      .withColumn("__cumP", sum(col("__pc")).over(pooledW))
+    val total = census.agg(sum(col("__c")).as("__nn"))
+      .withColumn("__nn", when(col("__nn") <= 3000000000L, col("__nn"))
+        .otherwise(raise_error(lit(
+          "ksOneVsRest: above 3e9 rows — cum*N would exceed the long bound")).cast("long")))
+    gc.join(broadcast(pooled), "__v")
+      .crossJoin(broadcast(total))
+      .withColumn("__f1",
+        abs(col("__cumA") * col("__nn") - col("__cumP") * col("__ng")))
+      .withColumn("__f0",
+        abs((col("__cumA") - col("__c")) * col("__nn") -
+          (col("__cumP") - col("__pc")) * col("__ng")))
+      .groupBy(col("__g").as(groupCol))
+      .agg(max(col("__ng")).as("n_g"),
+        max(col("__nn") - col("__ng")).as("n_rest"),
+        max(greatest(col("__f1"), col("__f0"))).as("d_num"))
+      .filter(col("n_rest") > 0L)
+  }
 }

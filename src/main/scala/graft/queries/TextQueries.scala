@@ -669,6 +669,42 @@ object TextQueries {
         .orderBy("pred_lang")
     },
 
+    // ---- q210: one-vs-rest KS length drift per source — "which
+    // source's document-length distribution drifts from the rest of
+    // the corpus?" asked for ALL sources in one pass: q194's
+    // two-sample KS needs a labeled pair, this reads every source's
+    // exact max-CDF-gap off the shared (source, length) census (the
+    // gap's extremes provably land on the source's own census cells,
+    // so there is no sources × lengths grid — see
+    // Stats.ksOneVsRest). D_g = d_num / (n_g·(N−n_g)) is one
+    // consumer-side division; the length census is bounded by
+    // distinct token counts.
+    Q("q210_source_length_drift", Some("""
+      WITH e AS (SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+                 FROM documents WHERE source IS NOT NULL),
+      c AS (SELECT source, v, CAST(COUNT(*) AS BIGINT) AS cc FROM e GROUP BY 1, 2),
+      gc AS (SELECT source, v, cc,
+               SUM(cc) OVER (PARTITION BY source ORDER BY v) AS cuma,
+               SUM(cc) OVER (PARTITION BY source) AS ng
+             FROM c),
+      p AS (SELECT v, CAST(SUM(cc) AS BIGINT) AS pc FROM c GROUP BY 1),
+      pp AS (SELECT v, pc, SUM(pc) OVER (ORDER BY v) AS cump FROM p),
+      nn AS (SELECT CAST(SUM(cc) AS BIGINT) AS nn FROM c)
+      SELECT gc.source, CAST(MAX(gc.ng) AS BIGINT) AS n_g,
+             CAST(MAX(nn.nn - gc.ng) AS BIGINT) AS n_rest,
+             CAST(MAX(GREATEST(
+               ABS(gc.cuma * nn.nn - pp.cump * gc.ng),
+               ABS((gc.cuma - gc.cc) * nn.nn - (pp.cump - pp.pc) * gc.ng)))
+               AS BIGINT) AS d_num
+      FROM gc JOIN pp USING (v) CROSS JOIN nn
+      GROUP BY 1 HAVING MAX(nn.nn - gc.ng) > 0
+      ORDER BY source""")) { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("source").isNotNull)
+        .select(col("source"), size(split(col("text"), " ")).cast("long").as("ntok"))
+      graft.operators.Stats.ksOneVsRest(docs, "source", col("ntok"))
+        .orderBy("source")
+    },
+
     // ---- q172: quality selection curve — per q26-score band (×10⁴
     // in 10 bands), own mass and SURVIVAL mass at that threshold
     // (suffix-cumulative docs/tokens + exact ×10⁴ surviving-token

@@ -1211,4 +1211,57 @@ class StatsSpec extends SparkSuite {
     // group b: same ranks → 1, 101.
     assert(qn2 === Seq(1L, 101L, 1L, 101L), qn2.toString)
   }
+
+  test("ksOneVsRest ≡ brute-force every-pooled-value replay; two-group case = ksTwoSample") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b", "c", "d")
+        v <- Gen.chooseNum(-6L, 6L)
+      } yield (g, v))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.ksOneVsRest(rows.toDF("g", "v"), "g", col("v"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      val all = rows.map(_._2)
+      val nn = all.size.toLong
+      // Brute force: evaluate the scaled gap at EVERY pooled value —
+      // the operator's extrema-at-cells shortcut must agree exactly.
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val vs = rs.map(_._2)
+        val ng = vs.size.toLong
+        if (nn - ng == 0) None else {
+          val dNum = all.distinct.map { v =>
+            math.abs(vs.count(_ <= v) * nn - all.count(_ <= v) * ng)
+          }.max
+          Some((g, ng, nn - ng, dNum))
+        }
+      }.toSet
+      assert(got === expected, s"ksOneVsRest diverged on $rows")
+      // Two-label consistency: one-vs-rest of sample A in an {A, B}
+      // universe IS the two-sample statistic (cumA·N − cumP·n_A =
+      // cumA·n_B − cumB·n_A identically).
+      val twoLab = rows.map { case (g, v) => ("x", g <= "b", v) }
+      val ovr = Stats.ksOneVsRest(
+          twoLab.map(t => (if (t._2) "B" else "A", t._3)).toDF("g", "v"),
+          "g", col("v"))
+        .as[(String, Long, Long, Long)].collect()
+        .map(r => r._1 -> r._4).toMap
+      val ts = Stats.ksTwoSample(twoLab.toDF("k", "b", "v"),
+          Seq("k"), col("b"), col("v"))
+        .as[(String, Long, Long, Long)].collect().headOption.map(_._4)
+      for (d <- ts; o <- ovr.get("A")) assert(o === d, s"ovr=$ovr ts=$ts")
+    }
+    // A source identical in shape to the rest reads d_num = 0.
+    val sameShape = Seq(("a", 1L), ("a", 2L), ("b", 1L), ("b", 2L))
+    val ss = Stats.ksOneVsRest(sameShape.toDF("g", "v"), "g", col("v"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(ss.forall(_._4 === 0L), ss.mkString(","))
+    // Census bound trips loud.
+    val wide = (1L to 9L).map(v => ("a", v)) :+ (("b", 1L))
+    val e = intercept[Exception](Stats.ksOneVsRest(wide.toDF("g", "v"),
+      "g", col("v"), maxBins = 4).collect())
+    assert(e.getMessage.contains("census"))
+  }
 }
