@@ -138,6 +138,11 @@ object ContinuousValueSweep {
         operators.Stats.ksOneVsRest(corpus.select(col("g"), col("v")),
           "g", col("v"), maxBins = tripBins).count(); ()
       }
+      point("bestSplit", n, "over") {
+        operators.Stats.bestSplit(
+          corpus.select(col("g"), col("v"), pmod(col("id"), lit(2L)).as("l")),
+          Seq("g"), col("v"), col("l"), maxBins = tripBins).count(); ()
+      }
     }
     spark.stop()
   }

@@ -1734,4 +1734,69 @@ object Stats {
         max(greatest(col("__f1"), col("__f0"))).as("d_num"))
       .filter(col("n_rest") > 0L)
   }
+
+  /** Histogram-based decision-stump SPLIT FINDER per group — the
+    * XGBoost-approx / CART primitive ("which value threshold best
+    * separates the positives?") computed entirely on the
+    * `(group, value) → (count, positives)` census: candidate splits
+    * are census cells, prefix sums give each side's class counts,
+    * and the maximized objective is the Gini-purity score
+    * `S = (pos_l² + neg_l²)/n_l + (pos_r² + neg_r²)/n_r` (weighted
+    * Gini impurity = `n_g − S`, so argmax S ⟺ min impurity; a pure
+    * split reads S = n_g). S carries as `S_e9 = (A·n_r + B·n_l)·10⁹
+    * div (n_l·n_r)` — exact integer arithmetic in decimal(38,0)
+    * under the 3e9 row guard, truncation identical cross-engine —
+    * and ties break toward the SMALLEST split value. Splits are
+    * "left = values ≤ v"; the last cell (empty right side) is not a
+    * candidate; single-cell groups drop. Labels must be 0/1. */
+  def bestSplit(df: DataFrame, groupCols: Seq[String],
+                valueCol: Column, labelCol: Column,
+                maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rows = df
+      .select((gcols :+ valueCol.cast("long").as("__v")
+        :+ labelCol.cast("long").as("__l")): _*)
+      .filter(col("__v").isNotNull && col("__l").isNotNull)
+      .withColumn("__l",
+        when(col("__l") === 0L || col("__l") === 1L, col("__l"))
+          .otherwise(raise_error(lit("bestSplit: label must be 0/1")).cast("long")))
+    val census = boundedCensus(
+      rows.groupBy((gcols :+ col("__v")): _*)
+        .agg(count(lit(1)).as("__c"), sum(col("__l")).as("__p")),
+      maxBins.toLong, "bestSplit (group, value) census")
+    val wOrd = Window.partitionBy(gcols: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(gcols: _*)
+    val cum = census
+      .withColumn("__cc", sum(col("__c")).over(wOrd))
+      .withColumn("__cp", sum(col("__p")).over(wOrd))
+      .withColumn("__ng", sum(col("__c")).over(wAll))
+      .withColumn("__pg", sum(col("__p")).over(wAll))
+      .withColumn("__ng", when(col("__ng") <= 3000000000L, col("__ng"))
+        .otherwise(raise_error(lit(
+          "bestSplit: above 3e9 rows per group — the cubic score products would exceed decimal(38,0)")).cast("long")))
+      .filter(col("__cc") < col("__ng")) // last cell: empty right side
+    val scored = cum
+      .withColumn("__nl", col("__cc"))
+      .withColumn("__nr", col("__ng") - col("__cc"))
+      .withColumn("__a",
+        col("__cp").cast("decimal(38,0)") * col("__cp") +
+          (col("__cc") - col("__cp")).cast("decimal(38,0)") * (col("__cc") - col("__cp")))
+      .withColumn("__b",
+        (col("__pg") - col("__cp")).cast("decimal(38,0)") * (col("__pg") - col("__cp")) +
+          (col("__nr") - (col("__pg") - col("__cp"))).cast("decimal(38,0)") *
+            (col("__nr") - (col("__pg") - col("__cp"))))
+      .withColumn("__s",
+        expr("CAST(((__a * __nr + __b * __nl) * 1000000000L) div (__nl * __nr) AS BIGINT)"))
+    scored
+      .groupBy(gcols: _*)
+      .agg(max(struct(col("__s"), (-col("__v")).as("__nv"), col("__v").as("split_v"),
+        col("__nl").as("n_left"), col("__nr").as("n_right"),
+        col("__cp").as("pos_left"), col("__ng").as("n"),
+        col("__pg").as("pos"))).as("__best"))
+      .select((gcols :+ col("__best.split_v") :+ col("__best.n_left")
+        :+ col("__best.n_right") :+ col("__best.pos_left")
+        :+ col("__best.n") :+ col("__best.pos")
+        :+ col("__best.__s").as("score_e9")): _*)
+  }
 }

@@ -549,6 +549,51 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // ---- q211: decision-stump split finder — "which value
+    // threshold best separates the purchases, and does it drift by
+    // weekday?" — the XGBoost-approx/CART split primitive computed
+    // entirely on the (phase, value) census: candidate splits are
+    // census cells, the maximized Gini-purity score carries as the
+    // exact integer S_e9 (weighted impurity = n − S, pure split
+    // reads S_e9 = n·10⁹), ties break toward the smallest split
+    // value on both engines.
+    Q("q211_best_split", Some("""
+      WITH e AS (SELECT (epoch_ns(ts) // 86400000000000) % 7 AS phase,
+                        CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                        CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS l
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT phase, v, CAST(COUNT(*) AS BIGINT) AS cc,
+                   CAST(SUM(l) AS BIGINT) AS cp
+            FROM e GROUP BY 1, 2),
+      s AS (SELECT phase, v,
+              SUM(cc) OVER w AS nl, SUM(cp) OVER w AS pl,
+              SUM(cc) OVER wa AS ng, SUM(cp) OVER wa AS pg
+            FROM c
+            WINDOW w AS (PARTITION BY phase ORDER BY v),
+                   wa AS (PARTITION BY phase)),
+      sc AS (SELECT phase, v, nl, ng - nl AS nr, pl, ng, pg,
+               CAST((((CAST(pl AS HUGEINT) * pl
+                       + CAST(nl - pl AS HUGEINT) * (nl - pl)) * (ng - nl)
+                     + (CAST(pg - pl AS HUGEINT) * (pg - pl)
+                        + CAST((ng - nl) - (pg - pl) AS HUGEINT)
+                          * ((ng - nl) - (pg - pl))) * nl)
+                     * 1000000000) // (nl * (ng - nl)) AS BIGINT) AS s9
+             FROM s WHERE nl < ng)
+      SELECT CAST(phase AS BIGINT) AS phase, v AS split_v,
+             CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+             CAST(pl AS BIGINT) AS pos_left, CAST(ng AS BIGINT) AS n,
+             CAST(pg AS BIGINT) AS pos, s9 AS score_e9
+      FROM sc
+      QUALIFY row_number() OVER (PARTITION BY phase ORDER BY s9 DESC, v ASC) = 1
+      ORDER BY phase""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(pmod(expr("ts div 86400000000000"), lit(7L)).as("phase"),
+          floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"),
+          (col("event_type") === "purchase").cast("long").as("l"))
+      Stats.bestSplit(ev, Seq("phase"), col("v_e2"), col("l"))
+        .orderBy("phase")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own

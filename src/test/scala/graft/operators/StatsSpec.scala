@@ -1264,4 +1264,68 @@ class StatsSpec extends SparkSuite {
       "g", col("v"), maxBins = 4).collect())
     assert(e.getMessage.contains("census"))
   }
+
+  test("bestSplit ≡ brute-force all-candidates replay; pure split reads n·1e9; smallest-v ties") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        v <- Gen.chooseNum(0L, 8L)
+        l <- Gen.oneOf(0L, 1L)
+      } yield (g, v, l))
+    } yield rows
+    def replay(rows: Seq[(String, Long, Long)])
+        : Set[(String, Long, Long, Long, Long, Long, Long, Long)] =
+      rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val bins = rs.groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (v, b) => (v, b.size.toLong, b.map(_._3).sum) }
+        val ng = rs.size.toLong
+        val pg = rs.map(_._3).sum
+        val cands = bins.inits.toSeq.reverse.drop(1).map { pre =>
+          val v = pre.last._1
+          val nl = pre.map(_._2).sum
+          val pl = pre.map(_._3).sum
+          (v, nl, pl)
+        }.filter(_._2 < ng)
+        if (cands.isEmpty) None else {
+          val scored = cands.map { case (v, nl, pl) =>
+            val nr = ng - nl
+            val pr = pg - pl
+            val a = BigInt(pl) * pl + BigInt(nl - pl) * (nl - pl)
+            val b = BigInt(pr) * pr + BigInt(nr - pr) * (nr - pr)
+            (v, nl, pl, ((a * nr + b * nl) * 1000000000 / (BigInt(nl) * nr)).toLong)
+          }
+          val best = scored.minBy { case (v, _, _, s) => (-s, v) }
+          Some((g, best._1, best._2, ng - best._2, best._3, ng, pg, best._4))
+        }
+      }.toSet
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.bestSplit(rows.toDF("g", "v", "l"),
+          Seq("g"), col("v"), col("l"))
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got === replay(rows), s"bestSplit diverged on $rows")
+    }
+    // Perfectly separable: split at the class boundary, S_e9 = n·1e9.
+    val sep = Seq(("a", 1L, 0L), ("a", 2L, 0L), ("a", 8L, 1L), ("a", 9L, 1L))
+    val sg = Stats.bestSplit(sep.toDF("g", "v", "l"), Seq("g"), col("v"), col("l"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(sg._2 === 2L && sg._8 === 4L * 1000000000L, sg.toString)
+    // All same label: every split scores n·1e9 — the tie breaks to
+    // the SMALLEST candidate value.
+    val flat = Seq(("a", 1L, 0L), ("a", 5L, 0L), ("a", 9L, 0L))
+    val fg = Stats.bestSplit(flat.toDF("g", "v", "l"), Seq("g"), col("v"), col("l"))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().head
+    assert(fg._2 === 1L, fg.toString)
+    // Guards: non-binary label; census bound; single-cell groups drop.
+    val e1 = intercept[Exception](Stats.bestSplit(
+      Seq(("a", 1L, 5L)).toDF("g", "v", "l"), Seq("g"), col("v"), col("l")).collect())
+    assert(e1.getMessage.contains("0/1"))
+    assert(Stats.bestSplit(Seq(("a", 1L, 1L), ("a", 1L, 0L)).toDF("g", "v", "l"),
+      Seq("g"), col("v"), col("l")).count() === 0L)
+    val e2 = intercept[Exception](Stats.bestSplit(
+      (1L to 9L).map(v => ("a", v, v % 2)).toDF("g", "v", "l"),
+      Seq("g"), col("v"), col("l"), maxBins = 4).collect())
+    assert(e2.getMessage.contains("census"))
+  }
 }
