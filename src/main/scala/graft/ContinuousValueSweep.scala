@@ -143,6 +143,11 @@ object ContinuousValueSweep {
           corpus.select(col("g"), col("v"), pmod(col("id"), lit(2L)).as("l")),
           Seq("g"), col("v"), col("l"), maxBins = tripBins).count(); ()
       }
+      point("psiDrift", n, "over") {
+        operators.Stats.psiDrift(
+          corpus.select(col("g"), (pmod(col("id"), lit(2L)) === 1L).as("b"), col("v")),
+          Seq("g"), col("b"), col("v"), maxBins = tripBins).count(); ()
+      }
     }
     spark.stop()
   }

@@ -1799,4 +1799,61 @@ object Stats {
         :+ col("__best.n") :+ col("__best.pos")
         :+ col("__best.__s").as("score_e9")): _*)
   }
+
+  /** Population Stability Index per group — the industry-standard
+    * "did the score distribution shift between A and B?" monitor
+    * beside the shape tests (chi2 weights squared gaps, KS/CvM read
+    * CDFs; PSI's `Σ (p_A − p_B)·ln(p_A/p_B)` is the scorecard
+    * convention with the 0.1/0.25 rule-of-thumb bands). EXACT
+    * fixed-point form on the `(group, bin) → (count_A, count_B)`
+    * census with add-one smoothing over the group's occupied bins
+    * (`p = (c+1)/(n+B)` — empty-on-one-side bins must not produce a
+    * log of zero): per bin
+    * `q = (sA·dB − sB·dA)·10⁶ div (dA·dB)` (the probability gap at
+    * 1e-6, truncation identical cross-engine) and
+    * `dlog = flog2q(sA·dB) − flog2q(sB·dA)` (the 1/16-bit integer
+    * log2 of the probability ratio), and `psi_fp = Σ q·dlog` — units
+    * of 10⁶·16·log2, so `PSI_nats = psi_fp·ln2/16e6` is one
+    * consumer-side multiply. The flog2q quantization floor means
+    * near-identical bins contribute ±small terms (the jsDivergence
+    * floor note); discrimination above the floor is monotone.
+    * Guards: per-side totals ≤ 1e9 keep `s·d` products in long
+    * range. Groups with an empty side drop (PSI against nothing is
+    * undefined). */
+  def psiDrift(df: DataFrame, groupCols: Seq[String],
+               inB: Column, binCol: Column,
+               maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rows = df
+      .select((gcols :+ inB.cast("boolean").as("__b")
+        :+ binCol.cast("long").as("__v")): _*)
+      .filter(col("__v").isNotNull && col("__b").isNotNull)
+    val census = boundedCensus(
+      rows.groupBy((gcols :+ col("__v")): _*)
+        .agg(sum(when(col("__b"), 0L).otherwise(1L)).as("__ca"),
+          sum(when(col("__b"), 1L).otherwise(0L)).as("__cb")),
+      maxBins.toLong, "psiDrift (group, bin) census")
+    val wAll = Window.partitionBy(gcols: _*)
+    val guard = (c: Column, side: String) =>
+      when(c <= 1000000000L, c).otherwise(raise_error(lit(
+        s"psiDrift: sample $side above 1e9 rows — smoothed products would exceed the long bound")).cast("long"))
+    val g = census
+      .withColumn("__na", guard(sum(col("__ca")).over(wAll), "A"))
+      .withColumn("__nb", guard(sum(col("__cb")).over(wAll), "B"))
+      .withColumn("__bins", count(lit(1)).over(wAll))
+      .withColumn("__da", col("__na") + col("__bins"))
+      .withColumn("__db", col("__nb") + col("__bins"))
+      .withColumn("__sa", col("__ca") + 1L)
+      .withColumn("__sb", col("__cb") + 1L)
+      .withColumn("__q",
+        expr("((CAST(__sa AS decimal(38,0)) * __db - CAST(__sb AS decimal(38,0)) * __da) " +
+          "* 1000000) div (__da * __db)"))
+      .withColumn("__dlog",
+        expr(s"${Curation.flog2qSql("__sa * __db")} - ${Curation.flog2qSql("__sb * __da")}"))
+    g.groupBy(gcols: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        max(col("__bins")).as("n_bins"),
+        sum(col("__q") * col("__dlog")).as("psi_fp"))
+      .filter(col("n_a") > 0L && col("n_b") > 0L)
+  }
 }

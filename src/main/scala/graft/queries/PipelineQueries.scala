@@ -594,6 +594,53 @@ object PipelineQueries {
         .orderBy("phase")
     },
 
+    // ---- q212: Population Stability Index — the scorecard-industry
+    // drift convention (0.1/0.25 action bands) closing the drift
+    // family: chi2 (q126) weights squared gaps, KS/CvM (q194/q199)
+    // read CDFs, JSD (q167) is symmetric-entropy; PSI is the signed
+    // relative-entropy sum practitioners actually threshold.
+    // Weekday/weekend per event_type over 64 value bins, add-one
+    // smoothing over occupied bins, gap at 1e-6 × ratio-log in
+    // 1/16-bit log2 units — all exact integers (PSI_nats =
+    // psi_fp·ln2/16e6 consumer-side; the flog2q floor note applies).
+    Q("q212_psi", Some(s"""
+      WITH e AS (SELECT event_type,
+                   CASE WHEN (epoch_ns(ts) // 86400000000000) % 7 >= 5
+                        THEN 1 ELSE 0 END AS sb,
+                   LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS bin
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT event_type, bin,
+              SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
+              SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
+            FROM e GROUP BY 1, 2),
+      g AS (SELECT event_type, ca, cb,
+              SUM(ca) OVER w AS na, SUM(cb) OVER w AS nb,
+              COUNT(*) OVER w AS bins
+            FROM c WINDOW w AS (PARTITION BY event_type)),
+      t AS (SELECT event_type, na, nb, bins,
+              ca + 1 AS sa, cb + 1 AS sb2, na + bins AS da, nb + bins AS db
+            FROM g),
+      u AS (SELECT event_type, na, nb, bins,
+              CAST(((CAST(sa AS HUGEINT) * db - CAST(sb2 AS HUGEINT) * da)
+                    * 1000000) // (da * db) AS BIGINT) AS q,
+              (${graft.operators.Curation.flog2qSql("sa * db")}
+               - ${graft.operators.Curation.flog2qSql("sb2 * da")}) AS dlog
+            FROM t)
+      SELECT event_type, CAST(MAX(na) AS BIGINT) AS n_a,
+             CAST(MAX(nb) AS BIGINT) AS n_b,
+             CAST(MAX(bins) AS BIGINT) AS n_bins,
+             CAST(SUM(q * dlog) AS BIGINT) AS psi_fp
+      FROM u GROUP BY 1
+      HAVING MAX(na) > 0 AND MAX(nb) > 0
+      ORDER BY event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+        .select(col("event_type"),
+          (pmod(expr("ts div 86400000000000"), lit(7L)) >= 5L).as("in_b"),
+          least(floor(col("value") / lit(8d)), lit(63d)).cast("long").as("bin"))
+      Stats.psiDrift(ev, Seq("event_type"), col("in_b"), col("bin"))
+        .orderBy("event_type")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own

@@ -1328,4 +1328,60 @@ class StatsSpec extends SparkSuite {
       Seq("g"), col("v"), col("l"), maxBins = 4).collect())
     assert(e2.getMessage.contains("census"))
   }
+
+  test("psiDrift ≡ BigInt smoothed replay; identical ≈ 0, disjoint large; empty side drops") {
+    import spark.implicits._
+    def flog2q(x: BigInt): Long = {
+      val bl = x.bitLength // == length(bin(x)) for x > 0
+      val mant = if (bl >= 5) (x >> (bl - 5)).toLong else ((x * 16) >> (bl - 1)).toLong
+      mant + 16L * bl - 32L
+    }
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("a", "b")
+        b <- Gen.oneOf(false, true)
+        v <- Gen.chooseNum(0L, 5L)
+      } yield (g, b, v))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.psiDrift(rows.toDF("g", "b", "v"), Seq("g"), col("b"), col("v"))
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val expected = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+        val na = rs.count(!_._2).toLong
+        val nb = rs.count(_._2).toLong
+        if (na == 0 || nb == 0) None else {
+          val bins = rs.map(_._3).distinct
+          val da = BigInt(na + bins.size)
+          val db = BigInt(nb + bins.size)
+          val psi = bins.map { v =>
+            val sa = BigInt(rs.count(r => !r._2 && r._3 == v) + 1)
+            val sb = BigInt(rs.count(r => r._2 && r._3 == v) + 1)
+            val q = ((sa * db - sb * da) * 1000000) / (da * db) // truncates
+            q.toLong * (flog2q(sa * db) - flog2q(sb * da))
+          }.sum
+          Some((g, na, nb, bins.size.toLong, psi))
+        }
+      }.toSet
+      assert(got === expected, s"psiDrift diverged on $rows")
+    }
+    // Identical samples: every per-bin term is exactly 0 (sa·db =
+    // sb·da when counts and totals match).
+    val same = Seq(("a", false, 1L), ("a", true, 1L), ("a", false, 2L), ("a", true, 2L))
+    assert(Stats.psiDrift(same.toDF("g", "b", "v"), Seq("g"), col("b"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head._5 === 0L)
+    // Disjoint supports: strongly positive (each side dominates its
+    // own bins; smoothing keeps it finite).
+    val disj = (1L to 8L).map(i => ("a", false, 0L)) ++ (1L to 8L).map(i => ("a", true, 9L))
+    val dp = Stats.psiDrift(disj.toDF("g", "b", "v"), Seq("g"), col("b"), col("v"))
+      .as[(String, Long, Long, Long, Long)].collect().head._5
+    assert(dp > 10000000L, dp.toString) // ≫ the ±16e4-ish floor band
+    // One-sided group drops; census bound trips loud.
+    assert(Stats.psiDrift(Seq(("a", false, 1L)).toDF("g", "b", "v"),
+      Seq("g"), col("b"), col("v")).count() === 0L)
+    val wide = (1L to 9L).map(v => ("a", v % 2 == 0, v))
+    val e = intercept[Exception](Stats.psiDrift(wide.toDF("g", "b", "v"),
+      Seq("g"), col("b"), col("v"), maxBins = 4).collect())
+    assert(e.getMessage.contains("census"))
+  }
 }
