@@ -148,6 +148,11 @@ object ContinuousValueSweep {
           corpus.select(col("g"), (pmod(col("id"), lit(2L)) === 1L).as("b"), col("v")),
           Seq("g"), col("b"), col("v"), maxBins = tripBins).count(); ()
       }
+      point("cohenKappa", n, "over") {
+        operators.Stats.cohenKappa(
+          corpus.select(col("g"), col("v").as("a"), pmod(col("id"), lit(3L)).as("b")),
+          Seq("g"), col("a"), col("b"), maxBins = tripBins).count(); ()
+      }
     }
     spark.stop()
   }

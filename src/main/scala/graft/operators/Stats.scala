@@ -1856,4 +1856,56 @@ object Stats {
         sum(col("__q") * col("__dlog")).as("psi_fp"))
       .filter(col("n_a") > 0L && col("n_b") > 0L)
   }
+
+  /** Cohen's kappa per group — chance-corrected agreement between
+    * two label columns (a predictor vs a gold column, two
+    * annotators, two dedup pipelines): raw accuracy rewards a rater
+    * who always answers the majority class, κ subtracts the
+    * agreement chance would produce. EXACT integer form on the
+    * confusion census: `agree = Σ diagonal`, `pe_num = Σ_label
+    * rowTotal·colTotal` (chance agreement × N²), and
+    * `kappa_e6 = (agree·N − pe_num)·10⁶ div (N² − pe_num)` — signed
+    * truncating division, identical cross-engine. Scale shape: one
+    * `(group, a, b)` confusion census ([[boundedCensus]] fail-fast —
+    * label vocabularies are small by nature), marginals as census
+    * aggregates, every product guarded inside long/decimal range by
+    * the 3e9 per-group cap. Degenerate groups (both raters constant
+    * and identical: N² = pe_num) emit null kappa. */
+  def cohenKappa(df: DataFrame, groupCols: Seq[String],
+                 aCol: Column, bCol: Column,
+                 maxBins: Int = 1 << 20): DataFrame = {
+    val gcols = groupCols.map(col)
+    val rows = df
+      .select((gcols :+ aCol.cast("string").as("__a")
+        :+ bCol.cast("string").as("__b")): _*)
+      .filter(col("__a").isNotNull && col("__b").isNotNull)
+    val census = boundedCensus(
+      rows.groupBy((gcols :+ col("__a") :+ col("__b")): _*)
+        .agg(count(lit(1)).as("__c")),
+      maxBins.toLong, "cohenKappa (group, a, b) census")
+    val ra = census.groupBy((gcols :+ col("__a").as("__l")): _*)
+      .agg(sum(col("__c")).as("__r"))
+    val cb = census.groupBy((gcols :+ col("__b").as("__l")): _*)
+      .agg(sum(col("__c")).as("__k"))
+    val pe = ra.join(cb, groupCols :+ "__l")
+      .groupBy(gcols: _*)
+      .agg(sum(col("__r") * col("__k")).as("__peNum"))
+    val base = census.groupBy(gcols: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("n_agree"))
+      .withColumn("n", when(col("n") <= 3000000000L, col("n"))
+        .otherwise(raise_error(lit(
+          "cohenKappa: above 3e9 rows per group — N² would exceed the long bound")).cast("long")))
+    // LEFT join + zero-fill: with fully disjoint label sets the
+    // marginal join is empty and pe_num is legitimately 0 — the
+    // group must not drop.
+    base.join(broadcast(pe), groupCols, "left")
+      .withColumn("__peNum", coalesce(col("__peNum"), lit(0L)))
+      .withColumn("kappa_e6",
+        when(col("n") * col("n") =!= col("__peNum"),
+          expr("CAST(((CAST(n_agree AS decimal(38,0)) * n - __peNum) * 1000000) " +
+            "div (n * n - __peNum) AS BIGINT)")))
+      .select((gcols :+ col("n") :+ col("n_agree")
+        :+ col("__peNum").as("pe_num") :+ col("kappa_e6")): _*)
+  }
 }

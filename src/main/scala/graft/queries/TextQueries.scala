@@ -705,6 +705,50 @@ object TextQueries {
         .orderBy("source")
     },
 
+    // ---- q213: Cohen's kappa annotation audit — chance-corrected
+    // agreement between the q27 heuristic language predictor and the
+    // table's OWN lang column, per source ("which source's language
+    // labels can we trust — and is the predictor just echoing the
+    // majority class?"): raw accuracy rewards a constant-majority
+    // rater, κ subtracts chance agreement. Exact integers on the
+    // per-source confusion census; kappa_e6 is one signed truncating
+    // division, null for the degenerate both-constant-equal case.
+    Q("q213_lang_agreement", Some(s"""
+      WITH lang AS (SELECT * FROM (${LangId.oracleSql})),
+      r AS (SELECT d.source, lang.pred_lang AS a, d.lang AS b
+            FROM documents d JOIN lang USING (doc_id)
+            WHERE d.source IS NOT NULL AND d.lang IS NOT NULL),
+      c AS (SELECT source, a, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM r GROUP BY 1, 2, 3),
+      ra AS (SELECT source, a AS l, CAST(SUM(c) AS BIGINT) AS rr
+             FROM c GROUP BY 1, 2),
+      cb AS (SELECT source, b AS l, CAST(SUM(c) AS BIGINT) AS kk
+             FROM c GROUP BY 1, 2),
+      pe AS (SELECT ra.source, CAST(SUM(rr * kk) AS BIGINT) AS pe_num
+             FROM ra JOIN cb ON cb.source = ra.source AND cb.l = ra.l
+             GROUP BY 1),
+      base AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS n_agree
+               FROM c GROUP BY 1)
+      SELECT base.source, base.n, base.n_agree,
+             COALESCE(pe.pe_num, 0) AS pe_num,
+             CASE WHEN base.n * base.n <> COALESCE(pe.pe_num, 0)
+                  THEN CAST(((CAST(base.n_agree AS HUGEINT) * base.n
+                         - COALESCE(pe.pe_num, 0))
+                       * 1000000) // (base.n * base.n - COALESCE(pe.pe_num, 0))
+                       AS BIGINT)
+             END AS kappa_e6
+      FROM base LEFT JOIN pe ON pe.source = base.source
+      ORDER BY base.source""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .select(col("source"), col("lang"),
+          LangId.predict(col("text")).as("pred_lang"))
+      graft.operators.Stats.cohenKappa(docs, Seq("source"),
+          col("pred_lang"), col("lang"))
+        .orderBy("source")
+    },
+
     // ---- q172: quality selection curve — per q26-score band (×10⁴
     // in 10 bands), own mass and SURVIVAL mass at that threshold
     // (suffix-cumulative docs/tokens + exact ×10⁴ surviving-token

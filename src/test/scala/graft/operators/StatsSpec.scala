@@ -1384,4 +1384,50 @@ class StatsSpec extends SparkSuite {
       Seq("g"), col("b"), col("v"), maxBins = 4).collect())
     assert(e.getMessage.contains("census"))
   }
+
+  test("cohenKappa ≡ BigInt confusion replay; perfect = 1e6; degenerate null; guard trips") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(1, 40)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.oneOf("s", "t")
+        a <- Gen.oneOf("x", "y", "z")
+        b <- Gen.oneOf("x", "y", "z")
+      } yield (g, a, b))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 8)) {
+      val got = Stats.cohenKappa(rows.toDF("g", "a", "b"), Seq("g"), col("a"), col("b"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val n = BigInt(rs.size)
+        val agree = BigInt(rs.count(r => r._2 == r._3))
+        val labels = (rs.map(_._2) ++ rs.map(_._3)).distinct
+        val pe = labels.map(l =>
+          BigInt(rs.count(_._2 == l)) * rs.count(_._3 == l)).sum
+        val k = if (n * n == pe) None
+          else Some(((agree * n - pe) * 1000000 / (n * n - pe)).toLong)
+        (g, n.toLong, agree.toLong, pe.toLong, k)
+      }.toSet
+      assert(got === expected, s"cohenKappa diverged on $rows")
+    }
+    // Perfect two-class agreement: κ = 1e6 exactly.
+    val perfect = Seq(("g", "x", "x"), ("g", "y", "y"), ("g", "x", "x"), ("g", "y", "y"))
+    assert(Stats.cohenKappa(perfect.toDF("g", "a", "b"), Seq("g"), col("a"), col("b"))
+      .select("kappa_e6").as[Long].collect().head === 1000000L)
+    // Independent coin flips across a balanced 2×2 table: observed
+    // agreement equals chance → κ = 0.
+    val chance = Seq(("g", "x", "x"), ("g", "x", "y"), ("g", "y", "x"), ("g", "y", "y"))
+    assert(Stats.cohenKappa(chance.toDF("g", "a", "b"), Seq("g"), col("a"), col("b"))
+      .select("kappa_e6").as[Long].collect().head === 0L)
+    // Both raters constant and identical: N² = pe_num → null.
+    val degen = Seq(("g", "x", "x"), ("g", "x", "x"))
+    assert(Stats.cohenKappa(degen.toDF("g", "a", "b"), Seq("g"), col("a"), col("b"))
+      .collect().head.isNullAt(4))
+    // Census bound trips loud.
+    val wideK = (1 to 9).map(i => ("g", s"a$i", "b"))
+    val ek = intercept[Exception](Stats.cohenKappa(wideK.toDF("g", "a", "b"),
+      Seq("g"), col("a"), col("b"), maxBins = 4).collect())
+    assert(ek.getMessage.contains("census"))
+  }
 }
