@@ -1413,16 +1413,29 @@ object Stats {
     * columns [[zscoreOutliers]]/q125 stop short of (mean/std say
     * nothing about asymmetry or tail weight; a quality gate that
     * clips at ±3σ behaves very differently on a skewed or
-    * heavy-tailed column). ONE aggregate of EXACT integer power sums
-    * (Σv, Σv², Σv³, Σv⁴ in decimal(38,0) over the quantized input —
-    * order-free, partitioning-independent), then the closed form
-    * runs in correctly-rounded double ops written in the same
-    * expression shape on both engines — including `sqrt`, which IEEE
-    * 754 requires correctly rounded (the zscoreOutliers precedent;
-    * `m2·sqrt(m2)` replaces the non-correctly-rounded `pow(m2,1.5)`).
-    * Input values must be quantized longs with |v| ≤ 10⁵ (guarded
-    * loud) so Σv⁴ stays inside decimal(38,0) at 3e9 rows; degenerate
-    * groups (m2 = 0 or n = 0 after null drop) yield nulls. */
+    * heavy-tailed column). Raw power sums (E[v⁴] − 4mE[v³] + …) are
+    * the classically cancellation-prone form — for a tight
+    * distribution far from zero (values 10⁵ ± 1) the e4 ≈ 10²⁰
+    * terms cancel to m4 ≈ 1 and every significant double bit is
+    * lost — so the sums are taken over PRE-CENTERED values instead
+    * (r14 ADVICE): pass 1 computes the exact integer per-group
+    * anchor `mu0 = Σv div n` (truncation toward zero, identical on
+    * both engines), broadcast-joins it back, and pass 2 takes EXACT
+    * integer power sums of `w = v − mu0` in decimal(38,0). The
+    * shifted mean |Σw/n| < 1, so central-moment cancellation is
+    * O(spread), not O(magnitude); variance/skewness/kurtosis are
+    * shift-invariant and `mean = mu0 + Σw/n` recovers the original
+    * location. The closed form then runs in correctly-rounded double
+    * ops written in the same expression shape on both engines —
+    * including `sqrt`, which IEEE 754 requires correctly rounded
+    * (the zscoreOutliers precedent; `m2·sqrt(m2)` replaces the
+    * non-correctly-rounded `pow(m2,1.5)`). Input values must be
+    * quantized longs with |v| ≤ 10⁵ (guarded loud) so |w| ≤ 2·10⁵
+    * and Σw⁴ stays inside decimal(38,0) at 3e9 rows; degenerate
+    * groups (m2 = 0 or n = 0 after null drop) yield nulls. Scale
+    * shape: two scans, two map-side-combined tiny shuffles, and a
+    * broadcast join of the per-group anchor frame — the corpus
+    * itself is never shuffled. */
   def momentStats(df: DataFrame, groupCols: Seq[String],
                   valueCol: Column): DataFrame = {
     val gcols = groupCols.map(col)
@@ -1431,37 +1444,54 @@ object Stats {
       .select((gcols :+ v0.as("__v")): _*)
       .withColumn("__v", when(abs(col("__v")) <= 100000L, col("__v"))
         .otherwise(raise_error(lit(
-          "momentStats: |v| > 1e5 — quantize coarser upstream (Σv⁴ range)")).cast("long")))
-      .withColumn("__d", col("__v").cast("decimal(38,0)"))
-    val agg = rows.groupBy(gcols: _*).agg(
-      count(lit(1)).as("n"),
-      sum(col("__d")).as("__sv"),
-      sum(col("__d") * col("__d")).as("__svv"),
-      sum(col("__d") * col("__d") * col("__d")).as("__svvv"),
-      sum(col("__d") * col("__d") * col("__d") * col("__d")).as("__svvvv"))
+          "momentStats: |v| > 1e5 — quantize coarser upstream (Σw⁴ range)")).cast("long")))
+    // Null-safe anchor join: a null group key forms a group under
+    // groupBy (and in the oracle's GROUP BY), so the join-back must
+    // not drop it the way a plain equi-join would.
+    val anchor = rows.groupBy(gcols: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__v")).as("__sv"))
+      .withColumn("__mu0", expr("__sv div n"))
+      .drop("__sv")
+      .select((groupCols.map(c => col(c).as(s"__g_$c"))
+        :+ col("n") :+ col("__mu0")): _*)
+    val joinCond = groupCols.map(c => col(c) <=> col(s"__g_$c"))
+      .reduce(_ && _)
+    val shifted = rows.join(broadcast(anchor), joinCond)
+      .drop(groupCols.map(c => s"__g_$c"): _*)
+      .withColumn("__w", (col("__v") - col("__mu0")).cast("decimal(38,0)"))
+    val agg = shifted.groupBy(gcols: _*).agg(
+      max(col("n")).as("n"),
+      max(col("__mu0")).as("__mu0"),
+      sum(col("__w")).as("__sw"),
+      sum(col("__w") * col("__w")).as("__sww"),
+      sum(col("__w") * col("__w") * col("__w")).as("__swww"),
+      sum(col("__w") * col("__w") * col("__w") * col("__w")).as("__swwww"))
     val nD = col("n").cast("double")
-    val m = col("__sv").cast("double") / nD
-    val e2 = col("__svv").cast("double") / nD
-    val e3 = col("__svvv").cast("double") / nD
-    val e4 = col("__svvvv").cast("double") / nD
+    val m = col("__sw").cast("double") / nD
+    val e2 = col("__sww").cast("double") / nD
+    val e3 = col("__swww").cast("double") / nD
+    val e4 = col("__swwww").cast("double") / nD
     val m2 = e2 - m * m
     val m3 = e3 - lit(3.0d) * m * e2 + lit(2.0d) * m * m * m
     val m4 = e4 - lit(4.0d) * m * e3 + lit(6.0d) * m * m * e2 -
       lit(3.0d) * m * m * m * m
     agg
-      .withColumn("mean", m)
+      .withColumn("mean", col("__mu0").cast("double") + m)
       .withColumn("variance", m2)
       .withColumn("skewness", when(m2 > 0.0d, m3 / (m2 * sqrt(m2))))
       .withColumn("kurtosis_ex", when(m2 > 0.0d, m4 / (m2 * m2) - lit(3.0d)))
-      .drop("__sv", "__svv", "__svvv", "__svvvv")
+      .drop("__mu0", "__sw", "__sww", "__swww", "__swwww")
   }
 
-  /** Cross-correlation function between every ORDERED PAIR of series
-    * at lags −maxLag..maxLag — the lead–lag diagnostic completing
-    * [[autocorr]] (ACF asks "does a series echo ITSELF?"; CCF asks
-    * "does series A lead series B, and by how many steps?" — a peak
-    * at positive lag k means A at time t co-moves with B at t+k,
-    * i.e. A LEADS B). Same n-scaled exact-integer deviation trick as
+  /** Cross-correlation function — ONE row per UNORDERED pair of
+    * series (lexicographic a < b) at lags −maxLag..maxLag; the lag
+    * sign encodes direction, ccf(A,B,k) = ccf(B,A,−k), so the
+    * symmetric span covers both orderings without duplicate rows —
+    * the lead–lag diagnostic completing [[autocorr]] (ACF asks "does
+    * a series echo ITSELF?"; CCF asks "does series A lead series B,
+    * and by how many steps?" — a peak at positive lag k means A at
+    * time t co-moves with B at t+k, i.e. A LEADS B). Same n-scaled
+    * exact-integer deviation trick as
     * autocorr (`dev = n·y − Σy` per series, guards identical); the
     * emitted `ccf = num / sqrt(den_a·den_b)` runs in correctly-
     * rounded doubles spelled identically on both engines (sqrt is

@@ -608,7 +608,8 @@ object PipelineQueries {
                    CASE WHEN (epoch_ns(ts) // 86400000000000) % 7 >= 5
                         THEN 1 ELSE 0 END AS sb,
                    LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS bin
-                 FROM events WHERE value IS NOT NULL),
+                 FROM events
+                 WHERE value IS NOT NULL AND ts IS NOT NULL),
       c AS (SELECT event_type, bin,
               SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
               SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
@@ -633,7 +634,11 @@ object PipelineQueries {
       FROM u GROUP BY 1
       HAVING MAX(na) > 0 AND MAX(nb) > 0
       ORDER BY event_type""")) { (s, d) =>
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      // ts IS NOT NULL on BOTH sides: the oracle's CASE buckets a
+      // null-ts row into sample A while the Spark side's null in_b
+      // is dropped by psiDrift (r14 ADVICE guard).
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .select(col("event_type"),
           (pmod(expr("ts div 86400000000000"), lit(7L)) >= 5L).as("in_b"),
           least(floor(col("value") / lit(8d)), lit(63d)).cast("long").as("bin"))
@@ -1038,7 +1043,9 @@ object PipelineQueries {
     Q("q195_cliffs_delta", Some("""
       WITH e AS (SELECT event_type, user_id % 2 AS sb,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
-                 FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+                 FROM events
+                 WHERE value IS NOT NULL AND user_id IS NOT NULL
+                   AND user_id >= 0),
       c AS (SELECT event_type, v,
               SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
               SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
@@ -1054,8 +1061,14 @@ object PipelineQueries {
       FROM cum GROUP BY 1
       HAVING MAX(na) > 0 AND MAX(nb) > 0
       ORDER BY event_type""")) { (s, d) =>
+      // user_id >= 0 on BOTH sides: DuckDB's % is sign-of-dividend
+      // while pmod is non-negative, so a negative id would land in
+      // different samples per engine. Guarded rather than emulated —
+      // test ids are non-negative, but a dataset regen must not be
+      // able to silently break hash parity (r14 ADVICE).
       val ev = Tables.events(s, d)
-        .filter(col("value").isNotNull && col("user_id").isNotNull)
+        .filter(col("value").isNotNull && col("user_id").isNotNull &&
+          col("user_id") >= 0)
         .select(col("event_type"),
           (pmod(col("user_id"), lit(2L)) === 1L).as("in_b"),
           floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
@@ -1076,7 +1089,9 @@ object PipelineQueries {
                    epoch_ns(ts) // 86400000000000 AS bucket,
                    ((epoch_ns(ts) // 86400000000000) % 7 >= 5) AS wk,
                    CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
-                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+                 FROM events
+                 WHERE value IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY 1, 2, 3),
       a AS (SELECT event_type, v_e4 AS va, CAST(COUNT(*) AS BIGINT) AS ca
             FROM b WHERE NOT wk GROUP BY 1, 2),
       bb AS (SELECT event_type, v_e4 AS vb, CAST(COUNT(*) AS BIGINT) AS cb
@@ -1095,7 +1110,11 @@ object PipelineQueries {
       FROM cum c JOIN t ON t.event_type = c.event_type
       WHERE c.cumw >= (c.tw + 1) // 2 AND c.cumw - c.w < (c.tw + 1) // 2
       ORDER BY c.event_type""")) { (s, d) =>
-      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      // ts IS NOT NULL on BOTH sides: the oracle's CASE would count a
+      // null-ts daily row into n_a while the Spark side's null in_b
+      // is dropped by hodgesLehmannShift (r14 ADVICE guard).
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
           floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
         .groupBy(col("event_type"), col("bucket"))
@@ -1117,7 +1136,9 @@ object PipelineQueries {
       WITH b AS (SELECT event_type,
                    epoch_ns(ts) // 86400000000000 AS bucket,
                    CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS v_e4
-                 FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+                 FROM events
+                 WHERE value IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY 1, 2),
       m AS (SELECT event_type, v_e4 AS med FROM (
               SELECT event_type, v_e4,
                      ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v_e4) AS rn,
@@ -1136,7 +1157,11 @@ object PipelineQueries {
              CAST(SUM(CASE WHEN prev IS NULL OR prev <> sgn THEN 1 ELSE 0 END) AS BIGINT) AS runs
       FROM r JOIN n0 ON n0.event_type = r.event_type
       GROUP BY 1, 2 ORDER BY 1""")) { (s, d) =>
-      val daily = Tables.events(s, d).filter(col("value").isNotNull)
+      // ts IS NOT NULL on BOTH sides: a null bucket would order
+      // NULLS FIRST in Spark's LAG but NULLS LAST in DuckDB's,
+      // flipping the run count (r14 ADVICE guard).
+      val daily = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .select(col("event_type"), expr("ts div 86400000000000").as("bucket"),
           floor(col("value") * lit(10000d) + lit(0.5d)).cast("long").as("v_e4"))
         .groupBy(col("event_type"), col("bucket"))
@@ -1201,7 +1226,8 @@ object PipelineQueries {
                    CASE WHEN ((epoch_ns(ts) // 86400000000000) // 7) % 2 = 1
                         THEN 1 ELSE 0 END AS sb,
                    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
-                 FROM events WHERE value IS NOT NULL),
+                 FROM events
+                 WHERE value IS NOT NULL AND ts IS NOT NULL),
       c AS (SELECT event_type, v,
               SUM(CASE WHEN sb = 0 THEN 1 ELSE 0 END) AS ca,
               SUM(CASE WHEN sb = 1 THEN 1 ELSE 0 END) AS cb
@@ -1221,7 +1247,11 @@ object PipelineQueries {
       FROM g GROUP BY 1
       HAVING MAX(na) > 0 AND MAX(nb) > 0
       ORDER BY event_type""")) { (s, d) =>
-      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      // ts IS NOT NULL on BOTH sides: the oracle's CASE buckets a
+      // null-ts row into sample A while the Spark side's null in_b
+      // is dropped by the operator (r14 ADVICE guard).
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
         .select(col("event_type"),
           (pmod(expr("(ts div 86400000000000) div 7"), lit(2L)) === 1L).as("in_b"),
           floor(col("value") * lit(100d) + lit(0.5d)).cast("long").as("v_e2"))
@@ -1302,34 +1332,40 @@ object PipelineQueries {
     },
 
     // ---- q203: distribution-shape moments — skewness and excess
-    // kurtosis per event_type from ONE aggregate of exact integer
-    // power sums (Σv..Σv⁴ over e2-quantized values), the profiling
-    // columns q125's mean/std stop short of: a ±3σ quality gate
-    // behaves very differently on a skewed or heavy-tailed column.
-    // Doubles via the q71 recipe — identical closed-form spelling
-    // both engines, sqrt correctly rounded (zscore precedent),
-    // m2·sqrt(m2) instead of the non-correctly-rounded pow(·,1.5).
+    // kurtosis per event_type from exact integer power sums over
+    // PRE-CENTERED values (w = v − (Σv div n), the exact integer
+    // anchor — r14 ADVICE: raw power sums cancel catastrophically
+    // for tight distributions far from zero), the profiling columns
+    // q125's mean/std stop short of: a ±3σ quality gate behaves very
+    // differently on a skewed or heavy-tailed column. Doubles via
+    // the q71 recipe — identical closed-form spelling both engines,
+    // sqrt correctly rounded (zscore precedent), m2·sqrt(m2) instead
+    // of the non-correctly-rounded pow(·,1.5); mean = mu0 + Σw/n.
     Q("q203_moments", Some("""
       WITH e AS (SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v
                  FROM events WHERE value IS NOT NULL),
-      s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-                   SUM(CAST(v AS HUGEINT)) AS sv,
-                   SUM(CAST(v AS HUGEINT) * v) AS svv,
-                   SUM(CAST(v AS HUGEINT) * v * v) AS svvv,
-                   SUM(CAST(v AS HUGEINT) * v * v * v) AS svvvv
+      a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mu0
             FROM e GROUP BY 1),
-      d AS (SELECT event_type, n,
-                   CAST(sv AS DOUBLE) / CAST(n AS DOUBLE) AS m,
-                   CAST(svv AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
-                   CAST(svvv AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
-                   CAST(svvvv AS DOUBLE) / CAST(n AS DOUBLE) AS e4
+      s AS (SELECT e.event_type, MAX(a.n) AS n, MAX(a.mu0) AS mu0,
+                   SUM(CAST(e.v - a.mu0 AS HUGEINT)) AS sw,
+                   SUM(CAST(e.v - a.mu0 AS HUGEINT) * (e.v - a.mu0)) AS sww,
+                   SUM(CAST(e.v - a.mu0 AS HUGEINT) * (e.v - a.mu0) * (e.v - a.mu0)) AS swww,
+                   SUM(CAST(e.v - a.mu0 AS HUGEINT) * (e.v - a.mu0) * (e.v - a.mu0) * (e.v - a.mu0)) AS swwww
+            FROM e JOIN a ON a.event_type IS NOT DISTINCT FROM e.event_type
+            GROUP BY 1),
+      d AS (SELECT event_type, n, mu0,
+                   CAST(sw AS DOUBLE) / CAST(n AS DOUBLE) AS m,
+                   CAST(sww AS DOUBLE) / CAST(n AS DOUBLE) AS e2,
+                   CAST(swww AS DOUBLE) / CAST(n AS DOUBLE) AS e3,
+                   CAST(swwww AS DOUBLE) / CAST(n AS DOUBLE) AS e4
             FROM s),
-      mm AS (SELECT event_type, n, m,
+      mm AS (SELECT event_type, n, mu0, m,
                     e2 - m * m AS m2,
                     e3 - 3.0 * m * e2 + 2.0 * m * m * m AS m3,
                     e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m AS m4
              FROM d)
-      SELECT event_type, n, m AS mean, m2 AS variance,
+      SELECT event_type, n, CAST(mu0 AS DOUBLE) + m AS mean, m2 AS variance,
              CASE WHEN m2 > 0.0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
              CASE WHEN m2 > 0.0 THEN m4 / (m2 * m2) - 3.0 END AS kurtosis_ex
       FROM mm ORDER BY event_type""")) { (s, d) =>
@@ -1341,9 +1377,11 @@ object PipelineQueries {
     },
 
     // ---- q204: cross-correlation lead–lag matrix — "does series A
-    // LEAD series B, and by how many days?" over every ordered pair
-    // of event types' daily e2 series at lags −7..+7 (a ccf peak at
-    // positive k means A at t co-moves with B at t+k). Completes the
+    // LEAD series B, and by how many days?" — one row per UNORDERED
+    // pair (lexicographic a < b) of event types' daily e2 series at
+    // lags −7..+7; the lag sign covers both directions since
+    // ccf(A,B,k) = ccf(B,A,−k) (a ccf peak at positive k means A at
+    // t co-moves with B at t+k). Completes the
     // serial-dependence pair: q198's ACF is a series against itself,
     // this is every series against every other. Same n-scaled exact
     // deviations; the emitted ccf = num/√(den_a·den_b) runs in

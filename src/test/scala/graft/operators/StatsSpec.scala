@@ -1015,9 +1015,14 @@ class StatsSpec extends SparkSuite {
       val expected = rows.groupBy(_._1).map { case (k, g) =>
         val n = g.size.toLong
         val nD = n.toDouble
-        // Exact BigInt power sums cast to double, then the operator's
-        // exact expression order — bit-identical by construction.
-        def p(e: Int): Double = g.map(r => BigInt(r._2).pow(e)).sum.toDouble
+        // Exact BigInt power sums over values pre-centered at the
+        // integer anchor mu0 = Σv div n (BigInt / truncates toward
+        // zero, matching Spark div), cast to double, then the
+        // operator's exact expression order — bit-identical by
+        // construction.
+        val mu0 = g.map(r => BigInt(r._2)).sum / n
+        def p(e: Int): Double =
+          g.map(r => (BigInt(r._2) - mu0).pow(e)).sum.toDouble
         val m = p(1) / nD
         val e2 = p(2) / nD
         val e3 = p(3) / nD
@@ -1025,12 +1030,23 @@ class StatsSpec extends SparkSuite {
         val m2 = e2 - m * m
         val m3 = e3 - 3.0 * m * e2 + 2.0 * m * m * m
         val m4 = e4 - 4.0 * m * e3 + 6.0 * m * m * e2 - 3.0 * m * m * m * m
-        (k, n, m, m2,
+        (k, n, mu0.toDouble + m, m2,
           if (m2 > 0.0) Some(m3 / (m2 * math.sqrt(m2))) else None,
           if (m2 > 0.0) Some(m4 / (m2 * m2) - 3.0) else None)
       }.toSet
       assert(got === expected, s"momentStats diverged on $rows")
     }
+    // Cancellation regression (r14 ADVICE): a tight distribution at
+    // the far edge of the |v| ≤ 1e5 domain. Raw power sums lose ALL
+    // double significance here (e4 ≈ 1e20 cancelling to m4 ≈ 1); the
+    // centered form is exact: {1e5−2, 1e5−1, 1e5} has variance 2/3,
+    // skewness 0, kurtosis_ex = m4/m2² − 3 = (2/3)/(4/9) − 3 = −1.5.
+    val edge = Seq(("a", 99998L), ("a", 99999L), ("a", 100000L))
+    val eg = Stats.momentStats(edge.toDF("k", "v"), Seq("k"), col("v"))
+      .select("mean", "variance", "skewness", "kurtosis_ex")
+      .as[(Double, Double, Double, Double)].collect().head
+    val m2d = 2.0 / 3.0 // exact central sums: w = {−1,0,1}
+    assert(eg === ((99999.0, m2d, 0.0, m2d / (m2d * m2d) - 3.0)), eg.toString)
     // Symmetric two-point mass at ±1: skew = 0, kurtosis_ex = −2.
     val bern = Seq(("a", -1L), ("a", 1L), ("a", -1L), ("a", 1L))
     val bg = Stats.momentStats(bern.toDF("k", "v"), Seq("k"), col("v"))
@@ -1046,7 +1062,7 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("1e5"))
   }
 
-  test("crossCorr ≡ BigInt replay; exact ±1 at pure shift/negation; ordered pairs only") {
+  test("crossCorr ≡ BigInt replay; exact ±1 at pure shift/negation; one row per unordered pair (a < b)") {
     import spark.implicits._
     val gen = for {
       n <- Gen.chooseNum(4, 24)
