@@ -19,8 +19,26 @@ object AssetQueries {
     // process_all.py:409-438,566-617): per order, part filenames are
     // sorted by the trailing sequence number extracted from the name
     // (NOT lexicographically — part_10 must follow part_9) and
-    // concatenated in that order. sort_array on (seq, name) structs
-    // keeps the whole thing a single hash-aggregate; no window.
+    // concatenated in that order. Shape (r15, Q38Sweep measured at
+    // sf0.1): ONE range exchange + partition-local sort + a streaming
+    // mapPartitions group-assemble. The previous hash-aggregate
+    // (collect_list(struct) → array_sort → transform → array_join →
+    // orderBy) paid a second exchange for the global order plus
+    // per-group array materialization and measured 1.17-1.27 s min
+    // isolated (2.26x DuckDB, the registry's only >2x row); this
+    // plan rides the ONE shuffle every grouping needs, the sort
+    // doubles as both group clustering and the global output order
+    // (RangePartitioning(l_orderkey) + in-partition (key, seq) sort
+    // ⇒ output is globally ordered by construction — no second
+    // exchange), and groups assemble in a single forward pass with a
+    // StringBuilder, never an array. Measured 0.83-0.90 s min — 1.5x
+    // DuckDB's 0.56 s. mapPartitions is justified here per the
+    // SURVEY preference order: the composition-of-builtins plan was
+    // measured slower (Q38Sweep `cur`/`stragg`/`rangeagg` variants),
+    // and the F10 sentence-grouping precedent applies (ordered
+    // stateful scan). At 1000 executors this is the same shape as a
+    // sort-merge aggregation: one wide exchange of narrow rows, then
+    // linear per-partition work with O(1) state per group.
     Q("q38_ordered_concat", Some("""
       WITH f AS (
         SELECT l_orderkey,
@@ -33,27 +51,56 @@ object AssetQueries {
       FROM f
       GROUP BY l_orderkey
       ORDER BY l_orderkey""")) { (s, d) =>
+      import s.implicits._
       val fname = concat(lit("part_"), col("l_linenumber"), lit(".mp3"))
       // F15: the sequence is *extracted from the filename* (the
       // digits between the last underscore and the extension), not
       // read from a column. substring_index is a plain codegen'd
-      // string scan, cheaper than the equivalent regexp_extract
-      // (though at this SF the query is shuffle-bound either way).
+      // string scan, cheaper than the equivalent regexp_extract.
       val seq = coalesce(
         substring_index(substring_index(col("fname"), ".", 1), "_", -1)
           .cast("int"), lit(0))
-      Tables.lineitem(s, d)
+      val rows = Tables.lineitem(s, d)
         .select(col("l_orderkey"), fname.as("fname"))
         .withColumn("seq", seq)
-        .groupBy("l_orderkey")
-        .agg(
-          count(lit(1)).as("n_parts"),
-          array_join(
-            transform(
-              array_sort(collect_list(struct(col("seq"), col("fname")))),
-              x => x.getField("fname")),
-            ",").as("assembled"))
-        .orderBy("l_orderkey")
+        .repartitionByRange(col("l_orderkey"))
+        // (seq, fname) not just seq: deterministic tie order matches
+        // array_sort's struct comparator if a name ever repeats a seq.
+        .sortWithinPartitions(col("l_orderkey"), col("seq"), col("fname"))
+        .select(col("l_orderkey"), col("fname"))
+      rows.mapPartitions { it =>
+        // Streaming ordered-group assembly: rows arrive clustered by
+        // key and pre-sorted by seq, so each group folds into a
+        // StringBuilder and emits when the key changes — O(1) live
+        // state, no per-group array, no second sort.
+        new Iterator[(Long, Long, String)] {
+          private var cur: Option[(Long, Long, java.lang.StringBuilder)] = None
+          private var pending: Option[(Long, Long, String)] = None
+          private def roll(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val r = it.next()
+              val k = r.getLong(0); val f = r.getString(1)
+              cur match {
+                case Some((ck, n, sb)) if ck == k =>
+                  cur = Some((ck, n + 1, sb.append(',').append(f)))
+                case Some((ck, n, sb)) =>
+                  pending = Some((ck, n, sb.toString))
+                  cur = Some((k, 1L, new java.lang.StringBuilder(f)))
+                case None =>
+                  cur = Some((k, 1L, new java.lang.StringBuilder(f)))
+              }
+            }
+            if (pending.isEmpty && !it.hasNext && cur.isDefined) {
+              val (ck, n, sb) = cur.get
+              pending = Some((ck, n, sb.toString)); cur = None
+            }
+          }
+          def hasNext: Boolean = { roll(); pending.isDefined }
+          def next(): (Long, Long, String) = {
+            roll(); val p = pending.get; pending = None; p
+          }
+        }
+      }.toDF("l_orderkey", "n_parts", "assembled")
     },
 
     // ---- q39: per-group sampling with floor (W5,
