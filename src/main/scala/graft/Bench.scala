@@ -162,6 +162,29 @@ object Bench {
       // NEXT query's timed runs (the r13 q83-q89/q129 inflation band
       // had exactly that adjacent-cleanup fingerprint).
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // Cleaner drain (r15, per the r14 verdict's ask #2): blocking
+      // unpersist only covers TRACKED blocks — shuffle files and
+      // broadcast pieces are freed by the ContextCleaner only after
+      // GC proves their dependency objects unreachable, and across
+      // 213 queries × runs that asynchronous reclamation lands inside
+      // later queries' timed windows (BENCH_r14's q53/q54 read 2-4x
+      // above their isolated minima with exactly this fingerprint;
+      // the same gc+job+sleep recipe before q01 removed r13's
+      // 7.7s→0.99s first-query distortion). The System.gc() hands the
+      // finished query's shuffle/broadcast refs to the cleaner, the
+      // sacrificial job and the short sleep give its async queue a
+      // window to finish — all OUTSIDE any timed region. ~0.3 s per
+      // query ≈ one untimed minute across the fleet; disable with
+      // SPARK_GRAFT_DRAIN_MS=0 if wall budget ever matters more than
+      // per-query fidelity.
+      val drainMs = envInt("SPARK_GRAFT_DRAIN_MS", 250)
+      if (drainMs > 0) {
+        System.gc()
+        try spark.range(100000L).selectExpr("sum(id)")
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        try Thread.sleep(drainMs.toLong) catch { case _: InterruptedException => () }
+      }
       val times = raw.sorted
       // The published `sec` is the median of the 3 fastest executed
       // runs (lower-middle for even N): robust to contention outliers
