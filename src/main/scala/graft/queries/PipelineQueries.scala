@@ -442,6 +442,68 @@ object PipelineQueries {
         .orderBy("user_id", "session_start_ts")
     },
 
+    // ---- q214: the STREAM-STREAM JOIN lane — watermarked two-
+    // unbounded-inputs attribution (click within 30 min of its
+    // impression, per user) through Spark's native stream-stream
+    // inner join with an event-time range predicate, completing the
+    // streaming tier: q187 times window-aggregate state, q188
+    // session_window eviction, q205 arbitrary GroupState — this
+    // times the symmetric JOIN state store (both sides buffer,
+    // keyed on user_id, evicted when the click watermark passes
+    // imp_time + horizon; state is bounded by horizon × arrival
+    // rate, never stream length — the bound that makes the shape
+    // viable at 100 TB). Inner-join results are watermark-
+    // INDEPENDENT under a single-micro-batch drain, so the emitted
+    // pairs equal the exact batch join and the oracle replays it as
+    // a plain range join in micro time (tsCol truncates nanos to
+    // micros — same domain both sides). EventStreamsSpec pins batch
+    // parity and left-outer watermark-flush semantics on fixtures.
+    Q("q214_stream_stream_join", Some("""
+      WITH e AS (SELECT event_id, user_id, event_type,
+                        epoch_ns(ts) // 1000 AS tsu
+                 FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+      i AS (SELECT user_id, event_id AS imp_id, tsu AS imp_ts_us
+            FROM e WHERE event_type = 'view'),
+      c AS (SELECT user_id, event_id AS click_id, tsu AS click_ts_us
+            FROM e WHERE event_type = 'click')
+      SELECT i.user_id, i.imp_id, c.click_id, i.imp_ts_us, c.click_ts_us
+      FROM i JOIN c ON c.user_id = i.user_id
+                   AND c.click_ts_us >= i.imp_ts_us
+                   AND c.click_ts_us <= i.imp_ts_us + 1800000000
+      ORDER BY i.user_id, i.imp_id, c.click_id""")) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val path = s"$d/events.parquet"
+      val batchSchema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1 << 20)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val ev = (batchSchema("ts").dataType match {
+        case LongType => raw
+        case TimestampNTZType | TimestampType =>
+          raw.withColumn("ts",
+            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+      }).filter(col("ts").isNotNull && col("user_id").isNotNull)
+      // Self-join of one file source: impressions and clicks are two
+      // filters of the same stream — Spark plans it as a symmetric
+      // stream-stream join with per-side watermarks.
+      val joined = graft.streaming.EventStreams.attributionJoin(
+        ev.filter(col("event_type") === "view"),
+        ev.filter(col("event_type") === "click"),
+        keyCol = "user_id", horizon = "30 minutes", watermark = "2 hours")
+      val sink = s"q214_mem_${System.nanoTime()}"
+      val q = joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sink)
+        .select(col("user_id"), col("imp_id"), col("click_id"),
+          unix_micros(col("imp_time")).as("imp_ts_us"),
+          unix_micros(col("click_time")).as("click_ts_us"))
+        .orderBy("user_id", "imp_id", "click_id")
+    },
+
     // ---- q206: isotonic calibration — "does a higher value-score
     // really mean a higher purchase propensity, and what IS the
     // calibrated rate per score band?" PAVA computed by the exact
