@@ -393,24 +393,31 @@ object PipelineQueries {
     // PLUS timeout-flushed ones, where the timeout fires STRICTLY
     // below the watermark (`end_ms + gap_ms < wm_ms` — unlike
     // q188's `<=` eviction; the boundary is pinned by an exact
-    // fixture in EventStreamsSpec). Session boundaries and counts
-    // gate; the float value accumulation stays out of the hash (a
-    // sequential Scala double fold has no portable SQL twin).
+    // fixture in EventStreamsSpec). The value fold IS under the hash
+    // (r15, closing the r14 verdict's ask #5): the lane e4-quantizes
+    // `value` before sessionize, so the operator's sequential Scala
+    // double fold only ever adds integer-valued doubles — exact and
+    // order-independent below 2^53 — and `SUM(v_e4)` is its portable
+    // SQL twin (the q71 exact-fixed-point recipe applied to operator
+    // STATE instead of an aggregate).
     Q("q205_stream_stateful_sessions", Some("""
-      WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn FROM events),
+      WITH e AS (SELECT user_id, epoch_ns(ts) AS tsn,
+                        COALESCE(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT), 0) AS ve4
+                 FROM events),
       mx AS (SELECT MAX(tsn) AS mts FROM e),
-      o AS (SELECT user_id, tsn,
+      o AS (SELECT user_id, tsn, ve4,
               CASE WHEN LAG(tsn) OVER w IS NULL
                      OR tsn - LAG(tsn) OVER w > 1800000000000 THEN 1 ELSE 0 END AS brk
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsn)),
       s AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY tsn
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM o),
       g AS (SELECT user_id, sid, MIN(tsn) AS start_n, MAX(tsn) AS end_n,
-                   CAST(COUNT(*) AS BIGINT) AS n_events
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(ve4) AS BIGINT) AS total_v_e4
             FROM s GROUP BY 1, 2),
       g2 AS (SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS last_sid FROM g)
       SELECT user_id, start_n AS session_start_ts, end_n AS session_end_ts,
-             n_events
+             n_events, total_v_e4
       FROM g2, mx
       WHERE sid < last_sid
          OR end_n // 1000000 + 1800000 < mts // 1000000 - 7200000
@@ -430,15 +437,23 @@ object PipelineQueries {
         case other => throw new IllegalStateException(
           s"events.ts has unsupported type $other")
       }
+      // e4-quantize BEFORE the stateful fold: integer-valued doubles
+      // sum exactly (each partial stays < 2^53), so the state's
+      // sequential accumulation is order-free and the oracle's
+      // SUM(ve4) is an exact twin. Nulls fold as 0 on both sides.
       val sessions = graft.streaming.EventStreams.sessionize(
-        ev, gapMinutes = 30, watermark = "2 hours")
+        ev.withColumn("value",
+          coalesce(floor(col("value") * lit(10000d) + lit(0.5d)).cast("double"),
+            lit(0d))),
+        gapMinutes = 30, watermark = "2 hours")
       val sink = s"q205_mem_${System.nanoTime()}"
       val q = sessions.writeStream.format("memory").queryName(sink)
         .outputMode("append").start()
       try { q.processAllAvailable() } finally q.stop()
       s.table(sink)
         .select(col("userId").as("user_id"), col("startTs").as("session_start_ts"),
-          col("endTs").as("session_end_ts"), col("nEvents").cast("long").as("n_events"))
+          col("endTs").as("session_end_ts"), col("nEvents").cast("long").as("n_events"),
+          col("totalValue").cast("long").as("total_v_e4"))
         .orderBy("user_id", "session_start_ts")
     },
 
