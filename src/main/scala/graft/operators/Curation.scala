@@ -1053,4 +1053,78 @@ object Curation {
           ceil(size(toks).cast("double") / windowTokens).cast("int") - 1),
         i => array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
   }
+
+  /** Iterative proportional fitting (IPF / raking, the classic
+    * contingency-table balancer; Sinkhorn's algorithm on counts) of
+    * the corpus mix over two strata axes — the constrained partner
+    * of [[temperatureAllocate]]'s one-axis apportionment: "reweight
+    * (source × lang) cells so every SOURCE gets an equal share of
+    * the training mix while each LANG keeps its observed share" —
+    * the two-marginal version of the DoReMi-style mix question,
+    * solved by the textbook alternating row/col scaling. `rounds`
+    * alternating passes (row pass: scale each row to the uniform
+    * row target; col pass: scale each column back to its observed
+    * total), in EXACT e6 fixed-point: cells carry as e6-scaled
+    * decimal(38,0) and every scaling is one integer multiply by the
+    * e6 target followed by one integral division by the current
+    * marginal (`div` ≡ DuckDB `//` on nonnegative operands), so the
+    * trajectory — including truncation — is bit-identical
+    * cross-engine and the gate hashes the full fitted table. A
+    * zeroed marginal (every cell of a line truncated to 0) emits 0
+    * for that line's cells rather than dividing by zero.
+    *
+    * Scale shape: ONE corpus shuffle builds the (row, col, n)
+    * census (map-side combined); the `maxCells` fail-fast bounds
+    * everything after it BY CONSTRUCTION (the [[graft.operators
+    * .Stats.boundedCensus]] discipline), so the 2×`rounds` window
+    * passes and the two broadcast target attaches run over a frame
+    * that cannot exceed `maxCells` rows no matter the corpus.
+    * Headroom: cell ≤ total·10⁶ and the per-pass product
+    * cell·target_e6 ≤ (total·10⁶)² needs total ≤ 10¹² rows inside
+    * decimal(38,0) — guarded loud. */
+  def ipfRake(df: DataFrame, rowCol: String, colCol: String,
+              rounds: Int = 4, maxCells: Int = 4096): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    require(maxCells >= 1, "maxCells must be positive")
+    val census = df
+      .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
+      .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
+      .agg(count(lit(1)).as("n"))
+    // Scalar targets: total count, distinct row count (uniform row
+    // target = total div n_rows), attached by broadcast cross join —
+    // the scalar-aggregate-attach pattern, never a corpus shuffle.
+    val tot = census.agg(
+      sum(col("n")).as("__total"), countDistinct(col("__r")).as("__nr"))
+      .withColumn("__total", when(col("__total") <= 1000000000000L, col("__total"))
+        .otherwise(raise_error(lit(
+          "ipfRake: total > 1e12 — e6 fixed-point headroom (decimal(38,0)) exceeded")).cast("long")))
+      .withColumn("__rte6",
+        expr("(CAST(__total AS DECIMAL(38,0)) * 1000000) div CAST(__nr AS DECIMAL(38,0))"))
+      .select(col("__rte6"))
+    val colTargets = census.groupBy(col("__c"))
+      .agg((sum(col("n")).cast("decimal(38,0)") * lit(1000000L)).as("__cte6"))
+    val base = census
+      .withColumn("__cells", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("cell", when(col("__cells") <= maxCells,
+          col("n").cast("decimal(38,0)") * lit(1000000L))
+        .otherwise(raise_error(lit(
+          s"ipfRake: census exceeds $maxCells cells — coarsen the strata upstream")).cast("decimal(38,0)")))
+      .drop("__cells")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(colTargets), "__c")
+    var cur = base
+    for (_ <- 1 to rounds) {
+      cur = cur
+        .withColumn("__rs", sum(col("cell")).over(Window.partitionBy(col("__r"))))
+        .withColumn("cell", when(col("__rs") > 0,
+          expr("(cell * __rte6) div __rs")).otherwise(lit(0L).cast("decimal(38,0)")))
+        .drop("__rs")
+        .withColumn("__cs", sum(col("cell")).over(Window.partitionBy(col("__c"))))
+        .withColumn("cell", when(col("__cs") > 0,
+          expr("(cell * __cte6) div __cs")).otherwise(lit(0L).cast("decimal(38,0)")))
+        .drop("__cs")
+    }
+    cur.select(col("__r").as(rowCol), col("__c").as(colCol), col("n"),
+      col("cell").cast("long").as("mix_e6"))
+  }
 }

@@ -16,6 +16,44 @@ import graft.operators.{CharLm, Curation, Dedup, ExactSubstring, LangId, Quality
   */
 object TextQueries {
 
+  /** Unrolled IPF oracle (q215): `rounds` alternating row/col raking
+    * passes over the (source, lang) census as chained CTEs — DuckDB
+    * has recursive CTEs but unrolling keeps every round's integer
+    * truncation textually identical to the Spark plan's. */
+  private def ipfOracleSql(rounds: Int): String = {
+    val head = """
+      WITH c0 AS (SELECT lang AS r, source AS c,
+                         CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(COUNT(*) AS HUGEINT) * 1000000 AS cell
+                  FROM documents
+                  WHERE lang IS NOT NULL AND source IS NOT NULL
+                  GROUP BY 1, 2),
+      tot AS (SELECT CAST(SUM(n) AS HUGEINT) AS total,
+                     CAST(COUNT(DISTINCT r) AS HUGEINT) AS nr FROM c0),
+      rt AS (SELECT (total * 1000000) // nr AS rte6 FROM tot),
+      ct AS (SELECT c, CAST(SUM(n) AS HUGEINT) * 1000000 AS cte6
+             FROM c0 GROUP BY 1)"""
+    val steps = (1 to rounds).map { k =>
+      val prev = if (k == 1) "c0" else s"k${k - 1}"
+      s"""
+      rs$k AS (SELECT r, c, n, cell,
+                 SUM(cell) OVER (PARTITION BY r) AS rsum FROM $prev),
+      ra$k AS (SELECT r, c, n,
+                 CASE WHEN rsum > 0 THEN (cell * rte6) // rsum
+                      ELSE CAST(0 AS HUGEINT) END AS cell
+               FROM rs$k, rt),
+      cs$k AS (SELECT r, c, n, cell,
+                 SUM(cell) OVER (PARTITION BY c) AS csum FROM ra$k),
+      k$k AS (SELECT cs$k.r, cs$k.c, cs$k.n,
+                 CASE WHEN csum > 0 THEN (cell * ct.cte6) // csum
+                      ELSE CAST(0 AS HUGEINT) END AS cell
+              FROM cs$k JOIN ct ON ct.c = cs$k.c)"""
+    }.mkString(",")
+    head + "," + steps + s"""
+      SELECT r AS lang, c AS source, n, CAST(cell AS BIGINT) AS mix_e6
+      FROM k$rounds ORDER BY lang, source"""
+  }
+
   /** Shared oracle CTE: distinct token sets + exact pairwise overlap
     * in inverted-index join form (fast in DuckDB, no N² list ops). */
   private def jaccardOracle(threshold: Double): String = s"""
@@ -1231,6 +1269,25 @@ object TextQueries {
       Curation.temperatureAllocate(Tables.documents(s, d), "source",
           size(split(col("text"), " ")).cast("long"), budget = 100000L)
         .orderBy("source")
+    },
+
+    // ---- q215: IPF / raking mix optimizer — the TWO-marginal mix
+    // question q163's one-axis apportionment can't pose: "give every
+    // LANG an equal share of the training mix while each SOURCE
+    // keeps its observed share" (the driver data is en-heavy, so the
+    // row passes genuinely move mass and the col passes genuinely
+    // pull it back — the gate hashes a non-trivial trajectory, not a
+    // round-0 fixed point) — the classic contingency-table
+    // raking (Sinkhorn on counts), 4 alternating row/col scaling
+    // passes in exact e6 fixed-point so the full fitted table
+    // hash-gates (every pass = integer multiply by the e6 target,
+    // integral divide by the current marginal — `div` ≡ `//`, both
+    // truncating, values nonnegative). One corpus census shuffle;
+    // the maxCells fail-fast bounds all 8 window passes by
+    // construction; targets attach as broadcast scalars.
+    Q("q215_ipf_raking", Some(ipfOracleSql(4))) { (s, d) =>
+      Curation.ipfRake(Tables.documents(s, d), "lang", "source", rounds = 4)
+        .orderBy("lang", "source")
     },
 
     // ---- q128: leakage-safe train/val/test split — docs assigned by

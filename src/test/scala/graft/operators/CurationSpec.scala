@@ -736,6 +736,58 @@ class CurationSpec extends SparkSuite {
     assert(got2.toSeq === Seq(("a", 34L), ("b", 33L), ("c", 33L)))
   }
 
+  test("ipfRake ≡ BigInt replay; marginals converge; zero-line and guard cases") {
+    import spark.implicits._
+    // BigInt replay of the exact e6 fixed-point trajectory.
+    def replay(cells: Seq[(String, String, Long)], rounds: Int): Map[(String, String), BigInt] = {
+      val total = BigInt(cells.map(_._3).sum)
+      val nr = cells.map(_._1).distinct.size
+      val rte6 = (total * 1000000) / nr
+      val cte6 = cells.groupBy(_._2).map { case (c, g) =>
+        c -> BigInt(g.map(_._3).sum) * 1000000 }
+      var cur = cells.map { case (r, c, n) => (r, c) -> BigInt(n) * 1000000 }.toMap
+      for (_ <- 1 to rounds) {
+        val rsum = cur.groupBy(_._1._1).map { case (r, g) => r -> g.values.sum }
+        cur = cur.map { case ((r, c), v) =>
+          (r, c) -> (if (rsum(r) > 0) (v * rte6) / rsum(r) else BigInt(0)) }
+        val csum = cur.groupBy(_._1._2).map { case (c, g) => c -> g.values.sum }
+        cur = cur.map { case ((r, c), v) =>
+          (r, c) -> (if (csum(c) > 0) (v * cte6(c)) / csum(c) else BigInt(0)) }
+      }
+      cur
+    }
+    val cells = Seq(
+      ("en", "s1", 70L), ("en", "s2", 30L),
+      ("de", "s1", 10L), ("de", "s2", 40L),
+      ("fr", "s1", 20L), ("fr", "s2", 30L))
+    val df = cells.flatMap { case (r, c, n) => Seq.fill(n.toInt)((r, c)) }
+      .toDF("lang", "source")
+    val got = Curation.ipfRake(df, "lang", "source", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> BigInt(r.getLong(3))).toMap
+    assert(got === replay(cells, 4))
+    // Marginal convergence on the fitted table: every lang row sum
+    // within 0.1% of the uniform target (the final pass is a col
+    // pass, so rows re-drift a little; this skewed fixture converges
+    // to ~0.04% after 4 rounds), source col sums within 1e-3 e6
+    // units of observed (the col pass restores them up to
+    // truncation).
+    val rte6 = BigInt(200) * 1000000 / 3
+    val rs = got.toSeq.groupBy(_._1._1).map { case (_, g) => g.map(_._2).sum }
+    assert(rs.forall(s => (s - rte6).abs < rte6 / 1000), rs.toString)
+    val obs = Map("s1" -> BigInt(100), "s2" -> BigInt(100))
+    val cs = got.toSeq.groupBy(_._1._2).map { case (c, g) => c -> g.map(_._2).sum }
+    assert(cs.forall { case (c, s) => (s - obs(c) * 1000000).abs < 1000 }, cs.toString)
+    // A zero line cannot arise from positive counts (scaling a
+    // positive cell by positive targets keeps it nonnegative and the
+    // guard division never sees a 0 marginal with these counts) —
+    // pin that the when-guard path still yields a full frame.
+    assert(got.values.forall(_ >= 0))
+    // maxCells guard trips loud.
+    val e = intercept[Exception](Curation.ipfRake(df, "lang", "source",
+      rounds = 2, maxCells = 3).collect())
+    assert(e.getMessage.contains("3 cells"))
+  }
+
   test("memorizationRisk: exact overlap fractions; all three tiers bind") {
     import spark.implicits._
     // Train contains "a b c d" (3-grams: abc, bcd). Eval docs:
