@@ -693,4 +693,64 @@ object HashOps {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
       Array[Any](count, score))
   }
+
+  /** Longest repeated token n-gram, per document — `[lrg_len,
+    * n_repeated]` where `lrg_len` is the largest L ≤ maxL such that
+    * some L-token window occurs at least twice in `toks`, and
+    * `n_repeated` is the number of DISTINCT repeated L-grams at that
+    * length (both 0 when all tokens are distinct). Grams are keyed
+    * by the window's tokens joined with U+0001 — the operator's
+    * documented key contract, shared verbatim by the SQL oracle.
+    *
+    * Binary search over L: "some L-gram repeats" is monotone
+    * decreasing in L (two equal L-windows contain two equal (L−1)-
+    * windows at the same offsets), so ⌈log₂ maxL⌉ + 1 single-pass
+    * hash probes of O(n·L) chars each decide the maximum — O(n·maxL
+    * ·log maxL) worst case per document instead of the naive
+    * O(n·maxL²) all-L census, and embarrassingly parallel across
+    * documents (a per-row kernel; the corpus never shuffles). */
+  def longestRepeatedGram(toks: ArrayData, maxL: Int): ArrayData = {
+    val n = toks.numElements()
+    def tok(i: Int): String = {
+      val u = toks.getUTF8String(i)
+      if (u == null) "" else u.toString
+    }
+    // counts repeated grams at length L; returns -1 the moment a
+    // repeat exists when `firstOnly` (the binary-search probe needs
+    // only existence), else the full distinct-repeated count.
+    def probe(l: Int, firstOnly: Boolean): Long = {
+      val seen = new java.util.HashMap[String, Integer]()
+      var repeated = 0L
+      val sb = new java.lang.StringBuilder()
+      var i = 0
+      while (i <= n - l) {
+        sb.setLength(0)
+        var j = 0
+        while (j < l) {
+          if (j > 0) sb.append('\u0001')
+          sb.append(tok(i + j))
+          j += 1
+        }
+        val key = sb.toString
+        val prev = seen.put(key, Integer.valueOf(1))
+        if (prev != null) {
+          if (firstOnly) return -1L
+          if (prev.intValue() == 1) repeated += 1L
+          seen.put(key, Integer.valueOf(prev.intValue() + 1))
+        }
+        i += 1
+      }
+      repeated
+    }
+    var lo = 1
+    var hi = math.min(maxL, n - 1)
+    var best = 0
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (probe(mid, firstOnly = true) == -1L) { best = mid; lo = mid + 1 }
+      else hi = mid - 1
+    }
+    val nRep = if (best > 0) probe(best, firstOnly = false) else 0L
+    new GenericArrayData(Array[Long](best.toLong, nRep))
+  }
 }

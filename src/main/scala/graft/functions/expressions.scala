@@ -602,6 +602,29 @@ case class BoundedLevenshtein(left: Expression, right: Expression, maxEdits: Int
     copy(left = l, right = r)
 }
 
+/** Longest repeated token n-gram per document ([[HashOps
+  * .longestRepeatedGram]]): `[lrg_len, n_repeated]` over a token
+  * array, L capped at `maxL`. The repetition fingerprint
+  * complementing the cross-doc shingle spans (q92/q93) with a
+  * WITHIN-doc signal — decided by a binary search over L (repeat
+  * existence is monotone in L), one hash pass per probe. */
+case class LongestRepeatedGram(child: Expression, maxL: Int)
+    extends UnaryExpression {
+  require(maxL >= 1 && maxL <= 64, "maxL must be in [1, 64]")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.longestRepeatedGram(v.asInstanceOf[ArrayData], maxL)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.longestRepeatedGram($c, $maxL)")
+
+  override protected def withNewChildInternal(c: Expression): LongestRepeatedGram =
+    copy(child = c)
+}
+
 /** Dot product of two equal-length array<double> columns,
   * left-to-right accumulation ([[HashOps.dot]]). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -946,6 +969,8 @@ object GraftFunctions {
   def sorted_intersect_count(a: Column, b: Column): Column =
     col(SortedIntersectCount(expr(a), expr(b)))
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
+  def longest_repeated_gram(c: Column, maxL: Int): Column =
+    col(LongestRepeatedGram(expr(c), maxL))
   def bounded_levenshtein(a: Column, b: Column, maxEdits: Int): Column =
     col(BoundedLevenshtein(expr(a), expr(b), maxEdits))
   def pq_encode(c: Column, m: Int, dsub: Int, ksub: Int,

@@ -1076,9 +1076,10 @@ object Curation {
     * Scale shape: ONE corpus shuffle builds the (row, col, n)
     * census (map-side combined); the `maxCells` fail-fast bounds
     * everything after it BY CONSTRUCTION (the [[graft.operators
-    * .Stats.boundedCensus]] discipline), so the 2×`rounds` window
-    * passes and the two broadcast target attaches run over a frame
-    * that cannot exceed `maxCells` rows no matter the corpus.
+    * .Stats.boundedCensus]] discipline), so the 2×`rounds` scaling
+    * passes and the in-frame target windows run over a single-
+    * partition frame that cannot exceed `maxCells` rows no matter
+    * the corpus.
     * Headroom: cell ≤ total·10⁶ and the per-pass product
     * cell·target_e6 ≤ (total·10⁶)² needs total ≤ 10¹² rows inside
     * decimal(38,0) — guarded loud. */
@@ -1090,28 +1091,34 @@ object Curation {
       .filter(col(rowCol).isNotNull && col(colCol).isNotNull)
       .groupBy(col(rowCol).as("__r"), col(colCol).as("__c"))
       .agg(count(lit(1)).as("n"))
-    // Scalar targets: total count, distinct row count (uniform row
-    // target = total div n_rows), attached by broadcast cross join —
-    // the scalar-aggregate-attach pattern, never a corpus shuffle.
-    val tot = census.agg(
-      sum(col("n")).as("__total"), countDistinct(col("__r")).as("__nr"))
+    // Targets computed IN-FRAME by census-space windows rather than
+    // separate aggregates + joins: deriving `total`/`n_rows`/col
+    // totals as standalone frames re-runs the corpus census once per
+    // derivation (no plan reuse without caching — three corpus scans
+    // for a hundred-row frame). The empty partitionBy() window
+    // requires AllTuples, which collapses the census to ONE
+    // partition; every later window pass then runs exchange-free
+    // (SinglePartition satisfies any ClusteredDistribution) — safe
+    // because the guard bounds the frame at maxCells rows by
+    // construction.
+    val wAll = Window.partitionBy()
+    val base = census
+      .withColumn("__cells", count(lit(1)).over(wAll))
+      .withColumn("__total", sum(col("n")).over(wAll))
       .withColumn("__total", when(col("__total") <= 1000000000000L, col("__total"))
         .otherwise(raise_error(lit(
           "ipfRake: total > 1e12 — e6 fixed-point headroom (decimal(38,0)) exceeded")).cast("long")))
-      .withColumn("__rte6",
-        expr("(CAST(__total AS DECIMAL(38,0)) * 1000000) div CAST(__nr AS DECIMAL(38,0))"))
-      .select(col("__rte6"))
-    val colTargets = census.groupBy(col("__c"))
-      .agg((sum(col("n")).cast("decimal(38,0)") * lit(1000000L)).as("__cte6"))
-    val base = census
-      .withColumn("__cells", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("__nr", size(collect_set(col("__r")).over(wAll)))
       .withColumn("cell", when(col("__cells") <= maxCells,
           col("n").cast("decimal(38,0)") * lit(1000000L))
         .otherwise(raise_error(lit(
           s"ipfRake: census exceeds $maxCells cells — coarsen the strata upstream")).cast("decimal(38,0)")))
-      .drop("__cells")
-      .crossJoin(broadcast(tot))
-      .join(broadcast(colTargets), "__c")
+      .withColumn("__rte6",
+        expr("(CAST(__total AS DECIMAL(38,0)) * 1000000) div CAST(__nr AS DECIMAL(38,0))"))
+      .withColumn("__cte6",
+        sum(col("n")).over(Window.partitionBy(col("__c"))).cast("decimal(38,0)") *
+          lit(1000000L))
+      .drop("__cells", "__total", "__nr")
     var cur = base
     for (_ <- 1 to rounds) {
       cur = cur

@@ -1290,6 +1290,48 @@ object TextQueries {
         .orderBy("lang", "source")
     },
 
+    // ---- q216: longest repeated token n-gram per document — the
+    // WITHIN-doc repetition fingerprint beside the cross-doc shingle
+    // spans (q92/q93) and the char-level repetition ratios (q28): a
+    // high lrg_len marks boilerplate/loop spam (the memorization-
+    // prone shape q162 scores across docs). The engine side is a
+    // per-row codegen kernel — binary search over L (repeat
+    // existence is monotone: equal L-windows contain equal (L−1)-
+    // windows), ~5 hash passes/doc, corpus never shuffles, no
+    // explode; the oracle IS the naive all-(L, position) gram
+    // census, so the gate proves the O(n·log maxL) kernel equals the
+    // O(n·maxL) definition doc-for-doc. Gram keys are tokens joined
+    // with U+0001 on both sides (the kernel's documented contract).
+    Q("q216_longest_repeated_gram", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                        CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+                 FROM documents),
+      pl AS (SELECT doc_id, toks, nt, UNNEST(range(1, 17)) AS l FROM t),
+      pp AS (SELECT doc_id, l,
+                    UNNEST(range(1, CAST(nt - l + 2 AS BIGINT))) AS i, toks
+             FROM pl),
+      g AS (SELECT doc_id, l, array_to_string(toks[i:i + l - 1], chr(1)) AS gram
+            FROM pp),
+      dups AS (SELECT doc_id, l, gram FROM g GROUP BY 1, 2, 3 HAVING COUNT(*) >= 2),
+      rep AS (SELECT doc_id, l, CAST(COUNT(*) AS BIGINT) AS n_rep
+              FROM dups GROUP BY 1, 2),
+      best AS (SELECT doc_id, CAST(MAX(l) AS BIGINT) AS lrg_len FROM rep GROUP BY 1)
+      SELECT t.doc_id, t.nt AS n_tokens,
+             COALESCE(best.lrg_len, 0) AS lrg_len,
+             COALESCE(rep.n_rep, 0) AS n_repeated
+      FROM t LEFT JOIN best USING (doc_id)
+             LEFT JOIN rep ON rep.doc_id = t.doc_id AND rep.l = best.lrg_len
+      ORDER BY t.doc_id""")) { (s, d) =>
+      val toks = split(col("text"), " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          GraftFunctions.longest_repeated_gram(toks, 16).as("__lrg"))
+        .select(col("doc_id"), col("n_tokens"),
+          element_at(col("__lrg"), 1).as("lrg_len"),
+          element_at(col("__lrg"), 2).as("n_repeated"))
+        .orderBy("doc_id")
+    },
+
     // ---- q128: leakage-safe train/val/test split — docs assigned by
     // hashing their exact-duplicate-group REPRESENTATIVE (q20's
     // canonical fingerprint, min-id rep), so duplicates can never

@@ -99,4 +99,44 @@ class TextFunctionsSpec extends SparkSuite {
       assert(HashOps.h60Memo(b) == HashOps.h60(b), s"collision eviction broke '$s'")
     }
   }
+
+  test("longest_repeated_gram ≡ naive all-L census; pins and edges") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    // Naive replay: for every L in [1,16] count distinct grams (the
+    // U+0001-joined key contract) occurring >= 2 times.
+    def naive(toks: Seq[String], maxL: Int): (Long, Long) = {
+      val byL = (1 to math.min(maxL, math.max(toks.size - 1, 0))).flatMap { l =>
+        val counts = toks.sliding(l).filter(_.size == l)
+          .map(_.mkString("")).toSeq.groupBy(identity).values.map(_.size)
+        val rep = counts.count(_ >= 2)
+        if (rep > 0) Some((l, rep.toLong)) else None
+      }
+      if (byL.isEmpty) (0L, 0L) else {
+        val (l, r) = byL.maxBy(_._1); (l.toLong, r)
+      }
+    }
+    val gen = Gen.listOfN(30, Gen.oneOf("a", "b", "c", "ab"))
+    for (toks <- graft.PropSampling.sample(gen, n = 12)) {
+      val got = Seq(toks.mkString(" ")).toDF("text")
+        .select(GraftFunctions.longest_repeated_gram(
+          split(col("text"), " "), 16).as("g"))
+        .select(element_at(col("g"), 1), element_at(col("g"), 2))
+        .as[(Long, Long)].collect().head
+      assert(got === naive(toks, 16), s"diverged on $toks")
+    }
+    // Pins: full self-repeat, boilerplate loop, all-distinct, single
+    // token, and the maxL cap.
+    def run(text: String, maxL: Int = 16): (Long, Long) =
+      Seq(text).toDF("text")
+        .select(GraftFunctions.longest_repeated_gram(
+          split(col("text"), " "), maxL).as("g"))
+        .select(element_at(col("g"), 1), element_at(col("g"), 2))
+        .as[(Long, Long)].collect().head
+    assert(run("x y x y x y") === ((4L, 1L)))   // "x y x y" repeats (positions 1 and 3)
+    assert(run("a b c a b c") === ((3L, 1L)))   // "a b c" twice, no 4-gram repeat
+    assert(run("a b c d") === ((0L, 0L)))       // all distinct
+    assert(run("a") === ((0L, 0L)))             // single token: no pair possible
+    assert(run("a a a a a a a a", maxL = 3) === ((3L, 1L))) // cap binds
+  }
 }
