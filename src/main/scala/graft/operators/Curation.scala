@@ -1054,6 +1054,38 @@ object Curation {
         i => array_join(slice(toks, i * windowTokens + 1, lit(windowTokens)), " ")))
   }
 
+  /** Unigram surprisal scoring — the CCNet-style "perplexity filter"
+    * quality signal in exact integer form: every document scored by
+    * the total surprisal of its tokens under the CORPUS unigram
+    * distribution, `Σ_occurrences (log₂ T − log₂ c(tok))` in the
+    * 1/16-bit integer log2 units of [[flog2qSql]] (bits/token =
+    * surprisal_fp / 16 / n_tokens consumer-side). Low bits/token =
+    * repetitive/templated text, high = rare-token soup — the two
+    * tails a perplexity filter drops. No smoothing needed: every
+    * scored token is in the census by construction, so counts are
+    * ≥ 1 and the per-token term is ≥ 0. Exact longs end to end —
+    * the frame hash-gates.
+    *
+    * Scale shape: one explode → token census (map-side combined,
+    * vocabulary-bounded) → equi-join of the exploded corpus back to
+    * the census on the token key (co-partitioned shuffle join — at
+    * web scale the vocabulary outgrows a broadcast, so the join IS
+    * the right primitive) → per-doc sum (one more shuffle on the
+    * id). The census total attaches as a broadcast scalar. */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("__tok"))
+    val census = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val tot = census.agg(sum(col("__c")).as("__tt"))
+    toks.join(census, "__tok")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        expr(s"${flog2qSql("__tt")} - ${flog2qSql("__c")}").as("__surp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__surp")).as("surprisal_fp"))
+  }
+
   /** Iterative proportional fitting (IPF / raking, the classic
     * contingency-table balancer; Sinkhorn's algorithm on counts) of
     * the corpus mix over two strata axes — the constrained partner

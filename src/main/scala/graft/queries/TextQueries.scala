@@ -1290,6 +1290,28 @@ object TextQueries {
         .orderBy("lang", "source")
     },
 
+    // ---- q218: unigram surprisal — the CCNet-style perplexity
+    // filter in exact integers: per-doc total surprisal under the
+    // corpus unigram distribution, 1/16-bit log2 units (flog2q).
+    // Low bits/token = templated text, high = rare-token soup — the
+    // quality filter's two drop tails, complementing q94's trained
+    // classifier and q26's heuristics with a corpus-relative signal.
+    // One explode → vocab-bounded census → co-partitioned token
+    // join-back → per-doc sum; total attaches broadcast.
+    Q("q218_unigram_surprisal", Some(s"""
+      WITH t AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                 FROM documents),
+      c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cc FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS tt FROM c)
+      SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM((${graft.operators.Curation.flog2qSql("tot.tt")})
+                    - (${graft.operators.Curation.flog2qSql("c.cc")})) AS BIGINT)
+               AS surprisal_fp
+      FROM t JOIN c USING (tok) CROSS JOIN tot
+      GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      Curation.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
     // ---- q216: longest repeated token n-gram per document — the
     // WITHIN-doc repetition fingerprint beside the cross-doc shingle
     // spans (q92/q93) and the char-level repetition ratios (q28): a

@@ -39,6 +39,51 @@ object VectorQueries {
                 AS BIGINT) AS v FROM w$k)"""
     }.mkString
 
+  /** Unrolled beam-walk oracle (q217): the exact top-`m` adjacency,
+    * then `hops` (expand → score → cut-to-beam) CTE layers, then the
+    * final top-`k` over the last hop's candidate pool. MATERIALIZED
+    * on the quadratic fit and per-hop scoring for the same CTE-
+    * inlining reason as [[pcaOracleRounds]]. */
+  private def graphAnnOracle(m: Int, beam: Int, hops: Int, k: Int): String = {
+    val head = oracleProlog + s""",
+      pm AS MATERIALIZED (SELECT vec_id, v, nrm FROM p),
+      sims AS MATERIALIZED (
+        SELECT a.vec_id AS i, b.vec_id AS j,
+               list_inner_product(a.v, b.v) / (a.nrm * b.nrm) AS s
+        FROM pm a JOIN pm b ON b.vec_id <> a.vec_id),
+      adj AS MATERIALIZED (
+        SELECT i, j FROM (
+          SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY s DESC, j) AS rn
+          FROM sims) WHERE rn <= $m),
+      q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM pm WHERE vec_id < 10),
+      e AS (SELECT MIN(vec_id) AS node FROM pm),
+      f0 AS (SELECT q.query_id, e.node FROM q, e)"""
+    val hopSql = (1 to hops).map { h =>
+      val prev = s"f${h - 1}"
+      s""",
+      c$h AS (SELECT DISTINCT query_id, node FROM (
+          SELECT query_id, node FROM $prev
+          UNION ALL
+          SELECT $prev.query_id, adj.j AS node FROM $prev JOIN adj ON adj.i = $prev.node)),
+      s$h AS MATERIALIZED (SELECT c$h.query_id, c$h.node,
+               list_inner_product(pm.v, q.qv) / (pm.nrm * q.qn) AS s
+             FROM c$h JOIN pm ON pm.vec_id = c$h.node
+                      JOIN q ON q.query_id = c$h.query_id),
+      f$h AS (SELECT query_id, node FROM (
+          SELECT query_id, node,
+                 row_number() OVER (PARTITION BY query_id ORDER BY s DESC, node) AS rn
+          FROM s$h) WHERE rn <= $beam)"""
+    }.mkString
+    head + hopSql + s"""
+      SELECT query_id, node AS neighbor_id,
+             CAST(rank AS BIGINT) AS rank, round(s, 6) AS sim
+      FROM (SELECT query_id, node, s,
+                   row_number() OVER (PARTITION BY query_id ORDER BY s DESC, node) AS rank
+            FROM s$hops WHERE node <> query_id)
+      WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
   val qs: Seq[Q] = Seq(
 
     // ---- q30: exact top-5 cosine neighbors for queries vec_id < 10.
@@ -1426,5 +1471,23 @@ object VectorQueries {
       graft.operators.Stats.spearman(emb, "vec_id",
         floor(element_at(col("e"), 1) * 8 + 0.5d),
         floor(element_at(col("e"), 2) * 8 + 0.5d))
+    },
+
+    // ---- q217: graph-ANN beam search — the navigable-small-world
+    // probe shape (HNSW's layer-0 walk) completing the ANN family:
+    // q30 is exact, q32/q33/q103 bucket by geometry (LSH/IVF/PQ),
+    // this walks a FITTED k-NN graph from a deterministic entry with
+    // a width-4 beam for 3 hops, scoring only ~beam·m candidates per
+    // hop. No visited-set (documented deviation from ef-search) so
+    // the walk is a pure function of (graph, entry, query) and the
+    // oracle replays it verbatim as unrolled hop CTEs over the same
+    // exact top-m adjacency. Approximate BY DESIGN: recall vs exact
+    // q30 is pinned in SimilaritySpec; the GATE is exact because
+    // both engines walk the identical deterministic trajectory.
+    Q("q217_graph_ann_beam", Some(graphAnnOracle(m = 8, beam = 4, hops = 3, k = 5))) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      Similarity.graphAnnBeam(emb, emb.filter(col("vec_id") < 10),
+          k = 5, m = 8, beam = 4, hops = 3)
+        .orderBy("query_id", "rank")
     })
 }

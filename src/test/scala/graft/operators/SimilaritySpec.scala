@@ -37,6 +37,31 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("graph-ANN beam recall vs exact; determinism; fit guard trips") {
+    val got = pairs(Similarity.graphAnnBeam(emb, queries, k = 5, m = 8,
+      beam = 4, hops = 3))
+    val recall = (got & exact).size.toDouble / exact.size
+    // A 3-hop width-4 walk over an m=8 exact-kNN graph from a single
+    // fixed entry: empirical floor for this corpus — below it the
+    // graph build or the walk regressed.
+    assert(recall >= 0.3, s"graph-ANN recall $recall")
+    assert(got.size <= 50)
+    // Pure function of (graph, entry, query): re-running the walk
+    // must reproduce the pair set exactly.
+    val again = pairs(Similarity.graphAnnBeam(emb, queries, k = 5, m = 8,
+      beam = 4, hops = 3))
+    assert(again === got)
+    // More hops can only refine toward exact (never below the
+    // 1-hop-from-entry baseline on this corpus).
+    val oneHop = pairs(Similarity.graphAnnBeam(emb, queries, k = 5, m = 8,
+      beam = 4, hops = 1))
+    val r1 = (oneHop & exact).size.toDouble / exact.size
+    assert(recall >= r1 - 1e-9, s"3-hop $recall vs 1-hop $r1")
+    val e = intercept[IllegalArgumentException](
+      Similarity.graphAnnBeam(emb, queries, k = 5, maxFitRows = 3))
+    assert(e.getMessage.contains("exceeds 3 rows"))
+  }
+
   test("LSH near-dup pairs ⊆ exact pairs, and catch every synthesized twin") {
     import graft.functions.VectorFunctions.asDouble
     // Twin construction mirrors q57: every 10th vector duplicated
