@@ -694,6 +694,68 @@ object HashOps {
       Array[Any](count, score))
   }
 
+  /** Winnowing fingerprints (Schleimer–Wilkerson–Aiken, the MOSS
+    * scheme), per document: over the sequence of `k`-token-gram
+    * hashes (h60 of the space-joined gram — engine-portable md5),
+    * every window of `w` consecutive gram positions selects its
+    * minimum hash with RIGHTMOST tie-break, and the fingerprint set
+    * is the union of selections (consecutive windows usually re-
+    * select the same position, so density ≈ 2/(w+1)). The guarantee
+    * that makes it a dedup/plagiarism fingerprint: any shared token
+    * run of ≥ w+k−1 tokens produces at least one IDENTICAL
+    * (hash, aligned-position) fingerprint in both documents.
+    * Returns array<struct<pos, hash>> with 1-based gram positions,
+    * ascending; documents with fewer than w grams fingerprint to
+    * empty (no full window). Single forward pass with a monotonic
+    * deque — O(n) per document, embarrassingly parallel, no explode
+    * until the (already ~2/(w+1)-sparse) output. Positions are
+    * bounded at 2^20−1 grams/doc (guarded loud) so the oracle can
+    * pack its (hash, −pos) argmin key into one HUGEINT. */
+  def winnowFingerprints(toks: ArrayData, k: Int, w: Int): ArrayData = {
+    val nTok = toks.numElements()
+    val n = nTok - k + 1
+    if (n < w) return new GenericArrayData(Array.empty[Any])
+    if (n > 1048575)
+      throw new IllegalArgumentException(
+        "winnowFingerprints: more than 2^20-1 grams in one document — chunk upstream")
+    val hs = new Array[Long](n)
+    val buf = new java.io.ByteArrayOutputStream(64)
+    var i = 0
+    while (i < n) {
+      buf.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) buf.write(' ')
+        val u = toks.getUTF8String(i + j)
+        if (u != null) buf.write(u.getBytes)
+        j += 1
+      }
+      hs(i) = h60(buf.toByteArray)
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val deque = new java.util.ArrayDeque[Int]()
+    var last = -1
+    i = 0
+    while (i < n) {
+      // >= pop: an equal hash later in the window takes the front —
+      // the rightmost tie-break the oracle's (hash, -pos) key encodes.
+      while (!deque.isEmpty && hs(deque.peekLast()) >= hs(i)) deque.pollLast()
+      deque.addLast(i)
+      if (deque.peekFirst() <= i - w) deque.pollFirst()
+      if (i >= w - 1) {
+        val sel = deque.peekFirst()
+        if (sel != last) {
+          out += new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any]((sel + 1).toLong, hs(sel)))
+          last = sel
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** Longest repeated token n-gram, per document — `[lrg_len,
     * n_repeated]` where `lrg_len` is the largest L ≤ maxL such that
     * some L-token window occurs at least twice in `toks`, and

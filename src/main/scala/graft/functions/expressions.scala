@@ -625,6 +625,31 @@ case class LongestRepeatedGram(child: Expression, maxL: Int)
     copy(child = c)
 }
 
+/** Winnowing fingerprints per document ([[HashOps
+  * .winnowFingerprints]]): array<struct<pos, hash>> of the MOSS
+  * rightmost-min window selections over k-token-gram h60 hashes —
+  * the position-aligned dedup/plagiarism fingerprint complementing
+  * MinHash (set-similarity) and SimHash (distributional). */
+case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 64 && w >= 1 && w <= 1024,
+    "k must be in [1, 64], w in [1, 1024]")
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("pos", LongType, nullable = false),
+    StructField("hash", LongType, nullable = false))), containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    HashOps.winnowFingerprints(v.asInstanceOf[ArrayData], k, w)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HashOps.winnowFingerprints($c, $k, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
+    copy(child = c)
+}
+
 /** Dot product of two equal-length array<double> columns,
   * left-to-right accumulation ([[HashOps.dot]]). */
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
@@ -971,6 +996,8 @@ object GraftFunctions {
   def dot_product(a: Column, b: Column): Column = col(DotProduct(expr(a), expr(b)))
   def longest_repeated_gram(c: Column, maxL: Int): Column =
     col(LongestRepeatedGram(expr(c), maxL))
+  def winnow_fingerprints(c: Column, k: Int, w: Int): Column =
+    col(WinnowFingerprints(expr(c), k, w))
   def bounded_levenshtein(a: Column, b: Column, maxEdits: Int): Column =
     col(BoundedLevenshtein(expr(a), expr(b), maxEdits))
   def pq_encode(c: Column, m: Int, dsub: Int, ksub: Int,

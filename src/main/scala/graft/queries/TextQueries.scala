@@ -1312,6 +1312,47 @@ object TextQueries {
       Curation.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
     },
 
+    // ---- q219: winnowing fingerprints (MOSS) — the position-
+    // aligned document fingerprint beside MinHash (q21, set
+    // similarity) and SimHash (q23, distributional): every window of
+    // w=4 consecutive 3-gram hashes selects its rightmost minimum,
+    // so any shared run of ≥ w+k−1 tokens yields an identical
+    // (hash, aligned-pos) fingerprint in both docs — the guarantee
+    // substring-matching dedup (plagiarism, license-text, quote
+    // detection) needs and set-similarity schemes can't give. The
+    // engine side is a per-row monotonic-deque kernel (O(n)/doc, no
+    // explode before the ~2/(w+1)-sparse output); the oracle IS the
+    // naive all-windows argmin census (the q216 discipline), with
+    // the rightmost tie encoded as an (hash·2^20 + (2^20−1−pos))
+    // HUGEINT argmin key — positions guarded < 2^20 in the kernel.
+    Q("q219_winnow_fingerprints", Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      n AS (SELECT doc_id, toks,
+                   CAST(len(toks) - 2 AS BIGINT) AS ng FROM t),
+      g AS (SELECT doc_id, toks,
+                   UNNEST(range(1, CAST(GREATEST(ng + 1, 1) AS BIGINT))) AS pos
+            FROM n),
+      h AS (SELECT doc_id, pos,
+                   ('0x' || substr(md5(array_to_string(toks[pos:pos+2], ' ')), 1, 15))::BIGINT AS hash
+            FROM g),
+      s AS (SELECT doc_id, pos,
+                   arg_min(pos, CAST(hash AS HUGEINT) * 1048576 + (1048575 - pos)) OVER
+                     (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS spos
+            FROM h),
+      f AS (SELECT DISTINCT doc_id, spos AS pos FROM s WHERE s.pos >= 4)
+      SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, h.hash AS fp_hash
+      FROM f JOIN h ON h.doc_id = f.doc_id AND h.pos = f.pos
+      ORDER BY f.doc_id, f.pos""")) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(GraftFunctions.winnow_fingerprints(
+            split(col("text"), " "), 3, 4)).as("fp"))
+        .select(col("doc_id"), col("fp.pos").as("pos"),
+          col("fp.hash").as("fp_hash"))
+        .orderBy("doc_id", "pos")
+    },
+
     // ---- q216: longest repeated token n-gram per document — the
     // WITHIN-doc repetition fingerprint beside the cross-doc shingle
     // spans (q92/q93) and the char-level repetition ratios (q28): a

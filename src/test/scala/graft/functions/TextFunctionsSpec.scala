@@ -100,6 +100,49 @@ class TextFunctionsSpec extends SparkSuite {
     }
   }
 
+  test("winnow_fingerprints ≡ naive all-windows argmin; guarantee + edges") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    val K = 3; val W = 4
+    def h60(s: String): Long = HashOps.h60(s.getBytes("UTF-8"))
+    // Naive replay: every window picks its (hash ASC, pos DESC)
+    // argmin; fingerprints = distinct selections, position-ordered.
+    def naive(toks: Seq[String]): Seq[(Long, Long)] = {
+      val grams = toks.sliding(K).filter(_.size == K).map(_.mkString(" ")).toVector
+      val hs = grams.map(h60)
+      if (hs.size < W) Seq.empty
+      else (W - 1 until hs.size).map { p =>
+        (p - W + 1 to p).minBy(i => (hs(i), -i))
+      }.distinct.sorted.map(i => ((i + 1).toLong, hs(i)))
+    }
+    def run(toks: Seq[String]): Seq[(Long, Long)] =
+      Seq(toks.mkString(" ")).toDF("text")
+        .select(explode(GraftFunctions.winnow_fingerprints(
+          split(col("text"), " "), K, W)).as("fp"))
+        .select(col("fp.pos"), col("fp.hash")).as[(Long, Long)]
+        .collect().toSeq
+    val gen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "ab")))
+    for (toks <- graft.PropSampling.sample(gen, n = 15)) {
+      assert(run(toks) === naive(toks), s"diverged on $toks")
+    }
+    // The winnowing guarantee: two docs sharing a token run of
+    // length >= w+k-1 share at least one identical (hash) fingerprint
+    // at the aligned offset.
+    val shared = Seq("x1", "x2", "x3", "x4", "x5", "x6") // w+k-1 = 6
+    val d1 = Seq("p", "q") ++ shared ++ Seq("r")
+    val d2 = Seq("s") ++ shared ++ Seq("t", "u", "v")
+    val f1 = run(d1).map(_._2).toSet
+    val f2 = run(d2).map(_._2).toSet
+    val sharedGramHashes = shared.sliding(K).map(_.mkString(" ")).map(h60).toSet
+    assert((f1 & f2 & sharedGramHashes).nonEmpty,
+      "shared >= w+k-1 token run must share a fingerprint")
+    // Shorter than w grams -> empty; exactly w grams -> one window.
+    assert(run(Seq("a", "b", "c")) === Seq.empty)           // 1 gram < w
+    val six = Seq("a", "b", "c", "d", "e", "f")             // 4 grams = w
+    assert(run(six).size >= 1)
+  }
+
   test("longest_repeated_gram ≡ naive all-L census; pins and edges") {
     import spark.implicits._
     import org.scalacheck.Gen
