@@ -1126,4 +1126,63 @@ object Dedup {
       .join(comps.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("comp"), col(idCol)).as("component_id"))
   }
+
+  /** Span-overlap pair detection via winnowing-fingerprint
+    * collisions — the POSITION-AWARE near-dup channel beside MinHash
+    * (whole-document set similarity): two documents that share a
+    * verbatim token run of ≥ w+k−1 tokens are guaranteed to collide
+    * on at least one [[graft.functions.HashOps.winnowFingerprints]]
+    * fingerprint, so fingerprint-bucket pairs ARE the candidate set
+    * for copied-span detection (quotes, license boilerplate,
+    * plagiarism) that document-level Jaccard dilutes away. Emits one
+    * row per pair with `n_shared` distinct colliding fingerprints
+    * (≥ `minShared`), plus the ALIGNMENT evidence: `delta` = the
+    * position offset (b − a) with the most fingerprint support and
+    * `n_aligned` = that support — colliding fingerprints at one
+    * consistent offset are a contiguous copied span, scattered
+    * offsets are phrase-level noise. Tie on support → smallest
+    * delta, so the frame hash-gates.
+    *
+    * Scale shape: fingerprints are already ~2/(w+1)-sparse; buckets
+    * ABOVE `maxBucket` are DROPPED as stop-fingerprints (ubiquitous
+    * boilerplate phrases — the stopword treatment, and the same
+    * hot-bucket discipline as the LSH hot-band guard, except
+    * dropping is the CORRECT semantics here: a phrase in hundreds of
+    * documents is not copied-span evidence), so the self-join is
+    * bounded at maxBucket² pairs per bucket and the plan never goes
+    * all-pairs. One fingerprint census, one bounded bucket join, two
+    * bounded pair aggregates. */
+  def winnowOverlapPairs(docs: DataFrame, k: Int = 3, w: Int = 4,
+                         minShared: Int = 3, maxBucket: Int = 64,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(minShared >= 1 && maxBucket >= 2, "minShared >= 1, maxBucket >= 2")
+    val fp = docs.select(col(idCol).as("__id"),
+        explode(GraftFunctions.winnow_fingerprints(
+          split(col(textCol), " "), k, w)).as("__fp"))
+      .select(col("__id"), col("__fp.pos").as("__pos"), col("__fp.hash").as("__h"))
+    val keep = fp.groupBy(col("__h")).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") <= maxBucket)
+      .select(col("__h"))
+    val f2 = fp.join(keep, "__h")
+    val pairs = f2.select(col("__h"), col("__id").as("doc_a"), col("__pos").as("__pa"))
+      .join(f2.select(col("__h"), col("__id").as("doc_b"), col("__pos").as("__pb")), "__h")
+      .filter(col("doc_b") > col("doc_a"))
+    val shared = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("__h")).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    val aligned = pairs
+      .groupBy(col("doc_a"), col("doc_b"), (col("__pb") - col("__pa")).as("delta"))
+      .agg(count(lit(1)).as("__cnt"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      // max by (support DESC, delta ASC): struct comparison on
+      // (cnt, -delta) then read the carried delta back out.
+      .agg(max(struct(col("__cnt"), (-col("delta")).as("__nd"),
+        col("delta"))).as("__best"))
+      .select(col("doc_a"), col("doc_b"),
+        col("__best.__cnt").as("n_aligned"), col("__best.delta").as("delta"))
+    shared.join(aligned, Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("n_aligned"), col("delta"))
+  }
 }

@@ -16,6 +16,29 @@ import graft.operators.{CharLm, Curation, Dedup, ExactSubstring, LangId, Quality
   */
 object TextQueries {
 
+  /** The winnowing-fingerprint CTE chain (q219's oracle body, shared
+    * by q220's pair join): grams → h60 hashes → windowed rightmost-
+    * min argmin → distinct selections joined back to their hash.
+    * Yields a CTE named `fp(doc_id, pos, fp_hash)`. */
+  private val winnowFpCtes: String = """
+      t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      n AS (SELECT doc_id, toks,
+                   CAST(len(toks) - 2 AS BIGINT) AS ng FROM t),
+      g AS (SELECT doc_id, toks,
+                   UNNEST(range(1, CAST(GREATEST(ng + 1, 1) AS BIGINT))) AS pos
+            FROM n),
+      h AS (SELECT doc_id, pos,
+                   ('0x' || substr(md5(array_to_string(toks[pos:pos+2], ' ')), 1, 15))::BIGINT AS hash
+            FROM g),
+      s AS (SELECT doc_id, pos,
+                   arg_min(pos, CAST(hash AS HUGEINT) * 1048576 + (1048575 - pos)) OVER
+                     (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS spos
+            FROM h),
+      f AS (SELECT DISTINCT doc_id, spos AS pos FROM s WHERE s.pos >= 4),
+      fp AS (SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, h.hash AS fp_hash
+             FROM f JOIN h ON h.doc_id = f.doc_id AND h.pos = f.pos)"""
+
   /** Unrolled IPF oracle (q215): `rounds` alternating row/col raking
     * passes over the (source, lang) census as chained CTEs — DuckDB
     * has recursive CTEs but unrolling keeps every round's integer
@@ -1325,25 +1348,10 @@ object TextQueries {
     // naive all-windows argmin census (the q216 discipline), with
     // the rightmost tie encoded as an (hash·2^20 + (2^20−1−pos))
     // HUGEINT argmin key — positions guarded < 2^20 in the kernel.
-    Q("q219_winnow_fingerprints", Some("""
-      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      n AS (SELECT doc_id, toks,
-                   CAST(len(toks) - 2 AS BIGINT) AS ng FROM t),
-      g AS (SELECT doc_id, toks,
-                   UNNEST(range(1, CAST(GREATEST(ng + 1, 1) AS BIGINT))) AS pos
-            FROM n),
-      h AS (SELECT doc_id, pos,
-                   ('0x' || substr(md5(array_to_string(toks[pos:pos+2], ' ')), 1, 15))::BIGINT AS hash
-            FROM g),
-      s AS (SELECT doc_id, pos,
-                   arg_min(pos, CAST(hash AS HUGEINT) * 1048576 + (1048575 - pos)) OVER
-                     (PARTITION BY doc_id ORDER BY pos
-                      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS spos
-            FROM h),
-      f AS (SELECT DISTINCT doc_id, spos AS pos FROM s WHERE s.pos >= 4)
-      SELECT f.doc_id, CAST(f.pos AS BIGINT) AS pos, h.hash AS fp_hash
-      FROM f JOIN h ON h.doc_id = f.doc_id AND h.pos = f.pos
-      ORDER BY f.doc_id, f.pos""")) { (s, d) =>
+    Q("q219_winnow_fingerprints", Some(s"""
+      WITH $winnowFpCtes
+      SELECT doc_id, pos, fp_hash FROM fp
+      ORDER BY doc_id, pos""")) { (s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           explode(GraftFunctions.winnow_fingerprints(
@@ -1351,6 +1359,41 @@ object TextQueries {
         .select(col("doc_id"), col("fp.pos").as("pos"),
           col("fp.hash").as("fp_hash"))
         .orderBy("doc_id", "pos")
+    },
+
+    // ---- q220: winnow span-overlap pairs — the POSITION-AWARE
+    // near-dup channel beside MinHash's whole-doc Jaccard (q21):
+    // fingerprint-bucket collisions with alignment evidence (the
+    // offset delta carrying the most colliding fingerprints, plus
+    // its support) — copied spans (quotes, license boilerplate,
+    // plagiarism) show as many collisions at ONE delta; phrase noise
+    // scatters. Buckets above 64 docs drop as stop-fingerprints
+    // (ubiquitous phrases are not copy evidence), bounding the self-
+    // join at maxBucket² per bucket — never all-pairs.
+    Q("q220_winnow_overlap_pairs", Some(s"""
+      WITH $winnowFpCtes,
+      keep AS (SELECT fp_hash FROM fp GROUP BY 1 HAVING COUNT(*) <= 64),
+      f2 AS (SELECT fp.* FROM fp JOIN keep USING (fp_hash)),
+      p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   a.pos AS pa, b.pos AS pb, a.fp_hash AS hh
+            FROM f2 a JOIN f2 b ON b.fp_hash = a.fp_hash
+                              AND b.doc_id > a.doc_id),
+      ns AS (SELECT doc_a, doc_b, CAST(COUNT(DISTINCT hh) AS BIGINT) AS n_shared
+             FROM p GROUP BY 1, 2 HAVING COUNT(DISTINCT hh) >= 3),
+      dl AS (SELECT doc_a, doc_b, pb - pa AS delta,
+                    CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM p GROUP BY 1, 2, 3),
+      best AS (SELECT doc_a, doc_b, delta, cnt,
+                      row_number() OVER (PARTITION BY doc_a, doc_b
+                                         ORDER BY cnt DESC, delta ASC) AS rn
+               FROM dl)
+      SELECT ns.doc_a, ns.doc_b, ns.n_shared,
+             b.cnt AS n_aligned, CAST(b.delta AS BIGINT) AS delta
+      FROM ns JOIN best b ON b.doc_a = ns.doc_a AND b.doc_b = ns.doc_b
+                         AND b.rn = 1
+      ORDER BY ns.doc_a, ns.doc_b""")) { (s, d) =>
+      Dedup.winnowOverlapPairs(Tables.documents(s, d))
+        .orderBy("doc_a", "doc_b")
     },
 
     // ---- q216: longest repeated token n-gram per document — the

@@ -234,4 +234,35 @@ class DedupSpec extends SparkSuite {
     assert(e.getMessage.contains("editDistanceNearDup") ||
       Option(e.getCause).exists(_.getMessage.contains("editDistanceNearDup")))
   }
+
+  test("winnowOverlapPairs: planted copied span aligns; noise scatters; stop-fingerprints drop") {
+    import spark.implicits._
+    // Docs 1 and 2 share a verbatim 12-token run (>= w+k-1 = 6, so
+    // collisions are guaranteed), starting at gram position 3 in
+    // doc 1 ("a b" precede) and 2 in doc 2 ("q" precedes) ->
+    // expected dominant delta = 2 - 3 = -1. Doc 3 is unrelated.
+    val span = (1 to 12).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"a b $span x y z"),
+      (2L, s"q $span r"),
+      (3L, "completely different words with no shared phrases at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.winnowOverlapPairs(docs, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.length === 1, got.toSeq.toString)
+    val (a, b, nShared, nAligned, delta) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(delta === -1L, s"dominant offset must be the span alignment, got $delta")
+    assert(nShared >= 2L && nAligned >= 2L && nAligned <= nShared)
+    // Stop-fingerprint drop: a phrase shared by MANY docs is not
+    // copy evidence — with maxBucket below the bucket size, the
+    // ubiquitous span produces no pairs at all.
+    val boiler = (1L to 6L).map(i => (i, s"pad$i $span tail$i")).toDF("doc_id", "text")
+    assert(Dedup.winnowOverlapPairs(boiler, minShared = 1, maxBucket = 4)
+      .collect().isEmpty)
+    // ...and with the bucket cap above the group size the pairs appear.
+    assert(Dedup.winnowOverlapPairs(boiler, minShared = 1, maxBucket = 64)
+      .collect().nonEmpty)
+  }
 }
