@@ -1396,6 +1396,52 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     },
 
+    // ---- q221: span-overlap clusters — the dedup ENDGAME for the
+    // winnowing channel, composing q220's aligned-collision pairs
+    // through the shared connected-components kernel (q47's hash-min
+    // LPA) into boilerplate families, each with its canonical member
+    // (longest by n_chars, smallest id on ties — the q75 struct-
+    // argmax pick, a combinable aggregate, never a member re-shuffle).
+    // The oracle replays the whole composition: winnow chain → pair
+    // census → recursive closure → window rank.
+    Q("q221_span_overlap_clusters", Some(s"""
+      WITH RECURSIVE $winnowFpCtes,
+      keep AS (SELECT fp_hash FROM fp GROUP BY 1 HAVING COUNT(*) <= 64),
+      f2 AS (SELECT fp.* FROM fp JOIN keep USING (fp_hash)),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM f2 a JOIN f2 b ON b.fp_hash = a.fp_hash
+                               AND b.doc_id > a.doc_id
+             GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp_hash) >= 3),
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pr
+            UNION SELECT doc_b, doc_a FROM pr),
+      reach(src, dst) AS (
+        SELECT a, b FROM e
+        UNION
+        SELECT r.src, e2.b FROM reach r JOIN e e2 ON r.dst = e2.a),
+      comp AS (SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+               FROM reach GROUP BY src),
+      m AS (SELECT c.component_id, c.doc_id, d.n_chars,
+                   row_number() OVER (PARTITION BY c.component_id
+                                      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rk
+            FROM comp c JOIN documents d ON d.doc_id = c.doc_id)
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT) AS canonical_doc,
+             CAST(MAX(CASE WHEN rk = 1 THEN n_chars END) AS BIGINT) AS canonical_chars
+      FROM m GROUP BY 1 ORDER BY component_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.winnowOverlapPairs(docs)
+      val comps = Dedup.connectedComponents(pairs)
+      comps.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("comp").as("component_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars"), (-col("id")).as("__nid"), col("id")))
+            .as("__best"))
+        .select(col("component_id"), col("n_members"),
+          col("__best.id").as("canonical_doc"),
+          col("__best.n_chars").as("canonical_chars"))
+        .orderBy("component_id")
+    },
+
     // ---- q216: longest repeated token n-gram per document — the
     // WITHIN-doc repetition fingerprint beside the cross-doc shingle
     // spans (q92/q93) and the char-level repetition ratios (q28): a
