@@ -1086,6 +1086,56 @@ object Curation {
       .agg(count(lit(1)).as("n_tokens"), sum(col("__surp")).as("surprisal_fp"))
   }
 
+  /** Class-based TF-IDF top terms (BERTopic's c-TF-IDF): the `topK`
+    * terms that CHARACTERIZE each class (source, cluster, language)
+    * — high in-class frequency × corpus-wide rarity — in exact
+    * integers: `score_fp = c(class, term) · (flog2q(f(term) + A) −
+    * flog2q(f(term)))`, the paper's `tf · log(1 + A/f)` with
+    * A = total tokens div n_classes (the average class mass) and
+    * f = the term's corpus-wide occurrence count, in 1/16-bit log2
+    * units. Frequency-form idf rather than presence-form df: on a
+    * small shared vocabulary a presence idf degenerates to 0 for
+    * every term (measured: the sf0.1 corpus has every vocab term in
+    * all 20 sources), while log(1 + A/f) stays positive and still
+    * down-weights ubiquitous terms smoothly. Ranking is (score_fp
+    * DESC, term ASC), fully deterministic — the frame hash-gates.
+    *
+    * Scale shape: one explode → (class, term) census (map-side
+    * combined, vocabulary × classes bounded); df and n_classes are
+    * census-space aggregates re-attached by an equi-join on term +
+    * a broadcast scalar; the top-k window runs over the census,
+    * never corpus rows. */
+  def classTfidfTerms(docs: DataFrame, classCol: String, topK: Int = 8,
+                      textCol: String = "text"): DataFrame = {
+    require(topK >= 1, "topK must be positive")
+    val toks = docs
+      .filter(col(classCol).isNotNull)
+      .select(col(classCol).as("__cls"),
+        explode(split(col(textCol), " ")).as("__t"))
+    val census = toks.groupBy(col("__cls"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val tf = census.groupBy(col("__t"))
+      .agg(sum(col("__c")).as("__f"))
+    val avgMass = census.agg(
+        sum(col("__c")).as("__tot"), countDistinct(col("__cls")).as("__ncls"))
+      .withColumn("__a", expr("__tot div __ncls"))
+      .select(col("__a"))
+    val scored = census.join(tf, "__t")
+      .crossJoin(broadcast(avgMass))
+      .withColumn("__idf",
+        expr(s"${flog2qSql("__f + __a")} - ${flog2qSql("__f")}"))
+      .withColumn("score_fp", col("__c") * col("__idf"))
+      .filter(col("score_fp") > 0)
+    scored
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__cls"))
+          .orderBy(col("score_fp").desc, col("__t"))))
+      .filter(col("rank") <= topK)
+      .select(col("__cls").as(classCol), col("__t").as("term"),
+        col("__c").as("n"), col("__f").as("f_corpus"),
+        col("score_fp"), col("rank").cast("long").as("rank"))
+  }
+
   /** Iterative proportional fitting (IPF / raking, the classic
     * contingency-table balancer; Sinkhorn's algorithm on counts) of
     * the corpus mix over two strata axes — the constrained partner

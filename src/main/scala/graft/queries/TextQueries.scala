@@ -1313,6 +1313,39 @@ object TextQueries {
         .orderBy("lang", "source")
     },
 
+    // ---- q222: class-based TF-IDF characterization — "which terms
+    // DEFINE each source?" (BERTopic's c-TF-IDF): top-8 per-source
+    // terms by in-source count × the paper's log(1 + A/f) rarity in
+    // exact flog2q integers (A = avg class token mass, f = the
+    // term's corpus count — the frequency form; a presence-df idf
+    // degenerates to 0 on this corpus's shared vocabulary).
+    // Complements q166's BM25 (per-QUERY doc ranking) and q99's
+    // co-occurrence with per-CLASS vocabulary profiling. One explode
+    // → census; idf/top-k stay census-space.
+    Q("q222_ctfidf_terms", Some(s"""
+      WITH t AS (SELECT source, UNNEST(string_split(text, ' ')) AS term
+                 FROM documents WHERE source IS NOT NULL),
+      c AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS n
+            FROM t GROUP BY 1, 2),
+      d AS (SELECT term, CAST(SUM(n) AS BIGINT) AS f FROM c GROUP BY 1),
+      nc AS (SELECT CAST(SUM(n) AS BIGINT) // CAST(COUNT(DISTINCT source) AS BIGINT) AS a
+             FROM c),
+      s AS (SELECT c.source, c.term, c.n, d.f,
+                   c.n * ((${graft.operators.Curation.flog2qSql("d.f + nc.a")})
+                          - (${graft.operators.Curation.flog2qSql("d.f")})) AS score_fp
+            FROM c JOIN d USING (term) CROSS JOIN nc),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+                        ORDER BY score_fp DESC, term ASC) AS rank
+            FROM s WHERE score_fp > 0)
+      SELECT source, term, n, f AS f_corpus,
+             CAST(score_fp AS BIGINT) AS score_fp,
+             CAST(rank AS BIGINT) AS rank
+      FROM r WHERE rank <= 8
+      ORDER BY source, rank""")) { (s, d) =>
+      Curation.classTfidfTerms(Tables.documents(s, d), "source", topK = 8)
+        .orderBy("source", "rank")
+    },
+
     // ---- q218: unigram surprisal — the CCNet-style perplexity
     // filter in exact integers: per-doc total surprisal under the
     // corpus unigram distribution, 1/16-bit log2 units (flog2q).
