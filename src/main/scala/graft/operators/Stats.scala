@@ -1938,4 +1938,58 @@ object Stats {
       .select((gcols :+ col("n") :+ col("n_agree")
         :+ col("__peNum").as("pe_num") :+ col("kappa_e6")): _*)
   }
+
+  /** Delete-one-bucket jackknife variance of a group's mean — the
+    * RNG-free uncertainty bar for pipeline metrics (a bootstrap
+    * needs random resamples and so can never hash-gate; the
+    * jackknife's d leave-one-out replicates are a DETERMINISTIC
+    * function of the bucket census). Per group: buckets (e.g. days)
+    * carry exact integer sums `s_i` and counts `n_i`; each replicate
+    * mean θ_i = (S − s_i)/(N − n_i) is e9-quantized by ONE integral
+    * division (`θq_i = (s·10⁵·(S−s_i)) div (N−n_i)` for e4-quantized
+    * values — exact, so Σθq and Σθq² are order-free), and the
+    * jackknife variance (d−1)/d · Σ(θ_i − θ̄)² comes out as
+    * `var_e6 = ((d−1)·(d·Σθq² − (Σθq)²)) div (d²·10¹²)` — every
+    * step an integer, ONE fused division (an intermediate `div d²`
+    * is ~10²³ and Spark's IntegralDivide returns LONG — the
+    * two-step form overflowed), bit-identical cross-engine. Groups need ≥ 2 buckets
+    * and every replicate a nonempty remainder (N > n_i — guaranteed
+    * when d ≥ 2 and all n_i ≥ 1).
+    *
+    * Scale shape: one corpus shuffle builds the (group, bucket)
+    * census; [[boundedCensus]] fail-fasts it; everything after is
+    * census-space aggregates. */
+  def jackknifeMeanVar(df: DataFrame, groupCols: Seq[String],
+                       bucketCol: Column, valueQ: Column,
+                       maxBuckets: Long = 65536): DataFrame = {
+    val gcols = groupCols.map(col)
+    val census0 = df
+      .filter(valueQ.isNotNull && bucketCol.isNotNull)
+      .groupBy((gcols :+ bucketCol.as("__b")): _*)
+      .agg(count(lit(1)).as("__ni"), sum(valueQ.cast("long")).as("__si"))
+    val census = boundedCensus(census0, maxBuckets, "jackknifeMeanVar")
+    val wAll = Window.partitionBy(gcols: _*)
+    val rep = census
+      .withColumn("__d", count(lit(1)).over(wAll))
+      .withColumn("__N", sum(col("__ni")).over(wAll))
+      .withColumn("__S", sum(col("__si")).over(wAll))
+      .filter(col("__d") >= 2)
+      .withColumn("__thq", expr(
+        "(CAST((__S - __si) AS decimal(38,0)) * 100000) div CAST(__N - __ni AS decimal(38,0))"))
+    rep.groupBy(gcols: _*)
+      .agg(max(col("__d")).as("d"), max(col("__N")).as("n"),
+        sum(col("__thq").cast("decimal(38,0)")).as("__sth"),
+        sum(col("__thq").cast("decimal(38,0)") * col("__thq").cast("decimal(38,0)"))
+          .as("__sth2"))
+      .withColumn("theta_bar_q", expr("CAST(__sth div d AS BIGINT)"))
+      // ONE division: Spark's IntegralDivide returns LONG, so the
+      // two-step `div d² div 1e12` overflows on the ~1e23
+      // intermediate (caught by the sf0.001 gate: negative
+      // variances); trunc composition makes the fused divisor exact.
+      .withColumn("jk_var_e6", expr(
+        "CAST(((d - 1) * (d * __sth2 - __sth * __sth)) div " +
+          "(CAST(d AS decimal(38,0)) * d * 1000000000000) AS BIGINT)"))
+      .select((gcols :+ col("d") :+ col("n") :+ col("theta_bar_q")
+        :+ col("jk_var_e6")): _*)
+  }
 }

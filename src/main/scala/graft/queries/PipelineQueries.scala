@@ -723,6 +723,49 @@ object PipelineQueries {
         .orderBy("event_type")
     },
 
+    // ---- q223: delete-one-day jackknife CI — the RNG-free
+    // uncertainty bar for the drift tier's point estimates (q194's
+    // KS says "did it change?"; this says "±how much is the mean
+    // even KNOWN?"): per event_type, the jackknife variance of the
+    // mean e4-value over daily leave-one-out replicates, every step
+    // an exact integer (a bootstrap's random resamples could never
+    // hash-gate; the jackknife is a deterministic function of the
+    // day census). θq = e9-quantized replicate mean via ONE integral
+    // division; var_e6 = ((d−1)(d·Σθq² − (Σθq)²)) div (d²·1e12) —
+    // fused: a `div d²` intermediate is ~1e23, past BIGINT.
+    Q("q223_jackknife_ci", Some("""
+      WITH b AS (SELECT event_type,
+                   epoch_ns(ts) // 86400000000000 AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS ni,
+                   CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS si
+                 FROM events
+                 WHERE value IS NOT NULL AND ts IS NOT NULL
+                 GROUP BY 1, 2),
+      g AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+                   CAST(SUM(ni) AS BIGINT) AS n,
+                   CAST(SUM(si) AS BIGINT) AS s
+            FROM b GROUP BY 1),
+      r AS (SELECT b.event_type,
+                   (CAST(g.s - b.si AS HUGEINT) * 100000) // (g.n - b.ni) AS thq
+            FROM b JOIN g USING (event_type) WHERE g.d >= 2),
+      a AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+                   SUM(thq) AS sth,
+                   SUM(CAST(thq AS HUGEINT) * thq) AS sth2
+            FROM r GROUP BY 1)
+      SELECT a.event_type, a.d, g.n,
+             CAST(a.sth // a.d AS BIGINT) AS theta_bar_q,
+             CAST(((a.d - 1) * (a.d * a.sth2 - a.sth * a.sth))
+                  // (CAST(a.d AS HUGEINT) * a.d * 1000000000000) AS BIGINT) AS jk_var_e6
+      FROM a JOIN g USING (event_type)
+      ORDER BY a.event_type""")) { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+      Stats.jackknifeMeanVar(ev, Seq("event_type"),
+          expr("ts div 86400000000000"),
+          floor(col("value") * lit(10000d) + lit(0.5d)))
+        .orderBy("event_type")
+    },
+
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware
     // where q138's MAD is global and q155's CUSUM is directional:
     // each hour bucket compares against the mean of its own

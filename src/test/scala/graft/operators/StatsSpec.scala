@@ -997,6 +997,54 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("4 points"))
   }
 
+  test("jackknifeMeanVar ≡ BigInt replay; single-bucket drop; census guard trips") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.chooseNum(2, 40)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.oneOf("a", "b")
+        bkt <- Gen.chooseNum(0L, 5L)
+        v <- Gen.chooseNum(-500L, 500L)
+      } yield (k, bkt, v))
+    } yield rows
+    def replay(rows: Seq[(String, Long, Long)]): Map[String, (Long, Long, BigInt, BigInt)] =
+      rows.groupBy(_._1).flatMap { case (k, g) =>
+        // .toSeq BEFORE the map: mapping a Map with a pair-producing
+        // function would collapse equal (size, sum) buckets.
+        val buckets = g.groupBy(_._2).toSeq.map { case (_, rs) =>
+          (rs.size.toLong, rs.map(_._3).sum) }
+        val d = buckets.size
+        if (d < 2) None else {
+          val nTot = buckets.map(_._1).sum
+          val sTot = buckets.map(_._2).sum
+          val thq = buckets.map { case (ni, si) =>
+            (BigInt(sTot - si) * 100000) / (nTot - ni) }
+          val sth = thq.sum
+          val sth2 = thq.map(t => t * t).sum
+          val varE6 = (BigInt(d - 1) * (d * sth2 - sth * sth)) /
+            (BigInt(d) * d * BigInt("1000000000000"))
+          Some(k -> ((d.toLong, nTot, sth / d, varE6)))
+        }
+      }
+    for (rows <- PropSampling.sample(gen, n = 10)) {
+      val got = Stats.jackknifeMeanVar(rows.toDF("k", "b", "v"),
+          Seq("k"), col("b"), col("v"))
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), BigInt(r.getLong(3)), BigInt(r.getLong(4))))).toMap
+      assert(got === replay(rows), s"jackknife diverged on $rows")
+    }
+    // Identical buckets -> zero variance exactly.
+    val const = Seq(("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L))
+    val cg = Stats.jackknifeMeanVar(const.toDF("k", "b", "v"),
+      Seq("k"), col("b"), col("v")).collect().head
+    assert(cg.getLong(cg.fieldIndex("jk_var_e6")) === 0L)
+    // Census guard trips loud.
+    val many = (1L to 10L).map(i => ("a", i, i))
+    val e = intercept[Exception](Stats.jackknifeMeanVar(many.toDF("k", "b", "v"),
+      Seq("k"), col("b"), col("v"), maxBuckets = 4).collect())
+    assert(e.getMessage.contains("jackknifeMeanVar"))
+  }
+
   test("momentStats ≡ exact-power-sum double replay; known shapes pin; guard trips") {
     import spark.implicits._
     val gen = for {
