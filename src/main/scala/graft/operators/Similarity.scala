@@ -810,6 +810,67 @@ object Similarity {
     out.toSeq
   }
 
+  /** k-center coreset by farthest-point sampling (the 2-approximation
+    * greedy for the k-center objective; Gonzalez 1985) — the
+    * DIVERSITY selector next to the similarity family: iteratively
+    * pick the point FARTHEST (max-min squared L2) from everything
+    * selected so far, from a deterministic seed (minimum id), ties →
+    * smaller id. The selection is a pure function of the corpus, so
+    * the oracle replays it as k unrolled (distance → argmax) CTE
+    * rounds and the gate hashes the trajectory: d² is spelled
+    * `naa − 2·dot + nbb` with precomputed self-dots (the q30
+    * bit-stable recipe — identical expression trees both engines),
+    * and each round's min-distance column is a LEAST chain whose
+    * value is selection-order independent (IEEE min over NaN-free
+    * values).
+    *
+    * Scale shape: each round is ONE corpus scan against the k
+    * already-picked centers as LITERAL vectors (no join, no
+    * shuffle) plus a top-1 cut; only the argmax row (1 row/round) is
+    * collected — bounded driver state, the kmeans/PQ fit precedent.
+    * k scans for k picks; the corpus never shuffles and never holds
+    * the k·n distance matrix. */
+  def kCenterCoreset(corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && k <= 256, "k must be in [1, 256]")
+    val spark0 = corpus.sparkSession
+    import spark0.implicits._
+    val p = corpus.select(col(idCol), asDouble(col("embedding")).as("v"))
+      .withColumn("naa", dot(col("v"), col("v")))
+    def d2To(vec: Array[Double], naa: Double): org.apache.spark.sql.Column =
+      col("naa") - lit(2.0d) * dot(col("v"), typedLit(vec.toSeq)) + lit(naa)
+    val first = p.orderBy(col(idCol)).limit(1)
+      .select(col(idCol), col("v"), col("naa")).collect()
+    if (first.isEmpty) return Seq.empty[(Long, Long, Option[Double])]
+      .toDF("rank", idCol, "d2_at_pick")
+    var centers = List((first.head.getLong(0),
+      first.head.getSeq[Double](1).toArray, first.head.getDouble(2)))
+    val picks = scala.collection.mutable.ArrayBuffer(
+      (1L, centers.head._1, Option.empty[Double]))
+    var i = 2
+    while (i <= k) {
+      val md = centers.map { case (_, cv, cn) => d2To(cv, cn) }
+        .reduce((a, b) => least(a, b))
+      val sel = p.filter(!col(idCol).isin(centers.map(_._1): _*))
+        .withColumn("__md", md)
+        .orderBy(col("__md").desc, col(idCol))
+        .limit(1)
+        .select(col(idCol), col("v"), col("naa"), col("__md"))
+        .collect()
+      if (sel.isEmpty) i = k + 1
+      else {
+        val r = sel.head
+        centers = (r.getLong(0), r.getSeq[Double](1).toArray, r.getDouble(2)) :: centers
+        picks += ((i.toLong, r.getLong(0), Some(r.getDouble(3))))
+        i += 1
+      }
+    }
+    picks.toSeq.map { case (rk, id, d) => (rk, id, d) }
+      .toDF("rank", idCol, "__d")
+      .select(col("rank"), col(idCol), round(col("__d"), 6).as("d2_at_pick"))
+      .orderBy("rank")
+  }
+
   /** Graph-ANN beam search — the navigable-small-world probe shape
     * (HNSW's layer-0 walk) next to the LSH/IVF/PQ family: FIT builds
     * a k-NN neighbor graph once (each node → its `m` best cosine

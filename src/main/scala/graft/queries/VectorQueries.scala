@@ -84,7 +84,59 @@ object VectorQueries {
       ORDER BY query_id, rank"""
   }
 
+  /** Unrolled farthest-point-sampling oracle (q224): k (distance →
+    * argmax) CTE rounds; round i's min-distance column is the
+    * nested-LEAST chain (value-identical to the engine's flat least —
+    * IEEE min over NaN-free values is selection-order independent).
+    * MATERIALIZED per pcaOracleRounds' inlining note. */
+  private def kCenterOracle(k: Int): String = {
+    val head = """
+      WITH p AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v,
+                     list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS naa
+              FROM embeddings),
+      c1 AS (SELECT vec_id, v, naa FROM p ORDER BY vec_id LIMIT 1),
+      d1 AS MATERIALIZED (SELECT p.vec_id, p.v, p.naa,
+              p.naa - 2 * list_inner_product(p.v, c1.v) + c1.naa AS md
+            FROM p, c1)"""
+    val rounds = (2 to k).map { i =>
+      val excl = (1 until i).map(j => s"SELECT vec_id FROM c$j")
+        .mkString(" UNION ALL ")
+      val pick = s""",
+      c$i AS (SELECT vec_id, v, naa, md FROM d${i - 1}
+              WHERE vec_id NOT IN ($excl)
+              ORDER BY md DESC, vec_id LIMIT 1)"""
+      val dist = if (i == k) "" else s""",
+      d$i AS MATERIALIZED (SELECT d.vec_id, d.v, d.naa,
+              LEAST(d.md, d.naa - 2 * list_inner_product(d.v, c.v) + c.naa) AS md
+            FROM d${i - 1} d, c$i c)"""
+      pick + dist
+    }.mkString
+    val out = (1 to k).map { i =>
+      if (i == 1)
+        s"SELECT CAST(1 AS BIGINT) AS rank, vec_id, CAST(NULL AS DOUBLE) AS d2_at_pick FROM c1"
+      else s"SELECT CAST($i AS BIGINT), vec_id, round(md, 6) FROM c$i"
+    }.mkString("\n      UNION ALL ")
+    head + rounds + s"""
+      $out
+      ORDER BY rank"""
+  }
+
   val qs: Seq[Q] = Seq(
+
+    // ---- q224: k-center coreset via farthest-point sampling
+    // (Gonzalez's greedy 2-approximation) — the DIVERSITY selector
+    // the sampling tier lacked: q50/q74/q122 sample by rate/size/
+    // stride, q152/q76 by importance, this picks the k points that
+    // COVER the embedding space (max-min distance), the coreset/
+    // active-learning primitive. Deterministic seed (min id) + tie
+    // rule → a pure function of the corpus; the oracle replays all
+    // k greedy rounds verbatim. Each round is one corpus scan
+    // against literal center vectors (no join, no shuffle) + a
+    // top-1 cut; only 1 row/round collects.
+    Q("q224_kcenter_coreset", Some(kCenterOracle(6))) { (s, d) =>
+      Similarity.kCenterCoreset(Tables.embeddings(s, d), k = 6)
+        .orderBy("rank")
+    },
 
     // ---- q30: exact top-5 cosine neighbors for queries vec_id < 10.
     // Queries broadcast; corpus scanned once, top-k cut per query.

@@ -37,6 +37,45 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"IVF recall $recall")
   }
 
+  test("kCenterCoreset ≡ brute-force greedy FPS; trajectory non-increasing; deterministic") {
+    import graft.functions.VectorFunctions.asDouble
+    val got = Similarity.kCenterCoreset(emb, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    // Brute-force greedy replay on collected vectors (sf fixture is
+    // small): same seed, same d² spelling, same (md DESC, id) pick.
+    val vecs = emb.select(col("vec_id"), asDouble(col("embedding")))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val naa = vecs.map { case (_, v) => dot(v, v) }
+    var sel = List(0) // index of min id
+    val exp = scala.collection.mutable.ArrayBuffer(
+      (1L, vecs(0)._1, Option.empty[Double]))
+    for (rk <- 2 to 6) {
+      val cand = vecs.indices.filterNot(sel.contains)
+        .map { i =>
+          val md = sel.map { j =>
+            naa(i) - 2.0d * dot(vecs(i)._2, vecs(j)._2) + naa(j) }.min
+          (md, vecs(i)._1, i)
+        }
+      val (md, id, idx) = cand.minBy { case (m, id0, _) => (-m, id0) }
+      sel = idx :: sel
+      exp += ((rk.toLong, id, Some(math.rint(md * 1e6) / 1e6)))
+    }
+    assert(got.toSeq === exp.toSeq)
+    // Max-min distances are non-increasing (the FPS invariant).
+    val ds = got.flatMap(_._3)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toSeq.toString)
+    // Pure function of the corpus: re-run reproduces exactly.
+    val again = Similarity.kCenterCoreset(emb, k = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === got.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("graph-ANN beam recall vs exact; determinism; fit guard trips") {
     val got = pairs(Similarity.graphAnnBeam(emb, queries, k = 5, m = 8,
       beam = 4, hops = 3))
