@@ -297,4 +297,64 @@ object Clustering {
         when(col("is_core"), col("cl"))
           .otherwise(col("bl")).as("cluster"))
   }
+
+  /** Label cohesion / separation audit — "are my labels (clusters,
+    * classes, topic assignments) geometrically REAL?" — the
+    * Davies-Bouldin-flavor diagnostic in exact integers. Per label:
+    * within-label dispersion `disp_e12 = (n·Σᵢ|xq|² − Σ_d S_d²)
+    * div n²` (the trace of the covariance numerator over
+    * e6-quantized embedding coordinates — the textbook
+    * Σ|x−μ|² = Σ|x|² − |Σx|²/n identity with the division applied
+    * once at the end, so everything before it is an exact integer)
+    * and the separation to the NEAREST other centroid,
+    * `sep_e12 = min_b Σ_d (S_ad·n_b − S_bd·n_a)² div (n_a²·n_b²)`
+    * (centroid distance cleared of its denominators BEFORE the
+    * min — exact; tie → smaller label). A healthy labeling has
+    * sep ≫ disp; sep ≲ disp flags labels the geometry does not
+    * support.
+    *
+    * Scale shape: one posexplode → (label, dim) sum census (map-side
+    * combined, |labels|·dims rows) + a per-label scalar census; the
+    * centroid pair join runs over |labels|·dims rows only — the
+    * corpus is scanned twice and never shuffled beyond the map-side
+    * partial aggregates. */
+  def labelCohesion(embeddings: DataFrame, labelCol: String = "label",
+                    vecCol: String = "embedding"): DataFrame = {
+    val xq = floor(col("x") * lit(1000000d) + lit(0.5d)).cast("long")
+    val base = embeddings
+      .filter(col(labelCol).isNotNull)
+      .select(col(labelCol).as("__l"), posexplode(asDouble(col(vecCol))).as(Seq("__d", "x")))
+      .select(col("__l"), col("__d"), xq.as("__xq"))
+    val dimSums = base.groupBy(col("__l"), col("__d"))
+      .agg(sum(col("__xq")).as("__sd"))
+    val perLabel = base.groupBy(col("__l"))
+      .agg(sum(col("__xq").cast("decimal(38,0)") * col("__xq")).as("__sq2"))
+      .join(dimSums.groupBy(col("__l"))
+        .agg(sum(col("__sd").cast("decimal(38,0)") * col("__sd")).as("__ssd2")), "__l")
+      .join(embeddings.filter(col(labelCol).isNotNull)
+        .groupBy(col(labelCol).as("__l")).agg(count(lit(1)).as("n")), "__l")
+      .withColumn("disp_e12", expr(
+        "CAST((n * __sq2 - __ssd2) div (CAST(n AS decimal(38,0)) * n) AS BIGINT)"))
+    val a = dimSums.select(col("__l").as("__la"), col("__d"), col("__sd").as("__sa"))
+    val b = dimSums.select(col("__l").as("__lb"), col("__d"), col("__sd").as("__sb"))
+    val cnts = perLabel.select(col("__l"), col("n"))
+    val sep = a.join(b, Seq("__d")).filter(col("__la") =!= col("__lb"))
+      .join(broadcast(cnts.select(col("__l").as("__la"), col("n").as("__na"))), "__la")
+      .join(broadcast(cnts.select(col("__l").as("__lb"), col("n").as("__nb"))), "__lb")
+      .withColumn("__t",
+        (col("__sa").cast("decimal(38,0)") * col("__nb") -
+          col("__sb").cast("decimal(38,0)") * col("__na")))
+      .groupBy(col("__la"), col("__lb"), col("__na"), col("__nb"))
+      .agg(sum(col("__t") * col("__t")).as("__num"))
+      .withColumn("__sep", expr(
+        "CAST(__num div (CAST(__na AS decimal(38,0)) * __na * __nb * __nb) AS BIGINT)"))
+      .groupBy(col("__la").as("__l"))
+      // min by (sep ASC, label ASC): min-struct comparison.
+      .agg(min(struct(col("__sep"), col("__lb"))).as("__best"))
+      .select(col("__l"), col("__best.__sep").as("sep_e12"),
+        col("__best.__lb").as("nearest_label"))
+    perLabel.join(sep, "__l")
+      .select(col("__l").as(labelCol), col("n"), col("disp_e12"),
+        col("nearest_label"), col("sep_e12"))
+  }
 }

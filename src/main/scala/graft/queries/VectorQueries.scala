@@ -123,6 +123,50 @@ object VectorQueries {
 
   val qs: Seq[Q] = Seq(
 
+    // ---- q225: label cohesion/separation audit — "are my labels
+    // geometrically REAL?" (the Davies-Bouldin flavor, exact): per
+    // label the within-label dispersion trace and the distance to
+    // the NEAREST other centroid, both as exact integers over
+    // e6-quantized coordinates (Σ|x−μ|² = Σ|x|² − |Σx|²/n with the
+    // one division applied last; centroid distances cleared of
+    // denominators BEFORE the min). sep ≲ disp flags labels the
+    // geometry does not support — the audit between q82's k-means
+    // fit and q144's label-quality AUC.
+    Q("q225_label_cohesion", Some("""
+      WITH e AS (SELECT label, embedding::DOUBLE[] AS v
+                 FROM embeddings WHERE label IS NOT NULL),
+      x0 AS (SELECT label, v,
+                    UNNEST(range(1, CAST(len(v) + 1 AS BIGINT))) AS d FROM e),
+      x AS (SELECT label, d,
+                   CAST(FLOOR(v[d] * 1000000 + 0.5) AS BIGINT) AS xq FROM x0),
+      ds AS (SELECT label, d, CAST(SUM(xq) AS BIGINT) AS sd FROM x GROUP BY 1, 2),
+      pl AS (SELECT label, SUM(CAST(xq AS HUGEINT) * xq) AS sq2 FROM x GROUP BY 1),
+      ss AS (SELECT label, SUM(CAST(sd AS HUGEINT) * sd) AS ssd2 FROM ds GROUP BY 1),
+      nn AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1),
+      coh AS (SELECT pl.label, nn.n,
+                CAST((nn.n * pl.sq2 - ss.ssd2)
+                     // (CAST(nn.n AS HUGEINT) * nn.n) AS BIGINT) AS disp_e12
+              FROM pl JOIN ss USING (label) JOIN nn USING (label)),
+      pr AS (SELECT a.label AS la, b.label AS lb, na.n AS na, nb.n AS nb,
+               SUM((CAST(a.sd AS HUGEINT) * nb.n - CAST(b.sd AS HUGEINT) * na.n)
+                 * (CAST(a.sd AS HUGEINT) * nb.n - CAST(b.sd AS HUGEINT) * na.n)) AS num
+             FROM ds a JOIN ds b ON b.d = a.d AND b.label <> a.label
+                  JOIN nn na ON na.label = a.label
+                  JOIN nn nb ON nb.label = b.label
+             GROUP BY 1, 2, 3, 4),
+      sp AS (SELECT la, lb,
+               CAST(num // (CAST(na AS HUGEINT) * na * nb * nb) AS BIGINT) AS sep_e12
+             FROM pr),
+      best AS (SELECT la, lb AS nearest_label, sep_e12,
+                      row_number() OVER (PARTITION BY la
+                                         ORDER BY sep_e12 ASC, lb ASC) AS rn
+               FROM sp)
+      SELECT coh.label, coh.n, coh.disp_e12, best.nearest_label, best.sep_e12
+      FROM coh JOIN best ON best.la = coh.label AND best.rn = 1
+      ORDER BY coh.label""")) { (s, d) =>
+      Clustering.labelCohesion(Tables.embeddings(s, d)).orderBy("label")
+    },
+
     // ---- q224: k-center coreset via farthest-point sampling
     // (Gonzalez's greedy 2-approximation) — the DIVERSITY selector
     // the sampling tier lacked: q50/q74/q122 sample by rate/size/
