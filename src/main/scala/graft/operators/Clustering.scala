@@ -317,14 +317,29 @@ object Clustering {
     * combined, |labels|·dims rows) + a per-label scalar census; the
     * centroid pair join runs over |labels|·dims rows only — the
     * corpus is scanned twice and never shuffled beyond the map-side
-    * partial aggregates. */
+    * partial aggregates. The pair stage is quadratic in |labels| by
+    * design, so a `maxLabels` limit-probe fail-fasts a
+    * high-cardinality labeling before any quadratic work. */
   def labelCohesion(embeddings: DataFrame, labelCol: String = "label",
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    maxLabels: Int = 1024): DataFrame = {
+    require(maxLabels >= 2, "maxLabels must be >= 2")
     val xq = floor(col("x") * lit(1000000d) + lit(0.5d)).cast("long")
     val base = embeddings
       .filter(col(labelCol).isNotNull)
       .select(col(labelCol).as("__l"), posexplode(asDouble(col(vecCol))).as(Seq("__d", "x")))
       .select(col("__l"), col("__d"), xq.as("__xq"))
+    // Fail-fast label-cardinality bound: the centroid pair join below
+    // is quadratic in |labels| BY DESIGN (every label vs every other)
+    // — fine for class/cluster labelings, a scale-killer if someone
+    // feeds a high-cardinality id column. Bounded limit-probe (the
+    // nearDupPairsAuto discipline): distinct-labels scan stops at
+    // maxLabels + 1 rows, never a full count.
+    require(embeddings.filter(col(labelCol).isNotNull)
+        .select(col(labelCol)).distinct()
+        .limit(maxLabels + 1).count() <= maxLabels,
+      s"labelCohesion: more than $maxLabels labels — the centroid pair " +
+        "join is quadratic in labels; bucket or sample the labeling upstream")
     val dimSums = base.groupBy(col("__l"), col("__d"))
       .agg(sum(col("__xq")).as("__sd"))
     val perLabel = base.groupBy(col("__l"))

@@ -157,4 +157,56 @@ class ClusteringSpec extends SparkSuite {
     }
     assert(e.getMessage.contains("grid cell"), e.getMessage)
   }
+
+  test("labelCohesion ≡ BigInt replay; tight-vs-spread labels order; label guard trips") {
+    import spark.implicits._
+    // Two tight clusters far apart + one diffuse label: the diffuse
+    // label's dispersion must exceed the tight ones', and each tight
+    // label's nearest centroid is the other tight one's area or the
+    // diffuse centroid — replay decides exactly.
+    val rows = Seq(
+      (0, Seq(0.10, 0.10)), (0, Seq(0.11, 0.10)), (0, Seq(0.10, 0.12)),
+      (1, Seq(-0.40, -0.40)), (1, Seq(-0.41, -0.39)), (1, Seq(-0.40, -0.41)),
+      (2, Seq(0.50, -0.50)), (2, Seq(-0.50, 0.50)), (2, Seq(0.45, 0.48)))
+      .map { case (l, v) => (l, v.map(_.toFloat).toArray) }
+      .toDF("label", "embedding")
+    def q(x: Double): BigInt = BigInt(math.floor(x * 1e6 + 0.5).toLong)
+    val data = Seq(
+      0 -> Seq(Seq(0.10, 0.10), Seq(0.11, 0.10), Seq(0.10, 0.12)),
+      1 -> Seq(Seq(-0.40, -0.40), Seq(-0.41, -0.39), Seq(-0.40, -0.41)),
+      2 -> Seq(Seq(0.50, -0.50), Seq(-0.50, 0.50), Seq(0.45, 0.48)))
+    val sums = data.map { case (l, vs) =>
+      l -> (vs.size, (0 to 1).map(d => vs.map(v => q(v(d).toFloat.toDouble)).sum),
+        vs.map(v => v.map(x => { val xq = q(x.toFloat.toDouble); xq * xq }).sum).sum)
+    }.toMap
+    val expDisp = sums.map { case (l, (n, sd, sq2)) =>
+      l -> (BigInt(n) * sq2 - sd.map(s => s * s).sum) / (BigInt(n) * n) }
+    val expSep = data.map(_._1).map { la =>
+      val (na, sa, _) = sums(la)
+      val cands = data.map(_._1).filter(_ != la).map { lb =>
+        val (nb, sb, _) = sums(lb)
+        val num = (0 to 1).map(d => {
+          val t = sa(d) * nb - sb(d) * na; t * t }).sum
+        (num / (BigInt(na) * na * nb * nb), lb)
+      }
+      la -> cands.minBy { case (s, lb) => (s, lb) }
+    }.toMap
+    val got = Clustering.labelCohesion(rows).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), BigInt(r.getLong(2)),
+        r.getInt(3), BigInt(r.getLong(4))))).toMap
+    for (l <- Seq(0, 1, 2)) {
+      val (n, disp, nl, sep) = got(l)
+      assert(n === 3L && disp === expDisp(l) &&
+        (sep, nl) === expSep(l), s"label $l: $got vs $expDisp / $expSep")
+    }
+    // Geometry sanity: the diffuse label disperses most; the tight
+    // labels are well separated (sep >> disp).
+    assert(got(2)._2 > got(0)._2 && got(2)._2 > got(1)._2)
+    assert(got(0)._4 > got(0)._2 && got(1)._4 > got(1)._2)
+    // Label-cardinality guard fails fast before any quadratic work.
+    val e2 = intercept[IllegalArgumentException] {
+      Clustering.labelCohesion(rows, maxLabels = 2)
+    }
+    assert(e2.getMessage.contains("labelCohesion"), e2.getMessage)
+  }
 }
