@@ -153,6 +153,18 @@ object ContinuousValueSweep {
           corpus.select(col("g"), col("v").as("a"), pmod(col("id"), lit(3L)).as("b")),
           Seq("g"), col("a"), col("b"), maxBins = tripBins).count(); ()
       }
+      // r15: the jackknife's bucket census — all-distinct buckets is
+      // exactly the adversarial input (every row its own replicate).
+      point("jackknifeMeanVar", n, "under") {
+        operators.Stats.jackknifeMeanVar(
+          corpus.select(col("g"), col("v").as("b"), pmod(col("id"), lit(97L)).as("x")),
+          Seq("g"), col("b"), col("x"), maxBuckets = Int.MaxValue >> 1).count(); ()
+      }
+      point("jackknifeMeanVar", n, "over") {
+        operators.Stats.jackknifeMeanVar(
+          corpus.select(col("g"), col("v").as("b"), pmod(col("id"), lit(97L)).as("x")),
+          Seq("g"), col("b"), col("x"), maxBuckets = tripBins.toLong).count(); ()
+      }
     }
     spark.stop()
   }

@@ -389,6 +389,32 @@ object NewOpsSweep {
       println(f"NEWOPS q148 m=$m docs=$rows median=$t%.2f")
     }
 
+    // winnow family (r15): q219 fingerprints and q220 overlap pairs
+    // on m TOKEN-tagged document copies — every token carries the
+    // copy tag, so grams (hence fingerprints, buckets, and pairs)
+    // never span copies: fingerprints grow exactly m×, bucket sizes
+    // stay constant, and pair work grows m×. Superlinear time would
+    // mean the bucket join leaks across copies.
+    for (m <- Seq(1, 2, 4) if fam("q219") || fam("q220")) {
+      val dM = (0 until m).map(c =>
+          docs.select((col("doc_id") + lit(c * 100000000L)).as("doc_id"),
+            array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"_$c"))), " ").as("text")))
+        .reduce(_ unionByName _)
+        .localCheckpoint(true)
+      if (fam("q219")) {
+        val (t, rows) = time3Noop(dM.select(col("doc_id"),
+          explode(graft.functions.GraftFunctions.winnow_fingerprints(
+            split(col("text"), " "), 3, 4)).as("fp")))
+        println(f"NEWOPS q219 m=$m fps=$rows median=$t%.2f")
+      }
+      if (fam("q220")) {
+        val (t, rows) = time3(graft.operators.Dedup.winnowOverlapPairs(dM))
+        println(f"NEWOPS q220 m=$m pairs=$rows median=$t%.2f")
+      }
+      dM.unpersist(blocking = true)
+    }
+
     // q142 family: mutualKnn on m id-OFFSET replicas of the exact
     // kNN edge list (computed once, checkpointed, so the sweep times
     // the reciprocity join alone): edges grow exactly m×, mutual
