@@ -457,6 +457,63 @@ object PipelineQueries {
         .orderBy("user_id", "session_start_ts")
     },
 
+    // ---- q226: the STREAMING SKETCH lane — q56's HyperLogLog as a
+    // watermarked per-(hour window, type) streaming max-aggregation
+    // with a REAL state store under timing (the one streaming twin
+    // family — hll/cms/histogram registers — that had bit-parity
+    // specs but no gated lane). Registers are a max-agg of
+    // deterministic md5-derived ranks, so the streamed cells are
+    // bit-identical to batch and the oracle replays the register
+    // construction verbatim (the q56 recipe) with the q187 window
+    // arithmetic; state is bounded at 2^p registers per open
+    // (window, type) no matter the stream. Single data micro-batch,
+    // complete mode — the full register census is the (bounded)
+    // sink payload.
+    Q("q226_stream_hll", Some {
+      val p = 6
+      val low = 60 - p
+      s"""
+      WITH h AS (SELECT (epoch_ns(ts) // 1000) // 3600000000 * 3600000000 AS wsu,
+                        event_type,
+                        ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+                 FROM events),
+      r AS (SELECT wsu, event_type, h >> $low AS reg,
+              CASE WHEN (h & ((1::BIGINT << $low) - 1)) = 0 THEN ${low + 1}
+                   ELSE ${low + 1} - length(bin(h & ((1::BIGINT << $low) - 1)))
+              END AS rho
+            FROM h)
+      SELECT wsu AS window_start_us, event_type,
+             CAST(reg AS BIGINT) AS reg, CAST(MAX(rho) AS BIGINT) AS maxrho
+      FROM r GROUP BY 1, 2, 3
+      ORDER BY window_start_us, event_type, reg"""
+    }) { (s, d) =>
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      val path = s"$d/events.parquet"
+      val batchSchema = s.read.parquet(path).schema
+      val raw = s.readStream.schema(batchSchema)
+        .option("maxFilesPerTrigger", 1 << 20)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d)
+      val ev = batchSchema("ts").dataType match {
+        case LongType => raw
+        case TimestampNTZType | TimestampType =>
+          raw.withColumn("ts",
+            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
+        case other => throw new IllegalStateException(
+          s"events.ts has unsupported type $other")
+      }
+      val regs = graft.streaming.EventStreams.hllRegistersWindowed(ev, p = 6)
+      val sink = s"q226_mem_${System.nanoTime()}"
+      val q = regs.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      try { q.processAllAvailable() } finally q.stop()
+      s.table(sink)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("reg").cast("long").as("reg"),
+          col("maxrho").cast("long").as("maxrho"))
+        .orderBy("window_start_us", "event_type", "reg")
+    },
+
     // ---- q214: the STREAM-STREAM JOIN lane — watermarked two-
     // unbounded-inputs attribution (click within 30 min of its
     // impression, per user) through Spark's native stream-stream
