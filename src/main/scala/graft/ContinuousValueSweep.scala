@@ -165,6 +165,13 @@ object ContinuousValueSweep {
           corpus.select(col("g"), col("v").as("b"), pmod(col("id"), lit(97L)).as("x")),
           Seq("g"), col("b"), col("x"), maxBuckets = tripBins.toLong).count(); ()
       }
+      // r15: the v-optimal DP's bin census — all-distinct bins would
+      // make the B² interval-cell stage quadratic in the corpus.
+      point("vOptimalHist", n, "over") {
+        operators.Stats.vOptimalHist(
+          corpus.select(col("v").as("b"), pmod(col("id"), lit(97L)).as("x")),
+          col("b"), col("x"), k = 4, maxBins = tripBins.toLong).count(); ()
+      }
     }
     spark.stop()
   }

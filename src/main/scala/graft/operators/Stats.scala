@@ -1939,6 +1939,119 @@ object Stats {
         :+ col("__peNum").as("pe_num") :+ col("kappa_e6")): _*)
   }
 
+  /** V-optimal histogram — the k-segment partition of a value census
+    * that MINIMIZES total within-segment SSE (Jagadish et al., VLDB
+    * '98: the histogram an optimizer actually wants, vs equi-width/
+    * equi-depth's convenience cuts), solved EXACTLY by the classic
+    * O(k·B²) dynamic program over census positions — the optimal
+    * counterpart of [[graft.operators.Temporal]]'s greedy binary
+    * segmentation (q189), and the same "the oracle replays the whole
+    * trajectory" contract: interval costs are truncated exact
+    * rationals (`sse_q = (n·Σv² − (Σv)²) div n` over exact decimal
+    * sums — the zero-float SSE identity, already e²-granular for
+    * e-quantized inputs; plain truncation rather than an e6 rescale
+    * keeps every emitted and DP-summed cost inside BIGINT for
+    * n·var(v) < 2⁶³), the DP's min-plus
+    * recurrence ties break to the SMALLEST split position, and the
+    * backtrack is deterministic, so the emitted segment table
+    * hash-gates bit-for-bit.
+    *
+    * Scale shape: ONE corpus shuffle builds the (bin) census;
+    * [[boundedCensus]] fail-fasts it at `maxBins`, so the B² interval
+    * cells, the k DP layers (each one join + one argmin aggregate
+    * over ≤ B² rows) and the k-step backtrack are all census-space
+    * by construction. Headroom: |v| ≤ 10⁷ (guarded) and n ≤ 10¹²
+    * keep n·Σv² inside decimal(38,0).
+    *
+    * Emits one row per segment: `(segment, start_bin, end_bin,
+    * n_seg, sse_q)`, positions mapped back to bin values. */
+  def vOptimalHist(df: DataFrame, binCol: Column, valueQ: Column,
+                   k: Int, maxBins: Long = 1024): DataFrame = {
+    require(k >= 1 && k <= 16, "k must be in [1, 16]")
+    val rows = df
+      .filter(binCol.isNotNull && valueQ.isNotNull)
+      .select(binCol.cast("long").as("__bin"), valueQ.cast("long").as("__v"))
+      .withColumn("__v", when(abs(col("__v")) <= 10000000L, col("__v"))
+        .otherwise(raise_error(lit(
+          "vOptimalHist: |v| > 1e7 — quantize coarser upstream (n·Σv² range)")).cast("long")))
+    val census0 = rows.groupBy(col("__bin"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__v").cast("decimal(38,0)")).as("__s"),
+        sum(col("__v").cast("decimal(38,0)") * col("__v")).as("__q"))
+    val census = boundedCensus(census0, maxBins, "vOptimalHist")
+    // Census positions + prefix sums: the census is bounded, so the
+    // single-partition window is the cheap and correct carrier.
+    val w = Window.orderBy(col("__bin"))
+    val pos = census
+      .withColumn("__p", row_number().over(w).cast("long"))
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__cs", sum(col("__s")).over(w))
+      .withColumn("__cq", sum(col("__q")).over(w))
+      .localCheckpoint(true)
+    val b = pos.agg(max(col("__p")).as("__B")).collect().head.getLong(0)
+    require(b >= k, s"vOptimalHist: only $b occupied bins for k=$k segments")
+    // Interval cost cells (a ≤ b over positions): exact SSE identity
+    // on prefix differences, e6-truncated once.
+    val lo = pos.select(col("__p").as("__a"), col("__cn").as("__cnA"),
+      col("__cs").as("__csA"), col("__cq").as("__cqA"))
+    val hi = pos.select(col("__p").as("__b2"), col("__cn").as("__cnB"),
+      col("__cs").as("__csB"), col("__cq").as("__cqB"),
+      col("__bin").as("__binB"))
+    val zero = lo.select((lit(0L)).as("__a"), lit(0L).as("__cnA"),
+      lit(0L).cast("decimal(38,0)").as("__csA"),
+      lit(0L).cast("decimal(38,0)").as("__cqA")).limit(1)
+    val loAll = lo.unionByName(zero.withColumn("__a", lit(0L)))
+    val cells = hi.join(loAll, col("__a") < col("__b2"))
+      .select(
+        (col("__a") + 1L).as("__from"), col("__b2").as("__to"),
+        (col("__cnB") - col("__cnA")).as("__nSeg"),
+        expr("CAST(((__cnB - __cnA) * (__cqB - __cqA) " +
+          "- (__csB - __csA) * (__csB - __csA)) " +
+          "div CAST(__cnB - __cnA AS decimal(38,0)) AS BIGINT)").as("__cost"))
+      .localCheckpoint(true)
+    // DP layers: L1 = prefix costs; layer t joins layer t-1 at
+    // j = from-1 and argmins (total, j) per endpoint.
+    var layers = List(cells.filter(col("__from") === 1L)
+      .select(col("__to").as("__i"), col("__cost").as("__total"),
+        lit(0L).as("__bestj")))
+    for (t <- 2 to k) {
+      val prev = layers.head
+      val lt = cells.join(prev, cells("__from") === prev("__i") + 1L)
+        .filter(prev("__i") >= (t - 1).toLong)
+        .select(col("__to").as("__i2"),
+          (prev("__total") + col("__cost")).as("__t2"), prev("__i").as("__j"))
+        .groupBy(col("__i2"))
+        .agg(min(struct(col("__t2"), col("__j"))).as("__best"))
+        .select(col("__i2").as("__i"), col("__best.__t2").as("__total"),
+          col("__best.__j").as("__bestj"))
+      layers = lt :: layers
+    }
+    // Backtrack (k bounded 1-row collects — strategy state): the
+    // boundary chain b_k = B, b_{t-1} = bestj_t(b_t).
+    val layerArr = layers.reverse.toArray // index t-1 = layer t
+    var boundary = b
+    val segs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for (t <- k to 1 by -1) {
+      val row = layerArr(t - 1).filter(col("__i") === boundary)
+        .select(col("__bestj")).collect().head
+      val j = row.getLong(0)
+      segs += ((t.toLong, j + 1L, boundary))
+      boundary = j
+    }
+    val spark0 = df.sparkSession
+    import spark0.implicits._
+    val segDf = segs.toSeq.toDF("segment", "__fromP", "__toP")
+    segDf
+      .join(broadcast(cells), col("__fromP") === col("__from") &&
+        col("__toP") === col("__to"))
+      .join(broadcast(pos.select(col("__p").as("__fromP"), col("__bin").as("start_bin"))),
+        "__fromP")
+      .join(broadcast(pos.select(col("__p").as("__toP"), col("__bin").as("end_bin"))),
+        "__toP")
+      .select(col("segment"), col("start_bin"), col("end_bin"),
+        col("__nSeg").as("n_seg"), col("__cost").as("sse_q"))
+  }
+
   /** Delete-one-bucket jackknife variance of a group's mean — the
     * RNG-free uncertainty bar for pipeline metrics (a bootstrap
     * needs random resamples and so can never hash-gate; the

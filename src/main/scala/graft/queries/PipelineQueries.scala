@@ -20,6 +20,66 @@ object PipelineQueries {
   private val narratorSchema = ArrayType(StructType(Seq(
     StructField("name", StringType), StructField("url", StringType))))
 
+  /** Unrolled v-optimal-histogram oracle (q227): census → prefix
+    * sums → interval-cost cells → `k` min-plus DP layers (argmin by
+    * (total, split) via row_number) → `k` backtrack CTEs. The cell
+    * cost and tie rules mirror [[graft.operators.Stats.vOptimalHist]]
+    * verbatim. */
+  private def voptimalOracleSql(k: Int): String = {
+    val head = """
+      WITH e AS (SELECT CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS v,
+                        LEAST(CAST(FLOOR(value / 8) AS BIGINT), 63) AS bin
+                 FROM events WHERE value IS NOT NULL),
+      c AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(v) AS HUGEINT) AS s,
+                   SUM(CAST(v AS HUGEINT) * v) AS q
+            FROM e GROUP BY 1),
+      p AS (SELECT bin, row_number() OVER (ORDER BY bin) AS pp,
+                   SUM(n) OVER w AS cn, SUM(s) OVER w AS cs, SUM(q) OVER w AS cq
+            FROM c WINDOW w AS (ORDER BY bin
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      lo AS (SELECT pp AS a, cn AS cnA, cs AS csA, cq AS cqA FROM p
+             UNION ALL
+             SELECT 0, 0, CAST(0 AS HUGEINT), CAST(0 AS HUGEINT)),
+      cells AS MATERIALIZED (
+        SELECT lo.a + 1 AS f, hi.pp AS t2,
+               CAST(hi.cn - lo.cnA AS BIGINT) AS nseg,
+               CAST(((hi.cn - lo.cnA) * (hi.cq - lo.cqA)
+                     - (hi.cs - lo.csA) * (hi.cs - lo.csA))
+                    // CAST(hi.cn - lo.cnA AS HUGEINT) AS BIGINT) AS cost
+        FROM p hi JOIN lo ON lo.a < hi.pp),
+      l1 AS (SELECT t2 AS i, cost AS total, CAST(0 AS BIGINT) AS bestj
+             FROM cells WHERE f = 1)"""
+    val layers = (2 to k).map { t =>
+      s""",
+      l$t AS (SELECT i, total, bestj FROM (
+        SELECT c2.t2 AS i, l${t - 1}.total + c2.cost AS total,
+               l${t - 1}.i AS bestj,
+               row_number() OVER (PARTITION BY c2.t2
+                 ORDER BY l${t - 1}.total + c2.cost, l${t - 1}.i) AS rn
+        FROM cells c2 JOIN l${t - 1} ON c2.f = l${t - 1}.i + 1
+        WHERE l${t - 1}.i >= ${t - 1}) WHERE rn = 1)"""
+    }.mkString
+    val back = (k to 1 by -1).map { t =>
+      if (t == k) s""",
+      bmax AS (SELECT MAX(pp) AS mb FROM p),
+      b$t AS (SELECT l$t.i AS e, l$t.bestj AS j FROM l$t, bmax WHERE l$t.i = bmax.mb)"""
+      else s""",
+      b$t AS (SELECT l$t.i AS e, l$t.bestj AS j FROM l$t, b${t + 1} WHERE l$t.i = b${t + 1}.j)"""
+    }.mkString
+    val segUnion = (1 to k).map(t =>
+      s"SELECT CAST($t AS BIGINT) AS segment, j + 1 AS f, e AS t2 FROM b$t")
+      .mkString("\n        UNION ALL ")
+    head + layers + back + s""",
+      segs AS ($segUnion)
+      SELECT segs.segment, pf.bin AS start_bin, pt.bin AS end_bin,
+             cells.nseg AS n_seg, cells.cost AS sse_q
+      FROM segs JOIN cells ON cells.f = segs.f AND cells.t2 = segs.t2
+           JOIN p pf ON pf.pp = segs.f
+           JOIN p pt ON pt.pp = segs.t2
+      ORDER BY segs.segment"""
+  }
+
   /** The graph tier's shared synthetic edge frame: density-stable
     * modulus m = |orders| div 8, derived IN-FRAME — the one-row
     * count aggregate attaches by a constant-key broadcast equi-join
@@ -821,6 +881,24 @@ object PipelineQueries {
           expr("ts div 86400000000000"),
           floor(col("value") * lit(10000d) + lit(0.5d)))
         .orderBy("event_type")
+    },
+
+    // ---- q227: v-optimal histogram — the k=4 segmentation of the
+    // value census that MINIMIZES total within-segment SSE (Jagadish
+    // et al., VLDB '98 — the histogram an optimizer wants), solved
+    // EXACTLY by the O(k·B²) census-space DP; the optimal
+    // counterpart to q189's greedy splits and q139's equi-depth
+    // convenience cuts. Interval costs are truncated exact rationals
+    // over decimal prefix sums, the min-plus ties break to the
+    // smallest split, and the backtrack is deterministic — the full
+    // segment table hash-gates (oracle = the DP unrolled: cells →
+    // 4 argmin layers → 4 backtrack CTEs).
+    Q("q227_voptimal_hist", Some(voptimalOracleSql(4))) { (s, d) =>
+      val ev = Tables.events(s, d).filter(col("value").isNotNull)
+      Stats.vOptimalHist(ev,
+          least(floor(col("value") / lit(8d)), lit(63d)),
+          floor(col("value") * lit(100d) + lit(0.5d)), k = 4)
+        .orderBy("segment")
     },
 
     // ---- q165: seasonal-baseline anomaly report — seasonality-aware

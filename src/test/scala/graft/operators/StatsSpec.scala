@@ -997,6 +997,68 @@ class StatsSpec extends SparkSuite {
     assert(e.getMessage.contains("4 points"))
   }
 
+  test("vOptimalHist ≡ brute-force best k-partition; greedy-suboptimal case; guards trip") {
+    import spark.implicits._
+    def run(vals: Seq[(Long, Long)], k: Int): Seq[(Long, Long, Long, Long, Long)] =
+      Stats.vOptimalHist(vals.toDF("b", "v"), col("b"), col("v"), k)
+        .orderBy("segment").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // Brute force: enumerate every k-partition of the occupied-bin
+    // positions, cost with the SAME truncated-SSE cells, pick the
+    // lexicographically-smallest-boundary optimum (the DP's
+    // smallest-j tie rule composes to exactly that).
+    def brute(vals: Seq[(Long, Long)], k: Int): (BigInt, Seq[(Int, Int)]) = {
+      val bins = vals.groupBy(_._1).toSeq.sortBy(_._1)
+      val n = bins.map(_._2.size.toLong)
+      val s = bins.map(b => BigInt(b._2.map(_._2).sum))
+      val q = bins.map(b => b._2.map(x => BigInt(x._2) * x._2).sum)
+      val B = bins.size
+      def cost(a: Int, b: Int): BigInt = { // positions 0-based inclusive
+        val nn = BigInt((a to b).map(n).sum)
+        val ss = (a to b).map(s).sum
+        val qq = (a to b).map(q).sum
+        (nn * qq - ss * ss) / nn
+      }
+      def parts(start: Int, segs: Int): Seq[Seq[(Int, Int)]] =
+        if (segs == 1) Seq(Seq((start, B - 1)))
+        else (start to B - segs).flatMap(e =>
+          parts(e + 1, segs - 1).map((start, e) +: _))
+      val all = parts(0, k).map(p => (p.map { case (a, b) => cost(a, b) }.sum, p))
+      val best = all.minBy { case (c, p) => (c, p.map(_._2).mkString(",")) }
+      best
+    }
+    val gen = for {
+      nb <- Gen.chooseNum(4, 7)
+      rows <- Gen.listOfN(20, for {
+        b <- Gen.chooseNum(0L, nb.toLong - 1)
+        v <- Gen.chooseNum(-50L, 50L)
+      } yield (b, v))
+    } yield rows
+    for (rows <- PropSampling.sample(gen, n = 6)
+         if rows.map(_._1).distinct.size >= 4) {
+      val got = run(rows, 4)
+      val (bc, _) = brute(rows, 4)
+      assert(BigInt(got.map(_._5).sum) === bc,
+        s"DP total ${got.map(_._5).sum} != brute $bc on $rows")
+      // Segments tile the occupied bins in order.
+      val binsSorted = rows.map(_._1).distinct.sorted
+      assert(got.head._2 === binsSorted.head && got.last._3 === binsSorted.last)
+    }
+    // A case where GREEDY top-down splitting is suboptimal but the
+    // DP is exact: values 0,0,10,10,20,20 in bins 1..6, k=3 → the
+    // optimal is the three perfect pairs with total SSE 0.
+    val tri = Seq((1L, 0L), (2L, 0L), (3L, 10L), (4L, 10L), (5L, 20L), (6L, 20L))
+    val g3 = run(tri, 3)
+    assert(g3.map(_._5).sum === 0L, g3.toString)
+    assert(g3.map(t => (t._2, t._3)) === Seq((1L, 2L), (3L, 4L), (5L, 6L)))
+    // Guards: |v| domain and too-few-bins both trip loud.
+    val e1 = intercept[Exception](run(Seq((1L, 20000000L), (2L, 1L),
+      (3L, 1L), (4L, 1L)), 2))
+    assert(e1.getMessage.contains("1e7"))
+    val e2 = intercept[IllegalArgumentException](run(Seq((1L, 1L), (2L, 2L)), 3))
+    assert(e2.getMessage.contains("occupied bins"))
+  }
+
   test("jackknifeMeanVar ≡ BigInt replay; single-bucket drop; census guard trips") {
     import spark.implicits._
     val gen = for {
