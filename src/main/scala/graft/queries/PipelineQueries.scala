@@ -345,36 +345,13 @@ object PipelineQueries {
       FROM events
       GROUP BY 1, 2
       ORDER BY window_start_us, event_type""")) { (s, d) =>
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val path = s"$d/events.parquet"
-      // Probe the batch schema (footer metadata only) so the stream
-      // reader and the ts normalization track the driver data's
-      // TIMESTAMP(NANOS)/timestamp[us]/BIGINT drift exactly like
-      // Tables.events does for batch.
-      val batchSchema = s.read.parquet(path).schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("maxFilesPerTrigger", 1 << 20)
-        // events.parquet is a FILE at the driver's layout, but the
-        // file stream source requires a DIRECTORY source path (it
-        // re-derives basePath from the source path per batch) — so
-        // stream the sf dir and glob-filter to the events table.
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val ev = batchSchema("ts").dataType match {
-        case LongType => raw
-        case TimestampNTZType | TimestampType =>
-          raw.withColumn("ts",
-            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
-        case other => throw new IllegalStateException(
-          s"events.ts has unsupported type $other")
-      }
+      val ev = graft.streaming.StreamLane.events(s, d)
       val counts = graft.streaming.EventStreams.hourlyCounts(
         ev.withColumn("value", col("value").cast("decimal(28,2)")))
-      val sink = s"q187_mem_${System.nanoTime()}"
-      val q = counts.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.table(sink)
+      // Complete-mode census: the trailing no-data batch would just
+      // rewrite the identical table — skip it (see StreamLane doc).
+      graft.streaming.StreamLane.drain(s, counts, "complete", "q187_mem",
+          noDataBatch = false)
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("n"),
           col("sum_value").cast("double").as("sum_value"))
@@ -413,29 +390,13 @@ object PipelineQueries {
       FROM g, mx
       WHERE (end_u + 1800000000) // 1000 <= mts // 1000 - 7200000
       ORDER BY user_id, session_start_ts""")) { (s, d) =>
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val path = s"$d/events.parquet"
-      val batchSchema = s.read.parquet(path).schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("maxFilesPerTrigger", 1 << 20)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val ev = batchSchema("ts").dataType match {
-        case LongType => raw
-        case TimestampNTZType | TimestampType =>
-          raw.withColumn("ts",
-            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
-        case other => throw new IllegalStateException(
-          s"events.ts has unsupported type $other")
-      }
+      val ev = graft.streaming.StreamLane.events(s, d)
       val sessions = graft.streaming.EventStreams.sessionWindowAgg(
         ev.withColumn("value", col("value").cast("decimal(28,2)")),
         gapMinutes = 30, watermark = "2 hours")
-      val sink = s"q188_mem_${System.nanoTime()}"
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.table(sink)
+      // Append-mode eviction lane: emission IS the no-data batch's
+      // watermark pass — keep it (StreamLane default).
+      graft.streaming.StreamLane.drain(s, sessions, "append", "q188_mem")
         .select(col("user_id"), col("session_start_ts"), col("session_end_ts"),
           col("n_events"), col("total_value").cast("double").as("total_value"))
         .orderBy("user_id", "session_start_ts")
@@ -482,21 +443,7 @@ object PipelineQueries {
       WHERE sid < last_sid
          OR end_n // 1000000 + 1800000 < mts // 1000000 - 7200000
       ORDER BY user_id, session_start_ts""")) { (s, d) =>
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val path = s"$d/events.parquet"
-      val batchSchema = s.read.parquet(path).schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("maxFilesPerTrigger", 1 << 20)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val ev = batchSchema("ts").dataType match {
-        case LongType => raw
-        case TimestampNTZType | TimestampType =>
-          raw.withColumn("ts",
-            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
-        case other => throw new IllegalStateException(
-          s"events.ts has unsupported type $other")
-      }
+      val ev = graft.streaming.StreamLane.events(s, d)
       // e4-quantize BEFORE the stateful fold: integer-valued doubles
       // sum exactly (each partial stays < 2^53), so the state's
       // sequential accumulation is order-free and the oracle's
@@ -506,11 +453,9 @@ object PipelineQueries {
           coalesce(floor(col("value") * lit(10000d) + lit(0.5d)).cast("double"),
             lit(0d))),
         gapMinutes = 30, watermark = "2 hours")
-      val sink = s"q205_mem_${System.nanoTime()}"
-      val q = sessions.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.table(sink)
+      // Timeout lane: the no-data batch is where event-time timeouts
+      // fire — keep it (StreamLane default).
+      graft.streaming.StreamLane.drain(s, sessions.toDF(), "append", "q205_mem")
         .select(col("userId").as("user_id"), col("startTs").as("session_start_ts"),
           col("endTs").as("session_end_ts"), col("nEvents").cast("long").as("n_events"),
           col("totalValue").cast("long").as("total_v_e4"))
@@ -547,27 +492,12 @@ object PipelineQueries {
       FROM r GROUP BY 1, 2, 3
       ORDER BY window_start_us, event_type, reg"""
     }) { (s, d) =>
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val path = s"$d/events.parquet"
-      val batchSchema = s.read.parquet(path).schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("maxFilesPerTrigger", 1 << 20)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val ev = batchSchema("ts").dataType match {
-        case LongType => raw
-        case TimestampNTZType | TimestampType =>
-          raw.withColumn("ts",
-            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
-        case other => throw new IllegalStateException(
-          s"events.ts has unsupported type $other")
-      }
+      val ev = graft.streaming.StreamLane.events(s, d)
       val regs = graft.streaming.EventStreams.hllRegistersWindowed(ev, p = 6)
-      val sink = s"q226_mem_${System.nanoTime()}"
-      val q = regs.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.table(sink)
+      // Complete-mode register census — no-data batch skipped, same
+      // reasoning as q187.
+      graft.streaming.StreamLane.drain(s, regs, "complete", "q226_mem",
+          noDataBatch = false)
         .select(unix_micros(col("window_start")).as("window_start_us"),
           col("event_type"), col("reg").cast("long").as("reg"),
           col("maxrho").cast("long").as("maxrho"))
@@ -603,21 +533,17 @@ object PipelineQueries {
                    AND c.click_ts_us >= i.imp_ts_us
                    AND c.click_ts_us <= i.imp_ts_us + 1800000000
       ORDER BY i.user_id, i.imp_id, c.click_id""")) { (s, d) =>
-      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
-      val path = s"$d/events.parquet"
-      val batchSchema = s.read.parquet(path).schema
-      val raw = s.readStream.schema(batchSchema)
-        .option("maxFilesPerTrigger", 1 << 20)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(d)
-      val ev = (batchSchema("ts").dataType match {
-        case LongType => raw
-        case TimestampNTZType | TimestampType =>
-          raw.withColumn("ts",
-            (unix_micros(col("ts").cast(TimestampType)) * 1000L).cast(LongType))
-        case other => throw new IllegalStateException(
-          s"events.ts has unsupported type $other")
-      }).filter(col("ts").isNotNull && col("user_id").isNotNull)
+      // Thin the stream AT SOURCE (r16, closing the r15 verdict's #1):
+      // filter to the two participating event types and project to
+      // the three needed columns BEFORE the fork, so the join's
+      // symmetric state store buffers 3-column view/click rows
+      // instead of full-width everything — at 100 TB this is the
+      // difference between state sized by attribution traffic and
+      // state sized by the firehose.
+      val ev = graft.streaming.StreamLane.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+          col("event_type").isin("view", "click"))
+        .select("event_id", "user_id", "event_type", "ts")
       // Self-join of one file source: impressions and clicks are two
       // filters of the same stream — Spark plans it as a symmetric
       // stream-stream join with per-side watermarks.
@@ -625,11 +551,10 @@ object PipelineQueries {
         ev.filter(col("event_type") === "view"),
         ev.filter(col("event_type") === "click"),
         keyCol = "user_id", horizon = "30 minutes", watermark = "2 hours")
-      val sink = s"q214_mem_${System.nanoTime()}"
-      val q = joined.writeStream.format("memory").queryName(sink)
-        .outputMode("append").start()
-      try { q.processAllAvailable() } finally q.stop()
-      s.table(sink)
+      // Inner pairs emit in the data batch; the no-data batch would
+      // only evict state — skip it (see StreamLane doc).
+      graft.streaming.StreamLane.drain(s, joined, "append", "q214_mem",
+          noDataBatch = false)
         .select(col("user_id"), col("imp_id"), col("click_id"),
           unix_micros(col("imp_time")).as("imp_ts_us"),
           unix_micros(col("click_time")).as("click_ts_us"))
