@@ -67,13 +67,21 @@ object Graph {
     * correctly-rounded division so the double is cross-engine exact.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // The canonical edge list, degree table, and oriented edge list
+    // are each consumed by MULTIPLE downstream joins — localCheckpoint
+    // them (the tier's standard multi-pass materialization; GraphX
+    // caches its edge RDDs for the same reason). Without the cut
+    // Catalyst re-executes the scan + distinct once per consumer
+    // (r16 probe: 35 exchanges, ~5 recomputations of the distinct).
     val ue = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint()
     val deg = ue.select(col("u").as("node")).union(ue.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
     // Attach both endpoint degrees, then orient by (deg, node).
     val withDeg = ue
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
@@ -82,26 +90,25 @@ object Graph {
       (col("du") === col("dv") && col("u") < col("v"))
     val o = withDeg.select(
       when(uFirst, col("u")).otherwise(col("v")).as("src"),
-      when(uFirst, col("v")).otherwise(col("u")).as("dst"),
-      when(uFirst, col("dv")).otherwise(col("du")).as("ddeg"))
-    // Wedges at the apex: unordered out-neighbor pairs, ordered by
-    // the SAME (deg, node) total order so the closing edge — if it
-    // exists — is oriented y→z by construction.
-    // Pre-spread the streamed wedge side (the q129/kHopReach lesson):
-    // a broadcast apex join otherwise expands wedges on however few
-    // partitions the oriented edge list happens to have.
-    val width = edges.sparkSession.sessionState.conf.numShufflePartitions
-    val e1 = o.select(col("src").as("x"), col("dst").as("y"),
-      col("ddeg").as("dy"))
-      .repartition(width, col("x"))
-    val e2 = o.select(col("src").as("x"), col("dst").as("z"),
-      col("ddeg").as("dz"))
-    val wedges = e1.join(e2,
-      e1("x") === e2("x") &&
-        (col("dy") < col("dz") || (col("dy") === col("dz") && col("y") < col("z"))))
-      .select(e1("x"), col("y"), col("z"))
-    val tris = wedges.join(
-      o.select(col("src").as("y"), col("dst").as("z")), Seq("y", "z"))
+      when(uFirst, col("v")).otherwise(col("u")).as("dst"))
+      .localCheckpoint()
+    // Edge-centric neighborhood intersection (the GraphX shape,
+    // replacing the r15 wedge self-join + closing join): under the
+    // acyclic orientation every triangle has a unique apex x (out-deg
+    // 2 within the triangle) and middle y, so for each oriented edge
+    // (x, y) its closing corners are exactly z ∈ outN(x) ∩ outN(y) —
+    // each triangle generated once, no ordering predicate needed.
+    // outN stays O(sqrt(2m)) by the orientation, so the adjacency
+    // arrays are skew-bounded, and the intersection runs inside
+    // codegen on m join rows instead of shuffling the O(Σ outdeg²)
+    // wedge set through two exchanges (r16: the 5M-row wedge
+    // exchange was the census's whole cost at sf0.1).
+    val adj = o.groupBy(col("src")).agg(collect_list(col("dst")).as("nbrs"))
+    val tris = o
+      .join(adj.select(col("src"), col("nbrs").as("nx")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("ny")), Seq("dst"))
+      .select(col("src").as("x"), col("dst").as("y"),
+        explode(array_intersect(col("nx"), col("ny"))).as("z"))
     val perNode = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))

@@ -598,16 +598,47 @@ object Similarity {
     val blockIds =
       if (nAssign == 1) array(col("top2.s1.centroid_id"))
       else array(col("top2.s1.centroid_id"), col("top2.s2.centroid_id"))
+    // Block rows carry their vector and refine INLINE (r16): with k
+    // ≪ √n hash-seeded blocks the id-pair candidate set is Σ n_c² ≈
+    // n²·nAssign²/k pairs, and shuffling it through the
+    // distinct-before-refine tail ([[refinePairs]]) was this
+    // operator's whole cost (q79: ~34M id pairs through an exchange
+    // vs ~33k fat rows here). Pairs stream through the codegen'd
+    // cosine + threshold without ever shuffling; only survivors
+    // (rare at 0.99) reach the distinct that collapses
+    // duplicate-block hits — same emitted set, because `sim` is
+    // deterministic per pair. Identical trade to
+    // [[semanticBlockedPairsWithModel]], now shared.
     val blocks = assigned
-      .select(col(idCol), explode(blockIds).as("centroid_id"))
-      .filter(col("centroid_id") =!= lit(Int.MaxValue)) // unfilled slot (nCentroids < 2)
-    // A pair sharing both blocks must surface once: distinct on the
-    // id pair before any vector is fetched (the q57 candidate rule).
-    val cand = blocks.select(col("centroid_id"), col(idCol).as("vec_a"))
-      .join(blocks.select(col("centroid_id"), col(idCol).as("vec_b")), Seq("centroid_id"))
+      .select(col(idCol), col("vec"), col("norm"),
+        explode(blockIds).as("cluster_id"))
+      .filter(col("cluster_id") =!= lit(Int.MaxValue)) // unfilled slot (nCentroids < 2)
+    inlineRefinedBlockPairs(blocks, threshold, idCol)
+  }
+
+  /** Salted inline-refined pairs within fat block rows
+    * `(idCol, vec, norm, cluster_id)`: side A is salted by id hash
+    * into `saltBuckets` slices and side B replicated across them, so
+    * per-block work spreads over saltBuckets × k tasks instead of k
+    * (the low-cardinality-key treatment); the cosine + threshold run
+    * inside the join's codegen, and only surviving pairs reach the
+    * distinct that collapses duplicate-block hits. Deterministic
+    * (id-hash salt) — output-invariant. Shared tail of the semantic
+    * blocking paths. */
+  private def inlineRefinedBlockPairs(blocks: DataFrame, threshold: Double,
+                                      idCol: String, saltBuckets: Int = 8): DataFrame = {
+    val a = blocks.select(col("cluster_id"),
+      pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("salt"),
+      col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
+    val b = blocks.select(col("cluster_id"), explode(
+        sequence(lit(0L), lit(saltBuckets - 1L))).as("salt"),
+      col(idCol).as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
+    a.join(b, Seq("cluster_id", "salt"))
       .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    refinePairs(cand, c, threshold, idCol)
+      .withColumn("sim_raw", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("sim_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
+      .distinct()
   }
 
   /** [[semanticBlockedPairs]] with TRAINED centroids — the full
@@ -651,23 +682,7 @@ object Similarity {
       .select(col(idCol), col("vec"), col("norm"),
         explode(slice(array_sort(array(dists: _*)), 1, nAssign)).as("a"))
       .select(col(idCol), col("vec"), col("norm"), col("a.cid").as("cluster_id"))
-    // Low-cardinality join key (k clusters): salt side A into
-    // `saltBuckets` slices and replicate side B across them so the
-    // per-cluster work spreads over saltBuckets × k tasks instead of
-    // k. Deterministic (id-hash) — output-invariant.
-    val saltBuckets = 8
-    val a = blocks.select(col("cluster_id"),
-      pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("salt"),
-      col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
-    val b = blocks.select(col("cluster_id"), explode(
-        sequence(lit(0L), lit(saltBuckets - 1L))).as("salt"),
-      col(idCol).as("vec_b"), col("vec").as("vb"), col("norm").as("nb"))
-    a.join(b, Seq("cluster_id", "salt"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("sim_raw", cosinePrenormed(dot(col("va"), col("vb")), col("na"), col("nb")))
-      .filter(col("sim_raw") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round(col("sim_raw"), 6).as("sim"))
-      .distinct()
+    inlineRefinedBlockPairs(blocks, threshold, idCol)
   }
 
   /** IVF-style ANN: corpus is assigned to the nearest of `nCentroids`
