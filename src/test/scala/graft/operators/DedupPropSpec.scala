@@ -274,4 +274,22 @@ class DedupPropSpec extends SparkSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainGot === (0L until 40L).map(_ -> 0L).toMap)
   }
+
+  test("connectedComponents reliable-checkpoint mode: same labels, durable files written") {
+    import spark.implicits._
+    // The 40-node chain needs several pointer-jump rounds, so an
+    // interval of 2 exercises BOTH cut paths (durable on rounds
+    // 2, 4, …, local in between) on the way to the fixpoint.
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("cc-reliable").toString
+    val got = Dedup.connectedComponents(chain.toDF("doc_a", "doc_b"),
+        reliableCheckpointDir = Some(dir), reliableInterval = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === (0L until 40L).map(_ -> 0L).toMap,
+      "reliable mode must produce the default mode's labelling")
+    def files(p: java.io.File): Seq[java.io.File] =
+      if (p.isDirectory) p.listFiles().toSeq.flatMap(files) else Seq(p)
+    assert(files(new java.io.File(dir)).nonEmpty,
+      "opting in must actually write durable checkpoint files")
+  }
 }
