@@ -1216,4 +1216,77 @@ object Curation {
     cur.select(col("__r").as(rowCol), col("__c").as(colCol), col("n"),
       col("cell").cast("long").as("mix_e6"))
   }
+
+  /** DoReMi-style domain mix-weight optimizer (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * NeurIPS 2023) — the loss-FEEDBACK member of the mixing family:
+    * q76/q163's temperature and token-budget mixes reweight by SIZE,
+    * this reweights by per-domain EXCESS LOSS, upweighting domains
+    * the current mixture models worst. Deterministic fixed-point
+    * variant of the paper's Group-DRO loop:
+    *
+    *  - per-domain loss = mean token surprisal under the corpus
+    *    unigram model in [[flog2qSql]] 1/16-bit log2 integer units
+    *    (the q218 proxy standing in for the paper's proxy-model
+    *    loss — the trait-style seam here is the LOSS COLUMN, not a
+    *    callback: feed any per-domain integer loss census in);
+    *  - per round: reference loss = the current mixture's weighted
+    *    mean (integer div), excess = max(0, loss − ref),
+    *    multiplicative update w ← w · (1e6 + η·excess) renormalized
+    *    to e9 by floored integer division — the linearized
+    *    exp(η·excess) of multiplicative weights, exact in integers
+    *    (the q215 Sinkhorn discipline applied to the DRO loop).
+    *
+    * Every quantity is an exact integer (normalization products run
+    * in BigInt on the driver and HUGEINT in the oracle), so the full
+    * (round, domain, excess, weight) TRAJECTORY hash-gates via
+    * unrolled round CTEs (the q60 pattern). Driver state is one row
+    * per domain (maxDomains-guarded limit probe — the model-fit
+    * convention); the loss census is fully distributed: explode →
+    * vocab-bounded token census → census join-back → per-domain sums.
+    * Scale: at 100 TB the census join is the same one q218 ships;
+    * rounds touch only the n_domains-row census. */
+  def doremiMixWeights(docs: DataFrame, domainCol: String = "source",
+                       rounds: Int = 4, eta: Long = 10000L,
+                       maxDomains: Int = 4096,
+                       textCol: String = "text"): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16]")
+    require(eta >= 0, "eta must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = docs
+      .select(col(domainCol).as("__d"), explode(split(col(textCol), " ")).as("__tok"))
+    val census = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val tot = census.agg(sum(col("__c")).as("__tt"))
+    val domLoss = toks.join(census, "__tok")
+      .crossJoin(broadcast(tot))
+      .select(col("__d"),
+        expr(s"${flog2qSql("__tt")} - ${flog2qSql("__c")}").as("__surp"))
+      .groupBy(col("__d"))
+      .agg(count(lit(1)).as("__n"), sum(col("__surp")).as("__s"))
+      .select(col("__d"), expr("__s div __n").as("__loss"))
+    val probe = domLoss.limit(maxDomains + 1).collect()
+    require(probe.length <= maxDomains,
+      s"doremiMixWeights: more than $maxDomains domains — coarsen the domain key")
+    // Deterministic order so the floored normalizations replay.
+    val doms = probe.map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val n = doms.length
+    if (n == 0) return Seq.empty[(Long, String, Long, Long)]
+      .toDF("round", domainCol, "excess_fp", "weight_e9")
+    var w: Array[BigInt] = Array.fill(n)(BigInt(1000000000L / n))
+    val out = Seq.newBuilder[(Long, String, Long, Long)]
+    for (t <- 1 to rounds) {
+      val wsum = w.sum
+      val mixRef = (w.iterator.zip(doms.iterator.map(_._2))
+        .map { case (wi, li) => wi * li }.sum / wsum).toLong
+      val excess = doms.map { case (_, li) => math.max(0L, li - mixRef) }
+      val raw = w.iterator.zip(excess.iterator)
+        .map { case (wi, ei) => wi * (BigInt(1000000L) + BigInt(ei) * eta) }.toArray
+      val rawSum = raw.sum
+      w = raw.map(r => r * BigInt(1000000000L) / rawSum)
+      for (i <- 0 until n)
+        out += ((t.toLong, doms(i)._1, excess(i), w(i).toLong))
+    }
+    out.result().toDF("round", domainCol, "excess_fp", "weight_e9")
+  }
 }

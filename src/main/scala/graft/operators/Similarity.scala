@@ -1059,4 +1059,56 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("__s"), 6).as("sim"))
   }
+
+  /** Pluggable CROSS-ENCODER seam (r16) — the reranking boundary
+    * where a production retrieval stack calls a (query, document)
+    * scoring model on the first stage's short-list: the
+    * [[graft.operators.Qc.Transcriber]] pattern applied to retrieval.
+    * The engine owns candidate generation (ANN tiers), the text
+    * join-back, and the bounded top-k; the model is injected. */
+  trait CrossEncoder extends Serializable {
+    def score(query: String, doc: String): Double
+  }
+
+  /** Deterministic lexical stand-in for the cross-encoder boundary
+    * (the declared-mock convention of the Transcriber/ViNormalize
+    * seams): distinct-unigram overlap F1 = 2·|Q∩D| / (|Q|+|D|),
+    * e9-truncated so the score is an exact integer in disguise and
+    * the whole rerank hash-gates cross-engine. A real deployment
+    * swaps in a model-backed encoder; the plan is identical. */
+  object LexicalOverlapEncoder extends CrossEncoder {
+    override def score(query: String, doc: String): Double = {
+      val q = query.split(' ').iterator.filter(_.nonEmpty).toSet
+      val d = doc.split(' ').iterator.filter(_.nonEmpty).toSet
+      if (q.isEmpty || d.isEmpty) 0.0
+      else math.floor(2.0e9 * (q & d).size / (q.size + d.size)) / 1e9
+    }
+  }
+
+  /** Rerank a first-stage candidate short-list with a [[CrossEncoder]]:
+    * texts rejoin by id (two narrow equi-joins — the candidate frame
+    * moves ids only, the [[refinePairs]] discipline), every
+    * (query, candidate) pair is scored in one projection, and the
+    * per-query top-k cut is the bounded [[TopK]] partial aggregate —
+    * the exchange moves O(queries × k) rows no matter the short-list
+    * width. Scale note: cross-encoder inference is O(pairs) model
+    * calls, which is exactly why it only ever sees the short-list —
+    * the ANN tiers exist to keep `candidates` at queries × kShort.
+    * Ties break (score desc, cand_id asc), the q30 rank convention. */
+  def crossEncoderRerank(candidates: DataFrame, texts: DataFrame,
+                         encoder: CrossEncoder, k: Int,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scoreUdf = udf((q: String, d: String) =>
+      if (q == null || d == null) 0.0 else encoder.score(q, d))
+    val qt = texts.select(col(idCol).as("query_id"), col(textCol).as("__qtext"))
+    val ct = texts.select(col(idCol).as("cand_id"), col(textCol).as("__ctext"))
+    val scored = candidates.select("query_id", "cand_id")
+      .join(qt, "query_id")
+      .join(ct, "cand_id")
+      .select(col("query_id"), col("cand_id"),
+        scoreUdf(col("__qtext"), col("__ctext")).as("sim_raw"))
+    TopK.perGroup(scored, "query_id", "cand_id", "sim_raw", k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("sim_raw").as("score"))
+  }
 }

@@ -43,6 +43,43 @@ object TextQueries {
     * passes over the (source, lang) census as chained CTEs — DuckDB
     * has recursive CTEs but unrolling keeps every round's integer
     * truncation textually identical to the Spark plan's. */
+  /** Unrolled DoReMi oracle (q229): domain-loss census, uniform w0,
+    * then `rounds` (weighted-mean ref → excess → multiplicative
+    * update → floored e9 renormalization) CTE layers mirroring
+    * [[graft.operators.Curation.doremiMixWeights]]'s driver loop
+    * verbatim — HUGEINT where the Scala side runs BigInt. */
+  private def doremiOracleSql(rounds: Int, eta: Long): String = {
+    val f = (x: String) => graft.operators.Curation.flog2qSql(x)
+    val head = s"""
+      WITH t AS (SELECT source AS d, UNNEST(string_split(text, ' ')) AS tok
+                 FROM documents),
+      c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cc FROM t GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS tt FROM c),
+      dl AS MATERIALIZED (SELECT t.d,
+                    CAST(SUM((${f("tot.tt")}) - (${f("c.cc")})) AS BIGINT)
+                      // CAST(COUNT(*) AS BIGINT) AS loss
+             FROM t JOIN c USING (tok) CROSS JOIN tot GROUP BY 1),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM dl),
+      w0 AS (SELECT d, loss, CAST(0 AS BIGINT) AS ex,
+                    CAST(1000000000 // n AS HUGEINT) AS w
+             FROM dl CROSS JOIN nd)"""
+    val layers = (1 to rounds).map { t =>
+      val pv = s"w${t - 1}"
+      s""",
+      m$t AS (SELECT SUM(w * loss) // SUM(w) AS mref FROM $pv),
+      e$t AS (SELECT d, loss, w, GREATEST(0, loss - mref) AS ex
+              FROM $pv CROSS JOIN m$t),
+      r$t AS (SELECT d, loss, ex, w * (1000000 + ex * $eta) AS raw FROM e$t),
+      w$t AS (SELECT d, loss, ex,
+                     raw * 1000000000 // (SELECT SUM(raw) FROM r$t) AS w
+              FROM r$t)"""
+    }.mkString
+    val unions = (1 to rounds).map { t =>
+      s"SELECT CAST($t AS BIGINT) AS round, d AS source, CAST(ex AS BIGINT) AS excess_fp, CAST(w AS BIGINT) AS weight_e9 FROM w$t"
+    }.mkString(" UNION ALL ")
+    s"$head$layers $unions ORDER BY round, source"
+  }
+
   private def ipfOracleSql(rounds: Int): String = {
     val head = """
       WITH c0 AS (SELECT lang AS r, source AS c,
@@ -1366,6 +1403,20 @@ object TextQueries {
       FROM t JOIN c USING (tok) CROSS JOIN tot
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
       Curation.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- q229: DoReMi-style mix-weight optimizer (r16) — the
+    // loss-FEEDBACK member of the mixing family beside q76's
+    // temperature and q163's token-budget mixes: per-source mean
+    // unigram surprisal (the q218 proxy loss) drives 4 rounds of
+    // multiplicative weights with floored e9 renormalization,
+    // upweighting the domains the current mixture models worst (the
+    // Group-DRO loop of Xie et al., NeurIPS 2023, in the q215
+    // exact-integer fixed-point discipline). The full trajectory
+    // hash-gates against 4 unrolled oracle rounds.
+    Q("q229_doremi_mix", Some(doremiOracleSql(rounds = 4, eta = 10000L))) { (s, d) =>
+      Curation.doremiMixWeights(Tables.documents(s, d), "source", rounds = 4)
+        .orderBy("round", "source")
     },
 
     // ---- q219: winnowing fingerprints (MOSS) — the position-

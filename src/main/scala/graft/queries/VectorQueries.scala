@@ -1585,5 +1585,57 @@ object VectorQueries {
       Similarity.graphAnnBeam(emb, emb.filter(col("vec_id") < 10),
           k = 5, m = 8, beam = 4, hops = 3)
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q228: cross-encoder rerank (r16) — the retrieve-then-
+    // rerank serving shape the r15 verdict listed as the retrieval
+    // tier's one missing seam: dense first stage (exact top-25
+    // cosine per query — at scale, any ANN tier) → text join-back
+    // by id → per-pair scoring through the pluggable CrossEncoder
+    // trait → bounded top-5. The gate runs the deterministic
+    // LexicalOverlapEncoder stand-in (distinct-unigram F1,
+    // e9-truncated — the declared-mock convention of the
+    // Transcriber seam), so the oracle replays short-list, tokens,
+    // intersection, and rank exactly; f1_e9 recovers the exact
+    // integer from the e9-floored double (round-trip error < 1e-15
+    // of a ≤2e9 value). Embedding ids double as documents ids —
+    // vec_id ⊂ doc_id by the driver's data contract.
+    Q("q228_crossencoder_rerank", Some(oracleProlog + """,
+      short AS (
+        SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_inner_product(c.v, q.v)/(c.nrm*q.nrm) DESC,
+                            c.vec_id) AS rn
+          FROM p c JOIN p q ON q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id)
+        WHERE rn <= 25),
+      toks AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS w
+               FROM documents),
+      scored AS (
+        SELECT s.query_id, s.cand_id,
+               CAST(floor(2000000000.0 * len(list_intersect(qt.w, ct.w))
+                          / (len(qt.w) + len(ct.w))) AS BIGINT) AS f1_e9
+        FROM short s
+        JOIN toks qt ON qt.doc_id = s.query_id
+        JOIN toks ct ON ct.doc_id = s.cand_id),
+      rr AS (SELECT query_id, cand_id AS neighbor_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY f1_e9 DESC, cand_id) AS BIGINT) AS rank,
+                    f1_e9
+             FROM scored)
+      SELECT query_id, neighbor_id, rank, f1_e9 FROM rr WHERE rank <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val shortList = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 97 === 0), k = 25)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"))
+      Similarity.crossEncoderRerank(shortList, Tables.documents(s, d),
+          Similarity.LexicalOverlapEncoder, k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("long").as("rank"),
+          round(col("score") * lit(1e9)).cast("long").as("f1_e9"))
+        .orderBy("query_id", "rank")
     })
 }

@@ -117,6 +117,41 @@ class AudioSpec extends SparkSuite {
       graft.functions.AudioOps.envelopeHash64(patternWav(base)))
   }
 
+  test("X1 sinc resample: beats linear on a pure tone, preserves DC, anti-aliases") {
+    import graft.functions.AudioOps
+    // 440 Hz tone, 8 kHz -> 16 kHz upsample: compare both kernels
+    // against the analytic sine at the output rate (interior
+    // samples only — edge taps are truncation-normalized).
+    val f = 440.0
+    val in = Array.tabulate(8000)(i => math.sin(2 * math.Pi * f * i / 8000.0).toFloat)
+    val ref = Array.tabulate(16000)(i => math.sin(2 * math.Pi * f * i / 16000.0).toFloat)
+    def rmse(got: Array[Float]): Double = {
+      val lo = 200; val hi = got.length - 200
+      math.sqrt((lo until hi).map(i => math.pow(got(i) - ref(i), 2)).sum / (hi - lo))
+    }
+    val linErr = rmse(AudioOps.resampleLinear(in, 8000, 16000))
+    val sincErr = rmse(AudioOps.resampleSinc(in, 8000, 16000))
+    assert(sincErr < linErr / 20,
+      s"sinc ($sincErr) must beat linear ($linErr) by >20x on a pure tone")
+    assert(sincErr < 1e-4)
+    // DC exactness at EVERY output index (the weight-normalization
+    // claim): a constant signal resamples to exactly itself.
+    val dc = Array.fill(1000)(0.5f)
+    assert(AudioOps.resampleSinc(dc, 16000, 7350).forall(x => math.abs(x - 0.5f) < 1e-6))
+    // Anti-aliasing on downsample: a 7 kHz tone at 16 kHz is above
+    // the 4 kHz Nyquist of an 8 kHz target — sinc must attenuate it
+    // (linear folds it back as a loud alias).
+    val hiTone = Array.tabulate(16000)(i => math.sin(2 * math.Pi * 7000.0 * i / 16000.0).toFloat)
+    def energy(a: Array[Float]): Double = a.map(x => x.toDouble * x).sum / a.length
+    val sincDown = energy(AudioOps.resampleSinc(hiTone, 16000, 8000))
+    val linDown = energy(AudioOps.resampleLinear(hiTone, 16000, 8000))
+    assert(sincDown < 0.005, s"aliased energy must be suppressed, got $sincDown")
+    assert(sincDown < linDown / 10)
+    // Degenerate inputs mirror the linear kernel's contract.
+    assert(AudioOps.resampleSinc(null, 8000, 16000) == null)
+    assert(AudioOps.resampleSinc(in, 8000, 8000) eq in)
+  }
+
   test("audio near-dup pairs: clusters at hamming <= 2, garbage quarantined") {
     val baseA = 0x0F0F0F0F0F0F0F0L
     val baseB = 0x70707070707070FL

@@ -805,4 +805,40 @@ class CurationSpec extends SparkSuite {
       (2L, 4L, 1L, 2500L, "medium"),
       (3L, 2L, 0L, 0L, "low")))
   }
+
+  test("doremiMixWeights: uniform loss stays uniform; excess-loss domain gains monotonically") {
+    import spark.implicits._
+    // Identical text in every domain → identical loss → excess 0
+    // every round → weights pinned at the uniform floor division.
+    val uniform = Seq(
+      (1L, "a b c", "d0"), (2L, "a b c", "d1"), (3L, "a b c", "d2"))
+      .toDF("doc_id", "text", "source")
+    val u = Curation.doremiMixWeights(uniform, "source", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(u.forall(_._3 == 0L), "identical domains must have zero excess")
+    assert(u.forall(_._4 == 1000000000L / 3), "uniform loss must keep uniform weights")
+    // One domain of rare singleton tokens (high surprisal) vs two
+    // templated domains: its weight must strictly increase across
+    // rounds and exceed uniform; totals stay ≤ 1e9 (floored splits).
+    val skewed = Seq(
+      (1L, "x1 x2 x3 x4 x5 x6 x7 x8", "rare"),
+      (2L, "a a a a a a a a", "dup1"),
+      (3L, "a a a a a a a a", "dup2"))
+      .toDF("doc_id", "text", "source")
+    val s = Curation.doremiMixWeights(skewed, "source", rounds = 4)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val rare = s.filter(_._2 == "rare").sortBy(_._1).map(_._4)
+    assert(rare.head > 1000000000L / 3, "high-loss domain must rise above uniform")
+    assert(rare.sliding(2).forall(w => w(1) > w(0)),
+      s"high-loss weight must grow monotonically, got ${rare.mkString(",")}")
+    for (t <- 1L to 4L) {
+      val tot = s.filter(_._1 == t).map(_._4).sum
+      assert(tot <= 1000000000L && tot >= 1000000000L - 3,
+        s"round $t weights must sum to e9 minus floored remainders, got $tot")
+    }
+    // Domain-cardinality guard: the model-fit limit probe binds.
+    intercept[IllegalArgumentException] {
+      Curation.doremiMixWeights(skewed, "source", rounds = 2, maxDomains = 2)
+    }
+  }
 }

@@ -531,4 +531,35 @@ class SimilaritySpec extends SparkSuite {
       assert(sDocs.rdd.getNumPartitions === width)
     } finally spark.sparkContext.removeSparkListener(l)
   }
+
+  test("crossEncoderRerank: injected encoder drives ranks; k cut; id tie-break") {
+    import spark.implicits._
+    val texts = Seq(
+      (0L, "q query text"),
+      (1L, "high"), (2L, "mid"), (3L, "low"), (4L, "mid")) // 2 and 4 tie
+      .toDF("doc_id", "text")
+    val cands = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
+      .toDF("query_id", "cand_id")
+    // Seam proof: a mock encoder scoring by DOC text alone — the
+    // rerank must honor whatever the injected model returns.
+    val mock = new Similarity.CrossEncoder {
+      override def score(query: String, doc: String): Double = doc match {
+        case "high" => 0.9
+        case "mid"  => 0.5
+        case _      => 0.1
+      }
+    }
+    val got = Similarity.crossEncoderRerank(cands, texts, mock, k = 3)
+      .orderBy("query_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(got.toSeq === Seq(
+      (0L, 1L, 1, 0.9), (0L, 2L, 2, 0.5), (0L, 4L, 3, 0.5)),
+      "rank by injected score desc, cand_id asc tie-break, k=3 cut drops the 0.1")
+    // The deterministic lexical stand-in: exact e9-truncated F1s.
+    val e = Similarity.LexicalOverlapEncoder
+    assert(e.score("a b c", "b c d") === math.floor(2.0e9 * 2 / 6) / 1e9)
+    assert(e.score("a a b", "a b") === 1.0)    // distinct-unigram sets
+    assert(e.score("", "a b") === 0.0)
+    assert(e.score("a", "b") === 0.0)
+  }
 }
