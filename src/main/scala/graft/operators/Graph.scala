@@ -58,30 +58,36 @@ object Graph {
     *    survives a power-law web graph at 100 TB; the naive
     *    three-way join on undirected edges does not.
     *
-    * Plan shape: one distinct (canonical edges), one degree
-    * aggregate, then wedges = self-equi-join on the apex and the
-    * closing check = one equi-join on (y, z) — all shuffles on edge
-    * keys, never a window over nodes, never a driver collect.
+    * Plan shape (r16): one distinct (canonical edges), one degree
+    * aggregate, the oriented edge list (checkpointed — its three
+    * consumers would re-execute the whole upstream pipeline each),
+    * then triangles by edge-centric NEIGHBORHOOD INTERSECTION: an
+    * out-adjacency aggregate plus two equi-joins of the oriented
+    * edges against it, with the closing corners z ∈ outN(x) ∩ outN(y)
+    * computed inside codegen — the O(Σ outdeg²) wedge set is never
+    * shuffled. All shuffles on edge keys, never a window over nodes,
+    * never a driver collect.
     * Output: one row per node — `node`, `deg`, `n_tri`, and
     * `clust` = 2·tri / (deg·(deg−1)) (null when deg < 2), a single
     * correctly-rounded division so the double is cross-engine exact.
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    // The canonical edge list, degree table, and oriented edge list
-    // are each consumed by MULTIPLE downstream joins — localCheckpoint
-    // them (the tier's standard multi-pass materialization; GraphX
-    // caches its edge RDDs for the same reason). Without the cut
-    // Catalyst re-executes the scan + distinct once per consumer
-    // (r16 probe: 35 exchanges, ~5 recomputations of the distinct).
+    // Only the ORIENTED edge list is localCheckpoint'd (the tier's
+    // multi-pass materialization; GraphX caches its edge RDDs for
+    // the same reason): it is the one frame whose three consumers
+    // (adjacency build, both intersection joins) would otherwise
+    // re-execute the whole scan→distinct→degree→orient pipeline each
+    // (r16 probe: 35 exchanges, ~5 recomputations). Checkpointing ue
+    // and deg as well was measured SLOWER — their recomputation is
+    // two cheap scans, less than two extra materialization jobs
+    // (Q105Probe variants: o-only 1.35 s vs all-three 1.85 s min).
     val ue = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
     val deg = ue.select(col("u").as("node")).union(ue.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint()
     // Attach both endpoint degrees, then orient by (deg, node).
     val withDeg = ue
       .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
