@@ -1217,6 +1217,33 @@ object Curation {
       col("cell").cast("long").as("mix_e6"))
   }
 
+  /** Blocklist / keyword-filter hits via Aho–Corasick
+    * ([[graft.functions.AhoCorasick]]) — one row per (doc, pattern)
+    * with ≥1 occurrence, OVERLAPPING counts. The curation shape this
+    * serves: literal blocklists (URLs, phrases, contamination
+    * canaries) routinely reach 10⁴–10⁵ entries, where the chained
+    * per-pattern regex of [[redactPii]] degenerates to one scan per
+    * pattern; the automaton matches ALL patterns in one
+    * O(chars + hits) pass per document regardless of blocklist size.
+    *
+    * Scale shape: the automaton is built ONCE on the driver
+    * (O(Σ|pattern|) nodes) and ships in the task closure — the
+    * broadcast-model convention of the fitted classifiers; scoring
+    * is a stateless per-row projection (stream-deployable like the
+    * other fit-batch/score-forever kernels), and only (doc, pattern)
+    * pairs with hits survive the explode. */
+  def blocklistHits(docs: DataFrame, patterns: Seq[String],
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pats = patterns.toArray
+    val ac = new graft.functions.AhoCorasick(pats)
+    val hitsUdf = udf((t: String) => if (t == null) null else ac.countHits(t))
+    val patLit = array(pats.map(lit): _*)
+    docs.select(col(idCol), posexplode(hitsUdf(col(textCol))).as(Seq("__i", "n_hits")))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), element_at(patLit, col("__i") + 1).as("pattern"),
+        col("n_hits"))
+  }
+
   /** DoReMi-style domain mix-weight optimizer (Xie et al., "DoReMi:
     * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
     * NeurIPS 2023) — the loss-FEEDBACK member of the mixing family:

@@ -43,6 +43,53 @@ object TextQueries {
     * passes over the (source, lang) census as chained CTEs — DuckDB
     * has recursive CTEs but unrolling keeps every round's integer
     * truncation textually identical to the Spark plan's. */
+  /** BLEU-components oracle (q231): per n = 1..4, candidate and
+    * reference n-gram censuses, clipped-match sums (Σ min of the two
+    * counts — the multiset intersection), then totals, the
+    * flog2q-smoothed log-precision sum, and the floored length
+    * ratio, mirroring [[graft.operators.Evaluation.bleuComponents]].
+    * p2 is MATERIALIZED — eight gram CTEs consume it. */
+  private def bleuOracleSql: String = {
+    val f = (x: String) => graft.operators.Curation.flog2qSql(x)
+    val perN = (1 to 4).flatMap { n =>
+      Seq("c" -> "ct", "r" -> "rt").map { case (side, arr) =>
+        s"""
+      ${side}g$n AS (SELECT doc_id, array_to_string($arr[i:i+${n - 1}], ' ') AS g
+        FROM (SELECT doc_id, $arr,
+                     UNNEST(range(1, CAST(len($arr) - $n + 2 AS BIGINT))) AS i
+              FROM p2)),
+      ${side}n$n AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+                     FROM ${side}g$n GROUP BY 1, 2)"""
+      } :+ s"""
+      mm$n AS (SELECT cc.doc_id, CAST(SUM(LEAST(cc.c, rc.c)) AS BIGINT) AS m
+               FROM cn$n cc JOIN rn$n rc USING (doc_id, g) GROUP BY 1)"""
+    }.mkString(",")
+    val joins = (1 to 4).map(n => s"LEFT JOIN mm$n ON mm$n.doc_id = p2.doc_id").mkString(" ")
+    val cols = (1 to 4).map { n =>
+      s"""COALESCE(mm$n.m, 0) AS m$n,
+         CAST(GREATEST(len(ct) - $n + 1, 0) AS BIGINT) AS t$n,
+         CAST(GREATEST(len(rt) - $n + 1, 0) AS BIGINT) AS r$n"""
+    }.mkString(", ")
+    val logprec = (1 to 4).map(n =>
+      s"(${f(s"COALESCE(mm$n.m, 0) + 1")}) - (${f(s"GREATEST(len(ct) - $n + 1, 0) + 1")})")
+      .mkString(" + ")
+    s"""
+      WITH p AS (SELECT doc_id, string_split(text, ' ') AS rt FROM documents),
+      p2 AS MATERIALIZED (
+        SELECT doc_id, rt,
+               rt[1:GREATEST((len(rt) * 8) // 10, 1)] AS ct
+        FROM p WHERE len(rt) > 0),$perN
+      SELECT p2.doc_id,
+             CAST(len(ct) AS BIGINT) AS c_len,
+             CAST(len(rt) AS BIGINT) AS r_len,
+             $cols,
+             CAST($logprec AS BIGINT) AS logprec_fp,
+             CAST(len(ct) AS BIGINT) * 1000000000 // CAST(len(rt) AS BIGINT)
+               AS len_ratio_e9
+      FROM p2 $joins
+      ORDER BY p2.doc_id"""
+  }
+
   /** Unrolled DoReMi oracle (q229): domain-loss census, uniform w0,
     * then `rounds` (weighted-mean ref → excess → multiplicative
     * update → floored e9 renormalization) CTE layers mirroring
@@ -1403,6 +1450,56 @@ object TextQueries {
       FROM t JOIN c USING (tok) CROSS JOIN tot
       GROUP BY 1 ORDER BY 1""")) { (s, d) =>
       Curation.unigramSurprisal(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // ---- q231: BLEU/ROUGE components (r16) — generation-eval
+    // statistics per (candidate, reference) pair in exact integers
+    // (the q55 BM25 portable-exactness split: integer sufficient
+    // components gate; the float BLEU — exp of the mean, e^(1-r/c)
+    // brevity — is a display-side transform because exp/ln are not
+    // bit-portable). Candidate = the first 80% of each document's
+    // tokens, reference = the full document (the truncation shape an
+    // eval harness scores); clipped matches are per-n multiset
+    // intersections computed in one per-row kernel — no explode, no
+    // shuffle, stream-deployable. ROUGE-n recall = m_n / r_n from
+    // the same frame.
+    Q("q231_bleu_components", Some(bleuOracleSql)) { (s, d) =>
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("rt"))
+        .filter(size(col("rt")) > 0)
+        .withColumn("ct", slice(col("rt"), lit(1),
+          greatest(expr("(size(rt) * 8) div 10"), lit(1)).cast("int")))
+      graft.operators.Evaluation.bleuComponents(toks, "doc_id", "ct", "rt")
+        .orderBy("doc_id")
+    },
+
+    // ---- q230: Aho–Corasick blocklist hits (r16) — the literal
+    // multi-pattern filter a 10⁴-entry blocklist needs (chained
+    // per-pattern regexes are one scan per pattern; the automaton is
+    // one O(chars + hits) pass per document regardless of pattern
+    // count). OVERLAPPING occurrence counts by char, so patterns
+    // cross word boundaries and self-overlapping patterns ("a a" in
+    // "a a a") count both hits; the oracle IS the positional
+    // substring census — per (doc, pattern), the count of positions
+    // where the pattern starts — so the gate proves the automaton's
+    // goto/fail/output machinery against the definition.
+    Q("q230_blocklist_hits", Some("""
+      WITH pats AS (SELECT * FROM (VALUES
+        ('scan'), ('an'), ('hash join'), ('slow'), ('table t'),
+        ('merge batch'), ('w s'), ('a a')) t(pattern)),
+      h AS (SELECT d.doc_id, p.pattern,
+              CAST(len(list_filter(
+                     range(1, CAST(len(d.text) - len(p.pattern) + 2 AS BIGINT)),
+                     i -> substr(d.text, CAST(i AS BIGINT), len(p.pattern))
+                          = p.pattern)) AS BIGINT) AS n_hits
+            FROM documents d CROSS JOIN pats p
+            WHERE len(d.text) >= len(p.pattern))
+      SELECT doc_id, pattern, n_hits FROM h WHERE n_hits > 0
+      ORDER BY doc_id, pattern""")) { (s, d) =>
+      Curation.blocklistHits(Tables.documents(s, d),
+          Seq("scan", "an", "hash join", "slow", "table t",
+            "merge batch", "w s", "a a"))
+        .orderBy("doc_id", "pattern")
     },
 
     // ---- q229: DoReMi-style mix-weight optimizer (r16) — the

@@ -806,6 +806,27 @@ class CurationSpec extends SparkSuite {
       (3L, 2L, 0L, 0L, "low")))
   }
 
+  test("ahoCorasick: overlapping counts, fail-link suffix hits, blocklistHits shape") {
+    import graft.functions.AhoCorasick
+    // The CACM-1975 canonical set: "ushers" must hit she (via the
+    // trie), he and hers (via fail/output links), never his.
+    val classic = new AhoCorasick(Array("he", "she", "his", "hers"))
+    assert(classic.countHits("ushers").toSeq === Seq(1L, 1L, 0L, 1L))
+    // Overlapping self-bordered pattern: "aa" in "aaaa" = 3 starts.
+    assert(new AhoCorasick(Array("aa")).countHits("aaaa").toSeq === Seq(3L))
+    // Patterns cross word boundaries (char-level contract).
+    assert(new AhoCorasick(Array("a b")).countHits("a b a b").toSeq === Seq(2L))
+    intercept[IllegalArgumentException] { new AhoCorasick(Array("")) }
+    // Operator shape: only hit pairs survive, counts exact.
+    import spark.implicits._
+    val docs = Seq((1L, "she sells seashells"), (2L, "no match here??"))
+      .toDF("doc_id", "text")
+    val got = Curation.blocklistHits(docs, Seq("she", "sea", "zzz"))
+      .orderBy("doc_id", "pattern").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, "sea", 1L), (1L, "she", 2L)))
+  }
+
   test("doremiMixWeights: uniform loss stays uniform; excess-loss domain gains monotonically") {
     import spark.implicits._
     // Identical text in every domain → identical loss → excess 0

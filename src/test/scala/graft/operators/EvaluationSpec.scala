@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Hand-computed BLEU/ROUGE component pins, including the clipping
+  * case the unclipped precision gets wrong ("a a a" vs "a" must
+  * match once, not three times — Papineni et al. §2.1). */
+class EvaluationSpec extends SparkSuite {
+
+  test("bleuComponents: truncation pair, clipping, degenerate lengths") {
+    import spark.implicits._
+    val pairs = Seq(
+      // cand = 3-token prefix of a 4-token ref.
+      (1L, Seq("a", "b", "c"), Seq("a", "b", "c", "d")),
+      // the clipping canonical: candidate repeats a token the
+      // reference has once.
+      (2L, Seq("a", "a", "a"), Seq("a")),
+      // no overlap at all.
+      (3L, Seq("x", "y"), Seq("p", "q", "r"))).toDF("doc_id", "cand", "ref")
+    val got = Evaluation.bleuComponents(pairs, "doc_id", "cand", "ref")
+      .orderBy("doc_id").collect()
+    val r1 = got(0)
+    assert((r1.getAs[Long]("c_len"), r1.getAs[Long]("r_len")) === (3L, 4L))
+    assert((r1.getAs[Long]("m1"), r1.getAs[Long]("t1"), r1.getAs[Long]("r1")) === (3L, 3L, 4L))
+    assert((r1.getAs[Long]("m2"), r1.getAs[Long]("t2"), r1.getAs[Long]("r2")) === (2L, 2L, 3L))
+    assert((r1.getAs[Long]("m3"), r1.getAs[Long]("t3"), r1.getAs[Long]("r3")) === (1L, 1L, 2L))
+    assert((r1.getAs[Long]("m4"), r1.getAs[Long]("t4"), r1.getAs[Long]("r4")) === (0L, 0L, 1L))
+    // perfect prefix precision: every smoothed term is f(m+1)-f(t+1)
+    // with m = t for n ≤ 3 → 0; n = 4 contributes f(1)-f(1) = 0.
+    assert(r1.getAs[Long]("logprec_fp") === 0L)
+    assert(r1.getAs[Long]("len_ratio_e9") === 750000000L)
+    val r2 = got(1)
+    assert((r2.getAs[Long]("m1"), r2.getAs[Long]("t1"), r2.getAs[Long]("r1")) === (1L, 3L, 1L),
+      "clipping must cap repeated-token matches at the reference count")
+    val r3 = got(2)
+    assert(r3.getAs[Long]("m1") === 0L && r3.getAs[Long]("m2") === 0L)
+    // ROUGE-1 recall falls out: m1 / r1 = 3/4 for the first pair.
+  }
+}
