@@ -27,26 +27,65 @@ object Evaluation {
                                 m3: Long, t3: Long, r3: Long,
                                 m4: Long, t4: Long, r4: Long)
 
-  private def clipped(cand: Seq[String], ref: Seq[String], n: Int): (Long, Long, Long) = {
-    val tc = math.max(0, cand.length - n + 1)
-    val tr = math.max(0, ref.length - n + 1)
-    if (tc == 0 || tr == 0) return (0L, tc.toLong, tr.toLong)
-    val refCounts = new java.util.HashMap[String, Long]()
-    var i = 0
-    while (i < tr) {
-      val g = ref.slice(i, i + n).mkString(" ")
-      refCounts.merge(g, 1L, _ + _)
-      i += 1
+  /** All four clip censuses in one pass: tokens are interned ONCE
+    * per row into ≤16-bit ids (shared across the two sides and all
+    * n — the fail-fast bounds per-row distinct tokens at 65,536, far
+    * above any real document), so an n-gram is an exact packed Long
+    * key and the multiset intersection runs over a primitive-keyed
+    * map with zero per-gram string allocation — the first cut built
+    * a string per gram and measured 6× slower than the oracle. */
+  private def allCounts(cand: Seq[String], ref: Seq[String]): BleuCounts = {
+    val dict = new java.util.HashMap[String, Integer]()
+    def ids(t: Seq[String]): Array[Long] = {
+      val a = new Array[Long](t.length)
+      var i = 0
+      val it = t.iterator
+      while (it.hasNext) {
+        val s = it.next()
+        var id = dict.get(s)
+        if (id == null) { id = Integer.valueOf(dict.size()); dict.put(s, id) }
+        a(i) = id.longValue(); i += 1
+      }
+      a
     }
-    var m = 0L
-    i = 0
-    while (i < tc) {
-      val g = cand.slice(i, i + n).mkString(" ")
-      val left = refCounts.getOrDefault(g, 0L)
-      if (left > 0L) { m += 1L; refCounts.put(g, left - 1L) }
-      i += 1
+    val c = ids(cand)
+    val r = ids(ref)
+    require(dict.size < 65536,
+      "bleuComponents: more than 65535 distinct tokens in one row")
+    def gram(a: Array[Long], i: Int, n: Int): Long = {
+      var k = 0L; var j = 0
+      while (j < n) { k = (k << 16) | a(i + j); j += 1 }
+      k
     }
-    (m, tc.toLong, tr.toLong)
+    val out = new Array[Long](12)
+    var n = 1
+    while (n <= 4) {
+      val tc = math.max(0, c.length - n + 1)
+      val tr = math.max(0, r.length - n + 1)
+      var m = 0L
+      if (tc > 0 && tr > 0) {
+        // Min-multiplicity intersection as a two-pointer merge over
+        // sorted primitive gram keys — no boxing, no hash churn.
+        val cg = new Array[Long](tc)
+        val rg = new Array[Long](tr)
+        var i = 0
+        while (i < tc) { cg(i) = gram(c, i, n); i += 1 }
+        i = 0
+        while (i < tr) { rg(i) = gram(r, i, n); i += 1 }
+        java.util.Arrays.sort(cg)
+        java.util.Arrays.sort(rg)
+        i = 0; var j = 0
+        while (i < tc && j < tr) {
+          if (cg(i) == rg(j)) { m += 1L; i += 1; j += 1 }
+          else if (cg(i) < rg(j)) i += 1
+          else j += 1
+        }
+      }
+      out((n - 1) * 3) = m; out((n - 1) * 3 + 1) = tc; out((n - 1) * 3 + 2) = tr
+      n += 1
+    }
+    BleuCounts(out(0), out(1), out(2), out(3), out(4), out(5),
+      out(6), out(7), out(8), out(9), out(10), out(11))
   }
 
   /** One row per input row: lengths, per-n (matched, cand-total,
@@ -57,12 +96,7 @@ object Evaluation {
   def bleuComponents(pairs: DataFrame, idCol: String = "doc_id",
                      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
     val kernel = udf { (cand: Seq[String], ref: Seq[String]) =>
-      if (cand == null || ref == null) None
-      else {
-        val Seq((m1, t1, r1), (m2, t2, r2), (m3, t3, r3), (m4, t4, r4)) =
-          (1 to 4).map(n => clipped(cand, ref, n))
-        Some(BleuCounts(m1, t1, r1, m2, t2, r2, m3, t3, r3, m4, t4, r4))
-      }
+      if (cand == null || ref == null) None else Some(allCounts(cand, ref))
     }
     val f = (x: String) => Curation.flog2qSql(x)
     val logprec = (1 to 4).map(n =>
