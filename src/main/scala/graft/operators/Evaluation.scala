@@ -92,19 +92,25 @@ object Evaluation {
     * ref-total) for n = 1..4, the smoothed log2-precision sum
     * `Σ_n flog2q(m_n+1) − flog2q(t_n+1)` (exact BIGINT), and the
     * floored length ratio `c_len·10⁹ div r_len`. `candCol`/`refCol`
-    * are token arrays. */
+    * are TEXT columns — tokenization (split on single space, keep
+    * trailing empties, matching Spark's `split(c, " ")` and DuckDB's
+    * `string_split`) happens inside the kernel: one UTF8String
+    * crosses the UDF boundary per side. (Measured equal to the
+    * token-array input form at sf0.1 — the string API is kept
+    * because text columns are the natural input, not for speed.) */
   def bleuComponents(pairs: DataFrame, idCol: String = "doc_id",
                      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
-    val kernel = udf { (cand: Seq[String], ref: Seq[String]) =>
-      if (cand == null || ref == null) None else Some(allCounts(cand, ref))
+    val kernel = udf { (cand: String, ref: String) =>
+      if (cand == null || ref == null) None
+      else Some(allCounts(cand.split(" ", -1).toSeq, ref.split(" ", -1).toSeq))
     }
     val f = (x: String) => Curation.flog2qSql(x)
     val logprec = (1 to 4).map(n =>
       s"(${f(s"m$n + 1")}) - (${f(s"t$n + 1")})").mkString(" + ")
     pairs
       .select(col(idCol),
-        size(col(candCol)).cast("long").as("c_len"),
-        size(col(refCol)).cast("long").as("r_len"),
+        size(split(col(candCol), " ")).cast("long").as("c_len"),
+        size(split(col(refCol), " ")).cast("long").as("r_len"),
         kernel(col(candCol), col(refCol)).as("__b"))
       .filter(col("__b").isNotNull && col("r_len") > 0)
       .select(Seq(col(idCol), col("c_len"), col("r_len")) ++

@@ -1464,12 +1464,18 @@ object TextQueries {
     // shuffle, stream-deployable. ROUGE-n recall = m_n / r_n from
     // the same frame.
     Q("q231_bleu_components", Some(bleuOracleSql)) { (s, d) =>
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("rt"))
+      // Candidate = the 80%-token prefix, re-joined to TEXT so one
+      // string crosses the kernel boundary per side (lossless: the
+      // tokens are a single-space split, so join+resplit round-trips
+      // empties and all).
+      val pairs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("rt"), col("text"))
         .filter(size(col("rt")) > 0)
-        .withColumn("ct", slice(col("rt"), lit(1),
-          greatest(expr("(size(rt) * 8) div 10"), lit(1)).cast("int")))
-      graft.operators.Evaluation.bleuComponents(toks, "doc_id", "ct", "rt")
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("rt"), lit(1),
+            greatest(expr("(size(rt) * 8) div 10"), lit(1)).cast("int"))).as("ct"),
+          col("text").as("rtext"))
+      graft.operators.Evaluation.bleuComponents(pairs, "doc_id", "ct", "rtext")
         .orderBy("doc_id")
     },
 

@@ -514,6 +514,19 @@ object EventStreams {
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.QualityClassifier.scoreWithModel(docs, model, idCol, textCol)
 
+  /** Streaming blocklist matching (r16) — the Aho–Corasick kernel
+    * ([[graft.operators.Curation.blocklistHits]]) deployed at ingest:
+    * the automaton is built once from the standing blocklist and
+    * rides the plan as a closure (the fit-once/score-forever shape of
+    * [[familiarityScored]]/[[bloomScored]]); every arriving document
+    * is matched against ALL patterns in one stateless per-row pass —
+    * no stream-static join, no state store, appends at ingest rate
+    * regardless of blocklist size. Batch parity is exact by
+    * construction (same operator; spec-pinned). */
+  def blocklistScored(docs: DataFrame, patterns: Seq[String],
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Curation.blocklistHits(docs, patterns, idCol, textCol)
+
   /** Streaming Bloom membership with a batch-fit filter — the
     * sketch-family deployment of the same fit-once/score-forever
     * shape: [[graft.operators.Sketches.fitBloom]] fits on the

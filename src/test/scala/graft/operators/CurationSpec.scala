@@ -827,6 +827,27 @@ class CurationSpec extends SparkSuite {
     assert(got.toSeq === Seq((1L, "sea", 1L), (1L, "she", 2L)))
   }
 
+  test("ahoCorasick ≡ brute-force positional census on random small-alphabet inputs") {
+    import graft.functions.AhoCorasick
+    // Tiny alphabet maximizes fail-link traffic, shared prefixes,
+    // and self-bordered patterns — the structures the automaton can
+    // get wrong. Deterministic seed, 200 cases.
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 200) {
+      val nPat = 1 + rnd.nextInt(6)
+      val pats = Array.fill(nPat)(
+        (1 to (1 + rnd.nextInt(4))).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString)
+        .distinct
+      val text = (1 to rnd.nextInt(60)).map(_ => ('a' + rnd.nextInt(2)).toChar).mkString
+      val got = new AhoCorasick(pats).countHits(text)
+      val want = pats.map { p =>
+        (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)).toLong
+      }
+      assert(got.toSeq === want.toSeq,
+        s"patterns=${pats.mkString(",")} text=$text")
+    }
+  }
+
   test("doremiMixWeights: uniform loss stays uniform; excess-loss domain gains monotonically") {
     import spark.implicits._
     // Identical text in every domain → identical loss → excess 0

@@ -12,12 +12,12 @@ class EvaluationSpec extends SparkSuite {
     import spark.implicits._
     val pairs = Seq(
       // cand = 3-token prefix of a 4-token ref.
-      (1L, Seq("a", "b", "c"), Seq("a", "b", "c", "d")),
+      (1L, "a b c", "a b c d"),
       // the clipping canonical: candidate repeats a token the
       // reference has once.
-      (2L, Seq("a", "a", "a"), Seq("a")),
+      (2L, "a a a", "a"),
       // no overlap at all.
-      (3L, Seq("x", "y"), Seq("p", "q", "r"))).toDF("doc_id", "cand", "ref")
+      (3L, "x y", "p q r")).toDF("doc_id", "cand", "ref")
     val got = Evaluation.bleuComponents(pairs, "doc_id", "cand", "ref")
       .orderBy("doc_id").collect()
     val r1 = got(0)

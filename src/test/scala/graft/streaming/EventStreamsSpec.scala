@@ -150,6 +150,31 @@ class EventStreamsSpec extends SparkSuite {
     assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
   }
 
+  test("streaming blocklist matching ≡ batch blocklistHits; no state store in the plan") {
+    val corpus = Seq((1L, "she sells seashells"), (2L, "clean text"),
+      (3L, "sea she sea"), (4L, "nothing here"))
+    val patterns = Seq("she", "sea", "zzz")
+    val dir = Files.createTempDirectory(Paths.get("target"), "bl-landing")
+    corpus.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val scored = EventStreams.blocklistScored(stream, patterns)
+    val out = Files.createTempDirectory(Paths.get("target"), "blout")
+    val q = EventStreams.writeParquetSink(scored, s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.operators.Curation
+      .blocklistHits(corpus.toDF("doc_id", "text"), patterns)
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed === batch, "streaming and batch blocklist matching diverged")
+    assert(streamed.exists(_._1 == 3L) && !streamed.exists(_._1 == 4L),
+      "fixture must exercise both hit and miss documents")
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"matching must hold no streaming state: ${st.mkString(",")}")
+  }
+
   test("streaming DSIR scoring ≡ the batch census-join plan on the fit corpus; no state") {
     // Fit the censuses in BATCH (target = the alpha-speaking half),
     // then score the same docs as a stream through the collected
