@@ -36,6 +36,92 @@ object Multimodal {
   /** Header-only image metadata column. */
   def imageInfo(bin: Column): Column = pngInfoUdf(bin)
 
+  /** Format-tagged header metadata for the sniffing parser (r16):
+    * the lake-scan shape is a binary column of MIXED formats, so the
+    * metadata pass must dispatch on magic bytes, not trust a file
+    * extension. bitDepth is bits per sample (PNG/JPEG/GIF) or bits
+    * per pixel (BMP — its header has no per-sample field). */
+  final case class ImageMeta(format: String, width: Int, height: Int, bitDepth: Int)
+
+  /** REAL JPEG header parse, java.base only: SOI then a marker walk
+    * (standalone markers skipped, segments skipped by their 2-byte
+    * big-endian length) to the first SOF0–SOF15 frame header
+    * (C4/C8/CC are DHT/JPG/DAC, not frames), which carries
+    * precision, height, width. Returns null on anything malformed —
+    * missing SOI, a non-FF byte where a marker must start, a segment
+    * length running past the buffer, or EOI before any SOF. */
+  def jpegInfo(b: Array[Byte]): ImageMeta = {
+    if (b == null || b.length < 4) return null
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return null
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return null
+      val m = b(i + 1) & 0xff
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      else if (m == 0xd9) return null // EOI before any SOF
+      else {
+        val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+        if (len < 2 || i + 2 + len > b.length) return null
+        val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (isSof) {
+          if (len < 8) return null
+          val prec = b(i + 4) & 0xff
+          val h = ((b(i + 5) & 0xff) << 8) | (b(i + 6) & 0xff)
+          val w = ((b(i + 7) & 0xff) << 8) | (b(i + 8) & 0xff)
+          return ImageMeta("jpeg", w, h, prec)
+        }
+        i += 2 + len
+      }
+    }
+    null
+  }
+
+  /** REAL GIF header parse: GIF87a/GIF89a signature + the logical
+    * screen descriptor (little-endian u16 dims; color resolution
+    * bits from the packed flags byte). */
+  def gifInfo(b: Array[Byte]): ImageMeta = {
+    if (b == null || b.length < 13) return null
+    if (!(b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8' &&
+        (b(4) == '7' || b(4) == '9') && b(5) == 'a')) return null
+    val w = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val h = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    ImageMeta("gif", w, h, ((b(10) & 0x70) >> 4) + 1)
+  }
+
+  /** REAL BMP header parse: BM signature + BITMAPINFOHEADER
+    * (little-endian i32 dims at offsets 18/22 — |height|, because a
+    * negative height only flags top-down row order — u16 bpp at 28). */
+  def bmpInfo(b: Array[Byte]): ImageMeta = {
+    if (b == null || b.length < 30) return null
+    if (!(b(0) == 'B' && b(1) == 'M')) return null
+    def le32(off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    val w = le32(18)
+    val h = le32(22)
+    val bpp = (b(28) & 0xff) | ((b(29) & 0xff) << 8)
+    ImageMeta("bmp", w, math.abs(h), bpp)
+  }
+
+  /** Magic-dispatching header parse over a mixed-format binary
+    * column: PNG/JPEG/GIF/BMP by signature, null for everything
+    * else. Header-only — no pixel data is touched, so a
+    * metadata-census scan reads a few dozen bytes per asset. */
+  def sniffImageInfo(b: Array[Byte]): ImageMeta = {
+    val p = pngInfo(b)
+    if (p != null) return ImageMeta("png", p.width, p.height, p.bitDepth)
+    val j = jpegInfo(b)
+    if (j != null) return j
+    val g = gifInfo(b)
+    if (g != null) return g
+    bmpInfo(b)
+  }
+
+  private val sniffUdf = udf((b: Array[Byte]) => Option(sniffImageInfo(b)))
+
+  /** Mixed-format header-only metadata column ([[sniffImageInfo]]). */
+  def imageInfoSniffed(bin: Column): Column = sniffUdf(bin)
+
   /** Bound on decoded pixels per image (16 MPix): a hostile or
     * corrupt header cannot make one row allocate unbounded memory —
     * the same per-row-state discipline as the audio kernels. */

@@ -272,6 +272,74 @@ object AssetQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q232: mixed-format image sniffing (r16) — the lake-scan
+    // reality q45 idealizes: ONE binary column carrying four formats
+    // (PNG/JPEG/GIF/BMP by doc_id % 4, garbage every 10th), parsed
+    // by the magic-dispatching [[Multimodal.sniffImageInfo]]. Each
+    // format's bytes are synthesized from width/height arithmetic in
+    // hex (big-endian for PNG/JPEG, little-endian for GIF/BMP — the
+    // endianness swap IS part of what the gate proves, as are JPEG's
+    // APP0-segment skip and the SOF walk), so the oracle rebuilds
+    // every field arithmetically and any slip in magic dispatch,
+    // marker walk, or byte order flips the hash.
+    Q("q232_image_sniff", Some("""
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE ['png', 'jpeg', 'gif', 'bmp'][CAST(doc_id % 4 AS INTEGER) + 1]
+             END AS format,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(doc_id % 240 + 16 AS INTEGER) END AS width,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(doc_id % 120 + 16 AS INTEGER) END AS height,
+             CASE WHEN doc_id % 10 = 0 THEN NULL
+                  ELSE CAST(CASE doc_id % 4 WHEN 3 THEN 24 ELSE 8 END AS INTEGER)
+             END AS bit_depth
+      FROM documents
+      ORDER BY doc_id""")) { (s, d) =>
+      val w = (col("doc_id") % 240 + 16).cast("int")
+      val h = (col("doc_id") % 120 + 16).cast("int")
+      def le16hex(c: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(c), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le32hex(c: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val pngHex = concat(
+        lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+        lit("0802000000" + "DEADBEEF"))
+      // SOI, a 16-byte APP0 the walk must skip, then SOF0
+      // (len 17 = 8 + 3 components x 3 bytes).
+      val jpegHex = concat(
+        lit("FFD8" + "FFE000104A46494600010100000100010000" + "FFC00011" + "08"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03" + "011100" + "021101" + "031101"))
+      // GIF89a + LE16 dims + packed flags 0xF7 (color resolution 8).
+      val gifHex = concat(lit("474946383961"), le16hex(w), le16hex(h), lit("F70000"))
+      // BM + size/reserved/offset + BITMAPINFOHEADER(40) + LE32 dims
+      // + 1 plane + 24 bpp.
+      val bmpHex = concat(
+        lit("424D" + "00000000" + "00000000" + "36000000" + "28000000"),
+        le32hex(w), le32hex(h), lit("0100" + "1800"))
+      val hexBytes = when(col("doc_id") % 10 === 0, lit("DEADBEEF"))
+        .when(col("doc_id") % 4 === 0, pngHex)
+        .when(col("doc_id") % 4 === 1, jpegHex)
+        .when(col("doc_id") % 4 === 2, gifHex)
+        .otherwise(bmpHex)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          Multimodal.imageInfoSniffed(unhex(hexBytes)).as("info"))
+        .select(col("doc_id"),
+          col("info").getField("format").as("format"),
+          col("info").getField("width").as("width"),
+          col("info").getField("height").as("height"),
+          col("info").getField("bitDepth").as("bit_depth"))
+        .orderBy("doc_id")
+    },
+
     // ---- q95: perceptual image near-dup (dHash + hamming banding,
     // [[Multimodal.imageNearDupPairs]] over [[Dedup
     // .hammingNearDupPairs]]): REAL gray-8 PNGs are synthesized per

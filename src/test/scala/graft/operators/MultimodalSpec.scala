@@ -237,4 +237,34 @@ class MultimodalSpec extends SparkSuite {
       (10L, 10L, 1L),                            // unique content singleton
       (99L, 99L, 1L)))                           // undecodable singleton
   }
+
+  test("sniffImageInfo: JPEG marker walk, GIF87a/89a, BMP top-down, malformed nulls") {
+    import Multimodal._
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // JPEG: SOI + APP0(16) + RST (standalone, must not consume a
+    // length) is illegal mid-stream pre-SOS but the walk skips
+    // standalone markers wherever seen + SOF0 with h=0x0010 w=0x0020.
+    val jp = hx("FFD8" + "FFE000104A46494600010100000100010000" + "FFD0" +
+      "FFC00011" + "08" + "0010" + "0020" + "03" + "011100" + "021101" + "031101")
+    assert(sniffImageInfo(jp) === ImageMeta("jpeg", 0x20, 0x10, 8))
+    // EOI before SOF, truncated segment, bad first marker -> null.
+    assert(jpegInfo(hx("FFD8FFD9")) == null)
+    assert(jpegInfo(hx("FFD8FFE0FFFF")) == null)
+    assert(jpegInfo(hx("FFD800C0")) == null)
+    // GIF: both signatures, LE dims, color-resolution bits.
+    val gif87 = hx("474946383761" + "3412" + "7856" + "F70000")
+    assert(sniffImageInfo(gif87) === ImageMeta("gif", 0x1234, 0x5678, 8))
+    assert(gifInfo(hx("474946383861" + "34127856F70000")) == null) // GIF88a
+    // BMP: negative (top-down) height reports |height|; 24 bpp.
+    val bmp = hx("424D" + "00000000" + "00000000" + "36000000" + "28000000" +
+      "40000000" + "D0FFFFFF" + "0100" + "1800") // w=64, h=-48
+    assert(sniffImageInfo(bmp) === ImageMeta("bmp", 64, 48, 24))
+    // PNG routes through the existing parser with the format tag.
+    val png = hx("89504E470D0A1A0A" + "0000000D" + "49484452" +
+      "00000040" + "00000030" + "0802000000" + "DEADBEEF")
+    assert(sniffImageInfo(png) === ImageMeta("png", 64, 48, 8))
+    assert(sniffImageInfo("not an image".getBytes) == null)
+    assert(sniffImageInfo(null) == null)
+  }
 }
