@@ -110,6 +110,32 @@ object FloorSweep {
       (m, n, sec)
     })
 
+    // q230 (r16): Aho–Corasick blocklist — per-row kernel, expect
+    // flat-to-sublinear like q59.
+    report("q230 blocklistHits", "hit rows", ms.map { m =>
+      val d = docReplicas(m)
+      val (n, sec) = timed(Curation.blocklistHits(d,
+        Seq("scan", "an", "hash join", "slow", "table t",
+          "merge batch", "w s", "a a")).count())
+      (m, n, sec)
+    })
+
+    // q231 (r16): BLEU components — per-row kernel over the
+    // truncation pair, expect flat-to-sublinear.
+    report("q231 bleuComponents", "output rows", ms.map { m =>
+      val d = docReplicas(m)
+      val pairs = d
+        .select(col("doc_id"), split(col("text"), " ").as("rt"), col("text"))
+        .filter(size(col("rt")) > 0)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("rt"), lit(1),
+            greatest(expr("(size(rt) * 8) div 10"), lit(1)).cast("int"))).as("ct"),
+          col("text").as("rtext"))
+      val (n, sec) = timed(
+        graft.operators.Evaluation.bleuComponents(pairs, "doc_id", "ct", "rtext").count())
+      (m, n, sec)
+    })
+
     spark.stop()
   }
 }

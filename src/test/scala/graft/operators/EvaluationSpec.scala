@@ -37,4 +37,37 @@ class EvaluationSpec extends SparkSuite {
     assert(r3.getAs[Long]("m1") === 0L && r3.getAs[Long]("m2") === 0L)
     // ROUGE-1 recall falls out: m1 / r1 = 3/4 for the first pair.
   }
+
+  test("bleuComponents ≡ brute-force string-gram census on random small-vocab pairs") {
+    import spark.implicits._
+    // Small vocabulary maximizes repeated grams — the clipping and
+    // packed-key paths the kernel can get wrong. 40 random pairs,
+    // deterministic seed, checked against a naive string-gram census.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "ab")
+    def txt(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val cases = (1L to 40L).map(i => (i, txt(1 + rnd.nextInt(12)), txt(1 + rnd.nextInt(12))))
+    def brute(cand: String, ref: String, n: Int): (Long, Long, Long) = {
+      val c = cand.split(" ", -1).toSeq
+      val r = ref.split(" ", -1).toSeq
+      val cg = c.sliding(n).filter(_.size == n).map(_.mkString("\u0000")).toSeq
+      val rg = r.sliding(n).filter(_.size == n).map(_.mkString("\u0000")).toSeq
+      val rc = rg.groupBy(identity).view.mapValues(_.size).toMap
+      val m = cg.groupBy(identity).map { case (g, occ) =>
+        math.min(occ.size, rc.getOrElse(g, 0))
+      }.sum
+      (m.toLong, math.max(0, c.size - n + 1).toLong, math.max(0, r.size - n + 1).toLong)
+    }
+    val got = Evaluation.bleuComponents(
+        cases.toDF("doc_id", "cand", "ref"), "doc_id", "cand", "ref")
+      .orderBy("doc_id").collect()
+    for ((row, (id, cand, ref)) <- got.zip(cases)) {
+      assert(row.getAs[Long]("doc_id") === id)
+      for (n <- 1 to 4) {
+        val (m, tc, tr) = brute(cand, ref, n)
+        assert((row.getAs[Long](s"m$n"), row.getAs[Long](s"t$n"), row.getAs[Long](s"r$n"))
+          === ((m, tc, tr)), s"n=$n cand='$cand' ref='$ref'")
+      }
+    }
+  }
 }
