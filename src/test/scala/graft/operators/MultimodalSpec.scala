@@ -267,4 +267,39 @@ class MultimodalSpec extends SparkSuite {
     assert(sniffImageInfo("not an image".getBytes) == null)
     assert(sniffImageInfo(null) == null)
   }
+
+  test("image header parsers never throw on byte soup, truncations, or mutations") {
+    import Multimodal._
+    val rnd = new scala.util.Random(11)
+    def hx(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val valid = Seq(
+      hx("89504E470D0A1A0A" + "0000000D" + "49484452" +
+        "00000040" + "00000030" + "0802000000" + "DEADBEEF"),
+      hx("FFD8" + "FFE000104A46494600010100000100010000" + "FFC00011" +
+        "08" + "0010" + "0020" + "03" + "011100" + "021101" + "031101"),
+      hx("474946383961" + "3412" + "7856" + "F70000"),
+      hx("424D" + "00000000" + "00000000" + "36000000" + "28000000" +
+        "40000000" + "30000000" + "0100" + "1800"))
+    // Random soup: 400 buffers, some seeded with real magics so the
+    // walks actually enter their parsers before hitting garbage.
+    for (i <- 1 to 400) {
+      val len = rnd.nextInt(64)
+      val b = new Array[Byte](len)
+      rnd.nextBytes(b)
+      if (i % 4 == 0 && len >= 2) { b(0) = 0xff.toByte; b(1) = 0xd8.toByte }
+      if (i % 4 == 1 && len >= 6) { "GIF89a".getBytes.copyToArray(b) }
+      if (i % 4 == 2 && len >= 2) { b(0) = 'B'; b(1) = 'M' }
+      sniffImageInfo(b) // must not throw; any non-null is fine
+    }
+    // Every truncation prefix of each valid header parses or nulls,
+    // never throws.
+    for (v <- valid; k <- 0 to v.length) sniffImageInfo(v.take(k))
+    // Single-byte mutations of the valid headers.
+    for (v <- valid; _ <- 1 to 50) {
+      val b = v.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      sniffImageInfo(b)
+    }
+  }
 }
