@@ -118,7 +118,15 @@ object Graph {
     val perNode = tris
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
-    deg.join(perNode, Seq("node"), "left")
+    // The output degree table is rebuilt FROM the checkpointed
+    // oriented list (each canonical edge appears exactly once in o,
+    // so incident counts are identical to ue's) — consuming `deg`
+    // here would re-execute its whole scan→distinct→aggregate
+    // lineage a second time.
+    val outDeg = o.select(col("src").as("node"))
+      .union(o.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    outDeg.join(perNode, Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("clust",
