@@ -358,6 +358,41 @@ object PipelineQueries {
         .orderBy("window_start_us", "event_type")
     },
 
+    // ---- q233: the STREAM-STATIC join lane (r16) — the canonical
+    // ingest-enrichment shape completing the streaming join matrix
+    // (q214 times the stream-stream state store; this times the
+    // broadcast dimension join + windowed aggregate that every
+    // production enrichment runs): events stream joins the static
+    // customer dimension on user_id and rolls into hourly windows
+    // per market segment. The join holds NO state (the dimension is
+    // broadcast per micro-batch); only the window census does.
+    // Decimal sums, single-batch arrival, complete mode — the oracle
+    // replays join + window arithmetic in batch.
+    Q("q233_stream_static_enrich", Some(s"""
+      SELECT (epoch_ns(e.ts) // 1000) // 3600000000 * 3600000000 AS window_start_us,
+             c.c_mktsegment AS segment,
+             COUNT(*) AS n,
+             ${Q.dsumSql("e.value", 2)} AS sum_value
+      FROM events e JOIN customer c ON c.c_custkey = e.user_id
+      WHERE e.ts IS NOT NULL AND e.user_id IS NOT NULL
+      GROUP BY 1, 2
+      ORDER BY window_start_us, segment""")) { (s, d) =>
+      val ev = graft.streaming.StreamLane.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .withColumn("value", col("value").cast("decimal(28,2)"))
+      val dim = s.read.parquet(s"$d/customer.parquet")
+      val counts = graft.streaming.EventStreams.enrichedHourlyCounts(
+        ev, dim, keyCol = "user_id", dimKeyCol = "c_custkey",
+        attrCol = "c_mktsegment")
+      // Complete-mode census — no-data batch skipped (q187's rule).
+      graft.streaming.StreamLane.drain(s, counts, "complete", "q233_mem",
+          noDataBatch = false)
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("c_mktsegment").as("segment"), col("n"),
+          col("sum_value").cast("double").as("sum_value"))
+        .orderBy("window_start_us", "segment")
+    },
+
     // ---- q188: the APPEND-mode streaming lane — q54's gap sessions
     // through Catalyst's native session_window aggregate with a real
     // state store and WATERMARK EVICTION under timing: unlike q187's

@@ -64,6 +64,30 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-STATIC enrichment + windowed aggregate (r16) — the
+    * canonical ingest-enrichment shape completing the streaming join
+    * matrix beside [[attributionJoin]]'s stream-stream case: each
+    * arriving event joins a STATIC dimension (broadcast — the dim is
+    * bounded; no state store, no watermark needed for the join
+    * itself, Spark re-plans the static side per micro-batch), then
+    * rolls into watermarked hourly windows per dimension attribute.
+    * At 100 TB the dimension outgrowing the broadcast threshold
+    * degrades gracefully to a shuffle join of each micro-batch —
+    * the same plan decision as batch. Sums should arrive decimal
+    * (the q187 order-independence rule). */
+  def enrichedHourlyCounts(events: DataFrame, dim: DataFrame,
+                           keyCol: String, dimKeyCol: String, attrCol: String,
+                           watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_time", tsCol)
+      .withWatermark("event_time", watermark)
+      .join(broadcast(dim.select(col(dimKeyCol).as(keyCol), col(attrCol))), keyCol)
+      .groupBy(window(col("event_time"), "1 hour"), col(attrCol))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col(attrCol), col("n"), col("sum_value"))
+
   /** Streaming exact dedup at ingest — the streaming twin of
     * [[graft.operators.Dedup.exactByFingerprint]]: rows whose
     * dedup-key column repeats within the watermark horizon are

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.nio.file.{Files, Paths}
-import org.apache.spark.sql.functions.{col, count, explode, lit, split}
+import org.apache.spark.sql.functions.{col, count, explode, lit, split, unix_micros}
 import org.apache.spark.sql.streaming.Trigger
 import graft.SparkSuite
 
@@ -148,6 +148,39 @@ class EventStreamsSpec extends SparkSuite {
     // Zero-state law: no state operator ever appears in progress.
     val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
     assert(st.isEmpty, s"scoring must hold no streaming state: ${st.mkString(",")}")
+  }
+
+  test("stream-static enrichment join ≡ batch join+window; join holds no state") {
+    // Events as a stream, the dimension static — windowed counts per
+    // dimension attribute must equal the batch join, and the ONLY
+    // state operator is the window aggregate (the join is broadcast,
+    // stateless).
+    val evRows = Seq(
+      (1L, 0L, 10L, 1.0), (2L, 3600L * 1000000000L, 10L, 2.0),
+      (3L, 10L * 1000000000L, 11L, 4.0), (4L, 20L * 1000000000L, 99L, 8.0))
+    val dim = Seq((10L, "segA"), (11L, "segB")).toDF("k", "seg")
+    val dir = Files.createTempDirectory(Paths.get("target"), "enrich-landing")
+    evRows.zipWithIndex.foreach { case ((id, ts, u, v), i) =>
+      Files.writeString(dir.resolve(f"e$i%02d.json"),
+        s"""{"event_id":$id,"ts":$ts,"user_id":$u,"value":$v}""")
+    }
+    val stream = spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, value DOUBLE").json(dir.toString)
+    val counts = EventStreams.enrichedHourlyCounts(stream, dim, "user_id", "k", "seg")
+    val sink = s"enrich_${System.nanoTime()}"
+    val q = counts.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(sink)
+      .select(unix_micros(col("window_start")), col("seg"), col("n"), col("sum_value"))
+      .as[(Long, String, Long, Double)].collect().toSet
+    // user 99 has no dimension row -> dropped by the inner join;
+    // window 0 holds events 1 (segA) and 3 (segB); window 1h holds 2.
+    assert(got === Set(
+      (0L, "segA", 1L, 1.0), (0L, "segB", 1L, 4.0),
+      (3600L * 1000000L, "segA", 1L, 2.0)))
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.length === 1, s"only the window aggregate may hold state: $st")
   }
 
   test("streaming blocklist matching ≡ batch blocklistHits; no state store in the plan") {
