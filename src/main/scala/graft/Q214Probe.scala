@@ -48,7 +48,7 @@ object Q214Probe {
           q.stop()
           val t3 = System.nanoTime()
           val n = spark.table(sink).count()
-          println(s"== $tag rows=$n start=${(t1 - t0) / 1e9}%s drain=${(t2 - t1) / 1e9} stop=${(t3 - t2) / 1e9}")
+          println(f"== $tag rows=$n start=${(t1 - t0) / 1e9}%.3f drain=${(t2 - t1) / 1e9}%.3f stop=${(t3 - t2) / 1e9}%.3f")
           progs.foreach { p =>
             println(s"   batch=${p.batchId} numInput=${p.numInputRows} durations=${p.durationMs}")
           }

@@ -15,24 +15,28 @@ package graft.functions
   * lets the q230 gate hash the kernel.
   *
   * Built once on the driver (goto/fail/output arrays over a dense
-  * child map), serialized into the task closure: automaton size is
-  * O(Σ|p|) nodes — the broadcast-model convention of the fitted
+  * child map); only the frozen arrays are fields, so the serialized
+  * form is O(Σ|p|) nodes with no build-state overhang. Call sites
+  * ship it via `sparkContext.broadcast` (once per executor, not per
+  * task) — the broadcast-model convention of the fitted
   * classifiers, not per-row state. */
 final class AhoCorasick(patterns: Array[String]) extends Serializable {
   require(patterns.nonEmpty && patterns.forall(p => p != null && p.nonEmpty),
     "patterns must be non-empty strings")
 
-  // Trie as growable parallel arrays; children as per-node HashMap
-  // (pattern alphabets are tiny; a flat 64k array per node would be
-  // memory-hostile for large blocklists).
-  private val children = scala.collection.mutable.ArrayBuffer(
-    new java.util.HashMap[Char, Int]())
-  private val fail = scala.collection.mutable.ArrayBuffer(0)
-  // out(i) = pattern indices ending at node i (own + via fail links,
-  // flattened after the BFS so matching never chases fail chains).
-  private val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
-
-  locally {
+  // Build state (growable trie + BFS queue) is constructor-LOCAL so
+  // only the three frozen arrays below are serialized — a 10k-entry
+  // blocklist ships once-sized, not build-state-doubled. Children as
+  // per-node HashMap (pattern alphabets are tiny; a flat 64k array
+  // per node would be memory-hostile for large blocklists).
+  private val (childArr, failArr, outArr): (
+      Array[java.util.HashMap[Char, Int]], Array[Int], Array[Array[Int]]) = {
+    val children = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Char, Int]())
+    val fail = scala.collection.mutable.ArrayBuffer(0)
+    // out(i) = pattern indices ending at node i (own + via fail links,
+    // flattened after the BFS so matching never chases fail chains).
+    val out = scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
     for ((p, pi) <- patterns.zipWithIndex) {
       var cur = 0
       for (ch <- p) {
@@ -62,15 +66,15 @@ final class AhoCorasick(patterns: Array[String]) extends Serializable {
         queue.add(c)
       }
     }
+    (children.toArray, fail.toArray, out.map(_.toArray).toArray)
   }
 
-  private val childArr: Array[java.util.HashMap[Char, Int]] = children.toArray
-  private val failArr: Array[Int] = fail.toArray
-  private val outArr: Array[Array[Int]] = out.map(_.toArray).toArray
+  /** Number of patterns (the width of [[countHits]]' result). */
+  val numPatterns: Int = patterns.length
 
   /** Per-pattern occurrence counts (overlapping) in `text`. */
   def countHits(text: String): Array[Long] = {
-    val counts = new Array[Long](patterns.length)
+    val counts = new Array[Long](numPatterns)
     var state = 0
     var i = 0
     val n = text.length

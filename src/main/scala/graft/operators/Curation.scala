@@ -1227,16 +1227,18 @@ object Curation {
     * O(chars + hits) pass per document regardless of blocklist size.
     *
     * Scale shape: the automaton is built ONCE on the driver
-    * (O(Σ|pattern|) nodes) and ships in the task closure — the
-    * broadcast-model convention of the fitted classifiers; scoring
+    * (O(Σ|pattern|) nodes) and ships via `sparkContext.broadcast`
+    * (once per executor, not per task) — the broadcast-model
+    * convention of the fitted classifiers; scoring
     * is a stateless per-row projection (stream-deployable like the
     * other fit-batch/score-forever kernels), and only (doc, pattern)
     * pairs with hits survive the explode. */
   def blocklistHits(docs: DataFrame, patterns: Seq[String],
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pats = patterns.toArray
-    val ac = new graft.functions.AhoCorasick(pats)
-    val hitsUdf = udf((t: String) => if (t == null) null else ac.countHits(t))
+    val acBc = docs.sparkSession.sparkContext.broadcast(
+      new graft.functions.AhoCorasick(pats))
+    val hitsUdf = udf((t: String) => if (t == null) null else acBc.value.countHits(t))
     val patLit = array(pats.map(lit): _*)
     docs.select(col(idCol), posexplode(hitsUdf(col(textCol))).as(Seq("__i", "n_hits")))
       .filter(col("n_hits") > 0)

@@ -1047,7 +1047,11 @@ object Dedup {
     * `reliableInterval` rounds (plan-flattening local cuts still
     * happen every round in between): an executor loss then recomputes
     * at most `reliableInterval` rounds from the durable labels
-    * instead of failing the query. The documented trade is a DISK
+    * instead of failing the query. The session's configured
+    * checkpoint directory is saved and RESTORED in the finally block
+    * (when the session had none configured, the passed directory
+    * remains set afterwards — SparkContext has no public unset).
+    * The documented trade is a DISK
     * LEAK — Spark never auto-cleans reliable checkpoint files while
     * the application lives (`spark.cleaner.referenceTracking
     * .cleanCheckpoints` defaults to false, and even enabled it cleans
@@ -1062,7 +1066,13 @@ object Dedup {
                           reliableInterval: Int = 5): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     require(reliableInterval >= 1, "reliableInterval must be >= 1")
-    reliableCheckpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    // Redirect the session checkpoint dir only for the duration of
+    // the algorithm, and restore whatever the session had configured
+    // — an operator parameter must not leave a global side effect.
+    val savedCheckpointDir: Option[String] =
+      if (reliableCheckpointDir.isDefined) sc.getCheckpointDir else None
+    reliableCheckpointDir.foreach(sc.setCheckpointDir)
     // Lineage cut: eager materialization + a flat LogicalRDD plan.
     // Local by default — see the scaladoc for the reliable-mode trade.
     def cut(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
@@ -1127,7 +1137,10 @@ object Dedup {
             "component diameter exceeds the bound; raise maxIterations or " +
             "switch to large-star/small-star contraction")
       labels
-    } finally edges.unpersist(blocking = false)
+    } finally {
+      edges.unpersist(blocking = false)
+      savedCheckpointDir.foreach(sc.setCheckpointDir)
+    }
   }
 
   /** Per-document near-duplicate component assignment: every document

@@ -47,8 +47,11 @@ object Multimodal {
     * (standalone markers skipped, segments skipped by their 2-byte
     * big-endian length) to the first SOF0–SOF15 frame header
     * (C4/C8/CC are DHT/JPG/DAC, not frames), which carries
-    * precision, height, width. Returns null on anything malformed —
-    * missing SOI, a non-FF byte where a marker must start, a segment
+    * precision, height, width. Runs of 0xFF FILL bytes before a
+    * marker byte are legal padding (ITU T.81 B.1.1.2) and are
+    * consumed, not misread as marker 0xFF + bogus length. Returns
+    * null on anything malformed — missing SOI, a non-FF byte where a
+    * marker must start, a stray second SOI mid-stream, a segment
     * length running past the buffer, or EOI before any SOF. */
   def jpegInfo(b: Array[Byte]): ImageMeta = {
     if (b == null || b.length < 4) return null
@@ -56,8 +59,13 @@ object Multimodal {
     var i = 2
     while (i + 3 < b.length) {
       if ((b(i) & 0xff) != 0xff) return null
+      // T.81 B.1.1.2: any marker may be preceded by any number of
+      // 0xFF fill bytes — skip the run so b(i+1) is the marker code.
+      while (i + 3 < b.length && (b(i + 1) & 0xff) == 0xff) i += 1
+      if (i + 3 >= b.length) return null
       val m = b(i + 1) & 0xff
-      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
+      if (m == 0xd8) return null // stray second SOI: malformed
+      else if ((m >= 0xd0 && m <= 0xd7) || m == 0x01) i += 2
       else if (m == 0xd9) return null // EOI before any SOF
       else {
         val len = ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)

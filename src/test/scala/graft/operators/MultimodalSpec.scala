@@ -252,6 +252,14 @@ class MultimodalSpec extends SparkSuite {
     assert(jpegInfo(hx("FFD8FFD9")) == null)
     assert(jpegInfo(hx("FFD8FFE0FFFF")) == null)
     assert(jpegInfo(hx("FFD800C0")) == null)
+    // ITU T.81 B.1.1.2 fill bytes: runs of 0xFF before a marker are
+    // legal padding, not marker 0xFF + bogus length.
+    val jpFill = hx("FFD8" + "FFFFFF" + "FFC00011" + "08" + "0010" + "0020" +
+      "03" + "011100" + "021101" + "031101")
+    assert(jpegInfo(jpFill) === ImageMeta("jpeg", 0x20, 0x10, 8))
+    // A stray second SOI mid-stream is malformed -> null.
+    assert(jpegInfo(hx("FFD8" + "FFD8" + "FFC0001108001000200301110002110103" +
+      "1101")) == null)
     // GIF: both signatures, LE dims, color-resolution bits.
     val gif87 = hx("474946383761" + "3412" + "7856" + "F70000")
     assert(sniffImageInfo(gif87) === ImageMeta("gif", 0x1234, 0x5678, 8))
