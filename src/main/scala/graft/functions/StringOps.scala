@@ -476,4 +476,146 @@ object StringOps {
     }
     prev(b.length)
   }
+
+  /** BLEU/ROUGE integer-component kernel (q231) over two raw text
+    * columns — the codegen-side twin of the r16 UDF form, moved here
+    * so [[graft.functions.BleuComponentsExpr]] can call it as a
+    * static from generated code: no ScalaUDF converter machinery, no
+    * Option/case-class encoder boundary, and the token counts come
+    * out of the same pass (the UDF plan split each side twice more
+    * for `size(split(...))`).
+    *
+    * Tokenization matches `split(s, " ", -1)` exactly (single-space
+    * separator, leading/trailing/consecutive empties kept). Tokens
+    * are interned once per row into ≤16-bit ids shared across both
+    * sides and all n, so an n-gram is a packed Long and the clipped
+    * multiset intersection is a two-pointer merge over sorted
+    * primitive arrays — zero per-gram string allocation.
+    *
+    * Returns struct<c_len, r_len, (m_n, t_n, r_n) for n=1..4>, all
+    * exact longs. Throws past 65,535 distinct tokens in one row (the
+    * packed-key bound; far above any real document). */
+  private def internTokens(s: String,
+                           dict: java.util.HashMap[String, Integer]): Array[Long] = {
+    val n = s.length
+    var cnt = 1
+    var i = 0
+    while (i < n) { if (s.charAt(i) == ' ') cnt += 1; i += 1 }
+    val a = new Array[Long](cnt)
+    var k = 0
+    var start = 0
+    i = 0
+    while (i <= n) {
+      if (i == n || s.charAt(i) == ' ') {
+        val tok = s.substring(start, i)
+        var id = dict.get(tok)
+        if (id == null) { id = Integer.valueOf(dict.size()); dict.put(tok, id) }
+        a(k) = id.longValue(); k += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    a
+  }
+
+  def bleuComponents(candU: UTF8String, refU: UTF8String): InternalRow = {
+    val dict = new java.util.HashMap[String, Integer]()
+    val c = internTokens(candU.toString, dict)
+    val r = internTokens(refU.toString, dict)
+    if (dict.size() >= 65536)
+      throw new IllegalArgumentException(
+        "bleuComponents: more than 65535 distinct tokens in one row")
+    val out = new Array[Any](14)
+    out(0) = c.length.toLong
+    out(1) = r.length.toLong
+    var n = 1
+    while (n <= 4) {
+      val tc = math.max(0, c.length - n + 1)
+      val tr = math.max(0, r.length - n + 1)
+      var m = 0L
+      if (tc > 0 && tr > 0) {
+        val cg = new Array[Long](tc)
+        val rg = new Array[Long](tr)
+        var i = 0
+        while (i < tc) {
+          var key = 0L; var j = 0
+          while (j < n) { key = (key << 16) | c(i + j); j += 1 }
+          cg(i) = key; i += 1
+        }
+        i = 0
+        while (i < tr) {
+          var key = 0L; var j = 0
+          while (j < n) { key = (key << 16) | r(i + j); j += 1 }
+          rg(i) = key; i += 1
+        }
+        java.util.Arrays.sort(cg)
+        java.util.Arrays.sort(rg)
+        i = 0; var j = 0
+        while (i < tc && j < tr) {
+          if (cg(i) == rg(j)) { m += 1L; i += 1; j += 1 }
+          else if (cg(i) < rg(j)) i += 1
+          else j += 1
+        }
+      }
+      out(2 + (n - 1) * 3) = m
+      out(2 + (n - 1) * 3 + 1) = tc.toLong
+      out(2 + (n - 1) * 3 + 2) = tr.toLong
+      n += 1
+    }
+    new GenericInternalRow(out)
+  }
+
+  /** Self-truncation BLEU components (the q231 eval-harness shape):
+    * candidate = the first max(1, ⌊len·num/den⌋) tokens of `text`,
+    * reference = all of `text`. Because the candidate IS a token
+    * prefix of the reference, the whole census needs ONE
+    * tokenization and ONE gram pass — candidate grams are exactly
+    * the first `c_len−n+1` reference grams in positional order, so
+    * they are sliced from the unsorted gram array before sorting.
+    * Output schema identical to [[bleuComponents]]; results are
+    * bit-identical to building the prefix string with
+    * `concat_ws(" ", slice(split(text," "),1,k))` and scoring the
+    * pair (spec-pinned), without materializing it. */
+  def bleuTruncComponents(text: UTF8String, num: Int, den: Int): InternalRow = {
+    val dict = new java.util.HashMap[String, Integer]()
+    val r = internTokens(text.toString, dict)
+    if (dict.size() >= 65536)
+      throw new IllegalArgumentException(
+        "bleuTruncComponents: more than 65535 distinct tokens in one row")
+    val rLen = r.length
+    val cLen = math.max(1L, rLen.toLong * num / den).toInt
+    val out = new Array[Any](14)
+    out(0) = cLen.toLong
+    out(1) = rLen.toLong
+    var n = 1
+    while (n <= 4) {
+      val tc = math.max(0, cLen - n + 1)
+      val tr = math.max(0, rLen - n + 1)
+      var m = 0L
+      if (tc > 0 && tr > 0) {
+        val rg = new Array[Long](tr)
+        var i = 0
+        while (i < tr) {
+          var key = 0L; var j = 0
+          while (j < n) { key = (key << 16) | r(i + j); j += 1 }
+          rg(i) = key; i += 1
+        }
+        // Candidate grams = positional prefix of the reference grams.
+        val cg = java.util.Arrays.copyOfRange(rg, 0, tc)
+        java.util.Arrays.sort(cg)
+        java.util.Arrays.sort(rg)
+        i = 0; var j = 0
+        while (i < tc && j < tr) {
+          if (cg(i) == rg(j)) { m += 1L; i += 1; j += 1 }
+          else if (cg(i) < rg(j)) i += 1
+          else j += 1
+        }
+      }
+      out(2 + (n - 1) * 3) = m
+      out(2 + (n - 1) * 3 + 1) = tc.toLong
+      out(2 + (n - 1) * 3 + 2) = tr.toLong
+      n += 1
+    }
+    new GenericInternalRow(out)
+  }
 }

@@ -564,6 +564,65 @@ case class SortedIntersectCount(left: Expression, right: Expression) extends Bin
     copy(left = l, right = r)
 }
 
+/** BLEU/ROUGE integer components of a (candidate, reference) text
+  * pair (string, string → struct<c_len, r_len, m1..r4>) in one
+  * codegen'd kernel call ([[StringOps.bleuComponents]]) — the r17
+  * port of the q231 scorer off the ScalaUDF boundary: no
+  * UTF8String→String converter pass, no Option/case-class encoder,
+  * and the token lengths come out of the same single tokenization
+  * (the UDF plan re-split each side for `size(split(...))`). Stays
+  * inside the WholeStageCodegen span like the classifier scorers. */
+case class BleuComponentsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StructType(
+    Seq(StructField("c_len", LongType, nullable = false),
+        StructField("r_len", LongType, nullable = false)) ++
+      (1 to 4).flatMap(n => Seq(
+        StructField(s"m$n", LongType, nullable = false),
+        StructField(s"t$n", LongType, nullable = false),
+        StructField(s"r$n", LongType, nullable = false))))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    StringOps.bleuComponents(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.StringOps.bleuComponents($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BleuComponentsExpr =
+    copy(left = l, right = r)
+}
+
+/** Self-truncation BLEU components (string → struct<c_len, r_len,
+  * m1..r4>): candidate = the max(1, ⌊len·num/den⌋)-token prefix of
+  * the text, reference = the whole text, censused in ONE
+  * tokenization + gram pass ([[StringOps.bleuTruncComponents]]) —
+  * the q231 eval-harness shape without materializing the prefix
+  * string (the r16 plan paid split → slice → concat_ws → re-split). */
+case class BleuTruncComponentsExpr(child: Expression, num: Int, den: Int)
+    extends UnaryExpression {
+  require(num > 0 && den > 0 && num <= den,
+    "truncation fraction must satisfy 0 < num/den <= 1")
+  override def dataType: DataType = StructType(
+    Seq(StructField("c_len", LongType, nullable = false),
+        StructField("r_len", LongType, nullable = false)) ++
+      (1 to 4).flatMap(n => Seq(
+        StructField(s"m$n", LongType, nullable = false),
+        StructField(s"t$n", LongType, nullable = false),
+        StructField(s"r$n", LongType, nullable = false))))
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    StringOps.bleuTruncComponents(v.asInstanceOf[UTF8String], num, den)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.StringOps.bleuTruncComponents($c, $num, $den)")
+
+  override protected def withNewChildInternal(c: Expression): BleuTruncComponentsExpr =
+    copy(child = c)
+}
+
 /** All LSH bucket keys of a double vector across nTables hyperplane
   * tables ([[HashOps.hyperplaneBuckets]]). */
 case class HyperplaneBuckets(child: Expression, dim: Int, nPlanes: Int, nTables: Int)

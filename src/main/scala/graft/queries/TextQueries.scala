@@ -1464,18 +1464,13 @@ object TextQueries {
     // shuffle, stream-deployable. ROUGE-n recall = m_n / r_n from
     // the same frame.
     Q("q231_bleu_components", Some(bleuOracleSql)) { (s, d) =>
-      // Candidate = the 80%-token prefix, re-joined to TEXT so one
-      // string crosses the kernel boundary per side (lossless: the
-      // tokens are a single-space split, so join+resplit round-trips
-      // empties and all).
-      val pairs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("rt"), col("text"))
-        .filter(size(col("rt")) > 0)
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("rt"), lit(1),
-            greatest(expr("(size(rt) * 8) div 10"), lit(1)).cast("int"))).as("ct"),
-          col("text").as("rtext"))
-      graft.operators.Evaluation.bleuComponents(pairs, "doc_id", "ct", "rtext")
+      // Candidate = the 80%-token prefix of each document — censused
+      // by the single-pass truncation expression (r17): the prefix is
+      // never materialized as a string; candidate grams are a
+      // positional slice of the reference grams. Bit-identical to the
+      // r16 build-the-pair form (spec-pinned).
+      graft.operators.Evaluation
+        .bleuTruncationComponents(Tables.documents(s, d), "doc_id", "text", 8, 10)
         .orderBy("doc_id")
     },
 

@@ -70,4 +70,30 @@ class EvaluationSpec extends SparkSuite {
       }
     }
   }
+
+  test("bleuTruncationComponents ≡ build-the-prefix-pair bleuComponents (r17 single-pass)") {
+    import spark.implicits._
+    // Random texts including repeated tokens, empties (consecutive
+    // spaces), and 1-token docs (the greatest(...,1) edge); the
+    // single-pass truncation census must be bit-identical to
+    // materializing the prefix string and scoring the pair.
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "ab", "")
+    def txt(n: Int) = (1 to n).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val docs = ((1L to 60L).map(i => (i, txt(1 + rnd.nextInt(15)))) :+ (99L, "solo"))
+      .toDF("doc_id", "text")
+    for ((num, den) <- Seq((8, 10), (1, 2), (10, 10))) {
+      val pairs = docs
+        .select(col("doc_id"), split(col("text"), " ").as("rt"), col("text"))
+        .select(col("doc_id"),
+          concat_ws(" ", slice(col("rt"), lit(1),
+            greatest(expr(s"(size(rt) * $num) div $den"), lit(1)).cast("int"))).as("ct"),
+          col("text").as("rtext"))
+      val expected = Evaluation.bleuComponents(pairs, "doc_id", "ct", "rtext")
+        .orderBy("doc_id").collect().toSeq
+      val got = Evaluation.bleuTruncationComponents(docs, "doc_id", "text", num, den)
+        .orderBy("doc_id").collect().toSeq
+      assert(got === expected, s"num=$num den=$den")
+    }
+  }
 }
