@@ -1,0 +1,257 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{Clustering, Curation, Evaluation, Graph, OrderedConcat,
+  Quantization, Similarity}
+
+/** Round-close floor-sweep artifact emitter (r17, verdict ask #4):
+  * reads the round's own bench artifact
+  * (`target/bench/bench_summary.json`) and the DuckDB baseline
+  * (`BASELINE_DUCKDB_sf0.1.json`), computes the CURRENT >2×
+  * real-denominator set (duck ≥ 0.25 s), runs the m=1/2/4
+  * disjoint-replica sweep for every member with a registered
+  * builder, and writes ONE citable JSON artifact —
+  * `target/bench/floor_sweeps.json` — so BASELINE.md cites a file,
+  * not prose, and the evidence can never go stale silently: the
+  * sweep set is derived from the artifacts of the same round.
+  *
+  * Methodology (the r13–r16 [[GraphSweep]]/[[FloorSweep]] ceremony,
+  * mechanized): m disjoint replicas (ids offset by c·10⁷; embedding
+  * replicas sign-flipped per replica — an exact isometry, so
+  * within-replica similarities are unchanged while cross-replica
+  * cosines collapse toward 0) make the true workload grow ≥ m×. If
+  * wall time stays ~flat as m grows, the m=1 reading is Spark's
+  * fixed session/job floor, not plan debt. `sublinear` is derived as
+  * `sec(m_max)/sec(1) < m_max/2`.
+  *
+  * Queries in the >2× set WITHOUT a registered builder are listed
+  * under `unswept` — no silent coverage gap.
+  *
+  * Usage: sbt "runMain graft.FloorSweeps [benchSummary] [baseline]"
+  * (defaults: target/bench/bench_summary.json,
+  * BASELINE_DUCKDB_sf0.1.json; SPARK_GRAFT_SF_DIR for inputs). */
+object FloorSweeps {
+
+  private def numMap(j: org.json4s.JValue): Map[String, Double] = {
+    import org.json4s._
+    j match {
+      case JObject(fields) => fields.collect {
+        case (k, JDouble(d))  => k -> d
+        case (k, JInt(i))     => k -> i.toDouble
+        case (k, JLong(l))    => k -> l.toDouble
+        case (k, JDecimal(d)) => k -> d.toDouble
+      }.toMap
+      case _ => Map.empty
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val benchPath = args.lift(0).getOrElse("target/bench/bench_summary.json")
+    val basePath = args.lift(1).getOrElse("BASELINE_DUCKDB_sf0.1.json")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val ms = sys.env.getOrElse("SPARK_GRAFT_SWEEP_MS", "1,2,4")
+      .split(",").map(_.trim.toInt).toSeq
+    val bar = 2.0
+    val minDen = 0.25
+
+    import org.json4s.jackson.JsonMethods
+    val bench = numMap(JsonMethods.parse(
+      new java.io.File(benchPath)) \ "queries_min")
+    val duck = numMap(JsonMethods.parse(
+      new java.io.File(basePath)) \ "queries")
+    require(bench.nonEmpty, s"no queries_min in $benchPath")
+    require(duck.nonEmpty, s"no queries in $basePath")
+
+    val weak = bench.toSeq.flatMap { case (q, s) =>
+      duck.get(q).collect {
+        case d if d >= minDen && s / d > bar => (q, s, d, s / d)
+      }
+    }.sortBy(-_._4)
+    println(s"FLOOR-SWEEPS weak set (${weak.size}): " +
+      weak.map { case (q, s, d, r) => f"$q ($s%.2f/$d%.2f=$r%.2f×)" }.mkString(", "))
+
+    val spark = GraftSession("graft-floor-sweeps",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    spark.range(1000000L).selectExpr("sum(id)")
+      .write.format("noop").mode("overwrite").save()
+    val offset = 10000000L
+
+    def timed(f: => Long): (Long, Double, Double) = {
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); val n = f
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      (runs.head._1, runs.map(_._2).sorted.apply(1), runs.map(_._2).min)
+    }
+
+    // ---- Replica builders (all lazily materialized, cached per m) --
+    lazy val docsBase = Tables.documents(spark, srcDir)
+      .select(col("doc_id"), col("text")).localCheckpoint(true)
+    val docCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def docReplicas(m: Int): DataFrame = docCache.getOrElseUpdate(m,
+      (0 until m).map(c => docsBase.select(
+          (col("doc_id") + lit(c * offset)).as("doc_id"), col("text")))
+        .reduce(_ unionByName _).localCheckpoint(true))
+
+    val asDouble = (c: org.apache.spark.sql.Column) => c.cast("array<double>")
+    lazy val embBase = Tables.embeddings(spark, srcDir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("embedding"))
+      .localCheckpoint(true)
+    // Sign-flip isometry replicas of the q79/q84/q111 synthesized-twin
+    // corpus (see FloorSweep scaladoc for why verbatim replication is
+    // wrong: identical vectors under new ids are real cross-replica
+    // near-dups).
+    val corpusCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def corpusReplicas(m: Int): DataFrame = corpusCache.getOrElseUpdate(m, {
+      val twins = embBase.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          concat(array(element_at(col("embedding"), 1) * lit(1.2)),
+            slice(col("embedding"), 2, 63)).as("embedding"))
+      val one = embBase.unionByName(twins)
+      (0 until m).map { c =>
+        val signed = transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(c), i), lit(2)) === 0, -x).otherwise(x))
+        one.select((col("vec_id") + lit(c * offset)).as("vec_id"),
+          signed.as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+    })
+    // q142 runs over the RAW embeddings table (no twins).
+    val embCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def embReplicas(m: Int): DataFrame = embCache.getOrElseUpdate(m,
+      (0 until m).map { c =>
+        val signed = transform(col("embedding"), (x, i) =>
+          when(pmod(xxhash64(lit(c), i), lit(2)) === 0, -x).otherwise(x))
+        embBase.select((col("vec_id") + lit(c * offset)).as("vec_id"),
+          signed.as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true))
+
+    // Graph replicas (the GraphSweep synthetic graph over orders).
+    lazy val edgeBase = {
+      val n = Tables.orders(spark, srcDir).count() / 8L
+      Tables.orders(spark, srcDir).select(
+          pmod(col("o_custkey"), lit(n)).as("src"),
+          pmod(col("o_custkey") * 7 + col("o_orderkey") * 13, lit(n)).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .localCheckpoint(true)
+    }
+    val edgeCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def edgeReplicas(m: Int): DataFrame = edgeCache.getOrElseUpdate(m,
+      (0 until m).map(c => edgeBase.select(
+          (col("src") + lit(c * offset)).as("src"),
+          (col("dst") + lit(c * offset)).as("dst")))
+        .reduce(_ unionByName _).localCheckpoint(true))
+
+    // lineitem-derived (q38) replicas: key-disjoint order keys.
+    lazy val partsBase = {
+      val fname = concat(lit("part_"), col("l_linenumber"), lit(".mp3"))
+      Tables.lineitem(spark, srcDir)
+        .select(col("l_orderkey"), fname.as("fname"))
+        .withColumn("seq", coalesce(
+          substring_index(substring_index(col("fname"), ".", 1), "_", -1)
+            .cast("int"), lit(0)))
+        .localCheckpoint(true)
+    }
+    def partsReplicas(m: Int): DataFrame =
+      (0 until m).map(c => partsBase.select(
+          (col("l_orderkey") + lit(c * offset)).as("l_orderkey"),
+          col("fname"), col("seq")))
+        .reduce(_ unionByName _).localCheckpoint(true)
+
+    // ---- Per-query sweep builders: m => (answer mass, action) ------
+    val builders: Map[String, Int => Long] = Map(
+      "q38_ordered_concat" -> { m =>
+        OrderedConcat.assemble(partsReplicas(m)).count()
+      },
+      "q59_repetition_stats" -> { m =>
+        val lined = docReplicas(m).withColumn("text",
+          regexp_replace(col("text"), "(\\S+ \\S+) ", "$1\n"))
+        Curation.repetitionStats(lined).count()
+      },
+      "q79_neardup_semantic" -> { m =>
+        // √n centroid-scaling rule: block size stays constant.
+        Similarity.semanticBlockedPairs(corpusReplicas(m), threshold = 0.99,
+          nCentroids = 16 * m, nAssign = 2).count()
+      },
+      "q84_semantic_trained" -> { m =>
+        val corp = corpusReplicas(m)
+        val model = Clustering.fit(corp, k = 8 * m, iters = 2)
+        Similarity.semanticBlockedPairsWithModel(corp, threshold = 0.99,
+          model = model, nAssign = 2).count()
+      },
+      "q105_triangle_count" -> { m =>
+        Graph.triangleCount(edgeReplicas(m), "src", "dst")
+          .agg(sum(col("n_tri") * 2 + col("deg"))).collect()(0).getLong(0)
+      },
+      "q111_pq_code_dedup" -> { m =>
+        val corp = corpusReplicas(m)
+        val model = Quantization.fitPq(corp, m = 8, ksub = 8, iters = 1)
+        Quantization.pqCodeNearDup(corp, model, threshold = 0.99).count()
+      },
+      "q118_label_communities" -> { m =>
+        Graph.labelPropagation(edgeReplicas(m), "src", "dst", rounds = 2)
+          .select(col("label")).distinct().count()
+      },
+      "q142_mutual_knn" -> { m =>
+        // NOTE: brute-force kNN scoring is O(n²) by design — expect
+        // ~m² work growth; flat time here would be the strongest
+        // possible floor evidence, linear-in-m is already sublinear
+        // vs workload.
+        Similarity.mutualKnn(
+          Similarity.bruteForceTopK(embReplicas(m), embReplicas(m), k = 5),
+          materializeInput = true).count()
+      },
+      "q231_bleu_components" -> { m =>
+        Evaluation.bleuTruncationComponents(docReplicas(m)).count()
+      })
+
+    val sb = new StringBuilder
+    val swept = scala.collection.mutable.ArrayBuffer.empty[String]
+    val unswept = scala.collection.mutable.ArrayBuffer.empty[String]
+    for ((q, s, d, r) <- weak) builders.get(q) match {
+      case None =>
+        unswept += q
+        println(f"FLOOR-SWEEPS $q%-26s UNSWEPT (no builder registered)")
+      case Some(b) =>
+        val rows = ms.map { m =>
+          val (mass, med, mn) = timed(b(m))
+          (m, mass, med, mn)
+        }
+        val (m1, mass1, sec1, _) = rows.head
+        val line = rows.map { case (m, mass, med, mn) =>
+          val mr = if (mass1 == 0) 0.0 else mass.toDouble / mass1
+          f"m=$m mass=$mass ($mr%.2f×) sec=$med%.2f/min=$mn%.2f (${med / sec1}%.2f×)"
+        }.mkString(" | ")
+        println(f"FLOOR-SWEEPS $q%-26s $line")
+        val mMax = rows.last._1
+        val sub = rows.last._3 / sec1 < mMax / 2.0
+        val sweepJson = rows.map { case (m, mass, med, mn) =>
+          f"""{"m":$m,"mass":$mass,"sec_median":$med%.4f,"sec_min":$mn%.4f}"""
+        }.mkString("[", ",", "]")
+        swept += (
+          f"""{"query":"$q","spark_min":$s%.4f,"duck":$d%.4f,"ratio":$r%.3f,""" +
+          f""""sweeps":$sweepJson,"time_ratio_at_max_m":${rows.last._3 / sec1}%.3f,""" +
+          s""""sublinear":$sub}""")
+        // Unreference per-m replica caches between queries is not
+        // needed: localCheckpoint blocks are small at these scales.
+    }
+
+    sb.append("{")
+      .append(s""""ts":${System.currentTimeMillis()},""")
+      .append(s""""sf":"$srcDir","bar":$bar,"min_denominator":$minDen,""")
+      .append(s""""ms":${ms.mkString("[", ",", "]")},""")
+      .append(s""""bench_summary":"$benchPath","baseline":"$basePath",""")
+      .append(s""""weak_count":${weak.size},""")
+      .append(swept.mkString("\"weak\":[", ",", "],"))
+      .append(unswept.map(q => s""""$q"""").mkString("\"unswept\":[", ",", "]"))
+      .append("}")
+    val outDir = new java.io.File("target/bench")
+    outDir.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(outDir, "floor_sweeps.json").toPath,
+      sb.toString.getBytes("UTF-8"))
+    println(s"FLOOR-SWEEPS wrote target/bench/floor_sweeps.json " +
+      s"(${swept.size} swept, ${unswept.size} unswept)")
+    spark.stop()
+  }
+}

@@ -51,7 +51,6 @@ object AssetQueries {
       FROM f
       GROUP BY l_orderkey
       ORDER BY l_orderkey""")) { (s, d) =>
-      import s.implicits._
       val fname = concat(lit("part_"), col("l_linenumber"), lit(".mp3"))
       // F15: the sequence is *extracted from the filename* (the
       // digits between the last underscore and the extension), not
@@ -63,44 +62,9 @@ object AssetQueries {
       val rows = Tables.lineitem(s, d)
         .select(col("l_orderkey"), fname.as("fname"))
         .withColumn("seq", seq)
-        .repartitionByRange(col("l_orderkey"))
-        // (seq, fname) not just seq: deterministic tie order matches
-        // array_sort's struct comparator if a name ever repeats a seq.
-        .sortWithinPartitions(col("l_orderkey"), col("seq"), col("fname"))
-        .select(col("l_orderkey"), col("fname"))
-      rows.mapPartitions { it =>
-        // Streaming ordered-group assembly: rows arrive clustered by
-        // key and pre-sorted by seq, so each group folds into a
-        // StringBuilder and emits when the key changes — O(1) live
-        // state, no per-group array, no second sort.
-        new Iterator[(Long, Long, String)] {
-          private var cur: Option[(Long, Long, java.lang.StringBuilder)] = None
-          private var pending: Option[(Long, Long, String)] = None
-          private def roll(): Unit = {
-            while (pending.isEmpty && it.hasNext) {
-              val r = it.next()
-              val k = r.getLong(0); val f = r.getString(1)
-              cur match {
-                case Some((ck, n, sb)) if ck == k =>
-                  cur = Some((ck, n + 1, sb.append(',').append(f)))
-                case Some((ck, n, sb)) =>
-                  pending = Some((ck, n, sb.toString))
-                  cur = Some((k, 1L, new java.lang.StringBuilder(f)))
-                case None =>
-                  cur = Some((k, 1L, new java.lang.StringBuilder(f)))
-              }
-            }
-            if (pending.isEmpty && !it.hasNext && cur.isDefined) {
-              val (ck, n, sb) = cur.get
-              pending = Some((ck, n, sb.toString)); cur = None
-            }
-          }
-          def hasNext: Boolean = { roll(); pending.isDefined }
-          def next(): (Long, Long, String) = {
-            roll(); val p = pending.get; pending = None; p
-          }
-        }
-      }.toDF("l_orderkey", "n_parts", "assembled")
+      // Assembly extracted to the shared operator (r17) so the
+      // FloorSweeps replica harness exercises the exact gated plan.
+      graft.operators.OrderedConcat.assemble(rows)
     },
 
     // ---- q39: per-group sampling with floor (W5,
