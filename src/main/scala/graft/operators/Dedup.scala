@@ -584,6 +584,145 @@ object Dedup {
     DeltaParts(smallDelta, dPrep, cPrep, candidates)
   }
 
+  /** Batch-fit corpus triage structures for the STREAMING delta-ingest
+    * lane ([[corpusTriageScored]]) — the orientation twin of
+    * [[deltaIngest]]: there the CORPUS is stationary and the delta's
+    * structures broadcast against it; at ingest time the corpus is
+    * the standing side, so ITS structures are fit once and every
+    * arriving document probes them statelessly.
+    *
+    *  - `fpMin`: canonical fingerprint → min corpus id (exact tier);
+    *  - `postings`: token → sorted corpus-id posting list, plus
+    *    per-id distinct-token counts (exact-Jaccard near tier and
+    *    containment tier — candidate generation AND verification in
+    *    one probe, so recall is exactly 1 and the result is
+    *    SQL-replayable, unlike a banded-LSH candidate cut).
+    *
+    * Driver/model state is O(corpus distinct-token mass) — the
+    * posting mass a batch near-dup join would shuffle, held once as
+    * the standing index instead. `maxPostingMass` is the fail-fast
+    * limit probe (the model-fit convention): at 100 TB the full-text
+    * posting index stops being broadcast material, and the honest
+    * deployment is sharded probes or the [[deltaIngest]] batch
+    * orientation run per micro-window — this model targets the
+    * standing-corpus sizes where one executor-resident index is the
+    * right trade (eval suites, canary sets, per-source slices, the
+    * last N days of accepted docs). */
+  final case class CorpusTriageModel(
+      fpMin: java.util.HashMap[String, java.lang.Long],
+      postings: java.util.HashMap[String, Array[Long]],
+      setSize: java.util.HashMap[java.lang.Long, Integer]) extends Serializable {
+    def nDocs: Int = setSize.size()
+  }
+
+  def fitCorpusTriage(corpus: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text",
+                      maxPostingMass: Long = 50000000L): CorpusTriageModel = {
+    import org.apache.spark.sql.Row
+    val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
+    val prep = corpus.select(col(idCol).cast("long").as("cn_id"), toksOf.as("ctoks"),
+      TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+    val mass = prep.agg(sum(size(col("ctoks")))).collect()(0)
+    require(mass.isNullAt(0) || mass.getLong(0) <= maxPostingMass,
+      s"fitCorpusTriage: corpus distinct-token mass exceeds $maxPostingMass — " +
+        "shard the standing index or use the deltaIngest batch orientation")
+    val fpMin = new java.util.HashMap[String, java.lang.Long]()
+    val lists = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+    val setSize = new java.util.HashMap[java.lang.Long, Integer]()
+    // One bounded collect (mass-guarded above); rows arrive in
+    // arbitrary order, so postings sort after the fold.
+    prep.collect().foreach { case Row(cnId: Long, ctoks: scala.collection.Seq[_], fp: String) =>
+      val prev = fpMin.get(fp)
+      if (prev == null || cnId < prev) fpMin.put(fp, cnId)
+      setSize.put(cnId, ctoks.size)
+      ctoks.foreach { t =>
+        lists.computeIfAbsent(t.asInstanceOf[String],
+          _ => scala.collection.mutable.ArrayBuffer.empty[Long]) += cnId
+      }
+    }
+    val postings = new java.util.HashMap[String, Array[Long]](lists.size())
+    lists.forEach { (t, ids) => postings.put(t, ids.toArray.sorted) }
+    CorpusTriageModel(fpMin, postings, setSize)
+  }
+
+  /** Stateless triage of documents against a batch-fit
+    * [[CorpusTriageModel]] — the fit-once/score-forever member of
+    * the dedup family (the [[graft.functions.AhoCorasick]]/Bloom
+    * deployment shape): every row is routed in one projection with
+    * the model broadcast once per executor, so the same operator
+    * scores a batch frame or an unbounded STREAM with no state store
+    * and no stream-side shuffle, appending at ingest rate.
+    *
+    * Tiers, highest wins (each exactly SQL-replayable):
+    *  - `exact`: canonical fingerprint present in the corpus
+    *    (match = min corpus id, score 1.0);
+    *  - `near`: best corpus doc with Jaccard ≥ `threshold`
+    *    (ties → smallest id), score = jaccard rounded half-up to 4dp;
+    *  - `contained`: best corpus doc covering ≥ `containThreshold`
+    *    of this doc's distinct tokens (`|D∩C|/|D|` — the excerpt/
+    *    quote tier symmetric Jaccard misses), same rounding;
+    *  - `accepted`: no tier fired (score null).
+    *
+    * Per-row cost is the probed posting mass (Σ posting length over
+    * the doc's distinct tokens) — the inverted-index probe bound,
+    * independent of corpus row count. */
+  def corpusTriageScored(docs: DataFrame, model: CorpusTriageModel,
+                         threshold: Double = 0.9, containThreshold: Double = 0.8,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0, 1)")
+    require(containThreshold > 0.0 && containThreshold <= 1.0,
+      "containThreshold must be in (0, 1]")
+    val bc = docs.sparkSession.sparkContext.broadcast(model)
+    val triage = udf { (fp: String, toks: scala.collection.Seq[String]) =>
+      val m = bc.value
+      val ex = m.fpMin.get(fp)
+      if (ex != null) ("exact", Some(ex.longValue()), Some(1.0d))
+      else {
+        val dn = toks.size
+        val ov = new java.util.HashMap[java.lang.Long, Array[Int]]()
+        toks.foreach { t =>
+          val ids = m.postings.get(t)
+          if (ids != null) {
+            var i = 0
+            while (i < ids.length) {
+              val cnt = ov.computeIfAbsent(ids(i), _ => new Array[Int](1))
+              cnt(0) += 1
+              i += 1
+            }
+          }
+        }
+        // Best-per-tier scan: jr DESC then id ASC, cont DESC then id
+        // ASC — the q81 best-match ordering.
+        var nearId = -1L; var nearJr = -1.0d
+        var contId = -1L; var contCv = -1.0d
+        ov.forEach { (cid, cnt) =>
+          val cn = m.setSize.get(cid).intValue()
+          val o = cnt(0)
+          val jr = o.toDouble / (dn + cn - o).toDouble
+          if (jr >= threshold &&
+              (jr > nearJr || (jr == nearJr && cid < nearId))) {
+            nearJr = jr; nearId = cid.longValue()
+          }
+          val cv = o.toDouble / dn.toDouble
+          if (cv >= containThreshold &&
+              (cv > contCv || (cv == contCv && cid < contId))) {
+            contCv = cv; contId = cid.longValue()
+          }
+        }
+        def r4(x: Double): Double = math.floor(x * 10000.0d + 0.5d) / 10000.0d
+        if (nearId >= 0) ("near", Some(nearId), Some(r4(nearJr)))
+        else if (contId >= 0) ("contained", Some(contId), Some(r4(contCv)))
+        else ("accepted", None: Option[Long], None: Option[Double])
+      }
+    }
+    val toksOf = array_distinct(TextFunctions.tokens(col(textCol)))
+    docs
+      .select(col(idCol),
+        triage(TextFunctions.canonicalFingerprint(col(textCol)), toksOf).as("__t"))
+      .select(col(idCol), col("__t._1").as("status"),
+        col("__t._2").as("match_id"), col("__t._3").as("score"))
+  }
+
   /** Directed containment join: pairs `(doc_a, doc_b)` where at
     * least `threshold` of A's distinct tokens also occur in B
     * (`|A∩B| / |A| >= t`, a ≠ b) — the ASYMMETRIC dedup relation

@@ -393,6 +393,68 @@ object PipelineQueries {
         .orderBy("window_start_us", "segment")
     },
 
+    // ---- q234: the STREAMING DELTA-INGEST lane (r17) — the
+    // streaming twin of q81's corpus-stationary triage and the
+    // actual production shape of LLM-corpus ingestion: the standing
+    // corpus's dedup structures (fingerprint map + inverted token
+    // index) are batch-fit once, and the arriving document stream is
+    // routed exact/near/contained/accepted in one STATELESS
+    // projection — no stream-static join, no state store, no
+    // watermark; the plan appends at ingest rate. Candidate
+    // generation and exact-Jaccard verification happen in the same
+    // posting probe (recall exactly 1), which is what makes a
+    // streaming dedup DuckDB-replayable and hash-gatable. The split
+    // mirrors q81: doc_id % 17 == 0 arrives, the rest stands.
+    Q("q234_stream_delta_ingest", Some("""
+      WITH delta AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
+      corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      dfp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM delta),
+      cfp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM corpus),
+      ex AS (SELECT dfp.doc_id, MIN(cfp.doc_id) AS match_id
+             FROM dfp JOIN cfp USING (fp) GROUP BY dfp.doc_id),
+      dt AS (SELECT doc_id AS dn_id, list_distinct(string_split(text, ' ')) AS toks FROM delta),
+      ct AS (SELECT doc_id AS cn_id, list_distinct(string_split(text, ' ')) AS toks FROM corpus),
+      du AS (SELECT dn_id, unnest(toks) AS tok, len(toks) AS dn FROM dt),
+      cu AS (SELECT cn_id, unnest(toks) AS tok, len(toks) AS cn FROM ct),
+      ovt AS (SELECT dn_id, cn_id, dn, cn, COUNT(*) AS ov
+              FROM du JOIN cu USING (tok) GROUP BY 1, 2, 3, 4),
+      bestn AS (SELECT dn_id, cn_id, ov / (dn + cn - ov) AS jr FROM ovt
+                WHERE ov / (dn + cn - ov) >= 0.9
+                QUALIFY row_number() OVER (PARTITION BY dn_id
+                  ORDER BY ov / (dn + cn - ov) DESC, cn_id) = 1),
+      bestc AS (SELECT dn_id, cn_id, ov / dn AS cont FROM ovt
+                WHERE ov / dn >= 0.8
+                QUALIFY row_number() OVER (PARTITION BY dn_id
+                  ORDER BY ov / dn DESC, cn_id) = 1)
+      SELECT d.doc_id,
+             CASE WHEN ex.match_id IS NOT NULL THEN 'exact'
+                  WHEN bn.cn_id IS NOT NULL THEN 'near'
+                  WHEN bc.cn_id IS NOT NULL THEN 'contained'
+                  ELSE 'accepted' END AS status,
+             COALESCE(ex.match_id, bn.cn_id, bc.cn_id) AS match_id,
+             CASE WHEN ex.match_id IS NOT NULL THEN 1.0
+                  WHEN bn.cn_id IS NOT NULL THEN floor(bn.jr * 10000 + 0.5) / 10000
+                  WHEN bc.cn_id IS NOT NULL THEN floor(bc.cont * 10000 + 0.5) / 10000
+             END AS score
+      FROM delta d
+      LEFT JOIN ex ON ex.doc_id = d.doc_id
+      LEFT JOIN bestn bn ON bn.dn_id = d.doc_id
+      LEFT JOIN bestc bc ON bc.dn_id = d.doc_id
+      ORDER BY d.doc_id""")) { (s, d) =>
+      val corpus = graft.Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(17)) =!= 0)
+      val model = graft.operators.Dedup.fitCorpusTriage(corpus)
+      val arriving = graft.streaming.StreamLane.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(17)) === 0)
+      val routed = graft.streaming.EventStreams.triageScored(
+        arriving, model, threshold = 0.9, containThreshold = 0.8)
+      // Stateless append lane: no watermark state, so the trailing
+      // no-data batch would do nothing — skip it (q187's rule).
+      graft.streaming.StreamLane.drain(s, routed, "append", "q234_mem",
+          noDataBatch = false)
+        .orderBy("doc_id")
+    },
+
     // ---- q188: the APPEND-mode streaming lane — q54's gap sessions
     // through Catalyst's native session_window aggregate with a real
     // state store and WATERMARK EVICTION under timing: unlike q187's

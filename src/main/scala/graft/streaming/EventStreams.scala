@@ -551,6 +551,25 @@ object EventStreams {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     graft.operators.Curation.blocklistHits(docs, patterns, idCol, textCol)
 
+  /** Streaming delta-ingest triage (r17) — the streaming twin of the
+    * q81 batch lane and the production shape of LLM-corpus
+    * ingestion: the standing corpus's dedup structures (fingerprint
+    * map + inverted token index) are batch-fit ONCE
+    * ([[graft.operators.Dedup.fitCorpusTriage]]) and every arriving
+    * document is routed exact/near/contained/accepted in one
+    * stateless projection ([[graft.operators.Dedup
+    * .corpusTriageScored]]) — no stream-static join, no state store,
+    * no watermark state; the plan appends at ingest rate with
+    * per-row cost bounded by the probed posting mass. Batch parity
+    * is exact by construction (same operator; spec-pinned), and the
+    * result is DuckDB-replayable, which is what lets the q234 lane
+    * hash-gate a streaming dedup end to end. */
+  def triageScored(docs: DataFrame, model: graft.operators.Dedup.CorpusTriageModel,
+                   threshold: Double = 0.9, containThreshold: Double = 0.8,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.operators.Dedup.corpusTriageScored(docs, model, threshold,
+      containThreshold, idCol, textCol)
+
   /** Streaming Bloom membership with a batch-fit filter — the
     * sketch-family deployment of the same fit-once/score-forever
     * shape: [[graft.operators.Sketches.fitBloom]] fits on the

@@ -69,6 +69,18 @@ object StreamLane {
     }
   }
 
+  /** File-source stream over `d`/documents.parquet — the ingest-lane
+    * twin of [[events]] for the document tiers (q234): same
+    * directory+glob discipline, same single-micro-batch arrival.
+    * Documents carry no event-time column, so no ts normalization. */
+  def documents(s: SparkSession, d: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$d/documents.parquet").schema
+    s.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1 << 20)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(d)
+  }
+
   /** Start `df` into a uniquely-named memory sink, drain it to
     * completion, and return the sink table (bounded lane payloads
     * only — window censuses, closed sessions, attribution pairs;

@@ -990,4 +990,56 @@ class EventStreamsSpec extends SparkSuite {
     val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
     assert(st.isEmpty, s"segmentation must hold no streaming state: ${st.mkString(",")}")
   }
+
+  test("streaming delta-ingest triage ≡ batch corpusTriageScored; all four tiers; no state") {
+    import graft.operators.Dedup
+    // Constructed so EVERY route fires, with a containment tie:
+    //  - delta 1 = corpus 10's token set reordered  -> exact
+    //  - delta 2 adds one token to corpus 10 (jr 10/11 ≈ 0.909) -> near
+    //  - delta 3 is fully inside corpus 20 (cont 1.0, jr 5/21)  -> contained
+    //  - delta 4 shares nothing            -> accepted
+    //  - delta 5 covers 9/10 of corpus 40 AND 50 equally (cont 0.9,
+    //    jr 9/11 < 0.9) -> contained, tie broken to the SMALLER id 40.
+    val corpus = Seq(
+      (10L, "a b c d e f g h i j"),
+      (20L, "p q r s t u v w x y z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+      (40L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 n40"),
+      (50L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 n50"))
+    val delta = Seq(
+      (1L, "j i h g f e d c b a"),
+      (2L, "a b c d e f g h i j kk"),
+      (3L, "p q r s t"),
+      (4L, "zz yy ww"),
+      (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 o5"))
+    val model = Dedup.fitCorpusTriage(corpus.toDF("doc_id", "text"))
+    val batch = Dedup.corpusTriageScored(delta.toDF("doc_id", "text"), model,
+        threshold = 0.9, containThreshold = 0.8)
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(batch(0) === ((1L, "exact", Some(10L), Some(1.0d))))
+    assert(batch(1)._2 === "near" && batch(1)._3 === Some(10L) &&
+      batch(1)._4 === Some(math.floor(10.0 / 11.0 * 10000 + 0.5) / 10000))
+    assert(batch(2) === ((3L, "contained", Some(20L), Some(1.0d))))
+    assert(batch(3) === ((4L, "accepted", None, None)))
+    assert(batch(4) === ((5L, "contained", Some(40L), Some(0.9d))),
+      "containment tie must break to the smallest corpus id")
+    // Streaming: the SAME stateless projection over a file stream.
+    val dir = Files.createTempDirectory(Paths.get("target"), "triage-landing")
+    delta.zipWithIndex.foreach { case ((id, t), i) =>
+      Files.writeString(dir.resolve(f"d$i%02d.json"), s"""{"doc_id":$id,"text":"$t"}""")
+    }
+    val stream = spark.readStream.schema("doc_id LONG, text STRING").json(dir.toString)
+    val out = Files.createTempDirectory(Paths.get("target"), "triageout")
+    val q = EventStreams.writeParquetSink(
+      EventStreams.triageScored(stream, model, 0.9, 0.8), s"$out/data", s"$out/ckpt")
+    q.awaitTermination(60000)
+    val streamed = spark.read.parquet(s"$out/data")
+      .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1)
+    assert(streamed.toSeq === batch.toSeq, "streaming triage diverged from batch")
+    val st = Option(q.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(st.isEmpty, s"triage must hold no streaming state: ${st.mkString(",")}")
+    // The fit guard is a fail-fast limit probe, not an OOM.
+    val e = intercept[IllegalArgumentException](
+      Dedup.fitCorpusTriage(corpus.toDF("doc_id", "text"), maxPostingMass = 5L))
+    assert(e.getMessage.contains("distinct-token mass"))
+  }
 }
