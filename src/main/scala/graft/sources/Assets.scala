@@ -96,6 +96,16 @@ object Assets {
       graft.functions.PdfOps.extractText(content)
   }
 
+  /** Graceful PDF extraction (r17): NULL for documents declaring
+    * features the extractor can't handle (encryption, undecodable
+    * content filters — [[graft.functions.PdfOps.unsupportedFeature]])
+    * instead of best-effort degraded text — the explicit
+    * quarantine-routing contract for lake scans. */
+  object GracefulPdfTextExtractor extends TextExtractor {
+    def extract(content: Array[Byte]): String =
+      graft.functions.PdfOps.extractTextOrNull(content)
+  }
+
   /** Magic-sniffing default: `%PDF-` payloads through the PDF
     * extractor, everything else as UTF-8 text. */
   object AutoTextExtractor extends TextExtractor {

@@ -219,4 +219,54 @@ class PdfSpec extends AnyFunSuite {
     assert(!PdfOps.isPdf(null))
     assert(!PdfOps.isPdf(bytes("%PD")))
   }
+
+  test("unsupported features route to null, never throw: encrypted trailer, LZW filter") {
+    // Structurally-valid document whose trailer declares /Encrypt —
+    // the r15→r17 S9 gap: extraction must route it to NULL, not
+    // return silently-garbled text, and must not throw.
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes("%PDF-1.4\n"))
+    out.write(bytes("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    out.write(bytes("2 0 obj\n<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n"))
+    out.write(bytes("3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"))
+    val enc = bytes("Þ­ (enciphered payload) ¾ï")
+    out.write(bytes(s"4 0 obj\n<< /Length ${enc.length} >>\nstream\n"))
+    out.write(enc); out.write(bytes("\nendstream\nendobj\n"))
+    out.write(bytes("5 0 obj\n<< /Filter /Standard /V 2 /R 3 /O (o) /U (u) /P -44 >>\nendobj\n"))
+    out.write(bytes("trailer\n<< /Root 1 0 R /Encrypt 5 0 R >>\n%%EOF\n"))
+    val encDoc = out.toByteArray
+    assert(PdfOps.unsupportedFeature(encDoc) === Some("encrypted"))
+    assert(PdfOps.extractTextOrNull(encDoc) == null)
+    PdfOps.extractText(encDoc) // best-effort path still must not throw
+    // Undecodable content-stream filter: flagged by name.
+    val lzw = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      (4, "<< /Length 4 /Filter /LZWDecode >>", Array[Byte](-128, 11, 96, 80)))
+    assert(PdfOps.unsupportedFeature(lzw) === Some("filter:LZWDecode"))
+    assert(PdfOps.extractTextOrNull(lzw) == null)
+    // Image-only filters are NOT unsupported: text extraction skips
+    // image streams, so a photo-bearing doc still extracts.
+    val dct = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>", null),
+      contentObj(4, "BT (visible) Tj ET"),
+      (5, "<< /Subtype /Image /Filter /DCTDecode /Length 0 >>", Array.emptyByteArray))
+    assert(PdfOps.unsupportedFeature(dct) === None)
+    assert(PdfOps.extractTextOrNull(dct) === "visible")
+    // Name-token discipline: a LONGER name sharing the prefix must
+    // not false-positive the sniff.
+    val prefixed = pdf(
+      (1, "<< /Type /Catalog /Pages 2 0 R >>", null),
+      (2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>", null),
+      (3, "<< /Type /Page /Parent 2 0 R /Encrypted true /Contents 4 0 R >>", null),
+      contentObj(4, "BT (clean) Tj ET"))
+    assert(PdfOps.unsupportedFeature(prefixed) === None)
+    assert(PdfOps.extractTextOrNull(prefixed) === "clean")
+    // Non-PDF bytes: null, not a throw.
+    assert(PdfOps.extractTextOrNull(bytes("just text")) == null)
+    assert(PdfOps.extractTextOrNull(null) == null)
+  }
 }
