@@ -722,6 +722,26 @@ object Similarity {
           s.getField("vec").as("cvec"),
           s.getField("norm").as("cnorm"))).as("cents"))
 
+  /** Nearest-centroid assignment of a prepared frame against the
+    * one-row broadcast centroid array: a fold over `cents` inside a
+    * projection (max cosine, ties to the smaller centroid id) — the
+    * corpus never shuffles. Shared by [[ivfAnn]] and the incremental
+    * [[ivfIndex]]/[[ivfMergeDelta]] maintenance path. */
+  private def assignToCentroids(c: DataFrame, centArr: DataFrame,
+                                idCol: String): DataFrame =
+    c.crossJoin(broadcast(centArr))
+      .withColumn("best", aggregate(
+        col("cents"),
+        struct(lit(Int.MaxValue).as("centroid_id"), lit(Double.NegativeInfinity).as("csim")),
+        (acc, cent) => {
+          val s = cosinePrenormed(dot(col("vec"), cent("cvec")), col("norm"), cent("cnorm"))
+          when(s > acc("csim") ||
+               (s === acc("csim") && cent("centroid_id") < acc("centroid_id")),
+            struct(cent("centroid_id").as("centroid_id"), s.as("csim")))
+            .otherwise(acc)
+        }))
+      .select(col(idCol), col("vec"), col("norm"), col("best.centroid_id").as("centroid_id"))
+
   def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
              nCentroids: Int, nProbe: Int,
              idCol: String = "vec_id"): DataFrame = {
@@ -734,18 +754,7 @@ object Similarity {
       .select(col("c.centroid_id").as("centroid_id"),
         col("c.cvec").as("cvec"), col("c.cnorm").as("cnorm"))
 
-    val cAssigned = c.crossJoin(broadcast(centArr))
-      .withColumn("best", aggregate(
-        col("cents"),
-        struct(lit(Int.MaxValue).as("centroid_id"), lit(Double.NegativeInfinity).as("csim")),
-        (acc, cent) => {
-          val s = cosinePrenormed(dot(col("vec"), cent("cvec")), col("norm"), cent("cnorm"))
-          when(s > acc("csim") ||
-               (s === acc("csim") && cent("centroid_id") < acc("centroid_id")),
-            struct(cent("centroid_id").as("centroid_id"), s.as("csim")))
-            .otherwise(acc)
-        }))
-      .select(col(idCol), col("vec"), col("norm"), col("best.centroid_id").as("centroid_id"))
+    val cAssigned = assignToCentroids(c, centArr, idCol)
 
     // Queries probe their nProbe nearest centroids; the window runs
     // over queries × nCentroids rows only (queries are few).
@@ -764,6 +773,49 @@ object Similarity {
         cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
     rankTopK(scored, k)
   }
+
+  /** Frozen IVF centroid model of a corpus (the one-row broadcastable
+    * `cents` array of [[ivfAnn]]'s deterministic hash-selected
+    * seeds) — the reusable artifact the incremental maintenance path
+    * assigns against. Fit ONCE on the standing corpus; [[ivfIndex]]
+    * and [[ivfMergeDelta]] take it as a parameter precisely so a
+    * delta can be folded in WITHOUT refit. */
+  def ivfCentroids(corpus: DataFrame, nCentroids: Int,
+                   idCol: String = "vec_id"): DataFrame =
+    centroidArray(prepared(corpus, idCol), nCentroids, idCol)
+
+  /** Inverted-file index frame `(id, centroid_id)` of `vectors`
+    * under a FROZEN centroid model — one broadcast-fold projection,
+    * no shuffle, no refit. */
+  def ivfIndex(vectors: DataFrame, centroids: DataFrame,
+               idCol: String = "vec_id"): DataFrame =
+    assignToCentroids(prepared(vectors, idCol), centroids, idCol)
+      .select(col(idCol), col("centroid_id"))
+
+  /** Incremental ANN index maintenance (r17, the vector-tier
+    * analogue of q81's delta ingest): merge a DELTA of new vectors
+    * into an existing IVF index without refitting the centroids —
+    * the daily shape of a production vector store, where rebuilding
+    * the index over the full corpus for every arrival batch is the
+    * wrong asymptotic entirely.
+    *
+    * The standing `index` frame is appended UNTOUCHED (no
+    * recompute, no shuffle of standing rows — at 100 TB it is a
+    * parquet table that simply gains a partition); only the delta
+    * pays assignment, as a stateless broadcast-fold projection
+    * against the frozen model, which also makes this deployable on
+    * an unbounded vector STREAM (the [[graft.streaming.EventStreams]]
+    * fit-once/score-forever convention). Equivalent by construction
+    * to re-indexing standing ∪ delta under the same frozen model
+    * (spec-pinned), because assignment is deterministic per row.
+    * The PQ twin needs no new operator: `Quantization.encodePq`
+    * already encodes a delta under frozen codebooks; union the
+    * encoded frames the same way. Periodic refit when drift
+    * accumulates is a POLICY above this operator (compare
+    * [[Clustering.fit]] inertia on a sample), not part of the merge. */
+  def ivfMergeDelta(index: DataFrame, delta: DataFrame, centroids: DataFrame,
+                    idCol: String = "vec_id"): DataFrame =
+    index.unionByName(ivfIndex(delta, centroids, idCol))
 
   /** One MMR selection: `(rank, id, relevance, mmr_score)`. */
   final case class MmrPick(rank: Int, id: Long, relevance: Double, mmrScore: Double)

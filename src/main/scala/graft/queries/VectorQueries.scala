@@ -319,6 +319,51 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- q235: incremental IVF index maintenance (r17) — the
+    // vector-tier analogue of q81's delta ingest: centroids are fit
+    // ONCE on the standing corpus (vec_id % 13 ≠ 0) and FROZEN; the
+    // delta (vec_id % 13 = 0) is assigned under that frozen model
+    // and appended to the standing index WITHOUT refit — standing
+    // rows are never recomputed (checkpointed index = the persisted
+    // artifact), only the delta pays a broadcast-fold assignment.
+    // The oracle replays seed selection + nearest-centroid
+    // assignment (the q33 CTEs) with seeds drawn from standing ONLY
+    // — which is exactly what makes the no-refit contract testable:
+    // a refit would move the centroids and the hash would diverge.
+    Q("q235_ivf_delta_merge", Some(oracleProlog + """,
+      standing AS (SELECT * FROM p WHERE vec_id % 13 <> 0),
+      delta AS (SELECT * FROM p WHERE vec_id % 13 = 0),
+      seeds AS (
+        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
+        FROM standing ORDER BY cid, vec_id LIMIT 16),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
+               v AS cv, nrm AS cnrm
+        FROM seeds),
+      allv AS (SELECT vec_id, v, nrm, 'standing' AS src FROM standing
+               UNION ALL SELECT vec_id, v, nrm, 'delta' AS src FROM delta),
+      assign AS (
+        SELECT allv.vec_id, allv.src, cent.centroid_id,
+               row_number() OVER (PARTITION BY allv.vec_id
+                                  ORDER BY list_inner_product(allv.v, cent.cv)/(allv.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS rn
+        FROM allv CROSS JOIN cent)
+      SELECT vec_id, centroid_id, src FROM assign WHERE rn = 1
+      ORDER BY vec_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+      // The checkpoint stands in for reading the persisted index
+      // back from the store: standing assignment runs once and the
+      // merge appends to a FLAT artifact, proving no recompute.
+      val index = Similarity.ivfIndex(standing, cents).localCheckpoint(true)
+      Similarity.ivfMergeDelta(index, delta, cents)
+        .withColumn("src", when(pmod(col("vec_id"), lit(13)) === 0, lit("delta"))
+          .otherwise(lit("standing")))
+        .orderBy("vec_id")
+    },
+
     // ---- q57: LSH-bucketed near-dup pairs over the corpus — the
     // scale path whose ground truth is quadratic q31. The driver's
     // embeddings are near-orthogonal (max pairwise cosine ~0.6), so

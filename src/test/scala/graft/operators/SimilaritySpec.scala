@@ -532,6 +532,37 @@ class SimilaritySpec extends SparkSuite {
     } finally spark.sparkContext.removeSparkListener(l)
   }
 
+  test("ivfMergeDelta ≡ full re-index under the frozen model; standing index untouched; PQ twin") {
+    // The no-refit contract: centroids fit on STANDING only, delta
+    // merged in — must equal indexing standing ∪ delta under the
+    // same frozen model (assignment is deterministic per row), and
+    // must NOT equal a refit index (centroids would move).
+    val standing = emb.filter(col("vec_id") % 13 =!= 0)
+    val delta = emb.filter(col("vec_id") % 13 === 0)
+    val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+    val index = Similarity.ivfIndex(standing, cents).localCheckpoint(true)
+    val merged = Similarity.ivfMergeDelta(index, delta, cents)
+      .as[(Long, Int)].collect().toMap
+    val full = Similarity.ivfIndex(emb, cents).as[(Long, Int)].collect().toMap
+    assert(merged === full, "merge diverged from frozen-model re-index")
+    assert(merged.size === emb.count())
+    // Standing rows pass through the merge byte-identically.
+    val standingIdx = index.as[(Long, Int)].collect().toMap
+    standingIdx.foreach { case (id, cid) => assert(merged(id) === cid) }
+    // Fixture sanity: the delta must actually spread over >1 list.
+    val deltaLists = delta.select("vec_id").as[Long].collect()
+      .map(merged).toSet
+    assert(deltaLists.size > 1, "degenerate fixture: all delta in one list")
+    // PQ twin: a delta encoded under FROZEN codebooks unioned with
+    // the standing codes ≡ encoding the full corpus with the model.
+    val pq = Quantization.fitPq(standing, m = 8, ksub = 8, iters = 1)
+    val mergedCodes = Quantization.encodePq(standing, pq)
+      .unionByName(Quantization.encodePq(delta, pq))
+      .as[(Long, Seq[Int])].collect().toMap
+    val fullCodes = Quantization.encodePq(emb, pq).as[(Long, Seq[Int])].collect().toMap
+    assert(mergedCodes === fullCodes, "PQ delta encode diverged from full encode")
+  }
+
   test("crossEncoderRerank: injected encoder drives ranks; k cut; id tie-break") {
     import spark.implicits._
     val texts = Seq(
