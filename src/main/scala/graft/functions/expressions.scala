@@ -593,6 +593,27 @@ case class BleuComponentsExpr(left: Expression, right: Expression) extends Binar
     copy(left = l, right = r)
 }
 
+/** Longest common token run of two texts (string, string → int) —
+  * the exact per-pair verifier of the suffix-array dedup tier
+  * ([[SuffixArrays.lcsTokenRun]]): prefix-doubling suffix array +
+  * Kasai LCP over the interned token ids of `a ⧺ sep ⧺ b`, max LCP
+  * across halves. One codegen'd kernel call per candidate pair. */
+case class LcsTokenRun(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SuffixArrays.lcsTokenRun(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SuffixArrays.lcsTokenRun($a.toString(), $b.toString())")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): LcsTokenRun =
+    copy(left = l, right = r)
+}
+
 /** Self-truncation BLEU components (string → struct<c_len, r_len,
   * m1..r4>): candidate = the max(1, ⌊len·num/den⌋)-token prefix of
   * the text, reference = the whole text, censused in ONE

@@ -118,4 +118,52 @@ object ExactSubstring {
       .select(col(idCol), coalesce(col("kept_text"), lit("")).as("kept_text"),
         coalesce(col("kept_len"), lit(0L)).as("kept_len"))
   }
+
+  /** Document-PAIR longest-common-run dedup tier (r17): candidate
+    * pairs sharing at least one k-gram anchor hash are verified with
+    * the EXACT longest common token run via the suffix-array kernel
+    * ([[graft.functions.SuffixArrays]]) — the Lee et al. "dedup by
+    * longest shared substring" refinement the span tiers (q92/q93)
+    * approximate at anchor granularity. Output: (doc_a, doc_b,
+    * lcs_len) for pairs with lcs_len ≥ `minLen`.
+    *
+    * Plan shape: anchors shuffle once by hash (k-gram hex anchors,
+    * per-doc DISTINCT so a doc-internal repeat adds no pairs), the
+    * anchor self-join moves ids only, and texts rejoin BY ID for the
+    * per-pair kernel (the q22 ids-only candidate convention) — pair
+    * text never rides the anchor shuffle. The kernel is O((|a|+|b|)
+    * log²) per pair. Corpus-wide template k-grams make the pair set
+    * itself quadratic in the sharing set — the q146 block-join
+    * trade; collapse exact duplicates first ([[Dedup
+    * .exactByFingerprint]]) when that bites. */
+  def lcsNearDupPairs(docs: DataFrame, k: Int, minLen: Int,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k >= 2, "k must be at least 2")
+    require(minLen >= 1, "minLen must be at least 1")
+    val anchors = docs.select(
+        col(idCol),
+        explode(array_distinct(GraftFunctions.shingle_hex_tokens(
+          TextFunctions.tokens(col(textCol)), k))).as("h"))
+    // q92's qualifying-hash prefilter: only hashes seen in ≥2 docs
+    // can pair, so the self-join's shuffle carries the duplicated
+    // sliver, not the whole anchor set.
+    val freq = anchors.groupBy(col("h"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("h"))
+    val dup = anchors.join(freq, Seq("h"), "left_semi")
+    val pairs = dup.as("a")
+      .join(dup.as("b"),
+        col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val lcs = ColumnShim.column(graft.functions.LcsTokenRun(
+      ColumnShim.expression(col("ta")), ColumnShim.expression(col("tb"))))
+    pairs
+      .join(docs.select(col(idCol).as("doc_a"), col(textCol).as("ta")), Seq("doc_a"))
+      .join(docs.select(col(idCol).as("doc_b"), col(textCol).as("tb")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), lcs.cast("long").as("lcs_len"))
+      .filter(col("lcs_len") >= minLen)
+  }
 }

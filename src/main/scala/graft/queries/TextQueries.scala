@@ -2214,6 +2214,49 @@ object TextQueries {
         .orderBy("doc_id", "span_start")
     },
 
+    // ---- q236: suffix-array LCS pair tier (r17) — the document-
+    // PAIR refinement of the q92/q93 exact-substring family:
+    // candidate pairs share an 8-gram anchor hash (per-doc DISTINCT,
+    // ids-only join), then each pair's EXACT longest common token
+    // run is computed by the prefix-doubling suffix array + Kasai
+    // LCP kernel. The oracle replays candidates with the q92 anchor
+    // CTE and the exact LCS with the diagonal-islands trick (match
+    // positions (i, j) with equal tokens; per (pair, i−j) diagonal,
+    // consecutive-i islands are common runs; max island = LCS) —
+    // two very different exact algorithms agreeing on the hash is
+    // the strongest cross-check in this family.
+    Q("q236_lcs_pair_dedup", Some("""
+      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      anch0 AS (SELECT doc_id,
+              [{'h': substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)}
+               FOR i IN range(1, len(ts) - 6)] AS a
+            FROM toks),
+      anch AS (SELECT DISTINCT doc_id, unnest(a, recursive := true) FROM anch0),
+      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id),
+      ta AS (SELECT p.doc_a, p.doc_b, m.i, m.tok FROM pairs p JOIN
+             (SELECT doc_id, unnest([{'i': i, 'tok': ts[i]}
+                FOR i IN range(1, len(ts) + 1)], recursive := true) FROM toks) m
+             ON m.doc_id = p.doc_a),
+      tb AS (SELECT p.doc_a, p.doc_b, m.i AS j, m.tok FROM pairs p JOIN
+             (SELECT doc_id, unnest([{'i': i, 'tok': ts[i]}
+                FOR i IN range(1, len(ts) + 1)], recursive := true) FROM toks) m
+             ON m.doc_id = p.doc_b),
+      mm AS (SELECT ta.doc_a, ta.doc_b, ta.i, tb.j FROM ta JOIN tb
+             ON tb.doc_a = ta.doc_a AND tb.doc_b = ta.doc_b AND tb.tok = ta.tok),
+      isl AS (SELECT doc_a, doc_b, i - j AS diff, i,
+              i - row_number() OVER (PARTITION BY doc_a, doc_b, i - j
+                                     ORDER BY i) AS run FROM mm),
+      lens AS (SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS len
+               FROM isl GROUP BY doc_a, doc_b, diff, run),
+      best AS (SELECT doc_a, doc_b, MAX(len) AS lcs_len
+               FROM lens GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b, lcs_len FROM best WHERE lcs_len >= 8
+      ORDER BY doc_a, doc_b""")) { (s, d) =>
+      ExactSubstring.lcsNearDupPairs(Tables.documents(s, d), k = 8, minLen = 8)
+        .orderBy("doc_a", "doc_b")
+    },
+
     // ---- q93: the exact-substring REWRITE — drop every token
     // covered by a q92 repeated span, reassemble the remainder in
     // order, and keep fully-repeated documents as explicit empty
