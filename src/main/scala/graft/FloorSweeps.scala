@@ -116,6 +116,22 @@ object FloorSweeps {
           signed.as("embedding"))
       }.reduce(_ unionByName _).localCheckpoint(true)
     })
+    // Content-SALTED doc replicas for the anchor-blocked q236:
+    // id-offset alone would leave anchor HASHES identical across
+    // replicas (same text), so every cross-replica doc pair would
+    // block together and the pair set would grow m², not m×.
+    // Prefixing every token with a replica tag makes all k-gram
+    // hashes replica-disjoint while preserving within-replica
+    // structure exactly — the text-tier analogue of the embedding
+    // sign-flip isometry.
+    val saltedDocCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def saltedDocReplicas(m: Int): DataFrame = saltedDocCache.getOrElseUpdate(m,
+      (0 until m).map { c =>
+        docsBase.select((col("doc_id") + lit(c * offset)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " "),
+            t => concat(lit(s"r${c}_"), t))).as("text"))
+      }.reduce(_ unionByName _).localCheckpoint(true))
+
     // q142 runs over the RAW embeddings table (no twins).
     val embCache = scala.collection.mutable.Map.empty[Int, DataFrame]
     def embReplicas(m: Int): DataFrame = embCache.getOrElseUpdate(m,
@@ -152,11 +168,12 @@ object FloorSweeps {
             .cast("int"), lit(0)))
         .localCheckpoint(true)
     }
-    def partsReplicas(m: Int): DataFrame =
+    val partsCache = scala.collection.mutable.Map.empty[Int, DataFrame]
+    def partsReplicas(m: Int): DataFrame = partsCache.getOrElseUpdate(m,
       (0 until m).map(c => partsBase.select(
           (col("l_orderkey") + lit(c * offset)).as("l_orderkey"),
           col("fname"), col("seq")))
-        .reduce(_ unionByName _).localCheckpoint(true)
+        .reduce(_ unionByName _).localCheckpoint(true))
 
     // ---- Per-query sweep builders: m => (answer mass, action) ------
     val builders: Map[String, Int => Long] = Map(
@@ -203,6 +220,11 @@ object FloorSweeps {
       },
       "q231_bleu_components" -> { m =>
         Evaluation.bleuTruncationComponents(docReplicas(m)).count()
+      },
+      "q236_lcs_pair_dedup" -> { m =>
+        graft.operators.ExactSubstring
+          .lcsNearDupPairs(saltedDocReplicas(m), k = 8, minLen = 8)
+          .count()
       })
 
     val sb = new StringBuilder

@@ -83,9 +83,15 @@ object SuffixArrays {
     lcp
   }
 
-  /** Length (in elements) of the longest run common to `a` and `b`. */
+  /** Length (in elements) of the longest run common to `a` and `b`.
+    * Elements must be NON-NEGATIVE: the join uses -1 as the unique
+    * separator, so a negative input element could forge a run that
+    * spans the join point (guarded — [[suffixArray]]/[[kasaiLcp]]
+    * themselves accept arbitrary ints). */
   def longestCommonRun(a: Array[Int], b: Array[Int]): Int = {
     if (a.isEmpty || b.isEmpty) return 0
+    require(a.forall(_ >= 0) && b.forall(_ >= 0),
+      "longestCommonRun elements must be non-negative (-1 is the separator)")
     val n = a.length
     val s = new Array[Int](n + 1 + b.length)
     System.arraycopy(a, 0, s, 0, n)

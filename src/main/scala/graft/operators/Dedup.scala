@@ -620,8 +620,14 @@ object Dedup {
                       maxPostingMass: Long = 50000000L): CorpusTriageModel = {
     import org.apache.spark.sql.Row
     val toksOf = array_sort(array_distinct(TextFunctions.tokens(col(textCol))))
-    val prep = corpus.select(col(idCol).cast("long").as("cn_id"), toksOf.as("ctoks"),
-      TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+    // Null id/text corpus rows are skipped up front: the oracle's
+    // corpus side never matches them either (md5(NULL) and
+    // unnest(NULL) produce nothing), and the collect fold below
+    // pattern-matches non-null fields.
+    val prep = corpus
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("cn_id"), toksOf.as("ctoks"),
+        TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
     val mass = prep.agg(sum(size(col("ctoks")))).collect()(0)
     require(mass.isNullAt(0) || mass.getLong(0) <= maxPostingMass,
       s"fitCorpusTriage: corpus distinct-token mass exceeds $maxPostingMass — " +
@@ -675,8 +681,12 @@ object Dedup {
     val bc = docs.sparkSession.sparkContext.broadcast(model)
     val triage = udf { (fp: String, toks: scala.collection.Seq[String]) =>
       val m = bc.value
-      val ex = m.fpMin.get(fp)
-      if (ex != null) ("exact", Some(ex.longValue()), Some(1.0d))
+      // Null text: both fp and toks arrive null — route to accepted,
+      // matching the oracle (md5(NULL) joins nothing, unnest(NULL)
+      // yields no overlap rows). Never throw on a data row.
+      val ex = if (fp == null) null else m.fpMin.get(fp)
+      if (toks == null) ("accepted", None: Option[Long], None: Option[Double])
+      else if (ex != null) ("exact", Some(ex.longValue()), Some(1.0d))
       else {
         val dn = toks.size
         val ov = new java.util.HashMap[java.lang.Long, Array[Int]]()
@@ -1188,8 +1198,12 @@ object Dedup {
     * at most `reliableInterval` rounds from the durable labels
     * instead of failing the query. The session's configured
     * checkpoint directory is saved and RESTORED in the finally block
-    * (when the session had none configured, the passed directory
-    * remains set afterwards — SparkContext has no public unset).
+    * — restored to the configured PARENT location (setCheckpointDir
+    * stores `<dir>/<randomUUID>`, so re-setting allocates a fresh
+    * UUID subdir under the same configured dir, exactly as the
+    * user's original call did); when the session had none
+    * configured, the passed directory remains set afterwards —
+    * SparkContext has no public unset.
     * The documented trade is a DISK
     * LEAK — Spark never auto-cleans reliable checkpoint files while
     * the application lives (`spark.cleaner.referenceTracking
@@ -1209,8 +1223,15 @@ object Dedup {
     // Redirect the session checkpoint dir only for the duration of
     // the algorithm, and restore whatever the session had configured
     // — an operator parameter must not leave a global side effect.
+    // setCheckpointDir stores <dir>/<randomUUID>, so the CONFIGURED
+    // location is the PARENT of what getCheckpointDir returns;
+    // re-passing the UUID path verbatim would nest a fresh UUID dir
+    // per call instead of restoring.
     val savedCheckpointDir: Option[String] =
-      if (reliableCheckpointDir.isDefined) sc.getCheckpointDir else None
+      if (reliableCheckpointDir.isDefined)
+        sc.getCheckpointDir.map(d =>
+          new org.apache.hadoop.fs.Path(d).getParent.toString)
+      else None
     reliableCheckpointDir.foreach(sc.setCheckpointDir)
     // Lineage cut: eager materialization + a flat LogicalRDD plan.
     // Local by default — see the scaladoc for the reliable-mode trade.

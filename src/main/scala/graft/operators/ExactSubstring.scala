@@ -139,19 +139,28 @@ object ExactSubstring {
   def lcsNearDupPairs(docs: DataFrame, k: Int, minLen: Int,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(k >= 2, "k must be at least 2")
-    require(minLen >= 1, "minLen must be at least 1")
+    // Candidate recall is exactly 1 only for runs of >= k tokens (a
+    // shorter common run never shares a k-gram anchor), so minLen
+    // below k would silently miss qualifying pairs.
+    require(minLen >= k, s"minLen ($minLen) must be >= the anchor width k ($k): " +
+      "pairs whose longest common run is shorter than k share no anchor " +
+      "and would be silently absent — lower k instead")
     val anchors = docs.select(
         col(idCol),
         explode(array_distinct(GraftFunctions.shingle_hex_tokens(
           TextFunctions.tokens(col(textCol)), k))).as("h"))
     // q92's qualifying-hash prefilter: only hashes seen in ≥2 docs
     // can pair, so the self-join's shuffle carries the duplicated
-    // sliver, not the whole anchor set.
+    // sliver, not the whole anchor set. The sliver is checkpointed
+    // (the q105 multi-consumer convention): its lineage — corpus
+    // tokenize + k-gram md5 + explode + count-filter — would
+    // otherwise re-execute for each self-join side (measured −15%
+    // min here at sf0.1), and the cut frame is anchor-sparse.
     val freq = anchors.groupBy(col("h"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2)
       .select(col("h"))
-    val dup = anchors.join(freq, Seq("h"), "left_semi")
+    val dup = anchors.join(freq, Seq("h"), "left_semi").localCheckpoint(true)
     val pairs = dup.as("a")
       .join(dup.as("b"),
         col("a.h") === col("b.h") && col(s"a.$idCol") < col(s"b.$idCol"))

@@ -406,8 +406,8 @@ object PipelineQueries {
     // streaming dedup DuckDB-replayable and hash-gatable. The split
     // mirrors q81: doc_id % 17 == 0 arrives, the rest stands.
     Q("q234_stream_delta_ingest", Some("""
-      WITH delta AS (SELECT * FROM documents WHERE doc_id % 17 = 0),
-      corpus AS (SELECT * FROM documents WHERE doc_id % 17 <> 0),
+      WITH delta AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 17 = 0),
+      corpus AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 17 <> 0),
       dfp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM delta),
       cfp AS (SELECT doc_id, md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp FROM corpus),
       ex AS (SELECT dfp.doc_id, MIN(cfp.doc_id) AS match_id
@@ -416,7 +416,7 @@ object PipelineQueries {
       ct AS (SELECT doc_id AS cn_id, list_distinct(string_split(text, ' ')) AS toks FROM corpus),
       du AS (SELECT dn_id, unnest(toks) AS tok, len(toks) AS dn FROM dt),
       cu AS (SELECT cn_id, unnest(toks) AS tok, len(toks) AS cn FROM ct),
-      ovt AS (SELECT dn_id, cn_id, dn, cn, COUNT(*) AS ov
+      ovt AS MATERIALIZED (SELECT dn_id, cn_id, dn, cn, COUNT(*) AS ov
               FROM du JOIN cu USING (tok) GROUP BY 1, 2, 3, 4),
       bestn AS (SELECT dn_id, cn_id, ov / (dn + cn - ov) AS jr FROM ovt
                 WHERE ov / (dn + cn - ov) >= 0.9

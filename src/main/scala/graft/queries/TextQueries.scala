@@ -2226,13 +2226,13 @@ object TextQueries {
     // two very different exact algorithms agreeing on the hash is
     // the strongest cross-check in this family.
     Q("q236_lcs_pair_dedup", Some("""
-      WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      WITH toks AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
       anch0 AS (SELECT doc_id,
               [{'h': substr(md5(array_to_string(ts[i:i+7], ' ')), 1, 15)}
                FOR i IN range(1, len(ts) - 6)] AS a
             FROM toks),
-      anch AS (SELECT DISTINCT doc_id, unnest(a, recursive := true) FROM anch0),
-      pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      anch AS MATERIALIZED (SELECT DISTINCT doc_id, unnest(a, recursive := true) FROM anch0),
+      pairs AS MATERIALIZED (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
                 FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id),
       ta AS (SELECT p.doc_a, p.doc_b, m.i, m.tok FROM pairs p JOIN
              (SELECT doc_id, unnest([{'i': i, 'tok': ts[i]}

@@ -1011,7 +1011,15 @@ class EventStreamsSpec extends SparkSuite {
       (3L, "p q r s t"),
       (4L, "zz yy ww"),
       (5L, "m1 m2 m3 m4 m5 m6 m7 m8 m9 o5"))
-    val model = Dedup.fitCorpusTriage(corpus.toDF("doc_id", "text"))
+    // Null-text rows: skipped on the corpus side at fit, routed to
+    // 'accepted' on the scoring side — never a throw (the oracle's
+    // md5(NULL)/unnest(NULL) semantics).
+    val model = Dedup.fitCorpusTriage(
+      (corpus :+ (60L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nulled = Dedup.corpusTriageScored(
+        Seq((7L, null.asInstanceOf[String])).toDF("doc_id", "text"), model)
+      .as[(Long, String, Option[Long], Option[Double])].collect()
+    assert(nulled.toSeq === Seq((7L, "accepted", None, None)))
     val batch = Dedup.corpusTriageScored(delta.toDF("doc_id", "text"), model,
         threshold = 0.9, containThreshold = 0.8)
       .as[(Long, String, Option[Long], Option[Double])].collect().sortBy(_._1)
