@@ -116,6 +116,46 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("corpusTriageScored ≡ deltaIngest on random corpora (independent orientations)") {
+    import org.scalacheck.Gen
+    import graft.PropSampling
+    // Two INDEPENDENT implementations of the same triage — the
+    // broadcast-probe model (stream orientation, r17) and the
+    // join-based plan (q81 batch orientation) — must agree on every
+    // exact/near routing and score. The probe's extra 'contained'
+    // tier fires only where the join plan says 'accepted' (it sits
+    // strictly below 'near' in precedence).
+    val vocab = (1 to 6).map(i => s"w$i")
+    val docGen = Gen.chooseNum(1, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    val t = 0.6
+    for (texts <- PropSampling.sample(Gen.listOfN(40, docGen), n = 3)) {
+      val all = texts.zipWithIndex.map { case (txt, i) => (i.toLong, txt) }
+      val (deltaRows, corpusRows) = all.partition(_._1 % 5 == 0)
+      val corpusDf = corpusRows.toDF("doc_id", "text")
+      val deltaDf = deltaRows.toDF("doc_id", "text")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getString(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]),
+          Option(r.get(3)).map(_.asInstanceOf[Double]))).toSeq.sortBy(_._1)
+      val joinForm = rows(Dedup.deltaIngest(corpusDf, deltaDf, threshold = t))
+      val model = Dedup.fitCorpusTriage(corpusDf)
+      val probeForm = rows(Dedup.corpusTriageScored(deltaDf, model,
+        threshold = t, containThreshold = 0.8))
+      assert(joinForm.map(_._1) === probeForm.map(_._1))
+      var containedSeen = 0
+      for ((j, p) <- joinForm.zip(probeForm)) p._2 match {
+        case "exact" | "near" => assert(j === p, s"orientation divergence: $j vs $p")
+        case "contained" =>
+          containedSeen += 1
+          assert(j._2 === "accepted",
+            s"probe 'contained' must sit below the join plan's near tier: $j vs $p")
+        case "accepted" => assert(j === p, s"orientation divergence: $j vs $p")
+        case other => fail(s"unknown status $other")
+      }
+    }
+  }
+
   test("containmentJoin ≡ brute-force directed containment; catches excerpts Jaccard misses") {
     import org.scalacheck.Gen
     import graft.PropSampling
