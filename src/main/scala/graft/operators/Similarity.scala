@@ -742,20 +742,19 @@ object Similarity {
         }))
       .select(col(idCol), col("vec"), col("norm"), col("best.centroid_id").as("centroid_id"))
 
-  def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
-             nCentroids: Int, nProbe: Int,
-             idCol: String = "vec_id"): DataFrame = {
-    val c = prepared(corpus, idCol)
-    val centArr = centroidArray(c, nCentroids, idCol)
-
+  /** Query-side probe + inverted-list scoring tail shared by
+    * [[ivfAnn]] (self-built assignment) and [[ivfAnnWithIndex]]
+    * (externally maintained assignment): queries rank the broadcast
+    * centroids and keep their `nProbe` closest lists; candidates
+    * score only within probed lists. */
+  private def probeAndScore(cAssigned: DataFrame, centArr: DataFrame,
+                            queries: DataFrame, k: Int, nProbe: Int,
+                            idCol: String): DataFrame = {
     // Row form of the same centroids, for the query-side probe join.
     val centroids = centArr
       .select(explode(col("cents")).as("c"))
       .select(col("c.centroid_id").as("centroid_id"),
         col("c.cvec").as("cvec"), col("c.cnorm").as("cnorm"))
-
-    val cAssigned = assignToCentroids(c, centArr, idCol)
-
     // Queries probe their nProbe nearest centroids; the window runs
     // over queries × nCentroids rows only (queries are few).
     val q = prepared(queries, idCol).withColumnRenamed(idCol, "query_id")
@@ -773,6 +772,31 @@ object Similarity {
         cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
     rankTopK(scored, k)
   }
+
+  def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
+             nCentroids: Int, nProbe: Int,
+             idCol: String = "vec_id"): DataFrame = {
+    val c = prepared(corpus, idCol)
+    val centArr = centroidArray(c, nCentroids, idCol)
+    probeAndScore(assignToCentroids(c, centArr, idCol), centArr,
+      queries, k, nProbe, idCol)
+  }
+
+  /** IVF ANN serving over an EXTERNALLY MAINTAINED index — the
+    * query half of the incremental-maintenance loop ([[ivfIndex]] /
+    * [[ivfMergeDelta]]): the `(id, centroid_id)` index frame (e.g. a
+    * merged standing+delta table) attaches to the vector table BY ID
+    * — assignment is never recomputed at query time, which is the
+    * point of maintaining the index — and queries probe the same
+    * frozen `centroids` model the index was built under. Results
+    * over a merged index are identical to [[ivfAnn]] rebuilt from
+    * scratch under the same frozen centroids (assignment
+    * determinism; q237 gates exactly this equality). */
+  def ivfAnnWithIndex(corpus: DataFrame, index: DataFrame, centroids: DataFrame,
+                      queries: DataFrame, k: Int, nProbe: Int,
+                      idCol: String = "vec_id"): DataFrame =
+    probeAndScore(prepared(corpus, idCol).join(index, Seq(idCol)),
+      centroids, queries, k, nProbe, idCol)
 
   /** Frozen IVF centroid model of a corpus (the one-row broadcastable
     * `cents` array of [[ivfAnn]]'s deterministic hash-selected

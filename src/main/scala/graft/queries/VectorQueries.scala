@@ -364,6 +364,67 @@ object VectorQueries {
         .orderBy("vec_id")
     },
 
+    // ---- q237: ANN serving over the MERGED incremental index
+    // (r17) — the query half of the q235 maintenance loop and the
+    // point of keeping an index at all: top-k queries probe the
+    // frozen standing-corpus centroids and score only within probed
+    // inverted lists of the MERGED (standing ∪ delta) index, with
+    // assignment read from the index frame — never recomputed at
+    // query time. Delta vectors are immediately retrievable, and
+    // results equal a from-scratch q33-style build under the same
+    // frozen model (assignment determinism — that equality is what
+    // the hash proves). The oracle replays standing-only seeds +
+    // full-corpus assignment + probe + in-list scoring.
+    Q("q237_ivf_index_serve", Some(oracleProlog + """,
+      standing AS (SELECT * FROM p WHERE vec_id % 13 <> 0),
+      seeds AS (
+        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
+        FROM standing ORDER BY cid, vec_id LIMIT 16),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
+               v AS cv, nrm AS cnrm
+        FROM seeds),
+      assign AS (
+        SELECT p.vec_id, p.v, p.nrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_inner_product(p.v, cent.cv)/(p.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS rn
+        FROM p CROSS JOIN cent),
+      ca AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+      qa AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_inner_product(q.v, cent.cv)/(q.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS crank
+        FROM p q CROSS JOIN cent WHERE q.vec_id < 10),
+      probes AS (SELECT query_id, qv, qnrm, centroid_id FROM qa WHERE crank <= 4),
+      scored AS (
+        SELECT pr.query_id, ca.vec_id AS neighbor_id,
+               list_inner_product(ca.v, pr.qv)/(ca.nrm*pr.qnrm) AS sim_raw
+        FROM ca JOIN probes pr ON ca.centroid_id = pr.centroid_id AND ca.vec_id <> pr.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+      // No checkpoint here (unlike q235): the merged index has ONE
+      // consumer — the serving join — so a materialization job would
+      // be pure cost, not a multi-consumer cut.
+      val merged = Similarity.ivfMergeDelta(
+        Similarity.ivfIndex(standing, cents), delta, cents)
+      Similarity.ivfAnnWithIndex(emb, merged, cents,
+          emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- q57: LSH-bucketed near-dup pairs over the corpus — the
     // scale path whose ground truth is quadratic q31. The driver's
     // embeddings are near-orthogonal (max pairwise cosine ~0.6), so

@@ -553,6 +553,19 @@ class SimilaritySpec extends SparkSuite {
     val deltaLists = delta.select("vec_id").as[Long].collect()
       .map(merged).toSet
     assert(deltaLists.size > 1, "degenerate fixture: all delta in one list")
+    // Serving (r17 q237): top-k over the MERGED index ≡ top-k over a
+    // full frozen-model re-index, and delta vectors are immediately
+    // retrievable as neighbors.
+    val mergedIdx = Similarity.ivfMergeDelta(index, delta, cents)
+    val servedMerged = Similarity.ivfAnnWithIndex(emb, mergedIdx, cents,
+      queries, k = 5, nProbe = 4)
+    val servedRebuilt = Similarity.ivfAnnWithIndex(emb,
+      Similarity.ivfIndex(emb, cents), cents, queries, k = 5, nProbe = 4)
+    assert(pairs(servedMerged) === pairs(servedRebuilt),
+      "serving over the merged index diverged from a frozen-model rebuild")
+    val deltaIds = delta.select("vec_id").as[Long].collect().toSet
+    assert(pairs(servedMerged).exists { case (_, n) => deltaIds(n) },
+      "degenerate fixture: no delta vector retrievable as a neighbor")
     // PQ twin: a delta encoded under FROZEN codebooks unioned with
     // the standing codes ≡ encoding the full corpus with the model.
     val pq = Quantization.fitPq(standing, m = 8, ksub = 8, iters = 1)
