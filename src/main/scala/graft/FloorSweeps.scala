@@ -209,6 +209,12 @@ object FloorSweeps {
         Graph.labelPropagation(edgeReplicas(m), "src", "dst", rounds = 2)
           .select(col("label")).distinct().count()
       },
+      "q136_link_predict" -> { m =>
+        Graph.linkPrediction(edgeReplicas(m), "src", "dst").count()
+      },
+      "q181_adamic_adar" -> { m =>
+        Graph.adamicAdar(edgeReplicas(m), "src", "dst").count()
+      },
       "q142_mutual_knn" -> { m =>
         // NOTE: brute-force kNN scoring is O(n²) by design — expect
         // ~m² work growth; flat time here would be the strongest
