@@ -128,6 +128,41 @@ object Bench {
     // 10's artifact had rows spanning 5.5-28.3s across runs, which
     // made every regression question unanswerable from the artifact.
     val maxRuns = envInt("SPARK_GRAFT_MAX_RUNS", 7).max(runs)
+    // Contamination probe (r18, verdict ask #3): a FIXED calibration
+    // query — q01, the fleet's smallest stable TPC-H aggregate — is
+    // timed once before the fleet, after every `calibEvery` benched
+    // queries, and once at the end, each reading in its own untimed-
+    // by-others window. Machine interference during the pass shows up
+    // as spread in this series, so a contaminated artifact is
+    // detectable FROM the artifact (the r17 fleet-wide 1.34× drift
+    // was adjudicated as "probably load" with no in-band evidence).
+    // The series and its max/min spread are published in the summary;
+    // readings never enter any query's own statistics.
+    val calibName = "q01_pricing_summary"
+    val calibFn = SparkEntry.queries.get(calibName)
+    val calibEvery = envInt("SPARK_GRAFT_CALIB_EVERY", 20).max(1)
+    val calib = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, String, Long)]
+    def jnum(x: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+    def calibrate(after: Int): Unit = calibFn.foreach { fn =>
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+      val sec = (System.nanoTime() - t0) / 1e9
+      calib += ((after, sec, loadavg(), System.currentTimeMillis()))
+      val line = s"""{"calib":${jstr(calibName)},"after":$after,"sec":${jnum(sec)},"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+      println(line)
+      appendLine(linesPath, line)
+    }
+    // One untimed warm at sfDir first: the probe's baseline reading
+    // must not absorb q01's one-time sf-specific AQE/codegen warm-up
+    // (subset runs skip the fleet warm-up for it entirely).
+    calibFn.foreach { fn =>
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    calibrate(0)
+    var benchedDone = 0
     val results = benched.map { case (name, fn) =>
       var err: Option[String] = None
       // Only runs that actually executed count toward the median —
@@ -204,14 +239,17 @@ object Bench {
       // the one giant summary line) still carries every completed
       // query, and each line carries the load average under which it
       // was measured plus all raw run times (not just the median).
-      val runsJson = times.map(t => f"$t%.4f").mkString("[", ",", "]")
+      val runsJson = times.map(jnum).mkString("[", ",", "]")
       val errJson = err.map(e => s",${jstr("err")}:${jstr(e)}").getOrElse("")
       val line = s"""{"q":${jstr(name)},"sec":$median,"median_best3":$median,"median_full":$medianFull,"runs":$runsJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}$errJson}"""
       println(line)
       Console.out.flush()
       appendLine(linesPath, line)
+      benchedDone += 1
+      if (benchedDone % calibEvery == 0) calibrate(benchedDone)
       (name, median, times.head, medianFull, err)
     }
+    if (benchedDone % calibEvery != 0) calibrate(benchedDone)
     val qs = results.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // Min-of-N alongside the median: on a contended machine the median
     // absorbs noise runs (round 9's q16 spread was 13x) while the min
@@ -229,7 +267,15 @@ object Bench {
     // a partial artifact produced with SPARK_GRAFT_BENCH_ONLY set is
     // self-identifying rather than silently masquerading as a full run.
     val onlyJson = only.map(s => s.toSeq.sorted.map(jstr).mkString("[", ",", "]")).getOrElse("null")
-    val summary = s"""{"metric":"total","value":$total,"unit":"sec","median_kind":"best3","queries":$qs,"queries_min":$qsMin,"queries_median_full":$qsMedianFull,"total_min":$totalMin,"total_median_full":$totalMedianFull,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","runs_config":$runs,"max_runs_config":$maxRuns,"bench_only":$onlyJson,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+    // Calibration series + spread: max/min over the probe readings.
+    // A clean pass reads spread ≲ 2 (JIT/cache wobble); a contended
+    // pass shows the interference window directly in the series.
+    val calibJson = calib.map { case (after, sec, la, ts) =>
+      s"""{"after":$after,"sec":${jnum(sec)},"loadavg":${jstr(la)},"ts":$ts}"""
+    }.mkString("[", ",", "]")
+    val calibSpread =
+      if (calib.size >= 2) jnum(calib.map(_._2).max / calib.map(_._2).min) else "null"
+    val summary = s"""{"metric":"total","value":$total,"unit":"sec","median_kind":"best3","queries":$qs,"queries_min":$qsMin,"queries_median_full":$qsMedianFull,"total_min":$totalMin,"total_median_full":$totalMedianFull,"errors":$errs,"error_count":$nErr,"sf":"$sfDir","runs_config":$runs,"max_runs_config":$maxRuns,"bench_only":$onlyJson,"calibration":$calibJson,"calibration_query":${jstr(calibName)},"calibration_spread":$calibSpread,"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
     println(summary)
     Console.out.flush()
     try java.nio.file.Files.writeString(summaryPath, summary + "\n") catch { case _: Throwable => () }

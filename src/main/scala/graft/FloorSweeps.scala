@@ -227,6 +227,17 @@ object FloorSweeps {
       "q231_bleu_components" -> { m =>
         Evaluation.bleuTruncationComponents(docReplicas(m)).count()
       },
+      "q107_pq_rerank" -> { m =>
+        // Corpus AND query set both grow m× (each replica contributes
+        // its own ~n/97 query residue class); subquantizer geometry
+        // stays fixed — the two-stage shortlist→exact-rerank work is
+        // what must scale.
+        val emb = embReplicas(m)
+        val model = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+        Quantization.adcRerankTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+          model = model, kShort = 25, k = 5, materialize = false).count()
+      },
       "q236_lcs_pair_dedup" -> { m =>
         graft.operators.ExactSubstring
           .lcsNearDupPairs(saltedDocReplicas(m), k = 8, minLen = 8)
@@ -253,12 +264,17 @@ object FloorSweeps {
         println(f"FLOOR-SWEEPS $q%-26s $line")
         val mMax = rows.last._1
         val sub = rows.last._3 / sec1 < mMax / 2.0
+        // Locale-pinned number formatting (r18, advisor fix): the f""
+        // interpolator uses the default locale, and a decimal-comma
+        // locale would emit invalid JSON.
+        def jn(x: Double, dp: Int): String =
+          String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(x))
         val sweepJson = rows.map { case (m, mass, med, mn) =>
-          f"""{"m":$m,"mass":$mass,"sec_median":$med%.4f,"sec_min":$mn%.4f}"""
+          s"""{"m":$m,"mass":$mass,"sec_median":${jn(med, 4)},"sec_min":${jn(mn, 4)}}"""
         }.mkString("[", ",", "]")
         swept += (
-          f"""{"query":"$q","spark_min":$s%.4f,"duck":$d%.4f,"ratio":$r%.3f,""" +
-          f""""sweeps":$sweepJson,"time_ratio_at_max_m":${rows.last._3 / sec1}%.3f,""" +
+          s"""{"query":"$q","spark_min":${jn(s, 4)},"duck":${jn(d, 4)},"ratio":${jn(r, 3)},""" +
+          s""""sweeps":$sweepJson,"time_ratio_at_max_m":${jn(rows.last._3 / sec1, 3)},""" +
           s""""sublinear":$sub}""")
         // Unreference per-m replica caches between queries is not
         // needed: localCheckpoint blocks are small at these scales.

@@ -624,10 +624,15 @@ object Dedup {
     // corpus side never matches them either (md5(NULL) and
     // unnest(NULL) produce nothing), and the collect fold below
     // pattern-matches non-null fields.
+    // The null filter runs on the POST-cast id (r18, advisor fix): a
+    // non-numeric string id casts to null, and filtering the raw
+    // column first would let that null reach the collect fold's
+    // Row(cnId: Long, ...) match as an opaque driver MatchError.
     val prep = corpus
-      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("cn_id"), toksOf.as("ctoks"),
         TextFunctions.canonicalFingerprint(col(textCol)).as("fp"))
+      .filter(col("cn_id").isNotNull)
     val mass = prep.agg(sum(size(col("ctoks")))).collect()(0)
     require(mass.isNullAt(0) || mass.getLong(0) <= maxPostingMass,
       s"fitCorpusTriage: corpus distinct-token mass exceeds $maxPostingMass — " +
@@ -702,26 +707,28 @@ object Dedup {
           }
         }
         // Best-per-tier scan: jr DESC then id ASC, cont DESC then id
-        // ASC — the q81 best-match ordering.
-        var nearId = -1L; var nearJr = -1.0d
-        var contId = -1L; var contCv = -1.0d
+        // ASC — the q81 best-match ordering. Found-flags, not -1 id
+        // sentinels (r18, advisor fix): a negative corpus doc_id is a
+        // legal id and must be reportable, matching the oracle.
+        var nearFound = false; var nearId = 0L; var nearJr = -1.0d
+        var contFound = false; var contId = 0L; var contCv = -1.0d
         ov.forEach { (cid, cnt) =>
           val cn = m.setSize.get(cid).intValue()
           val o = cnt(0)
           val jr = o.toDouble / (dn + cn - o).toDouble
           if (jr >= threshold &&
-              (jr > nearJr || (jr == nearJr && cid < nearId))) {
-            nearJr = jr; nearId = cid.longValue()
+              (!nearFound || jr > nearJr || (jr == nearJr && cid < nearId))) {
+            nearFound = true; nearJr = jr; nearId = cid.longValue()
           }
           val cv = o.toDouble / dn.toDouble
           if (cv >= containThreshold &&
-              (cv > contCv || (cv == contCv && cid < contId))) {
-            contCv = cv; contId = cid.longValue()
+              (!contFound || cv > contCv || (cv == contCv && cid < contId))) {
+            contFound = true; contCv = cv; contId = cid.longValue()
           }
         }
         def r4(x: Double): Double = math.floor(x * 10000.0d + 0.5d) / 10000.0d
-        if (nearId >= 0) ("near", Some(nearId), Some(r4(nearJr)))
-        else if (contId >= 0) ("contained", Some(contId), Some(r4(contCv)))
+        if (nearFound) ("near", Some(nearId), Some(r4(nearJr)))
+        else if (contFound) ("contained", Some(contId), Some(r4(contCv)))
         else ("accepted", None: Option[Long], None: Option[Double])
       }
     }

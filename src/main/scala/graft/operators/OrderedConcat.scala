@@ -30,7 +30,12 @@ object OrderedConcat {
   def assemble(rows: DataFrame, keyCol: String = "l_orderkey",
                fnameCol: String = "fname", seqCol: String = "seq"): DataFrame = {
     import rows.sparkSession.implicits._
-    val sorted = rows
+    // Explicit long/string casts (r18, advisor fix): the kernel
+    // reads primitives positionally, so an int key or non-string
+    // filename column must widen here, not ClassCastException there.
+    val typed = rows.select(col(keyCol).cast("long").as(keyCol),
+      col(fnameCol).cast("string").as(fnameCol), col(seqCol))
+    val sorted = typed
       .repartitionByRange(col(keyCol))
       // (seq, fname) not just seq: deterministic tie order matches
       // array_sort's struct comparator if a name ever repeats a seq.
@@ -38,33 +43,42 @@ object OrderedConcat {
       .select(col(keyCol), col(fnameCol))
     sorted.mapPartitions { it =>
       // Streaming ordered-group assembly: rows arrive clustered by
-      // key and pre-sorted by seq, so each group folds into a
-      // StringBuilder and emits when the key changes.
+      // key and pre-sorted by seq, so each group folds into a reused
+      // StringBuilder and emits when the key changes. Flag-based
+      // group state — no per-row Option/tuple allocation (r18, the
+      // q38 kernel note): live state is three primitives plus one
+      // StringBuilder whose backing array is reused across groups
+      // via setLength(0).
       new Iterator[(Long, Long, String)] {
-        private var cur: Option[(Long, Long, java.lang.StringBuilder)] = None
-        private var pending: Option[(Long, Long, String)] = None
+        private val sb = new java.lang.StringBuilder(64)
+        private var open = false
+        private var curKey = 0L
+        private var curN = 0L
+        private var pendingSet = false
+        private var pK = 0L; private var pN = 0L; private var pS: String = null
         private def roll(): Unit = {
-          while (pending.isEmpty && it.hasNext) {
+          while (!pendingSet && it.hasNext) {
             val r = it.next()
             val k = r.getLong(0); val f = r.getString(1)
-            cur match {
-              case Some((ck, n, sb)) if ck == k =>
-                cur = Some((ck, n + 1, sb.append(',').append(f)))
-              case Some((ck, n, sb)) =>
-                pending = Some((ck, n, sb.toString))
-                cur = Some((k, 1L, new java.lang.StringBuilder(f)))
-              case None =>
-                cur = Some((k, 1L, new java.lang.StringBuilder(f)))
+            if (open && curKey == k) {
+              curN += 1; sb.append(',').append(f)
+            } else {
+              if (open) { pendingSet = true; pK = curKey; pN = curN; pS = sb.toString }
+              sb.setLength(0); sb.append(f)
+              curKey = k; curN = 1L; open = true
             }
           }
-          if (pending.isEmpty && !it.hasNext && cur.isDefined) {
-            val (ck, n, sb) = cur.get
-            pending = Some((ck, n, sb.toString)); cur = None
+          if (!pendingSet && !it.hasNext && open) {
+            pendingSet = true; pK = curKey; pN = curN; pS = sb.toString
+            open = false
           }
         }
-        def hasNext: Boolean = { roll(); pending.isDefined }
+        def hasNext: Boolean = { roll(); pendingSet }
         def next(): (Long, Long, String) = {
-          roll(); val p = pending.get; pending = None; p
+          roll()
+          if (!pendingSet) throw new NoSuchElementException("next on empty iterator")
+          pendingSet = false
+          (pK, pN, pS)
         }
       }
     }.toDF(keyCol, "n_parts", "assembled")
