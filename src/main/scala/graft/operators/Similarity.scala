@@ -841,6 +841,131 @@ object Similarity {
                     idCol: String = "vec_id"): DataFrame =
     index.unionByName(ivfIndex(delta, centroids, idCol))
 
+  /** IVF ANN serving as a STATELESS broadcast probe (r18, the serve
+    * half of the fit-batch/score-stream convention — the vector-tier
+    * sibling of [[Dedup.corpusTriageScored]]): the indexed corpus
+    * (vectors + frozen assignments, e.g. [[ivfMergeDelta]] output)
+    * and the frozen centroid model are collected under a fail-fast
+    * fit guard, packed into flat primitive arrays grouped by
+    * inverted list, and broadcast once per executor; each QUERY row
+    * — batch frame or unbounded stream, this is one projection with
+    * no state store, no stream-side shuffle, no watermark — probes
+    * its `nProbe` nearest centroids and scores only those lists.
+    *
+    * Bit-parity with [[ivfAnnWithIndex]] (q240 gates it against
+    * q237's oracle): centroid scores and candidate similarities use
+    * the same left-to-right double accumulation as the codegen
+    * [[graft.functions.HashOps.dot]], the same `dot/(norm·cnorm)`
+    * operand order, the same (csim DESC, centroid_id ASC) probe
+    * rule and (sim DESC, cand_id ASC) top-k rule; the final 6-dp
+    * round is applied as the same Column `round` outside the kernel.
+    *
+    * At 100 TB the standing index outgrows broadcast — the guard
+    * fails fast and the honest deployments are the sharded-serve
+    * (partition queries × index shards, merge top-k) or the batch
+    * [[ivfAnnWithIndex]] join; this kernel targets the serving-tier
+    * sizes where one executor-resident index is the right trade
+    * (the HNSW/FAISS single-node serving assumption). */
+  def ivfServeBroadcast(corpus: DataFrame, index: DataFrame, centroids: DataFrame,
+                        queries: DataFrame, k: Int, nProbe: Int,
+                        idCol: String = "vec_id",
+                        maxFitRows: Int = 262144): DataFrame = {
+    require(k >= 1 && nProbe >= 1, "k and nProbe must be positive")
+    val indexed = prepared(corpus, idCol).join(index, Seq(idCol))
+    require(indexed.limit(maxFitRows + 1).count() <= maxFitRows,
+      s"ivfServeBroadcast: indexed corpus exceeds $maxFitRows rows — serve " +
+        "sharded (partition queries × index shards, merge top-k) or use the " +
+        "batch ivfAnnWithIndex join")
+    // Row form of the frozen model: (centroid_id, cvec, cnorm).
+    val centRows = centroids
+      .select(explode(col("cents")).as("c"))
+      .select(col("c.centroid_id"), col("c.cvec"), col("c.cnorm"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray, r.getDouble(2)))
+      .sortBy(_._1)
+    // Inverted lists packed per centroid: ids, norms, flat vectors.
+    val byCent = indexed.select(col("centroid_id"), col(idCol), col("vec"), col("norm"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (cid, rows) =>
+        val n = rows.length
+        val d = if (n == 0) 0 else rows(0).getSeq[Double](2).length
+        val ids = new Array[Long](n)
+        val norms = new Array[Double](n)
+        val flat = new Array[Double](n * d)
+        var i = 0
+        while (i < n) {
+          ids(i) = rows(i).getLong(1)
+          norms(i) = rows(i).getDouble(3)
+          val v = rows(i).getSeq[Double](2)
+          var j = 0
+          while (j < d) { flat(i * d + j) = v(j); j += 1 }
+          i += 1
+        }
+        cid -> (ids, norms, flat, d)
+      }
+    val bc = corpus.sparkSession.sparkContext.broadcast((centRows, byCent))
+    val probe = udf { (queryId: Long, vec: scala.collection.Seq[Double], norm: Double) =>
+      if (vec == null) Array.empty[(Long, Double)]
+      else {
+        val (cents, lists) = bc.value
+        val q = vec.toArray
+        // nProbe nearest centroids: csim DESC, centroid_id ASC —
+        // cents is id-sorted, so a strict-> insertion keeps the tie
+        // rule.
+        val pIds = new Array[Int](math.min(nProbe, cents.length))
+        val pSims = Array.fill(pIds.length)(Double.NegativeInfinity)
+        cents.foreach { case (cid, cvec, cnorm) =>
+          var acc = 0.0d
+          var i = 0
+          while (i < cvec.length) { acc += q(i) * cvec(i); i += 1 }
+          val csim = acc / (norm * cnorm)
+          var pos = pIds.length
+          while (pos > 0 && csim > pSims(pos - 1)) pos -= 1
+          if (pos < pIds.length) {
+            var m = pIds.length - 1
+            while (m > pos) { pSims(m) = pSims(m - 1); pIds(m) = pIds(m - 1); m -= 1 }
+            pSims(pos) = csim; pIds(pos) = cid
+          }
+        }
+        // Exact top-k over the probed lists: sim DESC, cand_id ASC.
+        val topS = Array.fill(k)(Double.NegativeInfinity)
+        val topId = Array.fill(k)(Long.MaxValue)
+        pIds.foreach { cid =>
+          lists.get(cid).foreach { case (ids, norms, flat, d) =>
+            var i = 0
+            while (i < ids.length) {
+              if (ids(i) != queryId) {
+                var acc = 0.0d
+                var j = 0
+                val off = i * d
+                while (j < d) { acc += q(j) * flat(off + j); j += 1 }
+                val s = acc / (norm * norms(i))
+                var pos = k
+                while (pos > 0 && (s > topS(pos - 1) ||
+                    (s == topS(pos - 1) && ids(i) < topId(pos - 1)))) pos -= 1
+                if (pos < k) {
+                  var m = k - 1
+                  while (m > pos) { topS(m) = topS(m - 1); topId(m) = topId(m - 1); m -= 1 }
+                  topS(pos) = s; topId(pos) = ids(i)
+                }
+              }
+              i += 1
+            }
+          }
+        }
+        topS.zip(topId).takeWhile(_._1 > Double.NegativeInfinity)
+          .map { case (s, id) => (id, s) }
+      }
+    }
+    val q = prepared(queries, idCol).withColumnRenamed(idCol, "query_id")
+    q.select(col("query_id"),
+        posexplode(probe(col("query_id"), col("vec"), col("norm"))))
+      .select(col("query_id"), col("col._1").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        round(col("col._2"), 6).as("sim"))
+  }
+
   /** One MMR selection: `(rank, id, relevance, mmr_score)`. */
   final case class MmrPick(rank: Int, id: Long, relevance: Double, mmrScore: Double)
 

@@ -22,6 +22,47 @@ object VectorQueries {
                       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                FROM embeddings)"""
 
+  /** Shared q237/q240 oracle: standing-only seeds + full-corpus
+    * frozen-model assignment + probe + in-list scoring (see q237's
+    * comment). q240 — the STREAMING serve lane — reuses it verbatim:
+    * the stream result must equal the batch serve result exactly. */
+  private val ivfServeOracle = oracleProlog + """,
+
+      standing AS (SELECT * FROM p WHERE vec_id % 13 <> 0),
+      seeds AS (
+        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
+        FROM standing ORDER BY cid, vec_id LIMIT 16),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
+               v AS cv, nrm AS cnrm
+        FROM seeds),
+      assign AS (
+        SELECT p.vec_id, p.v, p.nrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_inner_product(p.v, cent.cv)/(p.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS rn
+        FROM p CROSS JOIN cent),
+      ca AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+      qa AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_inner_product(q.v, cent.cv)/(q.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS crank
+        FROM p q CROSS JOIN cent WHERE q.vec_id < 10),
+      probes AS (SELECT query_id, qv, qnrm, centroid_id FROM qa WHERE crank <= 4),
+      scored AS (
+        SELECT pr.query_id, ca.vec_id AS neighbor_id,
+               list_inner_product(ca.v, pr.qv)/(ca.nrm*pr.qnrm) AS sim_raw
+        FROM ca JOIN probes pr ON ca.centroid_id = pr.centroid_id AND ca.vec_id <> pr.query_id),
+      ranked AS (
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
+               round(sim_raw, 6) AS sim
+        FROM scored)
+      SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+      ORDER BY query_id, rank"""
+
   /** The q150 oracle's unrolled power-iteration rounds: each round is
     * one matmul CTE plus one integer-renormalization CTE, mirroring
     * `Features.fitPcaTop`'s driver loop verbatim. MATERIALIZED is
@@ -375,41 +416,7 @@ object VectorQueries {
     // frozen model (assignment determinism — that equality is what
     // the hash proves). The oracle replays standing-only seeds +
     // full-corpus assignment + probe + in-list scoring.
-    Q("q237_ivf_index_serve", Some(oracleProlog + """,
-      standing AS (SELECT * FROM p WHERE vec_id % 13 <> 0),
-      seeds AS (
-        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
-        FROM standing ORDER BY cid, vec_id LIMIT 16),
-      cent AS (
-        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
-               v AS cv, nrm AS cnrm
-        FROM seeds),
-      assign AS (
-        SELECT p.vec_id, p.v, p.nrm, cent.centroid_id,
-               row_number() OVER (PARTITION BY p.vec_id
-                                  ORDER BY list_inner_product(p.v, cent.cv)/(p.nrm*cent.cnrm) DESC,
-                                           cent.centroid_id) AS rn
-        FROM p CROSS JOIN cent),
-      ca AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
-      qa AS (
-        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cent.centroid_id,
-               row_number() OVER (PARTITION BY q.vec_id
-                                  ORDER BY list_inner_product(q.v, cent.cv)/(q.nrm*cent.cnrm) DESC,
-                                           cent.centroid_id) AS crank
-        FROM p q CROSS JOIN cent WHERE q.vec_id < 10),
-      probes AS (SELECT query_id, qv, qnrm, centroid_id FROM qa WHERE crank <= 4),
-      scored AS (
-        SELECT pr.query_id, ca.vec_id AS neighbor_id,
-               list_inner_product(ca.v, pr.qv)/(ca.nrm*pr.qnrm) AS sim_raw
-        FROM ca JOIN probes pr ON ca.centroid_id = pr.centroid_id AND ca.vec_id <> pr.query_id),
-      ranked AS (
-        SELECT query_id, neighbor_id,
-               CAST(row_number() OVER (PARTITION BY query_id
-                                       ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank,
-               round(sim_raw, 6) AS sim
-        FROM scored)
-      SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
-      ORDER BY query_id, rank""")) { (s, d) =>
+    Q("q237_ivf_index_serve", Some(ivfServeOracle)) { (s, d) =>
       val emb = Tables.embeddings(s, d)
       val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
       val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
@@ -421,6 +428,31 @@ object VectorQueries {
         Similarity.ivfIndex(standing, cents), delta, cents)
       Similarity.ivfAnnWithIndex(emb, merged, cents,
           emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- q240: the STREAMING ANN-SERVE lane (r18) — the production
+    // query half of the q235/q237 maintenance loop: an unbounded
+    // stream of query vectors scores against the broadcast MERGED
+    // (standing ∪ delta) index under the frozen centroid model —
+    // fit-batch/score-stream, zero state, no stream-side shuffle,
+    // the vector-tier sibling of q234's triage lane. The results
+    // equal the batch q237 top-k bit-for-bit (same oracle SQL), so
+    // the hash proves batch/stream parity, not just plausibility.
+    Q("q240_stream_ann_serve", Some(ivfServeOracle)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+      val merged = Similarity.ivfMergeDelta(
+        Similarity.ivfIndex(standing, cents), delta, cents)
+      val qStream = graft.streaming.StreamLane.embeddings(s, d)
+        .filter(col("vec_id") < 10)
+      val served = Similarity.ivfServeBroadcast(emb, merged, cents,
+        qStream, k = 5, nProbe = 4)
+      graft.streaming.StreamLane.drain(s, served, "append", "q240_mem",
+          statePartitions = 8, noDataBatch = false)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("query_id", "rank")
     },

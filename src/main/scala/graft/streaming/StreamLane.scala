@@ -81,6 +81,18 @@ object StreamLane {
       .parquet(d)
   }
 
+  /** File-source stream over `d`/embeddings.parquet — the query-
+    * stream twin of [[documents]] for the ANN serving tier (q240):
+    * same directory+glob discipline, same single-micro-batch
+    * arrival. No event-time column, no normalization. */
+  def embeddings(s: SparkSession, d: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$d/embeddings.parquet").schema
+    s.readStream.schema(batchSchema)
+      .option("maxFilesPerTrigger", 1 << 20)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(d)
+  }
+
   /** Start `df` into a uniquely-named memory sink, drain it to
     * completion, and return the sink table (bounded lane payloads
     * only — window censuses, closed sessions, attribution pairs;

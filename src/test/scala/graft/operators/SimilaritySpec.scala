@@ -576,6 +576,33 @@ class SimilaritySpec extends SparkSuite {
     assert(mergedCodes === fullCodes, "PQ delta encode diverged from full encode")
   }
 
+  test("ivfServeBroadcast ≡ ivfAnnWithIndex on the same merged index; fit guard fires") {
+    // The r18 q240 serving kernel: the broadcast-probe path must be
+    // BIT-identical to the declarative join path — ranks, neighbor
+    // ids, AND rounded sims.
+    val standing = emb.filter(col("vec_id") % 13 =!= 0)
+    val delta = emb.filter(col("vec_id") % 13 === 0)
+    val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+    val merged = Similarity.ivfMergeDelta(
+      Similarity.ivfIndex(standing, cents), delta, cents)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int"), col("sim"))
+        .as[(Long, Long, Int, Double)].collect().toSet
+    val viaJoin = rows(Similarity.ivfAnnWithIndex(emb, merged, cents,
+      queries, k = 5, nProbe = 4))
+    val viaBroadcast = rows(Similarity.ivfServeBroadcast(emb, merged, cents,
+      queries, k = 5, nProbe = 4))
+    assert(viaBroadcast === viaJoin,
+      "broadcast serve diverged from the declarative index join")
+    // Fail-fast guard: an over-bound index must refuse, not OOM.
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfServeBroadcast(emb, merged, cents, queries,
+        k = 5, nProbe = 4, maxFitRows = 3)
+    }
+    assert(ex.getMessage.contains("sharded"))
+  }
+
   test("crossEncoderRerank: injected encoder drives ranks; k cut; id tie-break") {
     import spark.implicits._
     val texts = Seq(
