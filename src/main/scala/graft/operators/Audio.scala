@@ -38,6 +38,11 @@ object Audio {
   def resample(samples: Column, origSr: Column, targetSr: Int): Column =
     resampleUdf(samples, origSr, lit(targetSr))
 
+  /** X1 with a per-row target rate (e.g. a fixed multiple of the
+    * source rate) — same kernel, Column target. */
+  def resample(samples: Column, origSr: Column, targetSr: Column): Column =
+    resampleUdf(samples, origSr, targetSr)
+
   private val resampleSincUdf =
     udf((s: Seq[Float], o: Int, t: Int) =>
       Option(AudioOps.resampleSinc(if (s == null) null else s.toArray, o, t)))

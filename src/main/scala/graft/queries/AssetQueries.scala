@@ -463,7 +463,171 @@ object AssetQueries {
         .select(regexp_extract(col("path"), "doc_(\\d+)\\.pdf", 1)
           .cast("long").as("doc_id"), col("text"))
         .orderBy("doc_id")
+    },
+
+    // ---- q238: the AUDIO-tier DuckDB hash gate (r18, closing the
+    // one §2 family whose correctness rested on hand-pinned specs
+    // alone — the q184 fixture trick applied to WAV): per document a
+    // REAL PCM16 RIFF/WAVE is synthesized in-plan through the
+    // library's own encoder (rate/length/sample values analytic
+    // functions of doc_id; every 29th id is deliberate garbage), and
+    // the full X4→S10→X1→X7 chain runs distributed — header parse
+    // (wavInfo), PCM decode, 2× linear-interp resample, and a
+    // duration-derived segment cut. The oracle restates every output
+    // arithmetically: PCM16 values k/32768 round-trip the encoder
+    // and decoder exactly and 2× upsampling lands on exact 1/65536
+    // multiples (closed form 4·Σk − k₀ + k_{n−1}), so the integer
+    // checksums cover every decoded and interpolated sample, not
+    // just lengths; garbage ids must surface as NULL rows (the
+    // reference's skip-on-error, process_all.py:382-453). Double
+    // expressions (duration, segment bounds) use the same IEEE
+    // expression tree on both engines per the q71 recipe.
+    Q("q238_wav_audit", Some("""
+      WITH cfg AS (
+        SELECT doc_id AS id,
+               CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS sr,
+               200 + CAST(doc_id % 97 AS INTEGER) AS n
+        FROM documents),
+      ks AS MATERIALIZED (
+        SELECT c.id, c.sr, c.n, u.j, ((c.id*31 + u.j*7) % 1024) - 512 AS k
+        FROM cfg c, UNNEST(range(0, CAST(c.n AS BIGINT))) u(j)),
+      agg AS (
+        SELECT id, sr, n,
+               CAST(SUM(k) AS BIGINT) AS ksum,
+               CAST(SUM(CASE WHEN j = 0 THEN k END) AS BIGINT) AS k0,
+               CAST(SUM(CASE WHEN j = n - 1 THEN k END) AS BIGINT) AS klast
+        FROM ks GROUP BY 1, 2, 3),
+      seg AS (
+        SELECT a.id,
+               CAST(FLOOR(((CAST(a.n AS DOUBLE) / a.sr) * 0.25) * a.sr) AS BIGINT) AS s0,
+               CAST(FLOOR(((CAST(a.n AS DOUBLE) / a.sr) * 0.5) * a.sr) AS BIGINT) AS dn
+        FROM agg a),
+      segagg AS (
+        SELECT k.id, CAST(SUM(k.k) AS BIGINT) AS segsum,
+               CAST(COUNT(*) AS BIGINT) AS seglen
+        FROM ks k JOIN seg ON seg.id = k.id
+        WHERE k.j >= seg.s0 AND k.j < LEAST(CAST(k.n AS BIGINT), seg.s0 + seg.dn)
+        GROUP BY 1)
+      SELECT a.id AS doc_id,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE CAST(a.sr AS BIGINT) END AS sample_rate,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE CAST(a.n AS BIGINT) END AS n_samples,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE CAST(a.n AS DOUBLE) / a.sr END AS duration,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE a.ksum END AS pcm_checksum,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE CAST(2 * a.n AS BIGINT) END AS up_len,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE 4*a.ksum - a.k0 + a.klast END AS up_checksum,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE seg.s0 END AS seg_start,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE sa.seglen END AS seg_len,
+        CASE WHEN a.id % 29 = 0 THEN NULL ELSE sa.segsum END AS seg_checksum
+      FROM agg a
+      JOIN seg ON seg.id = a.id
+      JOIN segagg sa ON sa.id = a.id
+      ORDER BY doc_id""")) { (s, d) =>
+      import graft.operators.Audio
+      // No lineage cut despite the 4-way samples fan-out: codegen
+      // subexpression elimination already evaluates the synth+decode
+      // chain once per row (a localCheckpoint variant measured
+      // within noise, so the extra job would be pure cost).
+      val st = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("wav", synthWav(col("doc_id")))
+        .select(col("doc_id"),
+          Audio.info(col("wav")).as("info"),
+          Audio.decode(col("wav")).as("samples"))
+      val sr = col("info.sampleRate")
+      val n = col("info.numSamples")
+      val dur = col("info.durationSec")
+      // Integer checksum of exactly-representable sample multiples:
+      // every decoded value is k/32768 and every 2×-upsampled value
+      // a multiple of 1/65536, so round(x·scale) is the original
+      // integer — the whole waveform gates, order-free.
+      def csum(arr: org.apache.spark.sql.Column, scale: Int): org.apache.spark.sql.Column =
+        aggregate(
+          transform(arr, x => round(x.cast("double") * lit(scale)).cast("long")),
+          lit(0L), (a, b) => a + b)
+      val up = Audio.resample(col("samples"), sr, sr * 2)
+      val seg = Audio.segment(col("samples"), sr, dur * 0.25, dur * 0.5)
+      st.select(
+          col("doc_id"),
+          sr.cast("long").as("sample_rate"),
+          n.as("n_samples"),
+          dur.as("duration"),
+          csum(col("samples"), 32768).as("pcm_checksum"),
+          size(up).cast("long").as("up_len"),
+          csum(up, 65536).as("up_checksum"),
+          ((dur * 0.25) * sr).cast("int").cast("long").as("seg_start"),
+          size(seg).cast("long").as("seg_len"),
+          csum(seg, 32768).as("seg_checksum"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q239: ordered AUDIO assembly hash gate (r18, the X3 half
+    // of the q238 family): per book, the decoded part waveforms
+    // concatenate in natural part order (Audio.concatParts — one
+    // hash aggregate, order restored inside the collected array),
+    // and the gate checksum is POSITION-WEIGHTED (weight cycles with
+    // the global sample index), so a single swapped pair of parts —
+    // or two swapped samples — flips the hash: this proves the
+    // order, which a plain sum cannot (process_all.py:409-438).
+    Q("q239_wav_assemble", Some("""
+      WITH cfg AS (
+        SELECT doc_id AS id, CAST(doc_id % 509 AS BIGINT) AS book,
+               200 + CAST(doc_id % 97 AS INTEGER) AS n
+        FROM documents WHERE doc_id % 29 <> 0),
+      parts AS (
+        SELECT id, book, n,
+               COALESCE(CAST(SUM(n) OVER (PARTITION BY book ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS off0
+        FROM cfg),
+      ks AS (
+        SELECT p.book, p.id, p.off0 + u.j AS pos,
+               ((p.id*31 + u.j*7) % 1024) - 512 AS k
+        FROM parts p, UNNEST(range(0, CAST(p.n AS BIGINT))) u(j))
+      SELECT book AS book_id,
+             CAST(COUNT(DISTINCT id) AS BIGINT) AS n_parts,
+             CAST(COUNT(*) AS BIGINT) AS total_samples,
+             CAST(SUM(k * ((pos % 91) + 1)) AS BIGINT) AS pos_checksum
+      FROM ks GROUP BY 1 ORDER BY 1""")) { (s, d) =>
+      import graft.operators.Audio
+      val parts = Tables.documents(s, d).select(col("doc_id"))
+        .filter(pmod(col("doc_id"), lit(29)) =!= 0)
+        .withColumn("book_id", pmod(col("doc_id"), lit(509)))
+        .withColumn("samples", Audio.decode(synthWav(col("doc_id"))))
+      val books = Audio.concatParts(parts, "book_id", "doc_id", "samples")
+      // Position-weighted integer fold over the assembled waveform:
+      // one sequential HOF pass, codegen, no explode.
+      val posCsum = aggregate(col("samples"),
+        struct(lit(0L).as("p"), lit(0L).as("s")),
+        (acc, x) => struct(
+          (acc.getField("p") + 1).as("p"),
+          (acc.getField("s") +
+            round(x.cast("double") * 32768).cast("long") *
+              (pmod(acc.getField("p"), lit(91)) + 1)).as("s")),
+        acc => acc.getField("s"))
+      books.select(col("book_id"), col("n_parts"),
+          size(col("samples")).cast("long").as("total_samples"),
+          posCsum.as("pos_checksum"))
+        .orderBy("book_id")
     })
+
+  /** Fixture synthesis for q238/q239: a real PCM16 RIFF/WAVE per
+    * document id through the library's own encoder — sample rate
+    * cycles {8000, 16000, 22050, 44100} by id%4, length 200+id%97,
+    * sample j is ((id·31+j·7)%1024−512)/32768 (exact float32, exact
+    * PCM16 round-trip). Every 29th id emits garbage bytes instead —
+    * the undecodable-asset path the audit must surface as NULLs. */
+  private val synthWav = udf { (id: Long) =>
+    if (id % 29 == 0) "NOT A RIFF/WAVE ASSET".getBytes("US-ASCII")
+    else {
+      val sr = (id % 4) match {
+        case 0 => 8000; case 1 => 16000; case 2 => 22050; case _ => 44100
+      }
+      val n = (200 + id % 97).toInt
+      val samples = Array.tabulate(n) { j =>
+        (((id * 31 + j.toLong * 7) % 1024) - 512) / 32768.0f
+      }
+      graft.functions.AudioOps.toWavBytes(samples, sr)
+    }
+  }
 
   /** Fixture synthesis for q184: a real PDF per document id in four
     * rotating container shapes (garbage / uncompressed Tj / Flate'd
