@@ -625,8 +625,14 @@ object Similarity {
     * distinct that collapses duplicate-block hits. Deterministic
     * (id-hash salt) — output-invariant. Shared tail of the semantic
     * blocking paths. */
-  private def inlineRefinedBlockPairs(blocks: DataFrame, threshold: Double,
+  private def inlineRefinedBlockPairs(blocks0: DataFrame, threshold: Double,
                                       idCol: String, saltBuckets: Int = 8): DataFrame = {
+    // Both join sides consume `blocks`, and Catalyst re-executes a
+    // multi-consumer subtree once per consumer — here that subtree is
+    // the whole upstream fit+assign (seed scan, broadcast fold,
+    // explode). One eager localCheckpoint of the fat block rows
+    // (n·nAssign rows) halves the upstream job count (r18 q79 probe).
+    val blocks = blocks0.localCheckpoint(true)
     val a = blocks.select(col("cluster_id"),
       pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("salt"),
       col(idCol).as("vec_a"), col("vec").as("va"), col("norm").as("na"))
