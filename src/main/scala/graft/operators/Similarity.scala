@@ -1318,4 +1318,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("sim_raw").as("score"))
   }
+
+  /** Cross-encoder DISTILLATION labels (r18 growth — the Margin-MSE
+    * recipe of Hofstätter et al. 2020 / RocketQA's teacher-label
+    * pass): rerank the first-stage short-list with the TEACHER
+    * [[CrossEncoder]], take its top-1 as the positive and the next
+    * `nNeg` as hard negatives, and emit one training triple per
+    * (query, positive, negative) with the teacher's score margin —
+    * the label file a student bi-encoder distills from. The margin
+    * is exact when the encoder's scores are (like
+    * [[LexicalOverlapEncoder]]'s e9-floored F1) integers in
+    * disguise. The reranked short-list feeds both the positive and
+    * negative sides, so it is cut once (localCheckpoint — the
+    * multi-consumer rule); its size is queries × (nNeg+1), bounded. */
+  def crossEncoderDistillLabels(candidates: DataFrame, texts: DataFrame,
+                                encoder: CrossEncoder, nNeg: Int,
+                                idCol: String = "doc_id",
+                                textCol: String = "text"): DataFrame = {
+    require(nNeg >= 1, "nNeg must be >= 1")
+    val reranked = crossEncoderRerank(candidates, texts, encoder, k = nNeg + 1,
+        idCol, textCol)
+      .localCheckpoint(true)
+    val pos = reranked.filter(col("rank") === 1)
+      .select(col("query_id"), col("neighbor_id").as("pos_id"),
+        col("score").as("__pos_score"))
+    val negs = reranked.filter(col("rank") > 1)
+      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+        (col("rank") - 1).cast("long").as("neg_rank"),
+        col("score").as("__neg_score"))
+    pos.join(negs, Seq("query_id"))
+      .select(col("query_id"), col("pos_id"), col("neg_id"), col("neg_rank"),
+        (col("__pos_score") - col("__neg_score")).as("margin"))
+  }
 }

@@ -2950,6 +2950,73 @@ object TextQueries {
           maxPerHost = 4, waveCapacity = 16)
         .select(col("doc_id"), col("source"), col("host_seq"), col("round"), col("batch"))
         .orderBy("doc_id")
+    },
+
+    // ---- q241: CCNet-style per-LINE LM quality filtering (r18
+    // growth — Wenzek et al. 2020's head/middle/tail recipe, the
+    // line-granular deployment of the q77 char-bigram LM): documents
+    // split into lines (every third token boundary, the q59 lining
+    // convention), each LINE scores against the CORPUS-fit bigram
+    // model, and unfamiliar lines (any rare-bigram mass above 5%,
+    // or no bigrams at all) are dropped; the cleaned document is
+    // reassembled in line order. Engine shape: the model collects
+    // once under the bounded charset² guard and rides the plan as a
+    // codegen literal ([[CharLm.scoreWithModel]]'s expression) INSIDE
+    // an array `filter` lambda — per-document work is one projection,
+    // no explode, no shuffle, no join; the only aggregation in the
+    // whole query is the model fit. The reassembled `kept_text`
+    // makes the gate order-sensitive (a reordered keep-set flips the
+    // hash). Line-internal bigrams are substrings of the original
+    // text by construction, so the inner model join in the oracle
+    // never misses.
+    Q("q241_ccnet_line_filter", Some("""
+      WITH m0 AS MATERIALIZED (
+        SELECT bg, COUNT(*) AS bg_count FROM (
+          SELECT unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+          FROM documents) GROUP BY bg),
+      tot AS (SELECT SUM(bg_count) AS t FROM m0),
+      ls AS MATERIALIZED (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+                            chr(10)) AS arr
+        FROM documents),
+      lx AS MATERIALIZED (
+        SELECT ls.doc_id, CAST(u.i AS INTEGER) AS line_no,
+               ls.arr[CAST(u.i AS INTEGER)] AS line
+        FROM ls, UNNEST(range(1, len(ls.arr) + 1)) u(i)),
+      lb AS (
+        SELECT doc_id, line_no,
+               unnest(list_transform(range(1, length(line)), i -> substr(line, i, 2))) AS bg
+        FROM lx),
+      lsc AS (
+        SELECT lb.doc_id, lb.line_no, COUNT(*) AS nb,
+               SUM(CASE WHEN m0.bg_count * 2000 < (SELECT t FROM tot)
+                        THEN 1 ELSE 0 END) AS nr
+        FROM lb JOIN m0 USING (bg) GROUP BY 1, 2),
+      flagged AS (
+        SELECT lx.doc_id, lx.line_no, lx.line,
+               COALESCE(l2.nb, 0) > 0 AND COALESCE(l2.nr, 0) * 20 <= COALESCE(l2.nb, 0) AS ok
+        FROM lx LEFT JOIN lsc l2 USING (doc_id, line_no))
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY line_no), '')
+               AS kept_text
+      FROM flagged GROUP BY 1 ORDER BY doc_id""")) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lm = CharLm.collectModel(docs, rareFactor = 2000)
+      val lines = split(
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"), "\n")
+      val kept = filter(lines, l => {
+        val sc = GraftFunctions.char_bigram_score(l, lm)
+        sc.getField("n_bigrams") > lit(0L) &&
+          sc.getField("n_rare") * lit(20L) <= sc.getField("n_bigrams")
+      })
+      docs.select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept"),
+          array_join(kept, "\n").as("kept_text"))
+        .orderBy("doc_id")
     })
 
   /** DuckDB list literal of the quality-score stopwords. */

@@ -1775,5 +1775,60 @@ object VectorQueries {
           col("rank").cast("long").as("rank"),
           round(col("score") * lit(1e9)).cast("long").as("f1_e9"))
         .orderBy("query_id", "rank")
+    },
+
+    // ---- q242: cross-encoder DISTILLATION labels (r18 growth over
+    // the q228 seam — Margin-MSE, Hofstätter et al. 2020): the
+    // teacher cross-encoder reranks each query's dense short-list,
+    // its top-1 becomes the positive and ranks 2..8 the hard
+    // negatives, and each (query, positive, negative) triple carries
+    // the teacher's score MARGIN — the label file a student
+    // bi-encoder distills from. The e9-floored teacher scores are
+    // integers in disguise, so margins round-trip the double
+    // subtraction exactly; the oracle replays shortlist, teacher
+    // ranking, and margins on the e9 integers.
+    Q("q242_distill_labels", Some(oracleProlog + """,
+      short AS (
+        SELECT query_id, cand_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_inner_product(c.v, q.v)/(c.nrm*q.nrm) DESC,
+                            c.vec_id) AS rn
+          FROM p c JOIN p q ON q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id)
+        WHERE rn <= 25),
+      toks AS (SELECT doc_id,
+                      list_distinct(list_filter(string_split(text, ' '),
+                        x -> x <> '')) AS w
+               FROM documents),
+      scored AS (
+        SELECT s.query_id, s.cand_id,
+               CAST(floor(2000000000.0 * len(list_intersect(qt.w, ct.w))
+                          / (len(qt.w) + len(ct.w))) AS BIGINT) AS f1_e9
+        FROM short s
+        JOIN toks qt ON qt.doc_id = s.query_id
+        JOIN toks ct ON ct.doc_id = s.cand_id),
+      rr AS (SELECT query_id, cand_id,
+                    CAST(row_number() OVER (PARTITION BY query_id
+                      ORDER BY f1_e9 DESC, cand_id) AS BIGINT) AS rank,
+                    f1_e9
+             FROM scored),
+      pos AS (SELECT query_id, cand_id AS pos_id, f1_e9 AS pos_f1
+              FROM rr WHERE rank = 1),
+      neg AS (SELECT query_id, cand_id AS neg_id, rank - 1 AS neg_rank,
+                     f1_e9 AS neg_f1
+              FROM rr WHERE rank BETWEEN 2 AND 8)
+      SELECT p.query_id, p.pos_id, n.neg_id, n.neg_rank,
+             p.pos_f1 - n.neg_f1 AS margin_e9
+      FROM pos p JOIN neg n USING (query_id)
+      ORDER BY query_id, neg_rank""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val shortList = Similarity.bruteForceTopK(emb,
+          emb.filter(col("vec_id") % 97 === 0), k = 25)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"))
+      Similarity.crossEncoderDistillLabels(shortList, Tables.documents(s, d),
+          Similarity.LexicalOverlapEncoder, nNeg = 7)
+        .select(col("query_id"), col("pos_id"), col("neg_id"), col("neg_rank"),
+          round(col("margin") * lit(1e9)).cast("long").as("margin_e9"))
+        .orderBy("query_id", "neg_rank")
     })
 }
