@@ -242,6 +242,17 @@ object FloorSweeps {
         graft.operators.ExactSubstring
           .lcsNearDupPairs(saltedDocReplicas(m), k = 8, minLen = 8)
           .count()
+      },
+      "q242_distill_labels" -> { m =>
+        // Brute-force first stage: corpus AND query residue class
+        // both grow m× → retrieval work grows ~m² (the q142 note
+        // applies: linear-in-work here is already sublinear vs m²).
+        val emb = embReplicas(m)
+        Similarity.crossEncoderDistillLabels(
+          Similarity.bruteForceTopK(emb,
+              emb.filter(pmod(col("vec_id"), lit(97)) === 0), k = 25)
+            .select(col("query_id"), col("neighbor_id").as("cand_id")),
+          docReplicas(m), Similarity.LexicalOverlapEncoder, nNeg = 7).count()
       })
 
     val sb = new StringBuilder

@@ -1328,9 +1328,11 @@ object Similarity {
     * the label file a student bi-encoder distills from. The margin
     * is exact when the encoder's scores are (like
     * [[LexicalOverlapEncoder]]'s e9-floored F1) integers in
-    * disguise. The reranked short-list feeds both the positive and
-    * negative sides, so it is cut once (localCheckpoint — the
-    * multi-consumer rule); its size is queries × (nNeg+1), bounded. */
+    * disguise. The positive attaches to each negative row with ONE
+    * window (`first` over the teacher rank, keyed like the top-k
+    * aggregate so no extra exchange) — a pos/neg self-join
+    * formulation would re-execute the whole retrieve+rerank subtree
+    * per side or pay a checkpoint cut. */
   def crossEncoderDistillLabels(candidates: DataFrame, texts: DataFrame,
                                 encoder: CrossEncoder, nNeg: Int,
                                 idCol: String = "doc_id",
@@ -1338,16 +1340,13 @@ object Similarity {
     require(nNeg >= 1, "nNeg must be >= 1")
     val reranked = crossEncoderRerank(candidates, texts, encoder, k = nNeg + 1,
         idCol, textCol)
-      .localCheckpoint(true)
-    val pos = reranked.filter(col("rank") === 1)
-      .select(col("query_id"), col("neighbor_id").as("pos_id"),
-        col("score").as("__pos_score"))
-    val negs = reranked.filter(col("rank") > 1)
-      .select(col("query_id"), col("neighbor_id").as("neg_id"),
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    reranked
+      .withColumn("pos_id", first(col("neighbor_id")).over(w))
+      .withColumn("__pos_score", first(col("score")).over(w))
+      .filter(col("rank") > 1)
+      .select(col("query_id"), col("pos_id"), col("neighbor_id").as("neg_id"),
         (col("rank") - 1).cast("long").as("neg_rank"),
-        col("score").as("__neg_score"))
-    pos.join(negs, Seq("query_id"))
-      .select(col("query_id"), col("pos_id"), col("neg_id"), col("neg_rank"),
-        (col("__pos_score") - col("__neg_score")).as("margin"))
+        (col("__pos_score") - col("score")).as("margin"))
   }
 }
