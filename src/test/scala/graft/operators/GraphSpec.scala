@@ -103,6 +103,23 @@ class GraphSpec extends SparkSuite {
       .collect().forall(_.getLong(2) === 0L))
   }
 
+  test("triangleCount kernel route ≡ declarative join route, row for row") {
+    // The r18 size routing: maxKernelEdges = 0 forces the
+    // declarative plan; the default routes small graphs through the
+    // broadcast-CSR kernel. Same census, same clust doubles.
+    import spark.implicits._
+    for (edges <- PropSampling.sample(edgeGen, n = 4) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      def key(r: org.apache.spark.sql.Row) =
+        (r.getLong(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+      val viaKernel = Graph.triangleCount(df, "src", "dst").collect().map(key).toSet
+      val viaJoins = Graph.triangleCount(df, "src", "dst", maxKernelEdges = 0)
+        .collect().map(key).toSet
+      assert(viaKernel === viaJoins, s"route divergence on $edges")
+    }
+  }
+
   /** Sequential peel-to-fixpoint: the textbook k-core. */
   private def coreReference(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
     var ue = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
