@@ -243,6 +243,16 @@ object FloorSweeps {
           .lcsNearDupPairs(saltedDocReplicas(m), k = 8, minLen = 8)
           .count()
       },
+      "q177_label_consistency" -> { m =>
+        // Full corpus-as-queries brute-force kNN (the q142 note: work
+        // grows m², flat-or-linear time is floor evidence). Synthetic
+        // labels — the label join/agg is O(n·k), never the cost.
+        val emb = embReplicas(m)
+        Similarity.labelConsistency(
+          Similarity.bruteForceTopK(emb, emb, k = 5),
+          emb.select(col("vec_id"), pmod(col("vec_id"), lit(11)).as("label")),
+          k = 5).count()
+      },
       "q242_distill_labels" -> { m =>
         // Brute-force first stage: corpus AND query residue class
         // both grow m× → retrieval work grows ~m² (the q142 note
