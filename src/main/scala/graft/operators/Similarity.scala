@@ -753,9 +753,25 @@ object Similarity {
     * (externally maintained assignment): queries rank the broadcast
     * centroids and keep their `nProbe` closest lists; candidates
     * score only within probed lists. */
+  /** [[probeAndScore]] without the presentation round: per-query
+    * top-k with RAW sims, for callers that merge across serving
+    * shards before the final rank (the rounded `sim` must be
+    * applied once, after the merge). */
+  private def probeAndScoreRaw(cAssigned: DataFrame, centArr: DataFrame,
+                               queries: DataFrame, k: Int, nProbe: Int,
+                               idCol: String): DataFrame =
+    probeAndScoreImpl(cAssigned, centArr, queries, k, nProbe, idCol)
+
   private def probeAndScore(cAssigned: DataFrame, centArr: DataFrame,
                             queries: DataFrame, k: Int, nProbe: Int,
-                            idCol: String): DataFrame = {
+                            idCol: String): DataFrame =
+    probeAndScoreImpl(cAssigned, centArr, queries, k, nProbe, idCol)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim_raw"), 6).as("sim"))
+
+  private def probeAndScoreImpl(cAssigned: DataFrame, centArr: DataFrame,
+                                queries: DataFrame, k: Int, nProbe: Int,
+                                idCol: String): DataFrame = {
     // Row form of the same centroids, for the query-side probe join.
     val centroids = centArr
       .select(explode(col("cents")).as("c"))
@@ -776,7 +792,7 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       .select(col("query_id"), col(idCol).as("cand_id"),
         cosinePrenormed(dot(col("vec"), col("qvec")), col("norm"), col("qnorm")).as("sim_raw"))
-    rankTopK(scored, k)
+    TopK.perGroup(scored, "query_id", "cand_id", "sim_raw", k)
   }
 
   def ivfAnn(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -846,6 +862,38 @@ object Similarity {
   def ivfMergeDelta(index: DataFrame, delta: DataFrame, centroids: DataFrame,
                     idCol: String = "vec_id"): DataFrame =
     index.unionByName(ivfIndex(delta, centroids, idCol))
+
+  /** SHARDED IVF ANN serving (r18) — the documented escape hatch of
+    * [[ivfServeBroadcast]]'s fit guard made concrete: when the
+    * standing index outgrows one executor-resident broadcast, split
+    * it into `nShards` disjoint centroid groups (a deterministic
+    * hash of `centroid_id` — whole inverted lists never straddle
+    * shards), serve each shard independently (any per-shard
+    * mechanism; here the declarative [[ivfAnnWithIndex]] join over
+    * the shard's sub-index), and MERGE by re-ranking the union of
+    * per-shard top-k under the same (sim DESC, id ASC) rule. Exact
+    * by construction: each global top-k member is its own shard's
+    * top-≤k, so the union contains the global top-k and the merge
+    * re-rank recovers it — q243 gates merged ≡ single-index against
+    * q237's oracle. At 1000 executors each shard is a broadcast-
+    * sized sub-index and queries fan out nShards ways; the merge
+    * moves only queries × k × nShards narrow rows. */
+  def ivfServeSharded(corpus: DataFrame, index: DataFrame, centroids: DataFrame,
+                      queries: DataFrame, k: Int, nProbe: Int, nShards: Int,
+                      idCol: String = "vec_id"): DataFrame = {
+    require(nShards >= 1, "nShards must be >= 1")
+    val shardOf = pmod(xxhash64(col("centroid_id")), lit(nShards))
+    val served = (0 until nShards).map { sh =>
+      val shardIdx = index.filter(shardOf === sh)
+      // Probe the FULL frozen centroid model (probe selection must
+      // see every centroid — only the scored lists are sharded).
+      probeAndScoreRaw(prepared(corpus, idCol).join(shardIdx, Seq(idCol)),
+        centroids, queries, k, nProbe, idCol)
+    }.reduce(_ unionByName _)
+    // Merge re-rank over the bounded union (queries × k × nShards).
+    rankTopK(served.select(col("query_id"), col("neighbor_id").as("cand_id"),
+      col("sim_raw")), k)
+  }
 
   /** IVF ANN serving as a STATELESS broadcast probe (r18, the serve
     * half of the fit-batch/score-stream convention — the vector-tier

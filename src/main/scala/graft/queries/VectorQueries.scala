@@ -457,6 +457,30 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- q243: SHARDED ANN serving (r18) — the fit guard's escape
+    // hatch made concrete: the merged index splits into 4 disjoint
+    // centroid-hash shards, each shard serves its sub-index
+    // independently (probe selection against the FULL frozen model),
+    // and the union of per-shard top-k re-ranks to the final answer.
+    // Exact by construction (each global top-k member is its own
+    // shard's top-≤k), and the hash proves it: same oracle as
+    // q237/q240 — single-index, streamed, and sharded serving all
+    // produce the identical result. At 1000 executors each shard is
+    // broadcast-sized and the merge moves queries × k × shards rows.
+    Q("q243_ivf_serve_sharded", Some(ivfServeOracle)) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+      val merged = Similarity.ivfMergeDelta(
+        Similarity.ivfIndex(standing, cents), delta, cents)
+        .localCheckpoint(true) // consumed once per shard — cut the 4× re-assign
+      Similarity.ivfServeSharded(emb, merged, cents,
+          emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, nShards = 4)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("query_id", "rank")
+    },
+
     // ---- q57: LSH-bucketed near-dup pairs over the corpus — the
     // scale path whose ground truth is quadratic q31. The driver's
     // embeddings are near-orthogonal (max pairwise cosine ~0.6), so
