@@ -84,4 +84,53 @@ object Evaluation {
       .withColumn("logprec_fp", expr(logprec))
       .withColumn("len_ratio_e9", expr("(c_len * 1000000000) div r_len"))
   }
+
+  /** e6-floored binary-relevance DCG position weights
+    * floor(10⁶ / log2(i+1)) for ranks 1..5 — FIXED literals, not
+    * runtime logs, so engine and oracle can never drift by a ulp
+    * (the q55/q231 portable-exactness split: integer components
+    * gate; the float nDCG is display-side division). */
+  private val DcgWeightsE6: Seq[Long] =
+    Seq(1000000L, 630929L, 500000L, 430676L, 386852L)
+  private val DcgPrefixE6: Seq[Long] =
+    DcgWeightsE6.scanLeft(0L)(_ + _).tail
+
+  /** Retrieval-quality audit (r18 — the ranking-quality axis q127's
+    * recall audit doesn't see): per query, compare a SYSTEM ranking
+    * (any ANN tier) against a TRUTH ranking (exact top-k) and emit
+    * binary-relevance rank metrics as exact integers — overlap
+    * count, first-hit rank, e9-floored reciprocal rank, e6 DCG and
+    * ideal-DCG masses (nDCG = dcg_e6 / idcg_e6, display-side).
+    * Both inputs are `(query_id, neighbor_id, rank)` frames; work is
+    * two narrow equi-joins and one per-query aggregate — O(queries
+    * × k) rows end to end, composable at any corpus scale because
+    * the rankings are inputs, not recomputed here. */
+  def retrievalQualityAudit(truth: DataFrame, system: DataFrame,
+                            k: Int): DataFrame = {
+    require(k >= 1 && k <= DcgWeightsE6.length,
+      s"k must be in [1, ${DcgWeightsE6.length}]")
+    val wArr = array(DcgWeightsE6.take(k).map(lit): _*)
+    val prefArr = array(DcgPrefixE6.take(k).map(lit): _*)
+    val t = truth.select(col("query_id"), col("neighbor_id"),
+      lit(true).as("__rel"))
+    val tc = truth.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("__n_truth"))
+    val per = system
+      .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      .join(t, Seq("query_id", "neighbor_id"), "left")
+      .withColumn("__r", coalesce(col("__rel"), lit(false)))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_hits"),
+        min(when(col("__r"), col("rank"))).as("first_hit_rank"),
+        sum(when(col("__r"), element_at(wArr, col("rank").cast("int")))
+          .otherwise(0L)).as("dcg_e6"))
+    per.join(tc, Seq("query_id"))
+      .select(col("query_id"), col("n_hits"), col("first_hit_rank"),
+        expr("coalesce(CAST(1000000000 AS BIGINT) div first_hit_rank, CAST(0 AS BIGINT))")
+          .as("mrr_e9"),
+        col("dcg_e6"),
+        element_at(prefArr,
+          least(col("__n_truth"), lit(k.toLong)).cast("int")).as("idcg_e6"))
+  }
 }

@@ -481,6 +481,86 @@ object VectorQueries {
         .orderBy("query_id", "rank")
     },
 
+    // ---- q244: retrieval-quality audit (r18) — the ranking-quality
+    // axis q127's recall audit doesn't see: the IVF tier's top-5
+    // (q33 configuration) scored against the exact top-5 ground
+    // truth with binary-relevance rank metrics as EXACT integers —
+    // overlap, first-hit rank, e9 reciprocal rank, e6 DCG/ideal-DCG
+    // masses under FIXED floor(1e6/log2(i+1)) weight literals (no
+    // runtime logs on either engine — the q55/q231 portable-
+    // exactness split). The oracle replays BOTH retrieval systems
+    // (the q33 IVF CTEs + the exact window) and the same integer
+    // metric arithmetic.
+    Q("q244_retrieval_audit", Some(oracleProlog + """,
+      seeds AS (
+        SELECT vec_id, v, nrm, (vec_id * 2654435761) % 1000000007 AS cid
+        FROM p ORDER BY cid, vec_id LIMIT 16),
+      cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY cid, vec_id) AS INTEGER) AS centroid_id,
+               v AS cv, nrm AS cnrm
+        FROM seeds),
+      assign AS (
+        SELECT p.vec_id, p.v, p.nrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY p.vec_id
+                                  ORDER BY list_inner_product(p.v, cent.cv)/(p.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS rn
+        FROM p CROSS JOIN cent),
+      ca AS (SELECT vec_id, v, nrm, centroid_id FROM assign WHERE rn = 1),
+      qa AS (
+        SELECT q.vec_id AS query_id, q.v AS qv, q.nrm AS qnrm, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                                  ORDER BY list_inner_product(q.v, cent.cv)/(q.nrm*cent.cnrm) DESC,
+                                           cent.centroid_id) AS crank
+        FROM p q CROSS JOIN cent WHERE q.vec_id < 10),
+      probes AS (SELECT query_id, qv, qnrm, centroid_id FROM qa WHERE crank <= 4),
+      scored AS (
+        SELECT pr.query_id, ca.vec_id AS neighbor_id,
+               list_inner_product(ca.v, pr.qv)/(ca.nrm*pr.qnrm) AS sim_raw
+        FROM ca JOIN probes pr ON ca.centroid_id = pr.centroid_id AND ca.vec_id <> pr.query_id),
+      sysr AS (
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 CAST(row_number() OVER (PARTITION BY query_id
+                                         ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank
+          FROM scored) WHERE rank <= 5),
+      tr AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_inner_product(c.v, q.v)/(c.nrm*q.nrm) DESC,
+                            c.vec_id) AS r
+          FROM p c JOIN p q ON q.vec_id < 10 AND c.vec_id <> q.vec_id)
+        WHERE r <= 5),
+      j AS (
+        SELECT s.query_id, s.rank, (t.neighbor_id IS NOT NULL) AS rel
+        FROM sysr s LEFT JOIN tr t
+          ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id),
+      tc AS (SELECT query_id, COUNT(*) AS n_truth FROM tr GROUP BY 1),
+      per AS (
+        SELECT query_id,
+               CAST(SUM(CASE WHEN rel THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               MIN(CASE WHEN rel THEN rank END) AS fhr,
+               CAST(SUM(CASE WHEN rel THEN
+                 CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000
+                           WHEN 4 THEN 430676 ELSE 386852 END ELSE 0 END) AS BIGINT) AS dcg_e6
+        FROM j GROUP BY 1)
+      SELECT per.query_id, per.n_hits,
+             CAST(per.fhr AS BIGINT) AS first_hit_rank,
+             CAST(COALESCE(1000000000 // per.fhr, 0) AS BIGINT) AS mrr_e9,
+             per.dcg_e6,
+             CAST(CASE LEAST(tc.n_truth, 5) WHEN 1 THEN 1000000 WHEN 2 THEN 1630929
+                  WHEN 3 THEN 2130929 WHEN 4 THEN 2561605 ELSE 2948457 END AS BIGINT) AS idcg_e6
+      FROM per JOIN tc USING (query_id)
+      ORDER BY query_id""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val qset = emb.filter(col("vec_id") < 10)
+      graft.operators.Evaluation.retrievalQualityAudit(
+          Similarity.bruteForceTopK(emb, qset, k = 5),
+          Similarity.ivfAnn(emb, qset, k = 5, nCentroids = 16, nProbe = 4),
+          k = 5)
+        .orderBy("query_id")
+    },
+
     // ---- q57: LSH-bucketed near-dup pairs over the corpus — the
     // scale path whose ground truth is quadratic q31. The driver's
     // embeddings are near-orthogonal (max pairwise cosine ~0.6), so
