@@ -342,6 +342,44 @@ object TextQueries {
       "\nSELECT * FROM asource UNION ALL SELECT * FROM alang ORDER BY dim"
   }
 
+  /** Shared q241/q245 oracle — the per-line LM filter stated once;
+    * q245 (the STREAMING deployment) must equal the batch result
+    * exactly. */
+  private val ccnetLineOracle: String = """
+      WITH m0 AS MATERIALIZED (
+        SELECT bg, COUNT(*) AS bg_count FROM (
+          SELECT unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
+          FROM documents) GROUP BY bg),
+      tot AS (SELECT SUM(bg_count) AS t FROM m0),
+      ls AS MATERIALIZED (
+        SELECT doc_id,
+               string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
+                            chr(10)) AS arr
+        FROM documents),
+      lx AS MATERIALIZED (
+        SELECT ls.doc_id, CAST(u.i AS INTEGER) AS line_no,
+               ls.arr[CAST(u.i AS INTEGER)] AS line
+        FROM ls, UNNEST(range(1, len(ls.arr) + 1)) u(i)),
+      lb AS (
+        SELECT doc_id, line_no,
+               unnest(list_transform(range(1, length(line)), i -> substr(line, i, 2))) AS bg
+        FROM lx),
+      lsc AS (
+        SELECT lb.doc_id, lb.line_no, COUNT(*) AS nb,
+               SUM(CASE WHEN m0.bg_count * 2000 < (SELECT t FROM tot)
+                        THEN 1 ELSE 0 END) AS nr
+        FROM lb JOIN m0 USING (bg) GROUP BY 1, 2),
+      flagged AS (
+        SELECT lx.doc_id, lx.line_no, lx.line,
+               COALESCE(l2.nb, 0) > 0 AND COALESCE(l2.nr, 0) * 20 <= COALESCE(l2.nb, 0) AS ok
+        FROM lx LEFT JOIN lsc l2 USING (doc_id, line_no))
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+             COALESCE(string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY line_no), '')
+               AS kept_text
+      FROM flagged GROUP BY 1 ORDER BY doc_id"""
+
   val qs: Seq[Q] = Seq(
 
     // ---- q158: BPE merge training — the tokenizer-fit step. The
@@ -2969,40 +3007,7 @@ object TextQueries {
     // hash). Line-internal bigrams are substrings of the original
     // text by construction, so the inner model join in the oracle
     // never misses.
-    Q("q241_ccnet_line_filter", Some("""
-      WITH m0 AS MATERIALIZED (
-        SELECT bg, COUNT(*) AS bg_count FROM (
-          SELECT unnest(list_transform(range(1, length(text)), i -> substr(text, i, 2))) AS bg
-          FROM documents) GROUP BY bg),
-      tot AS (SELECT SUM(bg_count) AS t FROM m0),
-      ls AS MATERIALIZED (
-        SELECT doc_id,
-               string_split(regexp_replace(text, '(\S+ \S+ \S+) ', '\1' || chr(10), 'g'),
-                            chr(10)) AS arr
-        FROM documents),
-      lx AS MATERIALIZED (
-        SELECT ls.doc_id, CAST(u.i AS INTEGER) AS line_no,
-               ls.arr[CAST(u.i AS INTEGER)] AS line
-        FROM ls, UNNEST(range(1, len(ls.arr) + 1)) u(i)),
-      lb AS (
-        SELECT doc_id, line_no,
-               unnest(list_transform(range(1, length(line)), i -> substr(line, i, 2))) AS bg
-        FROM lx),
-      lsc AS (
-        SELECT lb.doc_id, lb.line_no, COUNT(*) AS nb,
-               SUM(CASE WHEN m0.bg_count * 2000 < (SELECT t FROM tot)
-                        THEN 1 ELSE 0 END) AS nr
-        FROM lb JOIN m0 USING (bg) GROUP BY 1, 2),
-      flagged AS (
-        SELECT lx.doc_id, lx.line_no, lx.line,
-               COALESCE(l2.nb, 0) > 0 AND COALESCE(l2.nr, 0) * 20 <= COALESCE(l2.nb, 0) AS ok
-        FROM lx LEFT JOIN lsc l2 USING (doc_id, line_no))
-      SELECT doc_id,
-             CAST(COUNT(*) AS BIGINT) AS n_lines,
-             CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-             COALESCE(string_agg(CASE WHEN ok THEN line END, chr(10) ORDER BY line_no), '')
-               AS kept_text
-      FROM flagged GROUP BY 1 ORDER BY doc_id""")) { (s, d) =>
+    Q("q241_ccnet_line_filter", Some(ccnetLineOracle)) { (s, d) =>
       val docs = Tables.documents(s, d)
       val lm = CharLm.collectModel(docs, rareFactor = 2000)
       val lines = split(
@@ -3016,6 +3021,35 @@ object TextQueries {
           size(lines).cast("long").as("n_lines"),
           size(kept).cast("long").as("n_kept"),
           array_join(kept, "\n").as("kept_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q245: the STREAMING LINE-FILTER lane (r18) — q241's
+    // CCNet-style per-line quality filter deployed at ingest,
+    // completing the production ingest triad beside q234 (dedup
+    // triage) and q240 (ANN serve): the corpus bigram model
+    // batch-fits once and rides the plan as a codegen literal; every
+    // arriving document is lined, line-scored, filtered, and
+    // reassembled in ONE stateless projection — no state store, no
+    // stream-side shuffle, no watermark, appending at ingest rate.
+    // Same oracle as q241: the hash proves batch/stream parity.
+    Q("q245_stream_line_filter", Some(ccnetLineOracle)) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val lm = CharLm.collectModel(docs, rareFactor = 2000)
+      val lines = split(
+        regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"), "\n")
+      val kept = filter(lines, l => {
+        val sc = GraftFunctions.char_bigram_score(l, lm)
+        sc.getField("n_bigrams") > lit(0L) &&
+          sc.getField("n_rare") * lit(20L) <= sc.getField("n_bigrams")
+      })
+      val scored = graft.streaming.StreamLane.documents(s, d)
+        .select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept"),
+          array_join(kept, "\n").as("kept_text"))
+      graft.streaming.StreamLane.drain(s, scored, "append", "q245_mem",
+          statePartitions = 8, noDataBatch = false)
         .orderBy("doc_id")
     })
 
