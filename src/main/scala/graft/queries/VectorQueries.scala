@@ -561,6 +561,55 @@ object VectorQueries {
         .orderBy("query_id")
     },
 
+    // ---- q246: index-drift refit policy (r18) — the "periodic
+    // refit when drift accumulates" decision the ivfMergeDelta
+    // scaladoc declares as a policy ABOVE the merge operator, made a
+    // gated operator: assign the WHOLE corpus under the frozen
+    // standing-fit model, split into standing/delta cohorts, and run
+    // the q126 chi-square machinery over the centroid-occupancy
+    // histograms — a high chi2 means the delta's distribution has
+    // drifted off the frozen centroids and a refit is due. The
+    // decimal-summed chi2 doubles hash-gate (q126 precedent); the
+    // refit flag is one comparison of identical doubles.
+    Q("q246_index_drift", Some(ivfServeOracle.split("qa AS")(0) + """
+      h AS (SELECT CASE WHEN vec_id % 13 = 0 THEN 'delta' ELSE 'standing' END AS cohort,
+                   CAST(centroid_id AS BIGINT) AS bin,
+                   CAST(COUNT(*) AS BIGINT) AS o
+            FROM ca GROUP BY 1, 2),
+      pl AS (SELECT bin, CAST(SUM(o) AS BIGINT) AS pb FROM h GROUP BY 1),
+      gt AS (SELECT cohort, CAST(SUM(o) AS BIGINT) AS ng FROM h GROUP BY 1),
+      nn AS (SELECT CAST(SUM(o) AS BIGINT) AS nn,
+                    CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_bins FROM h),
+      cells AS (SELECT gt.cohort, gt.ng, pl.bin, pl.pb, COALESCE(h.o, 0) AS o
+                FROM gt CROSS JOIN pl
+                LEFT JOIN h ON h.cohort = gt.cohort AND h.bin = pl.bin),
+      t AS (SELECT cohort, ng,
+              (CAST(o AS DOUBLE)
+                 - CAST(pb AS DOUBLE) * CAST(ng AS DOUBLE)
+                   / (SELECT CAST(nn AS DOUBLE) FROM nn))
+              * (CAST(o AS DOUBLE)
+                 - CAST(pb AS DOUBLE) * CAST(ng AS DOUBLE)
+                   / (SELECT CAST(nn AS DOUBLE) FROM nn))
+              / (CAST(pb AS DOUBLE) * CAST(ng AS DOUBLE)
+                 / (SELECT CAST(nn AS DOUBLE) FROM nn)) AS term
+            FROM cells)
+      SELECT cohort, ng AS n, (SELECT n_bins FROM nn) AS n_bins,
+             CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) AS chi2,
+             CAST(SUM(CAST(term AS DECIMAL(28,12))) AS DOUBLE) >= 25.0 AS refit
+      FROM t GROUP BY 1, 2
+      ORDER BY 1""")) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+      val tagged = Similarity.ivfIndex(emb, cents)
+        .withColumn("cohort", when(pmod(col("vec_id"), lit(13)) === 0, lit("delta"))
+          .otherwise(lit("standing")))
+      graft.operators.Stats.chiSquareDrift(tagged, "cohort",
+          col("centroid_id").cast("double"), binsPerUnit = 1)
+        .withColumn("refit", col("chi2") >= lit(25.0d))
+        .orderBy("cohort")
+    },
+
     // ---- q57: LSH-bucketed near-dup pairs over the corpus — the
     // scale path whose ground truth is quadratic q31. The driver's
     // embeddings are near-orthogonal (max pairwise cosine ~0.6), so
