@@ -243,6 +243,18 @@ object FloorSweeps {
           .lcsNearDupPairs(saltedDocReplicas(m), k = 8, minLen = 8)
           .count()
       },
+      "q246_index_drift" -> { m =>
+        // Frozen-model assignment + 2-cohort occupancy chi-square;
+        // centroid count scales with corpus (√n rule analogue).
+        val emb = embReplicas(m)
+        val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+        val cents = Similarity.ivfCentroids(standing, nCentroids = 16 * m)
+        val tagged = Similarity.ivfIndex(emb, cents)
+          .withColumn("cohort", when(pmod(col("vec_id"), lit(13)) === 0,
+            lit("delta")).otherwise(lit("standing")))
+        graft.operators.Stats.chiSquareDrift(tagged, "cohort",
+          col("centroid_id").cast("double"), binsPerUnit = 1).count()
+      },
       "q177_label_consistency" -> { m =>
         // Full corpus-as-queries brute-force kNN (the q142 note: work
         // grows m², flat-or-linear time is floor evidence). Synthetic
