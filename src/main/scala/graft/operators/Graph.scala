@@ -589,14 +589,23 @@ object Graph {
     * (nodes are defined as edge endpoints); a node keeps its own
     * label only by winning the census through a neighbor. */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       rounds: Int): DataFrame = {
+                       rounds: Int, maxKernelEdges: Int = 4000000): DataFrame = {
     require(rounds >= 0, "rounds must be nonnegative")
-    val ue = edges
+    val ue0 = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+    // Size-routed strategy (r18, the q105 kernel convention): up to
+    // `maxKernelEdges` canonical edges the synchronous rounds run as
+    // one broadcast-CSR kernel — each declarative round is a
+    // join + two aggregates + a checkpoint, and at sub-second scale
+    // those per-round jobs ARE the cost. Above the bound, the
+    // declarative rounds below run unchanged at any scale.
+    val probe = ue0.limit(maxKernelEdges + 1).collect()
+    if (probe.length <= maxKernelEdges)
+      return labelPropKernel(edges.sparkSession, probe, rounds)
+    val ue = ue0.localCheckpoint(true)
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
     var labels = adj.select(col("node")).distinct()
@@ -612,6 +621,90 @@ object Graph {
         .localCheckpoint(true)
     }
     labels
+  }
+
+  /** Broadcast-CSR label-propagation kernel: EXACTLY the declarative
+    * rounds' semantics — synchronous updates, per-node best =
+    * (max neighbor-label count, then MIN label), the node's own
+    * label never voting — over a dense symmetric adjacency. Labels
+    * are always node ids, so counting uses a dense scratch array
+    * with a stamp trick (O(deg) per node, no per-node allocation).
+    * Rounds are O(m) each on the guard-bounded graph (the
+    * fitCorpusTriage driver-fold convention); the result emits
+    * distributed via broadcast, never as a driver-built frame. */
+  private def labelPropKernel(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row],
+                              rounds: Int): DataFrame = {
+    import spark.implicits._
+    val m = rows.length
+    val nodeSet = new java.util.TreeSet[java.lang.Long]()
+    rows.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)) }
+    val nodes = new Array[Long](nodeSet.size())
+    locally {
+      var i = 0; val it = nodeSet.iterator()
+      while (it.hasNext) { nodes(i) = it.next(); i += 1 }
+    }
+    val n = nodes.length
+    def dense(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val deg = new Array[Int](n)
+    val eu = new Array[Int](m); val ev = new Array[Int](m)
+    locally {
+      var i = 0
+      while (i < m) {
+        val a = dense(rows(i).getLong(0)); val b = dense(rows(i).getLong(1))
+        eu(i) = a; ev(i) = b; deg(a) += 1; deg(b) += 1
+        i += 1
+      }
+    }
+    val ptr = new Array[Int](n + 1)
+    locally { var i = 0; while (i < n) { ptr(i + 1) = ptr(i) + deg(i); i += 1 } }
+    val adj = new Array[Int](2 * m)
+    locally {
+      val fill = java.util.Arrays.copyOf(ptr, n)
+      var i = 0
+      while (i < m) {
+        adj(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+        adj(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+        i += 1
+      }
+    }
+    // lab holds DENSE label indices (labels are always node ids).
+    var lab = Array.tabulate(n)(identity)
+    val cnt = new Array[Int](n)
+    val stamp = new Array[Int](n)
+    var curStamp = 0
+    val touched = new Array[Int](n)
+    var r = 0
+    while (r < rounds) {
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        curStamp += 1
+        var nTouched = 0
+        var bestLab = -1; var bestCnt = 0
+        var e = ptr(v)
+        while (e < ptr(v + 1)) {
+          val l = lab(adj(e))
+          if (stamp(l) != curStamp) { stamp(l) = curStamp; cnt(l) = 0; touched(nTouched) = l; nTouched += 1 }
+          cnt(l) += 1
+          // max count, then min label (dense order = node-id order).
+          if (cnt(l) > bestCnt || (cnt(l) == bestCnt && l < bestLab)) {
+            bestCnt = cnt(l); bestLab = l
+          }
+          e += 1
+        }
+        next(v) = if (bestLab >= 0) bestLab else lab(v)
+        v += 1
+      }
+      lab = next
+      r += 1
+    }
+    val labIds = Array.tabulate(n)(i => nodes(lab(i)))
+    val bc = spark.sparkContext.broadcast((nodes, labIds))
+    spark.range(0, n.toLong).as[Long].map { i =>
+      val (bn, bl) = bc.value
+      (bn(i.toInt), bl(i.toInt))
+    }.toDF("node", "label")
   }
 
   /** Link prediction by neighborhood overlap: for every NON-adjacent
