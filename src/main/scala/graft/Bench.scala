@@ -146,13 +146,28 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
     def calibrate(after: Int): Unit = calibFn.foreach { fn =>
       val t0 = System.nanoTime()
+      var failed: Option[String] = None
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable => failed =
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.take(1).mkString.take(120))
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      calib += ((after, sec, loadavg(), System.currentTimeMillis()))
-      val line = s"""{"calib":${jstr(calibName)},"after":$after,"sec":${jnum(sec)},"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
-      println(line)
-      appendLine(linesPath, line)
+      // A FAILED probe run must not enter the series (r18 review): a
+      // milliseconds-to-failure elapsed would masquerade as a
+      // hyper-fast reading and poison the contamination spread the
+      // round verdicts rely on. It is logged, never aggregated.
+      failed match {
+        case Some(err) =>
+          val line = s"""{"calib":${jstr(calibName)},"after":$after,"err":${jstr(err)},"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+          println(line)
+          appendLine(linesPath, line)
+        case None =>
+          calib += ((after, sec, loadavg(), System.currentTimeMillis()))
+          val line = s"""{"calib":${jstr(calibName)},"after":$after,"sec":${jnum(sec)},"loadavg":${jstr(loadavg())},"ts":${System.currentTimeMillis()}}"""
+          println(line)
+          appendLine(linesPath, line)
+      }
     }
     // One untimed warm at sfDir first: the probe's baseline reading
     // must not absorb q01's one-time sf-specific AQE/codegen warm-up

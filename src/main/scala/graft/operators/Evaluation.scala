@@ -111,12 +111,21 @@ object Evaluation {
       s"k must be in [1, ${DcgWeightsE6.length}]")
     val wArr = array(DcgWeightsE6.take(k).map(lit): _*)
     val prefArr = array(DcgPrefixE6.take(k).map(lit): _*)
-    val t = truth.select(col("query_id"), col("neighbor_id"),
-      lit(true).as("__rel"))
-    val tc = truth.groupBy(col("query_id"))
+    // One lineage cut: the truth ranking (often an expensive exact
+    // top-k subtree) feeds both the relevance join and the per-query
+    // count — without the cut Catalyst re-executes it per consumer
+    // (the r18 q79/q244 multi-consumer rule). Output is queries × k
+    // rows, so the materialization is bounded and cheap.
+    val tRanked = truth.select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint(true)
+    val t = tRanked.withColumn("__rel", lit(true))
+    val tc = tRanked.groupBy(col("query_id"))
       .agg(count(lit(1)).as("__n_truth"))
     val per = system
       .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+      // The audit depth is k: deeper system rows are out of scope and
+      // would also index past the weight array — clamp explicitly.
+      .filter(col("rank") <= k)
       .join(t, Seq("query_id", "neighbor_id"), "left")
       .withColumn("__r", coalesce(col("__rel"), lit(false)))
       .groupBy(col("query_id"))

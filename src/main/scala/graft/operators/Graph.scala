@@ -80,13 +80,17 @@ object Graph {
       .distinct()
     // Size-routed strategy (r18, the q31/q217 convention): up to
     // `maxKernelEdges` canonical edges the census runs as ONE
-    // broadcast-CSR kernel — the probe collect below doubles as the
-    // guard, ids-only rows. Above the bound, the declarative
-    // edge-intersection plan (the 100 TB shape) runs unchanged.
-    val probe = ue.limit(maxKernelEdges + 1).collect()
-    if (probe.length <= maxKernelEdges)
-      triangleCountKernel(edges.sparkSession, probe)
-    else triangleCountViaJoins(ue)
+    // broadcast-CSR kernel; above the bound, the declarative
+    // edge-intersection plan (the 100 TB shape) runs unchanged. The
+    // canonical list is checkpointed ONCE and the routing probe is a
+    // bounded COUNT over it — never an eager multi-million-row
+    // collect that the over-bound path would discard (r18 review);
+    // rows reach the driver only after the guard admits them, and
+    // both routes reuse the same materialization.
+    val ueCk = ue.localCheckpoint(true)
+    if (ueCk.limit(maxKernelEdges + 1).count() <= maxKernelEdges)
+      triangleCountKernel(edges.sparkSession, ueCk.collect())
+    else triangleCountViaJoins(ueCk)
   }
 
   /** The declarative edge-intersection census over canonical
@@ -601,11 +605,12 @@ object Graph {
     // one broadcast-CSR kernel — each declarative round is a
     // join + two aggregates + a checkpoint, and at sub-second scale
     // those per-round jobs ARE the cost. Above the bound, the
-    // declarative rounds below run unchanged at any scale.
-    val probe = ue0.limit(maxKernelEdges + 1).collect()
-    if (probe.length <= maxKernelEdges)
-      return labelPropKernel(edges.sparkSession, probe, rounds)
+    // declarative rounds below run unchanged at any scale. Count
+    // probe over one shared checkpoint — rows reach the driver only
+    // after the guard admits them (r18 review).
     val ue = ue0.localCheckpoint(true)
+    if (ue.limit(maxKernelEdges + 1).count() <= maxKernelEdges)
+      return labelPropKernel(edges.sparkSession, ue.collect(), rounds)
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
     var labels = adj.select(col("node")).distinct()
@@ -671,21 +676,22 @@ object Graph {
     // lab holds DENSE label indices (labels are always node ids).
     var lab = Array.tabulate(n)(identity)
     val cnt = new Array[Int](n)
-    val stamp = new Array[Int](n)
-    var curStamp = 0
-    val touched = new Array[Int](n)
+    // Long stamps: an Int counter wraps after 2^32 node-visits
+    // (n·rounds is caller-controlled) and a wrapped stamp would
+    // silently resume a stale count (r18 review).
+    val stamp = new Array[Long](n)
+    var curStamp = 0L
     var r = 0
     while (r < rounds) {
       val next = new Array[Int](n)
       var v = 0
       while (v < n) {
         curStamp += 1
-        var nTouched = 0
         var bestLab = -1; var bestCnt = 0
         var e = ptr(v)
         while (e < ptr(v + 1)) {
           val l = lab(adj(e))
-          if (stamp(l) != curStamp) { stamp(l) = curStamp; cnt(l) = 0; touched(nTouched) = l; nTouched += 1 }
+          if (stamp(l) != curStamp) { stamp(l) = curStamp; cnt(l) = 0 }
           cnt(l) += 1
           // max count, then min label (dense order = node-id order).
           if (cnt(l) > bestCnt || (cnt(l) == bestCnt && l < bestLab)) {

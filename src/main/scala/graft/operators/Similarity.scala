@@ -753,25 +753,20 @@ object Similarity {
     * (externally maintained assignment): queries rank the broadcast
     * centroids and keep their `nProbe` closest lists; candidates
     * score only within probed lists. */
-  /** [[probeAndScore]] without the presentation round: per-query
-    * top-k with RAW sims, for callers that merge across serving
-    * shards before the final rank (the rounded `sim` must be
-    * applied once, after the merge). */
-  private def probeAndScoreRaw(cAssigned: DataFrame, centArr: DataFrame,
-                               queries: DataFrame, k: Int, nProbe: Int,
-                               idCol: String): DataFrame =
-    probeAndScoreImpl(cAssigned, centArr, queries, k, nProbe, idCol)
-
   private def probeAndScore(cAssigned: DataFrame, centArr: DataFrame,
                             queries: DataFrame, k: Int, nProbe: Int,
                             idCol: String): DataFrame =
-    probeAndScoreImpl(cAssigned, centArr, queries, k, nProbe, idCol)
+    probeAndScoreRaw(cAssigned, centArr, queries, k, nProbe, idCol)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim_raw"), 6).as("sim"))
 
-  private def probeAndScoreImpl(cAssigned: DataFrame, centArr: DataFrame,
-                                queries: DataFrame, k: Int, nProbe: Int,
-                                idCol: String): DataFrame = {
+  /** Query-side probe + inverted-list scoring tail, ending at the
+    * bounded per-query top-k with RAW sims — [[probeAndScore]] adds
+    * the presentation round; [[ivfServeSharded]] calls this directly
+    * so the round is applied ONCE, after the cross-shard merge. */
+  private def probeAndScoreRaw(cAssigned: DataFrame, centArr: DataFrame,
+                               queries: DataFrame, k: Int, nProbe: Int,
+                               idCol: String): DataFrame = {
     // Row form of the same centroids, for the query-side probe join.
     val centroids = centArr
       .select(explode(col("cents")).as("c"))
@@ -964,28 +959,37 @@ object Similarity {
       else {
         val (cents, lists) = bc.value
         val q = vec.toArray
+        // Orderings use java.lang.Double.compare, NOT primitive `>`:
+        // Spark's double sort order places NaN greatest (a zero-norm
+        // vector yields NaN sims), and a primitive comparison would
+        // silently drop NaN candidates the declarative route keeps —
+        // the bit-parity contract covers that edge too (r18 review).
         // nProbe nearest centroids: csim DESC, centroid_id ASC —
-        // cents is id-sorted, so a strict-> insertion keeps the tie
-        // rule.
-        val pIds = new Array[Int](math.min(nProbe, cents.length))
-        val pSims = Array.fill(pIds.length)(Double.NegativeInfinity)
+        // cents is id-sorted, so a strictly-greater insertion keeps
+        // the tie rule.
+        val nFill = math.min(nProbe, cents.length)
+        val pIds = new Array[Int](nFill)
+        val pSims = Array.fill(nFill)(Double.NegativeInfinity)
+        var pUsed = 0
         cents.foreach { case (cid, cvec, cnorm) =>
           var acc = 0.0d
           var i = 0
           while (i < cvec.length) { acc += q(i) * cvec(i); i += 1 }
           val csim = acc / (norm * cnorm)
-          var pos = pIds.length
-          while (pos > 0 && csim > pSims(pos - 1)) pos -= 1
-          if (pos < pIds.length) {
-            var m = pIds.length - 1
+          var pos = math.min(pUsed, nFill)
+          while (pos > 0 && java.lang.Double.compare(csim, pSims(pos - 1)) > 0) pos -= 1
+          if (pos < nFill) {
+            var m = nFill - 1
             while (m > pos) { pSims(m) = pSims(m - 1); pIds(m) = pIds(m - 1); m -= 1 }
             pSims(pos) = csim; pIds(pos) = cid
+            if (pUsed < nFill) pUsed += 1
           }
         }
         // Exact top-k over the probed lists: sim DESC, cand_id ASC.
         val topS = Array.fill(k)(Double.NegativeInfinity)
         val topId = Array.fill(k)(Long.MaxValue)
-        pIds.foreach { cid =>
+        var used = 0
+        pIds.take(pUsed).foreach { cid =>
           lists.get(cid).foreach { case (ids, norms, flat, d) =>
             var i = 0
             while (i < ids.length) {
@@ -995,21 +999,23 @@ object Similarity {
                 val off = i * d
                 while (j < d) { acc += q(j) * flat(off + j); j += 1 }
                 val s = acc / (norm * norms(i))
-                var pos = k
-                while (pos > 0 && (s > topS(pos - 1) ||
-                    (s == topS(pos - 1) && ids(i) < topId(pos - 1)))) pos -= 1
+                var pos = math.min(used, k)
+                while (pos > 0 && {
+                  val c = java.lang.Double.compare(s, topS(pos - 1))
+                  c > 0 || (c == 0 && ids(i) < topId(pos - 1))
+                }) pos -= 1
                 if (pos < k) {
                   var m = k - 1
                   while (m > pos) { topS(m) = topS(m - 1); topId(m) = topId(m - 1); m -= 1 }
                   topS(pos) = s; topId(pos) = ids(i)
+                  if (used < k) used += 1
                 }
               }
               i += 1
             }
           }
         }
-        topS.zip(topId).takeWhile(_._1 > Double.NegativeInfinity)
-          .map { case (s, id) => (id, s) }
+        topS.zip(topId).take(used).map { case (s, id) => (id, s) }
       }
     }
     val q = prepared(queries, idCol).withColumnRenamed(idCol, "query_id")

@@ -342,6 +342,28 @@ object TextQueries {
       "\nSELECT * FROM asource UNION ALL SELECT * FROM alang ORDER BY dim"
   }
 
+  /** Shared q241/q245 engine body — line, score each line against
+    * the corpus-fit bigram model (a codegen literal inside the array
+    * `filter` lambda), drop unfamiliar lines, reassemble in order.
+    * Stated ONCE so the batch query and the streaming lane can never
+    * drift (their oracle is likewise the shared [[ccnetLineOracle]]);
+    * `target` is the batch documents frame or its unbounded stream —
+    * the projection is stateless either way. */
+  private def lineFilterProjection(target: org.apache.spark.sql.DataFrame,
+                                   lm: graft.functions.CharLmModel): org.apache.spark.sql.DataFrame = {
+    val lines = split(
+      regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"), "\n")
+    val kept = filter(lines, l => {
+      val sc = GraftFunctions.char_bigram_score(l, lm)
+      sc.getField("n_bigrams") > lit(0L) &&
+        sc.getField("n_rare") * lit(20L) <= sc.getField("n_bigrams")
+    })
+    target.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("kept_text"))
+  }
+
   /** Shared q241/q245 oracle — the per-line LM filter stated once;
     * q245 (the STREAMING deployment) must equal the batch result
     * exactly. */
@@ -3010,18 +3032,7 @@ object TextQueries {
     Q("q241_ccnet_line_filter", Some(ccnetLineOracle)) { (s, d) =>
       val docs = Tables.documents(s, d)
       val lm = CharLm.collectModel(docs, rareFactor = 2000)
-      val lines = split(
-        regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"), "\n")
-      val kept = filter(lines, l => {
-        val sc = GraftFunctions.char_bigram_score(l, lm)
-        sc.getField("n_bigrams") > lit(0L) &&
-          sc.getField("n_rare") * lit(20L) <= sc.getField("n_bigrams")
-      })
-      docs.select(col("doc_id"),
-          size(lines).cast("long").as("n_lines"),
-          size(kept).cast("long").as("n_kept"),
-          array_join(kept, "\n").as("kept_text"))
-        .orderBy("doc_id")
+      lineFilterProjection(docs, lm).orderBy("doc_id")
     },
 
     // ---- q245: the STREAMING LINE-FILTER lane (r18) — q241's
@@ -3034,20 +3045,9 @@ object TextQueries {
     // stream-side shuffle, no watermark, appending at ingest rate.
     // Same oracle as q241: the hash proves batch/stream parity.
     Q("q245_stream_line_filter", Some(ccnetLineOracle)) { (s, d) =>
-      val docs = Tables.documents(s, d)
-      val lm = CharLm.collectModel(docs, rareFactor = 2000)
-      val lines = split(
-        regexp_replace(col("text"), "(\\S+ \\S+ \\S+) ", "$1\n"), "\n")
-      val kept = filter(lines, l => {
-        val sc = GraftFunctions.char_bigram_score(l, lm)
-        sc.getField("n_bigrams") > lit(0L) &&
-          sc.getField("n_rare") * lit(20L) <= sc.getField("n_bigrams")
-      })
-      val scored = graft.streaming.StreamLane.documents(s, d)
-        .select(col("doc_id"),
-          size(lines).cast("long").as("n_lines"),
-          size(kept).cast("long").as("n_kept"),
-          array_join(kept, "\n").as("kept_text"))
+      val lm = CharLm.collectModel(Tables.documents(s, d), rareFactor = 2000)
+      val scored = lineFilterProjection(
+        graft.streaming.StreamLane.documents(s, d), lm)
       graft.streaming.StreamLane.drain(s, scored, "append", "q245_mem",
           statePartitions = 8, noDataBatch = false)
         .orderBy("doc_id")

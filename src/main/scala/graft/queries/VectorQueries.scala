@@ -22,6 +22,22 @@ object VectorQueries {
                       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
                FROM embeddings)"""
 
+  /** Shared q237/q240/q243 serving fixture: standing/delta split,
+    * FROZEN standing-fit centroid model, merged (standing ∪ delta)
+    * index — stated once so the three serving routes (index join,
+    * streamed broadcast probe, sharded) provably serve the SAME
+    * index. Returns (corpus, centroids, merged index). */
+  private def mergedIndexSetup(s: org.apache.spark.sql.SparkSession, d: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
+    val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
+    val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
+    val merged = Similarity.ivfMergeDelta(
+      Similarity.ivfIndex(standing, cents), delta, cents)
+    (emb, cents, merged)
+  }
+
   /** Shared q237/q240 oracle: standing-only seeds + full-corpus
     * frozen-model assignment + probe + in-list scoring (see q237's
     * comment). q240 — the STREAMING serve lane — reuses it verbatim:
@@ -417,15 +433,10 @@ object VectorQueries {
     // the hash proves). The oracle replays standing-only seeds +
     // full-corpus assignment + probe + in-list scoring.
     Q("q237_ivf_index_serve", Some(ivfServeOracle)) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
-      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
-      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
-      // No checkpoint here (unlike q235): the merged index has ONE
-      // consumer — the serving join — so a materialization job would
-      // be pure cost, not a multi-consumer cut.
-      val merged = Similarity.ivfMergeDelta(
-        Similarity.ivfIndex(standing, cents), delta, cents)
+      // No checkpoint on the merged index here (unlike q235): it has
+      // ONE consumer — the serving join — so a materialization job
+      // would be pure cost, not a multi-consumer cut.
+      val (emb, cents, merged) = mergedIndexSetup(s, d)
       Similarity.ivfAnnWithIndex(emb, merged, cents,
           emb.filter(col("vec_id") < 10), k = 5, nProbe = 4)
         .withColumn("rank", col("rank").cast("long"))
@@ -441,12 +452,7 @@ object VectorQueries {
     // equal the batch q237 top-k bit-for-bit (same oracle SQL), so
     // the hash proves batch/stream parity, not just plausibility.
     Q("q240_stream_ann_serve", Some(ivfServeOracle)) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
-      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
-      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
-      val merged = Similarity.ivfMergeDelta(
-        Similarity.ivfIndex(standing, cents), delta, cents)
+      val (emb, cents, merged) = mergedIndexSetup(s, d)
       val qStream = graft.streaming.StreamLane.embeddings(s, d)
         .filter(col("vec_id") < 10)
       val served = Similarity.ivfServeBroadcast(emb, merged, cents,
@@ -468,13 +474,8 @@ object VectorQueries {
     // produce the identical result. At 1000 executors each shard is
     // broadcast-sized and the merge moves queries × k × shards rows.
     Q("q243_ivf_serve_sharded", Some(ivfServeOracle)) { (s, d) =>
-      val emb = Tables.embeddings(s, d)
-      val standing = emb.filter(pmod(col("vec_id"), lit(13)) =!= 0)
-      val delta = emb.filter(pmod(col("vec_id"), lit(13)) === 0)
-      val cents = Similarity.ivfCentroids(standing, nCentroids = 16)
-      val merged = Similarity.ivfMergeDelta(
-        Similarity.ivfIndex(standing, cents), delta, cents)
-        .localCheckpoint(true) // consumed once per shard — cut the 4× re-assign
+      val (emb, cents, merged0) = mergedIndexSetup(s, d)
+      val merged = merged0.localCheckpoint(true) // one consumer PER SHARD — cut the 4× re-assign
       Similarity.ivfServeSharded(emb, merged, cents,
           emb.filter(col("vec_id") < 10), k = 5, nProbe = 4, nShards = 4)
         .withColumn("rank", col("rank").cast("long"))
@@ -523,7 +524,7 @@ object VectorQueries {
                  CAST(row_number() OVER (PARTITION BY query_id
                                          ORDER BY sim_raw DESC, neighbor_id) AS BIGINT) AS rank
           FROM scored) WHERE rank <= 5),
-      tr AS (
+      tr AS MATERIALIZED (
         SELECT query_id, neighbor_id FROM (
           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
                  row_number() OVER (PARTITION BY q.vec_id
@@ -572,7 +573,7 @@ object VectorQueries {
     // decimal-summed chi2 doubles hash-gate (q126 precedent); the
     // refit flag is one comparison of identical doubles.
     Q("q246_index_drift", Some(ivfServeOracle.split("qa AS")(0) + """
-      h AS (SELECT CASE WHEN vec_id % 13 = 0 THEN 'delta' ELSE 'standing' END AS cohort,
+      h AS MATERIALIZED (SELECT CASE WHEN vec_id % 13 = 0 THEN 'delta' ELSE 'standing' END AS cohort,
                    CAST(centroid_id AS BIGINT) AS bin,
                    CAST(COUNT(*) AS BIGINT) AS o
             FROM ca GROUP BY 1, 2),
@@ -1900,7 +1901,7 @@ object VectorQueries {
                             c.vec_id) AS rn
           FROM p c JOIN p q ON q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id)
         WHERE rn <= 25),
-      toks AS (SELECT doc_id,
+      toks AS MATERIALIZED (SELECT doc_id,
                       list_distinct(list_filter(string_split(text, ' '),
                         x -> x <> '')) AS w
                FROM documents),
@@ -1949,7 +1950,7 @@ object VectorQueries {
                             c.vec_id) AS rn
           FROM p c JOIN p q ON q.vec_id % 97 = 0 AND c.vec_id <> q.vec_id)
         WHERE rn <= 25),
-      toks AS (SELECT doc_id,
+      toks AS MATERIALIZED (SELECT doc_id,
                       list_distinct(list_filter(string_split(text, ' '),
                         x -> x <> '')) AS w
                FROM documents),
@@ -1960,7 +1961,7 @@ object VectorQueries {
         FROM short s
         JOIN toks qt ON qt.doc_id = s.query_id
         JOIN toks ct ON ct.doc_id = s.cand_id),
-      rr AS (SELECT query_id, cand_id,
+      rr AS MATERIALIZED (SELECT query_id, cand_id,
                     CAST(row_number() OVER (PARTITION BY query_id
                       ORDER BY f1_e9 DESC, cand_id) AS BIGINT) AS rank,
                     f1_e9
