@@ -73,24 +73,29 @@ object Graph {
     */
   def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
                     maxKernelEdges: Int = 4000000): DataFrame = {
-    val ue = edges
+    val pairs = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
     // Size-routed strategy (r18, the q31/q217 convention): up to
-    // `maxKernelEdges` canonical edges the census runs as ONE
+    // `maxKernelEdges` RAW canonical pairs the census runs as ONE
     // broadcast-CSR kernel; above the bound, the declarative
-    // edge-intersection plan (the 100 TB shape) runs unchanged. The
-    // canonical list is checkpointed ONCE and the routing probe is a
-    // bounded COUNT over it — never an eager multi-million-row
-    // collect that the over-bound path would discard (r18 review);
-    // rows reach the driver only after the guard admits them, and
-    // both routes reuse the same materialization.
-    val ueCk = ue.localCheckpoint(true)
-    if (ueCk.limit(maxKernelEdges + 1).count() <= maxKernelEdges)
-      triangleCountKernel(edges.sparkSession, ueCk.collect())
-    else triangleCountViaJoins(ueCk)
+    // edge-intersection plan (the 100 TB shape) runs unchanged.
+    // Routing on the RAW pair count (r18 opt pass, guide §2.4) makes
+    // the kernel path EXCHANGE-FREE: the probe count is map-side
+    // partials over the scan (no distinct shuffle, no checkpoint
+    // caching), the collect re-reads the same deterministic scan, and
+    // the exact dedup happens in dense-id space on the guard-admitted
+    // driver array ([[densePairs]], one primitive sort). raw ≥
+    // distinct, so the bound still caps what reaches the driver; a
+    // duplicate-heavy graph routes conservatively to the declarative
+    // plan, whose own distinct handles it at any scale (its distinct
+    // exchanges dedup via ReusedExchange inside the one oriented-list
+    // checkpoint job — the r16 probe measured checkpointing ue as
+    // well SLOWER, o-only 1.35 s vs all-three 1.85 s).
+    if (pairs.count() <= maxKernelEdges)
+      triangleCountKernel(edges.sparkSession, pairs.collect())
+    else triangleCountViaJoins(pairs.distinct())
   }
 
   /** The declarative edge-intersection census over canonical
@@ -156,23 +161,16 @@ object Graph {
             (col("deg") * (col("deg") - 1L)).cast("double")))
   }
 
-  /** Broadcast-CSR triangle kernel (r18): the collected canonical
-    * edge list becomes a degree-oriented compressed adjacency on the
-    * driver (dense ids, per-list sort — the same Chiba–Nishizeki
-    * orientation as the join plan), broadcast once, and the
-    * edge-by-edge sorted-merge intersections run in executor tasks
-    * over index ranges — triangle counting is the arithmetic, with
-    * none of the join/aggregate machinery around it (the q217
-    * graph-serve lesson: ~100 ns/row of operator overhead dominates
-    * a sub-second census). Per-task scratch is one long[] of node
-    * width (guard-bounded); partials shuffle as at most
-    * 3·(edges/partition) narrow rows. Output identical to the join
-    * plan row-for-row (spec-pinned differentially). */
-  private def triangleCountKernel(spark: org.apache.spark.sql.SparkSession,
-                                  rows: Array[org.apache.spark.sql.Row]): DataFrame = {
-    import spark.implicits._
-    val m = rows.length
-    // Dense ids over the sorted node universe.
+  /** Dense-id mapping + exact dedup of RAW canonical (u,v) pairs,
+    * driver-side (r18 opt pass): the node universe sorts into a dense
+    * index, each pair encodes as one long `(denseU << 32) | denseV`
+    * (dense ids are < 2³¹ by the routing guard), and one primitive
+    * `Arrays.sort` + unique-scan removes duplicates — no boxing, no
+    * per-pair allocation, O(m log m). Shared by both broadcast-CSR
+    * kernels so the routing probe can count RAW rows (exchange-free
+    * scan) instead of paying a distinct shuffle before the guard. */
+  private def densePairs(rows: Array[org.apache.spark.sql.Row])
+      : (Array[Long], Array[Int], Array[Int]) = {
     val nodeSet = new java.util.TreeSet[java.lang.Long]()
     rows.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)) }
     val nodes = new Array[Long](nodeSet.size())
@@ -180,17 +178,55 @@ object Graph {
       var i = 0; val it = nodeSet.iterator()
       while (it.hasNext) { nodes(i) = it.next(); i += 1 }
     }
-    val n = nodes.length
     def dense(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val enc = new Array[Long](rows.length)
+    locally {
+      var i = 0
+      while (i < rows.length) {
+        enc(i) = (dense(rows(i).getLong(0)).toLong << 32) |
+          (dense(rows(i).getLong(1)).toLong & 0xffffffffL)
+        i += 1
+      }
+    }
+    java.util.Arrays.sort(enc)
+    var m = 0
+    locally {
+      var i = 0
+      while (i < enc.length) {
+        if (i == 0 || enc(i) != enc(i - 1)) { enc(m) = enc(i); m += 1 }
+        i += 1
+      }
+    }
     val eu = new Array[Int](m); val ev = new Array[Int](m)
+    locally {
+      var i = 0
+      while (i < m) { eu(i) = (enc(i) >>> 32).toInt; ev(i) = enc(i).toInt; i += 1 }
+    }
+    (nodes, eu, ev)
+  }
+
+  /** Broadcast-CSR triangle kernel (r18): the collected canonical
+    * pair list (raw; [[densePairs]] dedups exactly) becomes a
+    * degree-oriented compressed adjacency on the driver (dense ids,
+    * per-list sort — the same Chiba–Nishizeki orientation as the join
+    * plan), broadcast once, and the edge-by-edge sorted-merge
+    * intersections run in executor tasks over index ranges — triangle
+    * counting is the arithmetic, with none of the join/aggregate
+    * machinery around it (the q217 graph-serve lesson: ~100 ns/row of
+    * operator overhead dominates a sub-second census). Per-task
+    * scratch is one long[] of node width (guard-bounded). Output
+    * identical to the join plan row-for-row (spec-pinned
+    * differentially). */
+  private def triangleCountKernel(spark: org.apache.spark.sql.SparkSession,
+                                  rows: Array[org.apache.spark.sql.Row]): DataFrame = {
+    import spark.implicits._
+    val (nodes, eu, ev) = densePairs(rows)
+    val n = nodes.length
+    val m = eu.length
     val degArr = new Array[Int](n)
     locally {
       var i = 0
-      while (i < m) {
-        val a = dense(rows(i).getLong(0)); val b = dense(rows(i).getLong(1))
-        eu(i) = a; ev(i) = b; degArr(a) += 1; degArr(b) += 1
-        i += 1
-      }
+      while (i < m) { degArr(eu(i)) += 1; degArr(ev(i)) += 1; i += 1 }
     }
     // Orientation: lower (deg, node) endpoint points at the higher.
     @inline def firstLower(a: Int, b: Int): Boolean =
@@ -222,39 +258,56 @@ object Graph {
     val bc = spark.sparkContext.broadcast((nodes, degArr, ptr, adj, ex, ey))
     val parts = spark.sparkContext.defaultParallelism.max(1)
     // Edge-range tasks: each intersects its slice's out-lists against
-    // the broadcast CSR and emits (dense id, partial count) nonzeros.
-    val partials = spark.range(0, parts.toLong).as[Long].flatMap { p =>
-      val (_, _, bPtr, bAdj, bEx, bEy) = bc.value
-      val mm = bEx.length
-      val lo = (p * mm / parts).toInt
-      val hi = ((p + 1) * mm / parts).toInt
-      val cnt = new Array[Long](bPtr.length - 1)
-      var i = lo
-      while (i < hi) {
-        val x = bEx(i); val y = bEy(i)
-        var a = bPtr(x); val aEnd = bPtr(x + 1)
-        var b = bPtr(y); val bEnd = bPtr(y + 1)
-        while (a < aEnd && b < bEnd) {
-          val za = bAdj(a); val zb = bAdj(b)
-          if (za == zb) { cnt(x) += 1; cnt(y) += 1; cnt(za) += 1; a += 1; b += 1 }
-          else if (za < zb) a += 1
-          else b += 1
+    // the broadcast CSR into one dense long[] of node width, and the
+    // per-task arrays TREE-REDUCE by elementwise sum (exact — long
+    // addition is associative/commutative) instead of shuffling
+    // (nid, cnt) rows through a groupBy + left join: the reduced
+    // array is ≤ 8·n bytes, strictly smaller than the edge list the
+    // guard already admitted to the driver, and cutting the
+    // aggregate+join tail removes three AQE shuffle jobs from a
+    // sub-second census (r18 opt pass: 10 → ~5 jobs; the emit below
+    // is the labelPropKernel broadcast+range convention, never a
+    // driver-built frame).
+    val counts: Array[Long] = spark.sparkContext
+      .range(0L, parts.toLong, 1L, parts)
+      .mapPartitions { ps =>
+        val (_, _, bPtr, bAdj, bEx, bEy) = bc.value
+        val mm = bEx.length
+        val cnt = new Array[Long](bPtr.length - 1)
+        ps.foreach { p =>
+          val lo = (p * mm / parts).toInt
+          val hi = ((p + 1) * mm / parts).toInt
+          var i = lo
+          while (i < hi) {
+            val x = bEx(i); val y = bEy(i)
+            var a = bPtr(x); val aEnd = bPtr(x + 1)
+            var b = bPtr(y); val bEnd = bPtr(y + 1)
+            while (a < aEnd && b < bEnd) {
+              val za = bAdj(a); val zb = bAdj(b)
+              if (za == zb) { cnt(x) += 1; cnt(y) += 1; cnt(za) += 1; a += 1; b += 1 }
+              else if (za < zb) a += 1
+              else b += 1
+            }
+            i += 1
+          }
         }
-        i += 1
+        Iterator.single(cnt)
       }
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
-      var v = 0
-      while (v < cnt.length) { if (cnt(v) != 0) out += ((v, cnt(v))); v += 1 }
-      out
-    }.toDF("nid", "cnt")
-    val tri = partials.groupBy(col("nid")).agg(sum(col("cnt")).as("n_tri"))
-    val nodesDf = spark.range(0, n.toLong).as[Long].map { i =>
+      // reduce, not fold: fold would serialize its 8·n-byte zero
+      // array into every task closure; reduce merges only the
+      // per-partition results (each task emits exactly one array, so
+      // the RDD is never empty). In-place += is safe — every operand
+      // is a task-private deserialized copy.
+      .reduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    val bcCnt = spark.sparkContext.broadcast(counts)
+    spark.range(0, n.toLong).as[Long].map { i =>
       val (bNodes, bDeg, _, _, _, _) = bc.value
-      (i.toInt, bNodes(i.toInt), bDeg(i.toInt).toLong)
-    }.toDF("nid", "node", "deg")
-    nodesDf.join(tri, Seq("nid"), "left")
-      .select(col("node"), col("deg"),
-        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      (bNodes(i.toInt), bDeg(i.toInt).toLong, bcCnt.value(i.toInt))
+    }.toDF("node", "deg", "n_tri")
       .withColumn("clust",
         when(col("deg") >= 2,
           (col("n_tri") * 2L).cast("double") /
@@ -595,22 +648,24 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
                        rounds: Int, maxKernelEdges: Int = 4000000): DataFrame = {
     require(rounds >= 0, "rounds must be nonnegative")
-    val ue0 = edges
+    val pairs = edges
       .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
     // Size-routed strategy (r18, the q105 kernel convention): up to
     // `maxKernelEdges` canonical edges the synchronous rounds run as
     // one broadcast-CSR kernel — each declarative round is a
     // join + two aggregates + a checkpoint, and at sub-second scale
     // those per-round jobs ARE the cost. Above the bound, the
-    // declarative rounds below run unchanged at any scale. Count
-    // probe over one shared checkpoint — rows reach the driver only
+    // declarative rounds below run unchanged at any scale. Raw-count
+    // routing (r18 opt pass, see [[triangleCount]]): the probe is a
+    // map-side-partial count over the scan — no distinct shuffle, no
+    // checkpoint on the kernel path — and the kernel dedups exactly
+    // in dense-id space ([[densePairs]]); rows reach the driver only
     // after the guard admits them (r18 review).
-    val ue = ue0.localCheckpoint(true)
-    if (ue.limit(maxKernelEdges + 1).count() <= maxKernelEdges)
-      return labelPropKernel(edges.sparkSession, ue.collect(), rounds)
+    if (pairs.count() <= maxKernelEdges)
+      return labelPropKernel(edges.sparkSession, pairs.collect(), rounds)
+    val ue = pairs.distinct().localCheckpoint(true)
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
     var labels = adj.select(col("node")).distinct()
@@ -641,25 +696,13 @@ object Graph {
                               rows: Array[org.apache.spark.sql.Row],
                               rounds: Int): DataFrame = {
     import spark.implicits._
-    val m = rows.length
-    val nodeSet = new java.util.TreeSet[java.lang.Long]()
-    rows.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)) }
-    val nodes = new Array[Long](nodeSet.size())
-    locally {
-      var i = 0; val it = nodeSet.iterator()
-      while (it.hasNext) { nodes(i) = it.next(); i += 1 }
-    }
+    val (nodes, eu, ev) = densePairs(rows)
     val n = nodes.length
-    def dense(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val m = eu.length
     val deg = new Array[Int](n)
-    val eu = new Array[Int](m); val ev = new Array[Int](m)
     locally {
       var i = 0
-      while (i < m) {
-        val a = dense(rows(i).getLong(0)); val b = dense(rows(i).getLong(1))
-        eu(i) = a; ev(i) = b; deg(a) += 1; deg(b) += 1
-        i += 1
-      }
+      while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
     }
     val ptr = new Array[Int](n + 1)
     locally { var i = 0; while (i < n) { ptr(i + 1) = ptr(i) + deg(i); i += 1 } }
