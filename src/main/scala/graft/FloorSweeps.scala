@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{Clustering, Curation, Evaluation, Graph, OrderedConcat,
-  Quantization, Similarity}
+import graft.operators.{Clustering, Curation, Dedup, Evaluation, Graph,
+  OrderedConcat, Quantization, Similarity}
 
 /** Round-close floor-sweep artifact emitter (r17, verdict ask #4):
   * reads the round's own bench artifact
@@ -275,6 +275,26 @@ object FloorSweeps {
               emb.filter(pmod(col("vec_id"), lit(97)) === 0), k = 25)
             .select(col("query_id"), col("neighbor_id").as("cand_id")),
           docReplicas(m), Similarity.LexicalOverlapEncoder, nNeg = 7).count()
+      },
+      "q146_editdist_neardup" -> { m =>
+        // Salted doc replicas (the q236 rationale: token-prefix salt
+        // keeps within-replica structure while making cross-replica
+        // band hashes disjoint) + the query's own planted "zz" twins
+        // per replica; twin ids offset past every replica range.
+        val docs = saltedDocReplicas(m)
+        val twins = docs.filter(pmod(col("doc_id"), lit(10L)) === 0L)
+          .select((col("doc_id") + 1000000000L).as("doc_id"),
+            concat(col("text"), lit(" zz")).as("text"))
+        Dedup.editDistanceNearDup(docs.unionByName(twins), maxEdits = 4)
+          .count()
+      },
+      "q150_pca_project" -> { m =>
+        // Sign-flip isometry replicas: the covariance accumulation and
+        // the projection both grow m× in rows; the 64×64 power
+        // iteration is constant-size by construction.
+        val emb = embReplicas(m)
+        val model = graft.operators.Features.fitPcaTop(emb)
+        graft.operators.Features.pcaProject(emb, model).count()
       })
 
     val sb = new StringBuilder
