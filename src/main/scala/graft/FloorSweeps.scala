@@ -297,10 +297,26 @@ object FloorSweeps {
         graft.operators.Features.pcaProject(emb, model).count()
       })
 
+    // Force-include rows (r18 opt pass): SPARK_GRAFT_SWEEP_EXTRA=
+    // "q38_...,q107_..." sweeps named bar-STRADDLERS even when the
+    // current band reads them under 2× — so a quiet-band session can
+    // bank sweep evidence the next (possibly noisy) citable band will
+    // need, instead of the evidence chasing the band. Extra rows are
+    // flagged "forced":true in the artifact; the weak set itself is
+    // still derived from the bench artifact alone.
+    val forced = sys.env.get("SPARK_GRAFT_SWEEP_EXTRA").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+      .filterNot(q => weak.exists(_._1 == q))
+      .flatMap(q => for (s <- bench.get(q); d <- duck.get(q))
+        yield (q, s, d, s / d))
+    if (forced.nonEmpty)
+      println("FLOOR-SWEEPS forced extras: " + forced.map(_._1).mkString(", "))
+    val forcedNames = forced.map(_._1).toSet
+
     val sb = new StringBuilder
     val swept = scala.collection.mutable.ArrayBuffer.empty[String]
     val unswept = scala.collection.mutable.ArrayBuffer.empty[String]
-    for ((q, s, d, r) <- weak) builders.get(q) match {
+    for ((q, s, d, r) <- weak ++ forced) builders.get(q) match {
       case None =>
         unswept += q
         println(f"FLOOR-SWEEPS $q%-26s UNSWEPT (no builder registered)")
@@ -327,6 +343,7 @@ object FloorSweeps {
         }.mkString("[", ",", "]")
         swept += (
           s"""{"query":"$q","spark_min":${jn(s, 4)},"duck":${jn(d, 4)},"ratio":${jn(r, 3)},""" +
+          s""""forced":${forcedNames.contains(q)},""" +
           s""""sweeps":$sweepJson,"time_ratio_at_max_m":${jn(rows.last._3 / sec1, 3)},""" +
           s""""sublinear":$sub}""")
         // Unreference per-m replica caches between queries is not
