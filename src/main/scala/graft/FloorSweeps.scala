@@ -227,6 +227,17 @@ object FloorSweeps {
       "q231_bleu_components" -> { m =>
         Evaluation.bleuTruncationComponents(docReplicas(m)).count()
       },
+      "q103_pq_ann" -> { m =>
+        // r19 (the one r18-citable weak row without a builder):
+        // corpus AND query residue class both grow m× → ADC scoring
+        // work grows ~m²; subquantizer geometry fixed (the q107
+        // rationale verbatim, minus the rerank stage).
+        val emb = embReplicas(m)
+        val model = Quantization.fitPq(emb, m = 8, ksub = 8, iters = 1)
+        Quantization.adcTopK(emb,
+          emb.filter(pmod(col("vec_id"), lit(97)) === 0),
+          model = model, k = 5).count()
+      },
       "q107_pq_rerank" -> { m =>
         // Corpus AND query set both grow m× (each replica contributes
         // its own ~n/97 query residue class); subquantizer geometry

@@ -33,6 +33,23 @@ object JobCountProbe {
             println(f"  [job ${j.jobId} end] ${(System.nanoTime() - t0) / 1e9}%.3fs")
         }
       })
+    // Drain the asynchronous listener bus ADAPTIVELY (r19, r18
+    // advisor): a fixed sleep can under-wait under load, attributing
+    // late-arriving job events to the wrong rep. Poll until the
+    // counter has been stable for 3 consecutive 100 ms intervals
+    // (bounded at 5 s). Still heuristic — the bus exposes no public
+    // quiesce hook — so counts on a heavily contended machine carry a
+    // small residual race; the stability window makes mis-attribution
+    // unlikely rather than impossible, and the probe's output should
+    // be read with that caveat.
+    def drain(): Unit = {
+      var last = jobs.get(); var stable = 0; var waited = 0
+      while (stable < 3 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = jobs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    }
     spark.range(1000000L).selectExpr("sum(id)")
       .write.format("noop").mode("overwrite").save()
     for (n <- names) {
@@ -43,13 +60,13 @@ object JobCountProbe {
       val counts = (1 to reps).map { _ =>
         spark.sparkContext.getPersistentRDDs.values
           .foreach(_.unpersist(blocking = true))
-        Thread.sleep(200) // let listener events drain
+        drain()
         val before = jobs.get()
         val t0 = System.nanoTime()
         SparkEntry.queries(n)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         val sec = (System.nanoTime() - t0) / 1e9
-        Thread.sleep(200)
+        drain()
         (jobs.get() - before, sec)
       }
       println(f"JOBS $n%-30s " + counts.map { case (c, s) =>

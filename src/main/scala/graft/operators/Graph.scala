@@ -81,11 +81,13 @@ object Graph {
     // `maxKernelEdges` RAW canonical pairs the census runs as ONE
     // broadcast-CSR kernel; above the bound, the declarative
     // edge-intersection plan (the 100 TB shape) runs unchanged.
-    // Routing on the RAW pair count (r18 opt pass, guide §2.4) makes
-    // the kernel path EXCHANGE-FREE: the probe count is map-side
-    // partials over the scan (no distinct shuffle, no checkpoint
-    // caching), the collect re-reads the same deterministic scan, and
-    // the exact dedup happens in dense-id space on the guard-admitted
+    // Probe and collect are ONE bounded execution (r19, r18 advisor):
+    // `limit(n+1).collect()` short-circuits the scan once n+1 rows are
+    // gathered, so at most maxKernelEdges+1 rows ever reach the driver
+    // — the guard holds even for a non-deterministic source whose
+    // separate probe count would disagree with a second collect run,
+    // and the over-bound route no longer pays a full extra pass. The
+    // exact dedup happens in dense-id space on the guard-admitted
     // driver array ([[densePairs]], one primitive sort). raw ≥
     // distinct, so the bound still caps what reaches the driver; a
     // duplicate-heavy graph routes conservatively to the declarative
@@ -93,8 +95,9 @@ object Graph {
     // exchanges dedup via ReusedExchange inside the one oriented-list
     // checkpoint job — the r16 probe measured checkpointing ue as
     // well SLOWER, o-only 1.35 s vs all-three 1.85 s).
-    if (pairs.count() <= maxKernelEdges)
-      triangleCountKernel(edges.sparkSession, pairs.collect())
+    val probed = pairs.limit(maxKernelEdges + 1).collect()
+    if (probed.length <= maxKernelEdges)
+      triangleCountKernel(edges.sparkSession, probed)
     else triangleCountViaJoins(pairs.distinct())
   }
 
@@ -293,16 +296,21 @@ object Graph {
         }
         Iterator.single(cnt)
       }
-      // reduce, not fold: fold would serialize its 8·n-byte zero
-      // array into every task closure; reduce merges only the
-      // per-partition results (each task emits exactly one array, so
-      // the RDD is never empty). In-place += is safe — every operand
-      // is a task-private deserialized copy.
-      .reduce { (a, b) =>
+      // treeReduce, not plain reduce (r19, r18 advisor): plain reduce
+      // fetches every partition's 8·n-byte array to the driver and
+      // merges sequentially — at the guard bound (~8M nodes, 64 MB
+      // per array) with many partitions that concentrates transient
+      // driver memory; the depth-2 tree merges executor-side first,
+      // so the driver sees O(√parts) arrays. Not fold: fold would
+      // serialize its 8·n-byte zero array into every task closure
+      // (each task emits exactly one array, so the RDD is never
+      // empty). In-place += is safe — every operand is a
+      // task-private deserialized copy.
+      .treeReduce({ (a, b) =>
         var i = 0
         while (i < a.length) { a(i) += b(i); i += 1 }
         a
-      }
+      }, depth = 2)
     val bcCnt = spark.sparkContext.broadcast(counts)
     spark.range(0, n.toLong).as[Long].map { i =>
       val (bNodes, bDeg, _, _, _, _) = bc.value
@@ -432,8 +440,104 @@ object Graph {
       .localCheckpoint(true)
 
   def kHopReach(edges: DataFrame, srcCol: String, dstCol: String,
-                k: Int): DataFrame =
+                k: Int, maxKernelEdges: Int = 4000000): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // Size-routed strategy (r19, the q105/q118 convention): up to
+    // `maxKernelEdges` RAW canonical pairs the census runs as ONE
+    // broadcast-CSR kernel — per-node depth-bounded BFS in executor
+    // tasks, with none of the per-hop join/distinct/anti-join
+    // machinery around it (at toy SF those per-hop jobs ARE the
+    // cost). Probe and collect are one bounded `limit(n+1).collect()`
+    // execution (the r18-advisor discipline): at most n+1 rows ever
+    // reach the driver, and the scan short-circuits over the bound.
+    // densePairs dedups exactly in dense-id space, so the kernel
+    // skips the canonical distinct+checkpoint entirely. Above the
+    // bound the declarative semi-naive frontier plan (the 100 TB
+    // shape) runs unchanged.
+    if (maxKernelEdges > 0) {
+      val pairs = edges
+        .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+      val probed = pairs.limit(maxKernelEdges + 1).collect()
+      if (probed.length <= maxKernelEdges)
+        return kHopReachKernel(edges.sparkSession, probed, k)
+    }
     kHopReachCanonical(canonicalUndirected(edges, srcCol, dstCol), k)
+  }
+
+  /** Broadcast-CSR k-hop reach kernel: EXACTLY the declarative
+    * census's semantics — |{w : 0 < dist(u, w) ≤ k}| per node — as a
+    * depth-bounded BFS from every node over the broadcast symmetric
+    * adjacency. Node-range tasks each own their nodes' full BFS, so
+    * unlike [[triangleCountKernel]] no cross-task reduce is needed:
+    * each task emits its (node, n_reach) rows directly. Per-task
+    * scratch is three int arrays of node width (12·n bytes,
+    * guard-bounded like the triangle kernel's long[]); the stamp
+    * trick avoids clearing them between BFS runs. */
+  private def kHopReachKernel(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row],
+                              k: Int): DataFrame = {
+    import spark.implicits._
+    val (nodes, eu, ev) = densePairs(rows)
+    val n = nodes.length
+    val m = eu.length
+    val deg = new Array[Int](n)
+    locally {
+      var i = 0
+      while (i < m) { deg(eu(i)) += 1; deg(ev(i)) += 1; i += 1 }
+    }
+    val ptr = new Array[Int](n + 1)
+    locally { var i = 0; while (i < n) { ptr(i + 1) = ptr(i) + deg(i); i += 1 } }
+    val adj = new Array[Int](2 * m)
+    locally {
+      val fill = java.util.Arrays.copyOf(ptr, n)
+      var i = 0
+      while (i < m) {
+        adj(fill(eu(i))) = ev(i); fill(eu(i)) += 1
+        adj(fill(ev(i))) = eu(i); fill(ev(i)) += 1
+        i += 1
+      }
+    }
+    val bc = spark.sparkContext.broadcast((nodes, ptr, adj))
+    val kk = k
+    spark.range(0, n.toLong).as[Long].mapPartitions { it =>
+      val (bNodes, bPtr, bAdj) = bc.value
+      val nn = bPtr.length - 1
+      // stamp marks nodes visited by the CURRENT BFS (≤ nn BFS per
+      // task, so an Int stamp cannot wrap); dist rides the queue.
+      val stamp = new Array[Int](nn)
+      val dist = new Array[Int](nn)
+      val queue = new Array[Int](nn)
+      var cur = 0
+      it.map { uL =>
+        val u = uL.toInt
+        cur += 1
+        stamp(u) = cur; dist(u) = 0
+        queue(0) = u
+        var head = 0; var tail = 1
+        var cnt = 0L
+        while (head < tail) {
+          val x = queue(head); head += 1
+          val dx = dist(x)
+          if (dx < kk) {
+            var e = bPtr(x)
+            val end = bPtr(x + 1)
+            while (e < end) {
+              val y = bAdj(e)
+              if (stamp(y) != cur) {
+                stamp(y) = cur; dist(y) = dx + 1
+                queue(tail) = y; tail += 1
+                cnt += 1L
+              }
+              e += 1
+            }
+          }
+        }
+        (bNodes(u), cnt)
+      }
+    }.toDF("node", "n_reach")
+  }
 
   /** [[kHopReach]] over an already-canonical, already-materialized
     * `(u, v)` edge frame (see [[canonicalUndirected]]). */
@@ -522,11 +626,34 @@ object Graph {
     // the exact path's pair-set cost actually scales with.
     val ue = canonicalUndirected(edges, srcCol, dstCol)
     val probe = math.min(maxExactEdges + 1, Int.MaxValue.toLong).toInt
-    val small = ue.limit(probe).count() <= maxExactEdges
-    if (small) kHopReachCanonical(ue, k)
-    else hyperBallCanonical(ue, k, p)
-      .select(col("node"),
+    // Bounded limit-collect (r19): when the admitted exact frame also
+    // fits the broadcast-CSR kernel bound, the probe IS the collect —
+    // one execution, ≤ probe rows on the driver (ue is materialized,
+    // so the rows are the complete canonical set whenever fewer than
+    // `probe` come back). Above the kernel bound the exact branch
+    // stays declarative, probed by the bounded count as before.
+    if (maxExactEdges <= 4000000L) {
+      // Collect up to the LARGER of the exact bound and the HyperBall
+      // kernel bound, so one bounded execution decides (and feeds)
+      // whichever kernel the size admits — the r18-advisor discipline
+      // with no second probe job on the routed branch.
+      val lim = math.max(probe.toLong, HyperBallKernelBound.toLong + 1L).toInt
+      val probed = ue.limit(lim).collect()
+      if (probed.length <= maxExactEdges)
+        return kHopReachKernel(edges.sparkSession, probed, k)
+      val est =
+        if (probed.length <= HyperBallKernelBound)
+          hyperBallKernel(edges.sparkSession, probed, k, p)
+        else hyperBallCanonical(ue, k, p, maxKernelEdges = 0)
+      est.select(col("node"),
         floor(col("ball_estimate") - lit(0.5)).cast("long").as("n_reach"))
+    } else {
+      val small = ue.limit(probe).count() <= maxExactEdges
+      if (small) kHopReachCanonical(ue, k)
+      else hyperBallCanonical(ue, k, p)
+        .select(col("node"),
+          floor(col("ball_estimate") - lit(0.5)).cast("long").as("n_reach"))
+    }
   }
 
   /** HYPERBALL — the approximate scale path [[kHopReach]] documents:
@@ -550,13 +677,54 @@ object Graph {
     * state to a driver-side BFS-ball replay EXACTLY, plus estimate
     * monotonicity in k. */
   def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
-                k: Int, p: Int = 6): DataFrame =
-    hyperBallCanonical(canonicalUndirected(edges, srcCol, dstCol), k, p)
+                k: Int, p: Int = 6,
+                maxKernelEdges: Int = HyperBallKernelBound): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    // Size-routed (r19, the q105/q118 convention): up to
+    // `maxKernelEdges` RAW canonical pairs the register evolution
+    // runs as one driver-fold kernel over a dense byte matrix —
+    // probe and collect are one bounded `limit(n+1).collect()`
+    // execution, densePairs dedups exactly, and the kernel skips the
+    // canonical distinct+checkpoint plus the k (join + udaf-agg +
+    // checkpoint) rounds entirely. Above the bound the declarative
+    // packed-register plan (the 100 TB shape) runs unchanged —
+    // routed conservatively, since raw ≥ distinct.
+    if (maxKernelEdges > 0) {
+      val pairs = edges
+        .select(least(col(srcCol), col(dstCol)).cast("long").as("u"),
+          greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+        .filter(col("u") =!= col("v"))
+      val probed = pairs.limit(maxKernelEdges + 1).collect()
+      if (probed.length <= maxKernelEdges)
+        return hyperBallKernel(edges.sparkSession, probed, k, p)
+    }
+    hyperBallCanonical(canonicalUndirected(edges, srcCol, dstCol), k, p,
+      maxKernelEdges = 0)
+  }
+
+  /** Kernel bound for [[hyperBall]]: tighter than the triangle/LPA
+    * 4M-edge bound because the kernel's state is the DENSE register
+    * matrix — n·2^p bytes, two copies during a round, broadcast once
+    * for the sparse emit. At 2^20 canonical edges (n ≤ 2^21 nodes,
+    * p=6) that is ≤ 128 MB per copy, the same ballpark as the
+    * triangle kernel's broadcast CSR at ITS bound; beyond it the
+    * declarative evolution is the right shape anyway. */
+  private val HyperBallKernelBound: Int = 1 << 20
 
   /** [[hyperBall]] over an already-canonical, already-materialized
-    * `(u, v)` edge frame (see [[canonicalUndirected]]). */
-  private[graft] def hyperBallCanonical(ue: DataFrame, k: Int, p: Int = 6): DataFrame = {
+    * `(u, v)` edge frame (see [[canonicalUndirected]]) — the entry
+    * point [[kHopReachAuto]] routes to. Routes to the register
+    * kernel below `maxKernelEdges` (pass 0 to force the declarative
+    * evolution; the frame is materialized, so the bounded
+    * limit-collect reads it back deterministically). */
+  private[graft] def hyperBallCanonical(ue: DataFrame, k: Int, p: Int = 6,
+                                        maxKernelEdges: Int = HyperBallKernelBound): DataFrame = {
     require(k >= 1, "k must be >= 1")
+    if (maxKernelEdges > 0) {
+      val probed = ue.limit(maxKernelEdges + 1).collect()
+      if (probed.length <= maxKernelEdges)
+        return hyperBallKernel(ue.sparkSession, probed, k, p)
+    }
     val m = 1 << p
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
@@ -624,6 +792,91 @@ object Graph {
       org.apache.spark.sql.Encoders.BINARY
   }
 
+  /** JVM replay of [[Sketches]]' 60-bit HLL hash: first 15 hex chars
+    * of md5(x.toString) parsed base-16 — i.e. the top 60 bits of the
+    * digest's first 8 bytes. Bit-identical to the Catalyst
+    * `conv(substring(md5(cast(x as string)), 1, 15), 16, 10)`
+    * expression (both engines hash the UTF-8 decimal string), which
+    * is what keeps the kernel's register evolution oracle-exact. */
+  private def hll60Jvm(x: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(java.lang.Long.toString(x).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 0
+    while (i < 8) { h = (h << 8) | (d(i) & 0xffL); i += 1 }
+    h >>> 4
+  }
+
+  /** Driver-fold HyperBall kernel: EXACTLY the declarative packed
+    * evolution's semantics — ball_r(u) = regmax(ball_{r−1}(u),
+    * max over neighbors) with md5-derived (register, rank) seeds —
+    * over a dense n×2^p byte matrix (guard-bounded, see
+    * [[HyperBallKernelBound]]). Deterministic integer arithmetic
+    * end-to-end, so the evolution is oracle-replayable exactly as
+    * the declarative route's; the finalize (the one division) is
+    * NOT replicated — the kernel emits the same sparse
+    * (node, reg, maxrho) rows the declarative unpack produces and
+    * feeds the SAME [[Sketches.hllFinalize]], so the estimate's
+    * floating-point path is shared, not duplicated. Emit is the
+    * broadcast + range flatMap convention, never a driver-built
+    * frame. */
+  private def hyperBallKernel(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row],
+                              k: Int, p: Int): DataFrame = {
+    import spark.implicits._
+    val m = 1 << p
+    val low = 60 - p
+    val (nodes, eu, ev) = densePairs(rows)
+    val n = nodes.length
+    val mm = eu.length
+    var cur = new Array[Byte](n * m)
+    locally {
+      var u = 0
+      while (u < n) {
+        val h = hll60Jvm(nodes(u))
+        val reg = (h >>> low).toInt
+        val lowBits = h & ((1L << low) - 1)
+        // rank = leading-zero count of the low field, plus one:
+        // length(bin(x)) = 64 − numberOfLeadingZeros(x).
+        val rho =
+          if (lowBits == 0L) low + 1
+          else low + 1 - (64 - java.lang.Long.numberOfLeadingZeros(lowBits))
+        cur(u * m + reg) = rho.toByte
+        u += 1
+      }
+    }
+    var r = 0
+    while (r < k) {
+      val next = cur.clone()
+      var i = 0
+      while (i < mm) {
+        val ou = eu(i) * m; val ov = ev(i) * m
+        var j = 0
+        while (j < m) {
+          if (cur(ov + j) > next(ou + j)) next(ou + j) = cur(ov + j)
+          if (cur(ou + j) > next(ov + j)) next(ov + j) = cur(ou + j)
+          j += 1
+        }
+        i += 1
+      }
+      cur = next
+      r += 1
+    }
+    val bc = spark.sparkContext.broadcast((nodes, cur))
+    val mWidth = m
+    val sparse = spark.range(0, n.toLong).as[Long].flatMap { uL =>
+      val (bNodes, bRegs) = bc.value
+      val off = uL.toInt * mWidth
+      val node = bNodes(uL.toInt)
+      (0 until mWidth).iterator.collect {
+        case reg if bRegs(off + reg) > 0 =>
+          (node, reg.toLong, bRegs(off + reg).toInt)
+      }
+    }.toDF("node", "reg", "maxrho")
+    Sketches.hllFinalize(sparse, Seq("node"), p)
+      .withColumnRenamed("nd_estimate", "ball_estimate")
+  }
+
   /** Synchronous label-propagation community detection — the graph
     * tier's grouping lens beside q47's connectivity (components join
     * everything reachable; communities stop where the link density
@@ -657,14 +910,15 @@ object Graph {
     // one broadcast-CSR kernel — each declarative round is a
     // join + two aggregates + a checkpoint, and at sub-second scale
     // those per-round jobs ARE the cost. Above the bound, the
-    // declarative rounds below run unchanged at any scale. Raw-count
-    // routing (r18 opt pass, see [[triangleCount]]): the probe is a
-    // map-side-partial count over the scan — no distinct shuffle, no
-    // checkpoint on the kernel path — and the kernel dedups exactly
-    // in dense-id space ([[densePairs]]); rows reach the driver only
-    // after the guard admits them (r18 review).
-    if (pairs.count() <= maxKernelEdges)
-      return labelPropKernel(edges.sparkSession, pairs.collect(), rounds)
+    // declarative rounds below run unchanged at any scale. Probe and
+    // collect are ONE bounded `limit(n+1).collect()` execution (r19,
+    // r18 advisor — see [[triangleCount]]): at most maxKernelEdges+1
+    // rows ever reach the driver regardless of source determinism,
+    // and the scan short-circuits once the bound is exceeded; the
+    // kernel dedups exactly in dense-id space ([[densePairs]]).
+    val probed = pairs.limit(maxKernelEdges + 1).collect()
+    if (probed.length <= maxKernelEdges)
+      return labelPropKernel(edges.sparkSession, probed, rounds)
     val ue = pairs.distinct().localCheckpoint(true)
     val adj = ue.select(col("u").as("node"), col("v").as("nbr"))
       .union(ue.select(col("v").as("node"), col("u").as("nbr")))
@@ -885,8 +1139,25 @@ object Graph {
     * localCheckpoint'd per round (the q47/q60 lineage lesson). No
     * windows, no driver-side state. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           rounds: Int): DataFrame = {
+           rounds: Int, maxKernelEdges: Int = 4000000): DataFrame = {
     require(rounds >= 1, "rounds must be >= 1")
+    // Size-routed (r19, the q105/q118 convention): up to
+    // `maxKernelEdges` RAW directed pairs the integer recurrence
+    // runs as one driver-fold kernel (two long arrays, O(m) per
+    // round — exact, since unnormalized HITS is pure long addition).
+    // Probe and collect are one bounded `limit(n+1).collect()`
+    // execution; [[densePairs]] dedups the directed pairs exactly
+    // (it encodes (col0, col1) as given — canonicalization is the
+    // CALLER's projection, absent here). Above the bound the
+    // declarative per-round join/agg plan runs unchanged.
+    if (maxKernelEdges > 0) {
+      val rawPairs = edges
+        .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val probed = rawPairs.limit(maxKernelEdges + 1).collect()
+      if (probed.length <= maxKernelEdges)
+        return hitsKernel(edges.sparkSession, probed, rounds)
+    }
     val e = edges
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -915,14 +1186,68 @@ object Graph {
       .select(col("node"), col("h").as("hub"), col("a").as("auth"))
   }
 
+  /** Driver-fold HITS kernel: EXACTLY the declarative recurrence —
+    * aᵣ(v) = Σ_{(u,v)∈E} hᵣ₋₁(u) then hᵣ(u) = Σ_{(u,v)∈E} aᵣ(v)
+    * from h₀ = 1 over the deduped directed edge set, unnormalized
+    * long arithmetic (associative/commutative, so the fold order
+    * cannot change the result). O(m) per round on two long arrays;
+    * emit via broadcast + range map, never a driver-built frame. */
+  private def hitsKernel(spark: org.apache.spark.sql.SparkSession,
+                         rows: Array[org.apache.spark.sql.Row],
+                         rounds: Int): DataFrame = {
+    import spark.implicits._
+    val (nodes, eu, ev) = densePairs(rows)
+    val n = nodes.length
+    val m = eu.length
+    var hub = Array.fill(n)(1L)
+    var auth = new Array[Long](n)
+    var r = 0
+    while (r < rounds) {
+      auth = new Array[Long](n)
+      locally {
+        var i = 0
+        while (i < m) { auth(ev(i)) += hub(eu(i)); i += 1 }
+      }
+      hub = new Array[Long](n)
+      locally {
+        var i = 0
+        while (i < m) { hub(eu(i)) += auth(ev(i)); i += 1 }
+      }
+      r += 1
+    }
+    val bc = spark.sparkContext.broadcast((nodes, hub, auth))
+    spark.range(0, n.toLong).as[Long].map { i =>
+      val (bn, bh, ba) = bc.value
+      (bn(i.toInt), bh(i.toInt), ba(i.toInt))
+    }.toDF("node", "hub", "auth")
+  }
+
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int, dampNum: Long = 85L, dampDen: Long = 100L,
-               scale: Long = 1000000000000L): DataFrame = {
+               scale: Long = 1000000000000L,
+               maxKernelEdges: Int = 4000000): DataFrame = {
     require(iters >= 0, "iters must be nonnegative")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
     require(scale > 0, "scale must be positive")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // Size-routed (r19, the q105/q118 convention): up to
+    // `maxKernelEdges` RAW edge rows the scaled-integer recurrence
+    // runs as one driver-fold kernel — exact, because every step is
+    // long `div`/`+` whose fold order cannot change the result.
+    // Probe and collect are one bounded `limit(n+1).collect()`
+    // execution. The kernel keeps multi-edges and self-loops
+    // ([[denseDirectedKeepDup]]) — out-degree and contribution are
+    // per-ROW in this operator — and declines rows with null
+    // endpoints (no projection filters them here), routing those to
+    // the declarative plan whose join semantics define them.
+    if (maxKernelEdges > 0) {
+      val probed = e.limit(maxKernelEdges + 1).collect()
+      if (probed.length <= maxKernelEdges &&
+          !probed.exists(r => r.isNullAt(0) || r.isNullAt(1)))
+        return pageRankKernel(edges.sparkSession, probed, iters,
+          dampNum, dampDen, scale)
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
@@ -958,6 +1283,78 @@ object Graph {
     ranks
   }
 
+  /** Dense-id mapping of RAW directed `(a, b)` rows WITHOUT dedup —
+    * [[densePairs]]' sibling for operators whose semantics count
+    * multi-edges and self-loops ([[pageRank]]'s out-degree and
+    * per-edge contribution are per-ROW). Callers must have screened
+    * null endpoints. */
+  private def denseDirectedKeepDup(rows: Array[org.apache.spark.sql.Row])
+      : (Array[Long], Array[Int], Array[Int]) = {
+    val nodeSet = new java.util.TreeSet[java.lang.Long]()
+    rows.foreach { r => nodeSet.add(r.getLong(0)); nodeSet.add(r.getLong(1)) }
+    val nodes = new Array[Long](nodeSet.size())
+    locally {
+      var i = 0; val it = nodeSet.iterator()
+      while (it.hasNext) { nodes(i) = it.next(); i += 1 }
+    }
+    def dense(x: Long): Int = java.util.Arrays.binarySearch(nodes, x)
+    val eu = new Array[Int](rows.length)
+    val ev = new Array[Int](rows.length)
+    locally {
+      var i = 0
+      while (i < rows.length) {
+        eu(i) = dense(rows(i).getLong(0)); ev(i) = dense(rows(i).getLong(1))
+        i += 1
+      }
+    }
+    (nodes, eu, ev)
+  }
+
+  /** Driver-fold PageRank kernel: EXACTLY the declarative scaled-
+    * integer recurrence — init `scale div n`, per iteration
+    * `r'(v) = base + Σ (dampNum·r(u)) div (dampDen·outdeg(u))` over
+    * RAW edge rows (multi-edges and self-loops counted, dangling
+    * nodes leak mass — the declarative semantics verbatim; all
+    * operands are nonnegative, so Scala's truncating `/` IS SQL
+    * `div`). O(m) per iteration on long arrays; emit via broadcast +
+    * range map. */
+  private def pageRankKernel(spark: org.apache.spark.sql.SparkSession,
+                             rows: Array[org.apache.spark.sql.Row],
+                             iters: Int, dampNum: Long, dampDen: Long,
+                             scale: Long): DataFrame = {
+    import spark.implicits._
+    if (rows.isEmpty)
+      return spark.emptyDataset[(Long, Long)].toDF("node", "rank_scaled")
+    val (nodes, eu, ev) = denseDirectedKeepDup(rows)
+    val n = nodes.length
+    val m = eu.length
+    val outdeg = new Array[Long](n)
+    locally {
+      var i = 0
+      while (i < m) { outdeg(eu(i)) += 1L; i += 1 }
+    }
+    val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    var ranks = Array.fill(n)(scale / n)
+    var it = 0
+    while (it < iters) {
+      val s = new Array[Long](n)
+      var i = 0
+      while (i < m) {
+        s(ev(i)) += (dampNum * ranks(eu(i))) / (dampDen * outdeg(eu(i)))
+        i += 1
+      }
+      var v = 0
+      while (v < n) { s(v) += base; v += 1 }
+      ranks = s
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast((nodes, ranks))
+    spark.range(0, n.toLong).as[Long].map { i =>
+      val (bn, br) = bc.value
+      (bn(i.toInt), br(i.toInt))
+    }.toDF("node", "rank_scaled")
+  }
+
   /** Personalized PageRank / TrustRank (Gyöngyi et al.): the
     * [[pageRank]] recurrence with teleport restricted to a SEED set —
     * rank mass flows out from trusted nodes only, so the score reads
@@ -979,12 +1376,31 @@ object Graph {
   def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
                            seeds: DataFrame, seedCol: String, iters: Int,
                            dampNum: Long = 85L, dampDen: Long = 100L,
-                           scale: Long = 1000000000000L): DataFrame = {
+                           scale: Long = 1000000000000L,
+                           maxKernelEdges: Int = 4000000): DataFrame = {
     require(iters >= 0, "iters must be nonnegative")
     require(dampDen > 0 && dampNum >= 0 && dampNum <= dampDen, "damping must be in [0, 1]")
     require(scale > 0, "scale must be positive")
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
+    // Size-routed like [[pageRank]] (r19): bounded limit-collect of
+    // BOTH the raw edge rows and the distinct seed set (each under
+    // the same bound), null endpoints/seed rows decline to the
+    // declarative plan (a null seed matches no node there — the
+    // kernel drops them for the same effect). The seed-exists guard
+    // is enforced identically on both routes.
+    if (maxKernelEdges > 0) {
+      val probed = e.limit(maxKernelEdges + 1).collect()
+      if (probed.length <= maxKernelEdges &&
+          !probed.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val seedRows = seeds.select(col(seedCol).cast("long").as("node"))
+          .distinct().limit(maxKernelEdges + 1).collect()
+        if (seedRows.length <= maxKernelEdges)
+          return personalizedPageRankKernel(edges.sparkSession, probed,
+            seedRows.filter(!_.isNullAt(0)).map(_.getLong(0)),
+            iters, dampNum, dampDen, scale)
+      }
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val flagged = nodes.join(
@@ -1015,5 +1431,59 @@ object Graph {
       if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
     }
     ranks
+  }
+
+  /** Driver-fold personalized-PageRank kernel: the [[pageRankKernel]]
+    * recurrence with the seeded base — init `scale div ns` on seed
+    * nodes (0 elsewhere), per iteration `t'(v) = (v seed ? base : 0)
+    * + Σ (dampNum·t(u)) div (dampDen·outdeg(u))` — exactly the
+    * declarative semantics, including the seed-must-exist guard. */
+  private def personalizedPageRankKernel(spark: org.apache.spark.sql.SparkSession,
+                                         rows: Array[org.apache.spark.sql.Row],
+                                         seedIds: Array[Long], iters: Int,
+                                         dampNum: Long, dampDen: Long,
+                                         scale: Long): DataFrame = {
+    import spark.implicits._
+    val (nodes, eu, ev) =
+      if (rows.isEmpty) (new Array[Long](0), new Array[Int](0), new Array[Int](0))
+      else denseDirectedKeepDup(rows)
+    val n = nodes.length
+    val m = eu.length
+    val isSeed = new Array[Boolean](n)
+    var ns = 0L
+    locally {
+      var i = 0
+      while (i < seedIds.length) {
+        val d = java.util.Arrays.binarySearch(nodes, seedIds(i))
+        if (d >= 0 && !isSeed(d)) { isSeed(d) = true; ns += 1 }
+        i += 1
+      }
+    }
+    require(ns > 0, "personalizedPageRank: no seed node exists in the graph")
+    val outdeg = new Array[Long](n)
+    locally {
+      var i = 0
+      while (i < m) { outdeg(eu(i)) += 1L; i += 1 }
+    }
+    val base = ((dampDen - dampNum) * scale) / (dampDen * ns)
+    var trust = Array.tabulate(n)(v => if (isSeed(v)) scale / ns else 0L)
+    var it = 0
+    while (it < iters) {
+      val s = new Array[Long](n)
+      var i = 0
+      while (i < m) {
+        s(ev(i)) += (dampNum * trust(eu(i))) / (dampDen * outdeg(eu(i)))
+        i += 1
+      }
+      var v = 0
+      while (v < n) { if (isSeed(v)) s(v) += base; v += 1 }
+      trust = s
+      it += 1
+    }
+    val bc = spark.sparkContext.broadcast((nodes, trust))
+    spark.range(0, n.toLong).as[Long].map { i =>
+      val (bn, bt) = bc.value
+      (bn(i.toInt), bt(i.toInt))
+    }.toDF("node", "trust_scaled")
   }
 }

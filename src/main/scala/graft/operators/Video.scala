@@ -234,9 +234,21 @@ object Video {
     * q24/q95/q97 already ride. */
   def videoNearDupPairs(videos: DataFrame, maxHamming: Int, everyK: Int = 1,
                         idCol: String = "video_id", binCol: String = "video"): DataFrame = {
+    // Materialize the signatures ONCE (r19, guide §2.4/§5): the
+    // hamming machinery's bitmask-vs-banding strategy probe counts
+    // rows of its input frame, and frame ids are (video, frame_idx)
+    // structs — there is no RAW frame whose row count bounds the
+    // FRAME count (a video may carry any number of frames), so the
+    // image tier's repProbe trick does not apply and the probe would
+    // re-execute the full container-walk + PNG-decode + dHash chain
+    // a second time (measured: the decode pass is ~half of q101's
+    // wall). One eager localCheckpoint of the keys-sized signature
+    // frame pays the decode exactly once; probe and aggregate both
+    // read the materialized rows.
     val sigs = frameDHashes(videos, everyK, idCol, binCol)
       .select(struct(col(idCol).as("vid"), col("frame_idx").as("idx")).as("fid"),
         col("dhash"))
+      .localCheckpoint(true)
     val framePairs = Dedup.hammingNearDupPairs(
       sigs, sigBits = 64, maxHamming = maxHamming, idCol = "fid", sigCol = "dhash")
     framePairs

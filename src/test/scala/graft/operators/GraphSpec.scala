@@ -120,6 +120,53 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  test("r19 kernel routes ≡ declarative plans: kHopReach, hyperBall, hits, pageRank, PPR") {
+    // maxKernelEdges = 0 forces each operator's declarative plan; the
+    // default routes small graphs through the r19 driver-fold /
+    // broadcast-CSR kernels. Every route pair must match row for row
+    // — including doubles (hyperBall's finalize is shared code, so
+    // bit-equality is the contract, not a tolerance).
+    import spark.implicits._
+    // Raw generator WITH self-loops and duplicates: pageRank/PPR count
+    // both, so the kernels must reproduce them too.
+    val rawGen: Gen[Seq[(Long, Long)]] = for {
+      n <- Gen.chooseNum(2, 10)
+      m <- Gen.chooseNum(1, 40)
+      es <- Gen.listOfN(m, for {
+        s <- Gen.chooseNum(0L, n.toLong); t <- Gen.chooseNum(0L, n.toLong)
+      } yield (s, t))
+    } yield es
+    def rows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      df.collect().map(_.toSeq).toSet
+    for (edges <- PropSampling.sample(edgeGen, n = 4) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      assert(rows(Graph.kHopReach(df, "src", "dst", k = 2)) ===
+        rows(Graph.kHopReach(df, "src", "dst", k = 2, maxKernelEdges = 0)),
+        s"kHopReach route divergence on $edges")
+      assert(rows(Graph.hyperBall(df, "src", "dst", k = 2, p = 6)) ===
+        rows(Graph.hyperBall(df, "src", "dst", k = 2, p = 6, maxKernelEdges = 0)),
+        s"hyperBall route divergence on $edges")
+      assert(rows(Graph.hits(df, "src", "dst", rounds = 2)) ===
+        rows(Graph.hits(df, "src", "dst", rounds = 2, maxKernelEdges = 0)),
+        s"hits route divergence on $edges")
+    }
+    for (edges <- PropSampling.sample(rawGen, n = 4) if edges.nonEmpty) {
+      val df = edges.toDF("src", "dst")
+      assert(rows(Graph.pageRank(df, "src", "dst", iters = 3)) ===
+        rows(Graph.pageRank(df, "src", "dst", iters = 3, maxKernelEdges = 0)),
+        s"pageRank route divergence on $edges")
+      val nodes = edges.flatMap { case (s, t) => Seq(s, t) }.distinct
+      val seeds = nodes.filter(_ % 2 == 0)
+      if (seeds.nonEmpty) {
+        val seedDf = seeds.toDF("node")
+        assert(rows(Graph.personalizedPageRank(df, "src", "dst", seedDf, "node", iters = 3)) ===
+          rows(Graph.personalizedPageRank(df, "src", "dst", seedDf, "node", iters = 3,
+            maxKernelEdges = 0)),
+          s"PPR route divergence on $edges seeds=$seeds")
+      }
+    }
+  }
+
   /** Sequential peel-to-fixpoint: the textbook k-core. */
   private def coreReference(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
     var ue = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
