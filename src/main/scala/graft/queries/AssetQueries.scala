@@ -528,7 +528,15 @@ object AssetQueries {
       // subexpression elimination already evaluates the synth+decode
       // chain once per row (a localCheckpoint variant measured
       // within noise, so the extra job would be pure cost).
+      // Sort FIRST, on the bare key (r19, guide §1.2/§2.4): the
+      // presentation orderBy's range sampling re-executes the sort's
+      // child in full, and this chain is exchange-free — sorted last,
+      // every WAV was synthesized, parsed, decoded, resampled and
+      // checksummed TWICE (measured −56% moving the sort below the
+      // key scan: 2.59 → 1.13 s min same-band). Projections preserve
+      // partition order, so the emitted rows are identical.
       val st = Tables.documents(s, d).select(col("doc_id"))
+        .orderBy("doc_id")
         .withColumn("wav", synthWav(col("doc_id")))
         .select(col("doc_id"),
           Audio.info(col("wav")).as("info"),
@@ -557,7 +565,6 @@ object AssetQueries {
           ((dur * 0.25) * sr).cast("int").cast("long").as("seg_start"),
           size(seg).cast("long").as("seg_len"),
           csum(seg, 32768).as("seg_checksum"))
-        .orderBy("doc_id")
     },
 
     // ---- q239: ordered AUDIO assembly hash gate (r18, the X3 half
@@ -594,15 +601,17 @@ object AssetQueries {
         .withColumn("samples", Audio.decode(synthWav(col("doc_id"))))
       val books = Audio.concatParts(parts, "book_id", "doc_id", "samples")
       // Position-weighted integer fold over the assembled waveform:
-      // one sequential HOF pass, codegen, no explode.
-      val posCsum = aggregate(col("samples"),
-        struct(lit(0L).as("p"), lit(0L).as("s")),
-        (acc, x) => struct(
-          (acc.getField("p") + 1).as("p"),
-          (acc.getField("s") +
-            round(x.cast("double") * 32768).cast("long") *
-              (pmod(acc.getField("p"), lit(91)) + 1)).as("s")),
-        acc => acc.getField("s"))
+      // one indexed transform + one long fold, codegen, no explode.
+      // (r19: the previous struct-accumulator fold allocated a
+      // two-field struct per SAMPLE to carry the position; the
+      // transform lambda's index argument IS the position, so the
+      // accumulator shrinks to one long — same exact integer
+      // arithmetic, term for term.)
+      val posCsum = aggregate(
+        transform(col("samples"), (x, i) =>
+          round(x.cast("double") * 32768).cast("long") *
+            (pmod(i.cast("long"), lit(91)) + 1)),
+        lit(0L), (a, b) => a + b)
       books.select(col("book_id"), col("n_parts"),
           size(col("samples")).cast("long").as("total_samples"),
           posCsum.as("pos_checksum"))

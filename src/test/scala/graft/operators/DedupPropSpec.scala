@@ -275,6 +275,30 @@ class DedupPropSpec extends SparkSuite {
     assert(chainGot === (0L until 40L).map(_ -> 0L).toMap)
   }
 
+  test("connectedComponents kernel route ≡ declarative pointer-jump rounds, row for row") {
+    // r19 size routing: maxKernelEdges = 0 forces the iterative
+    // plan; the default routes small pair sets through the driver
+    // union-find kernel. Same labels on chains, cliques, dups,
+    // self-pairs.
+    import spark.implicits._
+    val pairGen = for {
+      n <- Gen.chooseNum(5, 40)
+      m <- Gen.chooseNum(1, 60)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0L, n.toLong)
+        b <- Gen.chooseNum(0L, n.toLong)
+      } yield (a, b))
+    } yield es // dups AND self-pairs kept deliberately
+    for (pairs <- PropSampling.sample(pairGen, n = 5) if pairs.nonEmpty) {
+      val df = pairs.toDF("doc_a", "doc_b")
+      val viaKernel = Dedup.connectedComponents(df)
+        .collect().map(_.toSeq).toSet
+      val viaRounds = Dedup.connectedComponents(df, maxKernelEdges = 0)
+        .collect().map(_.toSeq).toSet
+      assert(viaKernel === viaRounds, s"CC route divergence on $pairs")
+    }
+  }
+
   test("connectedComponents reliable-checkpoint mode: same labels, durable files written") {
     import spark.implicits._
     // The 40-node chain needs several pointer-jump rounds, so an
