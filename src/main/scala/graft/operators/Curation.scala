@@ -901,8 +901,16 @@ object Curation {
     // nor count toward n_paras (the join-on-para formulation this
     // key-unpack replaced dropped them implicitly; the explicit
     // filter keeps that semantics).
+    // Materialize the exploded windows ONCE (r19, guide §2.4): the
+    // winner census and the per-doc instance census both need them,
+    // and `paragraphs` is typically an expensive derivation
+    // (tokenize + window-assemble per doc) that two independent
+    // subtrees would each pay in full — measured as ~half of q148's
+    // wall. The frame is (id, idx, para) — the same rows the winner
+    // shuffle carries anyway.
     val p = docs.select(col(idCol), posexplode(paragraphs).as(Seq("idx", "para")))
       .filter(col("para").isNotNull)
+      .localCheckpoint(true)
     val keyed = p.withColumn("__k",
       when(col("idx") >= maxParasPerDoc || col(idCol).cast("long") < 0L,
         raise_error(lit(s"paragraphDedup: a document exceeds $maxParasPerDoc paragraphs or has a negative id"))
@@ -918,13 +926,14 @@ object Curation {
         array_join(transform(
             array_sort(collect_list(struct(col("idx"), col("para")))),
             x => x.getField("para")), sep).as("text"))
-    // Instance counts never need the explode or the strings. Count
-    // only non-null elements (mirrors the winner side's filter).
-    val census = docs
-      .select(col(idCol),
-        size(filter(paragraphs, x => x.isNotNull)).as("n_paras"))
-      .filter(col("n_paras") > 0) // all-null/empty docs drop (join-on-para semantics)
-      .withColumn("n_paras", col("n_paras").cast("long"))
+    // Instance counts come from the SAME materialized explode (r19):
+    // counting post-filter rows per doc equals the old
+    // size(filter(paragraphs, isNotNull)) — null elements are gone,
+    // and a doc with zero surviving paragraphs contributes no rows
+    // (the join-on-para drop semantics, previously an explicit
+    // filter(n_paras > 0)).
+    val census = p.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_paras"))
     census.join(kept, census(idCol).cast("long") === kept("__id"), "left")
       .select(census(idCol), col("n_paras"),
         coalesce(col("__nk"), lit(0L)).as("n_kept"), col("text"))
