@@ -227,6 +227,26 @@ object FloorSweeps {
       "q231_bleu_components" -> { m =>
         Evaluation.bleuTruncationComponents(docReplicas(m)).count()
       },
+      "q36_vi_normalize" -> { m =>
+        // Orders replicas by key offset (r19 — q36 straddled the bar
+        // on a spread-2.0 band): the distinct-date dictionary stays
+        // constant (q36's collapse-identical design), while the rows
+        // the broadcast join fans out grow m× — the workload axis a
+        // bigger corpus actually grows.
+        val o = (0 until m).map(c => Tables.orders(spark, srcDir)
+            .select((col("o_orderkey") + lit(c * offset)).as("o_orderkey"),
+              col("o_orderdate")))
+          .reduce(_ unionByName _).localCheckpoint(true)
+        val input = concat(
+          dayofmonth(col("o_orderdate")), lit("/"),
+          month(col("o_orderdate")), lit("/"), year(col("o_orderdate")),
+          lit(" giá 234,56 đ xem https://example.com/x"))
+        val perDate = o.select(col("o_orderdate")).distinct()
+          .select(col("o_orderdate"),
+            graft.functions.GraftFunctions.vi_normalize_text(input).as("norm"))
+        o.join(broadcast(perDate), "o_orderdate")
+          .select(col("o_orderkey"), col("norm")).count()
+      },
       "q103_pq_ann" -> { m =>
         // r19 (the one r18-citable weak row without a builder):
         // corpus AND query residue class both grow m× → ADC scoring
