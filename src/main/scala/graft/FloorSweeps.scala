@@ -227,6 +227,17 @@ object FloorSweeps {
       "q231_bleu_components" -> { m =>
         Evaluation.bleuTruncationComponents(docReplicas(m)).count()
       },
+      "q57_neardup_lsh" -> { m =>
+        // Sign-flip isometry replicas of the synthesized-twin corpus
+        // (q57 straddled the bar once across the r19 final passes).
+        // NOTE the scaling contract: the md5-derived hyperplanes are
+        // FIXED geometry, so bucket occupancy grows ~m× and the
+        // candidate-verification stage grows ~m² (the q142-class
+        // by-design note) while true answer mass grows m× — linear-
+        // in-candidates time is the floor claim here.
+        Similarity.nearDupPairsLsh(corpusReplicas(m), threshold = 0.99,
+          dim = 64, nPlanes = 6, nTables = 16).count()
+      },
       "q36_vi_normalize" -> { m =>
         // Orders replicas by key offset (r19 — q36 straddled the bar
         // on a spread-2.0 band): the distinct-date dictionary stays

@@ -642,7 +642,7 @@ object Graph {
       if (probed.length <= maxExactEdges)
         return kHopReachKernel(edges.sparkSession, probed, k)
       val est =
-        if (probed.length <= HyperBallKernelBound)
+        if (probed.length <= HyperBallKernelBound && hyperBallKernelFits(probed.length, p))
           hyperBallKernel(edges.sparkSession, probed, k, p)
         else hyperBallCanonical(ue, k, p, maxKernelEdges = 0)
       est.select(col("node"),
@@ -695,7 +695,7 @@ object Graph {
           greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
         .filter(col("u") =!= col("v"))
       val probed = pairs.limit(maxKernelEdges + 1).collect()
-      if (probed.length <= maxKernelEdges)
+      if (probed.length <= maxKernelEdges && hyperBallKernelFits(probed.length, p))
         return hyperBallKernel(edges.sparkSession, probed, k, p)
     }
     hyperBallCanonical(canonicalUndirected(edges, srcCol, dstCol), k, p,
@@ -711,6 +711,16 @@ object Graph {
     * declarative evolution is the right shape anyway. */
   private val HyperBallKernelBound: Int = 1 << 20
 
+  /** The edge bound alone does not cap the register MATRIX for large
+    * `p` (n·2^p at p=16 overflows an Int index well below the edge
+    * bound): admit the kernel only when the worst-case matrix
+    * (2·edges node bound × 2^p bytes) stays ≤ 256 MB — at p=6 this
+    * is looser than [[HyperBallKernelBound]], at p=16 it correctly
+    * shrinks the kernel to toy graphs and routes the rest to the
+    * declarative evolution. */
+  private def hyperBallKernelFits(edgeRows: Int, p: Int): Boolean =
+    2L * edgeRows.toLong * (1L << p) <= (1L << 28)
+
   /** [[hyperBall]] over an already-canonical, already-materialized
     * `(u, v)` edge frame (see [[canonicalUndirected]]) — the entry
     * point [[kHopReachAuto]] routes to. Routes to the register
@@ -722,7 +732,7 @@ object Graph {
     require(k >= 1, "k must be >= 1")
     if (maxKernelEdges > 0) {
       val probed = ue.limit(maxKernelEdges + 1).collect()
-      if (probed.length <= maxKernelEdges)
+      if (probed.length <= maxKernelEdges && hyperBallKernelFits(probed.length, p))
         return hyperBallKernel(ue.sparkSession, probed, k, p)
     }
     val m = 1 << p
