@@ -227,6 +227,21 @@ object FloorSweeps {
       "q231_bleu_components" -> { m =>
         Evaluation.bleuTruncationComponents(docReplicas(m)).count()
       },
+      "q90_containment" -> { m =>
+        // Token-salted replicas of q90's planted-subset corpus (the
+        // q236 rationale: the salt keeps within-replica containment
+        // structure while making cross-replica token sets disjoint,
+        // so true pair workload grows m×). q90 straddled the bar once
+        // on the noisiest r19 band (2.06×; 1.70× driver r18).
+        val base = graft.queries.TextQueries.q90Corpus(spark, srcDir)
+          .localCheckpoint(true)
+        val docs = (0 until m).map { c =>
+          base.select((col("doc_id") + lit(c * offset)).as("doc_id"),
+            concat_ws(" ", transform(split(col("text"), " "),
+              t => concat(lit(s"r${c}_"), t))).as("text"))
+        }.reduce(_ unionByName _).localCheckpoint(true)
+        Dedup.containmentJoin(docs, threshold = 0.9).count()
+      },
       "q57_neardup_lsh" -> { m =>
         // Sign-flip isometry replicas of the synthesized-twin corpus
         // (q57 straddled the bar once across the r19 final passes).
